@@ -1,0 +1,28 @@
+"""flo_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of psFried/flo, re-expressed Spark-first.
+
+The reference (flo) is a persistent event-stream server: produce events
+into partitioned append-only logs, consume them back filtered by a
+namespace glob, starting from a version-vector cursor, merged across
+partitions in id order, with an optional limit and tail mode
+(reference: flo-client-lib/src/async/mod.rs:103-121).
+
+This package maps that model onto Spark (SURVEY.md §1.5):
+
+- event            -> Row of EVENT_SCHEMA (flo_spark.schema)
+- event stream     -> parquet table dir partitioned by `partition`
+- version vector   -> per-partition exclusive lower-bound predicate
+- namespace glob   -> rlike(glob_to_regex(pattern))
+- consume          -> scan + vv filter + glob + orderBy(id) + limit
+- tail             -> Structured Streaming (AvailableNow == await_new=False)
+
+plus a batch-relational layer and LLM-data-pipeline operators
+(dedup, similarity search, text analysis) designed for 100 TB scale.
+"""
+
+from flo_spark.schema import EVENT_SCHEMA
+from flo_spark.functions.glob import GlobError, glob_to_regex, namespace_matches
+
+__all__ = ["EVENT_SCHEMA", "GlobError", "glob_to_regex", "namespace_matches"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,9 @@
+from flo_spark.operators.consume import consume, head_status, version_vector_filter
+from flo_spark.operators.produce import assign_event_ids
+
+__all__ = [
+    "assign_event_ids",
+    "consume",
+    "head_status",
+    "version_vector_filter",
+]

@@ -1,0 +1,119 @@
+"""Consume path — the A3..A7 composite (SURVEY.md §2):
+
+scan -> version-vector filter -> namespace glob -> global id order -> limit
+
+flo creates one per-partition cursor per version-vector entry
+(reference: flo-server/.../consumer/mod.rs:91-107), seeks each via the
+index (controller/mod.rs:300-321), k-way merges by min event_counter
+(consumer_stream/multi_partition_reader.rs:8-48), applies the glob
+inside each reader (event_reader/mod.rs:60-74), and decrements a
+max_events budget (consumer_stream/mod.rs:84-119).
+
+Spark translation — every stage is a Catalyst built-in, so pushdown,
+partition pruning, and TopK (``TakeOrderedAndProject``) replace the
+hand-built index seek and merge:
+
+- vv filter  -> OR of per-partition ``partition = p AND counter > c``
+  predicates.  Plain comparisons on the partition-directory column and
+  a parquet stats column => directory pruning + row-group skipping —
+  the exact analog of flo's index seek (index.rs:86-129), for free.
+- glob       -> ``rlike`` regex (functions/glob.py); '/**/*' fast path
+  skips the predicate entirely, as event_reader/mod.rs:27-34 does.
+- merge      -> ``orderBy(event_counter, actor)`` — with a ``limit`` on
+  top Spark plans TakeOrderedAndProject: per-partition top-k heaps +
+  driver merge, NOT a global sort.  Unlimited consumes at scale should
+  leave ``order_globally=False`` and order per-partition (flo's global
+  order only matters to a single sequential consumer anyway).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flo_spark.functions.glob import glob_to_regex, is_match_all
+from flo_spark.schema import ID_ORDER
+
+
+def version_vector_filter(
+    vv: Mapping[int, int],
+    partition_col: str = "partition",
+    counter_col: str = "event_counter",
+) -> Column:
+    """Predicate for a version-vector cursor.
+
+    Only partitions present in the vector are read (sync/mod.rs:124-130);
+    each entry is an *exclusive* lower bound: first event returned for
+    partition p has counter >= vv[p]+1.
+    """
+    if not vv:
+        return F.lit(False)
+    pred = None
+    for part, counter in sorted(vv.items()):
+        clause = (F.col(partition_col) == int(part)) & (
+            F.col(counter_col) > int(counter)
+        )
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
+def namespace_filter(pattern: str | None, namespace_col: str = "namespace") -> Column | None:
+    """Glob predicate, or None for the match-all fast path."""
+    if is_match_all(pattern):
+        return None
+    return F.col(namespace_col).rlike(glob_to_regex(pattern))
+
+
+def consume(
+    events: DataFrame,
+    namespace: str | None = None,
+    version_vector: Mapping[int, int] | None = None,
+    limit: int | None = None,
+    order_globally: bool = True,
+) -> DataFrame:
+    """Batch consume — flo's ``consume(namespace, vv, limit, await_new=False)``
+    (flo-client-lib/src/async/mod.rs:115-121) as a DataFrame pipeline."""
+    df = events
+    if version_vector is not None:
+        df = df.filter(version_vector_filter(version_vector))
+    ns = namespace_filter(namespace)
+    if ns is not None:
+        df = df.filter(ns)
+    if order_globally:
+        # tolerate envelope frames that carry only a counter column
+        order_cols = [c for c in ID_ORDER if c in df.columns]
+        df = df.orderBy(*order_cols)
+    if limit is not None and limit > 0:  # 0 = unlimited sentinel (A7)
+        df = df.limit(int(limit))
+    return df
+
+
+def head_status(events: DataFrame, partition_col: str = "partition") -> DataFrame:
+    """Per-partition head counters — flo's EventStreamStatus (A13,
+    connection_state.rs:94-114)."""
+    return (
+        events.groupBy(F.col(partition_col).alias("partition"))
+        .agg(F.max("event_counter").alias("head_counter"))
+        .orderBy("partition")
+    )
+
+
+def lineage_join(events: DataFrame, parents: DataFrame | None = None) -> DataFrame:
+    """Left self-join on parent id — A16 (flo-event/src/lib.rs:192-196).
+
+    Returns each event with its causal parent's namespace/timestamp.
+    """
+    parents = (parents or events).select(
+        F.col("event_counter").alias("p_counter"),
+        F.col("actor").alias("p_actor"),
+        F.col("namespace").alias("parent_namespace"),
+        F.col("timestamp").alias("parent_timestamp"),
+    )
+    return events.join(
+        parents,
+        (events["parent_counter"] == parents["p_counter"])
+        & (events["parent_actor"] == parents["p_actor"]),
+        "left",
+    ).drop("p_counter", "p_actor")

@@ -1,0 +1,271 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all shuffle-shaped for 100 TB (no crossJoin, no
+driver-side collection of data rows):
+
+- exact            : hash-groupBy on content (queries.py::dedup_exact)
+- minhash_lsh      : shingle -> minhash signature -> band -> bucket
+                     self-join -> exact-jaccard verify.  The classic
+                     Broder/LSH cascade: candidate generation cost is
+                     O(sum bucket^2) within bands, never O(n^2).
+- simhash          : 64-bit simhash via Arrow-batched pandas_udf over
+                     JVM-computed token hashes; near-dups = equal
+                     simhash band keys (hamming-adjacent buckets).
+- ngram_jaccard    : exact jaccard on word n-gram sets for candidate
+                     pairs that share a (rare-)shingle bucket.
+
+All hashing is xxhash64 (JVM built-in, deterministic across the
+cluster); the minhash permutations (a*x+b) mod p use fixed constants
+derived from a seeded generator so results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num)
+    ]
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM expression)."""
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    return F.when(
+        F.size(words) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct xxhash64 values of the shingle set, as array<long>."""
+    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature: array of per-permutation minima.
+
+    Each permutation is h_i(x) = (a_i * x + b_i) mod M61 over the
+    shingle xxhash64 values — evaluated entirely JVM-side with
+    transform/array_min (one pass per permutation over the cached
+    hash array; no Python)."""
+    params = _hash_params(num_hashes, seed)
+    sig = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda x, a=a, b=b: (
+                    (F.lit(a) * F.abs(x) + F.lit(b)) % F.lit(_MERSENNE)
+                ),
+            )
+        )
+        for a, b in params
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact jaccard >= threshold.
+
+    Pipeline: signature -> explode band keys -> self-join per bucket ->
+    distinct candidates -> verify with exact jaccard over shingle-hash
+    sets.  Shuffles: one on band key (candidate gen), one to join back
+    the shingle arrays — both key-partitioned, skew-safe under AQE.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("__id", "__sh")
+    verified = (
+        candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Documents to KEEP after near-dedup: drop the higher id of every
+    near-dup pair (greedy, matches the common 'keep first' policy)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Exact n-gram jaccard pairs via inverted-index candidate join.
+
+    Candidate pairs share at least one shingle; buckets larger than
+    ``max_bucket`` (stop-shingles) are dropped before the self-join —
+    the standard prefix-filter guard that keeps bucket^2 bounded."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    inv = sh.select("__id", F.explode("__sh").alias("g"))
+    rare = inv.groupBy("g").count().filter(F.col("count") <= max_bucket).select("g")
+    inv = inv.join(rare, "g")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hashes are computed JVM-side (xxhash64); the bit-vote fold is
+    a vectorized Arrow pandas_udf (numpy unpackbits) — the only Python
+    hop, batched, ~O(tokens*8) per doc."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        for i, arr in enumerate(hash_arrays):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1)
+            votes = bits.sum(axis=0) * 2 - len(a)  # +1/-1 votes per bit
+            sim_bits = (votes > 0).astype(np.uint8)
+            out[i] = np.packbits(sim_bits).view(np.int64)[0]
+        return pd.Series(out)
+
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col), _simhash(token_hashes).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs whose simhash shares at least one of the
+    64/band_bits bands (hamming-bounded blocking)."""
+    sims = simhash64(df, id_col, text_col)
+    nbands = 64 // band_bits
+    banded = sims.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .distinct()
+    )

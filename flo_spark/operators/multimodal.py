@@ -1,0 +1,118 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+flo's event `data` column is deliberately opaque bytes
+(flo-event/src/lib.rs:185-204); multimodal assets follow the same
+model: an asset is a BINARY column plus a metadata struct, processed
+by Arrow-batched Pandas functions over ``mapInPandas`` so each batch
+moves to Python exactly once.
+
+The actual image/audio decode libraries are NOT in this container, so
+``decode_image``/``decode_audio`` are STUBBED behind a deterministic
+fake (clearly marked).  The Spark-side plumbing — schema, batch
+iteration, partition-preserving mapInPandas, output contract — is real
+and tested; swapping in PIL/soundfile is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every binary asset column
+ASSET_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # 'image/png', 'audio/wav', ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_sha", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, feat_dim: int = 8) -> list[float]:
+    """STUB decode: deterministic pseudo-features from a content hash.
+
+    Replace with a real decoder (PIL image -> resize -> pixel stats,
+    librosa frame-sample, ...) when the codec libraries are available.
+    """
+    if payload is None:
+        return [0.0] * feat_dim
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:feat_dim]]
+
+
+def extract_features(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+    feat_dim: int = 8,
+) -> DataFrame:
+    """Binary -> feature vectors via mapInPandas (Arrow batches).
+
+    Partition-preserving: no shuffle; each input partition maps 1:1 to
+    an output partition, so this composes with upstream repartitioning
+    by storage key at any scale.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[data_col]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype(
+                        "int32"
+                    ),
+                    "content_sha": payloads.map(
+                        lambda b: "" if b is None else hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "feature": payloads.map(lambda b: _fake_decode(None if b is None else bytes(b), feat_dim)),
+                }
+            )
+
+    return assets.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def decode_image(*_args, **_kwargs):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "image decode requires PIL/opencv, not present in this container; "
+        "extract_features() demonstrates the Spark plumbing with a "
+        "deterministic fake decoder"
+    )
+
+
+def decode_audio(*_args, **_kwargs):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa, not present in this "
+        "container; see extract_features()"
+    )
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Adapter: treat documents.text bytes as binary assets (the test
+    corpus has no real media, so text payloads stand in)."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,867 @@
+"""Query catalog — every operator exposed as a (spark_fn, oracle_sql) pair.
+
+Each entry is one operator/query from SURVEY.md §2 (flo semantics layer,
+batch-relational layer, streaming layer, LLM-pipeline layer).  The
+Spark implementation and the DuckDB oracle SQL live side by side so the
+driver's correctness gate (row-count + schema + order-insensitive
+value-hash at sf0.01) can verify them 1:1.
+
+Conventions that keep the hash comparison meaningful:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- floating aggregates are rounded (2dp for money sums, 4dp for ratios)
+  in BOTH engines — double summation order differs between engines and
+  the rounding granularity (1e-2) dwarfs the fp jitter (~1e-9 rel);
+- every LIMIT/top-k orders by a unique tie-break key so both engines
+  cut the same set.
+
+The flo-semantics queries re-express the reference's consume pipeline
+over the driver's `events` table by deriving flo's envelope columns:
+partition := event_id % 4 (the ActorId), event_counter := event_id,
+namespace := '/<event_type>/u<user_id mod 10>'.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flo_spark.functions.glob import glob_to_regex
+from flo_spark.operators.consume import version_vector_filter
+
+# --------------------------------------------------------------------------
+# registry plumbing
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    path = f"{sf_dir}/{table}.parquet"
+    if table == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects by default; read ns-as-long, convert to micros.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive flo event-envelope columns from the driver's events table."""
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("partition", (F.col("event_id") % 4).cast("int"))
+        .withColumn("event_counter", F.col("event_id"))
+        .withColumn(
+            "namespace",
+            F.concat(
+                F.lit("/"),
+                F.col("event_type"),
+                F.lit("/u"),
+                (F.col("user_id") % 10).cast("string"),
+            ),
+        )
+    )
+
+
+_ENVELOPE_SQL = """
+    SELECT *,
+           CAST(event_id % 4 AS INT) AS partition,
+           event_id AS event_counter,
+           '/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR) AS namespace
+    FROM events
+"""
+
+# --------------------------------------------------------------------------
+# flo semantics layer (SURVEY §2 A3-A7, A13, A16, A17)
+# --------------------------------------------------------------------------
+
+_VV = {0: 500, 1: 120, 3: 40}  # partition 2 absent => not consumed
+
+
+@query(
+    "flo_consume_vv",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT event_counter, partition, event_type, value
+    FROM env
+    WHERE (partition = 0 AND event_counter > 500)
+       OR (partition = 1 AND event_counter > 120)
+       OR (partition = 3 AND event_counter > 40)
+    ORDER BY event_counter
+    LIMIT 500
+    """,
+)
+def flo_consume_vv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume from a version vector: per-partition exclusive lower
+    bounds, absent partitions skipped, global id order, limit.
+    reference: consumer/mod.rs:78-119, sync/mod.rs:124-130."""
+    env = _events_envelope(spark, sf_dir)
+    return (
+        env.filter(version_vector_filter(_VV, counter_col="event_counter"))
+        .select("event_counter", "partition", "event_type", "value")
+        .orderBy("event_counter")
+        .limit(500)
+    )
+
+
+@query(
+    "flo_glob_star",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT event_counter, namespace FROM env WHERE event_type = 'click'
+    """,
+)
+def flo_glob_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-segment glob: '/click/*' — '*' stays within one path
+    segment (namespace.rs:47-53).  Oracle expresses the equivalent
+    semantics independently (event_type = 'click')."""
+    env = _events_envelope(spark, sf_dir)
+    return env.filter(
+        F.col("namespace").rlike(glob_to_regex("/click/*"))
+    ).select("event_counter", "namespace")
+
+
+@query(
+    "flo_glob_recursive",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT event_counter, namespace FROM env WHERE user_id % 10 = 3
+    """,
+)
+def flo_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive glob: '/**/u3' spans any number of path components
+    (namespace.rs:70-79)."""
+    env = _events_envelope(spark, sf_dir)
+    return env.filter(
+        F.col("namespace").rlike(glob_to_regex("/**/u3"))
+    ).select("event_counter", "namespace")
+
+
+@query(
+    "flo_head_status",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT partition, max(event_counter) AS head_counter, count(*) AS n_events
+    FROM env GROUP BY partition
+    """,
+)
+def flo_head_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition head counters — EventStreamStatus (A13,
+    connection_state.rs:94-114)."""
+    env = _events_envelope(spark, sf_dir)
+    return env.groupBy("partition").agg(
+        F.max("event_counter").alias("head_counter"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "flo_lineage",
+    """
+    SELECT c.event_id AS event_id, c.event_type AS event_type,
+           p.event_id AS parent_id, p.event_type AS parent_type
+    FROM events c JOIN events p ON c.event_id = p.event_id + 1000
+    """,
+)
+def flo_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-id causal join (A16, flo-event/src/lib.rs:192-196):
+    parent := event_id - 1000 models request→response lineage."""
+    ev = load(spark, sf_dir, "events")
+    child = ev.select(
+        F.col("event_id"), F.col("event_type"), (F.col("event_id") - 1000).alias("__p")
+    )
+    parent = ev.select(
+        F.col("event_id").alias("parent_id"), F.col("event_type").alias("parent_type")
+    )
+    return (
+        child.join(parent, child["__p"] == parent["parent_id"], "inner")
+        .select("event_id", "event_type", "parent_id", "parent_type")
+    )
+
+
+@query(
+    "flo_codec_json",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def flo_codec_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec projection (A17, codec/serde.rs:11-62): JSON payload decode
+    as a column expression, not a UDF."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# batch-relational layer (SURVEY §2 Part B-relational)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> hash agg with partial
+    (map-side) aggregation; scan reads only the 7 referenced columns."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> joins -> agg -> top-k.
+    customer side is broadcast (small dim); top-k compiles to
+    TakeOrderedAndProject, not a global sort."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # reduce orders by the selective dim FIRST (broadcast), so the
+    # orders->lineitem join sees ~1/5 of orders; AQE turns that side
+    # broadcast at bench scale, and at cluster scale it's a smaller
+    # shuffle on the fact's join key.
+    filtered_orders = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return (
+        li.join(filtered_orders, li["l_orderkey"] == filtered_orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    """
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join; all dims broadcast, single fact
+    shuffle on the agg key only."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top3_customers_per_nation",
+    """
+    SELECT n_nationkey, c_custkey, c_acctbal, rn FROM (
+      SELECT c_nationkey AS n_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-n per group — row_number with a unique tie-break."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_nationkey").alias("n_nationkey"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "customer_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (B-relational windows)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "rollup_returnflag",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "cube_orderpriority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "semi_join_customers",
+    """
+    SELECT c_nationkey, count(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join == EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_nationkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join == NOT EXISTS."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+@query(
+    "set_ops_custkeys",
+    """
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "except_custkeys",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "scalar_string_funcs",
+    r"""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           substring(p_type, 1, 5) AS type_prefix,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar function battery (B-relational scalar funcs)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)
+               AS days_to_2002
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar function battery."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+@query(
+    "range_join_ship_window",
+    """
+    SELECT o.o_orderpriority AS o_orderpriority, count(*) AS n_lineitems
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with additional range predicate (theta/range join)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (li["l_shipdate"] >= o["o_orderdate"])
+            & (li["l_shipdate"] <= o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lineitems"))
+    )
+
+
+@query(
+    "asof_last_click_before_purchase",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         ranked AS (
+           SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         )
+    SELECT purchase_id, click_id FROM ranked WHERE rn = 1
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): latest 'click' at-or-before each
+    'purchase' per user — composition of range join + window top-1.
+    At scale the join is bounded per user; AQE handles user skew."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c, (p["user_id"] == c["c_user"]) & (c["c_ts"] <= p["p_ts"]), "inner"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id")
+    )
+
+
+@query(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+@query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("approx_distinct_users", None)  # approximate => rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (scale path for 100 TB:
+    sketch merge instead of exact shuffle-dedup)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline layer (dedup / text analysis / embeddings)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+    Partial aggregation makes this one shuffle of (hash, min, count) —
+    at 100 TB the shuffle carries 48-byte rows, not documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               AS n_words,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+           length(regexp_extract(text, '^[a-z]*', 0)) AS first_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats: char/word/punct counts — all integer-valued
+    (hash-stable), all JVM-side expressions, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        F.size(words).alias("n_words"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        ).alias("n_punct"),
+        F.length(F.regexp_extract("text", r"^[a-z]*", 0)).alias("first_word_len"),
+    )
+
+
+@query(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer count (word / number / punct tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (whitespace-collapsed, lowercased
+    md5) — the cheap first pass of a dedup cascade."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN text LIKE '% the %' OR text LIKE 'the %' THEN 'en'
+                ELSE 'other' END AS lang_predicted
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trivial stopword-marker language id (deterministic heuristic —
+    the Spark plumbing is the point; swap in a real n-gram model as a
+    pandas_udf for production)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        F.when(
+            F.col("text").like("% the %") | F.col("text").like("the %"), "en"
+        )
+        .otherwise("other")
+        .alias("lang_predicted"),
+    )
+
+
+@query(
+    "embedding_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, c_id,
+                  round(list_cosine_similarity(q_emb, c_emb), 4) AS cos_sim,
+                  row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, c_id) AS rn
+           FROM q CROSS JOIN c
+         )
+    SELECT q_id, c_id, cos_sim, rn FROM scored WHERE rn <= 10
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against
+    the candidate corpus; per-query top-k via window.  JVM-side
+    zip_with/aggregate dot product — no Python in the hot path.
+    (The LSH-bucketed variant is `embedding_ann_lsh`.)"""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(
+            F.aggregate(
+                a,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / (norm(F.col("q_emb")) * norm(F.col("c_emb"))),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# public surface consumed by __spark_entry__.py
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,212 @@
+"""Event-stream table — flo's stream/partition/segment containers on
+parquet (SURVEY.md §1.3/§1.5).
+
+| flo                         | here                                   |
+|-----------------------------|----------------------------------------|
+| stream (named, N partitions)| a directory of parquet files           |
+| partition (ActorId, thread) | ``partition=<n>/`` hive subdirectory   |
+| segment (mmap file, rotated)| individual parquet file within it      |
+| index (counter -> offset)   | parquet row-group min/max statistics   |
+
+Rotation (A12) ≈ ``maxRecordsPerFile``; TTL expiry (A11) drops whole
+files by their footer max(timestamp) — the same O(1)-per-segment drop
+as flo's expire_old_events (controller/mod.rs:158-178), never a
+row-level delete.
+
+reference: flo-server/src/engine/event_stream/mod.rs:17-43 (options),
+partition/segment/mod.rs:120-148 (segments), partition/index.rs (index).
+"""
+
+from __future__ import annotations
+
+import glob as _pyglob
+import json
+import os
+import shutil
+from collections.abc import Mapping
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flo_spark.operators.consume import consume as _consume
+from flo_spark.operators.consume import head_status
+from flo_spark.operators.produce import assign_event_ids
+from flo_spark.schema import (
+    DEFAULT_NUM_PARTITIONS,
+    DEFAULT_SEGMENT_MAX_RECORDS,
+    EVENT_SCHEMA,
+)
+
+_OPTIONS_FILE = "_flo_stream.json"
+
+
+class EventStream:
+    """A named flo event stream backed by a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- lifecycle -----------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        segment_max_records: int = DEFAULT_SEGMENT_MAX_RECORDS,
+        event_retention_seconds: int | None = None,
+    ) -> "EventStream":
+        """Create the stream dir + options (EventStreamOptions analog,
+        event_stream/mod.rs:17-37: 1 partition, retain forever by default)."""
+        os.makedirs(path, exist_ok=True)
+        opts = {
+            "num_partitions": num_partitions,
+            "segment_max_records": segment_max_records,
+            "event_retention_seconds": event_retention_seconds,
+        }
+        with open(os.path.join(path, _OPTIONS_FILE), "w") as f:
+            json.dump(opts, f)
+        return cls(spark, path)
+
+    @property
+    def options(self) -> dict:
+        with open(os.path.join(self.path, _OPTIONS_FILE)) as f:
+            return json.load(f)
+
+    def _has_data(self) -> bool:
+        return bool(_pyglob.glob(os.path.join(self.path, "partition=*")))
+
+    # -- read ----------------------------------------------------------
+    def events(self) -> DataFrame:
+        if not self._has_data():
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
+        # hive partition dir makes `partition` come back as the dir value
+        return df.select(*[f.name for f in EVENT_SCHEMA.fields])
+
+    def head(self) -> dict[int, int]:
+        """Per-partition head counters (A13). Partitions with no events
+        report 0, matching flo's fast-forward init (controller/mod.rs:64-66)."""
+        heads = {p: 0 for p in range(1, self.options["num_partitions"] + 1)}
+        if self._has_data():
+            for row in head_status(self.events()).collect():
+                heads[row["partition"]] = row["head_counter"]
+        return heads
+
+    def highest_counter(self) -> int:
+        """Stream-wide highest counter (highest_counter.rs:43-62 analog)."""
+        heads = self.head()
+        return max(heads.values()) if heads else 0
+
+    # -- write ---------------------------------------------------------
+    def produce(
+        self,
+        batch: DataFrame,
+        round_robin: bool = True,
+    ) -> int:
+        """Append a produce batch; returns number of events written (A1/A2).
+
+        ``batch`` columns: namespace STRING, data BINARY, optional
+        parent_counter/parent_actor, optional partition INT.  Without an
+        explicit partition, events are spread round-robin like the flo
+        client's default partition selection.
+        """
+        nparts = self.options["num_partitions"]
+        cols = batch.columns
+        if "partition" not in cols:
+            if round_robin:
+                batch = batch.withColumn(
+                    "partition",
+                    (F.monotonically_increasing_id() % nparts + 1).cast("int"),
+                )
+            else:
+                batch = batch.withColumn("partition", F.lit(1))
+        if "parent_counter" not in cols:
+            batch = batch.withColumn("parent_counter", F.lit(None).cast("long"))
+        if "parent_actor" not in cols:
+            batch = batch.withColumn("parent_actor", F.lit(None).cast("int"))
+        if "data" not in cols:
+            batch = batch.withColumn("data", F.lit(None).cast("binary"))
+
+        # server-assigned timestamp at persist time (controller/mod.rs:197)
+        batch = batch.withColumn("timestamp", F.current_timestamp())
+
+        base = self.highest_counter()
+        with_ids = assign_event_ids(batch, base_counter=base)
+        out = with_ids.select(
+            *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
+        )
+        n = out.count()
+        (
+            out.write.mode("append")
+            .option("maxRecordsPerFile", self.options["segment_max_records"])
+            .partitionBy("partition")
+            .parquet(self.path)
+        )
+        return n
+
+    # -- query ---------------------------------------------------------
+    def consume(
+        self,
+        namespace: str | None = None,
+        version_vector: Mapping[int, int] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Batch consume (A3-A7). ``version_vector=None`` consumes all
+        partitions from 0, like the CLI's default start
+        (client-cli/src/client_cli/consumer.rs:34-44)."""
+        if version_vector is None:
+            version_vector = {p: 0 for p in range(1, self.options["num_partitions"] + 1)}
+        return _consume(self.events(), namespace, version_vector, limit)
+
+    # -- retention (A11) ----------------------------------------------
+    def expire_old_events(self, now: datetime | None = None) -> int:
+        """Drop whole expired parquet files (segments) whose newest event
+        is older than the retention window.  O(1) per file, mirrors
+        expire_old_events (controller/mod.rs:158-178) + Segment::is_expired
+        (segment/mod.rs:52-54).  Returns number of files deleted."""
+        retention = self.options.get("event_retention_seconds")
+        if retention is None or not self._has_data():
+            return 0
+        import pyarrow.parquet as pq
+
+        now = now or datetime.now(timezone.utc)
+        cutoff = now.timestamp() - retention
+        deleted = 0
+        for fpath in _pyglob.glob(
+            os.path.join(self.path, "partition=*", "*.parquet")
+        ):
+            meta = pq.read_metadata(fpath)
+            names = list(meta.schema.to_arrow_schema().names)
+            ts_idx = names.index("timestamp")
+            file_max = None
+            for rg in range(meta.num_row_groups):
+                stats = meta.row_group(rg).column(ts_idx).statistics
+                if stats is None or not stats.has_min_max:
+                    file_max = None
+                    break
+                v = stats.max
+                if hasattr(v, "timestamp"):
+                    v = v.timestamp()
+                file_max = v if file_max is None else max(file_max, v)
+            if file_max is None:
+                # no usable footer stats (e.g. INT96): read just the
+                # timestamp column of this one file — still per-segment
+                col = pq.read_table(fpath, columns=["timestamp"])["timestamp"]
+                import pyarrow.compute as pc
+
+                m = pc.max(col).as_py()
+                if m is None:
+                    continue
+                if m.tzinfo is None:
+                    m = m.replace(tzinfo=timezone.utc)
+                file_max = m.timestamp()
+            if file_max < cutoff:
+                os.remove(fpath)
+                deleted += 1
+        return deleted
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,138 @@
+"""Streaming consume — flo's tail/await mode on Structured Streaming.
+
+Mapping (SURVEY.md §2 A3/A8/A9/A10):
+
+- consume(..., await_new=True)  -> readStream + default micro-batch
+  trigger: the query keeps running and delivers new events as files
+  land — flo's parked-consumer + notifier wake-up
+  (consumer_manager.rs:27-40, notifier.rs:47-66) becomes trigger
+  scheduling.
+- consume(..., await_new=False) -> Trigger.AvailableNow: drain
+  everything currently in the stream, then terminate — exactly the
+  client ending at `AwaitingEvents` (ops/consume.rs:149-156).
+- batching / credit flow        -> maxFilesPerTrigger (the analog of
+  SetBatchSize/NextBatch credit, consumer_stream/mod.rs:115-155).
+- StopConsuming                 -> query.stop().
+
+The version-vector start is a filter predicate rather than source
+offsets because the event table is a plain parquet dir; for an exactly
+-once cursor hand-off the caller checkpoints (checkpointLocation), which
+persists the files-seen log — Spark's own version vector.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flo_spark.operators.consume import namespace_filter, version_vector_filter
+from flo_spark.schema import EVENT_SCHEMA
+
+
+def consume_stream(
+    spark: SparkSession,
+    stream_path: str,
+    namespace: str | None = None,
+    version_vector: Mapping[int, int] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consume over an EventStream directory.
+
+    Returns an unbounded DataFrame; pair with ``run_to_memory`` (drain,
+    await_new=False) or ``writeStream`` + default trigger (tail)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_path)
+    if version_vector is not None:
+        df = df.filter(version_vector_filter(version_vector))
+    ns = namespace_filter(namespace)
+    if ns is not None:
+        df = df.filter(ns)
+    return df
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    await_new: bool = False,
+    timeout_sec: int = 120,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a streaming DataFrame into an in-memory table.
+
+    await_new=False => Trigger.AvailableNow (drain and stop, the
+    reference's non-tail consume); await_new=True leaves the query
+    running (caller is responsible for .stop()) and returns the
+    memory table immediately."""
+    name = "flo_mem_" + uuid.uuid4().hex[:12]
+    writer = stream_df.writeStream.format("memory").queryName(name).outputMode(
+        output_mode
+    )
+    if await_new:
+        query = writer.start()
+        spark = stream_df.sparkSession
+        df = spark.table(name)
+        df._flo_query = query  # caller stops via df._flo_query.stop()
+        return df
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark for late
+    data — the B-streaming extension (NOT a flo port: flo orders by
+    counter and disclaims timestamp monotonicity, lib.rs:51-53)."""
+    keys = keys or []
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "timestamp",
+    gap: str = "30 minutes",
+    key: str = "namespace",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup within the watermark horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])

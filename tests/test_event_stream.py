@@ -1,0 +1,157 @@
+"""End-to-end produce→consume round trips — mirrors the reference's
+embedded tests (flo-server/tests/embedded_tests.rs:68-338)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flo_spark.sources.event_table import EventStream
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    s = EventStream.create(spark, str(tmp_path / "stream"), num_partitions=3)
+    yield s
+    s.drop()
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(namespace=ns, data=bytearray(d, "utf8"), partition=p) for ns, d, p in rows]
+    )
+
+
+def test_produce_then_consume_round_trip(spark, stream):
+    # embedded_tests.rs:320-338
+    stream.produce(_batch(spark, [("/foo/bar", "payload-1", 1)]))
+    got = stream.consume().collect()
+    assert len(got) == 1
+    e = got[0]
+    assert e.namespace == "/foo/bar"
+    assert bytes(e.data) == b"payload-1"
+    assert e.event_counter == 1 and e.actor == 1
+
+
+def test_ordered_multi_produce(spark, stream):
+    # embedded_tests.rs:294-317 — ids are contiguous and ordered
+    rows = [("/seq", f"e{i}", (i % 3) + 1) for i in range(102)]
+    df = _batch(spark, rows)
+    n = stream.produce(df)
+    assert n == 102
+    got = stream.consume().collect()
+    counters = [e.event_counter for e in got]
+    assert counters == sorted(counters)
+    assert sorted(counters) == list(range(1, 103))  # contiguous, gap-free range
+
+
+def test_glob_subset_consume(spark, stream):
+    # embedded_tests.rs:223-251 / sync_client_tests.rs:179-206
+    rows = [
+        ("/meals/breakfast/foods/bacon", "b", 1),
+        ("/meals/breakfast/foods/eggs", "e", 2),
+        ("/meals/breakfast/drinks/coffee", "c", 3),
+        ("/meals/lunch/drinks/soda", "s", 1),
+        ("/meals/breakfast", "m", 2),
+    ]
+    stream.produce(_batch(spark, rows))
+    foods = stream.consume(namespace="/meals/breakfast/foods/*").collect()
+    assert sorted(e.namespace for e in foods) == [
+        "/meals/breakfast/foods/bacon",
+        "/meals/breakfast/foods/eggs",
+    ]
+    drinks = stream.consume(namespace="/**/drinks/*").collect()
+    assert sorted(e.namespace for e in drinks) == [
+        "/meals/breakfast/drinks/coffee",
+        "/meals/lunch/drinks/soda",
+    ]
+    exact = stream.consume(namespace="/meals/breakfast").collect()
+    assert [e.namespace for e in exact] == ["/meals/breakfast"]
+
+
+def test_multi_partition_merge_preserves_id_order(spark, stream):
+    # embedded_tests.rs:169-200
+    stream.produce(_batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(30)]))
+    got = stream.consume().collect()
+    ids = [(e.event_counter, e.actor) for e in got]
+    assert ids == sorted(ids)
+    assert len(ids) == 30
+
+
+def test_version_vector_resume(spark, stream):
+    # sync/mod.rs:124-130 — exclusive lower bound; absent partitions not read
+    stream.produce(_batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(30)]))
+    heads = stream.head()
+    # consume only partition 1, from its midpoint
+    mid = {1: heads[1] - 2}
+    got = stream.consume(version_vector=mid).collect()
+    assert all(e.actor == 1 for e in got)
+    assert len(got) == 2
+    assert all(e.event_counter > heads[1] - 2 for e in got)
+
+
+def test_limit(spark, stream):
+    # A7: stop after N across all partitions; 0 = unlimited
+    stream.produce(_batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(30)]))
+    got = stream.consume(limit=7).collect()
+    assert len(got) == 7
+    ids = [(e.event_counter, e.actor) for e in got]
+    assert ids == sorted(ids)  # limit applies AFTER global order (lowest ids)
+    assert got[0].event_counter == 1
+    assert len(stream.consume(limit=0).collect()) == 30
+
+
+def test_head_status(spark, stream):
+    # A13
+    assert stream.head() == {1: 0, 2: 0, 3: 0}
+    stream.produce(_batch(spark, [("/ns", "x", 1), ("/ns", "y", 1), ("/ns", "z", 2)]))
+    heads = stream.head()
+    assert set(heads) == {1, 2, 3}
+    assert heads[3] == 0
+    assert max(heads.values()) == 3
+
+
+def test_produce_batches_continue_counter(spark, stream):
+    stream.produce(_batch(spark, [("/a", "1", 1)]))
+    stream.produce(_batch(spark, [("/b", "2", 2)]))
+    got = stream.consume().collect()
+    assert [e.event_counter for e in got] == [1, 2]
+
+
+def test_lineage(spark, stream):
+    # A16 parent-id round trip
+    from flo_spark.operators.consume import lineage_join
+
+    stream.produce(_batch(spark, [("/req", "r", 1)]))
+    resp = spark.createDataFrame(
+        [
+            Row(
+                namespace="/resp",
+                data=bytearray(b"ok"),
+                partition=2,
+                parent_counter=1,
+                parent_actor=1,
+            )
+        ]
+    )
+    stream.produce(resp)
+    events = stream.events()
+    joined = lineage_join(events).filter(F.col("namespace") == "/resp").collect()
+    assert len(joined) == 1
+    assert joined[0].parent_namespace == "/req"
+
+
+def test_retention_expiry(spark, tmp_path):
+    # embedded_tests.rs:105-146 — TTL drops oldest whole segments
+    s = EventStream.create(
+        spark, str(tmp_path / "ttl"), num_partitions=1, event_retention_seconds=3600
+    )
+    s.produce(_batch(spark, [("/old", "x", 1)]))
+    # nothing expired yet
+    assert s.expire_old_events() == 0
+    future = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(hours=2)
+    deleted = s.expire_old_events(now=future)
+    assert deleted >= 1
+    assert s.consume().count() == 0
+    s.drop()
