@@ -27,8 +27,11 @@ HEADLINE = [
     "top3_customers_per_nation",
     "asof_last_click_before_purchase",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "token_count",
     "embedding_topk_bruteforce",
+    "stream_tumbling_counts",
+    "multimodal_features",
 ]
 
 

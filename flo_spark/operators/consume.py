@@ -56,6 +56,12 @@ def version_vector_filter(
             F.col(counter_col) > int(counter)
         )
         pred = clause if pred is None else (pred | clause)
+    # Redundant global lower bound: the OR-of-ANDs above may contain
+    # derived-column terms Catalyst can't push into the parquet scan,
+    # but this plain comparison always can — row groups entirely below
+    # min(vv) are skipped, which is exactly flo's index seek
+    # (index.rs:86-129) expressed as file statistics.
+    pred = (F.col(counter_col) > min(int(c) for c in vv.values())) & pred
     return pred
 
 

@@ -23,10 +23,15 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: (a * x') stays under 62 bits for a, x' < 2^31,
+# so the permutation arithmetic never overflows LongType.
+_MERSENNE = (1 << 31) - 1
 
 
 def _hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -63,17 +68,14 @@ def minhash_signature(hashes: Column, num_hashes: int = 64, seed: int = 42) -> C
     transform/array_min (one pass per permutation over the cached
     hash array; no Python)."""
     params = _hash_params(num_hashes, seed)
-    sig = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda x, a=a, b=b: (
-                    (F.lit(a) * F.abs(x) + F.lit(b)) % F.lit(_MERSENNE)
-                ),
-            )
-        )
-        for a, b in params
-    ]
+
+    def perm(a: int, b: int):
+        # x is an arbitrary 64-bit hash: fold into [0, M31) first
+        return lambda x: (
+            F.lit(a) * F.pmod(x, F.lit(_MERSENNE)) + F.lit(b)
+        ) % F.lit(_MERSENNE)
+
+    sig = [F.array_min(F.transform(hashes, perm(a, b))) for a, b in params]
     return F.array(*sig)
 
 
@@ -207,8 +209,6 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Token hashes are computed JVM-side (xxhash64); the bit-vote fold is
     a vectorized Arrow pandas_udf (numpy unpackbits) — the only Python
     hop, batched, ~O(tokens*8) per doc."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

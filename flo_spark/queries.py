@@ -853,6 +853,384 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming layer (Structured Streaming, B-streaming)
+# --------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet (ns timestamps read as long)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file stream source needs a directory path; select the single
+    # events.parquet file via pathGlobFilter over the sf dir
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window over a STREAMING read, drained with
+    Trigger.AvailableNow (flo's await_new=false) into a memory sink;
+    the result must equal the batch group-by — exactly the Structured
+    Streaming prefix-integrity guarantee."""
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    # complete mode: emit ALL windows at drain time — append mode would
+    # withhold windows newer than the final watermark
+    return run_to_memory(agg, await_new=False, output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    WITH base AS (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS w0
+      FROM events
+    ),
+    slides AS (
+      SELECT w0 AS window_start FROM base
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start FROM base
+    )
+    SELECT window_start, count(*) AS n_events FROM slides GROUP BY window_start
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h window, 30min slide) on the streaming read."""
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return run_to_memory(agg, await_new=False, output_mode="complete")
+
+
+@query(
+    "stream_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicates within watermark),
+    projected to the dedup keys — flo has no dedup; this is the
+    B-streaming extension."""
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "24 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, await_new=False, output_mode="append")
+
+
+@query(
+    "session_windows_30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's
+    session_window; the oracle derives identical sessions via the
+    classic gaps-and-islands SQL."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM layer wave 2: near-dup, ANN, multimodal (custom operators)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh", None)  # xxhash64-based => not SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over documents (shingle ->
+    64-hash signature -> 16 bands -> bucket join -> exact-jaccard
+    verify). See operators/dedup.py for the scale analysis."""
+    from flo_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidate pairs (16-bit band blocking)."""
+    from flo_spark.operators.dedup import simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(d)
+
+
+@query("dedup_ngram_jaccard", None)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram jaccard pairs >= 0.5 via inverted-index
+    candidate generation with stop-shingle pruning."""
+    from flo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@query("embedding_ann_lsh", None)  # approximate by design
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random hyperplanes; corpus
+    bucketed once, queries probe their bucket only)."""
+    from flo_spark.operators.similarity import ann_topk_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_topk_lsh(e, q, dim=64, k=10, num_planes=6)
+
+
+@query("embedding_neardup_cosine", None)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH blocking + exact
+    verify at threshold 0.99)."""
+    from flo_spark.operators.similarity import pairwise_near_duplicates
+
+    e = load(spark, sf_dir, "embeddings")
+    return pairwise_near_duplicates(e, dim=64, threshold=0.99, num_planes=8)
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> mapInPandas feature
+    extraction (Arrow batches, partition-preserving).  The decode stage
+    is a deterministic stub (no media libs in container); byte-length
+    and sha256 are verified against the oracle."""
+    from flo_spark.operators.multimodal import documents_as_assets, extract_features
+
+    d = load(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(d))
+    return feats.select("asset_id", "n_bytes", "content_sha")
+
+
+@query(
+    "union_all_parties",
+    """
+    SELECT c_name AS name, 'customer' AS kind, c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous sources via unionByName."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "explode_word_freq",
+    r"""
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ) GROUP BY word
+    """,
+)
+def explode_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode -> group count (word frequency over the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS abs_disc,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(sqrt(l_quantity), 4) AS qty_sqrt,
+           round(ln(l_extendedprice + 1), 4) AS price_ln,
+           round(pow(1 + l_tax, 2), 4) AS tax_sq
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 4).alias("tax_sq"),
+    )
+
+
+@query(
+    "case_when_value_buckets",
+    """
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@query(
+    "lag_lead_orders",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           CAST(rank() OVER w2 AS BIGINT) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank window battery."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.rank().over(w2).cast("long").alias("price_rank"),
+    )
+
+
+@query("flo_produce_roundtrip", None)  # write-path: verified rows-only
+def flo_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Produce path (A1/A2/A15): write a 3-partition event stream to a
+    temp dir with contiguous id assignment, read it back, return the
+    consumed events.  Exercises the full write->read cycle the driver
+    can't oracle-check (side effects)."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from flo_spark.sources.event_table import EventStream
+
+    path = tempfile.mkdtemp(prefix="flo_produce_") + "/stream"
+    s = EventStream.create(spark, path, num_partitions=3)
+    docs = load(spark, sf_dir, "documents").limit(300)
+    batch = docs.select(
+        F.concat(F.lit("/docs/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch)
+    out = s.consume(namespace="/docs/*").select(
+        "event_counter", "actor", "namespace"
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
 # public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------
 

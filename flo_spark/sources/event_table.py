@@ -210,3 +210,47 @@ class EventStream:
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+class StreamRegistry:
+    """Multiple named streams under one root — the engine's stream
+    catalog (EngineRef::get_stream, engine/mod.rs:69-81).  The default
+    stream is "system", as in flo (engine/mod.rs:34-38);
+    ``set_event_stream`` is A14's `USE <stream>`: it errors on unknown
+    names exactly like the server's NoSuchStream
+    (connection_state.rs:58-85)."""
+
+    DEFAULT_STREAM = "system"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._current = self.DEFAULT_STREAM
+        if not os.path.exists(self._path(self.DEFAULT_STREAM)):
+            EventStream.create(spark, self._path(self.DEFAULT_STREAM))
+
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid stream name: {name!r}")
+        return os.path.join(self.root, name)
+
+    def create_stream(self, name: str, **options) -> EventStream:
+        return EventStream.create(self.spark, self._path(name), **options)
+
+    def stream_names(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isfile(os.path.join(self.root, d, _OPTIONS_FILE))
+        )
+
+    def set_event_stream(self, name: str) -> EventStream:
+        """Switch the connection's target stream; NoSuchStream on error."""
+        if name not in self.stream_names():
+            raise KeyError(f"NoSuchStream: {name!r}")
+        self._current = name
+        return self.current()
+
+    def current(self) -> EventStream:
+        return EventStream(self.spark, self._path(self._current))

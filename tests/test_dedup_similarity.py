@@ -1,0 +1,133 @@
+"""Dedup + similarity operators on a synthetic corpus with KNOWN
+near-duplicates (the oracle can't express xxhash-based ops in SQL, so
+ground truth lives here)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one word differs -> high jaccard
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution and shuffles"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=NEAR),
+        Row(doc_id=3, text=FAR),
+        Row(doc_id=4, text=BASE),  # exact dup of 1
+        Row(doc_id=5, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_lsh_finds_near_dup(spark, corpus):
+    from flo_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near dup
+    assert (2, 4) in pairs
+    assert all(3 not in p and 5 not in p for p in pairs)  # no false positives
+
+
+def test_minhash_dedup_keep_drops_higher_ids(spark, corpus):
+    from flo_spark.operators.dedup import minhash_dedup_keep
+
+    kept = sorted(
+        r.doc_id for r in minhash_dedup_keep(corpus, threshold=0.5).collect()
+    )
+    assert 1 in kept  # lowest id of the dup cluster survives
+    assert 2 not in kept and 4 not in kept
+    assert 3 in kept and 5 in kept
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    from flo_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.4).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    # BASE has 22 word-3-gram shingles; NEAR differs in 3 of them
+    # jaccard = 19 / 25 = 0.76
+    assert (1, 2) in pairs
+    assert 0.5 < pairs[(1, 2)] < 1.0
+
+
+def test_simhash_blocks_near_dups_together(spark, corpus):
+    from flo_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    sims = {r.doc_id: r.simhash for r in simhash64(corpus).collect()}
+    assert sims[1] == sims[4]  # identical text -> identical simhash
+    assert sims[1] != sims[3]
+    pairs = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(corpus).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs  # near dup shares at least one 16-bit band
+
+
+def test_ann_lsh_recovers_self_neighborhood(spark):
+    import numpy as np
+
+    from flo_spark.operators.similarity import ann_topk_lsh, cosine
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    # vec 100+i is a tiny perturbation of vec i -> its true nearest
+    rows = []
+    for i in range(20):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in base[i]]))
+        rows.append(
+            Row(
+                vec_id=100 + i,
+                embedding=[float(x) for x in base[i] + 0.01 * rng.randn(16)],
+            )
+        )
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") < 3)
+    got = ann_topk_lsh(df, q, dim=16, k=3, num_planes=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rn, r.c_id, r.cos_sim))
+    for qid in range(3):
+        assert by_q[qid][0][1] == 100 + qid  # perturbed twin ranks first
+        assert by_q[qid][0][2] > 0.99
+
+
+def test_multimodal_feature_extraction(spark, corpus):
+    import hashlib
+
+    from flo_spark.operators.multimodal import documents_as_assets, extract_features
+
+    feats = {
+        r.asset_id: r
+        for r in extract_features(documents_as_assets(corpus)).collect()
+    }
+    assert feats[1].n_bytes == len(BASE.encode())
+    assert feats[1].content_sha == hashlib.sha256(BASE.encode()).hexdigest()
+    assert feats[1].feature == feats[4].feature  # deterministic stub decode
+    assert len(feats[5].feature) == 8
+
+
+def test_multimodal_decode_stubs_raise():
+    from flo_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image()
+    with pytest.raises(NotImplementedError):
+        decode_audio()

@@ -1,0 +1,60 @@
+"""Streaming consume — tail/await semantics (embedded_tests.rs:254-291
+live-tail and :149-166 stop-at-end equivalents)."""
+
+import time
+
+import pytest
+from pyspark.sql import Row
+
+from flo_spark.sources.event_table import EventStream
+from flo_spark.streaming.consume_stream import consume_stream, run_to_memory
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [Row(namespace=ns, data=bytearray(d, "utf8"), partition=p) for ns, d, p in rows]
+    )
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    s = EventStream.create(spark, str(tmp_path / "s"), num_partitions=2)
+    s.produce(_batch(spark, [("/a/x", f"d{i}", (i % 2) + 1) for i in range(10)]))
+    yield s
+    s.drop()
+
+
+def test_drain_mode_stops_at_end_of_stream(spark, stream):
+    # await_new=False == AvailableNow: drain everything, then terminate
+    sdf = consume_stream(spark, stream.path, namespace="/a/*")
+    got = run_to_memory(sdf, await_new=False, timeout_sec=90).collect()
+    assert len(got) == 10
+
+
+def test_drain_respects_version_vector_and_glob(spark, stream):
+    stream.produce(_batch(spark, [("/b/y", "zz", 1)]))
+    sdf = consume_stream(
+        spark, stream.path, namespace="/a/*", version_vector={1: 2, 2: 0}
+    )
+    got = run_to_memory(sdf, await_new=False, timeout_sec=90).collect()
+    # partition 1 events with counter > 2, all of partition 2, '/a/*' only
+    assert all(e.namespace == "/a/x" for e in got)
+    assert all(not (e.partition == 1 and e.event_counter <= 2) for e in got)
+
+
+def test_tail_mode_delivers_new_events(spark, stream):
+    # await_new=True: query stays up; newly produced events arrive
+    sdf = consume_stream(spark, stream.path)
+    mem = run_to_memory(sdf, await_new=True)
+    query = mem._flo_query
+    try:
+        deadline = time.time() + 120
+        while mem.count() < 10 and time.time() < deadline:
+            time.sleep(1)
+        assert mem.count() == 10
+        stream.produce(_batch(spark, [("/a/new", "late", 1)]))
+        while mem.count() < 11 and time.time() < deadline:
+            time.sleep(1)
+        assert mem.count() == 11  # tail saw the late event (A9)
+    finally:
+        query.stop()
