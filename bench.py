@@ -24,6 +24,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
     "top3_customers_per_nation",
     "asof_last_click_before_purchase",
     "dedup_exact",

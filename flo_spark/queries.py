@@ -1234,6 +1234,11 @@ def flo_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------
 
+# Extended catalog (TPC-H adaptations, window frames, stats aggregates)
+# registers itself into REGISTRY on import; must run before queries()
+# is consumed.  Imported at the bottom to avoid a circular import.
+from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
