@@ -820,3 +820,173 @@ def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register() -> None:  # imported for side effects by flo_spark.queries
     return None
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: composite document quality score
+# --------------------------------------------------------------------------
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+@query(
+    "quality_score",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS words,
+             length(text) AS n_chars_t,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             greatest(len(words), 1) AS n_words,
+             len(list_filter(words,
+                 x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))
+                 AS n_stop,
+             n_punct, n_chars_t
+      FROM w
+    )
+    SELECT doc_id,
+           round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars_t, 1), 4) AS punct_ratio,
+           round(0.5 * least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+                 + 0.3 * (CAST(n_stop AS DOUBLE) / n_words)
+                 + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_t, 1)),
+                 4) AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (LLM-data curation heuristic):
+    length saturation + stopword density (real-language signal) +
+    low-punctuation-noise.  All JVM expressions — no UDF in the path;
+    at 100 TB this is a pure map stage fused into the parquet scan."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    n_stop = F.size(
+        F.filter(words, lambda x: x.isin(*_STOPWORDS))
+    )
+    n_chars_t = F.length("text")
+    n_punct = n_chars_t - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    stop_ratio = n_stop.cast("double") / n_words
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars_t, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            0.5 * F.least(n_words.cast("double") / 50.0, F.lit(1.0))
+            + 0.3 * stop_ratio
+            + 0.2 * (1.0 - punct_ratio),
+            4,
+        ).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming: stream-static join + custom stateful operator
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stream_static_join_tiers",
+    """
+    SELECT 'tier' || CAST(user_id % 5 AS VARCHAR) AS tier,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY tier
+    """,
+)
+def stream_static_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events feed joins a static
+    (broadcast) dimension per micro-batch, then aggregates per tier.
+    The static side is re-resolved every batch — Spark's analog of a
+    slowly-changing broadcast dim at 100 TB."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    tiers = spark.createDataFrame(
+        [(i, f"tier{i}") for i in range(5)], ["tier_id", "tier"]
+    )
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "tier_id", (F.col("user_id") % 5).cast("long")
+    )
+    joined = ev.join(F.broadcast(tiers), "tier_id")
+    agg = joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, await_new=False, output_mode="complete")
+
+
+@query(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events, round(max(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, max) kept in explicit state — the
+    Spark-native form of flo's per-consumer cursor state
+    (consumer_stream/mod.rs:84-119).  State is partitioned by key
+    across executors; each micro-batch updates and emits its keys.
+    Deterministic here because the drained input is one file => one
+    micro-batch; rounding happens Spark-side after the UDF."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("raw_max", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update_user(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            cnt, mx = state.get
+        else:
+            cnt, mx = 0, float("-inf")
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            bmax = pdf["value"].max()
+            if bmax == bmax:  # skip all-NaN batches
+                mx = max(mx, float(bmax))
+        state.update((cnt, mx))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [cnt], "raw_max": [mx]}
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = run_to_memory(stats, await_new=False, output_mode="update")
+    return res.select(
+        "user_id", "n_events", F.round("raw_max", 2).alias("max_value")
+    )
