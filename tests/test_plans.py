@@ -84,3 +84,46 @@ def test_minhash_plan_has_no_cartesian(spark):
         [Row(doc_id=i, text=f"some text number {i} with shared words") for i in range(10)]
     )
     assert_no_cartesian(minhash_lsh_pairs(df))
+
+
+def test_q6_all_range_predicates_pushed(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q6_forecast_revenue(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for frag in ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"]:
+        assert frag in pf, pf
+
+
+def test_q9_six_way_join_broadcasts_dims(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q9_product_profit(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q18_topk_avoids_global_sort(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q18_large_volume_customers(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+    assert_no_cartesian(df)
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    from flo_spark.operators.dedup import minhash_lsh_pairs
+    from flo_spark.queries import load
+
+    df = minhash_lsh_pairs(load(spark, sf_dir, "documents").limit(200))
+    assert_no_cartesian(df)
+
+
+def test_quality_score_is_pure_map(spark, sf_dir):
+    """No shuffle at all: the quality score must fuse into the scan."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.quality_score(spark, sf_dir)
+    assert "Exchange" not in explain_str(df)
