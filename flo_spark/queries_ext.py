@@ -990,3 +990,31 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "n_events", F.round("raw_max", 2).alias("max_value")
     )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload projection: get_json_object over the
+    events `props` JSON column (A17's codec idea applied to a JSON
+    payload — codec/serde.rs:11-62), aggregated per type.  The JSON
+    path evaluates JVM-side inside codegen."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )

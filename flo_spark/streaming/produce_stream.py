@@ -1,0 +1,58 @@
+"""Streaming produce — flo's write path fed by an unbounded source.
+
+The reference's produce loop (client sends ProduceEvent, server appends
+to the partition log and acks with the assigned id —
+flo-client-lib/src/async/ops/produce.rs:159-264,
+flo-server/src/engine/event_stream/partition/controller/mod.rs:192-215)
+maps to Structured Streaming's ``foreachBatch`` sink: every micro-batch
+is one produce batch, appended atomically through
+``EventStream.produce``, which reserves a contiguous id range off the
+stream head exactly like ``HighestCounter::increment_and_get``
+(highest_counter.rs:43-62).
+
+Delivery semantics: with a ``checkpoint_dir`` the file-source offsets
+are persisted, so a restarted query resumes after the last committed
+batch (at-least-once into the log, like flo's ack-per-batch producer;
+a replayed batch would re-append with fresh ids).  flo makes the same
+trade: a producer that never got its ack re-sends
+(async/ops/produce.rs:60-79).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from flo_spark.sources.event_table import EventStream
+
+
+def produce_stream(
+    stream: EventStream,
+    source: DataFrame,
+    checkpoint_dir: str | None = None,
+    await_completion: bool = True,
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Sink a streaming DataFrame into an EventStream (A1/A2, streaming).
+
+    ``source`` must carry the produce-batch columns (`namespace`,
+    optional `data`/`partition`/`parent_*`).  Each micro-batch becomes
+    one contiguous-id produce batch.  With ``await_completion`` the
+    call drains the currently-available input (Trigger.AvailableNow)
+    and returns after the final commit; otherwise the query keeps
+    running (tail-producer) and the caller owns ``query.stop()``.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stream.produce(batch_df)
+
+    writer = source.writeStream.foreachBatch(_sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if await_completion:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+        return query
+    return writer.start()

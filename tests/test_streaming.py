@@ -5,6 +5,7 @@ import time
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from flo_spark.sources.event_table import EventStream
 from flo_spark.streaming.consume_stream import consume_stream, run_to_memory
@@ -58,3 +59,33 @@ def test_tail_mode_delivers_new_events(spark, stream):
         assert mem.count() == 11  # tail saw the late event (A9)
     finally:
         query.stop()
+
+
+def test_produce_stream_foreachbatch_roundtrip(spark, tmp_path):
+    """Streaming produce (foreachBatch sink): drain a file source into
+    an EventStream, then batch-consume the events back with contiguous
+    ids and glob-filterable namespaces."""
+    from flo_spark.streaming.produce_stream import produce_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(f"/prod/s{i % 3}", f"payload{i}") for i in range(20)],
+        ["namespace", "text"],
+    ).coalesce(1).write.parquet(str(src_dir / "in"))
+
+    sink = EventStream.create(spark, str(tmp_path / "sunk"), num_partitions=2)
+    src = (
+        spark.readStream.schema("namespace string, text string")
+        .parquet(str(src_dir / "in"))
+        .withColumn("data", F.encode("text", "utf-8"))
+        .drop("text")
+    )
+    produce_stream(sink, src, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    out = sink.consume().collect()
+    assert len(out) == 20
+    counters = sorted(e.event_counter for e in out)
+    assert counters == list(range(1, 21))  # contiguous id range (A15)
+    sub = sink.consume(namespace="/prod/s1").collect()
+    assert all(e.namespace == "/prod/s1" for e in sub) and sub
