@@ -48,17 +48,27 @@ def main() -> None:
     spark = get_spark("flo_spark_bench")
     qmap = queries()
 
-    # warm the JVM + file listing with a trivial action (not timed)
+    # Warm the JVM, codegen, and parquet reader paths untimed: file
+    # listing + footer reads + one real scan per table.  Steady-state
+    # throughput is the metric; single-process JIT warmup is not.
     spark.range(1).count()
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
-        df.limit(5).collect()
+        # noop sink: executes the FULL plan exactly once (count() alone
+        # lets Catalyst prune computed columns; count()+collect() would
+        # run the plan twice)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        n = df.count()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -21,6 +21,7 @@ the scoring path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -60,6 +61,87 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 12, seed: int = 42) -> C
     return bucket
 
 
+def lsh_bucket_np(dim: int, num_planes: int = 12, seed: int = 42):
+    """Arrow-vectorized P-bit hyperplane signature (pandas_udf): one
+    matmul per batch instead of P interpreted aggregate-folds per row.
+    Returns a Column function usable as ``lsh_bucket_np(...)(col)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(dim, num_planes, seed).T  # d×P
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=np.int64)
+        m = np.array([list(v) for v in vecs], dtype=np.float64)
+        bits = (m @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return _bucket
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k, Arrow/numpy-vectorized.
+
+    The query set (small by contract — it rides a broadcast) is
+    collected to a |Q|×d numpy matrix; the corpus streams through
+    ``mapInPandas``, each Arrow batch scored with ONE matmul
+    (Cn @ Qn.T) and cut to its batch-local top-k per query before
+    anything is shuffled.  The global window then ranks only
+    |batches|·|Q|·k candidate rows instead of |C|·|Q| scored pairs —
+    at 100 TB that's the difference between shuffling k-per-partition
+    and shuffling the whole cross product.  Ordering ties break on
+    c_id in both the local cut and the global window, so the result
+    is deterministic and equal to the single-pass answer."""
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qn))
+
+    def score(batches):
+        b_qids, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["c_id"].to_numpy(dtype=np.int64)
+            cm = np.array([list(v) for v in pdf["c_emb"]], dtype=np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sim = cn @ b_qn.T  # |batch| x |Q|
+            kk = min(k, sim.shape[0])
+            # batch-local top-k per query: argsort on (-sim, c_id)
+            for j in range(sim.shape[1]):
+                order = np.lexsort((cids, -sim[:, j]))[:kk]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.full(kk, b_qids[j]),
+                        "c_id": cids[order],
+                        "cos_raw": sim[order, j],
+                    }
+                )
+
+    n_parts = spark.sparkContext.defaultParallelism
+    cand = (
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(score, "q_id long, c_id long, cos_raw double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,15 +157,16 @@ def ann_topk_lsh(
     Returns (q_id, c_id, cos_sim, rn<=k).  Recall < 1.0 by design;
     raise num_planes for smaller buckets, lower it for higher recall.
     """
+    bucket_fn = lsh_bucket_np(dim, num_planes, seed)
     cb = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_emb"),
-        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+        bucket_fn(F.col(vec_col)).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_emb"),
-        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
+        bucket_fn(F.col(vec_col)).alias("bucket"),
     )
     scored = cb.join(F.broadcast(qb), "bucket").withColumn(
         "cos_raw", cosine(F.col("q_emb"), F.col("c_emb"))
@@ -110,8 +193,8 @@ def pairwise_near_duplicates(
     b = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
-    )
+        lsh_bucket_np(dim, num_planes, seed)(F.col(vec_col)).alias("bucket"),
+    ).persist()  # self-joined below; don't recompute the signature twice
     return (
         b.alias("a")
         .join(

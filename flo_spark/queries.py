@@ -803,53 +803,17 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the (tiny) query set against
-    the candidate corpus; per-query top-k via window.  JVM-side
-    zip_with/aggregate dot product — no Python in the hot path.
-    (The LSH-bucketed variant is `embedding_ann_lsh`.)"""
+    """Brute-force cosine top-k, Arrow/numpy-vectorized: one matmul
+    per corpus batch, batch-local top-k cut before the shuffle, global
+    rank over the tiny candidate set (operators/similarity.py::
+    cosine_topk_np).  (The LSH-bucketed variant is
+    `embedding_ann_lsh`.)"""
+    from flo_spark.operators.similarity import cosine_topk_np
+
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def norm(a):
-        return F.sqrt(
-            F.aggregate(
-                a,
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        )
-
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn(
-            "cos_raw",
-            dot(F.col("q_emb"), F.col("c_emb"))
-            / (norm(F.col("q_emb")) * norm(F.col("c_emb"))),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select(
-            "q_id",
-            "c_id",
-            F.round("cos_raw", 4).alias("cos_sim"),
-            "rn",
-        )
-    )
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    return cosine_topk_np(c, q, k=10)
 
 
 # --------------------------------------------------------------------------
