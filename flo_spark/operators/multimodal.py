@@ -116,3 +116,91 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+    meta_col: str = "meta",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling plumbing: one input asset row fans out to
+    <= max_frames frame rows at a fixed time step (bounded by the
+    asset's metadata duration).  The real frame grab is STUBBED (a
+    per-frame content hash stands in for decoded pixels); the row
+    fan-out, Arrow batch shape, and metadata-driven bounds are the real
+    cluster-side mechanics.  Fan-out happens inside mapInPandas, so an
+    input partition yields one output partition regardless of frame
+    count — no shuffle, no skew amplification."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame_sha": [],
+            }
+            for aid, payload, meta in zip(
+                pdf[id_col], pdf[data_col], pdf[meta_col]
+            ):
+                duration = None
+                if meta is not None:
+                    duration = meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]
+                if duration is None:
+                    # still assets (images/text): a single frame 0
+                    duration = 1
+                n = min(max_frames, max(1, -(-int(duration) // every_ms)))
+                body = b"" if payload is None else bytes(payload)
+                for i in range(n):
+                    out["asset_id"].append(int(aid))
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(body + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    data_col: str = "data",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Image resize plumbing: rewrites the metadata struct to the
+    target dimensions and passes the payload through a STUB transform
+    (real implementation: PIL decode -> resize -> re-encode inside the
+    same mapInPandas).  Schema contract: output rows keep every input
+    column, with `meta.width/height` updated — so resize composes
+    transparently with downstream feature extraction."""
+    out_schema = T.StructType(assets.schema.fields)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for meta in pdf[meta_col]:
+                m = dict(meta) if meta is not None else {}
+                m["width"] = width
+                m["height"] = height
+                metas.append(m)
+            pdf = pdf.copy()
+            pdf[meta_col] = metas
+            yield pdf
+
+    return assets.mapInPandas(_batches, schema=out_schema)

@@ -47,3 +47,45 @@ def test_registry_set_event_stream(spark, tmp_path):
         reg.set_event_stream("nope")
     with pytest.raises(ValueError):
         reg.create_stream("../escape")
+
+
+def test_sample_frames_fans_out_bounded(spark):
+    from flo_spark.operators.multimodal import sample_frames
+
+    from pyspark.sql import functions as F
+
+    assets = spark.createDataFrame(
+        [(1, b"vid-a", 3500), (2, b"vid-b", 20000), (3, b"img", None)],
+        "asset_id long, data binary, duration_ms int",
+    ).select(
+        "asset_id",
+        "data",
+        F.struct(
+            F.lit("video/mp4").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = sample_frames(assets, every_ms=1000, max_frames=8).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert len(by_asset[1]) == 4       # ceil(3500/1000)
+    assert len(by_asset[2]) == 8       # capped at max_frames
+    assert len(by_asset[3]) == 1       # still asset -> one frame
+    f = sorted(by_asset[1], key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in f] == [0, 1000, 2000, 3000]
+    assert len({r.frame_sha for r in rows}) == len(rows)  # per-frame distinct
+
+
+def test_resize_updates_meta_keeps_schema(spark):
+    from flo_spark.operators.multimodal import documents_as_assets, resize_images
+    from flo_spark.queries import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").limit(10)
+    assets = documents_as_assets(d)
+    out = resize_images(assets, 224, 224)
+    assert out.schema == assets.schema
+    rows = out.collect()
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in rows)
