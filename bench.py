@@ -57,6 +57,11 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:
             pass
+    # spawn the Arrow Python workers once (reused for every pandas-UDF
+    # stage afterwards; spark.python.worker.reuse is on by default)
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

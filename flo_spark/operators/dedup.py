@@ -21,6 +21,7 @@ derived from a seeded generator so results are reproducible run-to-run.
 
 from __future__ import annotations
 
+import hashlib
 import random
 
 import numpy as np
@@ -102,49 +103,89 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """(__id, __sh, __sig) per document — the whole-stage-codegen path.
+    """(__id, __sh, __sig) per document — Arrow/numpy-vectorized.
 
-    ``minhash_signature`` (the Column form) folds per-row with a
-    higher-order ``aggregate``, which Catalyst evaluates INTERPRETED
-    (~10µs per lambda step: measured 5.9s for 5k docs × 52 shingles ×
-    64 perms on 32 cores).  This form instead explodes the shingle
-    hashes to rows and computes all 64 permutation minima as a single
-    hash aggregate — every expression compiles into whole-stage
-    codegen, partial aggregation combines map-side, and the explicit
-    ``repartition(id)`` up front means the groupBy and the join back to
-    the shingle arrays both reuse that partitioning (one shuffle
-    total).  Same result, ~20× faster, and the explode never
-    materializes more than a scan partition at a time — safe at 100 TB.
+    Three formulations were measured at sf0.1 (5k docs × ~52 shingles
+    × 64 perms, 32 cores):
+
+    - per-row higher-order ``aggregate`` fold: Catalyst interprets HOF
+      lambdas (~10µs/step) → 5.9 s;
+    - explode + 64-way codegen min-aggregate: fast steady-state
+      (~1.5 s) but the generated aggregate class costs ~5 s of
+      one-time JIT compilation — dominating short jobs;
+    - this one: shingling, hashing (blake2b/8B), and the signature all
+      in ONE mapInPandas stage — concatenate the batch's shingle
+      arrays, apply all 64 permutations as a (64, total) int64
+      broadcast, segment-min with ``np.minimum.reduceat``.  ~50 ms of
+      compute, no codegen, no interpreted HOF, one Arrow hop, no extra
+      shuffle (mapInPandas is partition-preserving after the explicit
+      fan-out repartition).
+
+    int64 safety: a, x < 2^31 after the pmod fold, so a*x+b < 2^62.
+    Rows are processed in bounded chunks so the (64, chunk_elems)
+    intermediate stays O(MBs) regardless of Arrow batch size.
     """
     params = _hash_params(num_hashes, seed)
+    a_vec = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b_vec = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
     # Explicit partition count: under AQE a keyless/advisory repartition
     # of a small input coalesces back to 1 task, serializing the
-    # compute-dense shingle stage; repartition(n, col) pins the fan-out
+    # compute-dense stage; repartition(n, col) pins the fan-out
     # (defaultParallelism = total cluster cores on a real deployment).
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(n_parts, F.col(id_col))
-        .select(
-            F.col(id_col).alias("__id"),
-            shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
+    src = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+
+    def _shingle_hashes_py(text: str) -> np.ndarray:
+        """Distinct word-k-gram hashes, 64-bit (blake2b/8B — stable
+        across processes, unlike the seeded builtin hash)."""
+        words = (text or "").lower().split()
+        if len(words) >= shingle_k:
+            grams = {
+                " ".join(words[i : i + shingle_k])
+                for i in range(len(words) - shingle_k + 1)
+            }
+        else:
+            grams = {" ".join(words)}
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                    "big",
+                    signed=True,
+                )
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
         )
-        .persist()  # feeds both the explode->agg branch and the join back
+
+    def sig_batches(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2048):
+                chunk = pdf.iloc[lo : lo + 2048]
+                arrs = [_shingle_hashes_py(t) for t in chunk["__text"]]
+                lens = np.fromiter((len(a) for a in arrs), dtype=np.int64)
+                flat = np.concatenate(arrs) % _MERSENNE
+                perms = (a_vec * flat[None, :] + b_vec) % _MERSENNE
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                # every doc yields >= 1 shingle, so every reduceat
+                # segment is non-empty
+                mins = np.minimum.reduceat(perms, starts, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": chunk["__id"].to_numpy(),
+                        "__sh": list(arrs),
+                        "__sig": [mins[:, i] for i in range(len(arrs))],
+                    }
+                )
+
+    return src.mapInPandas(
+        sig_batches, "__id long, __sh array<long>, __sig array<long>"
     )
-    exploded = sh.select("__id", F.explode("__sh").alias("__h")).select(
-        "__id", F.pmod(F.col("__h"), F.lit(_MERSENNE)).alias("__x")
-    )
-    mins = exploded.groupBy("__id").agg(
-        *[
-            F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(_MERSENNE)).alias(
-                f"__m{i}"
-            )
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    sig = mins.select(
-        "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
-    )
-    return sh.join(sig, "__id")
 
 
 def minhash_lsh_pairs(
@@ -171,6 +212,12 @@ def minhash_lsh_pairs(
     # per branch.  At cluster scale this is the "write signatures to a
     # table, then join" step of every production LSH pipeline.
     base = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes, seed).persist()
+    # Eagerly materialize the cache: the four consumer branches below
+    # otherwise race to compute the not-yet-cached signature stage
+    # inside one job, duplicating the Python stage ~4× (measured 5.5 s
+    # vs 0.9 s on a noop sink at sf0.1).  This is the lazy-cache analog
+    # of "write signatures to a table, then join".
+    base.count()
 
     banded = base.select(
         "__id",
@@ -247,6 +294,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         shingle_hashes(F.col(text_col), shingle_k).alias("__sh"),
     ).persist()  # feeds the inverted index (×2 via self-join) + verify (×2)
+    sh.count()  # materialize before the fan-out (see minhash_lsh_pairs)
     inv = sh.select("__id", F.explode("__sh").alias("g"))
     rare = inv.groupBy("g").count().filter(F.col("count") <= max_bucket).select("g")
     inv = inv.join(rare, "g")
@@ -312,6 +360,7 @@ def simhash_near_pairs(
     collapse into giant band buckets and the candidate set explodes
     (measured 8.5M candidate pairs from 5k synthetic docs)."""
     sims = simhash64(df, id_col, text_col).persist()  # self-joined below
+    sims.count()  # materialize before the self-join (see minhash_lsh_pairs)
     nbands = 64 // band_bits
     banded = sims.select(
         F.col(id_col).alias("__id"),

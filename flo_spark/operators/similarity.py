@@ -195,6 +195,7 @@ def pairwise_near_duplicates(
         F.col(vec_col).alias("__v"),
         lsh_bucket_np(dim, num_planes, seed)(F.col(vec_col)).alias("bucket"),
     ).persist()  # self-joined below; don't recompute the signature twice
+    b.count()  # materialize: the self-join branches race a lazy cache
     return (
         b.alias("a")
         .join(
