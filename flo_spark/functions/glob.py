@@ -71,7 +71,10 @@ def _translate_component(comp: str) -> str:
                 raise GlobError(f"unclosed character class in {comp!r}")
             body = comp[i + 1 + (1 if negate else 0) : j]
             body = body.replace("\\", "\\\\").replace("^", "\\^")
-            out.append("[" + ("^" if negate else "") + body + "]")
+            # require_literal_separator: a negated class must still
+            # refuse '/' (the positive body can never contain '/' —
+            # components are split on it)
+            out.append("[" + ("^/" if negate else "") + body + "]")
             i = j + 1
         elif c in _RE_SPECIAL:
             out.append("\\" + c)
