@@ -211,3 +211,104 @@ def pairwise_near_duplicates(
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+def _kmeans_lite(x: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded sample (driver-side
+    numpy; the sample is O(n_cells * 100) rows, never the corpus)."""
+    rng = np.random.RandomState(seed)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cent = xn[rng.choice(len(xn), size=min(n_cells, len(xn)), replace=False)]
+    for _ in range(iters):
+        assign = (xn @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the
+    corpus into ``n_cells`` spherical-kmeans cells, then each query
+    scores ONLY its ``n_probe`` nearest cells' vectors (exact cosine
+    re-rank inside the probed cells).
+
+    100 TB shape: the quantizer trains on a bounded, deterministic
+    sample (first ``train_sample`` ids — O(KB) to the driver); cell
+    assignment is one matmul per Arrow batch; the probe join hashes on
+    ``cell`` so each query touches |corpus| * n_probe / n_cells rows
+    instead of |corpus|.  In production the cell assignment is computed
+    once at ingest and stored as a partition column — the scan then
+    prunes unprobed cells entirely.
+    """
+    train = (
+        corpus.orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    cent = _kmeans_lite(
+        np.array([list(r[0]) for r in train], dtype=np.float64), n_cells, seed=seed
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def assign_cells(batches):
+        c_t = bc.value.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "cell": (mn @ c_t).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    cb = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .mapInPandas(assign_cells, "__id long, __v array<float>, cell int")
+        .withColumnRenamed("__id", "c_id")
+        .withColumnRenamed("__v", "c_emb")
+    )
+
+    # queries are small by contract: probe cells computed driver-side
+    qrows = queries.select(id_col, vec_col).collect()
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(r[0]), [float(x) for x in r[1]], int(c))
+        for r, cells in zip(qrows, probes)
+        for c in cells
+    ]
+    qb = corpus.sparkSession.createDataFrame(
+        probe_rows, "q_id long, q_emb array<float>, cell int"
+    )
+
+    scored = cb.join(F.broadcast(qb), "cell").withColumn(
+        "cos_raw", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )

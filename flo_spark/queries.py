@@ -1013,6 +1013,19 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, q, dim=64, k=10, num_planes=6)
 
 
+@query("embedding_ann_ivf", None)  # approximate by design
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: spherical-kmeans coarse quantizer (16
+    cells, trained on a bounded deterministic sample), queries probe
+    their 4 nearest cells, exact cosine re-rank inside probed cells."""
+    from flo_spark.operators.similarity import ann_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    return ann_topk_ivf(c, q, k=10, n_cells=16, n_probe=4)
+
+
 @query("embedding_neardup_cosine", None)
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH blocking + exact

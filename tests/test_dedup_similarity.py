@@ -131,3 +131,31 @@ def test_multimodal_decode_stubs_raise():
         decode_image()
     with pytest.raises(NotImplementedError):
         decode_audio()
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with full probing (n_probe == n_cells) must equal brute
+    force exactly; modest probing keeps high recall."""
+    from flo_spark.operators.similarity import ann_topk_ivf, cosine_topk_np
+    from flo_spark.queries import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    c = e.filter(F.col("vec_id") >= 3)
+
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk_np(c, q, k=5).collect()
+    }
+    full_probe = {
+        (r.q_id, r.c_id)
+        for r in ann_topk_ivf(c, q, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full_probe == exact
+
+    probed = {
+        (r.q_id, r.c_id)
+        for r in ann_topk_ivf(c, q, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(probed & exact) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
