@@ -993,6 +993,57 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases attributed to
+    a click by the same user within the preceding 30 minutes.  Both
+    sides are streaming reads; the watermarks + the time-range join
+    condition bound the join state Spark must retain (clicks older than
+    watermark - 30 min are evicted), which is what makes a stream-stream
+    join feasible at 100 TB — state is O(window), not O(stream).
+    Deterministic under the drain trigger: inner-join matches emit in
+    the micro-batch the match arrives, and one input file = one batch."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+    return run_to_memory(joined, await_new=False, output_mode="append")
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_type,
