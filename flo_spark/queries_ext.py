@@ -1044,6 +1044,49 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "rollup_daily_from_hourly",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(round(sum(value), 2) / count(*), 4) AS avg_value
+    FROM events GROUP BY 1, event_type
+    """,
+)
+def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the raw events are rolled
+    up ONCE into hourly buckets, and the daily answer is computed by
+    RE-aggregating the hourly rollup (sum-of-sums, min-of-mins, avg
+    derived as sum/count) — never rescanning raw data.  The oracle
+    aggregates raw directly, so the hash-match proves the two-level
+    rollup is lossless.  At 100 TB the hourly rollup is ~10^4× smaller
+    than raw; every dashboard-style query downstream reads it instead
+    (see flo_spark/operators/rollup.py for incremental maintenance)."""
+    from flo_spark.operators.rollup import reaggregate, rollup_events
+
+    ev = load(spark, sf_dir, "events")
+    hourly = rollup_events(ev, "1 hour", ["event_type"])
+    daily = reaggregate(hourly, "1 day", ["event_type"])
+    return daily.select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        # divide the ROUNDED sum so both engines round the same double
+        # (raw sums differ in ulps across engines / shuffle orders, and
+        # sum/count can land exactly on a 4dp half-up boundary)
+        F.round(F.round("sum_value", 2) / F.col("n_events"), 4).alias(
+            "avg_value"
+        ),
+    )
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_type,

@@ -208,6 +208,55 @@ class EventStream:
                 deleted += 1
         return deleted
 
+    # -- interchange (CSV/JSON/Parquet sources & sinks) ----------------
+    def export(self, path: str, fmt: str = "json") -> int:
+        """Write the stream's events out as parquet/json/csv (the
+        B-relational sink surface).  Binary payloads are base64-encoded
+        for the text formats (flo's wire form is also length-prefixed
+        bytes — client.rs:106-122; base64 is the text-safe analog).
+        Returns the number of events exported."""
+        df = self.events()
+        n = df.count()
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(path)
+        elif fmt == "json":
+            df.withColumn("data", F.base64("data")).write.mode(
+                "overwrite"
+            ).json(path)
+        elif fmt == "csv":
+            df.withColumn("data", F.base64("data")).write.mode(
+                "overwrite"
+            ).option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt!r}")
+        return n
+
+    @staticmethod
+    def read_events(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+        """Read an exported event set back into the canonical schema —
+        the Parquet/CSV/JSON scan surface.  Schema is always supplied
+        explicitly (never inferred), matching flo's fixed envelope
+        (SURVEY.md §1.2)."""
+        if fmt == "parquet":
+            return spark.read.schema(EVENT_SCHEMA).parquet(path)
+        from pyspark.sql import types as T
+
+        text_schema = T.StructType(
+            [
+                f if f.name != "data" else T.StructField("data", T.StringType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        if fmt == "json":
+            raw = spark.read.schema(text_schema).json(path)
+        elif fmt == "csv":
+            raw = spark.read.schema(text_schema).option("header", True).csv(path)
+        else:
+            raise ValueError(f"unsupported read format: {fmt!r}")
+        return raw.withColumn("data", F.unbase64("data")).select(
+            *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
+        )
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 

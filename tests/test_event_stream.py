@@ -155,3 +155,30 @@ def test_retention_expiry(spark, tmp_path):
     assert deleted >= 1
     assert s.consume().count() == 0
     s.drop()
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_export_import_round_trip(spark, stream, tmp_path, fmt):
+    stream.produce(
+        _batch(
+            spark,
+            [("/foo/bar", "payload-1", 1), ("/foo/baz", "payload-2", 2)],
+        )
+    )
+    out = str(tmp_path / f"export_{fmt}")
+    assert stream.export(out, fmt) == 2
+    back = EventStream.read_events(spark, out, fmt)
+    orig = stream.events()
+    key = ["event_counter", "actor", "namespace"]
+    a = sorted(
+        (r["event_counter"], r["actor"], r["namespace"], bytes(r["data"]))
+        for r in orig.collect()
+    )
+    b = sorted(
+        (r["event_counter"], r["actor"], r["namespace"], bytes(r["data"]))
+        for r in back.collect()
+    )
+    assert a == b
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in orig.schema.fields
+    ]
