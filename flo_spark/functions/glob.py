@@ -130,6 +130,28 @@ def glob_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def literal_first_segment(pattern: str | None) -> str | None:
+    """The first path component of the pattern, iff it is fully literal.
+
+    Used for namespace-prefix partition pruning: when a glob starts
+    with a literal segment (``/orders/**`` -> ``orders``), a stream
+    partitioned by first segment can skip every other prefix directory
+    at the file listing — the directory-level analog of flo's index
+    seek (SURVEY.md §4 'optional later' rule).  Returns None when the
+    first component contains any glob metacharacter (pruning would be
+    unsound) or the pattern matches everything."""
+    if is_match_all(pattern):
+        return None
+    comps = pattern.split("/")
+    idx = 1 if pattern.startswith("/") else 0
+    if idx >= len(comps):
+        return None
+    c = comps[idx]
+    if c == "" or any(ch in c for ch in "*?["):
+        return None
+    return c
+
+
 def namespace_matches(pattern: str, namespace: str) -> bool:
     """Pure-Python evaluation (used in tests; Spark path uses rlike)."""
     if is_match_all(pattern):

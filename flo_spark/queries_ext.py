@@ -1052,7 +1052,8 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
            round(sum(value), 2) AS sum_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value,
-           round(round(sum(value), 2) / count(*), 4) AS avg_value
+           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000
+               AS avg_value
     FROM events GROUP BY 1, event_type
     """,
 )
@@ -1077,12 +1078,19 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 2).alias("sum_value"),
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
-        # divide the ROUNDED sum so both engines round the same double
-        # (raw sums differ in ulps across engines / shuffle orders, and
-        # sum/count can land exactly on a 4dp half-up boundary)
-        F.round(F.round("sum_value", 2) / F.col("n_events"), 4).alias(
-            "avg_value"
-        ),
+        # derived average, rounded with a pure-IEEE floor formula on the
+        # ROUNDED sum: Spark's round() goes through the double's
+        # shortest decimal string (38.37875 -> .3788) while DuckDB
+        # rounds the binary value (38.378749999... -> .3787), so
+        # boundary quotients diverge; floor(x*1e4 + 0.5)/1e4 over
+        # identical doubles is bit-identical in both engines.
+        (
+            F.floor(
+                F.round("sum_value", 2) / F.col("n_events") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("avg_value"),
     )
 
 

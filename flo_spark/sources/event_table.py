@@ -29,6 +29,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flo_spark.functions.glob import literal_first_segment
 from flo_spark.operators.consume import consume as _consume
 from flo_spark.operators.consume import head_status
 from flo_spark.operators.produce import assign_event_ids
@@ -39,6 +40,17 @@ from flo_spark.schema import (
 )
 
 _OPTIONS_FILE = "_flo_stream.json"
+
+
+def _ns0_expr() -> F.Column:
+    """First namespace path segment, for storage bucketing.  Empty /
+    missing segments map to '__root__' (hive treats empty partition
+    values as null on read, which would break equality pruning)."""
+    segs = F.split(F.col("namespace"), "/")
+    first = F.when(
+        F.col("namespace").startswith("/"), F.get(segs, 1)
+    ).otherwise(F.get(segs, 0))
+    return F.coalesce(F.nullif(first, F.lit("")), F.lit("__root__"))
 
 
 class EventStream:
@@ -57,14 +69,22 @@ class EventStream:
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         segment_max_records: int = DEFAULT_SEGMENT_MAX_RECORDS,
         event_retention_seconds: int | None = None,
+        namespace_partitioning: bool = False,
     ) -> "EventStream":
         """Create the stream dir + options (EventStreamOptions analog,
-        event_stream/mod.rs:17-37: 1 partition, retain forever by default)."""
+        event_stream/mod.rs:17-37: 1 partition, retain forever by default).
+
+        ``namespace_partitioning=True`` additionally buckets storage by
+        the FIRST namespace path segment (``ns0=<segment>/`` hive dirs):
+        a consume whose glob starts with a literal segment then prunes
+        every other prefix at the file listing — directory-level scan
+        elision, the SURVEY.md §4 namespace-pruning rule."""
         os.makedirs(path, exist_ok=True)
         opts = {
             "num_partitions": num_partitions,
             "segment_max_records": segment_max_records,
             "event_retention_seconds": event_retention_seconds,
+            "namespace_partitioning": namespace_partitioning,
         }
         with open(os.path.join(path, _OPTIONS_FILE), "w") as f:
             json.dump(opts, f)
@@ -79,12 +99,23 @@ class EventStream:
         return bool(_pyglob.glob(os.path.join(self.path, "partition=*")))
 
     # -- read ----------------------------------------------------------
+    def _raw(self) -> DataFrame:
+        """Scan including hive partition columns (partition[, ns0])."""
+        schema = EVENT_SCHEMA
+        if self.options.get("namespace_partitioning"):
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [*EVENT_SCHEMA.fields, T.StructField("ns0", T.StringType())]
+            )
+        return self.spark.read.schema(schema).parquet(self.path)
+
     def events(self) -> DataFrame:
         if not self._has_data():
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.path)
-        # hive partition dir makes `partition` come back as the dir value
-        return df.select(*[f.name for f in EVENT_SCHEMA.fields])
+        # project away hive partition cols (partition is in the schema,
+        # ns0 is storage-internal)
+        return self._raw().select(*[f.name for f in EVENT_SCHEMA.fields])
 
     def head(self) -> dict[int, int]:
         """Per-partition head counters (A13). Partitions with no events
@@ -138,11 +169,15 @@ class EventStream:
         out = with_ids.select(
             *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
         )
+        partition_cols = ["partition"]
+        if self.options.get("namespace_partitioning"):
+            out = out.withColumn("ns0", _ns0_expr())
+            partition_cols.append("ns0")
         n = out.count()
         (
             out.write.mode("append")
             .option("maxRecordsPerFile", self.options["segment_max_records"])
-            .partitionBy("partition")
+            .partitionBy(*partition_cols)
             .parquet(self.path)
         )
         return n
@@ -156,10 +191,23 @@ class EventStream:
     ) -> DataFrame:
         """Batch consume (A3-A7). ``version_vector=None`` consumes all
         partitions from 0, like the CLI's default start
-        (client-cli/src/client_cli/consumer.rs:34-44)."""
+        (client-cli/src/client_cli/consumer.rs:34-44).
+
+        On a namespace-partitioned stream, a glob with a literal first
+        segment adds an ``ns0 = <segment>`` partition filter: Spark
+        prunes every other prefix directory at the file listing, so the
+        scan never touches non-matching namespaces (the glob regex
+        still applies afterwards — pruning is a superset)."""
         if version_vector is None:
             version_vector = {p: 0 for p in range(1, self.options["num_partitions"] + 1)}
-        return _consume(self.events(), namespace, version_vector, limit)
+        events = self.events()
+        if self._has_data() and self.options.get("namespace_partitioning"):
+            seg = literal_first_segment(namespace)
+            if seg is not None:
+                events = self._raw().filter(F.col("ns0") == seg).select(
+                    *[f.name for f in EVENT_SCHEMA.fields]
+                )
+        return _consume(events, namespace, version_vector, limit)
 
     # -- retention (A11) ----------------------------------------------
     def expire_old_events(self, now: datetime | None = None) -> int:

@@ -182,3 +182,42 @@ def test_export_import_round_trip(spark, stream, tmp_path, fmt):
     assert [f.dataType for f in back.schema.fields] == [
         f.dataType for f in orig.schema.fields
     ]
+
+
+def test_namespace_partition_pruning(spark, tmp_path):
+    # SURVEY.md §4 namespace-pruning rule: a glob with a literal first
+    # segment prunes prefix directories at the file listing.
+    s = EventStream.create(
+        spark,
+        str(tmp_path / "nsp"),
+        num_partitions=2,
+        namespace_partitioning=True,
+    )
+    s.produce(
+        _batch(
+            spark,
+            [
+                ("/orders/eu/created", "a", 1),
+                ("/orders/us/created", "b", 2),
+                ("/users/new", "c", 1),
+                ("relative/ns", "d", 2),
+            ],
+        )
+    )
+    df = s.consume(namespace="/orders/**")
+    assert sorted(r["namespace"] for r in df.collect()) == [
+        "/orders/eu/created",
+        "/orders/us/created",
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("ns0" in l for l in pf), "ns0 not in PartitionFilters"
+    # non-literal first segment: no pruning, still correct
+    # ('*s*' matches both 'orders' and 'users'; the relative-path event
+    # fails the leading '/')
+    assert s.consume(namespace="/*s*/**").count() == 3
+    assert s.consume(namespace="/u*/**").count() == 1
+    # full consume unaffected by the extra storage column
+    got = s.consume().collect()
+    assert len(got) == 4
+    assert "ns0" not in s.events().columns

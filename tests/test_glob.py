@@ -105,3 +105,22 @@ def test_double_star_zero_components_edge():
     assert not namespace_matches("/a/**/b/c", "/a/xb/c")
     assert namespace_matches("/a/**", "/a")  # trailing ** matches zero
     assert namespace_matches("/a/**", "/a/b/c")
+
+
+def test_literal_first_segment():
+    from flo_spark.functions.glob import literal_first_segment as lfs
+
+    assert lfs("/orders/**") == "orders"
+    assert lfs("/orders/eu/*") == "orders"
+    assert lfs("orders/*") == "orders"
+    assert lfs("/meals/breakfast") == "meals"
+    # non-literal or match-all => no pruning
+    assert lfs("/*s*/**") is None
+    assert lfs("/or?ers/**") is None
+    assert lfs("/or[cd]ers/**") is None
+    assert lfs("/**/foo") is None
+    assert lfs("/**/*") is None
+    assert lfs("**") is None
+    assert lfs(None) is None
+    assert lfs("/") is None
+    assert lfs("") is None
