@@ -119,9 +119,44 @@ class EventStream:
 
     def head(self) -> dict[int, int]:
         """Per-partition head counters (A13). Partitions with no events
-        report 0, matching flo's fast-forward init (controller/mod.rs:64-66)."""
+        report 0, matching flo's fast-forward init (controller/mod.rs:64-66).
+
+        Computed from parquet FOOTER statistics only — O(files) metadata
+        reads, no data scan — the Spark-file analog of flo's in-memory
+        index (partition/index.rs:24-36).  At 100 TB a produce must not
+        scan the table to learn the head; row-group max(event_counter)
+        is exact because counters are written monotonically.  Falls back
+        to a real aggregation for files lacking usable stats."""
         heads = {p: 0 for p in range(1, self.options["num_partitions"] + 1)}
-        if self._has_data():
+        if not self._has_data():
+            return heads
+        import pyarrow.parquet as pq
+
+        need_fallback = False
+        for pdir in _pyglob.glob(os.path.join(self.path, "partition=*")):
+            try:
+                part = int(os.path.basename(pdir).split("=", 1)[1])
+            except ValueError:
+                continue
+            part_max = 0
+            for fpath in _pyglob.glob(
+                os.path.join(pdir, "**", "*.parquet"), recursive=True
+            ):
+                meta = pq.read_metadata(fpath)
+                names = list(meta.schema.to_arrow_schema().names)
+                idx = names.index("event_counter")
+                for rg in range(meta.num_row_groups):
+                    stats = meta.row_group(rg).column(idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        need_fallback = True
+                        break
+                    part_max = max(part_max, int(stats.max))
+                if need_fallback:
+                    break
+            heads[part] = part_max
+            if need_fallback:
+                break
+        if need_fallback:  # pragma: no cover - stats always present here
             for row in head_status(self.events()).collect():
                 heads[row["partition"]] = row["head_counter"]
         return heads
