@@ -535,16 +535,26 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 200 (threshold
-    scaled to the driver data's ~7-line orders), top-100 by price."""
+    scaled to the driver data's ~7-line orders), top-100 by price.
+
+    Shape: pre-aggregate lineitem by orderkey FIRST and filter on the
+    HAVING threshold, so the only big shuffle is the fact aggregation;
+    the surviving set is tiny (HAVING is selective by design), so AQE
+    broadcast-joins it to orders — versus the naive
+    lineitem⋈orders⋈customer → 5-column regroup, which shuffles the
+    fact twice and orders once.  o_orderkey is unique, so grouping by
+    the customer columns adds nothing semantically."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 200)
+    )
+    return (
+        o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "c_custkey",
