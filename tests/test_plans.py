@@ -127,3 +127,36 @@ def test_quality_score_is_pure_map(spark, sf_dir):
 
     df = QE.quality_score(spark, sf_dir)
     assert "Exchange" not in explain_str(df)
+
+
+def test_q18_single_fact_shuffle(spark, sf_dir):
+    """Reshaped Q18: the only wide exchange is the lineitem aggregation;
+    orders joins the (tiny) HAVING survivors, customer is broadcast."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.q18_large_volume_customers(spark, sf_dir)
+    plan = explain_str(df)
+    assert uses_broadcast_join(df)
+    assert_no_cartesian(df)
+    # static plan: one exchange for the groupBy, one per shuffle join
+    # side at most; the pre-aggregate means no second fact shuffle
+    assert plan.count("HashAggregate") <= 4, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_reaggregates_not_rescans(spark, sf_dir):
+    """Daily-from-hourly must aggregate the hourly rollup, not go back
+    to raw events: exactly two aggregate pairs, one file scan."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.rollup_daily_from_hourly(spark, sf_dir)
+    plan = explain_str(df)
+    # formatted explain lists every node twice (tree + detail section);
+    # count the numbered detail entries
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, scans
+    # 2 logical aggregates x (partial, final) = 4 HashAggregate nodes
+    aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
+    assert len(aggs) == 4, aggs
