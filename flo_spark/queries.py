@@ -1180,27 +1180,53 @@ def lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("flo_produce_roundtrip", None)  # write-path: verified rows-only
+@query(
+    "flo_produce_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             '/docs/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (
+      SELECT partition, count(*) AS n FROM b GROUP BY partition
+    ),
+    off AS (
+      SELECT partition, sum(n) OVER (ORDER BY partition) - n AS off FROM cnt
+    )
+    SELECT off.off
+             + row_number() OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+             AS event_counter,
+           b.partition AS actor,
+           b.namespace
+    FROM b JOIN off USING (partition)
+    """,
+)
 def flo_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Produce path (A1/A2/A15): write a 3-partition event stream to a
     temp dir with contiguous id assignment, read it back, return the
-    consumed events.  Exercises the full write->read cycle the driver
-    can't oracle-check (side effects)."""
-    import tempfile
+    consumed events.  Exercises the full write->read cycle end-to-end.
 
-    from pyspark.sql import Row
+    Oracle-checkable because the id assignment is the documented
+    deterministic formula (highest_counter.rs:43-62 semantics): batch
+    range [head+1, head+N]; partitions take cumulative sub-ranges in
+    partition order; in-partition positions follow ``order_by``
+    (doc_id here) — which the SQL reproduces with window functions."""
+    import tempfile
 
     from flo_spark.sources.event_table import EventStream
 
     path = tempfile.mkdtemp(prefix="flo_produce_") + "/stream"
     s = EventStream.create(spark, path, num_partitions=3)
-    docs = load(spark, sf_dir, "documents").limit(300)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
     batch = docs.select(
+        F.col("doc_id"),
         F.concat(F.lit("/docs/"), F.col("source")).alias("namespace"),
         F.encode("text", "utf-8").alias("data"),
         (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
     )
-    s.produce(batch)
+    s.produce(batch, order_by="doc_id")
     out = s.consume(namespace="/docs/*").select(
         "event_counter", "actor", "namespace"
     )

@@ -171,13 +171,17 @@ class EventStream:
         self,
         batch: DataFrame,
         round_robin: bool = True,
+        order_by: str | None = None,
     ) -> int:
         """Append a produce batch; returns number of events written (A1/A2).
 
         ``batch`` columns: namespace STRING, data BINARY, optional
         parent_counter/parent_actor, optional partition INT.  Without an
         explicit partition, events are spread round-robin like the flo
-        client's default partition selection.
+        client's default partition selection.  ``order_by`` names a
+        batch column that fixes the in-partition id-assignment order
+        (deterministic, reproducible counters); default is stable
+        capture of input order.
         """
         nparts = self.options["num_partitions"]
         cols = batch.columns
@@ -200,7 +204,7 @@ class EventStream:
         batch = batch.withColumn("timestamp", F.current_timestamp())
 
         base = self.highest_counter()
-        with_ids = assign_event_ids(batch, base_counter=base)
+        with_ids = assign_event_ids(batch, base_counter=base, order_by=order_by)
         out = with_ids.select(
             *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
         )
