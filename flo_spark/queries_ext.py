@@ -1003,6 +1003,37 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "correlated_scalar_subquery",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(i.o_totalprice) FROM orders i
+                                  WHERE i.o_orderpriority = o.o_orderpriority)
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text interface: a correlated scalar subquery (orders priced
+    >1.5× the average of their own priority class) submitted as-is —
+    Catalyst decorrelates it into aggregate-then-join automatically
+    (the rewrite q17 does by hand), so the 100 TB plan is one small
+    per-priority aggregate broadcast against the fact scan, never a
+    per-row subquery execution."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("flo_corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderpriority,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM flo_corr_orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(i.o_totalprice) FROM flo_corr_orders i
+            WHERE i.o_orderpriority = o.o_orderpriority)
+        """
+    )
+
+
+@query(
     "stream_stream_join_attribution",
     """
     SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
