@@ -1136,6 +1136,45 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_connected_components",
+    """
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY n_chars) AS component
+    FROM documents
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: collapse a near-dup PAIR list
+    into transitive CLUSTERS via distributed connected components
+    (operators/graph.py — label propagation + pointer jumping, O(log n)
+    iterations of two key-partitioned shuffles; no driver-side data).
+
+    The edge list here is constructed so the answer has a closed form
+    the oracle can state: within each ``n_chars`` class, docs are
+    chained rank-adjacent into a PATH graph (worst-case diameter for
+    the solver), so each class is one component whose canonical id is
+    ``min(doc_id) OVER (PARTITION BY n_chars)``.  Singleton classes
+    produce no edges and fall out of the left-join/coalesce-to-self,
+    exercising the isolated-node path too."""
+    from flo_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    nxt = ranked.select(
+        F.col("n_chars").alias("nc2"),
+        (F.col("rn") - F.lit(1)).alias("rn2"),
+        F.col("doc_id").alias("dst"),
+    )
+    edges = ranked.join(
+        nxt, (ranked["n_chars"] == nxt["nc2"]) & (ranked["rn"] == nxt["rn2"])
+    ).select(F.col("doc_id").alias("src"), "dst")
+    comp = connected_components(edges)
+    return docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component")
+    )
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_type,
