@@ -1136,6 +1136,86 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udaf_geomean_price",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: a GROUPED_AGG Arrow pandas_udf (numpy geometric
+    mean) aggregating per (returnflag, linestatus), hash-verified
+    against DuckDB's closed form exp(avg(ln(x))).
+
+    Scale note: a grouped-agg pandas UDF ships EVERY value of a group
+    to one Python worker — fine for bounded groups, wrong for skewed
+    100 TB facts.  When the aggregate decomposes (geomean = exp of a
+    partial-aggregable mean of logs), production code should prefer the
+    JVM built-in form `exp(avg(ln(x)))` and keep map-side combine; this
+    entry exists to exercise the custom-UDAF path against that exact
+    oracle."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit eval type: this module uses `from __future__ import
+    # annotations`, which turns hints into strings Spark can't resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ucount(v):
+        return len(v)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(geomean("l_extendedprice"), 2).alias("geomean_price"),
+        ucount("l_extendedprice").alias("n_items"),
+    )
+
+
+@query(
+    "udtf_char_shingles",
+    """
+    SELECT d.doc_id, CAST(g.i AS INT) AS pos,
+           substring(d.text, CAST(g.i AS INT), 3) AS shingle
+    FROM documents d CROSS JOIN generate_series(1, 4096) AS g(i)
+    WHERE d.doc_id < 50 AND g.i <= length(d.text) - 2
+    """,
+)
+def udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: a Python user-defined TABLE function expanding each
+    document into its positional character 3-shingles via SQL LATERAL,
+    hash-verified against a DuckDB generate_series lateral join.
+
+    Scale note: Python UDTFs evaluate row-at-a-time — the right tool
+    for API parity and modest fan-outs, not the 100 TB hot path; the
+    production shingling in operators/dedup.py does the same expansion
+    batch-wise inside Arrow mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, shingle: string")
+    class Shingler:
+        def eval(self, doc_id, text):
+            if text is not None:
+                for i in range(len(text) - 2):
+                    yield doc_id, i + 1, text[i : i + 3]
+
+    docs = load(spark, sf_dir, "documents").filter("doc_id < 50")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    spark.udtf.register("char_shingler", Shingler)
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.shingle "
+        "FROM udtf_docs_v, LATERAL char_shingler(doc_id, text) s"
+    )
+
+
+@query(
     "dedup_connected_components",
     """
     SELECT doc_id, min(doc_id) OVER (PARTITION BY n_chars) AS component
