@@ -54,7 +54,19 @@ def query(name: str, oracle: str | None):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, min_ts: str | None = None
+) -> DataFrame:
+    """Read one testdata table.
+
+    ``min_ts`` (UTC ``YYYY-MM-DD HH:MM:SS``, events only): time-horizon
+    predicate applied to the RAW nanos column *before* the
+    timestamp_micros conversion.  A filter written against the
+    converted column sits above a non-invertible expression, so only
+    IsNotNull reaches the scan; filtering the raw long makes the bound
+    land in PushedFilters and prune parquet row groups by min/max
+    stats — the difference between a TTL job scanning 100 TB and
+    scanning just the expiring tail."""
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
@@ -62,15 +74,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            if min_ts is not None:
+                from datetime import datetime, timezone
+
+                cutoff_ns = int(
+                    datetime.fromisoformat(min_ts)
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                    * 1_000_000_000
+                )
+                df = df.filter(F.col("ts") >= F.lit(cutoff_ns))
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif min_ts is not None:
+            df = df.filter(F.col("ts") >= F.lit(min_ts).cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
 
-def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_envelope(
+    spark: SparkSession, sf_dir: str, min_ts: str | None = None
+) -> DataFrame:
     """Derive flo event-envelope columns from the driver's events table."""
     return (
-        load(spark, sf_dir, "events")
+        load(spark, sf_dir, "events", min_ts=min_ts)
         .withColumn("partition", (F.col("event_id") % 4).cast("int"))
         .withColumn("event_counter", F.col("event_id"))
         .withColumn(
@@ -174,6 +200,83 @@ def flo_head_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env.groupBy("partition").agg(
         F.max("event_counter").alias("head_counter"),
         F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "flo_retention_expiry",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT partition,
+           count(*) AS surviving,
+           min(event_counter) AS new_tail,
+           max(event_counter) AS head_counter
+    FROM env
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY partition
+    """,
+)
+def flo_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention (A11, engine/controller/mod.rs:158-178,
+    segment/mod.rs:52-54): flo drops whole expired segments from the
+    log front on a periodic tick.  The Spark-side analog is a TTL
+    predicate on event time — here previewing, per partition, what
+    survives a retention horizon (count + new tail + head).  The same
+    predicate drives the physical delete in
+    ``EventStream.expire_old_events`` (file-level drop, tested in
+    tests/test_event_stream.py); at 100 TB it prunes date-partitioned
+    directories without scanning survivors."""
+    # horizon applied via load(min_ts=...) so the bound is pushed to the
+    # parquet scan as a raw-nanos filter (row-group min/max pruning)
+    env = _events_envelope(spark, sf_dir, min_ts="2024-01-15 00:00:00")
+    return (
+        env.groupBy("partition")
+        .agg(
+            F.count("*").alias("surviving"),
+            F.min("event_counter").alias("new_tail"),
+            F.max("event_counter").alias("head_counter"),
+        )
+    )
+
+
+@query(
+    "flo_segment_rotation",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT partition,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS segment_idx,
+           count(*) AS n_events,
+           sum(coalesce(length(props), 0) + 16) AS seg_bytes,
+           min(event_counter) AS first_counter,
+           max(event_counter) AS last_counter
+    FROM env GROUP BY partition, segment_idx
+    """,
+)
+def flo_segment_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based segment rotation (A12, segment/mod.rs:21-27,
+    engine/controller/mod.rs:239-265): an append whose timestamp falls
+    past the segment's end_time starts a new segment.  Spark-side, the
+    segment id is a pure function of event time (7-day windows here),
+    so rotation is a deterministic bucketing every executor computes
+    independently — no coordination, unlike the reference's mutable
+    writer state.  Size-based rotation maps to ``maxRecordsPerFile``
+    (exercised in the EventStream tests); per-segment byte totals model
+    the 16-byte record header + payload accounting."""
+    env = _events_envelope(spark, sf_dir)
+    return (
+        env.withColumn(
+            "segment_idx",
+            F.floor(F.col("ts").cast("double") / F.lit(604800.0)).cast("bigint"),
+        )
+        .groupBy("partition", "segment_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.length("props"), F.lit(0)) + F.lit(16)).alias(
+                "seg_bytes"
+            ),
+            F.min("event_counter").alias("first_counter"),
+            F.max("event_counter").alias("last_counter"),
+        )
     )
 
 

@@ -45,3 +45,42 @@ def test_long_chain_converges_within_log_bound(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError):
         _components(spark, [(i, i + 1) for i in range(40)], max_iter=1)
+
+
+def _union_find(pairs):
+    """Independent reference: classic path-compressed union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of each set
+    best = {}
+    for n in parent:
+        r = find(n)
+        best[r] = min(best.get(r, n), n)
+    return {n: best[find(n)] for n in parent}
+
+
+def test_random_graphs_match_union_find(spark):
+    # differential check against union-find on a deterministic spread of
+    # random graphs (dense, sparse, self-loops, duplicate edges)
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_nodes = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        assert _components(spark, pairs) == _union_find(pairs), pairs

@@ -160,3 +160,11 @@ def test_rollup_reaggregates_not_rescans(spark, sf_dir):
     # 2 logical aggregates x (partial, final) = 4 HashAggregate nodes
     aggs = re.findall(r"^\(\d+\) HashAggregate", plan, re.M)
     assert len(aggs) == 4, aggs
+
+
+def test_retention_ttl_bound_pushed_to_raw_scan(spark, sf_dir):
+    # the TTL horizon must reach the parquet scan as a raw-nanos bound
+    # (a filter above the timestamp conversion would only push IsNotNull)
+    df = Q.flo_retention_expiry(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("GreaterThanOrEqual(ts" in f for f in pf), pf
