@@ -1135,6 +1135,75 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_clusters_minhash", None)  # minhash pairs => not SQL-expressible
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: MinHash-LSH near-dup PAIRS →
+    connected components → duplicate CLUSTERS with a canonical
+    (min-id) representative.  This is the full production shape —
+    transitive closure matters because A~B and B~C put A and C in one
+    cluster even though LSH never compared them.  Deterministic
+    (fixed hash seeds + deterministic solver) but hash-dependent, so
+    rows-only checked; the component solver itself is hash-verified
+    separately in ``dedup_connected_components``."""
+    from flo_spark.operators.dedup import minhash_lsh_pairs
+    from flo_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.groupBy(F.col("label").alias("canonical_doc_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("member_doc_ids"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
+@query(
+    "batch_sessionization",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), f AS (
+      SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           max(sec) - min(sec) AS duration_sec
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): events per user are cut
+    into sessions at >30 min inactivity gaps via lag + running sum of
+    boundary flags — the batch twin of the streaming
+    ``session_windows_30m`` entry.  Both windows partition by user_id
+    (high cardinality), so per-task state stays bounded and the whole
+    query is two passes over one user-keyed shuffle at any scale."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+
+
 @query(
     "udaf_geomean_price",
     """
