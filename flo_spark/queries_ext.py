@@ -1135,6 +1135,66 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey AS key, round(c_acctbal + 100, 2) AS acctbal,
+             c_name AS name
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS key, 0.0 AS acctbal,
+             'NEW-' || c_name AS name
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT coalesce(u.key, c.c_custkey) AS c_custkey,
+           coalesce(u.acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+           coalesce(u.name, c.c_name) AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.key IS NULL THEN 'keep' ELSE 'update' END AS merge_op
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert: apply an updates batch to a base table —
+    matched rows take the update, unmatched updates insert, untouched
+    base rows pass through — expressed as a full-outer join + coalesce
+    (the engine-level shape of ``MERGE INTO ... WHEN MATCHED``).  The
+    updates here are derived deterministically from the base so the
+    oracle states the identical transformation.
+
+    Scale note: both sides shuffle on the merge key once; with a
+    transactional table format the same plan narrows to the touched
+    files via data skipping on key ranges.  The updates side is usually
+    small — AQE converts the join to broadcast at runtime."""
+    c = load(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+            F.col("c_name").alias("name"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("key"),
+                F.lit(0.0).alias("acctbal"),
+                F.concat(F.lit("NEW-"), F.col("c_name")).alias("name"),
+            )
+        )
+    )
+    merged = c.join(updates, c["c_custkey"] == updates["key"], "full_outer")
+    return merged.select(
+        F.coalesce("key", "c_custkey").alias("c_custkey"),
+        F.coalesce("acctbal", F.round("c_acctbal", 2)).alias("c_acctbal"),
+        F.coalesce("name", "c_name").alias("c_name"),
+        F.when(c["c_custkey"].isNull(), "insert")
+        .when(updates["key"].isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_op"),
+    )
+
+
 @query("dedup_clusters_minhash", None)  # minhash pairs => not SQL-expressible
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline: MinHash-LSH near-dup PAIRS →
