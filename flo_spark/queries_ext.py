@@ -1136,6 +1136,73 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "null_semantics_audit",
+    """
+    WITH o AS (
+      SELECT o_custkey % 100 AS grp,
+             NULLIF(o_orderpriority, '1-URGENT') AS pri
+      FROM orders
+    )
+    SELECT grp, count(*) AS n_rows, count(pri) AS n_nonnull,
+           count(DISTINCT pri) AS n_distinct,
+           sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM o GROUP BY grp
+    """,
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics, cross-engine verified: nulls derived via
+    NULLIF, then the aggregate forms that treat them differently —
+    count(*) vs count(col) (null-skipping) vs count(DISTINCT col)
+    (null-excluding) vs an explicit IS NULL tally.  The testdata ships
+    no physical nulls, so deriving them keeps the audit deterministic."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("grp"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri"),
+    )
+    return o.groupBy("grp").agg(
+        F.count("*").alias("n_rows"),
+        F.count("pri").alias("n_nonnull"),
+        F.count_distinct("pri").alias("n_distinct"),
+        F.sum(F.when(F.col("pri").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+@query(
+    "window_rank_suite",
+    """
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window completeness: percent_rank / cume_dist /
+    first_value, plus last_value with an explicit unbounded-following
+    frame (the default frame stops at the current row, a classic
+    silent-wrong-answer).  percent_rank's (rank-1)/(n-1) divides the
+    same integers in both engines, so no rounding is needed for the
+    value hash.  Partitioned by o_orderpriority — bounded per-task
+    state at any scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@query(
     "merge_upsert_customers",
     """
     WITH updates AS (
