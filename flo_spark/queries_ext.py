@@ -1136,6 +1136,62 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_curation_filter",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS n_tokens,
+             CASE
+               WHEN n_chars < 100 THEN 'too_short'
+               WHEN NOT (text LIKE '% the %' OR text LIKE 'the %')
+                 THEN 'non_english'
+               WHEN len(list_distinct(string_split(text, ' '))) * 3
+                    < len(string_split(text, ' ')) THEN 'low_diversity'
+               ELSE 'none'
+             END AS drop_reason
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens, drop_reason,
+           drop_reason = 'none' AS keep
+    FROM scored
+    """,
+)
+def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation decision: each document gets a
+    keep/drop verdict with the FIRST failing rule as the reason
+    (too-short, non-English marker, low lexical diversity — i.e.
+    repetition spam) plus the token count that downstream budgeting
+    needs.  Thresholds are integer arithmetic (distinct*3 < total
+    instead of a float ratio) so the cross-engine hash has no rounding
+    surface.  All JVM expressions —
+    at 100 TB this is a single map stage fused into the parquet scan,
+    and the verdict column is exactly what a curation pipeline
+    partitions the corpus by before dedup/training-mix stages."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    is_en = F.col("text").like("% the %") | F.col("text").like("the %")
+    reason = (
+        F.when(F.col("n_chars") < 100, "too_short")
+        .when(~is_en, "non_english")
+        .when(
+            F.size(F.array_distinct(words)) * 3 < F.size(words), "low_diversity"
+        )
+        .otherwise("none")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_tokens"),
+        reason.alias("drop_reason"),
+        (reason == "none").alias("keep"),
+    )
+
+
+@query(
     "null_semantics_audit",
     """
     WITH o AS (
