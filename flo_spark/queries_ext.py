@@ -1136,6 +1136,44 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "array_hof_vector_norms",
+    """
+    SELECT vec_id, len(embedding) AS dim,
+           floor(sqrt(list_aggregate(
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum')) * 10000 + 0.5) / 10000 AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_hof_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform / aggregate / filter)
+    mirrored against DuckDB list lambdas: per-vector L2 norm and
+    positive-component count.  Elements are cast to DOUBLE inside the
+    lambda in BOTH engines so the sequential fold adds identical
+    doubles (bit-identical), and the norm is rounded with the
+    pure-IEEE floor formula.
+
+    Scale note: HOF lambdas evaluate interpreted (~10 µs/step, never
+    codegen'd — measured) — right for per-row array bookkeeping like
+    this, wrong for bulk linear algebra, which lives in the Arrow
+    mapInPandas matmul path (operators/similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        (F.floor(F.sqrt(sq_sum) * 10000 + F.lit(0.5)) / 10000).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
     "corpus_curation_filter",
     r"""
     WITH scored AS (
