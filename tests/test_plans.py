@@ -168,3 +168,18 @@ def test_retention_ttl_bound_pushed_to_raw_scan(spark, sf_dir):
     df = Q.flo_retention_expiry(spark, sf_dir)
     pf = pushed_filters(df)
     assert any("GreaterThanOrEqual(ts" in f for f in pf), pf
+
+
+def test_curation_filter_prunes_props_column(spark, sf_dir):
+    # single map stage over the scan: only the 4 referenced columns read
+    from flo_spark import queries_ext as QE
+
+    df = QE.corpus_curation_filter(spark, sf_dir)
+    scans = scan_columns(df)
+    assert scans and all(len(s) <= 4 for s in scans), scans
+
+
+def test_merge_upsert_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    assert_no_cartesian(QE.merge_upsert_customers(spark, sf_dir))
