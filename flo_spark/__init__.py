@@ -22,7 +22,15 @@ plus a batch-relational layer and LLM-data-pipeline operators
 
 from flo_spark.schema import EVENT_SCHEMA
 from flo_spark.functions.glob import GlobError, glob_to_regex, namespace_matches
+from flo_spark.version_vector import EventId, VersionVector
 
-__all__ = ["EVENT_SCHEMA", "GlobError", "glob_to_regex", "namespace_matches"]
+__all__ = [
+    "EVENT_SCHEMA",
+    "EventId",
+    "GlobError",
+    "VersionVector",
+    "glob_to_regex",
+    "namespace_matches",
+]
 
 __version__ = "0.1.0"

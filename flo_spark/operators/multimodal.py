@@ -81,17 +81,27 @@ def extract_features(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf[data_col]
+            # one digest per payload; hex, length, and the (stub) feature
+            # vector all derive from that single pass over the bytes
+            n_bytes, shas, feats = [], [], []
+            zero = [0.0] * feat_dim
+            for b in pdf[data_col]:
+                if b is None:
+                    n_bytes.append(0)
+                    shas.append("")
+                    feats.append(zero)
+                    continue
+                raw = bytes(b)
+                digest = hashlib.sha256(raw).digest()
+                n_bytes.append(len(raw))
+                shas.append(digest.hex())
+                feats.append([x / 255.0 for x in digest[:feat_dim]])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype(
-                        "int32"
-                    ),
-                    "content_sha": payloads.map(
-                        lambda b: "" if b is None else hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                    "feature": payloads.map(lambda b: _fake_decode(None if b is None else bytes(b), feat_dim)),
+                    "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                    "content_sha": shas,
+                    "feature": feats,
                 }
             )
 

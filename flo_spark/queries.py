@@ -246,7 +246,7 @@ def flo_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT partition,
            CAST(floor(epoch(ts) / 604800) AS BIGINT) AS segment_idx,
            count(*) AS n_events,
-           sum(coalesce(length(props), 0) + 16) AS seg_bytes,
+           CAST(sum(coalesce(length(props), 0) + 16) AS BIGINT) AS seg_bytes,
            min(event_counter) AS first_counter,
            max(event_counter) AS last_counter
     FROM env GROUP BY partition, segment_idx
@@ -308,7 +308,8 @@ def flo_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flo_codec_json",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1149,15 +1150,22 @@ def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload -> mapInPandas feature
-    extraction (Arrow batches, partition-preserving).  The decode stage
-    is a deterministic stub (no media libs in container); byte-length
-    and sha256 are verified against the oracle."""
-    from flo_spark.operators.multimodal import documents_as_assets, extract_features
+    """Multimodal asset metadata, JVM-side: byte length and sha256 of
+    the binary payload are plain Catalyst expressions (``F.length`` /
+    ``F.sha2``) — whole-stage-codegen'd, no Python worker in the plan.
+    The mapInPandas decode pipeline (``operators.multimodal.
+    extract_features``) remains the vehicle for real feature vectors
+    (needs an actual codec) and is exercised in tests; routing the
+    hash/length columns through built-ins is the 100 TB-correct split:
+    never pay an Arrow round-trip for what codegen computes in place."""
+    from flo_spark.operators.multimodal import documents_as_assets
 
-    d = load(spark, sf_dir, "documents")
-    feats = extract_features(documents_as_assets(d))
-    return feats.select("asset_id", "n_bytes", "content_sha")
+    assets = documents_as_assets(load(spark, sf_dir, "documents"))
+    return assets.select(
+        F.col("asset_id"),
+        F.length("data").cast("int").alias("n_bytes"),
+        F.sha2("data", 256).alias("content_sha"),
+    )
 
 
 @query(
@@ -1296,7 +1304,9 @@ def lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT partition, count(*) AS n FROM b GROUP BY partition
     ),
     off AS (
-      SELECT partition, sum(n) OVER (ORDER BY partition) - n AS off FROM cnt
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
     )
     SELECT off.off
              + row_number() OVER (PARTITION BY b.partition ORDER BY b.doc_id)

@@ -338,10 +338,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -1239,7 +1239,7 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT grp, count(*) AS n_rows, count(pri) AS n_nonnull,
            count(DISTINCT pri) AS n_distinct,
-           sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(sum(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM o GROUP BY grp
     """,
 )
@@ -1392,8 +1392,9 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     ), s AS (
-      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_idx
       FROM f
     )
     SELECT user_id, session_idx, count(*) AS n_events,

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from flo_spark.functions.glob import literal_first_segment
 from flo_spark.operators.consume import consume as _consume
 from flo_spark.operators.consume import head_status
-from flo_spark.operators.produce import assign_event_ids
+from flo_spark.operators.produce import ProduceAck, assign_event_ids
 from flo_spark.schema import (
     DEFAULT_NUM_PARTITIONS,
     DEFAULT_SEGMENT_MAX_RECORDS,
@@ -172,8 +172,11 @@ class EventStream:
         batch: DataFrame,
         round_robin: bool = True,
         order_by: str | None = None,
-    ) -> int:
-        """Append a produce batch; returns number of events written (A1/A2).
+    ) -> "ProduceAck":
+        """Append a produce batch; returns a :class:`ProduceAck` — the
+        event count (an ``int`` subclass) carrying the assigned
+        per-partition counter ranges, flo's produce-ack analog
+        (connection_handler/producer.rs:47-81) (A1/A2).
 
         ``batch`` columns: namespace STRING, data BINARY, optional
         parent_counter/parent_actor, optional partition INT.  Without an
@@ -182,6 +185,11 @@ class EventStream:
         batch column that fixes the in-partition id-assignment order
         (deterministic, reproducible counters); default is stable
         capture of input order.
+
+        Single-materialization append: the batch is persisted before id
+        assignment, so the per-partition counts job fills the cache and
+        the write job reads it back — ONE scan of the input per append
+        (the count ack is derived from the counts, not a third job).
         """
         nparts = self.options["num_partitions"]
         cols = batch.columns
@@ -203,23 +211,31 @@ class EventStream:
         # server-assigned timestamp at persist time (controller/mod.rs:197)
         batch = batch.withColumn("timestamp", F.current_timestamp())
 
-        base = self.highest_counter()
-        with_ids = assign_event_ids(batch, base_counter=base, order_by=order_by)
-        out = with_ids.select(
-            *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
-        )
-        partition_cols = ["partition"]
-        if self.options.get("namespace_partitioning"):
-            out = out.withColumn("ns0", _ns0_expr())
-            partition_cols.append("ns0")
-        n = out.count()
-        (
-            out.write.mode("append")
-            .option("maxRecordsPerFile", self.options["segment_max_records"])
-            .partitionBy(*partition_cols)
-            .parquet(self.path)
-        )
-        return n
+        # one materialization per append: the counts job inside
+        # assign_event_ids fills the cache, the write drains it
+        batch = batch.persist()
+        try:
+            base = self.highest_counter()  # footer-stats only, no data scan
+            with_ids, ranges = assign_event_ids(
+                batch, base_counter=base, order_by=order_by, with_ranges=True
+            )
+            out = with_ids.select(
+                *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
+            )
+            partition_cols = ["partition"]
+            if self.options.get("namespace_partitioning"):
+                out = out.withColumn("ns0", _ns0_expr())
+                partition_cols.append("ns0")
+            (
+                out.write.mode("append")
+                .option("maxRecordsPerFile", self.options["segment_max_records"])
+                .partitionBy(*partition_cols)
+                .parquet(self.path)
+            )
+        finally:
+            batch.unpersist()
+        n = sum(hi - lo + 1 for lo, hi in ranges.values())
+        return ProduceAck(n, ranges)
 
     # -- query ---------------------------------------------------------
     def consume(
@@ -262,8 +278,11 @@ class EventStream:
         now = now or datetime.now(timezone.utc)
         cutoff = now.timestamp() - retention
         deleted = 0
+        # recursive: namespace-partitioned streams nest ns0=<seg>/ dirs
+        # under each partition (same layout head() walks)
         for fpath in _pyglob.glob(
-            os.path.join(self.path, "partition=*", "*.parquet")
+            os.path.join(self.path, "partition=*", "**", "*.parquet"),
+            recursive=True,
         ):
             meta = pq.read_metadata(fpath)
             names = list(meta.schema.to_arrow_schema().names)

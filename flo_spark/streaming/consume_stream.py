@@ -92,13 +92,103 @@ def run_to_memory(
             df._flo_query = query  # caller stops via df._flo_query.stop()
             return df
         query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_sec)
-        if query.isActive:
+        finished = query.awaitTermination(timeout_sec)
+        if not finished and query.isActive:
+            # a slow drain must fail loudly, not silently hand a
+            # truncated table to an oracle-checked caller
             query.stop()
+            raise TimeoutError(
+                f"streaming drain did not finish within {timeout_sec}s "
+                f"(query {name}); partial results discarded"
+            )
         return spark.table(name)
     finally:
         if prev_sp is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+class TailConsumer:
+    """Handle for an ordered tail consume — flo's live consumer.
+
+    ``batches()`` returns the delivered micro-batches in delivery
+    order, each a list of Rows sorted by ``(event_counter, actor)``;
+    ``rows()`` flattens them.  ``stop()`` is A10's StopConsuming."""
+
+    def __init__(self, query, delivered: list):
+        self.query = query
+        self._delivered = delivered
+
+    def batches(self) -> list[list]:
+        return [rows for _eid, rows in self._delivered]
+
+    def rows(self) -> list:
+        return [r for _eid, rows in self._delivered for r in rows]
+
+    def process_available(self, timeout_sec: int = 60) -> None:
+        """Block until everything currently in the stream is delivered."""
+        import time
+
+        deadline = time.monotonic() + timeout_sec
+        while time.monotonic() < deadline:
+            status = self.query.status
+            if (
+                self.query.lastProgress is not None  # >=1 trigger completed
+                and not status["isDataAvailable"]
+                and not status["isTriggerActive"]
+            ):
+                return
+            time.sleep(0.1)
+        raise TimeoutError(f"tail did not drain within {timeout_sec}s")
+
+    def stop(self) -> None:
+        self.query.stop()
+
+
+def consume_tail_ordered(
+    spark: SparkSession,
+    stream_path: str,
+    namespace: str | None = None,
+    version_vector: Mapping[int, int] | None = None,
+    max_files_per_trigger: int | None = None,
+    await_new: bool = True,
+    timeout_sec: int = 120,
+) -> TailConsumer:
+    """Tail consume with flo's delivery order: within every
+    micro-batch, events arrive k-way-merged by ``(event_counter,
+    actor)`` (multi_partition_reader.rs:8-48 — the live consumer's
+    ordered merge across partition readers).
+
+    Structured Streaming cannot sort an unbounded stream, so the merge
+    happens where flo's does — at delivery: a ``foreachBatch`` sink
+    sorts each bounded micro-batch before handing it to the consumer.
+    Per-batch sort cost is bounded by the batch size (credit window),
+    exactly like the reference's in-memory merge heap.  With
+    ``await_new=False`` the stream drains (AvailableNow) and the handle
+    holds every batch; with ``await_new=True`` the query keeps running
+    and the handle accumulates — stop via ``.stop()``."""
+    df = consume_stream(
+        spark,
+        stream_path,
+        namespace=namespace,
+        version_vector=version_vector,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    delivered: list = []
+
+    def _sink(bdf: DataFrame, epoch_id: int) -> None:
+        rows = bdf.orderBy("event_counter", "actor").collect()
+        if rows:
+            delivered.append((epoch_id, rows))
+
+    writer = df.writeStream.foreachBatch(_sink)
+    if await_new:
+        return TailConsumer(writer.start(), delivered)
+    query = writer.trigger(availableNow=True).start()
+    finished = query.awaitTermination(timeout_sec)
+    if not finished and query.isActive:
+        query.stop()
+        raise TimeoutError(f"ordered drain did not finish within {timeout_sec}s")
+    return TailConsumer(query, delivered)
 
 
 def windowed_counts(

@@ -157,6 +157,56 @@ def test_retention_expiry(spark, tmp_path):
     s.drop()
 
 
+def test_retention_expiry_namespace_partitioned(spark, tmp_path):
+    # regression: expiry must recurse into ns0=<seg>/ subdirs — the
+    # non-recursive glob silently deleted nothing on such streams
+    s = EventStream.create(
+        spark,
+        str(tmp_path / "ttl_ns"),
+        num_partitions=2,
+        event_retention_seconds=3600,
+        namespace_partitioning=True,
+    )
+    s.produce(_batch(spark, [("/a/x", "1", 1), ("/b/y", "2", 2)]))
+    assert s.expire_old_events() == 0
+    future = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(hours=2)
+    assert s.expire_old_events(now=future) >= 2  # one file per (partition, ns0)
+    assert s.consume().count() == 0
+    s.drop()
+
+
+def test_produce_ack_ranges(spark, stream):
+    # producer.rs:47-81 — produce resolves to the assigned ids
+    ack = stream.produce(
+        _batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(30)])
+    )
+    assert ack == 30  # int-compatible
+    assert ack.ranges == {1: (1, 10), 2: (11, 20), 3: (21, 30)}
+    assert ack.first_counter == 1 and ack.last_counter == 30
+    ack2 = stream.produce(_batch(spark, [("/ns", "x", 2)]))
+    assert ack2 == 1
+    assert ack2.ranges == {2: (31, 31)}
+
+
+def test_produce_single_materialization(spark, stream):
+    # the counts job fills the cache; the write drains it — the input
+    # plan must evaluate exactly once per append (was 3× before)
+    from pyspark.sql import types as T
+
+    evals = spark.sparkContext.accumulator(0)
+
+    def _counting(it):
+        for pdf in it:
+            evals.add(len(pdf))
+            yield pdf
+
+    src = _batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(12)])
+    counted = src.mapInPandas(_counting, schema=src.schema)
+    ack = stream.produce(counted)
+    assert ack == 12
+    assert evals.value == 12, f"input evaluated {evals.value/12:.0f}x, want 1x"
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
 def test_export_import_round_trip(spark, stream, tmp_path, fmt):
     stream.produce(

@@ -8,7 +8,11 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from flo_spark.sources.event_table import EventStream
-from flo_spark.streaming.consume_stream import consume_stream, run_to_memory
+from flo_spark.streaming.consume_stream import (
+    consume_stream,
+    consume_tail_ordered,
+    run_to_memory,
+)
 
 
 def _batch(spark, rows):
@@ -59,6 +63,39 @@ def test_tail_mode_delivers_new_events(spark, stream):
         assert mem.count() == 11  # tail saw the late event (A9)
     finally:
         query.stop()
+
+
+def test_tail_ordered_delivery(spark, stream):
+    # embedded_tests.rs:169-200 — the live consumer receives events
+    # k-way-merged by (event_counter, actor) within each delivery
+    tail = consume_tail_ordered(
+        spark, stream.path, await_new=False, max_files_per_trigger=1
+    )
+    batches = tail.batches()
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 forces several
+    for rows in batches:
+        ids = [(r.event_counter, r.actor) for r in rows]
+        assert ids == sorted(ids), "micro-batch not merged in id order"
+    assert len(tail.rows()) == 10
+
+
+def test_tail_ordered_live_sees_new_events(spark, stream):
+    tail = consume_tail_ordered(spark, stream.path, await_new=True)
+    try:
+        tail.process_available(timeout_sec=90)
+        n0 = len(tail.rows())
+        assert n0 == 10
+        stream.produce(_batch(spark, [("/a/new", "late", 2)]))
+        deadline = time.time() + 90
+        while len(tail.rows()) < 11 and time.time() < deadline:
+            time.sleep(0.5)
+        rows = tail.rows()
+        assert len(rows) == 11
+        for batch in tail.batches():
+            ids = [(r.event_counter, r.actor) for r in batch]
+            assert ids == sorted(ids)
+    finally:
+        tail.stop()
 
 
 def test_produce_stream_foreachbatch_roundtrip(spark, tmp_path):
