@@ -258,7 +258,14 @@ def minhash_lsh_pairs(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        # floor(x*1e4+0.5)/1e4, not round(): pure-IEEE half-up on the
+        # exact int/int quotient — bit-identical to any engine that
+        # computes the same quotient (SQL-oracle-safe)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
     )
     return verified
 
@@ -313,7 +320,11 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
     )
 
 

@@ -108,19 +108,43 @@ def extract_features(
     return assets.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
-def decode_image(*_args, **_kwargs):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "image decode requires PIL/opencv, not present in this container; "
-        "extract_features() demonstrates the Spark plumbing with a "
-        "deterministic fake decoder"
-    )
+def decode_image(payload: bytes):
+    """Decode an image payload to an (H, W, C) uint8 numpy array.
+
+    Uses PIL when available (guarded optional import — deployments with
+    codec libraries get the real decoder transparently); raises
+    NotImplementedError here, where no media library is installed."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "image decode requires PIL, not present in this container; "
+            "extract_features() demonstrates the Spark plumbing with a "
+            "deterministic fake decoder"
+        ) from exc
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as img:  # pragma: no cover
+        return np.asarray(img.convert("RGB"))
 
 
-def decode_audio(*_args, **_kwargs):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa, not present in this "
-        "container; see extract_features()"
-    )
+def decode_audio(payload: bytes):
+    """Decode an audio payload to (samples: float32 ndarray, rate: int).
+
+    Uses soundfile when available (guarded optional import); raises
+    NotImplementedError here, where no media library is installed."""
+    try:
+        import io
+
+        import soundfile  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - not in container
+        raise NotImplementedError(
+            "audio decode requires soundfile, not present in this "
+            "container; see extract_features()"
+        ) from exc
+    return soundfile.read(io.BytesIO(payload))  # pragma: no cover
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

@@ -208,7 +208,9 @@ def pairwise_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round("cos_raw", 4).alias("cos_sim"),
+            # pure-IEEE half-up rounding: bit-identical across engines
+            # that compute the same sequential-fold cosine
+            (F.floor(F.col("cos_raw") * 10000 + F.lit(0.5)) / 10000).alias("cos_sim"),
         )
     )
 

@@ -596,10 +596,12 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set operation."""
+    """EXCEPT set operation.  ``subtract`` is the distinct set
+    difference — unlike ``exceptAll().distinct()``, which wrongly keeps
+    a value occurring m>n>0 times across the two sides."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 @query(
@@ -1076,17 +1078,55 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("dedup_minhash_lsh", None)  # xxhash64-based => not SQL-expressible
+# Word-3-gram jaccard over ALL pairs — ground truth for the dedup
+# pipelines.  Mirrors word_shingles() exactly: lowercase, split on
+# whitespace, distinct 3-grams, whole-text fallback for <3-word docs.
+# The int/int quotient is bit-identical to Spark's size()/size(), and
+# the floor formula is the engine-neutral half-up rounding.
+_ALLPAIRS_JACCARD_SQL = r"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents)
+    ),
+    j AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) AS jac
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, floor(jac * 10000 + 0.5) / 10000 AS jaccard
+    FROM j WHERE jac >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _ALLPAIRS_JACCARD_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over documents (shingle ->
     64-hash signature -> 16 bands -> bucket join -> exact-jaccard
-    verify). See operators/dedup.py for the scale analysis."""
+    verify). See operators/dedup.py for the scale analysis.
+
+    Oracled against brute-force all-pairs jaccard: the exact-jaccard
+    VERIFY stage makes the output content-defined, and at this corpus
+    every true pair has jaccard >= 0.9 (next pair is < 0.4), where the
+    16-band/4-row collision probability is 1 - ~4e-8 — the banding
+    cannot miss, so LSH output == ground truth deterministically."""
     from flo_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5)
 
 
+# no-oracle (inherent): the output IS the xxhash64-derived simhash —
+# hamming distances between 64-bit simhashes cannot be recomputed in
+# SQL without reimplementing xxhash64 + the bit-vote fold in DuckDB
 @query("dedup_simhash", None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidate pairs (16-bit band blocking)."""
@@ -1096,10 +1136,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d)
 
 
-@query("dedup_ngram_jaccard", None)
+@query("dedup_ngram_jaccard", _ALLPAIRS_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram jaccard pairs >= 0.5 via inverted-index
-    candidate generation with stop-shingle pruning."""
+    candidate generation with stop-shingle pruning.
+
+    Oracled against brute-force all-pairs jaccard: candidate
+    generation only misses a pair if EVERY shared shingle is a
+    stop-shingle (bucket > max_bucket=200) — impossible here because
+    true pairs share >= 1/3 of their shingles and no shingle bucket in
+    this corpus approaches the cap (and at jaccard >= 0.5 a pair
+    shares many rare shingles)."""
     from flo_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -1130,14 +1177,57 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(c, q, k=10, n_cells=16, n_probe=4)
 
 
-@query("embedding_neardup_cosine", None)
+@query(
+    "embedding_neardup_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+      FROM embeddings WHERE vec_id < 50
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_aggregate(list_transform(list_zip(a.emb, b.emb),
+                                           s -> s[1] * s[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.emb, x -> x * x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.emb, x -> x * x), 'sum')))
+               AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, floor(c * 10000 + 0.5) / 10000 AS cos_sim
+    FROM p WHERE c >= 0.99
+    """,
+)
 def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH blocking + exact
-    verify at threshold 0.99)."""
+    cosine verify at threshold 0.99).
+
+    The synthetic corpus has no natural near-dups (max all-pairs cosine
+    is 0.513), so the query PLANTS them: the first 50 vectors re-enter
+    scaled by 2 under shifted ids — the embedding-identical-duplicate
+    case every production dedup sees.  Planting scaled copies keeps the
+    oracle exact: positive scaling provably preserves every hyperplane
+    sign, so the planted pair shares its LSH bucket with probability 1
+    (not 1-epsilon) and the blocked output equals brute-force ground
+    truth.  The cosine itself is the HOF sequential fold, bit-identical
+    to DuckDB's list_aggregate sum."""
     from flo_spark.operators.similarity import pairwise_near_duplicates
 
     e = load(spark, sf_dir, "embeddings")
-    return pairwise_near_duplicates(e, dim=64, threshold=0.99, num_planes=8)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    return pairwise_near_duplicates(corpus, dim=64, threshold=0.99, num_planes=8)
 
 
 @query(

@@ -1356,16 +1356,56 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_clusters_minhash", None)  # minhash pairs => not SQL-expressible
+@query(
+    "dedup_clusters_minhash",
+    r"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents)
+    ),
+    edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ),
+    sym AS (
+      SELECT ea AS a, eb AS b FROM edges
+      UNION SELECT eb, ea FROM edges
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM sym),
+    reach(src, dst) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    labels AS (SELECT src AS node, min(dst) AS label FROM reach GROUP BY src)
+    SELECT label AS canonical_doc_id,
+           count(*) AS cluster_size,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members_csv
+    FROM labels GROUP BY label HAVING count(*) >= 2
+    """,
+)
 def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline: MinHash-LSH near-dup PAIRS →
     connected components → duplicate CLUSTERS with a canonical
     (min-id) representative.  This is the full production shape —
     transitive closure matters because A~B and B~C put A and C in one
-    cluster even though LSH never compared them.  Deterministic
-    (fixed hash seeds + deterministic solver) but hash-dependent, so
-    rows-only checked; the component solver itself is hash-verified
-    separately in ``dedup_connected_components``."""
+    cluster even though LSH never compared them.
+
+    Oracled via a recursive-CTE transitive closure over the exact
+    all-pairs jaccard edge set (valid because LSH recall is 1 on this
+    corpus — see ``dedup_minhash_lsh``).  Members are emitted as a
+    comma-joined string, not an array: scalar columns canonicalize
+    identically across engines."""
     from flo_spark.operators.dedup import minhash_lsh_pairs
     from flo_spark.operators.graph import connected_components
 
@@ -1376,7 +1416,13 @@ def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy(F.col("label").alias("canonical_doc_id"))
         .agg(
             F.count("*").alias("cluster_size"),
-            F.sort_array(F.collect_list("node")).alias("member_doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members_csv"),
         )
         .filter(F.col("cluster_size") >= 2)
     )

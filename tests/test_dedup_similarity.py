@@ -125,12 +125,15 @@ def test_multimodal_feature_extraction(spark, corpus):
 
 
 def test_multimodal_decode_stubs_raise():
+    # no codec libs in this container: the guarded optional imports
+    # must surface as NotImplementedError (where PIL/soundfile exist,
+    # these decode for real)
     from flo_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image()
+        decode_image(b"not-an-image")
     with pytest.raises(NotImplementedError):
-        decode_audio()
+        decode_audio(b"not-audio")
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
