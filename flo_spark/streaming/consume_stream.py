@@ -22,6 +22,8 @@ persists the files-seen log — Spark's own version vector.
 
 from __future__ import annotations
 
+import json
+import os
 import uuid
 from collections.abc import Mapping
 
@@ -29,7 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flo_spark.operators.consume import namespace_filter, version_vector_filter
-from flo_spark.schema import EVENT_SCHEMA
+from flo_spark.schema import DEFAULT_SEGMENT_MAX_RECORDS, EVENT_SCHEMA
+
+_OPTIONS_FILE = "_flo_stream.json"
 
 
 def consume_stream(
@@ -38,11 +42,33 @@ def consume_stream(
     namespace: str | None = None,
     version_vector: Mapping[int, int] | None = None,
     max_files_per_trigger: int | None = None,
+    batch_size: int | None = None,
 ) -> DataFrame:
     """Streaming consume over an EventStream directory.
 
     Returns an unbounded DataFrame; pair with ``run_to_memory`` (drain,
-    await_new=False) or ``writeStream`` + default trigger (tail)."""
+    await_new=False) or ``writeStream`` + default trigger (tail).
+
+    ``batch_size`` is the credit-window analog of flo's SetBatchSize
+    (A8, client.rs:261-267, consumer_stream/mod.rs:115-155): cap the
+    events delivered per micro-batch.  Segments (files) are written
+    with at most ``segment_max_records`` rows (``EventStream.produce``),
+    so the cap maps onto the file source's ``maxFilesPerTrigger`` —
+    ceil(batch_size / segment_max_records) files per trigger bounds the
+    per-trigger event count by batch_size rounded up to whole segments
+    (delivery stays segment-aligned, exactly like flo's server batches
+    end on record boundaries)."""
+    if batch_size is not None:
+        if max_files_per_trigger is not None:
+            raise ValueError("pass batch_size or max_files_per_trigger, not both")
+        opts = os.path.join(stream_path, _OPTIONS_FILE)
+        seg_records = DEFAULT_SEGMENT_MAX_RECORDS
+        if os.path.exists(opts):
+            with open(opts) as f:
+                seg_records = json.load(f).get(
+                    "segment_max_records", DEFAULT_SEGMENT_MAX_RECORDS
+                )
+        max_files_per_trigger = max(1, -(-int(batch_size) // int(seg_records)))
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -150,6 +176,7 @@ def consume_tail_ordered(
     namespace: str | None = None,
     version_vector: Mapping[int, int] | None = None,
     max_files_per_trigger: int | None = None,
+    batch_size: int | None = None,
     await_new: bool = True,
     timeout_sec: int = 120,
 ) -> TailConsumer:
@@ -172,6 +199,7 @@ def consume_tail_ordered(
         namespace=namespace,
         version_vector=version_vector,
         max_files_per_trigger=max_files_per_trigger,
+        batch_size=batch_size,
     )
     delivered: list = []
 

@@ -65,6 +65,24 @@ def test_tail_mode_delivers_new_events(spark, stream):
         query.stop()
 
 
+def test_batch_size_credit_flow(spark, tmp_path):
+    # A8: SetBatchSize analog — per-trigger delivery bounded by the
+    # credit window, rounded up to whole segments
+    s = EventStream.create(
+        spark, str(tmp_path / "credit"), num_partitions=1, segment_max_records=5
+    )
+    for chunk in range(4):
+        s.produce(_batch(spark, [("/c", f"d{chunk}-{i}", 1) for i in range(5)]))
+    tail = consume_tail_ordered(
+        spark, s.path, await_new=False, batch_size=5
+    )
+    batches = tail.batches()
+    assert len(tail.rows()) == 20
+    assert len(batches) >= 4  # one segment (5 events) per trigger
+    assert all(len(b) <= 5 for b in batches)
+    s.drop()
+
+
 def test_tail_ordered_delivery(spark, stream):
     # embedded_tests.rs:169-200 — the live consumer receives events
     # k-way-merged by (event_counter, actor) within each delivery
