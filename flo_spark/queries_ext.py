@@ -1591,6 +1591,208 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LLM training-data pipeline: decontamination / chunking / redaction / split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontamination_ngram_overlap",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 8
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 7),
+                         i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS ngrams
+      FROM w
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(ngrams) AS ng, doc_id AS bench_id
+      FROM g WHERE doc_id % 10 = 5
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(ngrams) AS ng FROM g WHERE doc_id % 10 <> 5
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.ng) AS n_hit_ngrams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.ng = b.ng
+    GROUP BY c.doc_id
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-8-gram with the held-out benchmark set (here: every 10th doc —
+    eval sets are defined externally in production).  The standard
+    pre-training hygiene step: n-gram collision against the eval suite
+    means the doc leaks test data and must be dropped.
+
+    Scale shape: the benchmark n-gram set is small by nature (eval
+    suites are thousands of docs, not billions) — it BROADCASTS, so the
+    corpus side never shuffles: explode n-grams, hash-join against the
+    broadcast set in the map stage, partial-aggregate per doc.  At
+    100 TB the only wide exchange is the final per-doc count combine."""
+    d = load(spark, sf_dir, "documents")
+    from flo_spark.operators.dedup import word_shingles
+
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=8)).alias("ng")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 5)
+        .select(F.col("ng"), F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 10 != 5)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("ng").alias("n_hit_ngrams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@query(
+    "doc_chunking",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, CAST(floor((len(w) - 1) / 24) AS BIGINT)))
+               AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                AS INT) AS n_tokens,
+           array_to_string(list_slice(w, chunk_idx * 24 + 1, chunk_idx * 24 + 32),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document into 32-token
+    chunks with stride 24 (8-token overlap) — the fixed-context-window
+    preprocessing every pre-training pipeline runs.  Pure JVM
+    expressions: tokenize once, `sequence` the chunk starts, explode,
+    `slice` per chunk — no Python, no shuffle at all (embarrassingly
+    parallel per document; output partitioning inherits the scan)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    chunks = (
+        d.select("doc_id", words.alias("w"))
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("w") - 1) / 24).cast("long")
+                )
+            ),
+        )
+    )
+    sliced = F.slice(
+        F.col("w"), F.col("chunk_idx") * 24 + 1, F.lit(32)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sliced).alias("n_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )
+
+
+@query(
+    "pii_redaction",
+    r"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or call 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(raw,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM salted
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone
+    numbers via JVM regexp expressions.  The synthetic corpus contains
+    no PII (lowercase word-soup), so the query PLANTS one deterministic
+    email + phone per document first — the redaction rules then have
+    real work, and the oracle checks both the match counts and the
+    rewritten text.  DuckDB's regexp_replace needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"555-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone_re)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           (doc_id * 2654435761) % 1000 AS bucket,
+           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 document split via a multiplicative hash
+    on doc_id (Knuth's 2654435761) — reproducible across engines and
+    runs, unlike random sampling, and stable under corpus growth:
+    adding documents never reassigns existing ones.  Pure arithmetic,
+    so it pushes into the scan and costs nothing at any scale."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @query(
     "json_props_extract",
     """

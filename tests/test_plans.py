@@ -183,3 +183,32 @@ def test_merge_upsert_no_cartesian(spark, sf_dir):
     from flo_spark import queries_ext as QE
 
     assert_no_cartesian(QE.merge_upsert_customers(spark, sf_dir))
+
+
+def test_decontamination_broadcasts_benchmark_set(spark, sf_dir):
+    # the benchmark n-gram set must broadcast: the corpus side joins
+    # map-side and never shuffles its exploded n-grams
+    from flo_spark import queries_ext as QE
+
+    df = QE.decontamination_ngram_overlap(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_doc_chunking_is_shuffle_free(spark, sf_dir):
+    # tokenize -> sequence -> explode -> slice: embarrassingly parallel,
+    # no Exchange anywhere in the plan
+    from flo_spark import queries_ext as QE
+
+    df = QE.doc_chunking(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_split_predicates_fold_into_scan_stage(spark, sf_dir):
+    # pure-arithmetic split: single projected scan, no shuffle, no join
+    from flo_spark import queries_ext as QE
+
+    df = QE.train_val_test_split(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Exchange" not in plan and "Join" not in plan, plan
