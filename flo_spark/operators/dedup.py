@@ -102,6 +102,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(__id, __sh, __sig) per document — Arrow/numpy-vectorized.
 
@@ -133,10 +134,15 @@ def minhash_signatures(
     # of a small input coalesces back to 1 task, serializing the
     # compute-dense stage; repartition(n, col) pins the fan-out
     # (defaultParallelism = total cluster cores on a real deployment).
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    src = df.repartition(n_parts, F.col(id_col)).select(
+    # fan_out=False skips this — the repartition is a full shuffle of
+    # the raw text, which a well-partitioned production input (one
+    # parquet split per core already) should never pay.
+    src = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     )
+    if fan_out:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n_parts, F.col("__id"))
 
     def _shingle_hashes_py(text: str) -> np.ndarray:
         """Distinct word-k-gram hashes, 64-bit (blake2b/8B — stable
@@ -197,8 +203,13 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact jaccard >= threshold.
+
+    ``fan_out=False`` skips the signature stage's explicit repartition
+    (see ``minhash_signatures``) when the input's existing partitioning
+    already saturates the cluster.
 
     Pipeline: signature -> explode band keys -> self-join per bucket ->
     distinct candidates -> verify with exact jaccard over shingle-hash
@@ -211,7 +222,9 @@ def minhash_lsh_pairs(
     # persist Catalyst recomputes the whole shingle+signature pipeline
     # per branch.  At cluster scale this is the "write signatures to a
     # table, then join" step of every production LSH pipeline.
-    base = minhash_signatures(df, id_col, text_col, shingle_k, num_hashes, seed).persist()
+    base = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, seed, fan_out=fan_out
+    ).persist()
     # Eagerly materialize the cache: the four consumer branches below
     # otherwise race to compute the not-yet-cached signature stage
     # inside one job, duplicating the Python stage ~4× (measured 5.5 s
