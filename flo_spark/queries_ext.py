@@ -1794,6 +1794,47 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_funcs_priority_profile",
+    """
+    SELECT o_custkey,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def map_funcs_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per customer, build a
+    priority -> count MAP (``map_from_entries``), then read it back via
+    ``element_at`` / ``map_keys`` / a ``map_values`` fold.  The oracle
+    states the SEMANTICS relationally (conditional counts) — the map is
+    the Spark-side representation under test, every lookup must agree
+    with the flat aggregation.  Missing keys: element_at yields NULL,
+    coalesced to 0, mirroring the CASE sum."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    m = counts.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "n"))
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.coalesce(F.element_at("m", F.lit("1-URGENT")), F.lit(0)).alias("n_urgent"),
+        F.coalesce(F.element_at("m", F.lit("5-LOW")), F.lit(0)).alias("n_low"),
+        F.size(F.map_keys("m")).alias("n_priorities"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_orders"),
+    )
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_type,

@@ -179,6 +179,7 @@ def consume_tail_ordered(
     batch_size: int | None = None,
     await_new: bool = True,
     timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
 ) -> TailConsumer:
     """Tail consume with flo's delivery order: within every
     micro-batch, events arrive k-way-merged by ``(event_counter,
@@ -192,7 +193,15 @@ def consume_tail_ordered(
     exactly like the reference's in-memory merge heap.  With
     ``await_new=False`` the stream drains (AvailableNow) and the handle
     holds every batch; with ``await_new=True`` the query keeps running
-    and the handle accumulates — stop via ``.stop()``."""
+    and the handle accumulates — stop via ``.stop()``.
+
+    ``checkpoint_dir`` is the durable cursor (A3's exactly-once
+    hand-off): the file-source offset log records which segments were
+    delivered, so a NEW consumer started with the same checkpoint
+    resumes exactly after the last acknowledged batch — Spark's own
+    version vector, surviving process restarts (flo persists consumer
+    positions client-side via VersionVector snapshots; here the
+    checkpoint plays that role)."""
     df = consume_stream(
         spark,
         stream_path,
@@ -209,6 +218,8 @@ def consume_tail_ordered(
             delivered.append((epoch_id, rows))
 
     writer = df.writeStream.foreachBatch(_sink)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if await_new:
         return TailConsumer(writer.start(), delivered)
     query = writer.trigger(availableNow=True).start()

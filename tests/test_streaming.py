@@ -116,6 +116,28 @@ def test_tail_ordered_live_sees_new_events(spark, stream):
         tail.stop()
 
 
+def test_checkpoint_resume_exactly_once(spark, stream, tmp_path):
+    # A3 durable cursor: a restarted consumer with the same checkpoint
+    # resumes exactly after the last delivered batch — no replays, no
+    # gaps (the file-source offset log is Spark's version vector)
+    ckpt = str(tmp_path / "cursor")
+    first = consume_tail_ordered(
+        spark, stream.path, await_new=False, checkpoint_dir=ckpt
+    )
+    assert len(first.rows()) == 10
+    stream.produce(_batch(spark, [("/a/x", "new1", 1), ("/a/x", "new2", 2)]))
+    second = consume_tail_ordered(
+        spark, stream.path, await_new=False, checkpoint_dir=ckpt
+    )
+    ids = sorted((r.event_counter, r.actor) for r in second.rows())
+    assert len(ids) == 2  # ONLY the new events; first 10 not replayed
+    assert all(c > 10 for c, _ in ids)
+    third = consume_tail_ordered(
+        spark, stream.path, await_new=False, checkpoint_dir=ckpt
+    )
+    assert third.rows() == []  # cursor fully caught up
+
+
 def test_produce_stream_foreachbatch_roundtrip(spark, tmp_path):
     """Streaming produce (foreachBatch sink): drain a file source into
     an EventStream, then batch-consume the events back with contiguous
