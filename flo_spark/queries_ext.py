@@ -1794,6 +1794,97 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "right_join_orders_nations",
+    """
+    SELECT n.n_name, count(o.o_orderkey) AS n_orders
+    FROM (
+      SELECT o_orderkey, c_nationkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) o RIGHT JOIN nation n ON n.n_nationkey = o.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def right_join_orders_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every nation appears even with zero orders
+    (count(col) null-skips the unmatched side).  Spark plans the small
+    preserved side broadcast-able by flipping build sides."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        oc.join(n, oc["c_nationkey"] == n["n_nationkey"], "right")
+        .groupBy("n_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "flo_tail_consume_ordered",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             '/tail/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (
+      SELECT partition, count(*) AS n FROM b GROUP BY partition
+    ),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    )
+    SELECT off.off
+             + row_number() OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+             AS event_counter,
+           b.partition AS actor,
+           b.namespace
+    FROM b JOIN off USING (partition)
+    """,
+)
+def flo_tail_consume_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tail delivery, driver-verified (A9 + A6's merge order):
+    produce 300 events into a fresh stream, then drain it through the
+    STREAMING path — ``consume_tail_ordered`` (foreachBatch sink,
+    Trigger.AvailableNow), which k-way-merges each micro-batch by
+    (event_counter, actor) like the reference's live consumer
+    (multi_partition_reader.rs:8-48).  The oracle reproduces the
+    deterministic id assignment; within-batch ordering is additionally
+    asserted here (the oracle's value compare is order-insensitive)."""
+    import tempfile
+
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.streaming.consume_stream import consume_tail_ordered
+
+    path = tempfile.mkdtemp(prefix="flo_tail_") + "/stream"
+    s = EventStream.create(spark, path, num_partitions=3)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/tail/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    tail = consume_tail_ordered(spark, path, await_new=False, timeout_sec=120)
+    rows = []
+    for delivered in tail.batches():
+        ids = [(r.event_counter, r.actor) for r in delivered]
+        assert ids == sorted(ids), "micro-batch not in merge order"
+        rows.extend(
+            (r.event_counter, r.actor, r.namespace) for r in delivered
+        )
+    # bounded by the produce size (300) — evidence query, not a data path
+    return spark.createDataFrame(
+        rows, "event_counter long, actor int, namespace string"
+    )
+
+
+@query(
     "map_funcs_priority_profile",
     """
     SELECT o_custkey,
