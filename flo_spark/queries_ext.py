@@ -335,6 +335,58 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_parts",
+    """
+    WITH g AS (
+      SELECT l.l_partkey AS partkey,
+             sum(l.l_quantity) AS part_qty,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, part_qty, part_value
+    FROM g
+    WHERE part_qty * 1000 > (SELECT sum(part_qty) FROM g)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp: per-part shipped value from one
+    nation's suppliers stands in for stock value).  The HAVING-vs-global-
+    total scalar subquery is a broadcast of a 1-row aggregate; the
+    grouped frame is persisted so the fact shuffles exactly once even
+    though it feeds both the total and the filtered output.  The
+    threshold compare is pure integer-valued-double arithmetic
+    (quantities are integral, sums exact) — no float-boundary ambiguity
+    between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    g = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum("l_quantity").alias("part_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value"),
+        )
+        .persist()
+    )
+    total = g.agg(F.sum("part_qty").alias("__total_qty"))
+    return (
+        g.join(F.broadcast(total))
+        .filter(F.col("part_qty") * 1000 > F.col("__total_qty"))
+        .select("partkey", "part_qty", "part_value")
+    )
+
+
+@query(
     "q12_priority_lines",
     """
     SELECT l.l_linestatus,
@@ -608,6 +660,113 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small %'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp/availqty: 'has excess stock'
+    becomes 'shipped >50 units of one small part in the window'; the
+    nation filter widens to region so the result is non-trivial on the
+    synthetic data).  IN-over-grouped-HAVING = distinct candidate set +
+    left-semi join; the fact shuffles once on (suppkey, partkey), dims
+    broadcast.  Threshold compare is exact (integral quantities)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return supp.join(
+        cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_5' AND l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no l_receiptdate: 'late delivery' becomes a
+    returned line; finds the sole guilty supplier in multi-supplier
+    orders).  The correlated EXISTS / NOT-EXISTS pair is decorrelated
+    manually into ONE per-order aggregate — n_supp>1 <=> another
+    supplier exists, n_ret_supp==1 <=> no OTHER supplier has a returned
+    line (l1 itself is returned) — so lineitem shuffles once for the
+    stats and once for the orderkey join, instead of the three
+    semi/anti-join fact scans a literal translation would cost.  The
+    oracle keeps the EXISTS formulation, making the two derivations
+    independent."""
+    li = load(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_ret_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l1.join(F.broadcast(supp), l1["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(stats, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
 
 
