@@ -1924,6 +1924,121 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_filter",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct_words,
+             list_transform(generate_series(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i + 1]) AS bigrams
+      FROM w
+    ),
+    e AS (SELECT doc_id, n_words, n_distinct_words, unnest(bigrams) AS bigram
+          FROM b),
+    pb AS (SELECT doc_id, n_words, n_distinct_words, bigram, count(*) AS c
+           FROM e GROUP BY doc_id, n_words, n_distinct_words, bigram)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+           CAST(max(c) AS BIGINT) AS top_bigram_n,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CASE WHEN max(c) * 25 <= CAST(sum(c) AS BIGINT)
+                 AND n_distinct_words * 5 >= n_words
+                THEN 1 ELSE 0 END AS keep
+    FROM pb GROUP BY doc_id, n_words, n_distinct_words
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: drop documents whose
+    most-frequent word bigram exceeds 4% of all bigrams or whose
+    distinct-word ratio falls under 20%.  The bigram mode needs a
+    per-doc frequency table, so the plan is explode -> two hash
+    aggregations, both keyed on doc_id (+bigram) — high-cardinality
+    keys, map-side partial aggregation, no join and no skew at any
+    scale.  Verdict thresholds are pure integer arithmetic (counts
+    only), so the keep/drop boundary is exact in both engines."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    per_bigram = ex.groupBy(
+        "doc_id", "n_words", "n_distinct_words", "bigram"
+    ).agg(F.count("*").alias("c"))
+    return (
+        per_bigram.groupBy("doc_id", "n_words", "n_distinct_words")
+        .agg(
+            F.max("c").alias("top_bigram_n"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            "top_bigram_n",
+            "n_bigrams",
+            F.when(
+                (F.col("top_bigram_n") * 25 <= F.col("n_bigrams"))
+                & (F.col("n_distinct_words") * 5 >= F.col("n_words")),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT e.label, i - 1 AS pos,
+           floor(avg(CAST(e.embedding[i] AS DOUBLE)) * 1e4 + 0.5) / 1e4
+               AS centroid
+    FROM embeddings e
+    CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+    GROUP BY e.label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (the k-means-update /
+    class-prototype primitive).  posexplode -> hash aggregate on
+    (label, pos): fully distributed with map-side partial sums — the
+    centroid of 100 TB of vectors shuffles only |labels|*dim partial
+    rows per task, never the vectors themselves.  Elements cast to
+    DOUBLE before averaging in both engines and rounded via the
+    IEEE-exact floor trick, keeping the hash comparable.  (The DuckDB
+    side cross-joins a constant 1..64 series because its
+    generate_series cannot take lateral column arguments; dim is fixed
+    by the table schema.)"""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    avg = F.avg(F.col("v").cast("double"))
+    return ex.groupBy("label", "pos").agg(
+        (F.floor(avg * 1e4 + F.lit(0.5)) / 1e4).alias("centroid")
+    )
+
+
+@query(
     "train_val_test_split",
     """
     SELECT doc_id,
