@@ -212,8 +212,10 @@ def sample_frames(
                     out["asset_id"].append(int(aid))
                     out["frame_idx"].append(i)
                     out["ts_ms"].append(i * every_ms)
+                    # ASCII ":{i}" suffix (not packed bytes) so any engine
+                    # can recompute the stub hash for verification
                     out["frame_sha"].append(
-                        hashlib.sha256(body + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(body + b":%d" % i).hexdigest()
                     )
             yield pd.DataFrame(out)
 

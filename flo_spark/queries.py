@@ -1259,6 +1259,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    """
+    SELECT d.doc_id AS asset_id,
+           i AS frame_idx,
+           i * 1000 AS ts_ms,
+           sha256(d.text || ':' || i) AS frame_sha
+    FROM documents d
+    CROSS JOIN unnest(generate_series(0, 7)) AS t(i)
+    WHERE i < d.doc_id % 5 + 1
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling through the REAL mapInPandas fan-out
+    operator (``operators.multimodal.sample_frames``): each asset row
+    yields ceil(duration_ms/step) frame rows, bounded by max_frames,
+    entirely inside the Python stage — one input partition -> one
+    output partition, no shuffle however large the fan-out.  The corpus
+    has no real video, so durations are PLANTED deterministically
+    (1..5 s by doc_id) and the stub frame-grab hashes payload+':{idx}'
+    — ASCII suffix precisely so the oracle can recompute it in SQL
+    (bounded 0..7 series cross join; DuckDB generate_series cannot take
+    lateral column args)."""
+    from flo_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("video/fake").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return sample_frames(assets, every_ms=1000, max_frames=8)
+
+
+@query(
     "union_all_parties",
     """
     SELECT c_name AS name, 'customer' AS kind, c_nationkey AS nationkey FROM customer
