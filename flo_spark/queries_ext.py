@@ -706,8 +706,10 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
         F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
     )
+    # the candidate set is bounded by |suppliers| (a dim table), so the
+    # semi join broadcasts it rather than shuffling both sides into SMJ
     return supp.join(
-        cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi"
+        F.broadcast(cand), supp["s_suppkey"] == cand["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -743,11 +745,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the EXISTS formulation, making the two derivations
     independent."""
     li = load(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__n_ret_supp"),
+    # two-level aggregate instead of countDistinct: a countDistinct pair
+    # would plan as Expand (2x fact rows); pre-aggregating on
+    # (orderkey, suppkey) gets map-side partials and feeds the per-order
+    # rollup with one already-shrunk shuffle
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "__has_r"
+        )
+    )
+    stats = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum("__has_r").alias("__n_ret_supp"),
     )
     l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     o = (
