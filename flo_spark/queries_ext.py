@@ -2234,3 +2234,39 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "skew_salted_join_types",
+    """
+    SELECT upper(e.event_type) AS type_label,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events) d
+      ON d.event_type = e.event_type
+    GROUP BY upper(e.event_type)
+    """,
+)
+def skew_salted_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated dimension join through ``operators.skew.
+    salted_join``: event_type has only a handful of values, so a plain
+    shuffle join would send each type's full population to one reducer;
+    salting spreads every key over 8 sub-keys (deterministic xxhash64
+    salt — retries don't flap) while the small side replicates 8x.
+    Salting is pure implementation strategy — the result is
+    hash-identical to the unsalted join, which is exactly what the
+    oracle checks."""
+    from flo_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    j = salted_join(ev, dim, on="event_type", salt=8)
+    return j.groupBy("type_label").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
