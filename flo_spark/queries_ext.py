@@ -2270,3 +2270,59 @@ def skew_salted_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "dense_hourly_event_counts",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type
+      FROM events
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-12-31 00:00:00',
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    spine AS (
+      SELECT h.hour, t.event_type
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+      WHERE h.hour BETWEEN (SELECT h0 FROM b) AND (SELECT h1 FROM b)
+    ),
+    c AS (SELECT hour, event_type, count(*) AS n FROM e GROUP BY hour, event_type)
+    SELECT s.hour, s.event_type, coalesce(c.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN c ON c.hour = s.hour AND c.event_type = s.event_type
+    """,
+)
+def dense_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): build an hour x event_type
+    spine spanning the observed range and left-join the real counts, so
+    missing combinations surface as explicit zeros — the shape every
+    downstream window/forecast operator wants.  The spine is bounded by
+    the TIME RANGE, not the data volume (hours x |types|), so the
+    deliberate cross join stays dim-sized at any scale; the fact
+    shuffles once for the count.  (DuckDB generate_series cannot take
+    lateral column args, so the oracle filters a bounded constant
+    range.)"""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    counts = ev.groupBy("hour", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return (
+        spine.join(counts, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
