@@ -314,6 +314,88 @@ class EventStream:
                 deleted += 1
         return deleted
 
+    # -- maintenance: segment compaction -------------------------------
+    def compact_segments(self, min_fill: float = 0.5) -> dict[str, int]:
+        """Merge undersized segment files into full segments, per storage
+        leaf directory (``partition=N/`` or ``partition=N/ns0=X/``).
+
+        Streaming ingest fragments storage: every produce appends at
+        least one file per partition, so a busy stream accumulates
+        thousands of tiny segments and scan/listing cost grows with
+        file count, not data size.  flo sidesteps this by appending to
+        one open segment until rotation (segment/mod.rs:65-74); on
+        immutable parquet the equivalent is this periodic rewrite —
+        standard lakehouse compaction.
+
+        Only files under ``min_fill * segment_max_records`` rows are
+        rewritten (footer metadata decides — no data read for full
+        segments), so compaction cost tracks the FRAGMENTED fraction,
+        never table size.  Rows are re-sorted by ``event_counter``
+        before writing, keeping row-group min/max tight for the
+        counter-pushdown index analog.  Consume results are unchanged:
+        same rows, same ids, same timestamps.
+
+        Crash caveat: new files land before old ones are removed, so a
+        crash mid-swap can leave duplicates (a manifest/Delta layer
+        would close this; acceptable for an offline maintenance job).
+
+        Returns ``{"dirs_compacted", "files_removed", "files_written"}``.
+        """
+        from pyspark.sql import types as T
+
+        seg_max = int(self.options["segment_max_records"])
+        threshold = max(1, int(seg_max * min_fill))
+        # data files do NOT contain the hive partition columns
+        file_schema = T.StructType(
+            [f for f in EVENT_SCHEMA.fields if f.name != "partition"]
+        )
+        report = {"dirs_compacted": 0, "files_removed": 0, "files_written": 0}
+        if not self._has_data():
+            return report
+        import pyarrow.parquet as pq
+
+        leaf_dirs = sorted(
+            {
+                os.path.dirname(f)
+                for f in _pyglob.glob(
+                    os.path.join(self.path, "partition=*", "**", "*.parquet"),
+                    recursive=True,
+                )
+            }
+        )
+        for leaf in leaf_dirs:
+            small, n_rows = [], 0
+            for fpath in sorted(_pyglob.glob(os.path.join(leaf, "*.parquet"))):
+                nr = pq.read_metadata(fpath).num_rows
+                if nr < threshold:
+                    small.append(fpath)
+                    n_rows += nr
+            if len(small) < 2:
+                continue  # nothing to merge
+            tmp = os.path.join(leaf, ".compact_tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            n_out = max(1, -(-n_rows // seg_max))
+            (
+                self.spark.read.schema(file_schema)
+                .parquet(*small)
+                .repartitionByRange(n_out, "event_counter")
+                .sortWithinPartitions("event_counter")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", seg_max)
+                .parquet(tmp)
+            )
+            moved = 0
+            for newf in _pyglob.glob(os.path.join(tmp, "*.parquet")):
+                shutil.move(newf, os.path.join(leaf, os.path.basename(newf)))
+                moved += 1
+            for oldf in small:
+                os.remove(oldf)
+            shutil.rmtree(tmp, ignore_errors=True)
+            report["dirs_compacted"] += 1
+            report["files_removed"] += len(small)
+            report["files_written"] += moved
+        return report
+
     # -- interchange (CSV/JSON/Parquet sources & sinks) ----------------
     def export(self, path: str, fmt: str = "json") -> int:
         """Write the stream's events out as parquet/json/csv (the

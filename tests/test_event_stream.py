@@ -271,3 +271,118 @@ def test_namespace_partition_pruning(spark, tmp_path):
     got = s.consume().collect()
     assert len(got) == 4
     assert "ns0" not in s.events().columns
+
+
+def _file_count(stream):
+    import glob as g
+    import os
+
+    return len(
+        g.glob(os.path.join(stream.path, "partition=*", "**", "*.parquet"), recursive=True)
+    )
+
+
+def test_compact_segments_merges_small_files(spark, tmp_path):
+    s = EventStream.create(
+        spark, str(tmp_path / "frag"), num_partitions=2, segment_max_records=200
+    )
+    try:
+        # 6 tiny produces -> >= 6 files per partition, all far under seg_max
+        for i in range(6):
+            s.produce(_batch(spark, [(f"/ns/{i}/{j}", f"d{i}-{j}", (j % 2) + 1) for j in range(20)]))
+        before_rows = sorted(
+            (e.event_counter, e.partition, e.namespace, bytes(e.data))
+            for e in s.consume().collect()
+        )
+        before_files = _file_count(s)
+        before_head = s.head()
+
+        report = s.compact_segments()
+
+        assert report["dirs_compacted"] == 2
+        assert report["files_removed"] >= 2 * 6
+        after_files = _file_count(s)
+        assert after_files < before_files
+        # 120 rows total, seg_max 200 -> exactly one file per partition
+        assert after_files == 2
+        # consume is unchanged: same rows, ids, payloads; head unchanged
+        after_rows = sorted(
+            (e.event_counter, e.partition, e.namespace, bytes(e.data))
+            for e in s.consume().collect()
+        )
+        assert after_rows == before_rows
+        assert s.head() == before_head
+        # full segments are not rewritten on a second pass
+        assert s.compact_segments() == {
+            "dirs_compacted": 0,
+            "files_removed": 0,
+            "files_written": 0,
+        }
+    finally:
+        s.drop()
+
+
+def test_compact_segments_namespace_partitioned(spark, tmp_path):
+    s = EventStream.create(
+        spark,
+        str(tmp_path / "fragns"),
+        num_partitions=1,
+        segment_max_records=500,
+        namespace_partitioning=True,
+    )
+    try:
+        for i in range(4):
+            s.produce(
+                _batch(
+                    spark,
+                    [("/alpha/x", f"a{i}", 1), ("/beta/y", f"b{i}", 1)],
+                )
+            )
+        before = sorted(
+            (e.event_counter, e.namespace, bytes(e.data))
+            for e in s.consume().collect()
+        )
+        report = s.compact_segments()
+        assert report["dirs_compacted"] == 2  # ns0=alpha and ns0=beta leaves
+        after = sorted(
+            (e.event_counter, e.namespace, bytes(e.data))
+            for e in s.consume().collect()
+        )
+        assert after == before
+        # prefix pruning still works on the compacted layout
+        got = s.consume(namespace="/alpha/*").collect()
+        assert sorted(e.namespace for e in got) == ["/alpha/x"] * 4
+    finally:
+        s.drop()
+
+
+def test_compact_preserves_counter_pushdown_stats(spark, tmp_path):
+    import glob as g
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = EventStream.create(
+        spark, str(tmp_path / "fragidx"), num_partitions=1, segment_max_records=50
+    )
+    try:
+        for i in range(6):
+            s.produce(_batch(spark, [(f"/n/{i}", f"p{i}-{j}", 1) for j in range(20)]))
+        s.compact_segments()
+        # 120 rows, seg_max 50 -> 3 files; counter ranges must be disjoint
+        # and monotone so row-group stats still act as the seek index
+        ranges = []
+        for f in sorted(
+            g.glob(os.path.join(s.path, "partition=*", "*.parquet"))
+        ):
+            meta = pq.read_metadata(f)
+            idx = list(meta.schema.to_arrow_schema().names).index("event_counter")
+            mins = [meta.row_group(r).column(idx).statistics.min for r in range(meta.num_row_groups)]
+            maxs = [meta.row_group(r).column(idx).statistics.max for r in range(meta.num_row_groups)]
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        assert len(ranges) == 3
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2  # disjoint, ordered
+    finally:
+        s.drop()
