@@ -349,7 +349,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, part_qty, part_value
     FROM g
-    WHERE part_qty * 1000 > (SELECT sum(part_qty) FROM g)
+    WHERE part_qty * (SELECT count(*) FROM g) > 2 * (SELECT sum(part_qty) FROM g)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,8 +358,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total scalar subquery is a broadcast of a 1-row aggregate; the
     grouped frame is persisted so the fact shuffles exactly once even
     though it feeds both the total and the filtered output.  The
-    threshold compare is pure integer-valued-double arithmetic
-    (quantities are integral, sums exact) — no float-boundary ambiguity
+    classic fixed-fraction threshold empties as SF grows (share per
+    part ~ 1/|parts|), so the cut is scale-FREE: parts with more than
+    2x the mean share.  Pure integer-valued-double arithmetic
+    (quantities integral, sums exact) — no float-boundary ambiguity
     between engines."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -378,10 +380,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    total = g.agg(F.sum("part_qty").alias("__total_qty"))
+    total = g.agg(
+        F.sum("part_qty").alias("__total_qty"),
+        F.count("*").alias("__n_parts"),
+    )
     return (
         g.join(F.broadcast(total))
-        .filter(F.col("part_qty") * 1000 > F.col("__total_qty"))
+        .filter(
+            F.col("part_qty") * F.col("__n_parts") > 2 * F.col("__total_qty")
+        )
         .select("partkey", "part_qty", "part_value")
     )
 
@@ -1974,20 +1981,26 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n = F.size(words)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # bigram construction via slice+arrays_zip: two NATIVE array ops per
+    # document instead of a per-element interpreted HOF lambda (transform
+    # lambdas never reach codegen — ~10x slower at corpus scale); the
+    # per-bigram concat runs post-explode inside whole-stage codegen
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        )
+    )
     ex = d.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
-        F.explode(bigrams).alias("bigram"),
+        pair.alias("pair"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.concat_ws(" ", F.col("pair.0"), F.col("pair.1")).alias("bigram"),
     )
     per_bigram = ex.groupBy(
         "doc_id", "n_words", "n_distinct_words", "bigram"

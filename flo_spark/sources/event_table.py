@@ -338,6 +338,11 @@ class EventStream:
         Crash caveat: new files land before old ones are removed, so a
         crash mid-swap can leave duplicates (a manifest/Delta layer
         would close this; acceptable for an offline maintenance job).
+        Streaming caveat: a checkpointed tail consumer tracks DELIVERED
+        FILES (consume_tail_ordered's offset log), so compacting
+        already-delivered segments makes the rewritten files look new on
+        resume — run compaction before consumers attach, or restart
+        their cursors from a version vector afterwards.
 
         Returns ``{"dirs_compacted", "files_removed", "files_written"}``.
         """
