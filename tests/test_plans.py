@@ -212,3 +212,73 @@ def test_split_predicates_fold_into_scan_stage(spark, sf_dir):
     df = QE.train_val_test_split(spark, sf_dir)
     plan = explain_str(df)
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_q11_single_fact_scan_via_persist(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q11_important_parts(spark, sf_dir)
+    plan = explain_str(df)
+    # the grouped frame is persisted: both the total and the filtered
+    # output read the InMemoryRelation, so lineitem is scanned once
+    assert "InMemoryTableScan" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q20_semi_join_broadcasts_candidates(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q20_promo_part_suppliers(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_q21_no_expand_for_distinct_counts(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.q21_waiting_suppliers(spark, sf_dir)
+    plan = explain_str(df)
+    # the countDistinct pair is rewritten as a two-level aggregate: an
+    # Expand node would mean the fact is being doubled
+    assert "Expand" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_repetition_filter_two_shuffles_no_join(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.repetition_filter(spark, sf_dir)
+    plan = explain_str(df, "simple")  # tree only: formatted repeats nodes
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_embedding_centroids_partial_agg_single_shuffle(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.embedding_centroids(spark, sf_dir)
+    plan = explain_str(df, "simple")  # tree only: formatted repeats nodes
+    # partial HashAggregate before the exchange: only |labels|*dim
+    # partial rows shuffle, never the vectors
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_frame_sample_is_shuffle_free(spark, sf_dir):
+    from flo_spark.queries import multimodal_frame_sample
+
+    df = multimodal_frame_sample(spark, sf_dir)
+    plan = explain_str(df)
+    # fan-out happens inside mapInPandas: no Exchange anywhere
+    assert "Exchange" not in plan, plan
+
+
+def test_dense_hourly_spine_cross_join_is_broadcast(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.dense_hourly_event_counts(spark, sf_dir)
+    plan = explain_str(df)
+    # the deliberate spine cross join must be the broadcast nested-loop
+    # form (dim-sized spine), never a shuffled cartesian
+    assert "CartesianProduct" not in plan, plan
