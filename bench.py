@@ -66,6 +66,19 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # compile the common codegen shapes once (hash agg, window, join,
+    # top-k): the first headline query otherwise absorbs the Janino/JIT
+    # cost of every template it touches
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _r = spark.range(10000).withColumn("g", (_F.col("id") % 10).cast("int"))
+    _r.groupBy("g").agg(_F.count("*"), _F.sum("id")).count()
+    _r.withColumn(
+        "rn", _F.row_number().over(_W.partitionBy("g").orderBy("id"))
+    ).count()
+    _r.alias("a").join(_r.alias("b"), "id").count()
+    _r.orderBy(_F.col("id").desc()).limit(5).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
