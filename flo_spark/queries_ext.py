@@ -2339,3 +2339,109 @@ def dense_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "curation_pipeline_end2end",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE
+               WHEN n_chars < 100 THEN 'too_short'
+               WHEN NOT (text LIKE '% the %' OR text LIKE 'the %')
+                 THEN 'non_english'
+               WHEN len(list_distinct(string_split(text, ' '))) * 3
+                    < len(string_split(text, ' ')) THEN 'low_diversity'
+               ELSE 'none'
+             END AS rule_reason,
+             text
+      FROM documents
+    ),
+    surv AS (SELECT doc_id, text FROM scored WHERE rule_reason = 'none'),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM surv)
+    ),
+    dup AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.5
+    ),
+    final AS (
+      SELECT s.doc_id,
+             CASE WHEN s.rule_reason <> 'none' THEN s.rule_reason
+                  WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+                  ELSE 'none' END AS drop_reason
+      FROM scored s LEFT JOIN dup d ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, drop_reason, drop_reason = 'none' AS keep,
+           CASE WHEN drop_reason = 'none' THEN
+             CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END
+           END AS split
+    FROM final
+    """,
+)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one dataflow: per-doc quality
+    rules (map stage) -> exact near-dup drop among the rule survivors
+    (inverted-index jaccard, drop the higher id of each >=0.5 pair) ->
+    deterministic train/val/test assignment for the keepers.  Every
+    document comes out with its fate and the FIRST stage that sealed
+    it — the shape a 100 TB curation run actually materializes
+    (partition by verdict, feed 'train' downstream).  Composes the
+    already-verified building blocks (`corpus_curation_filter` rules,
+    `ngram_jaccard_pairs`, `train_val_test_split` hash); dedup runs
+    AFTER rule filtering, so the expensive stage sees only surviving
+    documents."""
+    from flo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    is_en = F.col("text").like("% the %") | F.col("text").like("the %")
+    rule = (
+        F.when(F.col("n_chars") < 100, "too_short")
+        .when(~is_en, "non_english")
+        .when(
+            F.size(F.array_distinct(words)) * 3 < F.size(words), "low_diversity"
+        )
+        .otherwise("none")
+    )
+    scored = d.select("doc_id", "text", rule.alias("rule_reason"))
+    surv = scored.filter(F.col("rule_reason") == "none").select("doc_id", "text")
+    dups = (
+        ngram_jaccard_pairs(surv, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    reason = (
+        F.when(F.col("rule_reason") != "none", F.col("rule_reason"))
+        .when(F.col("__dup") == 1, "near_dup")
+        .otherwise("none")
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return (
+        scored.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("drop_reason"),
+            (reason == "none").alias("keep"),
+            F.when(
+                reason == "none",
+                F.when(bucket < 800, "train")
+                .when(bucket < 900, "val")
+                .otherwise("test"),
+            ).alias("split"),
+        )
+    )
