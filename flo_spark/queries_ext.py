@@ -2445,3 +2445,69 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split"),
         )
     )
+
+
+@query(
+    "sequence_packing",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM (SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents)
+    ),
+    p AS (
+      SELECT doc_id, source, n_tokens, rn,
+             n_tokens AS fill, 0 AS seq_idx
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.fill + t.n_tokens > 2048
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END,
+             CASE WHEN p.fill + t.n_tokens > 2048
+                  THEN p.seq_idx + 1 ELSE p.seq_idx END
+      FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(seq_idx AS BIGINT) AS seq_idx
+    FROM p
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (the step between chunking and batching
+    in a training pipeline): fill 2048-token sequences with whole
+    documents in doc_id order, starting a new sequence when the next
+    document would overflow; oversized documents get their own
+    sequence.  The greedy scan is inherently sequential PER GROUP, so
+    it runs as ``applyInPandas`` keyed by source — groups pack in
+    parallel, each group's scan is a linear pandas pass over (id,
+    n_tokens) pairs only (token counting stays JVM-side; text never
+    reaches Python).  The oracle replays the same scan as a recursive
+    CTE — two independent formulations of the fold."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        fill, idx, out = 0, 0, []
+        for n in pdf["n_tokens"]:
+            if fill and fill + n > 2048:
+                idx += 1
+                fill = n
+            else:
+                fill += n
+            out.append(idx)
+        pdf["seq_idx"] = out
+        return pdf
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "doc_id long, source string, n_tokens long, seq_idx long"
+    )
