@@ -2511,3 +2511,42 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("source").applyInPandas(
         pack, "doc_id long, source string, n_tokens long, seq_idx long"
     )
+
+
+@query(
+    "intersect_all_priorities",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — the multiset variant: each priority value
+    survives min(count_F, count_O) times.  Complements the distinct
+    set ops (`set_ops_custkeys`) and is a different Catalyst operator
+    (left-semi-with-counters, not aggregate+join)."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(op)
+
+
+@query(
+    "except_all_priorities",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: a value occurring m times on
+    the left and n on the right survives max(m-n, 0) times.  NOT the
+    same as `subtract` (distinct difference, used by
+    `except_custkeys`); registering both keeps the two semantics
+    separately verified."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.exceptAll(op)
