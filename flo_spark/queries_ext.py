@@ -2495,17 +2495,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
 
+    from flo_spark.functions.packing import greedy_pack
+
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        fill, idx, out = 0, 0, []
-        for n in pdf["n_tokens"]:
-            if fill and fill + n > 2048:
-                idx += 1
-                fill = n
-            else:
-                fill += n
-            out.append(idx)
-        pdf["seq_idx"] = out
+        pdf["seq_idx"] = greedy_pack(pdf["n_tokens"], 2048)
         return pdf
 
     return toks.groupBy("source").applyInPandas(

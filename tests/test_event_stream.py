@@ -386,3 +386,20 @@ def test_compact_preserves_counter_pushdown_stats(spark, tmp_path):
             assert hi1 < lo2  # disjoint, ordered
     finally:
         s.drop()
+
+
+def test_produce_empty_batch(spark, stream):
+    # an empty batch: schema-only DataFrame, no rows
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("namespace", T.StringType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("partition", T.IntegerType()),
+        ])
+    )
+    ack = stream.produce(empty)
+    assert ack == 0
+    assert stream.consume().count() == 0
+    assert stream.highest_counter() == 0
