@@ -2544,3 +2544,39 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
     return f.exceptAll(op)
+
+
+@query(
+    "unpivot_measures",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_qty', sum_qty FROM a
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide measures to (measure, value) rows, the
+    inverse of `pivot_linestatus`.  Spark's native ``unpivot`` (an
+    Expand under the hood, one pass, no join); the oracle spells it as
+    the equivalent UNION ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_price", "sum_disc", "sum_qty"],
+        "measure",
+        "value",
+    )
