@@ -22,13 +22,18 @@ plus a batch-relational layer and LLM-data-pipeline operators
 
 from flo_spark.schema import EVENT_SCHEMA
 from flo_spark.functions.glob import GlobError, glob_to_regex, namespace_matches
+from flo_spark.session import get_spark
+from flo_spark.sources.event_table import EventStream, StreamRegistry
 from flo_spark.version_vector import EventId, VersionVector
 
 __all__ = [
     "EVENT_SCHEMA",
     "EventId",
+    "EventStream",
     "GlobError",
+    "StreamRegistry",
     "VersionVector",
+    "get_spark",
     "glob_to_regex",
     "namespace_matches",
 ]
