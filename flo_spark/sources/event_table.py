@@ -190,6 +190,14 @@ class EventStream:
         assignment, so the per-partition counts job fills the cache and
         the write job reads it back — ONE scan of the input per append
         (the count ack is derived from the counts, not a third job).
+
+        Concurrency: appends are single-writer per stream, matching the
+        reference (every produce is serialized through the partition
+        controller — controller/mod.rs:192-215).  Two uncoordinated
+        producers could read the same head and assign overlapping
+        counters; a deployment needing multi-writer appends puts a
+        queue (or a transaction-log table format) in front, it does not
+        relax the id contract.
         """
         nparts = self.options["num_partitions"]
         cols = batch.columns
