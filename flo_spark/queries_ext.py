@@ -2580,3 +2580,60 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@query(
+    "token_budget_mix",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 1000000007 AS ord
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CASE WHEN cum_tokens <= 800 THEN 1 ELSE 0 END AS kept
+    FROM c
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing to a per-source TOKEN budget: documents are
+    ranked by a deterministic multiplicative hash (a reproducible
+    shuffle — stable under corpus growth, unlike rand()), then each
+    source keeps documents while its running token total stays within
+    budget.  One window per source partition — high-cardinality key,
+    bounded state, no driver involvement; this is the op that turns
+    'use 30% web, 20% code' into an actual document list at 100 TB.
+    Pure integer arithmetic end to end (counts, hash order, cumsum),
+    so the keep/drop boundary is exact in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000000007).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).withColumn(
+        "kept", F.when(F.col("cum_tokens") <= 800, 1).otherwise(0)
+    )
