@@ -2637,3 +2637,50 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "kept", F.when(F.col("cum_tokens") <= 800, 1).otherwise(0)
     )
+
+
+@query(
+    "char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+      FROM documents
+    ),
+    f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+    e AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_chars_t,
+             sum(cnt * log2(cnt)) AS s
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_t,
+           floor((log2(n_chars_t) - s / n_chars_t) * 1e4 + 0.5) / 1e4 AS entropy
+    FROM e
+    """,
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    information-theoretic quality signal (low entropy ~ repetitive /
+    degenerate text, a compressibility proxy used alongside rule-based
+    filters).  Computed as log2(n) - sum(c*log2(c))/n over the char
+    histogram: explode -> two hash aggregates keyed by doc_id(+char),
+    map-side partials, no joins.  The only cross-engine surface is
+    log2 (transcendental, last-ulp), damped by the 4dp floor
+    rounding."""
+    d = load(spark, sf_dir, "documents")
+    chars = F.explode(F.filter(F.split("text", ""), lambda x: x != ""))
+    f = (
+        d.select("doc_id", chars.alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    e = f.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_t"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("__s"),
+    )
+    ent = F.log2("n_chars_t") - F.col("__s") / F.col("n_chars_t")
+    return e.select(
+        "doc_id",
+        "n_chars_t",
+        (F.floor(ent * 1e4 + F.lit(0.5)) / 1e4).alias("entropy"),
+    )
