@@ -502,5 +502,18 @@ class StreamRegistry:
         self._current = name
         return self.current()
 
+    def drop_stream(self, name: str) -> None:
+        """Delete a stream and its storage; NoSuchStream on unknown
+        names.  Dropping the current stream resets the connection to
+        the default stream (recreated empty if it was the one
+        dropped)."""
+        if name not in self.stream_names():
+            raise KeyError(f"NoSuchStream: {name!r}")
+        EventStream(self.spark, self._path(name)).drop()
+        if self._current == name:
+            self._current = self.DEFAULT_STREAM
+        if not os.path.exists(self._path(self.DEFAULT_STREAM)):
+            EventStream.create(self.spark, self._path(self.DEFAULT_STREAM))
+
     def current(self) -> EventStream:
         return EventStream(self.spark, self._path(self._current))

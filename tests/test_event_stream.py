@@ -403,3 +403,53 @@ def test_produce_empty_batch(spark, stream):
     assert ack == 0
     assert stream.consume().count() == 0
     assert stream.highest_counter() == 0
+
+
+def test_registry_drop_stream(spark, tmp_path):
+    from flo_spark.sources.event_table import StreamRegistry
+
+    reg = StreamRegistry(spark, str(tmp_path / "root"))
+    reg.create_stream("orders")
+    assert "orders" in reg.stream_names()
+    reg.drop_stream("orders")
+    assert "orders" not in reg.stream_names()
+    with pytest.raises(KeyError, match="NoSuchStream"):
+        reg.drop_stream("orders")
+    # dropping the current (default) stream resets and recreates it
+    reg.drop_stream(reg.DEFAULT_STREAM)
+    assert reg.DEFAULT_STREAM in reg.stream_names()
+    assert reg.current().consume().count() == 0
+
+
+def test_lifecycle_expire_compact_consume(spark, tmp_path):
+    # full maintenance lifecycle: produce (fragmented) -> TTL expiry
+    # drops old segments -> compaction merges the survivors -> consume
+    # returns exactly the retained events in id order
+    s = EventStream.create(
+        spark,
+        str(tmp_path / "life"),
+        num_partitions=2,
+        segment_max_records=100,
+        event_retention_seconds=3600,
+    )
+    try:
+        for i in range(4):
+            s.produce(_batch(spark, [(f"/old/{i}", f"o{j}", (j % 2) + 1) for j in range(10)]))
+        # expire everything written so far (evaluated at now+2h > TTL)
+        future = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(hours=2)
+        deleted = s.expire_old_events(now=future)
+        assert deleted >= 2
+        assert s.consume().count() == 0
+        head_after_expiry = s.highest_counter()
+        for i in range(3):
+            s.produce(_batch(spark, [(f"/fresh/{i}", f"f{j}", (j % 2) + 1) for j in range(10)]))
+        report = s.compact_segments()
+        assert report["dirs_compacted"] == 2
+        got = s.consume().collect()
+        assert len(got) == 30
+        ids = [(e.event_counter, e.actor) for e in got]
+        assert ids == sorted(ids)
+        # counters continue past the expired range (no id reuse after expiry)
+        assert min(e.event_counter for e in got) == head_after_expiry + 1
+    finally:
+        s.drop()
