@@ -2684,3 +2684,66 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_t",
         (F.floor(ent * 1e4 + F.lit(0.5)) / 1e4).alias("entropy"),
     )
+
+
+@query(
+    "bigram_conditional_probs",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> [ws[i], ws[i + 1]])) AS bg
+      FROM w WHERE len(ws) >= 2
+    ),
+    c2 AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS c FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS prefix_n FROM c2 GROUP BY w1)
+    SELECT c2.w1 AS w1, c2.w2 AS w2, CAST(c2.c AS BIGINT) AS c,
+           floor(CAST(c2.c AS DOUBLE) / c1.prefix_n * 1e4 + 0.5) / 1e4 AS p
+    FROM c2 JOIN c1 ON c1.w1 = c2.w1
+    ORDER BY c DESC, c2.w1, c2.w2 LIMIT 50
+    """,
+)
+def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: P(w2 | w1) =
+    c(w1,w2) / c(w1·) for the top-50 bigrams — the building block of
+    statistical-LM quality filtering (score text by how probable its
+    transitions are under the corpus model).  Two hash aggregates (the
+    prefix totals re-aggregate the ALREADY-REDUCED bigram counts, not
+    the corpus) + a join keyed on w1; top-50 compiles to
+    TakeOrderedAndProject with a full (c, w1, w2) tie-break.  The
+    probability is an exact int/int quotient under the IEEE floor
+    trick — no cross-engine rounding surface."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        )
+    )
+    c2 = (
+        d.select(pair.alias("pair"))
+        .select(F.col("pair.0").alias("w1"), F.col("pair.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    c1 = c2.groupBy(F.col("w1").alias("__w1")).agg(
+        F.sum("c").alias("prefix_n")
+    )
+    return (
+        c2.join(c1, c2["w1"] == c1["__w1"])
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                F.floor(F.col("c") / F.col("prefix_n") * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("p"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(50)
+    )
