@@ -282,3 +282,30 @@ def test_dense_hourly_spine_cross_join_is_broadcast(spark, sf_dir):
     # the deliberate spine cross join must be the broadcast nested-loop
     # form (dim-sized spine), never a shuffled cartesian
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_probs_topk_is_take_ordered(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.bigram_conditional_probs(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_token_budget_mix_single_window_no_join(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.token_budget_mix(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_char_entropy_two_aggs_no_join(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.char_entropy(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
