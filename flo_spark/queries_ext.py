@@ -2747,3 +2747,58 @@ def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "stream_rollup_hourly",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY bucket, event_type
+    """,
+)
+def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate maintained BY THE STREAM: the events stream
+    drains through a foreachBatch sink that upserts an hourly rollup
+    table (`operators.rollup.maintain_rollup` — only the buckets
+    present in each micro-batch are rewritten), and the query returns
+    the resulting rollup.  This is the hypertable story end-to-end:
+    ingest keeps the aggregate fresh incrementally; dashboards read the
+    GB-sized rollup, never the raw log.  The oracle is the plain batch
+    aggregate — streaming-maintained partials must merge to exactly the
+    batch answer (sum/count/min/max are decomposable; rounding happens
+    only at read time, never inside the maintained partials)."""
+    import os as _os
+    import tempfile
+
+    from flo_spark.operators.rollup import maintain_rollup
+    from flo_spark.queries import _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="flo_stream_rollup_")
+    rollup_dir = _os.path.join(tmp, "rollup")
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda b, _eid: maintain_rollup(
+                rollup_dir, b, bucket="1 hour", keys=["event_type"]
+            )
+        )
+        .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("stream rollup drain did not finish within 120s")
+    return spark.read.parquet(rollup_dir).select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
