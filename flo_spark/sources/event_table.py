@@ -166,6 +166,33 @@ class EventStream:
         heads = self.head()
         return max(heads.values()) if heads else 0
 
+    def status(self) -> dict:
+        """Full stream status snapshot — the EventStreamStatus analog
+        (client.rs:207-221 / connection_state.rs:94-114): per-partition
+        head counter plus storage shape (segment/file count, bytes).
+        Metadata-only: parquet footers and file sizes, no data scan —
+        what a monitoring endpoint polls at any table size."""
+        heads = self.head()
+        parts: dict[int, dict] = {
+            p: {"head": h, "segments": 0, "bytes": 0} for p, h in heads.items()
+        }
+        for pdir in _pyglob.glob(os.path.join(self.path, "partition=*")):
+            try:
+                part = int(os.path.basename(pdir).split("=", 1)[1])
+            except ValueError:
+                continue
+            info = parts.setdefault(part, {"head": 0, "segments": 0, "bytes": 0})
+            for fpath in _pyglob.glob(
+                os.path.join(pdir, "**", "*.parquet"), recursive=True
+            ):
+                info["segments"] += 1
+                info["bytes"] += os.path.getsize(fpath)
+        return {
+            "name": os.path.basename(self.path.rstrip("/")),
+            "highest_counter": max(heads.values()) if heads else 0,
+            "partitions": parts,
+        }
+
     # -- write ---------------------------------------------------------
     def produce(
         self,
@@ -201,6 +228,11 @@ class EventStream:
         """
         nparts = self.options["num_partitions"]
         cols = batch.columns
+        if "namespace" not in cols:
+            raise ValueError(
+                "produce batch must have a 'namespace' column "
+                f"(got columns {cols})"
+            )
         if "partition" not in cols:
             if round_robin:
                 batch = batch.withColumn(

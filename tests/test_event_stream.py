@@ -453,3 +453,24 @@ def test_lifecycle_expire_compact_consume(spark, tmp_path):
         assert min(e.event_counter for e in got) == head_after_expiry + 1
     finally:
         s.drop()
+
+
+def test_produce_requires_namespace_column(spark, stream):
+    bad = spark.createDataFrame([Row(data=bytearray(b"x"), partition=1)])
+    with pytest.raises(ValueError, match="namespace"):
+        stream.produce(bad)
+
+
+def test_status_snapshot(spark, stream):
+    st = stream.status()
+    assert st["highest_counter"] == 0
+    assert all(v == {"head": 0, "segments": 0, "bytes": 0} for v in st["partitions"].values())
+    stream.produce(_batch(spark, [("/ns", f"d{i}", (i % 3) + 1) for i in range(30)]))
+    st = stream.status()
+    assert st["name"] == "stream"
+    assert st["highest_counter"] == 30
+    assert set(st["partitions"]) == {1, 2, 3}
+    for p in (1, 2, 3):
+        info = st["partitions"][p]
+        assert info["segments"] >= 1 and info["bytes"] > 0
+        assert info["head"] > 0
