@@ -69,11 +69,18 @@ def load(
     scanning just the expiring tail."""
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects by default; read ns-as-long, convert to micros.
+        # events.parquet ts encoding has varied across testdata
+        # generations; normalize every shape to a session-TZ TIMESTAMP
+        # (session is pinned UTC in get_spark):
+        #   TIMESTAMP(NANOS)        -> Spark rejects; read ns-as-long
+        #   TIMESTAMP_MICROS ntz    -> Spark reads TIMESTAMP_NTZ
+        #   TIMESTAMP_MICROS utc    -> Spark reads TIMESTAMP (no-op)
+        # min_ts filters the RAW column before conversion so the bound
+        # stays in PushedFilters and prunes row groups in every branch.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":  # legacy nanos-as-long
             if min_ts is not None:
                 from datetime import datetime, timezone
 
@@ -85,6 +92,10 @@ def load(
                 )
                 df = df.filter(F.col("ts") >= F.lit(cutoff_ns))
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dt == "timestamp_ntz":
+            if min_ts is not None:
+                df = df.filter(F.col("ts") >= F.lit(min_ts).cast("timestamp_ntz"))
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         elif min_ts is not None:
             df = df.filter(F.col("ts") >= F.lit(min_ts).cast("timestamp"))
         return df
@@ -266,7 +277,12 @@ def flo_segment_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         env.withColumn(
             "segment_idx",
-            F.floor(F.col("ts").cast("double") / F.lit(604800.0)).cast("bigint"),
+            # unix_micros-based floor: exact epoch arithmetic valid for
+            # TIMESTAMP (load() normalizes ts); cast-to-double is
+            # illegal on NTZ and loses precision on large epochs
+            F.floor(
+                F.expr("unix_micros(ts)") / F.lit(604_800 * 1_000_000)
+            ).cast("bigint"),
         )
         .groupBy("partition", "segment_idx")
         .agg(
@@ -928,28 +944,29 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet (ns timestamps read as long)."""
-    from pyspark.sql import types as T
+    """readStream over events.parquet, ts normalized to TIMESTAMP.
 
+    The file stream source needs an explicit schema, and the testdata's
+    ts encoding has varied (TIMESTAMP(NANOS) read ns-as-long vs
+    TIMESTAMP_MICROS/NTZ), so sniff the actual schema from a batch read
+    of the same file and branch on the observed ts type — never assume
+    the unit (a hardcoded ``div 1000`` against micros compresses time
+    1000x with no error raised)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a directory path; select the single
     # events.parquet file via pathGlobFilter over the sf dir
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    dt = dict(stream.dtypes).get("ts")
+    if dt == "bigint":  # legacy nanos-as-long
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 @query(

@@ -1631,7 +1631,14 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high cardinality), so per-task state stays bounded and the whole
     query is two passes over one user-keyed shuffle at any scale."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+        "user_id",
+        "event_id",
+        # floor of epoch seconds via unix_micros: matches the oracle's
+        # floor(epoch(ts)) exactly and is legal for TIMESTAMP (load()
+        # normalizes); cast("long") crashes on TIMESTAMP_NTZ
+        F.floor(F.expr("unix_micros(ts)") / F.lit(1_000_000))
+        .cast("long")
+        .alias("sec"),
     )
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     flagged = ev.withColumn(
