@@ -77,6 +77,11 @@ def load(
         #   TIMESTAMP_MICROS utc    -> Spark reads TIMESTAMP (no-op)
         # min_ts filters the RAW column before conversion so the bound
         # stays in PushedFilters and prunes row groups in every branch.
+        # Session TZ must be UTC for the NTZ->TIMESTAMP cast (and all
+        # epoch math downstream) to agree with the DuckDB oracle's
+        # naive-as-UTC reading; get_spark pins it, but the driver
+        # supplies its own session, so pin it here too.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         dt = dict(df.dtypes).get("ts")
@@ -952,6 +957,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same file and branch on the observed ts type — never assume
     the unit (a hardcoded ``div 1000`` against micros compresses time
     1000x with no error raised)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see load()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a directory path; select the single
