@@ -581,13 +581,20 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_customers",
     """
     SELECT c_custkey, c_nationkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti join == NOT EXISTS."""
+    """left_anti join == NOT EXISTS: customers with no urgent order.
+    (Every customer in the testdata has SOME order, so an unconditional
+    anti join returns 0 rows and proves nothing — the priority filter
+    makes the result non-empty at every SF: 18/203/1986 rows.)"""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_nationkey"
     )
@@ -613,15 +620,21 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
     """,
 )
 def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set operation.  ``subtract`` is the distinct set
-    difference — unlike ``exceptAll().distinct()``, which wrongly keeps
-    a value occurring m>n>0 times across the two sides."""
+    """EXCEPT set operation: customers with no order above 300k.
+    ``subtract`` is the distinct set difference — unlike
+    ``exceptAll().distinct()``, which wrongly keeps a value occurring
+    m>n>0 times across the two sides.  (Unfiltered, the result is
+    empty at every SF; the totalprice bound yields 3/30/308 rows.)"""
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.subtract(o)
 
 
