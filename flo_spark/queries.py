@@ -67,21 +67,22 @@ def load(
     land in PushedFilters and prune parquet row groups by min/max
     stats — the difference between a TTL job scanning 100 TB and
     scanning just the expiring tail."""
+    # Session TZ must be UTC for every tz-sensitive expression —
+    # the events NTZ->TIMESTAMP cast below, but also date->timestamp
+    # casts and epoch math in orders/lineitem queries — to agree with
+    # the DuckDB oracle's naive-as-UTC reading.  get_spark pins it,
+    # but the driver supplies its own session, so pin it on every
+    # table load (all queries read through here).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
         # events.parquet ts encoding has varied across testdata
-        # generations; normalize every shape to a session-TZ TIMESTAMP
-        # (session is pinned UTC in get_spark):
+        # generations; normalize every shape to a session-TZ TIMESTAMP:
         #   TIMESTAMP(NANOS)        -> Spark rejects; read ns-as-long
         #   TIMESTAMP_MICROS ntz    -> Spark reads TIMESTAMP_NTZ
         #   TIMESTAMP_MICROS utc    -> Spark reads TIMESTAMP (no-op)
         # min_ts filters the RAW column before conversion so the bound
         # stays in PushedFilters and prunes row groups in every branch.
-        # Session TZ must be UTC for the NTZ->TIMESTAMP cast (and all
-        # epoch math downstream) to agree with the DuckDB oracle's
-        # naive-as-UTC reading; get_spark pins it, but the driver
-        # supplies its own session, so pin it here too.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         dt = dict(df.dtypes).get("ts")
