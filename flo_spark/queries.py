@@ -1512,6 +1512,77 @@ def flo_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "flo_interchange_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             '/docs/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.namespace,
+             off.off + row_number()
+               OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+               AS event_counter,
+             octet_length(encode(b.text)) AS nbytes
+      FROM b JOIN off USING (partition)
+    ),
+    both_fmts AS (SELECT * FROM env UNION ALL SELECT * FROM env)
+    SELECT namespace,
+           count(*) AS n_events,
+           CAST(sum(event_counter) AS BIGINT) AS sum_counters,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM both_fmts GROUP BY namespace
+    """,
+)
+def flo_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange surface (A18 analog, client.rs:106-122): produce a
+    stream, export it as BOTH CSV and JSON (binary payloads
+    base64-encoded, the text-safe analog of flo's length-prefixed wire
+    bytes), read each back through the schema-explicit scan path, and
+    aggregate the union — counters, counts, and exact payload byte
+    lengths per namespace survive two text round trips, hash-checked
+    against SQL computing the same from the source table.  Each format
+    contributes one copy, so every count is exactly doubled; a lossy
+    round trip (truncated payload, re-ordered counters, dropped rows)
+    breaks the hash."""
+    import tempfile
+
+    from flo_spark.sources.event_table import EventStream
+
+    tmp = tempfile.mkdtemp(prefix="flo_interchange_")
+    s = EventStream.create(spark, f"{tmp}/stream", num_partitions=3)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/docs/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    s.export(f"{tmp}/csv", fmt="csv")
+    s.export(f"{tmp}/json", fmt="json")
+    c = EventStream.read_events(spark, f"{tmp}/csv", fmt="csv")
+    j = EventStream.read_events(spark, f"{tmp}/json", fmt="json")
+    return (
+        c.unionByName(j)
+        .groupBy("namespace")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_counter").alias("sum_counters"),
+            F.sum(F.octet_length("data")).alias("sum_bytes"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------

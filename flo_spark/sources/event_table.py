@@ -450,16 +450,19 @@ class EventStream:
         Returns the number of events exported."""
         df = self.events()
         n = df.count()
+        # Spark's base64() emits MIME-chunked output (a newline every
+        # 76 chars); single-line it so CSV rows stay one physical line
+        # — the alternative, reading with multiLine=true, makes every
+        # file unsplittable and serializes the scan at scale.
+        b64 = F.regexp_replace(F.base64("data"), "[\\r\\n]", "")
         if fmt == "parquet":
             df.write.mode("overwrite").parquet(path)
         elif fmt == "json":
-            df.withColumn("data", F.base64("data")).write.mode(
-                "overwrite"
-            ).json(path)
+            df.withColumn("data", b64).write.mode("overwrite").json(path)
         elif fmt == "csv":
-            df.withColumn("data", F.base64("data")).write.mode(
-                "overwrite"
-            ).option("header", True).csv(path)
+            df.withColumn("data", b64).write.mode("overwrite").option(
+                "header", True
+            ).csv(path)
         else:
             raise ValueError(f"unsupported export format: {fmt!r}")
         return n
