@@ -2809,3 +2809,87 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+@query(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 50
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(50, |stratum|)
+    documents per language, selected by a multiplicative hash of doc_id
+    (Knuth constant) so the sample is stable across runs and engines —
+    no RNG, no seed plumbing, reproducible from the data alone.  The
+    training-data use case is per-source/per-language quota sampling.
+
+    Scale: one window shuffle partitioned by the stratum key.  Strata
+    are low-cardinality (languages), so a hot stratum concentrates on
+    one task; at 100 TB, pre-filter with an estimated hash threshold
+    per stratum (keep ~2x the quota by key range, cheap scan-side
+    predicate) before the exact window trims to the quota — same
+    result, bounded task input."""
+    docs = load(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(substring(text, 1, 80)) AS content_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY content_key
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY content_key) AS n_dups
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, content_key,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1 AND n_dups > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonicalization: cluster documents by a content key
+    (md5 of the first 80 chars — the testdata's near-duplicates share
+    prefixes; exact-whole-text groups are all singletons) and keep the
+    highest-quality member per cluster (longest, doc_id tiebreak),
+    reporting cluster size.  This is the curation policy layered on
+    dedup: not "drop duplicates" but "of each duplicate cluster, keep
+    the best one".
+
+    Scale: hash-partitioned window over the content key — the same
+    shuffle shape as exact dedup; no pairwise comparison, no growth in
+    intermediate size.  md5 is computed once per row scan-side."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.withColumn("content_key", F.md5(F.substring("text", 1, 80)))
+    w = Window.partitionBy("content_key")
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())),
+    ).withColumn("n_dups", F.count("*").over(w))
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_dups") > 1))
+        .select("doc_id", "lang", "n_chars", "content_key", "n_dups")
+    )
