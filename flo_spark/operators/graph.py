@@ -57,37 +57,54 @@ def connected_components(
         .localCheckpoint()  # materialized once, plan truncated
     )
 
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    # decimal(38,0) keeps the convergence scalar overflow-proof at any
-    # node-count × id-magnitude (ANSI mode would throw on long overflow)
-    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).first()["s"]
-
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        lab2 = labels.select(
-            F.col("node").alias("j_node"), F.col("label").alias("jump_label")
-        )
+    # Size the loop's shuffle width to the GRAPH, not the session: the
+    # dup graph is orders of magnitude smaller than the corpus it came
+    # from (hundreds of pairs per 5k docs here), and an iterative loop
+    # pays the per-partition task overhead EVERY iteration — under a
+    # default 200-partition session, ~15 iterations x 3 shuffles x 200
+    # tasks is pure scheduling overhead on near-empty partitions.
+    # ~500k edges per partition keeps partitions executor-sized at any
+    # scale; the conf is restored after the loop.
+    spark = edges.sparkSession
+    n_edges = sym.count()  # cheap: sym is checkpointed
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(old_parts), 2 + n_edges // 500_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .join(lab2, labels["label"] == lab2["j_node"], "left")
-            .select(
-                "node",
-                F.least("label", "nbr_label", "jump_label").alias("label"),
-            )
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(label_sum).first()["s"]
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+        # decimal(38,0) keeps the convergence scalar overflow-proof at
+        # any node-count × id-magnitude (ANSI mode would throw on long
+        # overflow)
+        label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        prev_sum = labels.agg(label_sum).first()["s"]
+
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            lab2 = labels.select(
+                F.col("node").alias("j_node"), F.col("label").alias("jump_label")
+            )
+            labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+                .join(lab2, labels["label"] == lab2["j_node"], "left")
+                .select(
+                    "node",
+                    F.least("label", "nbr_label", "jump_label").alias("label"),
+                )
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(label_sum).first()["s"]
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
