@@ -1,6 +1,8 @@
 """Plan-shape assertions: the judge grades 100 TB posture, so verify
 pushdown / pruning / broadcast / no-cartesian — not just answers."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -309,3 +311,29 @@ def test_char_entropy_two_aggs_no_join(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_stratified_sample_prunes_text_column(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.stratified_sample(spark, sf_dir)
+    scans = scan_columns(df)
+    assert scans, "expected a file scan"
+    # the sample never touches document bodies — at 100 TB the text
+    # column IS the table; reading it for a quota sample would be wrong
+    assert all("text" not in s for s in scans), scans
+    plan = explain_str(df)
+    # one window shuffle by lang (formatted explain lists each node
+    # twice: tree line + detail line — count node ids)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_dedup_keep_best_single_exchange(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.dedup_keep_best(spark, sf_dir)
+    plan = explain_str(df)
+    # both window functions share the content_key partitioning: one
+    # shuffle, no join, no second exchange for the count
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan, plan
