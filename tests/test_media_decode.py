@@ -1,0 +1,134 @@
+"""Real (not stubbed) media decode for uncompressed formats.
+
+Synthesizes PCM WAV, binary PPM/PGM, and 24-bit BMP payloads with
+stdlib only, then verifies decode_image/decode_audio recover the exact
+samples/pixels — locally and distributed through mapInPandas (the
+binary column + Arrow batch path the engine uses for multimodal
+assets).  Compressed formats stay behind guarded PIL/soundfile imports
+and must raise NotImplementedError in this container.
+"""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flo_spark.operators.multimodal import decode_audio, decode_image
+
+
+def make_wav(rate=8000, n=64, n_ch=2, width=2):
+    t = np.arange(n)
+    samples = (np.sin(2 * np.pi * t / 16) * 0.5 * 32767).astype("<i2")
+    stereo = np.repeat(samples, n_ch).reshape(-1, n_ch)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(stereo.tobytes())
+    return buf.getvalue(), stereo
+
+
+def make_ppm(w=4, h=3):
+    pixels = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    header = f"P6\n# comment\n{w} {h}\n255\n".encode()
+    return header + pixels.tobytes(), pixels
+
+
+def make_pgm(w=5, h=2):
+    pixels = np.arange(w * h, dtype=np.uint8).reshape(h, w, 1)
+    return f"P5\n{w} {h}\n255\n".encode() + pixels.tobytes(), pixels
+
+
+def make_bmp(w=3, h=2):
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data_offset = 14 + 40
+    file_size = data_offset + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows, rgb
+
+
+def test_wav_decodes_exact_samples():
+    payload, stereo = make_wav()
+    samples, rate = decode_audio(payload)
+    assert rate == 8000
+    assert samples.shape == stereo.shape
+    np.testing.assert_allclose(samples, stereo / 32768.0, atol=1e-7)
+
+
+def test_ppm_pgm_bmp_decode_exact_pixels():
+    for maker in (make_ppm, make_pgm, make_bmp):
+        payload, pixels = maker()
+        arr = decode_image(payload)
+        assert arr.shape == pixels.shape, maker.__name__
+        np.testing.assert_array_equal(arr, pixels)
+
+
+def test_compressed_formats_raise_without_codec_libs():
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    try:
+        import PIL  # noqa: F401  # pragma: no cover
+    except ImportError:
+        with pytest.raises((NotImplementedError, Exception)):
+            decode_image(png_magic)
+
+
+def test_real_decode_through_map_in_pandas(spark):
+    """The distributed path: binary assets -> mapInPandas -> per-asset
+    stats computed from REAL decoded pixels/samples."""
+    from pyspark.sql import types as T
+
+    wav, stereo = make_wav()
+    ppm, pixels = make_ppm()
+    bmp, rgb = make_bmp()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav"),
+         (2, bytearray(ppm), "image/x-portable-pixmap"),
+         (3, bytearray(bmp), "image/bmp")],
+        schema=T.StructType([
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]),
+    ).repartition(3, "asset_id")
+
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ])
+
+    def _decode_stats(batches):
+        for pdf in batches:
+            rows = {"asset_id": [], "kind": [], "n_values": [], "mean_value": []}
+            for aid, payload, mt in zip(pdf.asset_id, pdf.data, pdf.media_type):
+                if mt.startswith("audio/"):
+                    samples, _rate = decode_audio(payload)
+                    rows["kind"].append("audio")
+                    rows["n_values"].append(int(samples.size))
+                    rows["mean_value"].append(float(np.abs(samples).mean()))
+                else:
+                    arr = decode_image(payload)
+                    rows["kind"].append("image")
+                    rows["n_values"].append(int(arr.size))
+                    rows["mean_value"].append(float(arr.mean()))
+                rows["asset_id"].append(int(aid))
+            yield pd.DataFrame(rows)
+
+    got = {r["asset_id"]: r for r in df.mapInPandas(_decode_stats, out_schema).collect()}
+    assert got[1]["kind"] == "audio" and got[1]["n_values"] == stereo.size
+    assert abs(got[1]["mean_value"] - float(np.abs(stereo / 32768.0).mean())) < 1e-6
+    assert got[2]["n_values"] == pixels.size
+    assert abs(got[2]["mean_value"] - float(pixels.mean())) < 1e-9
+    assert got[3]["n_values"] == rgb.size
+    assert abs(got[3]["mean_value"] - float(rgb.mean())) < 1e-9
