@@ -2893,3 +2893,66 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("rn") == 1) & (F.col("n_dups") > 1))
         .select("doc_id", "lang", "n_chars", "content_key", "n_dups")
     )
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, least(n_chars, 64) AS n FROM documents),
+    s AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM d WHERE n > 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * i) % 256) AS BIGINT) AS sum_bytes
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked: synthesize an 8-bit PCM WAV per
+    document whose samples are the deterministic bytes (doc_id*i) % 256,
+    encode it with the stdlib ``wave`` writer, decode it back through
+    ``decode_audio`` (the engine's real WAV decoder), and reconstruct
+    the byte values from the normalized float samples.  8-bit samples
+    map to exact binary fractions ((b-128)/128), so the encode->decode
+    round trip is lossless and the oracle can compute the same sums
+    straight from the formula — any decoder defect (offset, scale,
+    channel, width) breaks the hash.
+
+    Scale shape: one mapInPandas over documents (codec work is
+    per-row, embarrassingly parallel), partial-agg-free since the UDF
+    already emits one row per doc."""
+    import io
+    import wave as wave_mod
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.least(F.col("n_chars"), F.lit(64)).alias("n")
+    ).filter(F.col("n") > 0)
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "sum_bytes": []}
+            for doc_id, n in zip(pdf.doc_id, pdf.n):
+                vals = (int(doc_id) * np.arange(1, int(n) + 1)) % 256
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)  # unsigned 8-bit PCM
+                    wf.setframerate(8000)
+                    wf.writeframes(vals.astype(np.uint8).tobytes())
+                samples, rate = decode_audio(buf.getvalue())
+                assert rate == 8000 and samples.shape[1] == 1
+                rebuilt = np.rint(samples[:, 0] * 128.0 + 128.0).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(rebuilt.size))
+                out["sum_bytes"].append(int(rebuilt.sum()))
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, n_samples long, sum_bytes long"
+    return docs.mapInPandas(_roundtrip, schema=schema)
