@@ -2956,3 +2956,67 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, n_samples long, sum_bytes long"
     return docs.mapInPandas(_roundtrip, schema=schema)
+
+
+@query(
+    "multimodal_bmp_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 96)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_channels,
+           CAST(sum((doc_id + i) % 256) AS BIGINT) AS sum_pixels
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-checked (the BMP twin of
+    ``multimodal_wav_roundtrip``): per document build an 8x4 24-bit
+    BI_RGB BMP whose RGB channel values are the deterministic bytes
+    (doc_id + i) % 256 (i = row-major channel index), serialize it
+    with the actual BMP container layout (bottom-up rows, BGR order,
+    4-byte stride padding), decode through ``decode_image``, and sum
+    the recovered channels.  The oracle computes the same sums from
+    the formula — a decoder defect in row order, channel order, stride
+    handling, or offset parsing breaks the value hash."""
+    import struct
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image
+
+    W, H = 8, 4
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        data_offset = 14 + 40
+        stride = (W * 3 + 3) & ~3
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, W, H, 1, 24, 0, stride * H, 0, 0, 0, 0
+        )
+        for pdf in it:
+            out = {"doc_id": [], "n_channels": [], "sum_pixels": []}
+            for doc_id in pdf.doc_id:
+                rgb = (
+                    (int(doc_id) + np.arange(W * H * 3)) % 256
+                ).astype(np.uint8).reshape(H, W, 3)
+                rows = b""
+                for y in range(H - 1, -1, -1):  # bottom-up
+                    row = rgb[y][:, ::-1].tobytes()  # RGB -> BGR
+                    rows += row + b"\x00" * (stride - len(row))
+                header = struct.pack(
+                    "<2sIHHI", b"BM", data_offset + len(rows), 0, 0, data_offset
+                )
+                arr = decode_image(header + info + rows)
+                assert arr.shape == (H, W, 3)
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(int(arr.size))
+                out["sum_pixels"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_roundtrip, "doc_id long, n_channels long, sum_pixels long")
