@@ -6,14 +6,15 @@ model: an asset is a BINARY column plus a metadata struct, processed
 by Arrow-batched Pandas functions over ``mapInPandas`` so each batch
 moves to Python exactly once.
 
-Decode support is layered by format: UNCOMPRESSED formats decode for
-real with stdlib + numpy (PCM WAV via ``wave``; binary PPM/PGM and
-24-bit BMP via header parsing) — tested end-to-end through
-mapInPandas.  Compressed formats (PNG/JPEG/FLAC/...) need codec
-libraries that are NOT in this container, so those paths sit behind
-guarded PIL/soundfile imports and raise NotImplementedError here;
-``extract_features``'s default hash features stay decoder-free so the
-oracle-checked catalog entries are deterministic everywhere.
+Decode support is layered by format: stdlib-decodable formats decode
+for real with stdlib + numpy (PCM WAV via ``wave``; binary PPM/PGM
+and 24-bit BMP via header parsing; non-interlaced 8-bit PNG via
+``zlib`` + the five scanline filters) — tested end-to-end through
+mapInPandas.  Formats needing codec libraries NOT in this container
+(JPEG/FLAC/...) sit behind guarded PIL/soundfile imports and raise
+NotImplementedError here; ``extract_features``'s default hash
+features stay decoder-free so the oracle-checked catalog entries are
+deterministic everywhere.
 """
 
 from __future__ import annotations
@@ -167,18 +168,103 @@ def _decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / RGB /
+    gray+alpha / RGBA) to an (H, W, C) uint8 array.
+
+    PNG is zlib-deflate over per-scanline filtered samples: each
+    scanline is one filter-type byte (0 none, 1 sub, 2 up, 3 average,
+    4 paeth) followed by W*C filtered bytes.  Chunk walk (IHDR sizes,
+    IDAT concatenation), ``zlib.decompress``, then the standard
+    unfilter recurrences reconstruct the raw samples — no codec
+    library involved."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/GA/RGBA PNG decoded here "
+                    f"(got depth={depth}, color_type={color})"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = c  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype, cur = lines[y, 0], lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # up
+            rec = (cur + prev) & 0xFF
+        else:
+            # sub/average/paeth recur on the left neighbor: per-byte loop
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # sub
+                    pred = a
+                elif ftype == 3:  # average
+                    pred = (a + b) >> 1
+                elif ftype == 4:  # paeth
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, C) uint8 numpy array.
 
-    Uncompressed formats (binary PPM/PGM, 24-bit BI_RGB BMP) decode
-    here with stdlib + numpy — a REAL decode, no codec library needed.
-    Everything else uses PIL when available (guarded optional import —
-    deployments with codec libraries get the full decoder
-    transparently) and raises NotImplementedError where it isn't."""
+    Stdlib-decodable formats (binary PPM/PGM, 24-bit BI_RGB BMP,
+    non-interlaced 8-bit PNG via zlib) decode here with stdlib +
+    numpy — a REAL decode, no codec library needed.  Everything else
+    uses PIL when available (guarded optional import — deployments
+    with codec libraries get the full decoder transparently) and
+    raises NotImplementedError where it isn't."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(bytes(payload))
     if payload[:2] == b"BM":
         return _decode_bmp(bytes(payload))
+    if bytes(payload[:8]) == _PNG_SIG:
+        return _decode_png(bytes(payload))
     try:
         import io
 
