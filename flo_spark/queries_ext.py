@@ -13,10 +13,17 @@ lineitem, Q4/Q12's lateness predicates become returnflag/priority
 predicates, and Q22's country code becomes c_nationkey.  Each
 docstring notes the adaptation.
 
-Scale notes (100 TB): every query here keeps dims broadcast and
-shuffles the fact table at most once on its aggregation key; window
-queries partition by a high-cardinality key (custkey/partkey) so state
-per task stays bounded; no driver-side collection anywhere.
+Scale notes (100 TB): every query shuffles the fact table at most
+once on its aggregation key.  Broadcast HINTS are reserved for
+fixed-cardinality sides (nation=25, region=5, single-row scalar
+aggregates, static lookup sets); SF-scaling tables
+(customer/supplier/part and frames derived from them) carry NO hint —
+a hint is a command that overrides the size threshold and OOMs the
+build side at 100 TB, while the size-based planner/AQE picks
+broadcast at bench scale anyway (plan-tested) and degrades to a key
+shuffle at cluster scale.  Window queries partition by a
+high-cardinality key (custkey/partkey) so state per task stays
+bounded; no driver-side collection anywhere.
 """
 
 from __future__ import annotations
@@ -56,8 +63,11 @@ from flo_spark.queries import load, query
 def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 adapted (no partsupp: the part↔supplier relation is
     derived from lineitem shipments; min s_acctbal stands in for min
-    ps_supplycost).  Dims broadcast; the only shuffle is the window's
-    hash partition on p_partkey."""
+    ps_supplycost).  Fixed-cardinality dims (nation/region) are hinted
+    broadcast; part/supplier scale with SF so their strategy is left
+    to the size threshold/AQE (broadcast at bench scale, shuffle at
+    100 TB).  The only other shuffle is the window's hash partition on
+    p_partkey."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
@@ -66,8 +76,8 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     ps = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
@@ -181,8 +191,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("ns_key") != F.col("nc_key"))
@@ -233,10 +243,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
@@ -279,8 +289,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .withColumn("o_year", F.year("o_orderdate"))
@@ -319,7 +329,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -370,7 +380,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     g = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        li.join(supp, li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum("l_quantity").alias("part_qty"),
@@ -462,13 +472,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share in one month; part broadcast."""
+    """TPC-H Q14: promo revenue share in one month.  part scales with
+    SF — no forced broadcast; the size threshold/AQE picks broadcast
+    at bench scale and a key shuffle at 100 TB."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).agg(
+    return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -513,7 +525,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         rev.filter(F.col("total_revenue") == F.col("__max"))
-        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -539,7 +551,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 30, 36))
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -561,17 +573,19 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue of below-half-average-quantity lines for one
-    brand.  The correlated subquery becomes an aggregate-then-join —
-    the per-part average is small enough to broadcast at any SF (one
-    row per part)."""
+    brand.  The correlated subquery becomes an aggregate-then-join.
+    Both join sides (filtered part, per-part averages) scale with SF,
+    so neither carries a forced broadcast — the threshold/AQE decides
+    (broadcast at bench scale; at 100 TB both joins hash on l_partkey
+    and AQE can reuse the partitioning)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(part_avg), li["l_partkey"] == F.col("pa_key"))
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(part_avg, li["l_partkey"] == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -613,7 +627,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "c_custkey",
@@ -645,7 +659,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand/size/quantity triples)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     clause = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -693,8 +707,10 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes 'shipped >50 units of one small part in the window'; the
     nation filter widens to region so the result is non-trivial on the
     synthetic data).  IN-over-grouped-HAVING = distinct candidate set +
-    left-semi join; the fact shuffles once on (suppkey, partkey), dims
-    broadcast.  Threshold compare is exact (integral quantities)."""
+    left-semi join; the fact shuffles once on (suppkey, partkey);
+    nation/region are hinted broadcast, while part and the candidate
+    set scale with SF so their strategy is left to the threshold/AQE.
+    Threshold compare is exact (integral quantities)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -703,7 +719,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     cand = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 50)
@@ -713,10 +729,11 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
         F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
     )
-    # the candidate set is bounded by |suppliers| (a dim table), so the
-    # semi join broadcasts it rather than shuffling both sides into SMJ
+    # the candidate set is bounded by |suppliers|, which scales with SF:
+    # no forced broadcast — AQE sees the post-HAVING size at runtime and
+    # broadcasts exactly when it fits (it does at bench scale)
     return supp.join(
-        F.broadcast(cand), supp["s_suppkey"] == cand["l_suppkey"], "left_semi"
+        cand, supp["s_suppkey"] == cand["l_suppkey"], "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -777,7 +794,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name"
     )
     return (
-        l1.join(F.broadcast(supp), l1["l_suppkey"] == F.col("s_suppkey"))
+        l1.join(supp, l1["l_suppkey"] == F.col("s_suppkey"))
         .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
         .join(stats, "l_orderkey")
         .filter((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
@@ -2114,7 +2131,7 @@ def right_join_orders_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    oc = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         "o_orderkey", "c_nationkey"
     )
     return (

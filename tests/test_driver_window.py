@@ -6,7 +6,19 @@ a refactor that perturbs registration order or drops an oracle would
 otherwise silently change which components get driver-verified.
 """
 
+from pathlib import Path
+
 from flo_spark import queries as q
+
+#: entries with no oracle BY DESIGN (approximate/hash-valued output);
+#: each has a hash-oracled companion contract in the catalog
+#: (approx_distinct_bounded / dedup_simhash_pairs / embedding_ann_recall)
+ROWS_ONLY_BY_DESIGN = {
+    "approx_distinct_users",
+    "dedup_simhash",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+}
 
 
 def test_window_is_fifty_unique_registered_keys():
@@ -27,3 +39,25 @@ def test_every_window_entry_is_hash_checkable():
     osql = q.oracle_sql()
     rows_only = [n for n in q.DRIVER_CHECK_ORDER if n not in osql]
     assert not rows_only, f"window entries without an oracle: {rows_only}"
+
+
+def test_displaced_entries_documented_and_locally_gated():
+    """ADVICE r4: the window rotation must stay auditable.  Every entry
+    displaced past slot 50 (checked only by the local replica gate this
+    round) must (a) be named in DRIVER_COVERAGE.md's displacement list
+    and (b) carry an oracle so tests/test_oracle.py hash-checks it —
+    unless it is rows-only by design, a pinned 4-entry set each of
+    which has a hash-oracled companion contract inside the window."""
+    doc = (Path(__file__).resolve().parents[1] / "DRIVER_COVERAGE.md").read_text()
+    osql = q.oracle_sql()
+    window = set(q.DRIVER_CHECK_ORDER)
+    displaced = [n for n in q.REGISTRY if n not in window]
+    undocumented = [n for n in displaced if n not in doc]
+    assert not undocumented, f"displaced but not in DRIVER_COVERAGE.md: {undocumented}"
+    unoracled = {n for n in displaced if n not in osql}
+    assert unoracled == ROWS_ONLY_BY_DESIGN, (
+        f"displaced entries outside the local hash gate: "
+        f"{unoracled ^ ROWS_ONLY_BY_DESIGN}"
+    )
+    companions = {"approx_distinct_bounded", "dedup_simhash_pairs", "embedding_ann_recall"}
+    assert companions <= window, "rows-only companions must stay driver-checked"
