@@ -65,6 +65,33 @@ def version_vector_filter(
     return pred
 
 
+def resume_trim_filter(
+    delivered: Mapping[int, int],
+    partition_col: str = "partition",
+    counter_col: str = "event_counter",
+) -> Column:
+    """Predicate that drops events AT OR BELOW a delivered cursor.
+
+    This is the complement of :func:`version_vector_filter` for
+    crash-restart resume: a consume-start vector restricts the scan to
+    the listed partitions (sync/mod.rs:124-130), but a resume trim must
+    PASS partitions the cursor has never seen and only drop the prefix
+    already side-effected before the crash.  flo's consumer gets
+    event-granular resume for free because its cursor advances per
+    event (consumer_stream/mod.rs:84-119); Spark's file-source
+    checkpoint is segment-granular, so the first post-restart batch
+    redelivers the in-flight segment — this filter restores per-event
+    granularity by trimming that batch against the VersionVector of
+    what the consumer actually delivered."""
+    pred = F.lit(True)
+    for part, counter in sorted(delivered.items()):
+        pred = pred & ~(
+            (F.col(partition_col) == int(part))
+            & (F.col(counter_col) <= int(counter))
+        )
+    return pred
+
+
 def namespace_filter(pattern: str | None, namespace_col: str = "namespace") -> Column | None:
     """Glob predicate, or None for the match-all fast path."""
     if is_match_all(pattern):
@@ -98,10 +125,17 @@ def consume(
 
 def head_status(events: DataFrame, partition_col: str = "partition") -> DataFrame:
     """Per-partition head counters — flo's EventStreamStatus (A13,
-    connection_state.rs:94-114)."""
+    connection_state.rs:94-114).
+
+    ``primary`` mirrors PartitionStatus.primary (flo-protocol/src/
+    client.rs:207-221): whether this server owns writes for the
+    partition.  The embedded/single-engine deployment (the only one
+    the reference ships — clustering is vestigial) owns every
+    partition it can read, so the flag is constantly true here."""
     return (
         events.groupBy(F.col(partition_col).alias("partition"))
         .agg(F.max("event_counter").alias("head_counter"))
+        .withColumn("primary", F.lit(True))
         .orderBy("partition")
     )
 

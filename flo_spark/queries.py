@@ -206,17 +206,22 @@ def flo_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flo_head_status",
     f"""
     WITH env AS ({_ENVELOPE_SQL})
-    SELECT partition, max(event_counter) AS head_counter, count(*) AS n_events
+    SELECT partition, max(event_counter) AS head_counter, count(*) AS n_events,
+           TRUE AS primary
     FROM env GROUP BY partition
     """,
 )
 def flo_head_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition head counters — EventStreamStatus (A13,
-    connection_state.rs:94-114)."""
+    connection_state.rs:94-114).  ``primary`` mirrors
+    PartitionStatus.primary (flo-protocol/src/client.rs:207-221);
+    constantly true in the embedded/single-engine deployment (the only
+    one the reference ships — clustering is vestigial there)."""
     env = _events_envelope(spark, sf_dir)
     return env.groupBy("partition").agg(
         F.max("event_counter").alias("head_counter"),
         F.count("*").alias("n_events"),
+        F.lit(True).alias("primary"),
     )
 
 

@@ -30,7 +30,11 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flo_spark.operators.consume import namespace_filter, version_vector_filter
+from flo_spark.operators.consume import (
+    namespace_filter,
+    resume_trim_filter,
+    version_vector_filter,
+)
 from flo_spark.schema import DEFAULT_SEGMENT_MAX_RECORDS, EVENT_SCHEMA
 
 _OPTIONS_FILE = "_flo_stream.json"
@@ -43,6 +47,7 @@ def consume_stream(
     version_vector: Mapping[int, int] | None = None,
     max_files_per_trigger: int | None = None,
     batch_size: int | None = None,
+    resume_trim: Mapping[int, int] | None = None,
 ) -> DataFrame:
     """Streaming consume over an EventStream directory.
 
@@ -57,7 +62,14 @@ def consume_stream(
     ceil(batch_size / segment_max_records) files per trigger bounds the
     per-trigger event count by batch_size rounded up to whole segments
     (delivery stays segment-aligned, exactly like flo's server batches
-    end on record boundaries)."""
+    end on record boundaries).
+
+    ``resume_trim`` restores flo's EVENT-granular resume on top of the
+    file source's segment-granular checkpoint: pass the VersionVector
+    of events the previous consumer incarnation actually delivered
+    (``TailConsumer.delivered_vv()``), and the redelivered in-flight
+    segment is trimmed to exactly the events the crash lost — see
+    ``operators.consume.resume_trim_filter``."""
     if batch_size is not None:
         if max_files_per_trigger is not None:
             raise ValueError("pass batch_size or max_files_per_trigger, not both")
@@ -75,6 +87,8 @@ def consume_stream(
     df = reader.parquet(stream_path)
     if version_vector is not None:
         df = df.filter(version_vector_filter(version_vector))
+    if resume_trim is not None:
+        df = df.filter(resume_trim_filter(resume_trim))
     ns = namespace_filter(namespace)
     if ns is not None:
         df = df.filter(ns)
@@ -90,10 +104,18 @@ def run_to_memory(
 ) -> DataFrame:
     """Execute a streaming DataFrame into an in-memory table.
 
+    TEST/DRAIN HARNESS, not a production sink: the memory format
+    materializes every result row on the driver, so this is for
+    bounded drains (oracle checks, tests, small interactive tails).
+    Point production queries at a real sink (parquet/foreachBatch) —
+    an unbounded high-cardinality aggregate through here is a driver
+    OOM by construction.
+
     await_new=False => Trigger.AvailableNow (drain and stop, the
-    reference's non-tail consume); await_new=True leaves the query
-    running (caller is responsible for .stop()) and returns the
-    memory table immediately.
+    reference's non-tail consume) and returns the drained table.
+    await_new=True leaves the query running and returns a
+    ``(DataFrame, StreamingQuery)`` pair — the caller stops via the
+    query handle.
 
     ``shuffle_partitions`` overrides the state-store partition count
     for THIS query (restored afterwards): each stateful-agg partition
@@ -114,9 +136,7 @@ def run_to_memory(
         ).outputMode(output_mode)
         if await_new:
             query = writer.start()
-            df = spark.table(name)
-            df._flo_query = query  # caller stops via df._flo_query.stop()
-            return df
+            return spark.table(name), query
         query = writer.trigger(availableNow=True).start()
         finished = query.awaitTermination(timeout_sec)
         if not finished and query.isActive:
@@ -150,6 +170,21 @@ class TailConsumer:
     def rows(self) -> list:
         return [r for _eid, rows in self._delivered for r in rows]
 
+    def delivered_vv(self) -> "VersionVector":
+        """VersionVector of everything this consumer has delivered —
+        the event-granular cursor flo keeps per consumer
+        (consumer_stream/mod.rs:84-119).  Hand it to a restarted
+        consumer as ``resume_trim`` to drop the redelivered prefix of
+        the in-flight segment (rows are already driver-side, so this
+        is a local fold, not a Spark job)."""
+        from flo_spark.version_vector import EventId, VersionVector
+
+        vv = VersionVector()
+        for _eid, rows in self._delivered:
+            for r in rows:
+                vv.update_if_greater(EventId.of(int(r["actor"]), int(r["event_counter"])))
+        return vv
+
     def process_available(self, timeout_sec: int = 60) -> None:
         """Block until everything currently in the stream is delivered."""
         import time
@@ -180,6 +215,8 @@ def consume_tail_ordered(
     await_new: bool = True,
     timeout_sec: int = 120,
     checkpoint_dir: str | None = None,
+    resume_trim: Mapping[int, int] | None = None,
+    sink=None,
 ) -> TailConsumer:
     """Tail consume with flo's delivery order: within every
     micro-batch, events arrive k-way-merged by ``(event_counter,
@@ -201,7 +238,20 @@ def consume_tail_ordered(
     resumes exactly after the last acknowledged batch — Spark's own
     version vector, surviving process restarts (flo persists consumer
     positions client-side via VersionVector snapshots; here the
-    checkpoint plays that role)."""
+    checkpoint plays that role).
+
+    The checkpoint cursor is SEGMENT-granular (foreachBatch side
+    effects are at-least-once): a consumer that crashes mid-epoch gets
+    that epoch's segments REdelivered on restart.  ``resume_trim``
+    closes the gap to flo's event-granular cursor: pass the previous
+    incarnation's ``delivered_vv()`` and the redelivered batch is
+    trimmed to only the events the crash actually lost — restart
+    delivers no duplicates (tested in
+    test_streaming.py::test_mid_segment_restart_no_duplicates).
+
+    ``sink`` (tests/fault-injection): replaces the per-batch delivery
+    callback; receives (rows, epoch_id) AFTER the ordered collect and
+    may raise to simulate a consumer crash mid-epoch."""
     df = consume_stream(
         spark,
         stream_path,
@@ -209,6 +259,7 @@ def consume_tail_ordered(
         version_vector=version_vector,
         max_files_per_trigger=max_files_per_trigger,
         batch_size=batch_size,
+        resume_trim=resume_trim,
     )
     delivered: list = []
 
@@ -216,6 +267,8 @@ def consume_tail_ordered(
         rows = bdf.orderBy("event_counter", "actor").collect()
         if rows:
             delivered.append((epoch_id, rows))
+        if sink is not None:
+            sink(rows, epoch_id)
 
     writer = df.writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:

@@ -50,8 +50,7 @@ def test_drain_respects_version_vector_and_glob(spark, stream):
 def test_tail_mode_delivers_new_events(spark, stream):
     # await_new=True: query stays up; newly produced events arrive
     sdf = consume_stream(spark, stream.path)
-    mem = run_to_memory(sdf, await_new=True)
-    query = mem._flo_query
+    mem, query = run_to_memory(sdf, await_new=True)
     try:
         deadline = time.time() + 120
         while mem.count() < 10 and time.time() < deadline:
@@ -136,6 +135,85 @@ def test_checkpoint_resume_exactly_once(spark, stream, tmp_path):
         spark, stream.path, await_new=False, checkpoint_dir=ckpt
     )
     assert third.rows() == []  # cursor fully caught up
+
+
+def test_mid_segment_restart_no_duplicates(spark, tmp_path):
+    """Event-granular resume (VERDICT r4 gap #1): the file-source
+    checkpoint is segment-granular, so a consumer that crashes AFTER
+    side-effecting an epoch but BEFORE its commit gets that epoch's
+    segment redelivered on restart.  ``resume_trim`` (the VersionVector
+    of what the first incarnation actually delivered) must trim the
+    redelivered batch so the restart delivers NO duplicate events —
+    flo's per-event cursor semantics (consumer_stream/mod.rs:84-119)
+    recovered on Spark's at-least-once foreachBatch."""
+    from flo_spark.version_vector import EventId, VersionVector
+
+    s = EventStream.create(
+        spark, str(tmp_path / "mid"), num_partitions=1, segment_max_records=5
+    )
+    for chunk in range(3):
+        s.produce(_batch(spark, [("/m", f"d{chunk}-{i}", 1) for i in range(5)]))
+    ckpt = str(tmp_path / "ckpt")
+
+    first_delivered: list = []
+
+    def crashing_sink(rows, epoch_id):
+        first_delivered.extend(rows)
+        if len(first_delivered) >= 10:
+            # epoch 1 committed; THIS epoch side-effected but its commit
+            # never lands => its segment will be redelivered on restart
+            raise RuntimeError("simulated consumer crash mid-epoch")
+
+    with pytest.raises(Exception, match="crash mid-epoch"):
+        consume_tail_ordered(
+            spark,
+            s.path,
+            await_new=False,
+            batch_size=5,
+            checkpoint_dir=ckpt,
+            sink=crashing_sink,
+        )
+    assert len(first_delivered) == 10  # two epochs side-effected
+
+    trim = VersionVector()
+    for r in first_delivered:
+        trim.update_if_greater(EventId.of(r.actor, r.event_counter))
+    assert trim == VersionVector({1: 10})
+
+    second = consume_tail_ordered(
+        spark,
+        s.path,
+        await_new=False,
+        batch_size=5,
+        checkpoint_dir=ckpt,
+        resume_trim=trim,
+    )
+    second_ids = [(r.event_counter, r.actor) for r in second.rows()]
+    first_ids = [(r.event_counter, r.actor) for r in first_delivered]
+    assert not set(first_ids) & set(second_ids), "restart redelivered events"
+    assert sorted(first_ids + second_ids) == [(c, 1) for c in range(1, 16)]
+    assert second.delivered_vv() == VersionVector({1: 15})
+    s.drop()
+
+
+def test_large_payload_roundtrip(spark, tmp_path):
+    """1 MiB payload produce/consume — the sync_client_tests.rs:84-100
+    analog: payload bytes survive the parquet round trip exactly."""
+    s = EventStream.create(spark, str(tmp_path / "big"), num_partitions=1)
+    big = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    s.produce(
+        spark.createDataFrame(
+            [
+                Row(namespace="/big/a", data=bytearray(big), partition=1),
+                Row(namespace="/big/b", data=bytearray(b"small"), partition=1),
+            ]
+        )
+    )
+    out = {e.namespace: bytes(e.data) for e in s.consume().collect()}
+    assert len(out["/big/a"]) == 1_048_576
+    assert out["/big/a"] == big
+    assert out["/big/b"] == b"small"
+    s.drop()
 
 
 def test_produce_stream_foreachbatch_roundtrip(spark, tmp_path):
