@@ -65,10 +65,22 @@ def connected_components(
     # tasks is pure scheduling overhead on near-empty partitions.
     # ~500k edges per partition keeps partitions executor-sized at any
     # scale; the conf is restored after the loop.
+    #
+    # CONCURRENCY NOTE (ADVICE r4): the width override is session conf,
+    # so any query running concurrently on the same SparkSession during
+    # the loop inherits the reduced width — this operator assumes the
+    # single-query-at-a-time usage every catalog entry follows.  (A
+    # per-frame repartition() cannot replace the conf: join/groupBy
+    # output width comes from the session setting, and AQE coalescing
+    # only shrinks, never caps, the 3 shuffles per iteration.)
     spark = edges.sparkSession
     n_edges = sym.count()  # cheap: sym is checkpointed
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, min(int(old_parts), 2 + n_edges // 500_000))
+    try:
+        session_parts = int(old_parts)
+    except (TypeError, ValueError):  # e.g. unset/"auto" under a custom session
+        session_parts = spark.sparkContext.defaultParallelism
+    loop_parts = max(2, min(session_parts, 2 + n_edges // 500_000))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         labels = (

@@ -123,6 +123,8 @@ def _decode_ppm(payload: bytes):
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            raise ValueError("truncated netpbm header (missing width/height/maxval)")
         if payload[i : i + 1] == b"#":
             while i < len(payload) and payload[i : i + 1] != b"\n":
                 i += 1
@@ -132,12 +134,23 @@ def _decode_ppm(payload: bytes):
             j += 1
         tokens.append(payload[i:j])
         i = j
-    i += 1  # single whitespace after maxval
+    i += 1  # the spec's single whitespace separator after maxval
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
     channels = 3 if payload[:2] == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    count = w * h * channels
+    # tolerate a CRLF-terminated header (two separator bytes): skip
+    # further whitespace ONLY while more than `count` bytes remain, so a
+    # legitimate first sample that happens to be 0x0A is never eaten
+    while len(payload) - i > count and payload[i : i + 1] in (b"\r", b"\n", b"\t", b" "):
+        i += 1
+    if len(payload) - i < count:
+        raise ValueError(
+            f"truncated netpbm payload: need {count} sample bytes for "
+            f"{w}x{h}x{channels}, have {len(payload) - i}"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8, count=count, offset=i)
     return arr.reshape(h, w, channels)
 
 

@@ -54,6 +54,29 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory under ONE session-scoped root that is
+    removed at interpreter exit (ADVICE r4: per-call mkdtemp leaked
+    across repeated bench/correctness runs).  Exit-time — not
+    per-call — cleanup is required because the round-trip entries
+    return LAZY DataFrames that read from these dirs when the caller
+    collects, after the entry function has returned."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="flo_spark_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def load(
     spark: SparkSession, sf_dir: str, table: str, min_ts: str | None = None
 ) -> DataFrame:
@@ -1507,11 +1530,9 @@ def flo_produce_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     range [head+1, head+N]; partitions take cumulative sub-ranges in
     partition order; in-partition positions follow ``order_by``
     (doc_id here) — which the SQL reproduces with window functions."""
-    import tempfile
-
     from flo_spark.sources.event_table import EventStream
 
-    path = tempfile.mkdtemp(prefix="flo_produce_") + "/stream"
+    path = scratch_dir("flo_produce_") + "/stream"
     s = EventStream.create(spark, path, num_partitions=3)
     docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
     batch = docs.select(
@@ -1569,11 +1590,9 @@ def flo_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes one copy, so every count is exactly doubled; a lossy
     round trip (truncated payload, re-ordered counters, dropped rows)
     breaks the hash."""
-    import tempfile
-
     from flo_spark.sources.event_table import EventStream
 
-    tmp = tempfile.mkdtemp(prefix="flo_interchange_")
+    tmp = scratch_dir("flo_interchange_")
     s = EventStream.create(spark, f"{tmp}/stream", num_partitions=3)
     docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
     batch = docs.select(

@@ -2175,12 +2175,11 @@ def flo_tail_consume_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multi_partition_reader.rs:8-48).  The oracle reproduces the
     deterministic id assignment; within-batch ordering is additionally
     asserted here (the oracle's value compare is order-insensitive)."""
-    import tempfile
-
+    from flo_spark.queries import scratch_dir
     from flo_spark.sources.event_table import EventStream
     from flo_spark.streaming.consume_stream import consume_tail_ordered
 
-    path = tempfile.mkdtemp(prefix="flo_tail_") + "/stream"
+    path = scratch_dir("flo_tail_") + "/stream"
     s = EventStream.create(spark, path, num_partitions=3)
     docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
     batch = docs.select(
@@ -2797,13 +2796,12 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch answer (sum/count/min/max are decomposable; rounding happens
     only at read time, never inside the maintained partials)."""
     import os as _os
-    import tempfile
 
     from flo_spark.operators.rollup import maintain_rollup
-    from flo_spark.queries import _events_stream
+    from flo_spark.queries import _events_stream, scratch_dir
 
     ev = _events_stream(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="flo_stream_rollup_")
+    tmp = scratch_dir("flo_stream_rollup_")
     rollup_dir = _os.path.join(tmp, "rollup")
     q = (
         ev.writeStream.foreachBatch(

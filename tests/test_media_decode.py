@@ -1,16 +1,18 @@
-"""Real (not stubbed) media decode for uncompressed formats.
+"""Real (not stubbed) media decode for stdlib-decodable formats.
 
-Synthesizes PCM WAV, binary PPM/PGM, and 24-bit BMP payloads with
-stdlib only, then verifies decode_image/decode_audio recover the exact
-samples/pixels — locally and distributed through mapInPandas (the
-binary column + Arrow batch path the engine uses for multimodal
-assets).  Compressed formats stay behind guarded PIL/soundfile imports
-and must raise NotImplementedError in this container.
+Synthesizes PCM WAV, binary PPM/PGM, 24-bit BMP, and 8-bit PNG
+payloads with stdlib only, then verifies decode_image/decode_audio
+recover the exact samples/pixels — locally and distributed through
+mapInPandas (the binary column + Arrow batch path the engine uses for
+multimodal assets).  Formats needing codec libraries (JPEG/...) stay
+behind guarded PIL/soundfile imports and must raise
+NotImplementedError in this container.
 """
 
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -73,13 +75,99 @@ def test_ppm_pgm_bmp_decode_exact_pixels():
         np.testing.assert_array_equal(arr, pixels)
 
 
-def test_compressed_formats_raise_without_codec_libs():
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+def make_png(w=4, h=6, channels=3, seed=3):
+    """PNG with scanline filter y%5 — every filter type exercised."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, channels)).astype(np.uint8)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        diag = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) & 0xFF
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - diag
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - diag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, diag)
+            )
+            filt = (cur - pred) & 0xFF
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return payload, img
+
+
+def test_ppm_crlf_header_and_truncation():
+    # ADVICE r4: a CRLF-terminated header must not shift sample offsets,
+    # and a truncated payload must fail with a clear error
+    pixels = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    crlf = b"P6\r\n4 3\r\n255\r\n" + pixels.tobytes()
+    np.testing.assert_array_equal(decode_image(crlf), pixels)
+    with pytest.raises(ValueError, match="truncated netpbm payload"):
+        decode_image(b"P6\n4 3\n255\n" + pixels.tobytes()[:-5])
+    with pytest.raises(ValueError, match="truncated netpbm header"):
+        decode_image(b"P6\n4 3")
+
+
+def test_png_decodes_exact_pixels_all_color_types():
+    for channels in (1, 2, 3, 4):
+        payload, img = make_png(channels=channels, seed=channels)
+        arr = decode_image(payload)
+        assert arr.shape == img.shape, channels
+        np.testing.assert_array_equal(arr, img)
+
+
+def test_png_unsupported_variants_raise_not_implemented():
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    interlaced = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError):
+        decode_image(interlaced)
+    sixteen_bit = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        decode_image(sixteen_bit)
+
+
+def test_codec_lib_formats_raise_without_codec_libs():
+    # JPEG needs a codec library this container does not ship; the
+    # guarded-import fallback must raise NotImplementedError exactly
+    # (ADVICE r4: a broad exception class would mask header-parse bugs)
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     try:
         import PIL  # noqa: F401  # pragma: no cover
     except ImportError:
-        with pytest.raises((NotImplementedError, Exception)):
-            decode_image(png_magic)
+        with pytest.raises(NotImplementedError):
+            decode_image(jpeg_magic)
 
 
 def test_real_decode_through_map_in_pandas(spark):
