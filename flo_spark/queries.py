@@ -1617,6 +1617,69 @@ def flo_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "flo_segment_binary_roundtrip",
+    """
+    WITH b AS (
+      SELECT event_id, ts, event_type, props
+      FROM events ORDER BY event_id LIMIT 400
+    )
+    SELECT '/events/' || event_type AS namespace,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_counters,
+           CAST(sum(epoch_ms(ts)) AS BIGINT) AS sum_ts_millis,
+           CAST(sum(octet_length(encode(coalesce(props, ''))))
+                AS BIGINT) AS sum_bytes,
+           CAST(sum(CASE WHEN event_id % 5 = 0
+                         THEN event_id + 1000000 END)
+                AS BIGINT) AS sum_parents
+    FROM b GROUP BY namespace
+    """,
+)
+def flo_segment_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native storage format (A18/A19, persistent_event.rs:20-35 +
+    segment/header.rs): encode 400 events into flo's byte-exact
+    ``.events`` segment layout (big-endian envelope, FLO_EVT marker,
+    len-prefixed namespace/payload, ms timestamps, zero-id null
+    parents), across 3 partitions with forced segment rotation, then
+    scan the segment files back and aggregate.  Counters, ms-exact
+    timestamps, payload byte lengths, and parent-id lineage must all
+    survive the binary round trip — the oracle computes the same
+    aggregates from the source table, so any framing error (offset
+    drift, endianness, length mismatch, parent-null mapping) breaks
+    the hash."""
+    from flo_spark.sources.flo_segment import (
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    ev = load(spark, sf_dir, "events").orderBy("event_id").limit(400)
+    batch = ev.select(
+        F.col("event_id").alias("event_counter"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("actor"),
+        F.when(F.col("event_id") % 5 == 0, F.col("event_id") + 1000000)
+        .cast("long")
+        .alias("parent_counter"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(1))
+        .cast("int")
+        .alias("parent_actor"),
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("namespace"),
+        F.encode(F.coalesce("props", F.lit("")), "utf-8").alias("data"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    path = scratch_dir("flo_segment_") + "/native"
+    write_flo_segments(batch, path, max_events_per_segment=60)
+    back = read_flo_segments(spark, path)
+    return back.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.unix_millis("timestamp")).alias("sum_ts_millis"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+        F.sum("parent_counter").alias("sum_parents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------

@@ -1,0 +1,279 @@
+"""Native flo segment-file (``.events``) binary codec — read and write
+flo's on-disk storage format directly, so segment files written by a
+real flo server can be scanned by this engine (and files we write are
+valid input for flo's own recovery scan).
+
+This closes the one "partial" surface row (A18/A19 storage
+de/serialization): the CSV/JSON interchange in
+:mod:`flo_spark.sources.event_table` is the *text-safe analog*; this
+module is the byte-exact format itself.
+
+Layout (reference: flo-server/src/engine/event_stream/partition/segment/
+persistent_event.rs:20-35 ``get_repr_length`` / ``write_event_unchecked``
+and :69-103 ``validate``; header: segment/header.rs:10-58; all integers
+big-endian per flo-protocol/src/client.rs:11)::
+
+    segment file = 16-byte header | event* | zero padding
+    header       = u64 create-time millis | u64 end-time millis
+    event        = u32 total_len (= 48 + ns_len + data_len)
+                 | 8B marker b"FLO_EVT\\n"
+                 | u16 actor | u64 event_counter          (id)
+                 | u16 parent_actor | u64 parent_counter  (counter 0 = null)
+                 | u64 timestamp millis-since-epoch
+                 | u32 ns_len  | namespace utf-8 bytes
+                 | u32 data_len| data bytes
+
+flo pre-allocates segments and zero-fills the tail
+(segment/mod.rs:125-128), so a reader stops at the first position whose
+marker bytes are zero; a *non-zero* marker mismatch is corruption and
+raises, exactly like ``PersistentEvent::validate``.
+
+Scale shape: one segment file == one Spark task on read (flo's own
+unit of storage parallelism; segments are bounded at 1 GiB by the
+reference default, event_stream/mod.rs:27-37) and one write task per
+(partition, segment) group on write.  The codec itself is a per-file
+Python hop over Arrow batches — the same budget as the multimodal
+decoders — never per-row Python inside a relational plan.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from flo_spark.schema import EVENT_SCHEMA, ID_ORDER
+
+MARKER = b"FLO_EVT\n"
+HEADER_LEN = 16
+#: fixed bytes per event before the two variable-length fields
+EVENT_FIXED_LEN = 48
+
+_EPOCH = pd.Timestamp("1970-01-01")
+
+
+def encode_event(
+    event_counter: int,
+    actor: int,
+    parent_counter: int | None,
+    parent_actor: int | None,
+    ts_millis: int,
+    namespace: str,
+    data: bytes | None,
+) -> bytes:
+    """One event in flo's on-disk byte layout (persistent_event.rs
+    write_event_unchecked).  A null parent is written as the zero id —
+    the reference writes ``parent_id().unwrap_or(zero)`` and reads
+    counter==0 back as None regardless of the actor half."""
+    ns = namespace.encode("utf-8")
+    payload = data if data is not None else b""
+    total = EVENT_FIXED_LEN + len(ns) + len(payload)
+    return b"".join(
+        (
+            struct.pack(">I", total),
+            MARKER,
+            struct.pack(">HQ", actor, event_counter),
+            struct.pack(
+                ">HQ",
+                (parent_actor or 0) if parent_counter else 0,
+                parent_counter or 0,
+            ),
+            struct.pack(">Q", ts_millis),
+            struct.pack(">I", len(ns)),
+            ns,
+            struct.pack(">I", len(payload)),
+            payload,
+        )
+    )
+
+
+def encode_segment(
+    events: Iterator[tuple], create_millis: int, end_millis: int
+) -> bytes:
+    """Header + every event, in iteration order.  ``events`` yields
+    ``(event_counter, actor, parent_counter, parent_actor, ts_millis,
+    namespace, data)`` tuples."""
+    buf = io.BytesIO()
+    buf.write(struct.pack(">QQ", create_millis, end_millis))
+    for ev in events:
+        buf.write(encode_event(*ev))
+    return buf.getvalue()
+
+
+def segment_header(buf: bytes) -> tuple[int, int]:
+    """(create_millis, end_millis) from a segment's 16-byte header."""
+    if len(buf) < HEADER_LEN:
+        raise ValueError(
+            f"segment shorter than {HEADER_LEN}-byte header: {len(buf)}B"
+        )
+    return struct.unpack_from(">QQ", buf, 0)
+
+
+def decode_segment(buf: bytes) -> Iterator[tuple]:
+    """Yield ``(event_counter, actor, parent_counter, parent_actor,
+    ts_millis, namespace, data)`` for each event; stop at the
+    zero-filled pre-allocation tail; raise on corruption.
+
+    Mirrors PersistentEvent::validate (persistent_event.rs:69-103):
+    length/marker check, then ns/data length cross-check against
+    total_len."""
+    pos = HEADER_LEN
+    n = len(buf)
+    while pos + EVENT_FIXED_LEN <= n:
+        total_len, marker = struct.unpack_from(">I8s", buf, pos)
+        if marker != MARKER:
+            if total_len == 0 and marker == b"\x00" * 8:
+                return  # zero-filled tail of a pre-allocated segment
+            raise ValueError(f"invalid marker bytes at offset {pos}")
+        actor, counter = struct.unpack_from(">HQ", buf, pos + 12)
+        p_actor, p_counter = struct.unpack_from(">HQ", buf, pos + 22)
+        (ts_millis,) = struct.unpack_from(">Q", buf, pos + 32)
+        (ns_len,) = struct.unpack_from(">I", buf, pos + 40)
+        if pos + EVENT_FIXED_LEN + ns_len > n:
+            raise ValueError(f"namespace length too large at offset {pos}")
+        ns_start = pos + 44
+        namespace = buf[ns_start : ns_start + ns_len].decode("utf-8")
+        (data_len,) = struct.unpack_from(">I", buf, ns_start + ns_len)
+        if total_len != EVENT_FIXED_LEN + ns_len + data_len:
+            raise ValueError(f"mismatched lengths at offset {pos}")
+        data_start = ns_start + ns_len + 4
+        if data_start + data_len > n:
+            raise ValueError(f"data length too large at offset {pos}")
+        data = bytes(buf[data_start : data_start + data_len])
+        yield (
+            counter,
+            actor,
+            p_counter if p_counter else None,
+            p_actor if p_counter else None,
+            ts_millis,
+            namespace,
+            data,
+        )
+        pos += total_len
+
+
+_WRITE_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("segment_num", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def write_flo_segments(
+    df: DataFrame, path: str, max_events_per_segment: int = 1_000_000
+) -> DataFrame:
+    """Write an EVENT_SCHEMA DataFrame as native flo segment files:
+    ``<path>/partition=<p>/<n>.events``, ``n`` 1-based in id order
+    (flo names segments the same way, partition/mod.rs:48-53).
+
+    Distributed: one shuffle to bucket rows into (partition, segment)
+    groups — the same single shuffle the produce path already pays for
+    id assignment — then one write task per segment.  Header times are
+    the segment's min/max event time (content-derived for determinism;
+    the reference stamps wall-clock create time + rotation deadline,
+    which a converter cannot reproduce).
+
+    Returns the per-segment write report (materialized eagerly so the
+    write happens now, like ``DataFrame.write``).
+    """
+    rn = F.row_number().over(
+        Window.partitionBy("partition").orderBy(*ID_ORDER)
+    )
+    bucketed = df.withColumn(
+        "segment_num",
+        ((rn - F.lit(1)) / F.lit(max_events_per_segment))
+        .cast("int")
+        + F.lit(1),
+    )
+
+    def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        part, seg = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(["event_counter", "actor"])
+        ts_ms = (
+            (pdf["timestamp"] - _EPOCH) // pd.Timedelta(milliseconds=1)
+        ).astype("int64")
+        events = zip(
+            pdf["event_counter"].astype("int64"),
+            pdf["actor"].astype("int64"),
+            [None if pd.isna(v) else int(v) for v in pdf["parent_counter"]],
+            [None if pd.isna(v) else int(v) for v in pdf["parent_actor"]],
+            ts_ms,
+            pdf["namespace"],
+            pdf["data"],
+        )
+        blob = encode_segment(events, int(ts_ms.min()), int(ts_ms.max()))
+        seg_dir = os.path.join(path, f"partition={part}")
+        os.makedirs(seg_dir, exist_ok=True)
+        out = os.path.join(seg_dir, f"{seg}.events")
+        with open(out, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            {
+                "partition": [part],
+                "segment_num": [seg],
+                "n_events": [len(pdf)],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    report = (
+        bucketed.groupBy("partition", "segment_num")
+        .applyInPandas(_write, schema=_WRITE_REPORT_SCHEMA)
+        .cache()
+    )
+    report.count()  # force the write
+    return report
+
+
+def read_flo_segments(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a directory of native flo segment files into the canonical
+    event schema.  One Spark task per segment file (``binaryFile``
+    yields one row per file; segments are <= 1 GiB by the reference
+    default, so a file always fits an executor batch).  ``partition``
+    is taken from each event's actor half — in flo the partition IS
+    the ActorId (SURVEY.md §1.1), so this also reads bare ``*.events``
+    files that a real flo server laid out without hive dirs."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.events")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = list(decode_segment(bytes(blob)))
+                if not rows:
+                    continue
+                out = pd.DataFrame(
+                    rows,
+                    columns=[
+                        "event_counter",
+                        "actor",
+                        "parent_counter",
+                        "parent_actor",
+                        "ts_millis",
+                        "namespace",
+                        "data",
+                    ],
+                )
+                out["timestamp"] = _EPOCH + pd.to_timedelta(
+                    out.pop("ts_millis"), unit="ms"
+                )
+                out["partition"] = out["actor"]
+                yield out[[f.name for f in EVENT_SCHEMA.fields]]
+
+    return raw.mapInPandas(_decode, schema=EVENT_SCHEMA)

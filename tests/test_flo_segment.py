@@ -1,0 +1,148 @@
+"""Byte-level tests for the native flo segment-file codec
+(flo_spark/sources/flo_segment.py) against the reference layout in
+persistent_event.rs:20-35/69-103 and segment/header.rs:10-58."""
+
+import os
+import struct
+from datetime import datetime, timezone
+
+import pytest
+
+from flo_spark.sources.flo_segment import (
+    EVENT_FIXED_LEN,
+    HEADER_LEN,
+    MARKER,
+    decode_segment,
+    encode_event,
+    encode_segment,
+    read_flo_segments,
+    segment_header,
+    write_flo_segments,
+)
+
+UTC = timezone.utc
+
+
+def test_encode_event_golden_bytes():
+    """Hand-computed layout: every field at the documented offset."""
+    b = encode_event(7, 2, 3, 1, 1234567890123, "/a/b", b"xyz")
+    ns_len, data_len = 4, 3
+    assert len(b) == EVENT_FIXED_LEN + ns_len + data_len
+    assert struct.unpack_from(">I", b, 0)[0] == 48 + ns_len + data_len
+    assert b[4:12] == MARKER
+    assert struct.unpack_from(">H", b, 12)[0] == 2  # actor
+    assert struct.unpack_from(">Q", b, 14)[0] == 7  # counter
+    assert struct.unpack_from(">H", b, 22)[0] == 1  # parent actor
+    assert struct.unpack_from(">Q", b, 24)[0] == 3  # parent counter
+    assert struct.unpack_from(">Q", b, 32)[0] == 1234567890123
+    assert struct.unpack_from(">I", b, 40)[0] == ns_len
+    assert b[44:48] == b"/a/b"
+    assert struct.unpack_from(">I", b, 48)[0] == data_len
+    assert b[52:55] == b"xyz"
+
+
+def test_null_parent_written_as_zero_id():
+    """Reference writes parent.unwrap_or(zero) and reads counter==0
+    back as None regardless of the actor half."""
+    b = encode_event(1, 1, None, None, 0, "", None)
+    assert struct.unpack_from(">HQ", b, 22) == (0, 0)
+    # actor half nonzero but counter zero must still read back as null
+    corrupt_actor = bytearray(b)
+    struct.pack_into(">H", corrupt_actor, 22, 9)
+    seg = struct.pack(">QQ", 0, 0) + bytes(corrupt_actor)
+    (ev,) = decode_segment(seg)
+    assert ev[2] is None and ev[3] is None
+
+
+def test_segment_roundtrip_with_zero_padding_tail():
+    events = [
+        (1, 1, None, None, 1000, "/x", b""),
+        (2, 1, 1, 1, 2000, "/x/y", b"\x00\xff payload"),
+        (5, 1, None, None, 3000, "", b"z" * 100),
+    ]
+    seg = encode_segment(iter(events), 1000, 3000) + b"\x00" * 256
+    assert segment_header(seg) == (1000, 3000)
+    assert list(decode_segment(seg)) == events
+
+
+@pytest.mark.parametrize(
+    "mutate,err",
+    [
+        (lambda b: b[:20] + b"X" + b[21:], "invalid marker"),
+        # total_len claims one byte more than ns+data account for
+        (
+            lambda b: b[:16]
+            + struct.pack(">I", struct.unpack_from(">I", b, 16)[0] + 1)
+            + b[20:],
+            "mismatched lengths",
+        ),
+        # namespace length larger than the remaining buffer
+        (
+            lambda b: b[:56] + struct.pack(">I", 10_000) + b[60:],
+            "namespace length too large",
+        ),
+    ],
+)
+def test_corruption_raises(mutate, err):
+    seg = encode_segment(iter([(1, 1, None, None, 0, "/ns", b"d")]), 0, 0)
+    with pytest.raises(ValueError, match=err):
+        list(decode_segment(mutate(seg)))
+
+
+def test_truncated_header_raises():
+    with pytest.raises(ValueError, match="header"):
+        segment_header(b"\x00" * 8)
+
+
+def test_distributed_write_read_roundtrip(spark, tmp_path):
+    """write_flo_segments → read_flo_segments is the identity, across
+    multiple partitions and forced segment rotation."""
+    from flo_spark.schema import EVENT_SCHEMA
+
+    rows = [
+        (
+            c,
+            p,
+            c - 1 if c > 1 else None,
+            p if c > 1 else None,
+            datetime(2020, 1, 1, 0, 0, c % 60, (c % 1000) * 1000, tzinfo=UTC),
+            f"/t/{p}/{c % 3}",
+            bytes([c % 256]) * (c % 50),
+            p,
+        )
+        for p in (1, 2, 3)
+        for c in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "native")
+    report = write_flo_segments(df, path, max_events_per_segment=15)
+    # 40 events / 15 per segment = 3 segments per partition
+    assert report.count() == 9
+    files = {
+        f
+        for d in os.listdir(path)
+        for f in os.listdir(os.path.join(path, d))
+    }
+    assert files == {"1.events", "2.events", "3.events"}
+
+    back = read_flo_segments(spark, path)
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, df.select(cols).collect())
+    )
+
+
+def test_read_one_task_per_segment(spark, tmp_path):
+    """Scan parallelism is per segment file — flo's own storage unit."""
+    from flo_spark.schema import EVENT_SCHEMA
+
+    rows = [
+        (c, 1, None, None, datetime(2020, 1, 1, tzinfo=UTC), "/s", b"", 1)
+        for c in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "native")
+    write_flo_segments(df, path, max_events_per_segment=10)
+    n_files = sum(len(fs) for _, _, fs in os.walk(path) if fs)
+    assert n_files == 3
+    assert read_flo_segments(spark, path).rdd.getNumPartitions() >= 1
