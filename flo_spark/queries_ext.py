@@ -3278,3 +3278,129 @@ def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("n_exact"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("within_bound"),
     )
+
+
+@query(
+    "global_shuffle_shard",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 1000000007 AS skey,
+             CAST((doc_id * 2654435761) % 1000000007 % 64 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY skey, doc_id) AS BIGINT)
+             AS pos
+    FROM k
+    """,
+)
+def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    last step of a training-data pipeline ("shuffle the corpus, write
+    N shards for the data loader").  A multiplicative hash mod a large
+    prime gives a reproducible pseudo-random permutation key; shard =
+    key mod N; pos = each document's position within its shard.
+
+    100 TB shape: NO global sort.  A total order over 100 TB needs a
+    range-partitioned sort (sampling pass + skew risk); a sharded
+    training order only needs hash-bucketing into N shards plus an
+    in-shard sort, which is exactly ONE hash shuffle + local sort —
+    the writer form is ``df.repartition(N, "shard")
+    .sortWithinPartitions("skey").write.partitionBy("shard")``.  The
+    window here computes the same per-shard positions declaratively
+    (one shuffle on shard, in-partition sort, zero exchange after),
+    and the hash is pure arithmetic so it pushes into the scan."""
+    d = load(spark, sf_dir, "documents")
+    skey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    shd = (skey % 64).cast("int")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", skey.alias("skey"), shd.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query(
+    "duplicate_ngram_rate",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(ws) - 2),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tri
+      FROM w WHERE len(ws) >= 3
+    ),
+    dup AS (
+      SELECT tri, count(DISTINCT doc_id) AS nd FROM t GROUP BY tri
+    )
+    SELECT t.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           floor(CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS dup_rate
+    FROM t JOIN dup ON dup.tri = t.tri
+    GROUP BY t.doc_id
+    """,
+)
+def duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated n-gram rate per document (the C4/Gopher-style
+    "fraction of this doc's 3-grams that also occur in other docs"
+    diagnostic used to spot boilerplate and template text before
+    near-dedup).  dup_rate is an exact int/int quotient under the IEEE
+    floor trick, so it hash-matches across engines.
+
+    100 TB shape: trigrams are reduced to 8-byte xxhash64 keys BEFORE
+    the corpus-wide aggregate and join — the wide shuffles move fixed
+    64-bit keys, never trigram strings (the same keyed-by-hash trick
+    as the MinHash/inverted-index dedup paths; collision odds at
+    ~1e12 trigrams are ~1e-7 and only perturb a count by 1).  The
+    doc-side re-join is on the same key, so AQE can pick its strategy
+    per stage; nothing in the plan is per-row Python."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    z = F.explode(
+        F.arrays_zip(
+            F.slice(words, 1, F.greatest(n - 2, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 2, F.lit(0))),
+            F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+        )
+    )
+    tri = (
+        d.where(n >= 3)
+        .select("doc_id", z.alias("t"))
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", F.col("t.0"), F.col("t.1"), F.col("t.2"))
+            ).alias("h"),
+        )
+    )
+    dup = tri.groupBy("h").agg(
+        (F.count_distinct("doc_id") > 1).alias("is_dup")
+    )
+    return (
+        tri.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_duplicated"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.floor(
+                F.col("n_duplicated") / F.col("n_trigrams") * 1e4 + F.lit(0.5)
+            )
+            / 1e4,
+        )
+    )
