@@ -236,6 +236,32 @@ def write_flo_segments(
     return report
 
 
+def _decode_content(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binaryFile ``content`` column -> event rows."""
+    for pdf in batches:
+        for blob in pdf["content"]:
+            rows = list(decode_segment(bytes(blob)))
+            if not rows:
+                continue
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "event_counter",
+                    "actor",
+                    "parent_counter",
+                    "parent_actor",
+                    "ts_millis",
+                    "namespace",
+                    "data",
+                ],
+            )
+            out["timestamp"] = _EPOCH + pd.to_timedelta(
+                out.pop("ts_millis"), unit="ms"
+            )
+            out["partition"] = out["actor"]
+            yield out[[f.name for f in EVENT_SCHEMA.fields]]
+
+
 def read_flo_segments(spark: SparkSession, path: str) -> DataFrame:
     """Scan a directory of native flo segment files into the canonical
     event schema.  One Spark task per segment file (``binaryFile``
@@ -251,29 +277,56 @@ def read_flo_segments(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
     )
+    return raw.mapInPandas(_decode_content, schema=EVENT_SCHEMA)
 
-    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob in pdf["content"]:
-                rows = list(decode_segment(bytes(blob)))
-                if not rows:
-                    continue
-                out = pd.DataFrame(
-                    rows,
-                    columns=[
-                        "event_counter",
-                        "actor",
-                        "parent_counter",
-                        "parent_actor",
-                        "ts_millis",
-                        "namespace",
-                        "data",
-                    ],
-                )
-                out["timestamp"] = _EPOCH + pd.to_timedelta(
-                    out.pop("ts_millis"), unit="ms"
-                )
-                out["partition"] = out["actor"]
-                yield out[[f.name for f in EVENT_SCHEMA.fields]]
 
-    return raw.mapInPandas(_decode, schema=EVENT_SCHEMA)
+def tail_flo_segments(
+    spark: SparkSession,
+    path: str,
+    namespace: str | None = None,
+    version_vector=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consume DIRECTLY over a flo server's native segment
+    directory — point this at a live flo data dir and tail it: the
+    file-stream source picks up each segment as the server rotates to
+    the next one, the codec decodes it, and the standard consume
+    filters (namespace glob, version-vector cursor) apply on top.
+    Pair with ``run_to_memory`` / ``consume_tail_ordered``'s sinks
+    exactly like the parquet-backed ``consume_stream``.
+
+    Delivery granularity is one segment file per source "file" —
+    flo's own rotation unit — so ``max_files_per_trigger`` is the
+    credit-flow analog at segment granularity (A8)."""
+    from flo_spark.operators.consume import (
+        namespace_filter,
+        version_vector_filter,
+    )
+
+    # binaryFile's schema is fixed by the format; streaming sources
+    # must state it explicitly (no inference on readStream)
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.events")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path).select("content").mapInPandas(
+        _decode_content, schema=EVENT_SCHEMA
+    )
+    if version_vector is not None:
+        df = df.filter(version_vector_filter(version_vector))
+    ns = namespace_filter(namespace)
+    if ns is not None:
+        df = df.filter(ns)
+    return df

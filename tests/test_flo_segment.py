@@ -146,3 +146,45 @@ def test_read_one_task_per_segment(spark, tmp_path):
     n_files = sum(len(fs) for _, _, fs in os.walk(path) if fs)
     assert n_files == 3
     assert read_flo_segments(spark, path).rdd.getNumPartitions() >= 1
+
+
+def test_tail_native_segments_drain_and_filters(spark, tmp_path):
+    """Streaming tail over a native segment dir: drain everything with
+    AvailableNow, with glob + version-vector filters applied."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    rows = [
+        (
+            c,
+            p,
+            None,
+            None,
+            datetime(2021, 6, 1, tzinfo=UTC),
+            f"/app/{'a' if c % 2 else 'b'}/{c}",
+            b"",
+            p,
+        )
+        for p in (1, 2)
+        for c in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "native")
+    write_flo_segments(df, path, max_events_per_segment=8)
+
+    from flo_spark.sources.flo_segment import tail_flo_segments
+
+    tailed = tail_flo_segments(
+        spark, path, namespace="/app/a/*", version_vector={1: 5, 2: 10}
+    )
+    got = run_to_memory(tailed, await_new=False)
+    out = sorted(
+        (r.actor, r.event_counter) for r in got.collect()
+    )
+    want = sorted(
+        (p, c)
+        for p in (1, 2)
+        for c in range(1, 21)
+        if c % 2 and ((p == 1 and c > 5) or (p == 2 and c > 10))
+    )
+    assert out == want
