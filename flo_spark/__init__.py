@@ -24,6 +24,11 @@ from flo_spark.schema import EVENT_SCHEMA
 from flo_spark.functions.glob import GlobError, glob_to_regex, namespace_matches
 from flo_spark.session import get_spark
 from flo_spark.sources.event_table import EventStream, StreamRegistry
+from flo_spark.sources.flo_segment import (
+    read_flo_segments,
+    tail_flo_segments,
+    write_flo_segments,
+)
 from flo_spark.version_vector import EventId, VersionVector
 
 __all__ = [
@@ -36,6 +41,9 @@ __all__ = [
     "get_spark",
     "glob_to_regex",
     "namespace_matches",
+    "read_flo_segments",
+    "tail_flo_segments",
+    "write_flo_segments",
 ]
 
 __version__ = "0.1.0"

@@ -236,30 +236,46 @@ def write_flo_segments(
     return report
 
 
+#: events per decoded Arrow batch — caps decode memory at
+#: O(chunk x avg event size) on top of the (bounded, <= 1 GiB) blob
+#: itself, instead of materializing a whole segment's rows at once
+DECODE_CHUNK_EVENTS = 65_536
+
+
+def _rows_to_frame(rows: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "event_counter",
+            "actor",
+            "parent_counter",
+            "parent_actor",
+            "ts_millis",
+            "namespace",
+            "data",
+        ],
+    )
+    out["timestamp"] = _EPOCH + pd.to_timedelta(
+        out.pop("ts_millis"), unit="ms"
+    )
+    out["partition"] = out["actor"]
+    return out[[f.name for f in EVENT_SCHEMA.fields]]
+
+
 def _decode_content(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: binaryFile ``content`` column -> event rows."""
+    """mapInPandas body: binaryFile ``content`` column -> event rows,
+    yielded in bounded chunks (the decoder is a generator, so rows
+    stream out of the blob without an all-rows materialization)."""
     for pdf in batches:
         for blob in pdf["content"]:
-            rows = list(decode_segment(bytes(blob)))
-            if not rows:
-                continue
-            out = pd.DataFrame(
-                rows,
-                columns=[
-                    "event_counter",
-                    "actor",
-                    "parent_counter",
-                    "parent_actor",
-                    "ts_millis",
-                    "namespace",
-                    "data",
-                ],
-            )
-            out["timestamp"] = _EPOCH + pd.to_timedelta(
-                out.pop("ts_millis"), unit="ms"
-            )
-            out["partition"] = out["actor"]
-            yield out[[f.name for f in EVENT_SCHEMA.fields]]
+            rows: list[tuple] = []
+            for ev in decode_segment(bytes(blob)):
+                rows.append(ev)
+                if len(rows) >= DECODE_CHUNK_EVENTS:
+                    yield _rows_to_frame(rows)
+                    rows = []
+            if rows:
+                yield _rows_to_frame(rows)
 
 
 def read_flo_segments(spark: SparkSession, path: str) -> DataFrame:
