@@ -337,3 +337,28 @@ def test_dedup_keep_best_single_exchange(spark, sf_dir):
     # shuffle, no join, no second exchange for the count
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_global_shuffle_shard_single_exchange_pruned_scan(spark, sf_dir):
+    """The corpus shuffle must be ONE hash exchange (shard bucketing +
+    in-shard sort), never a global range sort, and the scan reads only
+    doc_id."""
+    df = Q.REGISTRY["global_shuffle_shard"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert scan_columns(df) == [{"doc_id"}]
+
+
+def test_duplicate_ngram_rate_hash_keyed_no_cartesian(spark, sf_dir):
+    """Corpus-wide trigram shuffles move xxhash64 keys, and the
+    doc<->dup join is an equi-join (no cartesian)."""
+    df = Q.REGISTRY["duplicate_ngram_rate"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert_no_cartesian(df)
+    assert "xxhash64" in plan, plan
+    # every non-broadcast exchange is keyed on the hash or doc_id,
+    # never on a raw trigram string column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        key = m.group(1)
+        assert "h#" in key or "doc_id" in key, key
