@@ -277,6 +277,57 @@ class EventStream:
         n = sum(hi - lo + 1 for lo, hi in ranges.values())
         return ProduceAck(n, ranges)
 
+    # -- native-format migration ---------------------------------------
+    def import_native(self, native_path: str) -> int:
+        """Migrate a flo server's native ``.events`` data dir into this
+        parquet-backed stream, preserving ids, timestamps, namespaces,
+        payloads and parent lineage byte-for-byte — the on-ramp for a
+        reference user switching engines (`EventStream.create()` +
+        ``import_native(server_data_dir)`` and every consume works).
+
+        Unlike :meth:`produce`, nothing is re-assigned: the imported
+        counters ARE the stream's counters, so the stream must be empty
+        (preserved ids cannot safely interleave with assigned ones).
+        Returns the number of events imported."""
+        from flo_spark.sources.flo_segment import read_flo_segments
+
+        if self._has_data():
+            raise ValueError(
+                "import_native requires an empty stream: imported ids are "
+                "preserved verbatim and cannot interleave with assigned ones"
+            )
+        df = read_flo_segments(self.spark, native_path)
+        out = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
+        )
+        partition_cols = ["partition"]
+        if self.options.get("namespace_partitioning"):
+            out = out.withColumn("ns0", _ns0_expr())
+            partition_cols.append("ns0")
+        (
+            out.write.mode("append")
+            .option("maxRecordsPerFile", self.options["segment_max_records"])
+            .partitionBy(*partition_cols)
+            .parquet(self.path)
+        )
+        return self.events().count()
+
+    def export_native(self, path: str, max_events_per_segment: int | None = None):
+        """Write this stream out as native flo ``.events`` segment
+        files (the off-ramp / interop sink; segment sizing defaults to
+        the stream's own rotation setting).  Returns the per-segment
+        write report DataFrame."""
+        from flo_spark.sources.flo_segment import write_flo_segments
+
+        return write_flo_segments(
+            self.events(),
+            path,
+            max_events_per_segment
+            or self.options.get(
+                "segment_max_records", DEFAULT_SEGMENT_MAX_RECORDS
+            ),
+        )
+
     # -- query ---------------------------------------------------------
     def consume(
         self,

@@ -73,6 +73,10 @@ def encode_event(
     write_event_unchecked).  A null parent is written as the zero id —
     the reference writes ``parent_id().unwrap_or(zero)`` and reads
     counter==0 back as None regardless of the actor half."""
+    if "\n" in namespace:
+        # the reference forbids newlines in namespaces (the wire and
+        # CLI treat \n as a terminator) — flo-event/src/lib.rs:197-200
+        raise ValueError("namespace must not contain a newline")
     ns = namespace.encode("utf-8")
     payload = data if data is not None else b""
     total = EVENT_FIXED_LEN + len(ns) + len(payload)

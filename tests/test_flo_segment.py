@@ -188,3 +188,59 @@ def test_tail_native_segments_drain_and_filters(spark, tmp_path):
         if c % 2 and ((p == 1 and c > 5) or (p == 2 and c > 10))
     )
     assert out == want
+
+
+def test_namespace_newline_rejected():
+    with pytest.raises(ValueError, match="newline"):
+        encode_event(1, 1, None, None, 0, "/a\n/b", b"")
+
+
+def test_import_export_native_migration(spark, tmp_path):
+    """The reference-user migration story: a flo server's native data
+    dir imports into a parquet EventStream with ids/lineage preserved
+    verbatim, consume works on it, and export_native round-trips the
+    stream back out byte-semantically."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.sources.flo_segment import read_flo_segments
+
+    rows = [
+        (
+            c,
+            p,
+            c - 1 if c % 4 == 0 else None,
+            p if c % 4 == 0 else None,
+            datetime(2022, 3, 1, 12, 0, c % 60, tzinfo=UTC),
+            f"/srv/{'x' if c % 2 else 'y'}",
+            bytes([p, c % 256]),
+            p,
+        )
+        for p in (1, 2)
+        for c in range(1, 26)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    native = str(tmp_path / "server_data")
+    write_flo_segments(df, native, max_events_per_segment=10)
+
+    s = EventStream.create(spark, str(tmp_path / "stream"), num_partitions=2)
+    assert s.import_native(native) == 50
+    # ids preserved verbatim -> head is the max imported counter
+    assert s.head() == {1: 25, 2: 25}
+    got = s.consume(namespace="/srv/x", version_vector={1: 20, 2: 23})
+    assert sorted((r.actor, r.event_counter) for r in got.collect()) == [
+        (1, 21),
+        (1, 23),
+        (1, 25),
+        (2, 25),
+    ]
+    # a second import must refuse (preserved ids can't interleave)
+    with pytest.raises(ValueError, match="empty stream"):
+        s.import_native(native)
+
+    out = str(tmp_path / "exported")
+    s.export_native(out, max_events_per_segment=10)
+    back = read_flo_segments(spark, out)
+    cols = [f.name for f in EVENT_SCHEMA.fields]
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, df.select(cols).collect())
+    )
