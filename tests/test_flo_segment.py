@@ -244,3 +244,41 @@ def test_import_export_native_migration(spark, tmp_path):
     assert sorted(map(tuple, back.select(cols).collect())) == sorted(
         map(tuple, df.select(cols).collect())
     )
+
+
+# -- property: encode/decode identity over the whole value domain ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ns = st.text(
+    alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+    max_size=64,
+)
+_event = st.tuples(
+    st.integers(min_value=1, max_value=2**63 - 1),   # counter
+    st.integers(min_value=0, max_value=2**16 - 1),   # actor (u16)
+    st.one_of(st.none(), st.integers(min_value=1, max_value=2**63 - 1)),
+    st.integers(min_value=0, max_value=2**16 - 1),   # parent actor
+    st.integers(min_value=0, max_value=2**53),       # ts millis
+    _ns,
+    st.one_of(st.none(), st.binary(max_size=200)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_event, max_size=20), st.integers(0, 4096))
+def test_property_roundtrip(evs, pad):
+    """encode -> decode is the identity for arbitrary valid events
+    (unicode namespaces, u16 actor bounds, u64-range counters, null
+    parents/payloads), under any zero-padding tail."""
+    norm = [
+        (c, a, pc, pa if pc else None, ts, ns, d if d is not None else b"")
+        for (c, a, pc, pa, ts, ns, d) in evs
+    ]
+    seg = encode_segment(iter(norm), 0, 0) + b"\x00" * pad
+    got = list(decode_segment(seg))
+    want = [
+        (c, a, pc, pa if pc else None, ts, ns, d)
+        for (c, a, pc, pa, ts, ns, d) in norm
+    ]
+    assert got == want
