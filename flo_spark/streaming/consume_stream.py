@@ -217,6 +217,7 @@ def consume_tail_ordered(
     checkpoint_dir: str | None = None,
     resume_trim: Mapping[int, int] | None = None,
     sink=None,
+    source: str = "parquet",
 ) -> TailConsumer:
     """Tail consume with flo's delivery order: within every
     micro-batch, events arrive k-way-merged by ``(event_counter,
@@ -251,16 +252,44 @@ def consume_tail_ordered(
 
     ``sink`` (tests/fault-injection): replaces the per-batch delivery
     callback; receives (rows, epoch_id) AFTER the ordered collect and
-    may raise to simulate a consumer crash mid-epoch."""
-    df = consume_stream(
-        spark,
-        stream_path,
-        namespace=namespace,
-        version_vector=version_vector,
-        max_files_per_trigger=max_files_per_trigger,
-        batch_size=batch_size,
-        resume_trim=resume_trim,
-    )
+    may raise to simulate a consumer crash mid-epoch.
+
+    ``source="native"`` tails a flo server's native ``.events``
+    directory through the binary codec instead of a parquet
+    EventStream — same ordering, cursor, checkpoint and resume-trim
+    semantics on top.  ``batch_size`` is parquet-only (the credit
+    mapping needs the stream's segment_max_records option); use
+    ``max_files_per_trigger`` for segment-granular credit on native
+    dirs."""
+    if source == "native":
+        if batch_size is not None:
+            raise ValueError(
+                "batch_size is parquet-only; use max_files_per_trigger "
+                "for native segment dirs"
+            )
+        from flo_spark.sources.flo_segment import tail_flo_segments
+
+        df = tail_flo_segments(
+            spark,
+            stream_path,
+            namespace=namespace,
+            version_vector=version_vector,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        if resume_trim is not None:
+            df = df.filter(resume_trim_filter(resume_trim))
+    elif source == "parquet":
+        df = consume_stream(
+            spark,
+            stream_path,
+            namespace=namespace,
+            version_vector=version_vector,
+            max_files_per_trigger=max_files_per_trigger,
+            batch_size=batch_size,
+            resume_trim=resume_trim,
+        )
+    else:
+        raise ValueError(f"unknown source: {source!r}")
     delivered: list = []
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:

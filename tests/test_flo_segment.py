@@ -282,3 +282,43 @@ def test_property_roundtrip(evs, pad):
         for (c, a, pc, pa, ts, ns, d) in norm
     ]
     assert got == want
+
+
+def test_one_mib_payload_native_roundtrip():
+    """1 MiB event through the binary codec (the
+    sync_client_tests.rs:84-100 large-event analog, native format)."""
+    payload = bytes(range(256)) * 4096  # 1 MiB
+    seg = encode_segment(
+        iter([(1, 1, None, None, 42, "/big", payload)]), 42, 42
+    )
+    (ev,) = decode_segment(seg)
+    assert ev[6] == payload and len(ev[6]) == 1 << 20
+
+
+def test_ordered_tail_over_native_dir(spark, tmp_path):
+    """consume_tail_ordered(source='native'): each delivered batch is
+    (counter, actor)-merged across partitions of a native flo dir."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.streaming.consume_stream import consume_tail_ordered
+
+    rows = [
+        (c, p, None, None, datetime(2023, 1, 1, tzinfo=UTC), "/m", b"", p)
+        for p in (1, 2, 3)
+        for c in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "native")
+    write_flo_segments(df, path, max_events_per_segment=100)
+
+    consumer = consume_tail_ordered(
+        spark, path, await_new=False, source="native"
+    )
+    got = [
+        (r.event_counter, r.actor)
+        for batch in consumer.batches()
+        for r in batch
+    ]
+    assert got == sorted(got)
+    assert len(got) == 30
+    with pytest.raises(ValueError, match="parquet-only"):
+        consume_tail_ordered(spark, path, source="native", batch_size=5)
