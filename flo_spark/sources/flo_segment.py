@@ -59,6 +59,10 @@ EVENT_FIXED_LEN = 48
 
 _EPOCH = pd.Timestamp("1970-01-01")
 
+#: the fixed 44-byte prefix (total_len .. ns_len) as one precompiled
+#: Struct — pack/unpack of the whole envelope head in a single call
+_FIXED = struct.Struct(">I8sHQHQQI")
+
 
 def encode_event(
     event_counter: int,
@@ -80,23 +84,17 @@ def encode_event(
     ns = namespace.encode("utf-8")
     payload = data if data is not None else b""
     total = EVENT_FIXED_LEN + len(ns) + len(payload)
-    return b"".join(
-        (
-            struct.pack(">I", total),
-            MARKER,
-            struct.pack(">HQ", actor, event_counter),
-            struct.pack(
-                ">HQ",
-                (parent_actor or 0) if parent_counter else 0,
-                parent_counter or 0,
-            ),
-            struct.pack(">Q", ts_millis),
-            struct.pack(">I", len(ns)),
-            ns,
-            struct.pack(">I", len(payload)),
-            payload,
-        )
+    head = _FIXED.pack(
+        total,
+        MARKER,
+        actor,
+        event_counter,
+        (parent_actor or 0) if parent_counter else 0,
+        parent_counter or 0,
+        ts_millis,
+        len(ns),
     )
+    return b"".join((head, ns, struct.pack(">I", len(payload)), payload))
 
 
 def encode_segment(
@@ -132,15 +130,20 @@ def decode_segment(buf: bytes) -> Iterator[tuple]:
     pos = HEADER_LEN
     n = len(buf)
     while pos + EVENT_FIXED_LEN <= n:
-        total_len, marker = struct.unpack_from(">I8s", buf, pos)
+        (
+            total_len,
+            marker,
+            actor,
+            counter,
+            p_actor,
+            p_counter,
+            ts_millis,
+            ns_len,
+        ) = _FIXED.unpack_from(buf, pos)
         if marker != MARKER:
             if total_len == 0 and marker == b"\x00" * 8:
                 return  # zero-filled tail of a pre-allocated segment
             raise ValueError(f"invalid marker bytes at offset {pos}")
-        actor, counter = struct.unpack_from(">HQ", buf, pos + 12)
-        p_actor, p_counter = struct.unpack_from(">HQ", buf, pos + 22)
-        (ts_millis,) = struct.unpack_from(">Q", buf, pos + 32)
-        (ns_len,) = struct.unpack_from(">I", buf, pos + 40)
         if pos + EVENT_FIXED_LEN + ns_len > n:
             raise ValueError(f"namespace length too large at offset {pos}")
         ns_start = pos + 44
