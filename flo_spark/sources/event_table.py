@@ -296,7 +296,16 @@ class EventStream:
                 "import_native requires an empty stream: imported ids are "
                 "preserved verbatim and cannot interleave with assigned ones"
             )
-        df = read_flo_segments(self.spark, native_path)
+        self.append_verbatim(read_flo_segments(self.spark, native_path))
+        return self.events().count()
+
+    def append_verbatim(self, df: DataFrame) -> None:
+        """Append EVENT_SCHEMA rows AS-IS — ids, timestamps and lineage
+        preserved, no reservation off the stream head.  The storage
+        layer under :meth:`import_native` and the native-dir replicator
+        (``produce_stream.replicate_native``); any other writer of a
+        stream that receives verbatim appends risks interleaving
+        preserved counters with assigned ones."""
         out = df.select(
             *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
         )
@@ -310,7 +319,6 @@ class EventStream:
             .partitionBy(*partition_cols)
             .parquet(self.path)
         )
-        return self.events().count()
 
     def export_native(self, path: str, max_events_per_segment: int | None = None):
         """Write this stream out as native flo ``.events`` segment

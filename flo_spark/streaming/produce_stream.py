@@ -56,3 +56,43 @@ def produce_stream(
             query.stop()
         return query
     return writer.start()
+
+
+def replicate_native(
+    stream: EventStream,
+    native_path: str,
+    checkpoint_dir: str | None = None,
+    await_completion: bool = True,
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Live replication of a flo server's native ``.events`` data dir
+    into a parquet EventStream — the CONTINUOUS form of
+    ``EventStream.import_native``: run the reference server and this
+    engine side by side, and every segment the server rotates out
+    lands here as one micro-batch, appended verbatim (ids, timestamps
+    and lineage preserved — no re-assignment, unlike
+    :func:`produce_stream`).
+
+    The target stream must be written ONLY by this replicator:
+    preserved counters cannot interleave with produced ones.  With
+    ``checkpoint_dir`` the source's file log records which segments
+    replicated, so restarts resume at the un-replicated tail
+    (segment-granular, same cursor semantics as the consume side).
+    """
+    from flo_spark.sources.flo_segment import tail_flo_segments
+
+    source = tail_flo_segments(stream.spark, native_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        stream.append_verbatim(batch_df)
+
+    writer = source.writeStream.foreachBatch(_sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if await_completion:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination(timeout_sec)
+        if query.isActive:
+            query.stop()
+        return query
+    return writer.start()

@@ -322,3 +322,43 @@ def test_ordered_tail_over_native_dir(spark, tmp_path):
     assert len(got) == 30
     with pytest.raises(ValueError, match="parquet-only"):
         consume_tail_ordered(spark, path, source="native", batch_size=5)
+
+
+def test_replicate_native_live_migration(spark, tmp_path):
+    """Continuous replication: segments written to a 'server' dir land
+    in the parquet EventStream with ids preserved; a second drain with
+    the same checkpoint replicates only the new segments (no dupes)."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.streaming.produce_stream import replicate_native
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (c, 1, None, None, datetime(2024, 1, 1, tzinfo=UTC), "/r", b"", 1)
+                for c in range(lo, hi)
+            ],
+            EVENT_SCHEMA,
+        )
+
+    server = str(tmp_path / "server")
+    write_flo_segments(mk(1, 21), server, max_events_per_segment=10)
+
+    s = EventStream.create(spark, str(tmp_path / "replica"), num_partitions=1)
+    ckpt = str(tmp_path / "ckpt")
+    replicate_native(s, server, checkpoint_dir=ckpt)
+    assert s.head() == {1: 20}
+
+    # server rotates two more segments; resume replicates only those
+    import shutil
+
+    more = str(tmp_path / "more")
+    write_flo_segments(mk(21, 41), more, max_events_per_segment=10)
+    for f in sorted(os.listdir(os.path.join(more, "partition=1"))):
+        shutil.copy(
+            os.path.join(more, "partition=1", f),
+            os.path.join(server, "partition=1", f"x{f}"),
+        )
+    replicate_native(s, server, checkpoint_dir=ckpt)
+    assert s.head() == {1: 40}
+    assert s.consume().count() == 40  # no duplicates
