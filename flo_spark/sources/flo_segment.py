@@ -184,24 +184,58 @@ def write_flo_segments(
     ``<path>/partition=<p>/<n>.events``, ``n`` 1-based in id order
     (flo names segments the same way, partition/mod.rs:48-53).
 
-    Distributed: one shuffle to bucket rows into (partition, segment)
-    groups — the same single shuffle the produce path already pays for
-    id assignment — then one write task per segment.  Header times are
-    the segment's min/max event time (content-derived for determinism;
-    the reference stamps wall-clock create time + rotation deadline,
-    which a converter cannot reproduce).
+    Distributed, with NO whole-partition task: the id-order rank that
+    decides segment membership is computed as range-partitioned local
+    row_numbers plus a prefix-sum offset per (partition, range-bucket)
+    — the offsets job collects O(shuffle partitions) rows, the same
+    broadcast-offsets trick as ``operators.produce.assign_event_ids``
+    — so a flo partition of any size spreads across the full cluster
+    instead of sorting inside one window task.  The ranged frame is
+    persisted so the counts job and the write job see ONE
+    materialization (range boundaries are sampled; recomputation could
+    re-draw them).  Header times are the segment's min/max event time
+    (content-derived for determinism; the reference stamps wall-clock
+    create time + rotation deadline, which a converter cannot
+    reproduce).
 
     Returns the per-segment write report (materialized eagerly so the
     write happens now, like ``DataFrame.write``).
     """
-    rn = F.row_number().over(
-        Window.partitionBy("partition").orderBy(*ID_ORDER)
+    spark = df.sparkSession
+    nbuckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(nbuckets, "partition", *ID_ORDER)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()
     )
-    bucketed = df.withColumn(
-        "segment_num",
-        ((rn - F.lit(1)) / F.lit(max_events_per_segment))
-        .cast("int")
-        + F.lit(1),
+    from collections import defaultdict
+
+    per_part: dict[int, list] = defaultdict(list)
+    for r in ranged.groupBy("partition", "_bucket").count().collect():
+        per_part[r["partition"]].append((r["_bucket"], r["count"]))
+    offs = []
+    for part, lst in per_part.items():
+        acc = 0
+        # range-bucket ids ascend with the (partition, counter, actor)
+        # sort order, so cumulating in bucket order is the global rank
+        for b, cnt in sorted(lst):
+            offs.append((int(part), int(b), acc))
+            acc += int(cnt)
+    offsets_df = spark.createDataFrame(
+        offs or [], "partition int, _bucket int, _off long"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("partition", "_bucket").orderBy(*ID_ORDER)
+    )
+    bucketed = (
+        ranged.join(F.broadcast(offsets_df), ["partition", "_bucket"])
+        .withColumn(
+            "segment_num",
+            ((rn - F.lit(1) + F.col("_off")) / F.lit(max_events_per_segment))
+            .cast("int")
+            + F.lit(1),
+        )
+        .drop("_bucket", "_off")
     )
 
     def _write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -234,12 +268,15 @@ def write_flo_segments(
             }
         )
 
-    report = (
-        bucketed.groupBy("partition", "segment_num")
-        .applyInPandas(_write, schema=_WRITE_REPORT_SCHEMA)
-        .cache()
-    )
-    report.count()  # force the write
+    try:
+        report = (
+            bucketed.groupBy("partition", "segment_num")
+            .applyInPandas(_write, schema=_WRITE_REPORT_SCHEMA)
+            .cache()
+        )
+        report.count()  # force the write
+    finally:
+        ranged.unpersist()
     return report
 
 

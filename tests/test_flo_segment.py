@@ -362,3 +362,36 @@ def test_replicate_native_live_migration(spark, tmp_path):
     replicate_native(s, server, checkpoint_dir=ckpt)
     assert s.head() == {1: 40}
     assert s.consume().count() == 40  # no duplicates
+
+
+def test_segment_rank_correct_across_range_buckets(spark, tmp_path):
+    """The distributed rank (range buckets + prefix-sum offsets) must
+    reproduce exact per-partition id order: with many more rows than
+    range buckets, every segment holds exactly max_events consecutive
+    ids and the global read-back is the identity."""
+    from flo_spark.schema import EVENT_SCHEMA
+
+    # counters deliberately sparse/non-contiguous per partition
+    rows = [
+        (c * 7 + p, p, None, None, datetime(2020, 5, 1, tzinfo=UTC), "/r", b"", p)
+        for p in (1, 2)
+        for c in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    path = str(tmp_path / "native")
+    report = write_flo_segments(df, path, max_events_per_segment=25)
+    # 200 events / 25 = 8 segments per partition, all full
+    got = {
+        (r.partition, r.segment_num): r.n_events for r in report.collect()
+    }
+    assert got == {(p, s): 25 for p in (1, 2) for s in range(1, 9)}
+    # segment s must hold exactly the s-th 25-chunk of sorted counters
+    for p in (1, 2):
+        want = sorted(c * 7 + p for c in range(1, 201))
+        for s in range(1, 9):
+            seg_counters = sorted(
+                ev[0]
+                for f in [str(tmp_path / "native" / f"partition={p}" / f"{s}.events")]
+                for ev in decode_segment(open(f, "rb").read())
+            )
+            assert seg_counters == want[(s - 1) * 25 : s * 25]
