@@ -3311,7 +3311,12 @@ def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     .sortWithinPartitions("skey").write.partitionBy("shard")``.  The
     window here computes the same per-shard positions declaratively
     (one shuffle on shard, in-partition sort, zero exchange after),
-    and the hash is pure arithmetic so it pushes into the scan."""
+    and the hash is pure arithmetic so it pushes into the scan.
+    Sizing contract: one shard = one task, so N is chosen to make a
+    shard loader-sized (~1 GB) — at 100 TB that means tens of
+    thousands of shards, keeping every sort task bounded by the shard
+    size the data loader wants anyway (64 here only fits the test
+    corpus)."""
     d = load(spark, sf_dir, "documents")
     skey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
     shd = (skey % 64).cast("int")
