@@ -1,0 +1,157 @@
+"""flo-client-cli analog — the reference's command-line surface over
+the embedded engine (reference: flo-client-cli/src/main.rs:40-114
+argument grammar; client_cli/producer.rs:22-43 produce loop;
+client_cli/consumer.rs:25-72 consume loop + event print format).
+
+``--host/--port`` become ``--stream-dir``: the SparkSession IS the
+embedded server (SURVEY §2 A20/A21), so the CLI talks to a stream
+directory instead of a TCP endpoint.  Everything else mirrors the
+reference:
+
+- ``produce -n NS [-p P] [-d DATA]... [--parent-id C.A]`` appends one
+  event per ``-d`` body, prints each assigned id (``counter.actor``
+  display form, flo-event/src/lib.rs:73-77) then a summary line.
+- ``consume -n GLOB [-s C.A] [-l N] [-b N] [--await]`` prints events
+  in the reference's block format (``EventId:``/``Namespace:``/
+  ``Timestamp:``/``Body:``, lossy-utf8 body = LossyStringCodec).
+  ``--start-position`` sets a single-entry version vector, which —
+  exactly like the reference (consumer.rs:34-38 + server
+  consumer/mod.rs:91-107) — consumes ONLY that partition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parse_event_id(s: str) -> tuple[int, int]:
+    """'counter.actor' display form -> (counter, actor)."""
+    try:
+        counter, actor = s.split(".")
+        return int(counter), int(actor)
+    except ValueError:
+        raise SystemExit(f"invalid event id (want counter.actor): {s!r}")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flo_spark",
+        description="flo client CLI over the embedded Spark engine",
+    )
+    p.add_argument("--stream-dir", required=True, help="event stream directory")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("produce", help="produce events")
+    pr.add_argument("-n", "--namespace", required=True)
+    pr.add_argument("-p", "--partition", type=int, default=1)
+    pr.add_argument(
+        "-d",
+        "--data",
+        action="append",
+        default=[],
+        help="event body (repeatable; one event per flag)",
+    )
+    pr.add_argument("--parent-id", default=None, help="counter.actor")
+
+    co = sub.add_parser("consume", help="consume events")
+    co.add_argument("-n", "--namespace", default=None, help="namespace glob")
+    co.add_argument(
+        "-s", "--start-position", default=None,
+        help="counter.actor — consumes ONLY that partition, like the "
+        "reference's single-id start position",
+    )
+    co.add_argument("-l", "--limit", type=int, default=None)
+    co.add_argument("-b", "--batch-size", type=int, default=None)
+    co.add_argument(
+        "--await", dest="await_new", action="store_true",
+        help="tail: keep waiting for new events (stop with Ctrl-C)",
+    )
+    return p
+
+
+def _print_event(row, out) -> None:
+    # client_cli/consumer.rs:58-72 print_event, LossyStringCodec body
+    parent = (
+        f", Parent: {row.parent_counter}.{row.parent_actor}"
+        if row.parent_counter is not None
+        else ""
+    )
+    body = (bytes(row.data) if row.data is not None else b"").decode(
+        "utf-8", errors="replace"
+    )
+    out.write(
+        f"\nEventId: {row.event_counter}.{row.actor}{parent}\n"
+        f"Namespace: {row.namespace}\n"
+        f"Timestamp: {row.timestamp}\n"
+        f"Body: {body}\n"
+    )
+
+
+def main(argv: list[str] | None = None, spark=None, out=None) -> int:
+    args = _build_parser().parse_args(argv)
+    out = out or sys.stdout
+    if spark is None:
+        from flo_spark.session import get_spark
+
+        spark = get_spark("flo-client-cli")
+    from flo_spark.sources.event_table import EventStream
+
+    stream = EventStream(spark, args.stream_dir)
+
+    if args.command == "produce":
+        rows = [(args.namespace, d.encode("utf-8")) for d in args.data]
+        batch = spark.createDataFrame(
+            rows, "namespace string, data binary"
+        ).selectExpr(
+            "namespace", "data", f"CAST({args.partition} AS INT) AS partition"
+        )
+        if args.parent_id:
+            pc, pa = _parse_event_id(args.parent_id)
+            batch = batch.selectExpr(
+                "*",
+                f"CAST({pc} AS BIGINT) AS parent_counter",
+                f"CAST({pa} AS INT) AS parent_actor",
+            )
+        ack = stream.produce(batch)
+        lo, hi = ack.ranges[args.partition]
+        for counter in range(lo, hi + 1):
+            out.write(f"{counter}.{args.partition}\n")
+        out.write(
+            f"Successfully produced {int(ack)} events to {args.namespace}\n"
+        )
+        return 0
+
+    # consume
+    if args.start_position:
+        counter, actor = _parse_event_id(args.start_position)
+        vv = {actor: counter}
+    else:
+        vv = None
+    if args.await_new:
+        from flo_spark.streaming.consume_stream import consume_tail_ordered
+
+        consumer = consume_tail_ordered(
+            spark,
+            args.stream_dir,
+            namespace=args.namespace,
+            version_vector=vv,
+            batch_size=args.batch_size,
+            sink=lambda rows, _eid: [_print_event(r, out) for r in rows],
+        )
+        try:
+            consumer.query.awaitTermination()
+        except KeyboardInterrupt:
+            consumer.stop()
+        return 0
+    rows = stream.consume(
+        namespace=args.namespace, version_vector=vv, limit=args.limit
+    ).collect()
+    for r in rows:
+        _print_event(r, out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

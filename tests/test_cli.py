@@ -1,0 +1,81 @@
+"""flo-client-cli analog surface (flo_spark/cli.py) — argument grammar
+and print formats mirror flo-client-cli/src/main.rs:40-114 +
+client_cli/consumer.rs:58-72."""
+
+import io
+
+import pytest
+
+from flo_spark.cli import main
+from flo_spark.sources.event_table import EventStream
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    EventStream.create(spark, str(tmp_path / "s"), num_partitions=2)
+    return str(tmp_path / "s")
+
+
+def run(spark, *argv):
+    out = io.StringIO()
+    rc = main(list(argv), spark=spark, out=out)
+    assert rc == 0
+    return out.getvalue()
+
+
+def test_produce_prints_ids_and_summary(spark, stream_dir):
+    out = run(
+        spark, "--stream-dir", stream_dir, "produce",
+        "-n", "/orders/new", "-p", "2", "-d", "first", "-d", "second",
+    )
+    assert out.splitlines() == [
+        "1.2",
+        "2.2",
+        "Successfully produced 2 events to /orders/new",
+    ]
+
+
+def test_consume_block_format_and_parent(spark, stream_dir):
+    run(
+        spark, "--stream-dir", stream_dir, "produce",
+        "-n", "/a", "-p", "1", "-d", "root",
+    )
+    run(
+        spark, "--stream-dir", stream_dir, "produce",
+        "-n", "/a", "-p", "1", "-d", "child", "--parent-id", "1.1",
+    )
+    out = run(spark, "--stream-dir", stream_dir, "consume", "-n", "/a")
+    assert "EventId: 1.1\nNamespace: /a\n" in out
+    assert "EventId: 2.1, Parent: 1.1\n" in out
+    assert "Body: child\n" in out
+
+
+def test_consume_start_position_single_partition(spark, stream_dir):
+    """--start-position consumes ONLY that partition, like the
+    reference's single-id version vector (consumer.rs:34-38)."""
+    for p in ("1", "2"):
+        run(
+            spark, "--stream-dir", stream_dir, "produce",
+            "-n", "/x", "-p", p, "-d", "e1", "-d", "e2", "-d", "e3",
+        )
+    # stream-wide contiguous id assignment: partition 1 got 1-3,
+    # partition 2 got 4-6 (flo reserves counters off one stream head)
+    out = run(
+        spark, "--stream-dir", stream_dir, "consume",
+        "-n", "/x", "-s", "4.2", "-l", "10",
+    )
+    ids = [
+        line.split()[1]
+        for line in out.splitlines()
+        if line.startswith("EventId:")
+    ]
+    assert ids == ["5.2", "6.2"]  # partition 2 only, after counter 4
+
+
+def test_bad_event_id_exits(spark, stream_dir):
+    with pytest.raises(SystemExit, match="invalid event id"):
+        main(
+            ["--stream-dir", stream_dir, "consume", "-s", "nope"],
+            spark=spark,
+            out=io.StringIO(),
+        )
