@@ -68,6 +68,21 @@ def _build_parser() -> argparse.ArgumentParser:
         "--await", dest="await_new", action="store_true",
         help="tail: keep waiting for new events (stop with Ctrl-C)",
     )
+
+    be = sub.add_parser(
+        "bench-produce",
+        help="produce throughput benchmark (flo-bench-cli analog)",
+    )
+    be.add_argument(
+        "--size", type=int, default=1024, help="event body bytes"
+    )
+    be.add_argument("-w", "--windows", type=int, default=10)
+    be.add_argument("-s", "--seconds", type=float, default=10.0)
+    be.add_argument(
+        "--events-per-batch", type=int, default=1000,
+        help="batch granularity (the engine acks per produce batch, "
+        "not per event)",
+    )
     return p
 
 
@@ -123,6 +138,9 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         )
         return 0
 
+    if args.command == "bench-produce":
+        return _bench_produce(spark, stream, args, out)
+
     # consume
     if args.start_position:
         counter, actor = _parse_event_id(args.start_position)
@@ -150,6 +168,49 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     ).collect()
     for r in rows:
         _print_event(r, out)
+    return 0
+
+
+def _bench_produce(spark, stream, args, out) -> int:
+    """flo-bench-cli's single benchmark, re-based on batch produce
+    (reference: flo-bench-cli/src/main.rs:79-143 — N windows x S
+    seconds, iterations/sec per window + latency percentiles;
+    benches/producer.rs:37-70 drives one sync producer with
+    ack-per-event).  The engine acks per BATCH (one contiguous id
+    range reservation), so the unit here is a produce-batch call;
+    events/s = batch events x calls/s.  Windowed reporting and the
+    p50/p90/p999/max latency summary match the reference's output
+    shape."""
+    import time
+
+    body = (b"x" * args.size).decode()
+    rows = [("/bench", body.encode("utf-8"))] * args.events_per_batch
+    batch = spark.createDataFrame(rows, "namespace string, data binary")
+    batch = batch.selectExpr("namespace", "data", "CAST(1 AS INT) AS partition")
+    stream.produce(batch)  # untimed warmup (plan + Python workers)
+    latencies: list[float] = []
+    total = 0
+    for w in range(1, args.windows + 1):
+        t_end = time.monotonic() + args.seconds
+        n = 0
+        while time.monotonic() < t_end:
+            t0 = time.monotonic()
+            stream.produce(batch)
+            latencies.append(time.monotonic() - t0)
+            n += args.events_per_batch
+        total += n
+        out.write(f"window {w}: {n / args.seconds:,.0f} events/sec\n")
+    lat = sorted(latencies)
+
+    def pct(p: float) -> float:
+        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1000
+
+    out.write(
+        f"total: {total} events in {args.windows * args.seconds:.0f}s "
+        f"({total / (args.windows * args.seconds):,.0f} events/sec)\n"
+        f"batch latency ms: p50={pct(0.5):.1f} p90={pct(0.9):.1f} "
+        f"p999={pct(0.999):.1f} max={lat[-1] * 1000:.1f}\n"
+    )
     return 0
 
 

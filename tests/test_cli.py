@@ -79,3 +79,15 @@ def test_bad_event_id_exits(spark, stream_dir):
             spark=spark,
             out=io.StringIO(),
         )
+
+
+def test_bench_produce_reports_windows_and_latency(spark, stream_dir):
+    out = run(
+        spark, "--stream-dir", stream_dir, "bench-produce",
+        "--size", "64", "-w", "2", "-s", "0.1", "--events-per-batch", "10",
+    )
+    lines = out.splitlines()
+    assert lines[0].startswith("window 1:") and "events/sec" in lines[0]
+    assert lines[1].startswith("window 2:")
+    assert lines[2].startswith("total:")
+    assert "p50=" in lines[3] and "max=" in lines[3]
