@@ -91,3 +91,20 @@ def test_bench_produce_reports_windows_and_latency(spark, stream_dir):
     assert lines[1].startswith("window 2:")
     assert lines[2].startswith("total:")
     assert "p50=" in lines[3] and "max=" in lines[3]
+
+
+def test_module_entrypoint_help():
+    """python -m flo_spark --help exercises the __main__ wiring without
+    starting a session (argparse exits before main's body runs)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "flo_spark", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "produce" in r.stdout and "consume" in r.stdout
