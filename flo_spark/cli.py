@@ -116,6 +116,16 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     stream = EventStream(spark, args.stream_dir)
 
     if args.command == "produce":
+        if not args.data:
+            raise SystemExit("produce requires at least one -d/--data body")
+        nparts = stream.options["num_partitions"]
+        if not 1 <= args.partition <= nparts:
+            # the reference server rejects out-of-range partitions; an
+            # unvalidated write here would land outside every default
+            # consume's version vector — a silent black hole
+            raise SystemExit(
+                f"partition {args.partition} out of range 1..{nparts}"
+            )
         rows = [(args.namespace, d.encode("utf-8")) for d in args.data]
         batch = spark.createDataFrame(
             rows, "namespace string, data binary"

@@ -347,13 +347,21 @@ def tail_flo_segments(
     version_vector=None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming consume DIRECTLY over a flo server's native segment
-    directory — point this at a live flo data dir and tail it: the
-    file-stream source picks up each segment as the server rotates to
-    the next one, the codec decodes it, and the standard consume
-    filters (namespace glob, version-vector cursor) apply on top.
-    Pair with ``run_to_memory`` / ``consume_tail_ordered``'s sinks
-    exactly like the parquet-backed ``consume_stream``.
+    """Streaming consume over a directory of IMMUTABLE native segment
+    files (an archive, an export, a stopped server's data dir) with
+    the standard consume filters (namespace glob, version-vector
+    cursor) on top.  Pair with ``run_to_memory`` /
+    ``consume_tail_ordered``'s sinks exactly like the parquet-backed
+    ``consume_stream``.
+
+    IMMUTABILITY CONTRACT: Spark's file-stream source reads each file
+    exactly once at listing time — a file that grows afterwards is
+    never re-read.  A LIVE flo server appends into its active
+    (highest-numbered) segment, so tailing a live dir through here
+    would silently capture only the active segment's
+    as-of-listing prefix.  For live dirs use
+    :class:`NativeDirTailer`, which delivers at sealed-segment
+    granularity (a rotated segment is never written again).
 
     Delivery granularity is one segment file per source "file" —
     flo's own rotation unit — so ``max_files_per_trigger`` is the
@@ -390,3 +398,132 @@ def tail_flo_segments(
     if ns is not None:
         df = df.filter(ns)
     return df
+
+
+class NativeDirTailer:
+    """LIVE tail of a flo server's data directory, at sealed-segment
+    granularity.
+
+    Spark's file-stream source assumes files are immutable once listed,
+    so :func:`tail_flo_segments` is correct only for archived segment
+    dirs; a live flo server keeps appending into the ACTIVE
+    (highest-numbered) segment after the source would have listed it,
+    and those later events would be silently lost.  This tailer closes
+    that gap the way flo's own storage rules allow: a rotated segment
+    is never written again (segment/mod.rs:65-74 — rotation moves the
+    writer to a new file), so every segment EXCEPT the
+    highest-numbered one per partition dir is sealed and safe to read
+    exactly once.  Each poll processes newly sealed segments through
+    the batch scan path, applies the consume filters, and hands the
+    (counter, actor)-ordered rows to ``callback``; the processed-file
+    set persists to ``checkpoint_file`` (written after the callback —
+    at-least-once on crash, exactly like the foreachBatch cursor).
+
+    ``stop(drain_active=True)`` reads the active segments too — correct
+    once the server has stopped or when a final snapshot is acceptable.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        callback,
+        namespace: str | None = None,
+        version_vector=None,
+        checkpoint_file: str | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.callback = callback
+        self.namespace = namespace
+        self.version_vector = version_vector
+        self.checkpoint_file = checkpoint_file
+        self._processed: set[str] = set()
+        self._thread = None
+        self._stop_evt = None
+        if checkpoint_file and os.path.exists(checkpoint_file):
+            import json
+
+            with open(checkpoint_file) as f:
+                self._processed = set(json.load(f))
+
+    def _segments(self) -> tuple[list[str], list[str]]:
+        """(sealed, active) segment file paths, active = max-numbered
+        per directory."""
+        by_dir: dict[str, list[tuple[int, str]]] = {}
+        for root, _dirs, files in os.walk(self.path):
+            for fname in files:
+                if not fname.endswith(".events"):
+                    continue
+                try:
+                    num = int(fname[: -len(".events")])
+                except ValueError:
+                    num = -1  # non-flo-named files sort first (sealed)
+                by_dir.setdefault(root, []).append(
+                    (num, os.path.join(root, fname))
+                )
+        sealed, active = [], []
+        for entries in by_dir.values():
+            entries.sort()
+            sealed.extend(p for _n, p in entries[:-1])
+            active.append(entries[-1][1])
+        return sealed, active
+
+    def poll_once(self, include_active: bool = False) -> int:
+        """Process newly sealed segments (plus active ones when
+        ``include_active``); returns the number of events delivered."""
+        from flo_spark.operators.consume import (
+            namespace_filter,
+            version_vector_filter,
+        )
+
+        sealed, active = self._segments()
+        todo = [p for p in sealed if p not in self._processed]
+        if include_active:
+            todo += [p for p in active if p not in self._processed]
+        if not todo:
+            return 0
+        df = (
+            self.spark.read.format("binaryFile")
+            .load(todo)
+            .select("content")
+            .mapInPandas(_decode_content, schema=EVENT_SCHEMA)
+        )
+        if self.version_vector is not None:
+            df = df.filter(version_vector_filter(self.version_vector))
+        ns = namespace_filter(self.namespace)
+        if ns is not None:
+            df = df.filter(ns)
+        rows = df.orderBy("event_counter", "actor").collect()
+        if rows:
+            self.callback(rows)
+        self._processed.update(todo)
+        if self.checkpoint_file:
+            import json
+
+            tmp = self.checkpoint_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(self._processed), f)
+            os.replace(tmp, self.checkpoint_file)
+        return len(rows)
+
+    def start(self, poll_interval: float = 1.0) -> "NativeDirTailer":
+        import threading
+
+        self._stop_evt = threading.Event()
+
+        def _loop():
+            while not self._stop_evt.is_set():
+                self.poll_once()
+                self._stop_evt.wait(poll_interval)
+
+        self._thread = threading.Thread(target=_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, drain_active: bool = False) -> None:
+        if self._stop_evt is not None:
+            self._stop_evt.set()
+            self._thread.join()
+        if drain_active:
+            self.poll_once(include_active=True)

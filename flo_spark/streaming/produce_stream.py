@@ -46,16 +46,38 @@ def produce_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         stream.produce(batch_df)
 
-    writer = source.writeStream.foreachBatch(_sink)
+    return _run_foreach_batch(
+        source, _sink, checkpoint_dir, await_completion, timeout_sec
+    )
+
+
+def _run_foreach_batch(
+    source: DataFrame,
+    per_batch,
+    checkpoint_dir: str | None,
+    await_completion: bool,
+    timeout_sec: int,
+) -> StreamingQuery:
+    """Shared foreachBatch runner.  An AvailableNow drain that does not
+    finish within ``timeout_sec`` RAISES (after stopping the query) —
+    a silently truncated drain is indistinguishable from a complete
+    one otherwise; with a checkpoint_dir the caller can simply re-run
+    to resume, without one the remainder would be lost."""
+    writer = source.writeStream.foreachBatch(per_batch)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    if await_completion:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_sec)
+    if not await_completion:
+        return writer.start()
+    query = writer.trigger(availableNow=True).start()
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
         if query.isActive:
             query.stop()
-        return query
-    return writer.start()
+        raise TimeoutError(
+            f"AvailableNow drain did not finish within {timeout_sec}s "
+            "(stopped; re-run with the same checkpoint_dir to resume)"
+        )
+    return query
 
 
 def replicate_native(
@@ -74,7 +96,13 @@ def replicate_native(
     :func:`produce_stream`).
 
     The target stream must be written ONLY by this replicator:
-    preserved counters cannot interleave with produced ones.  With
+    preserved counters cannot interleave with produced ones.  The
+    source dir is read through the file-stream source, so the
+    IMMUTABILITY CONTRACT of ``tail_flo_segments`` applies: replicate
+    an archive/stopped-server dir directly, or drive a live server's
+    dir through :class:`~flo_spark.sources.flo_segment.NativeDirTailer`
+    with ``stream.append_verbatim`` as the callback (sealed-segment
+    delivery, no partial-segment capture).  With
     ``checkpoint_dir`` the source's file log records which segments
     replicated, so restarts resume at the un-replicated tail
     (segment-granular, same cursor semantics as the consume side).
@@ -86,13 +114,6 @@ def replicate_native(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         stream.append_verbatim(batch_df)
 
-    writer = source.writeStream.foreachBatch(_sink)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if await_completion:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination(timeout_sec)
-        if query.isActive:
-            query.stop()
-        return query
-    return writer.start()
+    return _run_foreach_batch(
+        source, _sink, checkpoint_dir, await_completion, timeout_sec
+    )

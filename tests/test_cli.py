@@ -108,3 +108,19 @@ def test_module_entrypoint_help():
     )
     assert r.returncode == 0
     assert "produce" in r.stdout and "consume" in r.stdout
+
+
+def test_produce_requires_data_and_valid_partition(spark, stream_dir):
+    with pytest.raises(SystemExit, match="at least one -d"):
+        main(
+            ["--stream-dir", stream_dir, "produce", "-n", "/a"],
+            spark=spark,
+            out=io.StringIO(),
+        )
+    with pytest.raises(SystemExit, match="out of range 1..2"):
+        main(
+            ["--stream-dir", stream_dir, "produce", "-n", "/a",
+             "-p", "9", "-d", "x"],
+            spark=spark,
+            out=io.StringIO(),
+        )

@@ -395,3 +395,85 @@ def test_segment_rank_correct_across_range_buckets(spark, tmp_path):
                 for ev in decode_segment(open(f, "rb").read())
             )
             assert seg_counters == want[(s - 1) * 25 : s * 25]
+
+
+def test_native_dir_tailer_sealed_granularity(spark, tmp_path):
+    """The live-dir tailer must never capture a partial active segment:
+    an active segment that GROEW after a poll is delivered in full once
+    it rotates (the file-stream source would have lost the growth)."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.sources.flo_segment import NativeDirTailer
+
+    pdir = tmp_path / "live" / "partition=1"
+    pdir.mkdir(parents=True)
+
+    def seg(lo, hi):
+        return encode_segment(
+            iter(
+                (c, 1, None, None, 0, "/l", b"") for c in range(lo, hi)
+            ),
+            0,
+            0,
+        )
+
+    (pdir / "1.events").write_bytes(seg(1, 11))
+    (pdir / "2.events").write_bytes(seg(11, 16))  # active, half-written
+
+    got = []
+    ckpt = str(tmp_path / "tailer.json")
+    t = NativeDirTailer(
+        spark,
+        str(tmp_path / "live"),
+        callback=lambda rows: got.extend(r.event_counter for r in rows),
+        checkpoint_file=ckpt,
+    )
+    assert t.poll_once() == 10  # only the sealed segment
+    assert got == list(range(1, 11))
+
+    # the active segment grows — a file source would never see this
+    (pdir / "2.events").write_bytes(seg(11, 21))
+    assert t.poll_once() == 0  # still active, still not delivered
+    # server rotates: 2.events seals, delivered IN FULL
+    (pdir / "3.events").write_bytes(seg(21, 23))
+    assert t.poll_once() == 10
+    assert got == list(range(1, 21))
+    # stop + drain picks up the final active segment
+    t.stop(drain_active=True)
+    assert got == list(range(1, 23))
+
+    # a new tailer on the same checkpoint redelivers nothing
+    got2 = []
+    t2 = NativeDirTailer(
+        spark,
+        str(tmp_path / "live"),
+        callback=lambda rows: got2.extend(rows),
+        checkpoint_file=ckpt,
+    )
+    assert t2.poll_once(include_active=True) == 0
+    assert got2 == []
+
+
+def test_native_dir_tailer_thread_loop(spark, tmp_path):
+    """start()/stop() drive poll_once on a background thread."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.sources.flo_segment import NativeDirTailer
+
+    pdir = tmp_path / "live" / "partition=1"
+    pdir.mkdir(parents=True)
+    blob = encode_segment(
+        iter((c, 1, None, None, 0, "/t", b"") for c in (1, 2)), 0, 0
+    )
+    (pdir / "1.events").write_bytes(blob)
+    (pdir / "2.events").write_bytes(blob[:HEADER_LEN])  # empty active
+
+    import time
+
+    got = []
+    t = NativeDirTailer(
+        spark, str(tmp_path / "live"), callback=got.extend
+    ).start(poll_interval=0.2)
+    deadline = time.time() + 30
+    while not got and time.time() < deadline:
+        time.sleep(0.1)
+    t.stop()
+    assert [r.event_counter for r in got] == [1, 2]

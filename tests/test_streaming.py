@@ -244,3 +244,34 @@ def test_produce_stream_foreachbatch_roundtrip(spark, tmp_path):
     assert counters == list(range(1, 21))  # contiguous id range (A15)
     sub = sink.consume(namespace="/prod/s1").collect()
     assert all(e.namespace == "/prod/s1" for e in sub) and sub
+
+
+def test_available_now_drain_timeout_raises(spark, tmp_path):
+    """A drain that cannot finish inside timeout_sec must RAISE, not
+    return as if complete (advisory: silent truncation)."""
+    import time
+
+    import pytest
+
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.streaming.produce_stream import produce_stream
+
+    src_stream = EventStream.create(spark, str(tmp_path / "src"))
+    batch = spark.createDataFrame(
+        [("/t", b"x")], "namespace string, data binary"
+    )
+    src_stream.produce(batch)
+    dst = EventStream.create(spark, str(tmp_path / "dst"))
+
+    from flo_spark.streaming.consume_stream import consume_stream
+    from flo_spark.streaming.produce_stream import _run_foreach_batch
+
+    source = consume_stream(spark, src_stream.path)
+    with pytest.raises(TimeoutError, match="did not finish"):
+        _run_foreach_batch(
+            source,
+            lambda bdf, _eid: time.sleep(8),
+            checkpoint_dir=None,
+            await_completion=True,
+            timeout_sec=1,
+        )
