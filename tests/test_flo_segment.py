@@ -355,9 +355,11 @@ def test_replicate_native_live_migration(spark, tmp_path):
     more = str(tmp_path / "more")
     write_flo_segments(mk(21, 41), more, max_events_per_segment=10)
     for f in sorted(os.listdir(os.path.join(more, "partition=1"))):
+        # renumber past the existing segments, like a real rotation
+        n = int(f.split(".")[0])
         shutil.copy(
             os.path.join(more, "partition=1", f),
-            os.path.join(server, "partition=1", f"x{f}"),
+            os.path.join(server, "partition=1", f"{n + 2}.events"),
         )
     replicate_native(s, server, checkpoint_dir=ckpt)
     assert s.head() == {1: 40}
