@@ -251,27 +251,24 @@ class EventStream:
         # server-assigned timestamp at persist time (controller/mod.rs:197)
         batch = batch.withColumn("timestamp", F.current_timestamp())
 
-        # one materialization per append: the counts job inside
-        # assign_event_ids fills the cache, the write drains it
-        batch = batch.persist()
+        # ONE materialization per append, enforced with localCheckpoint
+        # (eager) rather than persist: the batch carries nondeterministic
+        # expressions when defaults apply (round-robin partition pick,
+        # the __seq capture inside assign_event_ids, current_timestamp),
+        # and a persisted block that gets evicted/lost would silently
+        # RECOMPUTE them differently between the counts job and the
+        # write job — reassigning rows across partitions and corrupting
+        # the contiguous-id contract.  localCheckpoint truncates the
+        # lineage, so block loss fails the produce loudly instead; the
+        # client re-sends, exactly flo's lost-ack producer semantics
+        # (async/ops/produce.rs:60-79).
+        batch = batch.localCheckpoint(eager=True)
         try:
             base = self.highest_counter()  # footer-stats only, no data scan
             with_ids, ranges = assign_event_ids(
                 batch, base_counter=base, order_by=order_by, with_ranges=True
             )
-            out = with_ids.select(
-                *[F.col(f.name).cast(f.dataType) for f in EVENT_SCHEMA.fields]
-            )
-            partition_cols = ["partition"]
-            if self.options.get("namespace_partitioning"):
-                out = out.withColumn("ns0", _ns0_expr())
-                partition_cols.append("ns0")
-            (
-                out.write.mode("append")
-                .option("maxRecordsPerFile", self.options["segment_max_records"])
-                .partitionBy(*partition_cols)
-                .parquet(self.path)
-            )
+            self.append_verbatim(with_ids)
         finally:
             batch.unpersist()
         n = sum(hi - lo + 1 for lo, hi in ranges.values())
@@ -297,6 +294,17 @@ class EventStream:
                 "preserved verbatim and cannot interleave with assigned ones"
             )
         self.append_verbatim(read_flo_segments(self.spark, native_path))
+        # the imported data defines the partition set: widen the stored
+        # num_partitions to cover every imported actor, else consume()'s
+        # default version vector (built from the options file) would
+        # silently exclude higher-numbered partitions
+        heads = self.head()
+        max_part = max(heads) if heads else 0
+        if max_part > self.options["num_partitions"]:
+            opts = self.options
+            opts["num_partitions"] = max_part
+            with open(os.path.join(self.path, _OPTIONS_FILE), "w") as f:
+                json.dump(opts, f)
         return self.events().count()
 
     def append_verbatim(self, df: DataFrame) -> None:

@@ -36,8 +36,7 @@ from flo_spark.operators.consume import (
     version_vector_filter,
 )
 from flo_spark.schema import DEFAULT_SEGMENT_MAX_RECORDS, EVENT_SCHEMA
-
-_OPTIONS_FILE = "_flo_stream.json"
+from flo_spark.sources.event_table import _OPTIONS_FILE
 
 
 def consume_stream(
@@ -101,7 +100,7 @@ def run_to_memory(
     timeout_sec: int = 120,
     output_mode: str = "append",
     shuffle_partitions: int | None = None,
-) -> DataFrame:
+) -> "DataFrame | tuple":
     """Execute a streaming DataFrame into an in-memory table.
 
     TEST/DRAIN HARNESS, not a production sink: the memory format
@@ -136,6 +135,13 @@ def run_to_memory(
         ).outputMode(output_mode)
         if await_new:
             query = writer.start()
+            # leave the shuffle_partitions override IN PLACE for a live
+            # tail: the first micro-batch plans asynchronously after
+            # this returns, and an eager restore would race it back to
+            # the session default, pinning the state store count wrong
+            # for the checkpoint's lifetime.  The caller owns restoring
+            # the session conf after stop().
+            prev_sp = None
             return spark.table(name), query
         query = writer.trigger(availableNow=True).start()
         finished = query.awaitTermination(timeout_sec)
@@ -191,6 +197,15 @@ class TailConsumer:
 
         deadline = time.monotonic() + timeout_sec
         while time.monotonic() < deadline:
+            if not self.query.isActive:
+                exc = self.query.exception()
+                if exc is not None:
+                    # a crashed tail must fail loudly — returning here
+                    # would hand the caller silently truncated results
+                    raise RuntimeError(
+                        f"tail query failed before draining: {exc}"
+                    )
+                return  # stopped cleanly: the delivered set is final
             status = self.query.status
             if (
                 self.query.lastProgress is not None  # >=1 trigger completed

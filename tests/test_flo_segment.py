@@ -479,3 +479,26 @@ def test_native_dir_tailer_thread_loop(spark, tmp_path):
         time.sleep(0.1)
     t.stop()
     assert [r.event_counter for r in got] == [1, 2]
+
+
+def test_import_native_widens_partition_count(spark, tmp_path):
+    """Importing data with more actors than the stream was created
+    with must widen num_partitions — otherwise consume()'s default
+    version vector (built from the options file) silently drops the
+    higher-numbered partitions."""
+    from flo_spark.schema import EVENT_SCHEMA
+    from flo_spark.sources.event_table import EventStream
+
+    rows = [
+        (c, p, None, None, datetime(2024, 6, 1, tzinfo=UTC), "/w", b"", p)
+        for p in (1, 2, 3)
+        for c in range(p, 10, 3)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    native = str(tmp_path / "nat")
+    write_flo_segments(df, native)
+
+    s = EventStream.create(spark, str(tmp_path / "s"))  # 1 partition
+    n = s.import_native(native)
+    assert s.options["num_partitions"] == 3
+    assert s.consume().count() == n == len(rows)  # nothing dropped
