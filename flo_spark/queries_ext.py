@@ -3409,3 +3409,302 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4,
         )
     )
+
+
+@query(
+    "bm25_search_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+      WHERE w IN ('hash', 'merge', 'window', 'dup')
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                               / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+               AS part_score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dls d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           floor(sum(part_score) * 1e4 + 0.5) / 1e4 AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus: top-20 documents for the
+    query {hash, merge, window, dup} under Okapi BM25 (k1=1.2, b=0.75):
+    score(d) = SUM_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)) — the standard retrieval
+    scorer behind corpus search / quality-by-query curation.
+
+    Every model input is an exact integer (tf, df, dl, N, sum_dl), so
+    both engines evaluate the same float expression over identical
+    operands; avgdl is one exact integer quotient, and the final score
+    is rounded 4dp before the (score, doc_id)-tie-broken top-k cut.
+
+    100 TB shape: the exploded token stream is filtered to the query's
+    terms BEFORE any shuffle (the IN-set predicate sits directly on the
+    generator output), so the only corpus-wide exchange is the
+    map-side-combinable (doc_id, term) tf aggregate over matching
+    tokens; df re-aggregates the already-reduced tf relation and comes
+    back as a |query|-row broadcast, the corpus stats are a single-row
+    broadcast, and the top-k compiles to TakeOrderedAndProject — no
+    global sort, no all-token join."""
+    terms = ["hash", "merge", "window", "dup"]
+    k1, b = 1.2, 0.75
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select("doc_id", words.alias("ws"))
+    dls = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            (F.floor(F.sum(part) * 1e4 + F.lit(0.5)) / 1e4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "perplexity_bigram_filter",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    vocab AS (
+      SELECT count(DISTINCT u) AS v FROM (SELECT unnest(ws) AS u FROM w)
+    ),
+    db AS (
+      SELECT doc_id, bg[1] AS w1, bg[2] AS w2, count(*) AS m
+      FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> [ws[i], ws[i + 1]])) AS bg
+        FROM w WHERE len(ws) >= 2
+      ) GROUP BY doc_id, 2, 3
+    ),
+    c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS c FROM db GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS prefix_n FROM c2 GROUP BY w1),
+    scored AS (
+      SELECT db.doc_id,
+             CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+             floor(-sum(db.m * ln((c2.c + 1.0) / (c1.prefix_n + v.v)))
+                   / sum(db.m) * 1e4 + 0.5) / 1e4 AS avg_nll
+      FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
+      GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll, avg_nll <= 3.45 AS keep
+    FROM scored
+    """,
+)
+def perplexity_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet/KenLM recipe,
+    statistical edition): score every document by its average negative
+    log-likelihood under an add-one-smoothed bigram LM trained on the
+    corpus itself — P(w2|w1) = (c(w1,w2)+1)/(c(w1.)+V) — and emit a
+    keep verdict at a fixed nll threshold.  Template/boilerplate text
+    scores low (predictable transitions), noise scores high.
+
+    The LM counts (c, prefix_n, V, m) are exact integers; the only
+    float surface is ln of identical rationals and the per-doc
+    sum(m*ln p)/sum(m), rounded 4dp; the keep verdict compares the
+    ROUNDED score so both engines cut identically.
+
+    100 TB shape: the model IS a DataFrame — per-doc bigram
+    multiplicities reduce map-side, the corpus model c2 re-aggregates
+    the already-reduced db relation (never re-reads the corpus), c1
+    re-aggregates c2, and scoring joins db->c2 on the 2-word key and
+    ->c1 on w1, both AQE-planned shuffles keyed on model keys (a
+    100 TB corpus LM does not broadcast); the vocabulary size is a
+    single-row broadcast.  No Python anywhere in the path."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        )
+    )
+    db = (
+        d.where(n >= 2)
+        .select("doc_id", pair.alias("pair"))
+        .select(
+            "doc_id",
+            F.col("pair.0").alias("w1"),
+            F.col("pair.1").alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+    )
+    c2 = db.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+    c1 = c2.groupBy(F.col("w1").alias("__w1")).agg(
+        F.sum("c").alias("prefix_n")
+    )
+    vocab = d.select(F.explode(words).alias("u")).agg(
+        F.count_distinct("u").alias("v")
+    )
+    joined = (
+        db.join(c2, ["w1", "w2"])
+        .join(c1, db["w1"] == c1["__w1"])
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = F.col("m") * F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("prefix_n") + F.col("v"))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            (
+                F.floor(-F.sum(nll) / F.sum("m") * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("avg_nll"),
+        )
+        .withColumn("keep", F.col("avg_nll") <= 3.45)
+    )
+
+
+@query(
+    "corpus_jsonl_gz_roundtrip",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_text_bytes,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-JSONL corpus interchange — THE wire format of public
+    text datasets (C4, RedPajama, CommonCrawl derivatives ship as
+    .jsonl.gz shards).  Export the documents table as gzip JSONL
+    shards, scan them back with an explicit schema, and aggregate
+    per (source, lang); doc ids, counts, and exact UTF-8 byte lengths
+    must survive the round trip, hash-checked against SQL computing
+    the same from the source parquet.
+
+    100 TB shape: gzip is NOT splittable — one .json.gz file is one
+    scan task forever, so parallelism is set at WRITE time by the
+    shard count (repartition(8) here; at scale, total_bytes/~1 GB
+    shards).  The read side supplies the schema explicitly: schema
+    inference over JSONL is a full extra pass over the corpus."""
+    from flo_spark.queries import scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    tmp = scratch_dir("flo_jsonlgz_") + "/corpus"
+    d.repartition(8).write.option("compression", "gzip").mode(
+        "overwrite"
+    ).json(tmp)
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return back.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("sum_text_bytes"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@query(
+    "flo_orc_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             '/docs/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.namespace,
+             off.off + row_number()
+               OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+               AS event_counter,
+             octet_length(encode(b.text)) AS nbytes
+      FROM b JOIN off USING (partition)
+    )
+    SELECT namespace,
+           count(*) AS n_events,
+           CAST(sum(event_counter) AS BIGINT) AS sum_counters,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM env GROUP BY namespace
+    """,
+)
+def flo_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: produce a 3-partition event stream, export it
+    as ORC (Spark's second native columnar format; BINARY payloads
+    carried natively, no text encoding), read it back through the
+    schema-explicit scan path, and aggregate — counters, counts, and
+    exact payload byte lengths must survive, hash-checked against SQL
+    computing the same from the source table.  Complements the CSV+JSON
+    text round trip (`flo_interchange_roundtrip`) so every interchange
+    format the engine exposes (parquet/orc/csv/json + the native
+    .events codec) has round-trip evidence."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+
+    tmp = scratch_dir("flo_orc_")
+    s = EventStream.create(spark, f"{tmp}/stream", num_partitions=3)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/docs/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    s.export(f"{tmp}/orc", fmt="orc")
+    o = EventStream.read_events(spark, f"{tmp}/orc", fmt="orc")
+    return o.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+    )

@@ -508,13 +508,14 @@ class EventStream:
             report["files_written"] += moved
         return report
 
-    # -- interchange (CSV/JSON/Parquet sources & sinks) ----------------
+    # -- interchange (CSV/JSON/Parquet/ORC sources & sinks) ------------
     def export(self, path: str, fmt: str = "json") -> int:
-        """Write the stream's events out as parquet/json/csv (the
+        """Write the stream's events out as parquet/orc/json/csv (the
         B-relational sink surface).  Binary payloads are base64-encoded
         for the text formats (flo's wire form is also length-prefixed
-        bytes — client.rs:106-122; base64 is the text-safe analog).
-        Returns the number of events exported."""
+        bytes — client.rs:106-122; base64 is the text-safe analog);
+        the columnar formats carry BINARY natively.  Returns the
+        number of events exported."""
         df = self.events()
         n = df.count()
         # Spark's base64() emits MIME-chunked output (a newline every
@@ -524,6 +525,8 @@ class EventStream:
         b64 = F.regexp_replace(F.base64("data"), "[\\r\\n]", "")
         if fmt == "parquet":
             df.write.mode("overwrite").parquet(path)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(path)
         elif fmt == "json":
             df.withColumn("data", b64).write.mode("overwrite").json(path)
         elif fmt == "csv":
@@ -537,11 +540,13 @@ class EventStream:
     @staticmethod
     def read_events(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
         """Read an exported event set back into the canonical schema —
-        the Parquet/CSV/JSON scan surface.  Schema is always supplied
+        the Parquet/ORC/CSV/JSON scan surface.  Schema is always supplied
         explicitly (never inferred), matching flo's fixed envelope
         (SURVEY.md §1.2)."""
         if fmt == "parquet":
             return spark.read.schema(EVENT_SCHEMA).parquet(path)
+        if fmt == "orc":
+            return spark.read.schema(EVENT_SCHEMA).orc(path)
         from pyspark.sql import types as T
 
         text_schema = T.StructType(

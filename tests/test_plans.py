@@ -362,3 +362,34 @@ def test_duplicate_ngram_rate_hash_keyed_no_cartesian(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         key = m.group(1)
         assert "h#" in key or "doc_id" in key, key
+
+
+def test_bm25_term_filter_before_shuffle_topk_take_ordered(spark, sf_dir):
+    """The query-term IN-filter must land inside the scan/generate
+    stage (below the tf exchange), df/stats must come back as
+    broadcasts, and the top-k must compile to TakeOrderedAndProject,
+    not a global sort."""
+    df = Q.REGISTRY["bm25_search_topk"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the only hash exchanges are the tf aggregate keyed on
+    # (doc_id, term) and the final per-doc aggregate keyed on doc_id —
+    # never an exchange of the raw token stream
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        key = m.group(1)
+        assert "doc_id" in key, key
+
+
+def test_perplexity_lm_joins_keyed_on_model_keys(spark, sf_dir):
+    """LM scoring joins on (w1, w2)/(w1) model keys; the vocabulary
+    single-row aggregate is broadcast; no cartesian beyond it; no
+    Python in the plan."""
+    df = Q.REGISTRY["perplexity_bigram_filter"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row vocab only
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        key = m.group(1)
+        assert "w1" in key or "doc_id" in key, key
