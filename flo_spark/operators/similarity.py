@@ -253,6 +253,113 @@ def _kmeans_lite(x: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42) -
     return cent
 
 
+def _train_quantizer(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    train_sample: int,
+) -> np.ndarray:
+    """Train the coarse quantizer on a bounded, deterministic sample
+    (first ``train_sample`` ids — O(KB) to the driver, documented
+    driver-side collection; never the corpus)."""
+    train = (
+        corpus.orderBy(id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    return _kmeans_lite(
+        np.array([list(r[0]) for r in train], dtype=np.float64),
+        n_cells,
+        seed=seed,
+    )
+
+
+def _assign_cells(
+    corpus: DataFrame, cent: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid cell per vector: one matmul per Arrow batch
+    (mapInPandas), centroids ride a broadcast.  Returns
+    (__id, __v, cell)."""
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c_t = bc.value.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "cell": (mn @ c_t).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign, "__id long, __v array<float>, cell int")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_sample: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-cluster the
+    embedding space (spherical k-means cells, the IVF quantizer), find
+    within-cell pairs with cosine >= ``threshold``, and drop every
+    vector that has a LOWER-id neighbor above the threshold in its
+    cell (deterministic min-id keep rule).  Returns one verdict row
+    per input: (id, keep, dup_of) with ``dup_of`` = the smallest
+    qualifying lower id for dropped rows, null for kept rows.
+
+    100 TB shape: candidate generation is the cell-equi self-join —
+    each vector is compared only against its own cell's members
+    (|corpus|^2 / n_cells expected pairs, never all-pairs; n_cells
+    scales with the corpus so cells stay task-sized), scored with one
+    row-wise einsum per Arrow batch; the verdict aggregate shuffles
+    (id_b, id_a) pairs, and the final anti-shaped join is keyed on the
+    id.  The quantizer trains on a bounded driver-side sample
+    (documented); in production the cell is computed once at ingest
+    and stored as a partition column."""
+    cent = _train_quantizer(df, id_col, vec_col, n_cells, seed, train_sample)
+    b = _assign_cells(df, cent, id_col, vec_col).persist()
+    b.count()  # materialize: the self-join branches race a lazy cache
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn(
+            "cos_raw", _cosine_pairs_udf()(F.col("a.__v"), F.col("b.__v"))
+        )
+        .filter(F.col("cos_raw") >= threshold)
+    )
+    drops = pairs.groupBy(F.col("b.__id").alias("__id")).agg(
+        F.min(F.col("a.__id")).alias("dup_of")
+    )
+    return (
+        b.select("__id")
+        .join(drops, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -277,35 +384,11 @@ def ann_topk_ivf(
     once at ingest and stored as a partition column — the scan then
     prunes unprobed cells entirely.
     """
-    train = (
-        corpus.orderBy(id_col)
-        .limit(train_sample)
-        .select(vec_col)
-        .collect()
+    cent = _train_quantizer(
+        corpus, id_col, vec_col, n_cells, seed, train_sample
     )
-    cent = _kmeans_lite(
-        np.array([list(r[0]) for r in train], dtype=np.float64), n_cells, seed=seed
-    )
-    bc = corpus.sparkSession.sparkContext.broadcast(cent)
-
-    def assign_cells(batches):
-        c_t = bc.value.T
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "__v": pdf["__v"],
-                    "cell": (mn @ c_t).argmax(axis=1).astype(np.int32),
-                }
-            )
-
     cb = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .mapInPandas(assign_cells, "__id long, __v array<float>, cell int")
+        _assign_cells(corpus, cent, id_col, vec_col)
         .withColumnRenamed("__id", "c_id")
         .withColumnRenamed("__v", "c_emb")
     )

@@ -3708,3 +3708,49 @@ def flo_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_counter").alias("sum_counters"),
         F.sum(F.octet_length("data")).alias("sum_bytes"),
     )
+
+
+@query(
+    "semantic_dedup_verdicts",
+    """
+    SELECT vec_id, TRUE AS keep, CAST(NULL AS BIGINT) AS dup_of
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, FALSE AS keep,
+           CAST(vec_id AS BIGINT) AS dup_of
+    FROM embeddings WHERE vec_id < 40
+    """,
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication with a hash-checkable
+    planted contract: cluster the embedding space into spherical
+    k-means cells (the IVF quantizer), compare each vector only
+    against its own cell, and drop every vector with a lower-id
+    neighbor at cosine >= 0.99 (min-id keep rule; transitive cluster
+    canonicalization is `dedup_connected_components`' job).
+
+    Contract: a x2-scaled copy of each of the first 40 vectors enters
+    under vec_id + 100000.  Scaling by a power of two is bit-exact in
+    IEEE float, so the copy's NORMALIZED vector is bit-identical to
+    its original's — it provably quantizes to the same cell (recall 1,
+    not 1-epsilon) and scores cosine ~1.0 > 0.99, while the strongest
+    natural pair in this corpus is 0.513 (established by
+    `embedding_neardup_cosine`'s all-pairs oracle).  The verdict set
+    is therefore exact from the planting formula alone: every base
+    vector keeps, every copy drops with dup_of = its original.  A
+    defect in quantizer training, cell assignment, the blocked
+    self-join, scoring, or the min-id rule changes a verdict and
+    breaks the hash.  Scale shape documented on the operator
+    (operators/similarity.py::semantic_dedup)."""
+    from flo_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.99, n_cells=16)

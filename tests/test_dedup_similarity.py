@@ -162,3 +162,41 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     }
     recall = len(probed & exact) / len(exact)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_semantic_dedup_min_id_rule_applies_per_vector(spark):
+    """The min-id rule is per-vector, not per-cluster: in a chain
+    A~B~C where A<B<C and A!~C, B drops (dup_of=A) and C ALSO drops
+    (dup_of=B, even though B itself dropped) — transitive
+    canonicalization is connected_components' job."""
+    import numpy as np
+
+    from flo_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16).astype("float32")
+    a = base[0] / np.linalg.norm(base[0])
+    ortho = base[1] - np.dot(base[1], a) * a
+    ortho /= np.linalg.norm(ortho)
+    # chain: b at 5 deg from a (cos .9962 >= .99), c at 10 deg from a
+    # (cos .9848 < .99) but only 5 deg from b (cos .9962 >= .99)
+    t_b, t_c = np.deg2rad(5.0), np.deg2rad(10.0)
+    b = np.cos(t_b) * a + np.sin(t_b) * ortho
+    c = np.cos(t_c) * a + np.sin(t_c) * ortho
+    vecs = [a, b, c] + [v / np.linalg.norm(v) for v in base[2:]]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(vecs)
+        ]
+    )
+    got = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup(
+            df, threshold=0.99, n_cells=2, train_sample=16
+        ).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, 0)
+    assert got[2] == (False, 1)  # chained drop: nearest lower id is b
+    assert all(got[i] == (True, None) for i in range(3, 8))

@@ -393,3 +393,12 @@ def test_perplexity_lm_joins_keyed_on_model_keys(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         key = m.group(1)
         assert "w1" in key or "doc_id" in key, key
+
+
+def test_semantic_dedup_blocked_join_no_cartesian(spark, sf_dir):
+    """Candidate pairs come from the cell-equi self-join — never a
+    cartesian — and the verdict join is keyed on the id."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.semantic_dedup_verdicts(spark, sf_dir)
+    assert_no_cartesian(df)
