@@ -3754,3 +3754,69 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     return semantic_dedup(corpus, threshold=0.99, n_cells=16)
+
+
+@query(
+    "flo_datasource_scan",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, props,
+             CAST(event_id % 3 + 1 AS INT) AS part
+      FROM events ORDER BY event_id LIMIT 400
+    )
+    SELECT '/events/' || event_type AS namespace,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_counters,
+           CAST(sum(octet_length(encode(coalesce(props, ''))))
+                AS BIGINT) AS sum_bytes
+    FROM b
+    WHERE substr(event_type, 1, 1) IN ('c', 'p', 'v')
+      AND ((part = 1 AND event_id > 100) OR (part = 2 AND event_id > 0))
+    GROUP BY namespace
+    """,
+)
+def flo_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("flo")`` end-to-end: encode 400 events into native
+    ``.events`` segments (3 partition dirs, forced rotation), register
+    the Spark 4 Python Data Source, and scan them back THROUGH the
+    format with both reader options engaged — a namespace glob with a
+    character class (``/events/[cpv]*``) and a version-vector
+    ``startpositions`` cursor ({1: 100, 2: 0} — partition 3 absent, so
+    never read; exclusive bounds).  The aggregate hash-checks that the
+    DS-API scan path (one InputPartition per segment file) plus the
+    Python-side option filters reproduce exactly the SQL formula on
+    the source table.  The STREAMING half of the source — the
+    per-event version-vector offset cursor — is exercised by
+    tests/test_flo_datasource.py (mid-segment restart, torn-tail
+    parking), which a SQL oracle cannot express."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_datasource import register
+    from flo_spark.sources.flo_segment import write_flo_segments
+
+    ev = load(spark, sf_dir, "events").orderBy("event_id").limit(400)
+    batch = ev.select(
+        F.col("event_id").alias("event_counter"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("actor"),
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("namespace"),
+        F.encode(F.coalesce("props", F.lit("")), "utf-8").alias("data"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    path = scratch_dir("flo_ds_") + "/native"
+    write_flo_segments(batch, path, max_events_per_segment=60)
+    register(spark)
+    import json as _json
+
+    df = (
+        spark.read.format("flo")
+        .option("namespace", "/events/[cpv]*")
+        .option("startpositions", _json.dumps({1: 100, 2: 0}))
+        .load(path)
+    )
+    return df.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+    )

@@ -1,0 +1,364 @@
+"""``format("flo")`` — a Spark 4 Python Data Source over native flo
+data directories (``*.events`` segment files).
+
+This is the idiomatic-Spark packaging of the native codec
+(:mod:`flo_spark.sources.flo_segment`): after
+``spark.dataSource.register(FloDataSource)``,
+
+- ``spark.read.format("flo").load(dir)`` scans a flo server's data
+  dir with one task per segment file, and
+- ``spark.readStream.format("flo").load(dir)`` tails it with a
+  **per-event durable cursor**: the streaming offset IS a version
+  vector (``{actor: last_delivered_counter}``), persisted in Spark's
+  offset log, so a consumer restarting MID-SEGMENT resumes from the
+  exact next event — the semantics of flo's own consumer cursor
+  (flo-server/.../consumer_stream/mod.rs:84-119; vv semantics
+  flo-client-lib/src/sync/mod.rs:124-130).  The file-source-based
+  tails (:func:`flo_segment.tail_flo_segments`) are segment-granular
+  by construction; this source closes that gap.
+
+Options (both readers):
+
+- ``namespace``: flo glob; matching happens per event inside the
+  Python reader — the analog of the server applying the glob inside
+  each PartitionReader (event_reader/mod.rs:60-74).
+- ``startpositions``: version-vector JSON ``{"1": 10, "2": 0}``.
+  Batch: plain vv filter (only listed partitions, exclusive bounds).
+  Streaming: the initial offset; when absent, all partitions are
+  consumed from 0 and new actors are picked up as they appear.
+
+Scale shape: the stream reader keeps a driver-side **segment index**
+— per sealed file, the (min, max) counter range per actor, built by
+decoding each sealed file exactly once (flo rebuilds its index the
+same way on recovery, mmap.rs:111-134) — so ``partitions(start,
+end)`` ships each executor only the files whose range overlaps its
+(start, end] slice: the index-seek analog (A5, index.rs:86-129).
+Only the ACTIVE (max-numbered) segment per dir is re-read per
+trigger, and a torn in-progress event at its tail parks until the
+next trigger instead of failing the batch (the reference's recovery
+scan stops at the first invalid record the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from flo_spark.functions.glob import glob_to_regex, is_match_all
+from flo_spark.schema import EVENT_SCHEMA
+from flo_spark.sources.flo_segment import (
+    EVENT_FIXED_LEN,
+    HEADER_LEN,
+    MARKER,
+    _FIXED,
+    decode_segment,
+)
+
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _list_segments(root: str) -> dict[str, list[tuple[int, str]]]:
+    """{dir: [(segment_num, path), ...] sorted by number}."""
+    by_dir: dict[str, list[tuple[int, str]]] = {}
+    for r, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".events"):
+                continue
+            try:
+                num = int(fname[: -len(".events")])
+            except ValueError:
+                num = -1
+            by_dir.setdefault(r, []).append((num, os.path.join(r, fname)))
+    for entries in by_dir.values():
+        entries.sort()
+    return by_dir
+
+
+def _split_sealed_active(root: str) -> tuple[list[str], list[str]]:
+    """Sealed vs active segment paths.  A rotated segment is never
+    written again (segment/mod.rs:65-74), so every file except the
+    max-numbered one per dir is immutable."""
+    sealed: list[str] = []
+    active: list[str] = []
+    for entries in _list_segments(root).values():
+        sealed.extend(p for _n, p in entries[:-1])
+        active.append(entries[-1][1])
+    return sealed, active
+
+
+def _first_event_counter(path: str) -> int | None:
+    """Counter of a segment's first event from one 48-byte header read
+    (used for file-level pruning; None for empty/headerless files)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(HEADER_LEN + EVENT_FIXED_LEN)
+    except OSError:
+        return None
+    if len(head) < HEADER_LEN + EVENT_FIXED_LEN:
+        return None
+    total_len, marker, _actor, counter, *_rest = _FIXED.unpack_from(
+        head, HEADER_LEN
+    )
+    if marker != MARKER:
+        return None
+    return counter
+
+
+def _decode_file(path: str, tolerate_partial_tail: bool):
+    """Decode one segment file; with ``tolerate_partial_tail`` a torn
+    record at the end stops the scan instead of raising (an in-flight
+    append on a LIVE active segment — complete next trigger)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    it = decode_segment(buf)
+    if not tolerate_partial_tail:
+        yield from it
+        return
+    while True:
+        try:
+            ev = next(it)
+        except StopIteration:
+            return
+        except ValueError:
+            return  # torn tail of an in-progress append
+        yield ev
+
+
+def _to_row(ev: tuple) -> tuple:
+    """Codec tuple -> EVENT_SCHEMA-ordered row tuple."""
+    counter, actor, p_counter, p_actor, ts_millis, namespace, data = ev
+    return (
+        counter,
+        actor,
+        p_counter,
+        p_actor,
+        _EPOCH_DT + timedelta(milliseconds=ts_millis),
+        namespace,
+        data,
+        actor,  # partition == ActorId (SURVEY §1.1)
+    )
+
+
+def _parse_vv(raw: str | None) -> dict[int, int] | None:
+    if not raw:
+        return None
+    return {int(k): int(v) for k, v in json.loads(raw).items()}
+
+
+@dataclass
+class FloSegmentPartition(InputPartition):
+    """Batch input split: one segment file (flo's storage unit)."""
+
+    path: str
+    counter_gt: int  # global exclusive vv lower bound; -1 = none
+
+
+@dataclass
+class FloStreamPartition(InputPartition):
+    """Streaming input split: one actor's (start, end] counter slice
+    plus exactly the segment files whose index range overlaps it."""
+
+    files: tuple[str, ...]
+    active_files: tuple[str, ...]
+    actor: int
+    start: int
+    end: int
+
+
+class FloBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('flo') requires .load(<data dir>)")
+        ns = options.get("namespace")
+        self.ns_regex = None if is_match_all(ns) else glob_to_regex(ns)
+        self.vv = _parse_vv(options.get("startpositions"))
+        # NOTE deliberately NO pushFilters: Spark constructs ONE reader
+        # per load() and re-plans it for every derived DataFrame, but
+        # only plans that carry filters invoke pushFilters — so state
+        # pushed by one plan would silently leak into a filterless
+        # sibling plan (verified against 4.1: df.filter(c>10).count()
+        # followed by df.count() returns the filtered count twice).
+        # The vv/namespace OPTIONS below give the same Python-side row
+        # reduction with per-load scoping; event_counter seek pruning
+        # lives in the stream reader's segment index, which is not
+        # plan-dependent.
+        self.counter_gt = -1 if self.vv is None else min(self.vv.values())
+
+    def _keep(self, ev: tuple) -> bool:
+        counter, actor = ev[0], ev[1]
+        if self.vv is not None:
+            if actor not in self.vv or counter <= self.vv[actor]:
+                return False
+        if self.ns_regex is not None and not re.match(self.ns_regex, ev[5]):
+            return False
+        return True
+
+    def partitions(self):
+        out = []
+        for _d, entries in _list_segments(self.root).items():
+            firsts = [_first_event_counter(p) for _n, p in entries]
+            for i, (_num, path) in enumerate(entries):
+                if self.counter_gt >= 0:
+                    # within a partition dir counters only grow across
+                    # rotations, so a file is prunable when the NEXT
+                    # file starts at-or-below min(vv) — every event in it
+                    # fails its own actor's exclusive vv bound
+                    nxt = firsts[i + 1] if i + 1 < len(entries) else None
+                    if nxt is not None and nxt <= self.counter_gt:
+                        continue
+                out.append(FloSegmentPartition(path, self.counter_gt))
+        return out
+
+    def read(self, partition: FloSegmentPartition):
+        for ev in _decode_file(partition.path, tolerate_partial_tail=False):
+            if self._keep(ev):
+                yield _to_row(ev)
+
+
+class FloStreamReader(DataSourceStreamReader):
+    """Event-granular streaming tail: offset == version vector."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('flo') requires .load(<data dir>)")
+        ns = options.get("namespace")
+        self.ns_regex = None if is_match_all(ns) else glob_to_regex(ns)
+        self.start_vv = _parse_vv(options.get("startpositions"))
+        # pinned mode: only the partitions named in startpositions are
+        # consumed (sync/mod.rs:126-128); otherwise all, from zero
+        self.pinned = (
+            frozenset(self.start_vv) if self.start_vv is not None else None
+        )
+        #: sealed-file index: path -> {actor: (min_counter, max_counter)}
+        self._index: dict[str, dict[int, tuple[int, int]]] = {}
+
+    # -- index maintenance (driver-side, each sealed file decoded once)
+    def _scan_file(self, path: str, tolerant: bool) -> dict[int, tuple[int, int]]:
+        rng: dict[int, tuple[int, int]] = {}
+        for ev in _decode_file(path, tolerate_partial_tail=tolerant):
+            counter, actor = ev[0], ev[1]
+            lo, hi = rng.get(actor, (counter, counter))
+            rng[actor] = (min(lo, counter), max(hi, counter))
+        return rng
+
+    def _refresh_index(self) -> dict[str, dict[int, tuple[int, int]]]:
+        """Update the sealed index; return the ACTIVE files' live
+        ranges (recomputed every trigger — the only per-trigger decode,
+        bounded by one segment per partition dir)."""
+        sealed, active = _split_sealed_active(self.root)
+        for path in sealed:
+            if path not in self._index:
+                self._index[path] = self._scan_file(path, tolerant=False)
+        for stale in set(self._index) - set(sealed):
+            del self._index[stale]  # expired by the TTL job
+        return {p: self._scan_file(p, tolerant=True) for p in active}
+
+    def initialOffset(self) -> dict:
+        if self.start_vv is not None:
+            return {str(a): int(c) for a, c in self.start_vv.items()}
+        return {}
+
+    def latestOffset(self) -> dict:
+        active_rng = self._refresh_index()
+        heads: dict[int, int] = {}
+        for rng in list(self._index.values()) + list(active_rng.values()):
+            for actor, (_lo, hi) in rng.items():
+                if self.pinned is not None and actor not in self.pinned:
+                    continue
+                heads[actor] = max(heads.get(actor, 0), hi)
+        off = {str(a): c for a, c in heads.items()}
+        if self.start_vv is not None:
+            for a, c in self.start_vv.items():
+                key = str(a)
+                off[key] = max(off.get(key, 0), int(c))
+        return off
+
+    def partitions(self, start: dict, end: dict):
+        # refresh first: on a checkpoint restart Spark REPLAYS the last
+        # uncommitted (start, end] batch through partitions() without
+        # calling latestOffset, and the rebuilt index must already
+        # cover those files or the replay would drop events
+        self._refresh_index()
+        sealed, active = _split_sealed_active(self.root)
+        active_set = frozenset(active)
+        # active files have no persistent index entry; always candidates
+        out = []
+        for key, end_c in end.items():
+            actor = int(key)
+            start_c = int(start.get(key, 0))
+            end_c = int(end_c)
+            if end_c <= start_c:
+                continue
+            files = []
+            for path in sealed:
+                rng = self._index.get(path)
+                got = rng.get(actor) if rng else None
+                if got and got[1] > start_c and got[0] <= end_c:
+                    files.append(path)
+            out.append(
+                FloStreamPartition(
+                    files=tuple(sorted(files)),
+                    active_files=tuple(sorted(active_set)),
+                    actor=actor,
+                    start=start_c,
+                    end=end_c,
+                )
+            )
+        return out
+
+    def read(self, partition: FloStreamPartition):
+        for path in partition.files + partition.active_files:
+            tolerant = path in partition.active_files
+            for ev in _decode_file(path, tolerate_partial_tail=tolerant):
+                counter, actor = ev[0], ev[1]
+                if actor != partition.actor:
+                    continue
+                if not (partition.start < counter <= partition.end):
+                    continue
+                if self.ns_regex is not None and not re.match(
+                    self.ns_regex, ev[5]
+                ):
+                    continue
+                yield _to_row(ev)
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the TTL job's decision, not the consumer's
+
+
+class FloDataSource(DataSource):
+    """``spark.dataSource.register(FloDataSource)`` enables
+    ``format("flo")`` for batch and streaming reads."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flo"
+
+    def schema(self):
+        return EVENT_SCHEMA
+
+    def reader(self, schema) -> FloBatchReader:
+        return FloBatchReader(self.options)
+
+    def streamReader(self, schema) -> FloStreamReader:
+        return FloStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the "flo" format.  Also enables
+    Python-data-source filter pushdown (runtime conf, default false in
+    Spark 4.1) — without it Spark refuses to initialize any reader
+    that implements ``pushFilters``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FloDataSource)

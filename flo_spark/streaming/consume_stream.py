@@ -17,7 +17,12 @@ Mapping (SURVEY.md §2 A3/A8/A9/A10):
 The version-vector start is a filter predicate rather than source
 offsets because the event table is a plain parquet dir; for an exactly
 -once cursor hand-off the caller checkpoints (checkpointLocation), which
-persists the files-seen log — Spark's own version vector.
+persists the files-seen log — Spark's own version vector.  That durable
+cursor is SEGMENT-granular (the file source's unit is the file);
+``resume_trim`` below restores per-event semantics on the first
+redelivered batch, and the native-dir path has a fully per-EVENT
+durable cursor in :mod:`flo_spark.sources.flo_datasource`, whose
+streaming offsets are version vectors in the offset log.
 """
 
 from __future__ import annotations

@@ -1,0 +1,182 @@
+"""format("flo") Python Data Source: batch scan, option filters, and
+the event-granular streaming cursor (offset == version vector)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flo_spark.sources.flo_datasource import register
+from flo_spark.sources.flo_segment import encode_event, encode_segment
+
+
+def _write_segment(path, events):
+    with open(path, "wb") as f:
+        f.write(encode_segment(iter(events), 0, 10**13))
+
+
+def _append_events(path, events):
+    """Append into the ACTIVE segment — a live server's in-place
+    growth (controller/mod.rs:192-215 appends to the open segment)."""
+    with open(path, "ab") as f:
+        for ev in events:
+            f.write(encode_event(*ev))
+
+
+def _ev(counter, actor, ns="/foo/a", payload=b"x"):
+    return (counter, actor, None, None, 1000 + counter, ns, payload)
+
+
+@pytest.fixture()
+def flo_dir(tmp_path):
+    """Two partition dirs; p1 has a sealed + an active segment."""
+    root = tmp_path / "data"
+    for actor, dirn in [(1, "p1"), (2, "p2")]:
+        d = root / dirn
+        d.mkdir(parents=True)
+        _write_segment(
+            d / "0.events",
+            [_ev(i * 2 + actor, actor) for i in range(5)],
+        )
+    _write_segment(
+        root / "p1" / "1.events",
+        [_ev(100 + i, 1, ns="/bar/b") for i in range(3)],
+    )
+    return str(root)
+
+
+def test_batch_read_all(spark, flo_dir):
+    register(spark)
+    df = spark.read.format("flo").load(flo_dir)
+    assert df.count() == 13
+    first = df.orderBy("event_counter", "actor").first()
+    assert (first.event_counter, first.actor, first.partition) == (1, 1, 1)
+    assert [f.name for f in df.schema.fields] == [
+        "event_counter",
+        "actor",
+        "parent_counter",
+        "parent_actor",
+        "timestamp",
+        "namespace",
+        "data",
+        "partition",
+    ]
+
+
+def test_batch_namespace_and_vv_options(spark, flo_dir):
+    register(spark)
+    glob = (
+        spark.read.format("flo")
+        .option("namespace", "/bar/*")
+        .load(flo_dir)
+    )
+    assert glob.count() == 3
+    vv = (
+        spark.read.format("flo")
+        .option("startpositions", json.dumps({1: 7}))
+        .load(flo_dir)
+    )
+    # actor 1 only (vv semantics: absent partitions are not read),
+    # counters > 7: {9, 100, 101, 102}
+    got = sorted(r.event_counter for r in vv.collect())
+    assert got == [9, 100, 101, 102]
+
+
+def _drain(spark, flo_dir, checkpoint, **options):
+    """One availableNow drain through a checkpointed foreachBatch sink
+    (the memory sink does not support checkpoint recovery)."""
+    reader = spark.readStream.format("flo")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(flo_dir)
+    got = []
+    q = (
+        df.writeStream.foreachBatch(
+            lambda b, _eid: got.extend(
+                (r.event_counter, r.actor)
+                for r in b.select("event_counter", "actor").collect()
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return got
+
+
+def test_stream_drain_then_mid_segment_resume_no_duplicates(
+    spark, flo_dir, tmp_path
+):
+    """THE event-granular cursor property (consumer_stream/mod.rs:
+    84-119): after a drain, events appended INTO THE SAME active
+    segment file are delivered on restart without redelivering that
+    segment's already-consumed prefix."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    got1 = _drain(spark, flo_dir, ckpt)
+    assert sorted(got1) == sorted(
+        [(i * 2 + 1, 1) for i in range(5)]
+        + [(i * 2 + 2, 2) for i in range(5)]
+        + [(100 + i, 1) for i in range(3)]
+    )
+    # grow p1's ACTIVE segment (1.events) and p2's (0.events) in place
+    _append_events(
+        os.path.join(flo_dir, "p1", "1.events"),
+        [_ev(103, 1, ns="/bar/b")],
+    )
+    _append_events(
+        os.path.join(flo_dir, "p2", "0.events"), [_ev(12, 2)]
+    )
+    got2 = _drain(spark, flo_dir, ckpt)
+    assert sorted(got2) == [(12, 2), (103, 1)]  # ONLY the new events
+
+
+def test_stream_startpositions_pins_partitions(spark, flo_dir, tmp_path):
+    register(spark)
+    got = _drain(
+        spark,
+        flo_dir,
+        str(tmp_path / "ckpt_vv"),
+        startpositions=json.dumps({1: 8}),
+    )
+    # only partition 1, counters > 8
+    assert sorted(got) == [(9, 1), (100, 1), (101, 1), (102, 1)]
+
+
+def test_stream_namespace_glob(spark, flo_dir, tmp_path):
+    register(spark)
+    got = _drain(
+        spark,
+        flo_dir,
+        str(tmp_path / "ckpt_ns"),
+        namespace="/bar/*",
+    )
+    assert sorted(got) == [(100, 1), (101, 1), (102, 1)]
+
+
+def test_stream_torn_tail_parks_until_complete(spark, flo_dir, tmp_path):
+    """A half-written event at the active segment's tail must not fail
+    the batch OR be delivered; once the append completes, the event
+    arrives (the recovery-scan rule, mmap.rs:111-134)."""
+    register(spark)
+    ckpt = str(tmp_path / "ckpt_torn")
+    _drain(spark, flo_dir, ckpt)
+    active = os.path.join(flo_dir, "p1", "1.events")
+    full = encode_event(*_ev(103, 1, ns="/bar/b"))
+    with open(active, "ab") as f:
+        f.write(full[: len(full) - 5])  # torn write
+    assert _drain(spark, flo_dir, ckpt) == []
+    with open(active, "ab") as f:
+        f.write(full[len(full) - 5 :])  # append completes
+    assert _drain(spark, flo_dir, ckpt) == [(103, 1)]
+
+
+def test_batch_derived_plans_do_not_leak_filters(spark, flo_dir):
+    """One load() serves many plans: a filtered count must not change
+    the unfiltered count afterwards (the reader is shared)."""
+    register(spark)
+    df = spark.read.format("flo").load(flo_dir)
+    assert df.filter(F.col("event_counter") > 50).count() == 3
+    assert df.count() == 13
