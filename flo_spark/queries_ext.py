@@ -3820,3 +3820,72 @@ def flo_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_counter").alias("sum_counters"),
         F.sum(F.octet_length("data")).alias("sum_bytes"),
     )
+
+
+@query(
+    "temperature_mix_sample",
+    """
+    WITH c AS (SELECT source, count(*) AS c_docs FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(sum(sqrt(CAST(c_docs AS DOUBLE))) AS DOUBLE) AS z FROM c
+    ),
+    quota AS (
+      SELECT source,
+             CAST(floor(200 * sqrt(CAST(c_docs AS DOUBLE)) / tot.z)
+                  AS BIGINT) AS quota
+      FROM c CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+             ) AS rn
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id, q.quota
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.quota
+    """,
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalancing recipe: sample source s proportional to c_s^alpha,
+    alpha = 0.5, budget N = 200 docs): big sources are down-weighted,
+    small sources up-weighted, quota_s = floor(N * sqrt(c_s) /
+    SUM sqrt(c)).  Selection within a source is the deterministic
+    multiplicative-hash order (seedless, engine-portable — the same
+    Knuth-constant permutation as `stratified_sample`), so the whole
+    mix is reproducible from the data alone.
+
+    IEEE sqrt is correctly rounded in both engines and quotas divide
+    sums of a few per-source terms, so the floor is stable; every
+    other input is an exact integer.
+
+    100 TB shape: one count aggregate (map-side combinable), a
+    source-cardinality quota table that broadcasts by construction
+    (it is an aggregate over the source key), and ONE window shuffle
+    partitioned by source for the in-source ranking — same skew note
+    as `stratified_sample`: pre-trim each source with a hash-threshold
+    scan predicate at real scale before the exact window."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("c_docs"))
+    tot = c.agg(
+        F.sum(F.sqrt(F.col("c_docs").cast("double"))).alias("z")
+    )
+    quota = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.lit(200) * F.sqrt(F.col("c_docs").cast("double")) / F.col("z")
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("source", "doc_id", "quota")
+    )

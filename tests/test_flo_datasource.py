@@ -180,3 +180,58 @@ def test_batch_derived_plans_do_not_leak_filters(spark, flo_dir):
     df = spark.read.format("flo").load(flo_dir)
     assert df.filter(F.col("event_counter") > 50).count() == 3
     assert df.count() == 13
+
+
+def test_batch_scan_equals_codec_scan_on_random_layouts(spark, tmp_path):
+    """format("flo") and read_flo_segments must agree row-for-row on
+    arbitrary layouts (mixed dir nesting, empty segments, multi-actor
+    files, unicode namespaces, empty/odd payloads)."""
+    import random
+
+    from flo_spark.sources.flo_segment import read_flo_segments
+
+    rng = random.Random(1234)
+    register(spark)
+    for trial in range(3):
+        root = tmp_path / f"layout{trial}"
+        counter = 0
+        for d in ["a", "a/nested", "b"]:
+            dd = root / d
+            dd.mkdir(parents=True)
+            for seg in range(rng.randint(1, 3)):
+                events = []
+                for _ in range(rng.randint(0, 6)):
+                    counter += 1
+                    events.append(
+                        (
+                            counter,
+                            rng.randint(1, 4),  # mixed actors per file
+                            counter - 1 if rng.random() < 0.3 else None,
+                            1 if rng.random() < 0.3 else None,
+                            rng.randint(0, 10**12),
+                            rng.choice(["/x/y", "/x/über", "/z"]),
+                            bytes(rng.randbytes(rng.randint(0, 20))),
+                        )
+                    )
+                # normalize parent pairs (actor only with counter)
+                events = [
+                    (c, a, pc, (pa or 1) if pc else None, t, ns, dt)
+                    for c, a, pc, pa, t, ns, dt in events
+                ]
+                _write_segment(dd / f"{seg}.events", events)
+        via_ds = spark.read.format("flo").load(str(root))
+        via_codec = read_flo_segments(spark, str(root))
+        cols = via_ds.columns
+
+        def _canon(rows):
+            return sorted(
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in r
+                )
+                for r in rows
+            )
+
+        assert _canon(via_ds.collect()) == _canon(
+            via_codec.select(cols).collect()
+        ), f"layout {trial} diverged"
