@@ -51,7 +51,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from flo_spark.functions.glob import glob_to_regex, is_match_all
@@ -62,6 +65,7 @@ from flo_spark.sources.flo_segment import (
     MARKER,
     _FIXED,
     decode_segment,
+    encode_segment,
 )
 
 _EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
@@ -337,9 +341,150 @@ class FloStreamReader(DataSourceStreamReader):
         pass  # retention is the TTL job's decision, not the consumer's
 
 
+@dataclass
+class FloWriteMessage(WriterCommitMessage):
+    """One staged segment per (task, actor): committed by the driver
+    via rename into the actor's partition dir."""
+
+    staged_path: str
+    actor: int
+    n_events: int
+
+
+class FloWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Write events as native ``.events`` segments — ``df.write
+    .format("flo")`` (batch append/overwrite) and ``writeStream
+    .format("flo")`` (one segment per (micro-batch, task, actor)).
+
+    Two-phase commit: tasks stage uniquely-named segments under
+    ``<root>/_staging/`` (a retried task stages a NEW file; the loser's
+    file is simply never committed), then the driver's ``commit`` moves
+    each staged file to ``p<actor>/<n>.events`` with ``n`` allocated
+    monotonically per dir — so the previous active segment seals and
+    the new file becomes active, exactly the rotation rule readers
+    assume (segment/mod.rs:65-74).  Streaming commits additionally
+    record batch ids in ``_flo_commits.json``: a batch REPLAYED after a
+    crash-before-checkpoint is detected and its staged files dropped
+    instead of duplicated (the foreachBatch idempotency recipe, built
+    in).  The root must be on storage shared by driver and executors
+    (any real cluster FS; local FS under local[*]).
+
+    Rows must carry the canonical envelope (event_counter, actor,
+    namespace, ...); ids are caller-assigned — the contiguous-counter
+    produce path stays ``EventStream.produce`` (A15), and this writer
+    is the storage sink (A1's persist half + A12 rotation)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('flo') requires .save(<data dir>)")
+        self.overwrite = overwrite
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator) -> FloWriteMessage:
+        import uuid as _uuid
+
+        staging = os.path.join(self.root, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        by_actor: dict[int, list[tuple]] = {}
+        for row in iterator:
+            ts = row["timestamp"]
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ms = int(ts.timestamp() * 1000)
+            by_actor.setdefault(int(row["actor"]), []).append(
+                (
+                    int(row["event_counter"]),
+                    int(row["actor"]),
+                    row["parent_counter"],
+                    row["parent_actor"],
+                    ms,
+                    row["namespace"],
+                    bytes(row["data"]) if row["data"] is not None else b"",
+                )
+            )
+        messages = []
+        for actor, events in sorted(by_actor.items()):
+            path = os.path.join(staging, f"{_uuid.uuid4().hex}.events")
+            ts_all = [e[4] for e in events]
+            with open(path, "wb") as f:
+                f.write(encode_segment(iter(events), min(ts_all), max(ts_all)))
+            messages.append(FloWriteMessage(path, actor, len(events)))
+        # the API allows ONE message per task; pack the per-actor list
+        return FloWriteMessage(
+            staged_path=json.dumps(
+                [[m.staged_path, m.actor, m.n_events] for m in messages]
+            ),
+            actor=-1,
+            n_events=sum(m.n_events for m in messages),
+        )
+
+    # -- driver side ---------------------------------------------------
+    def _staged(self, messages) -> list[tuple[str, int, int]]:
+        out = []
+        for m in messages:
+            if m is None:
+                continue
+            out.extend(
+                (p, int(a), int(n)) for p, a, n in json.loads(m.staged_path)
+            )
+        return out
+
+    def _commit_files(self, staged: list[tuple[str, int, int]]) -> None:
+        if self.overwrite:
+            for _d, entries in _list_segments(self.root).items():
+                for _n, p in entries:
+                    os.remove(p)
+            self.overwrite = False
+        next_num: dict[str, int] = {}
+        for path, actor, _n in sorted(staged, key=lambda t: (t[1], t[0])):
+            d = os.path.join(self.root, f"p{actor}")
+            os.makedirs(d, exist_ok=True)
+            if d not in next_num:
+                nums = [
+                    n
+                    for n, _p in _list_segments(d).get(d, [])
+                    if n >= 0
+                ]
+                next_num[d] = max(nums) + 1 if nums else 0
+            os.replace(
+                path, os.path.join(d, f"{next_num[d]}.events")
+            )
+            next_num[d] += 1
+
+    def _drop_staged(self, staged) -> None:
+        for path, _a, _n in staged:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        staged = self._staged(messages)
+        if batchId is not None:
+            ledger = os.path.join(self.root, "_flo_commits.json")
+            done: list[int] = []
+            if os.path.exists(ledger):
+                with open(ledger) as f:
+                    done = json.load(f)
+            if batchId in done:
+                self._drop_staged(staged)  # replayed batch: no dupes
+                return
+            self._commit_files(staged)
+            tmp = ledger + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(done + [batchId], f)
+            os.replace(tmp, ledger)
+        else:
+            self._commit_files(staged)
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        self._drop_staged(self._staged(messages))
+
+
 class FloDataSource(DataSource):
     """``spark.dataSource.register(FloDataSource)`` enables
-    ``format("flo")`` for batch and streaming reads."""
+    ``format("flo")`` for batch and streaming reads and writes."""
 
     @classmethod
     def name(cls) -> str:
@@ -353,6 +498,12 @@ class FloDataSource(DataSource):
 
     def streamReader(self, schema) -> FloStreamReader:
         return FloStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> FloWriter:
+        return FloWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> FloWriter:
+        return FloWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

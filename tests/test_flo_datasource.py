@@ -235,3 +235,95 @@ def test_batch_scan_equals_codec_scan_on_random_layouts(spark, tmp_path):
         assert _canon(via_ds.collect()) == _canon(
             via_codec.select(cols).collect()
         ), f"layout {trial} diverged"
+
+
+def test_batch_write_then_read_roundtrip(spark, flo_dir, tmp_path):
+    """df.write.format("flo") lays out p<actor>/<n>.events segments a
+    reader (ours or a flo server's recovery scan) accepts verbatim."""
+    register(spark)
+    out = str(tmp_path / "out")
+    src = spark.read.format("flo").load(flo_dir)
+    src.write.format("flo").mode("append").save(out)
+    back = spark.read.format("flo").load(out)
+    key = lambda r: (r.event_counter, r.actor)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(
+        map(key, src.collect())
+    )
+    # layout: per-actor dirs, contiguous numeric segment names (one
+    # segment per (task, actor) — actor 1 spans 2 read tasks here),
+    # no staging residue
+    def seg_nums(d):
+        return sorted(
+            int(f[: -len(".events")]) for f in os.listdir(d)
+        )
+
+    p1_before = seg_nums(os.path.join(out, "p1"))
+    assert p1_before == list(range(len(p1_before)))
+    assert seg_nums(os.path.join(out, "p2")) == [0]
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    # append again: segment numbers advance (rotation rule)
+    src.write.format("flo").mode("append").save(out)
+    p1_after = seg_nums(os.path.join(out, "p1"))
+    assert p1_after == list(range(len(p1_after)))
+    assert len(p1_after) == 2 * len(p1_before)
+    assert spark.read.format("flo").load(out).count() == 26
+
+
+def test_stream_native_to_native_replication(spark, flo_dir, tmp_path):
+    """The full pub/sub story through Spark: readStream.format("flo")
+    -> writeStream.format("flo") replicates a flo dir into another,
+    per-event cursor on the read side, segment append on the write
+    side; a second drain after the source grows ships only the new
+    events."""
+    register(spark)
+    out = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt_repl")
+
+    def run():
+        q = (
+            spark.readStream.format("flo")
+            .load(flo_dir)
+            .writeStream.format("flo")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    key = lambda r: (r.event_counter, r.actor)  # noqa: E731
+    src = spark.read.format("flo").load(flo_dir)
+    assert sorted(map(key, spark.read.format("flo").load(out).collect())) == sorted(
+        map(key, src.collect())
+    )
+    _append_events(
+        os.path.join(flo_dir, "p1", "1.events"),
+        [_ev(103, 1, ns="/bar/b")],
+    )
+    run()
+    got = sorted(
+        map(key, spark.read.format("flo").load(out).collect())
+    )
+    assert got.count((103, 1)) == 1 and len(got) == 14
+
+
+def test_stream_write_replayed_batch_not_duplicated(spark, flo_dir, tmp_path):
+    """A batch id that already committed must be dropped on replay
+    (the _flo_commits.json ledger)."""
+    import json as _json
+
+    from flo_spark.sources.flo_datasource import FloWriter
+
+    register(spark)
+    out = str(tmp_path / "replay_out")
+    rows = spark.read.format("flo").load(flo_dir).limit(3).collect()
+    w = FloWriter({"path": out}, overwrite=False)
+    msg = w.write(iter(rows))
+    w.commit([msg], batchId=7)
+    n1 = spark.read.format("flo").load(out).count()
+    msg2 = w.write(iter(rows))  # same batch retried after crash
+    w.commit([msg2], batchId=7)
+    assert spark.read.format("flo").load(out).count() == n1 == 3
+    ledger = _json.load(open(os.path.join(out, "_flo_commits.json")))
+    assert ledger == [7]
