@@ -3889,3 +3889,77 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("source", "doc_id", "quota")
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    r"""
+    WITH q AS (
+      SELECT vec_id,
+             len(embedding) AS n_dims,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ),
+    e AS (
+      SELECT d.vec_id, q.n_dims, q.maxabs,
+             CASE WHEN q.maxabs = 0 THEN list_transform(d.embedding, x -> 0)
+                  ELSE list_transform(d.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / (q.maxabs / 127)
+                                       + 0.5) AS BIGINT))
+             END AS qv,
+             list_transform(d.embedding, x -> CAST(x AS DOUBLE)) AS xv
+      FROM embeddings d JOIN q USING (vec_id)
+    )
+    SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+           CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'max')
+                AS BIGINT) AS max_abs_q,
+           floor(list_aggregate(
+                   list_transform(list_zip(xv, qv),
+                     s -> (s[1] - s[2] * (maxabs / 127))
+                          * (s[1] - s[2] * (maxabs / 127))),
+                   'sum') * 1e6 + 0.5) / 1e6 AS sq_err
+    FROM e
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the standard 4x memory
+    cut for billion-vector ANN serving: per-vector scale = max|x|/127,
+    q_i = round(x_i/scale), plus the exact squared reconstruction
+    error.  Verifies the quantizer end to end: sum and max of the
+    int8 codes are integer-exact, and the error fold is the
+    sequential HOF sum, bit-identical across engines over identical
+    IEEE operands (float32 widens exactly to double; /, *, floor are
+    correctly rounded); zero vectors quantize to zeros by the guard
+    rather than dividing by zero.
+
+    100 TB shape: pure per-row JVM expressions (transform/aggregate
+    HOFs) — no shuffle, no Python, no state; in production the int8
+    codes replace the float column at ingest and every downstream
+    ANN probe reads a quarter of the bytes."""
+    e = load(spark, sf_dir, "embeddings")
+    xv = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    d = e.select("vec_id", F.size("embedding").alias("n_dims"),
+                 xv.alias("xv"), maxabs.alias("maxabs"))
+    scale = F.col("maxabs") / 127
+    qv = F.when(F.col("maxabs") == 0,
+                F.transform("xv", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("xv", lambda x: F.floor(x / scale + 0.5).cast("long"))
+    )
+    d = d.withColumn("qv", qv)
+    err = F.aggregate(
+        F.zip_with("xv", "qv",
+                   lambda x, q: (x - q * scale) * (x - q * scale)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "vec_id",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v).alias("sum_q"),
+        F.aggregate(F.transform("qv", F.abs), F.lit(0).cast("long"),
+                    lambda a, v: F.greatest(a, v)).alias("max_abs_q"),
+        (F.floor(err * 1e6 + F.lit(0.5)) / 1e6).alias("sq_err"),
+    )
