@@ -17,6 +17,13 @@ This is the idiomatic-Spark packaging of the native codec
   tails (:func:`flo_segment.tail_flo_segments`) are segment-granular
   by construction; this source closes that gap.
 
+SQL access goes through a temp view
+(``spark.read.format("flo").load(dir).createOrReplaceTempView("t")``):
+``CREATE TABLE ... USING flo OPTIONS (path ...)`` is NOT supported —
+this Spark build hands a catalog-table scan an EMPTY options dict, so
+the reader never sees the path (verified against 4.1; the DataFrame
+reader path passes options correctly).
+
 Options (both readers):
 
 - ``namespace``: flo glob; matching happens per event inside the
@@ -45,7 +52,9 @@ import json
 import os
 import re
 from dataclasses import dataclass
-from datetime import datetime, timedelta, timezone
+from datetime import timezone
+
+import pyarrow as pa
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -67,9 +76,6 @@ from flo_spark.sources.flo_segment import (
     decode_segment,
     encode_segment,
 )
-
-_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
-
 
 def _list_segments(root: str) -> dict[str, list[tuple[int, str]]]:
     """{dir: [(segment_num, path), ...] sorted by number}."""
@@ -138,19 +144,57 @@ def _decode_file(path: str, tolerate_partial_tail: bool):
         yield ev
 
 
-def _to_row(ev: tuple) -> tuple:
-    """Codec tuple -> EVENT_SCHEMA-ordered row tuple."""
-    counter, actor, p_counter, p_actor, ts_millis, namespace, data = ev
-    return (
-        counter,
-        actor,
-        p_counter,
-        p_actor,
-        _EPOCH_DT + timedelta(milliseconds=ts_millis),
-        namespace,
-        data,
-        actor,  # partition == ActorId (SURVEY §1.1)
-    )
+#: Arrow schema mirroring EVENT_SCHEMA; readers yield RecordBatches,
+#: not per-row tuples — one Arrow transfer per chunk instead of one
+#: pickled tuple per event.  At bench scale (12.5k events/task) the
+#: fixed Python-worker startup dominates and both transports measure
+#: within noise (~147k events/s); the Arrow form is kept because its
+#: cost grows with bytes, not rows — the transport that still works
+#: when a task decodes a 1 GiB reference-sized segment
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("event_counter", pa.int64()),
+        pa.field("actor", pa.int32()),
+        pa.field("parent_counter", pa.int64()),
+        pa.field("parent_actor", pa.int32()),
+        pa.field("timestamp", pa.timestamp("us", tz="UTC")),
+        pa.field("namespace", pa.string()),
+        pa.field("data", pa.binary()),
+        pa.field("partition", pa.int32()),
+    ]
+)
+
+#: events per emitted RecordBatch (bounds reader memory per chunk)
+ARROW_CHUNK_EVENTS = 8192
+
+
+def _to_batches(evs):
+    """Codec tuples -> Arrow RecordBatches in bounded chunks."""
+
+    def _make(rows):
+        cols = list(zip(*rows))
+        return pa.RecordBatch.from_pydict(
+            {
+                "event_counter": cols[0],
+                "actor": cols[1],
+                "parent_counter": cols[2],
+                "parent_actor": cols[3],
+                "timestamp": [t * 1000 for t in cols[4]],  # ms -> us
+                "namespace": cols[5],
+                "data": cols[6],
+                "partition": cols[1],  # partition == ActorId (§1.1)
+            },
+            schema=_ARROW_SCHEMA,
+        )
+
+    buf: list[tuple] = []
+    for ev in evs:
+        buf.append(ev)
+        if len(buf) >= ARROW_CHUNK_EVENTS:
+            yield _make(buf)
+            buf = []
+    if buf:
+        yield _make(buf)
 
 
 def _parse_vv(raw: str | None) -> dict[int, int] | None:
@@ -225,9 +269,13 @@ class FloBatchReader(DataSourceReader):
         return out
 
     def read(self, partition: FloSegmentPartition):
-        for ev in _decode_file(partition.path, tolerate_partial_tail=False):
-            if self._keep(ev):
-                yield _to_row(ev)
+        yield from _to_batches(
+            ev
+            for ev in _decode_file(
+                partition.path, tolerate_partial_tail=False
+            )
+            if self._keep(ev)
+        )
 
 
 class FloStreamReader(DataSourceStreamReader):
@@ -323,19 +371,22 @@ class FloStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: FloStreamPartition):
-        for path in partition.files + partition.active_files:
-            tolerant = path in partition.active_files
-            for ev in _decode_file(path, tolerate_partial_tail=tolerant):
-                counter, actor = ev[0], ev[1]
-                if actor != partition.actor:
-                    continue
-                if not (partition.start < counter <= partition.end):
-                    continue
-                if self.ns_regex is not None and not re.match(
-                    self.ns_regex, ev[5]
-                ):
-                    continue
-                yield _to_row(ev)
+        def slice_events():
+            for path in partition.files + partition.active_files:
+                tolerant = path in partition.active_files
+                for ev in _decode_file(path, tolerate_partial_tail=tolerant):
+                    counter, actor = ev[0], ev[1]
+                    if actor != partition.actor:
+                        continue
+                    if not (partition.start < counter <= partition.end):
+                        continue
+                    if self.ns_regex is not None and not re.match(
+                        self.ns_regex, ev[5]
+                    ):
+                        continue
+                    yield ev
+
+        yield from _to_batches(slice_events())
 
     def commit(self, end: dict) -> None:
         pass  # retention is the TTL job's decision, not the consumer's
@@ -473,7 +524,9 @@ class FloWriter(DataSourceWriter, DataSourceStreamWriter):
             self._commit_files(staged)
             tmp = ledger + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(done + [batchId], f)
+                # bounded ledger: replays only ever target the LAST
+                # uncommitted batch, so a 1000-id tail is ample
+                json.dump((done + [batchId])[-1000:], f)
             os.replace(tmp, ledger)
         else:
             self._commit_files(staged)

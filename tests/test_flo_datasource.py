@@ -327,3 +327,20 @@ def test_stream_write_replayed_batch_not_duplicated(spark, flo_dir, tmp_path):
     assert spark.read.format("flo").load(out).count() == n1 == 3
     ledger = _json.load(open(os.path.join(out, "_flo_commits.json")))
     assert ledger == [7]
+
+
+def test_writer_abort_drops_staged_files(spark, flo_dir, tmp_path):
+    """An aborted task set leaves no committed segments and no staged
+    residue."""
+    from flo_spark.sources.flo_datasource import FloWriter
+
+    register(spark)
+    out = str(tmp_path / "abort_out")
+    rows = spark.read.format("flo").load(flo_dir).limit(4).collect()
+    w = FloWriter({"path": out}, overwrite=False)
+    msg = w.write(iter(rows))
+    w.abort([msg], batchId=0)
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    assert not [
+        d for d in os.listdir(out) if d.startswith("p")
+    ], "no partition dirs may exist after abort"
