@@ -33,6 +33,9 @@ Options (both readers):
   Batch: plain vv filter (only listed partitions, exclusive bounds).
   Streaming: the initial offset; when absent, all partitions are
   consumed from 0 and new actors are picked up as they appear.
+- ``indexfile`` (streaming): path to persist the sealed-segment
+  index as JSON so a restarted consumer skips the one-pass rebuild
+  (sealed segments are immutable — entries never go stale).
 
 Scale shape: the stream reader keeps a driver-side **segment index**
 — per sealed file, the (min, max) counter range per actor, built by
@@ -279,7 +282,19 @@ class FloBatchReader(DataSourceReader):
 
 
 class FloStreamReader(DataSourceStreamReader):
-    """Event-granular streaming tail: offset == version vector."""
+    """Event-granular streaming tail: offset == version vector.
+
+    Scale contract of the index build: each SEALED segment is decoded
+    once, driver-side, to learn its per-actor counter range — the
+    same one-pass recovery scan flo itself runs to rebuild its index
+    at startup (mmap.rs:111-134), amortized here across the
+    consumer's lifetime.  The ``indexfile`` option persists that
+    index as JSON so a RESTARTED consumer skips the rebuild entirely
+    (sealed segments are immutable, so entries never go stale — they
+    are only dropped when the TTL job deletes the file); without it a
+    fresh consumer on a large archive pays the scan once.  Truly
+    archival scans belong on the distributed batch path
+    (``spark.read.format("flo")`` / ``read_flo_segments``)."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -295,6 +310,13 @@ class FloStreamReader(DataSourceStreamReader):
         )
         #: sealed-file index: path -> {actor: (min_counter, max_counter)}
         self._index: dict[str, dict[int, tuple[int, int]]] = {}
+        self._indexfile = options.get("indexfile")
+        if self._indexfile and os.path.exists(self._indexfile):
+            with open(self._indexfile) as f:
+                self._index = {
+                    p: {int(a): tuple(rng) for a, rng in actors.items()}
+                    for p, actors in json.load(f).items()
+                }
 
     # -- index maintenance (driver-side, each sealed file decoded once)
     def _scan_file(self, path: str, tolerant: bool) -> dict[int, tuple[int, int]]:
@@ -310,11 +332,25 @@ class FloStreamReader(DataSourceStreamReader):
         ranges (recomputed every trigger — the only per-trigger decode,
         bounded by one segment per partition dir)."""
         sealed, active = _split_sealed_active(self.root)
+        dirty = False
         for path in sealed:
             if path not in self._index:
                 self._index[path] = self._scan_file(path, tolerant=False)
+                dirty = True
         for stale in set(self._index) - set(sealed):
             del self._index[stale]  # expired by the TTL job
+            dirty = True
+        if dirty and self._indexfile:
+            tmp = self._indexfile + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        p: {str(a): list(rng) for a, rng in actors.items()}
+                        for p, actors in self._index.items()
+                    },
+                    f,
+                )
+            os.replace(tmp, self._indexfile)
         return {p: self._scan_file(p, tolerant=True) for p in active}
 
     def initialOffset(self) -> dict:
@@ -423,7 +459,10 @@ class FloWriter(DataSourceWriter, DataSourceStreamWriter):
     Rows must carry the canonical envelope (event_counter, actor,
     namespace, ...); ids are caller-assigned — the contiguous-counter
     produce path stays ``EventStream.produce`` (A15), and this writer
-    is the storage sink (A1's persist half + A12 rotation)."""
+    is the storage sink (A1's persist half + A12 rotation).  Naive
+    timestamps are taken as UTC (every engine session pins
+    spark.sql.session.timeZone=UTC; a caller on a non-UTC session
+    must convert first)."""
 
     def __init__(self, options, overwrite: bool):
         self.root = options.get("path")

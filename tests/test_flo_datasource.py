@@ -344,3 +344,28 @@ def test_writer_abort_drops_staged_files(spark, flo_dir, tmp_path):
     assert not [
         d for d in os.listdir(out) if d.startswith("p")
     ], "no partition dirs may exist after abort"
+
+
+def test_stream_indexfile_persists_and_preloads(spark, flo_dir, tmp_path):
+    """The sealed-segment index written via the indexfile option is
+    reloaded by a fresh consumer (restart skips the rebuild scan)."""
+    from flo_spark.sources.flo_datasource import FloStreamReader
+
+    idx = str(tmp_path / "flo_index.json")
+    got = _drain(
+        spark,
+        flo_dir,
+        str(tmp_path / "ckpt_idx"),
+        indexfile=idx,
+    )
+    assert len(got) == 13
+    saved = json.load(open(idx))
+    # exactly the sealed files (p1/0.events; actives are never indexed)
+    assert list(saved) == [os.path.join(flo_dir, "p1", "0.events")]
+    assert saved[os.path.join(flo_dir, "p1", "0.events")] == {
+        "1": [1, 9]
+    }
+    fresh = FloStreamReader({"path": flo_dir, "indexfile": idx})
+    assert fresh._index == {
+        os.path.join(flo_dir, "p1", "0.events"): {1: (1, 9)}
+    }
