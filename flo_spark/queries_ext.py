@@ -3963,3 +3963,34 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda a, v: F.greatest(a, v)).alias("max_abs_q"),
         (F.floor(err * 1e6 + F.lit(0.5)) / 1e6).alias("sq_err"),
     )
+
+
+@query(
+    "approx_quantile_bounded",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable rank-error contract for approx_percentile (the
+    t-digest/GK sketch Spark uses for distributed quantiles — the
+    sibling invariant to `approx_distinct_bounded`'s HLL band).
+
+    percentile_approx(x, 0.5, accuracy=100) guarantees a rank within
+    0.5 +- 1/100 of the true median; the contract brackets the sketch
+    output between the EXACT 0.48 and 0.52 quantiles (double the
+    guaranteed rank window, computable in both engines) and emits the
+    boolean per group.  A sketch-merge defect that drifts the estimate
+    past the band flips within_bound and breaks the hash; the exact
+    side (count per returnflag group) pins the grouping itself."""
+    li = load(spark, sf_dir, "lineitem")
+    approx = F.expr("percentile_approx(l_extendedprice, 0.5, 100)")
+    lo = F.expr("percentile(l_extendedprice, 0.48)")
+    hi = F.expr("percentile(l_extendedprice, 0.52)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        ((approx >= lo) & (approx <= hi)).alias("within_bound"),
+    )
