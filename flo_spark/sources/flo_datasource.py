@@ -77,7 +77,7 @@ from flo_spark.sources.flo_segment import (
     MARKER,
     _FIXED,
     decode_segment,
-    encode_segment,
+    encode_event,
 )
 
 def _list_segments(root: str) -> dict[str, list[tuple[int, str]]]:
@@ -472,34 +472,61 @@ class FloWriter(DataSourceWriter, DataSourceStreamWriter):
 
     # -- executor side -------------------------------------------------
     def write(self, iterator) -> FloWriteMessage:
+        """Rows stream straight into one open staged file per actor —
+        memory is O(actors), never O(task rows) (a task may carry a
+        whole reference-sized 1 GiB segment's worth).  The 16-byte
+        create/end-time header needs the min/max timestamps, which are
+        only known at the end, so each file starts with a placeholder
+        header that is patched in place on close."""
+        import struct as _struct
         import uuid as _uuid
 
         staging = os.path.join(self.root, "_staging")
         os.makedirs(staging, exist_ok=True)
-        by_actor: dict[int, list[tuple]] = {}
-        for row in iterator:
-            ts = row["timestamp"]
-            if ts.tzinfo is None:
-                ts = ts.replace(tzinfo=timezone.utc)
-            ms = int(ts.timestamp() * 1000)
-            by_actor.setdefault(int(row["actor"]), []).append(
-                (
-                    int(row["event_counter"]),
-                    int(row["actor"]),
-                    row["parent_counter"],
-                    row["parent_actor"],
-                    ms,
-                    row["namespace"],
-                    bytes(row["data"]) if row["data"] is not None else b"",
+        # per-actor: [file handle, path, n_events, min_ms, max_ms]
+        open_files: dict[int, list] = {}
+        try:
+            for row in iterator:
+                ts = row["timestamp"]
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                ms = int(ts.timestamp() * 1000)
+                actor = int(row["actor"])
+                st = open_files.get(actor)
+                if st is None:
+                    path = os.path.join(
+                        staging, f"{_uuid.uuid4().hex}.events"
+                    )
+                    f = open(path, "wb")
+                    f.write(b"\x00" * HEADER_LEN)  # patched on close
+                    st = open_files[actor] = [f, path, 0, ms, ms]
+                st[0].write(
+                    encode_event(
+                        int(row["event_counter"]),
+                        actor,
+                        row["parent_counter"],
+                        row["parent_actor"],
+                        ms,
+                        row["namespace"],
+                        bytes(row["data"])
+                        if row["data"] is not None
+                        else b"",
+                    )
                 )
-            )
-        messages = []
-        for actor, events in sorted(by_actor.items()):
-            path = os.path.join(staging, f"{_uuid.uuid4().hex}.events")
-            ts_all = [e[4] for e in events]
-            with open(path, "wb") as f:
-                f.write(encode_segment(iter(events), min(ts_all), max(ts_all)))
-            messages.append(FloWriteMessage(path, actor, len(events)))
+                st[2] += 1
+                st[3] = min(st[3], ms)
+                st[4] = max(st[4], ms)
+            messages = []
+            for actor in sorted(open_files):
+                f, path, n, lo, hi = open_files[actor]
+                f.seek(0)
+                f.write(_struct.pack(">QQ", lo, hi))
+                f.close()
+                messages.append(FloWriteMessage(path, actor, n))
+        finally:
+            for st in open_files.values():
+                if not st[0].closed:
+                    st[0].close()
         # the API allows ONE message per task; pack the per-actor list
         return FloWriteMessage(
             staged_path=json.dumps(
