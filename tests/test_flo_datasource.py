@@ -369,3 +369,26 @@ def test_stream_indexfile_persists_and_preloads(spark, flo_dir, tmp_path):
     assert fresh._index == {
         os.path.join(flo_dir, "p1", "0.events"): {1: (1, 9)}
     }
+
+
+def test_stream_partitions_index_seek_prunes_files(spark, flo_dir, tmp_path):
+    """partitions(start, end) must ship only sealed files whose
+    per-actor counter range overlaps the slice — the index-seek analog
+    (index.rs:86-129): a cursor past a segment's range skips it."""
+    from flo_spark.sources.flo_datasource import FloStreamReader
+
+    r = FloStreamReader({"path": flo_dir})
+    r.latestOffset()  # builds the sealed index
+    # p1/0.events holds actor-1 counters 1..9; 1.events (active) 100..102
+    [part] = r.partitions({"1": 50}, {"1": 102})
+    assert part.files == ()  # sealed file pruned: its range [1,9] < 50
+    [part2] = r.partitions({"1": 3}, {"1": 102})
+    assert any(p.endswith("p1/0.events") for p in part2.files)
+
+
+def test_invalid_glob_option_raises(spark, flo_dir):
+    from flo_spark.functions.glob import GlobError
+    from flo_spark.sources.flo_datasource import FloBatchReader
+
+    with pytest.raises(GlobError):
+        FloBatchReader({"path": flo_dir, "namespace": "/foo[unclosed"})
