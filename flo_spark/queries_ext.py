@@ -3994,3 +3994,84 @@ def approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         ((approx >= lo) & (approx <= hi)).alias("within_bound"),
     )
+
+
+@query(
+    "span_dedup_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, s['idx'] AS chunk_idx, s['chunk'] AS chunk
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+                 i -> struct_pack(
+                   idx := i,
+                   chunk := array_to_string(
+                     list_slice(ws, (i - 1) * 10 + 1,
+                                least(i * 10, len(ws))), ' ')))) AS s
+        FROM w WHERE len(ws) > 0
+      )
+    ),
+    r AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup, C4-style ("discard any repeated span,
+    keep its first occurrence"): cut every document into
+    non-overlapping 10-word chunks and drop each chunk whose exact
+    text already occurred earlier in the corpus (first occurrence =
+    smallest (doc_id, chunk_idx) — deterministic).  Per-doc keep/drop
+    counts; the corpus plants real boilerplate so ~5% of spans drop.
+
+    100 TB shape: the dedup window partitions by xxhash64(chunk) so
+    the corpus-wide shuffle moves 8-byte keys + (doc_id, idx), never
+    span text (the duplicate_ngram_rate trick; a 64-bit collision at
+    ~1e12 spans merges two groups with odds ~1e-7 and moves one count
+    by one).  Chunking itself is shuffle-free (sequence/slice HOFs in
+    the scan stage); the only exchanges are the hash-keyed window and
+    the per-doc re-aggregate."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    nchunks = F.ceil(n / F.lit(10.0))
+    chunks = F.transform(
+        F.sequence(F.lit(1).cast("long"), nchunks),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(
+                " ", F.slice(words, (i - 1) * 10 + 1, F.lit(10))
+            ).alias("chunk"),
+        ),
+    )
+    c = (
+        d.where(n > 0)
+        .select("doc_id", F.explode(chunks).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.idx").alias("chunk_idx"),
+            F.xxhash64("s.chunk").alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        )
+    )
