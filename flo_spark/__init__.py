@@ -24,6 +24,8 @@ from flo_spark.schema import EVENT_SCHEMA
 from flo_spark.functions.glob import GlobError, glob_to_regex, namespace_matches
 from flo_spark.session import get_spark
 from flo_spark.sources.event_table import EventStream, StreamRegistry
+from flo_spark.sources.flo_datasource import FloDataSource
+from flo_spark.sources.flo_datasource import register as register_flo_format
 from flo_spark.sources.flo_segment import (
     read_flo_segments,
     tail_flo_segments,
@@ -35,6 +37,8 @@ __all__ = [
     "EVENT_SCHEMA",
     "EventId",
     "EventStream",
+    "FloDataSource",
+    "register_flo_format",
     "GlobError",
     "StreamRegistry",
     "VersionVector",
