@@ -4075,3 +4075,62 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "dataset_card",
+    """
+    WITH t AS (
+      SELECT source, lang, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS avg_chars,
+           floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+             AS en_fraction
+    FROM t GROUP BY source
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics — the per-source summary table every
+    corpus release ships (docs, token totals, language coverage,
+    length distribution, English share).  One pass, one aggregate:
+    everything is computed in a single map-side-combinable groupBy
+    over the scan (token counts are a size() on the split array,
+    evaluated in the scan stage project), so at 100 TB this is a
+    single shuffle of per-source partials — the cheapest full-corpus
+    report the engine offers.  Ratios are exact int/int quotients
+    under the IEEE floor trick."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.select(
+        "source", "lang", "n_chars", F.size(words).alias("n_tokens")
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.floor(F.sum("n_chars") / F.count("*") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("avg_chars"),
+        (
+            F.floor(
+                F.sum((F.col("lang") == "en").cast("long"))
+                / F.count("*")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("en_fraction"),
+    )
