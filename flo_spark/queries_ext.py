@@ -4106,10 +4106,11 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     length distribution, English share).  One pass, one aggregate:
     everything is computed in a single map-side-combinable groupBy
     over the scan (token counts are a size() on the split array,
-    evaluated in the scan stage project), so at 100 TB this is a
-    single shuffle of per-source partials — the cheapest full-corpus
-    report the engine offers.  Ratios are exact int/int quotients
-    under the IEEE floor trick."""
+    evaluated in the scan stage project); the exact distinct-language
+    count adds a second (source, lang)-keyed phase, so at 100 TB the
+    report costs two reduced shuffles of per-source partials — still
+    the cheapest full-corpus report the engine offers.  Ratios are
+    exact int/int quotients under the IEEE floor trick."""
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     t = d.select(

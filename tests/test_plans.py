@@ -402,3 +402,50 @@ def test_semantic_dedup_blocked_join_no_cartesian(spark, sf_dir):
 
     df = QX.semantic_dedup_verdicts(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_int8_quantize_is_shuffle_free(spark, sf_dir):
+    """Pure per-row HOF expressions: no Exchange, no Python, no join."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.embedding_int8_quantize(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_span_dedup_shuffles_hashes_not_spans(spark, sf_dir):
+    """The dedup window must partition on the xxhash64 key and the
+    final aggregate on doc_id — span text never crosses an exchange."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.span_dedup_stats(spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        key = m.group(1)
+        assert "h#" in key or "doc_id" in key, key
+
+
+def test_temperature_mix_quota_broadcast_single_window_shuffle(spark, sf_dir):
+    """The quota table (an aggregate over the source key) must come
+    back as a broadcast; the only wide shuffles are the source-keyed
+    count/window."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.temperature_mix_sample(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "source" in m.group(1), m.group(1)
+
+
+def test_dataset_card_aggregate_only_no_join(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.dataset_card(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # two exchanges max: the per-(source,lang) distinct phase and the
+    # per-source merge — both keyed on source(/lang), both reduced
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert ex, plan
+    assert all("source" in k for k in ex), ex
