@@ -36,6 +36,10 @@ Options (both readers):
 - ``indexfile`` (streaming): path to persist the sealed-segment
   index as JSON so a restarted consumer skips the one-pass rebuild
   (sealed segments are immutable — entries never go stale).
+- ``batchsize`` (streaming): switches to the credit-flow reader
+  (``FloCreditStreamReader``) — at most that many MATCHING events per
+  micro-batch, delivered in global (counter, actor) id order; flo's
+  SetBatchSize/NextBatch loop (A8) as Spark admission control.
 
 Scale shape: the stream reader keeps a driver-side **segment index**
 — per sealed file, the (min, max) counter range per actor, built by
@@ -59,6 +63,8 @@ from datetime import timezone
 
 import pyarrow as pa
 
+from pyspark.errors import PySparkNotImplementedError
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -66,6 +72,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -428,6 +435,117 @@ class FloStreamReader(DataSourceStreamReader):
         pass  # retention is the TTL job's decision, not the consumer's
 
 
+class FloCreditStreamReader(SimpleDataSourceStreamReader):
+    """Credit-flow tail (A8): at most ``batchsize`` MATCHING events
+    per micro-batch, delivered in global (counter, actor) id order by
+    an explicit k-way merge over per-actor cursors — the
+    multi_partition_reader + batch_size/NextBatch loop
+    (consumer_stream/mod.rs:115-155) re-based on the SIMPLE stream
+    reader API, whose ``read(start)`` hands the reader its own cursor
+    and so makes admission control exact (the partitioned
+    DataSourceStreamReader API never sees the committed start, so a
+    cap there could regress offsets after a restart and redeliver).
+
+    Cursor rule: an actor's offset advances only over events the merge
+    actually PROCESSED (delivered, or scanned-and-glob-skipped — flo
+    counts only matching events against the batch budget, the same
+    rule as next_matching + the decrement at mod.rs:116-119); an event
+    peeked but unprocessed when the budget ran out is re-read next
+    trigger.  Data moves through the driver (the simple-reader
+    contract) bounded per trigger by the budget plus the glob-skipped
+    scan; large backfills belong on the partitioned reader
+    (no ``batchsize`` option)."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("format('flo') requires .load(<data dir>)")
+        ns = options.get("namespace")
+        self.ns_regex = None if is_match_all(ns) else glob_to_regex(ns)
+        self.start_vv = _parse_vv(options.get("startpositions"))
+        self.pinned = (
+            frozenset(self.start_vv) if self.start_vv is not None else None
+        )
+        self.batch_size = int(options.get("batchsize", 10000))
+
+    def initialOffset(self) -> dict:
+        if self.start_vv is not None:
+            return {str(a): int(c) for a, c in self.start_vv.items()}
+        return {}
+
+    def _actor_events(self, start: dict):
+        """Per-actor generators over events with counter > start[actor]
+        (0 when absent), in counter order; file-level pruning via
+        first-event header peeks against the global min cursor."""
+        floor = min((int(c) for c in start.values()), default=-1)
+        per_actor: dict[int, list] = {}
+        for _d, entries in _list_segments(self.root).items():
+            firsts = [_first_event_counter(p) for _n, p in entries]
+            for i, (_num, path) in enumerate(entries):
+                nxt = firsts[i + 1] if i + 1 < len(entries) else None
+                if floor >= 0 and nxt is not None and nxt <= floor:
+                    continue
+                is_active = i == len(entries) - 1
+                for ev in _decode_file(path, tolerate_partial_tail=is_active):
+                    actor = ev[1]
+                    if self.pinned is not None and actor not in self.pinned:
+                        continue
+                    if ev[0] > int(start.get(str(actor), 0)):
+                        per_actor.setdefault(actor, []).append(ev)
+        for evs in per_actor.values():
+            evs.sort(key=lambda e: e[0])
+        return per_actor
+
+    def read(self, start: dict):
+        per_actor = self._actor_events(start)
+        iters = {a: iter(evs) for a, evs in per_actor.items()}
+        peek = {a: next(it, None) for a, it in iters.items()}
+        last: dict[int, int] = {}
+        out: list[tuple] = []
+        budget = self.batch_size
+        while budget > 0:
+            live = [(ev[0], a) for a, ev in peek.items() if ev is not None]
+            if not live:
+                break
+            _c, a = min(live)
+            ev = peek[a]
+            peek[a] = next(iters[a], None)
+            last[a] = ev[0]
+            if self.ns_regex is None or re.match(self.ns_regex, ev[5]):
+                out.append(_simple_row(ev))
+                budget -= 1
+        end = dict(start)
+        for a, c in last.items():
+            end[str(a)] = c
+        return iter(out), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of a recorded (start, end] slice."""
+        rows = []
+        for a, evs in self._actor_events(start).items():
+            hi = int(end.get(str(a), 0))
+            for ev in evs:
+                if ev[0] <= hi and (
+                    self.ns_regex is None or re.match(self.ns_regex, ev[5])
+                ):
+                    rows.append(_simple_row(ev))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _simple_row(ev: tuple) -> tuple:
+    """Codec tuple -> EVENT_SCHEMA-ordered row (simple-reader form)."""
+    from datetime import datetime, timedelta
+
+    counter, actor, p_counter, p_actor, ts_millis, namespace, data = ev
+    ts = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+        milliseconds=ts_millis
+    )
+    return (counter, actor, p_counter, p_actor, ts, namespace, data, actor)
+
+
 @dataclass
 class FloWriteMessage(WriterCommitMessage):
     """One staged segment per (task, actor): committed by the driver
@@ -616,7 +734,20 @@ class FloDataSource(DataSource):
         return FloBatchReader(self.options)
 
     def streamReader(self, schema) -> FloStreamReader:
+        # a batchsize option selects the credit-flow SIMPLE reader:
+        # raising NOT_IMPLEMENTED here makes the engine fall back to
+        # simpleStreamReader (pyspark.sql.datasource_internal
+        # _streamReader), the only reader API whose read(start) sees
+        # the committed cursor and can therefore rate-limit exactly
+        if "batchsize" in self.options:
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader(batchsize)"},
+            )
         return FloStreamReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FloCreditStreamReader:
+        return FloCreditStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> FloWriter:
         return FloWriter(self.options, overwrite)

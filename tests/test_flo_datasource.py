@@ -392,3 +392,61 @@ def test_invalid_glob_option_raises(spark, flo_dir):
 
     with pytest.raises(GlobError):
         FloBatchReader({"path": flo_dir, "namespace": "/foo[unclosed"})
+
+
+def test_credit_flow_batchsize_drains_in_id_order(spark, tmp_path):
+    """A8 at the data-source level: with batchsize=7, successive
+    drains deliver 7/7/6/0 events, each batch the globally smallest
+    remaining (counter, actor) ids — the k-way merge + credit loop
+    (consumer_stream/mod.rs:115-155)."""
+    root = tmp_path / "credit"
+    for actor, dirn in [(1, "p1"), (2, "p2")]:
+        d = root / dirn
+        d.mkdir(parents=True)
+        _write_segment(
+            d / "0.events",
+            [_ev(i * 2 + actor, actor) for i in range(10)],
+        )
+    register(spark)
+    ckpt = str(tmp_path / "ckpt_credit")
+    batches = [
+        _drain(spark, str(root), ckpt, batchsize="7") for _ in range(4)
+    ]
+    assert [len(b) for b in batches] == [7, 7, 6, 0]
+    all_ids = sorted(x[0] for b in batches for x in b)
+    assert all_ids == sorted(i * 2 + a for a in (1, 2) for i in range(10))
+    # each batch is exactly the globally smallest remaining ids
+    flat = [x for b in batches for x in b]
+    assert flat == sorted(flat)
+
+
+def test_credit_flow_glob_skips_do_not_consume_budget(spark, tmp_path):
+    """Only MATCHING events count against the batch budget (flo
+    decrements per sent event, after the glob filter)."""
+    root = tmp_path / "credit_glob"
+    d = root / "p1"
+    d.mkdir(parents=True)
+    evs = [
+        _ev(i + 1, 1, ns="/keep/x" if i % 2 == 0 else "/skip/y")
+        for i in range(10)
+    ]
+    _write_segment(d / "0.events", evs)
+    register(spark)
+    got = _drain(
+        spark,
+        str(root),
+        str(tmp_path / "ckpt_cg"),
+        batchsize="3",
+        namespace="/keep/*",
+    )
+    # 3 matching events delivered; the interleaved /skip events they
+    # passed over are consumed by the cursor, not re-scanned later
+    assert [c for c, _a in sorted(got)] == [1, 3, 5]
+    got2 = _drain(
+        spark,
+        str(root),
+        str(tmp_path / "ckpt_cg"),
+        batchsize="3",
+        namespace="/keep/*",
+    )
+    assert [c for c, _a in sorted(got2)] == [7, 9]
