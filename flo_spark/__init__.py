@@ -27,6 +27,8 @@ from flo_spark.sources.event_table import EventStream, StreamRegistry
 from flo_spark.sources.flo_datasource import FloDataSource
 from flo_spark.sources.flo_datasource import register as register_flo_format
 from flo_spark.sources.flo_segment import (
+    expire_native_segments,
+    native_head_status,
     read_flo_segments,
     tail_flo_segments,
     write_flo_segments,
@@ -42,9 +44,11 @@ __all__ = [
     "GlobError",
     "StreamRegistry",
     "VersionVector",
+    "expire_native_segments",
     "get_spark",
     "glob_to_regex",
     "namespace_matches",
+    "native_head_status",
     "read_flo_segments",
     "tail_flo_segments",
     "write_flo_segments",

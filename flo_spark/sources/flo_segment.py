@@ -527,3 +527,103 @@ class NativeDirTailer:
             self._thread.join()
         if drain_active:
             self.poll_once(include_active=True)
+
+
+def expire_native_segments(
+    root: str, retention_millis: int, now_millis: int | None = None
+) -> dict:
+    """TTL expiry over a native flo data dir (A11,
+    controller/mod.rs:158-178): per partition dir, delete the
+    CONTIGUOUS PREFIX of sealed segments whose header end-time is
+    older than ``now - retention`` — whole-file drops costing one
+    16-byte header read each (never a per-event delete), stopping at
+    the first unexpired segment exactly like the reference's
+    take_while (the comparison there reads inverted as written; the
+    embedded TTL test and our parquet ``EventStream.expire_old_events``
+    pin the drop-expired-prefix intent this follows).  The ACTIVE
+    (max-numbered) segment never expires — the reference's writer
+    always keeps it."""
+    import struct as _struct
+    import time as _time
+
+    if now_millis is None:
+        now_millis = int(_time.time() * 1000)
+    cutoff = now_millis - retention_millis
+    report = {"files_deleted": 0, "files_kept": 0, "events_dropped": 0}
+    by_dir: dict[str, list[tuple[int, str]]] = {}
+    for r, _dirs, files in os.walk(root):
+        for fname in files:
+            if fname.endswith(".events"):
+                try:
+                    num = int(fname[: -len(".events")])
+                except ValueError:
+                    num = -1
+                by_dir.setdefault(r, []).append(
+                    (num, os.path.join(r, fname))
+                )
+    for entries in by_dir.values():
+        entries.sort()
+        for i, (_num, path) in enumerate(entries):
+            is_active = i == len(entries) - 1
+            with open(path, "rb") as f:
+                head = f.read(HEADER_LEN)
+            if is_active or len(head) < HEADER_LEN:
+                report["files_kept"] += 1
+                break
+            _create, end = _struct.unpack(">QQ", head)
+            if end >= cutoff:
+                report["files_kept"] += len(entries) - i
+                break  # take_while: stop at the first unexpired
+            report["events_dropped"] += sum(
+                1 for _ in decode_segment(open(path, "rb").read())
+            )
+            os.remove(path)
+            report["files_deleted"] += 1
+    return report
+
+
+def native_head_status(root: str, full_scan: bool = False) -> list[tuple]:
+    """Per-partition head snapshot over a native dir — A13's
+    EventStreamStatus (connection_state.rs:94-114) without a server:
+    ``[(partition, head_counter, primary), ...]`` sorted by partition.
+
+    The cheap path decodes only each dir's TAIL segments, newest
+    first, until one yields events (the reference fast-forwards its
+    counter from the tail the same way, controller/mod.rs:64-66) —
+    exact for flo's one-actor-per-dir layout.  For mixed-actor dirs
+    pass ``full_scan=True`` to fold every segment.  ``primary`` is
+    constantly true: the embedded/single-engine deployment owns every
+    partition it reads (client.rs:207-221; clustering is vestigial)."""
+    heads: dict[int, int] = {}
+    by_dir: dict[str, list[tuple[int, str]]] = {}
+    for r, _dirs, files in os.walk(root):
+        for fname in files:
+            if fname.endswith(".events"):
+                try:
+                    num = int(fname[: -len(".events")])
+                except ValueError:
+                    num = -1
+                by_dir.setdefault(r, []).append(
+                    (num, os.path.join(r, fname))
+                )
+    for entries in by_dir.values():
+        entries.sort()
+        paths = [p for _n, p in entries]
+        scan = paths if full_scan else reversed(paths)
+        for path in scan:
+            found = False
+            buf = open(path, "rb").read()
+            it = decode_segment(buf)
+            while True:
+                try:
+                    ev = next(it)
+                except StopIteration:
+                    break
+                except ValueError:
+                    break  # torn active tail
+                found = True
+                if ev[0] > heads.get(ev[1], 0):
+                    heads[ev[1]] = ev[0]
+            if found and not full_scan:
+                break
+    return [(a, heads[a], True) for a in sorted(heads)]

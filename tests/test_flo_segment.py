@@ -502,3 +502,61 @@ def test_import_native_widens_partition_count(spark, tmp_path):
     n = s.import_native(native)
     assert s.options["num_partitions"] == 3
     assert s.consume().count() == n == len(rows)  # nothing dropped
+
+
+def test_expire_native_segments_drops_expired_prefix(tmp_path):
+    """A11 on native dirs: only the contiguous old-end-time prefix of
+    sealed segments is deleted; the first fresh segment stops the
+    sweep (take_while) and the active segment never expires."""
+    from flo_spark.sources.flo_segment import (
+        encode_segment,
+        expire_native_segments,
+    )
+
+    d = tmp_path / "p1"
+    d.mkdir()
+    now = 1_000_000_000_000
+    # seg0 old, seg1 fresh, seg2 OLD again (but after a fresh one),
+    # seg3 active and old
+    ends = [now - 500_000, now - 10_000, now - 500_000, now - 500_000]
+    for i, end in enumerate(ends):
+        evs = [(i * 10 + j + 1, 1, None, None, end - 100, "/a", b"x")
+               for j in range(3)]
+        (d / f"{i}.events").write_bytes(
+            encode_segment(iter(evs), end - 1000, end)
+        )
+    report = expire_native_segments(
+        str(tmp_path), retention_millis=100_000, now_millis=now
+    )
+    assert report == {
+        "files_deleted": 1,
+        "files_kept": 3,
+        "events_dropped": 3,
+    }
+    assert sorted(f.name for f in d.iterdir()) == [
+        "1.events",
+        "2.events",
+        "3.events",
+    ]
+
+
+def test_native_head_status_reads_tail_segments(tmp_path):
+    from flo_spark.sources.flo_segment import (
+        encode_event,
+        encode_segment,
+        native_head_status,
+    )
+
+    for actor, dirn, counters in [(1, "p1", [1, 3, 9]), (2, "p2", [2, 8])]:
+        d = tmp_path / dirn
+        d.mkdir()
+        evs = [(c, actor, None, None, 1000, "/a", b"x") for c in counters]
+        (d / "0.events").write_bytes(encode_segment(iter(evs), 0, 10**13))
+        # empty active segment after rotation: header only
+        (d / "1.events").write_bytes(encode_segment(iter([]), 0, 10**13))
+    assert native_head_status(str(tmp_path)) == [(1, 9, True), (2, 8, True)]
+    # torn tail on an active segment is skipped, not fatal
+    full = encode_event(11, 1, None, None, 1000, "/a", b"x")
+    with open(tmp_path / "p1" / "1.events", "ab") as f:
+        f.write(full[:-3])
+    assert native_head_status(str(tmp_path))[0] == (1, 9, True)
