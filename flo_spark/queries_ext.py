@@ -4135,3 +4135,112 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("en_fraction"),
     )
+
+
+@query(
+    "flo_native_retention",
+    """
+    WITH b AS (
+      SELECT event_id, CAST(event_id % 3 + 1 AS INT) AS part
+      FROM events ORDER BY event_id LIMIT 300
+    ),
+    r AS (
+      SELECT event_id, part,
+             CAST((row_number() OVER (PARTITION BY part ORDER BY event_id)
+                   - 1) // 40 AS INT) + 1 AS seg
+      FROM b
+    ),
+    s AS (
+      SELECT part, seg, max(event_id * 1000) AS seg_end FROM r
+      GROUP BY part, seg
+    ),
+    lim AS (
+      SELECT CAST(min(event_id) * 1000
+                  + 3 * (max(event_id) - min(event_id)) * 1000 // 5
+                  AS BIGINT) AS cut
+      FROM b
+    ),
+    s2 AS (
+      SELECT part, seg,
+             max(seg_end) OVER (PARTITION BY part ORDER BY seg
+                                ROWS UNBOUNDED PRECEDING) AS cm,
+             max(seg) OVER (PARTITION BY part) AS maxseg
+      FROM s
+    ),
+    keep AS (
+      SELECT part, seg FROM s2 CROSS JOIN lim
+      WHERE NOT (cm < lim.cut AND seg < maxseg)
+    )
+    SELECT r.part AS partition,
+           count(*) AS n_events,
+           CAST(sum(r.event_id) AS BIGINT) AS sum_counters,
+           CAST(max(r.event_id) AS BIGINT) AS head_counter,
+           TRUE AS primary_flag
+    FROM r JOIN keep USING (part, seg)
+    GROUP BY r.part
+    """,
+)
+def flo_native_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-dir TTL + head snapshot end to end (A11 + A13 on flo's
+    own storage format): encode 300 events into 3 partition dirs
+    (id-derived monotone timestamps, 40-event segments), run
+    ``expire_native_segments`` at a cutoff 60% into the time range,
+    then scan the SURVIVING segments and join the per-partition head
+    from ``native_head_status``.  The oracle reproduces the whole
+    pipeline in SQL — segment membership (rank // 40), content-derived
+    header end-times (max id-ms per segment), the take_while
+    drop-prefix rule via a running cummax, the never-expire-active
+    rule, and the head (which expiry must NOT move).  A defect in
+    segment assignment, header times, prefix-stop, active protection,
+    or head recovery changes a count/sum and breaks the hash.
+
+    The two driver-side pieces are O(1)/O(partitions) by construction
+    (documented): the min/max collect that derives the cutoff, and
+    the head-status list."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_segment import (
+        expire_native_segments,
+        native_head_status,
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    ev = load(spark, sf_dir, "events").orderBy("event_id").limit(300)
+    batch = ev.select(
+        F.col("event_id").alias("event_counter"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("actor"),
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        F.timestamp_seconds(F.col("event_id")).alias("timestamp"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("namespace"),
+        F.encode(F.coalesce("props", F.lit("")), "utf-8").alias("data"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    path = scratch_dir("flo_native_ttl_") + "/native"
+    write_flo_segments(batch, path, max_events_per_segment=40)
+    # O(1) driver collect: the cutoff bounds (min/max id of the subset)
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).collect()[0]
+    cut = row["mn"] * 1000 + 3 * (row["mx"] - row["mn"]) * 1000 // 5
+    expire_native_segments(path, retention_millis=0, now_millis=cut)
+    heads = spark.createDataFrame(
+        native_head_status(path),
+        "partition int, head_counter long, primary_flag boolean",
+    )
+    back = read_flo_segments(spark, path)
+    return (
+        back.groupBy("partition")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_counter").alias("sum_counters"),
+        )
+        .join(F.broadcast(heads), "partition")
+        .select(
+            "partition",
+            "n_events",
+            "sum_counters",
+            "head_counter",
+            "primary_flag",
+        )
+    )
