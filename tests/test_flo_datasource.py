@@ -450,3 +450,91 @@ def test_credit_flow_glob_skips_do_not_consume_budget(spark, tmp_path):
         namespace="/keep/*",
     )
     assert [c for c, _a in sorted(got2)] == [7, 9]
+
+
+# ---------------------------------------------------------------------------
+# property tests: the credit-flow reader is pure driver-side Python, so
+# its cursor algebra can be exercised without a Spark session
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _layouts(draw):
+    """Random flo dir shape: 1-3 actors, 1-3 segments each, 0-8 events
+    per segment, globally unique increasing counters interleaved
+    across actors."""
+    n_actors = draw(st.integers(1, 3))
+    plan = []
+    counter = 0
+    for actor in range(1, n_actors + 1):
+        segs = []
+        for _ in range(draw(st.integers(1, 3))):
+            n = draw(st.integers(0, 8))
+            evs = []
+            for _ in range(n):
+                counter += draw(st.integers(1, 3))
+                ns = draw(st.sampled_from(["/keep/x", "/skip/y"]))
+                evs.append((counter, actor, None, None, 1000, ns, b"d"))
+            segs.append(evs)
+        plan.append((actor, segs))
+    return plan
+
+
+def _materialize(tmpdir, plan):
+    import pathlib
+
+    root = pathlib.Path(tmpdir) / "data"
+    for actor, segs in plan:
+        d = root / f"p{actor}"
+        d.mkdir(parents=True, exist_ok=True)
+        for i, evs in enumerate(segs):
+            _write_segment(d / f"{i}.events", evs)
+    return str(root)
+
+
+@settings(max_examples=60, deadline=None)
+@given(plan=_layouts(), batch=st.integers(1, 7), globbed=st.booleans())
+def test_credit_reader_partitions_event_set_exactly(plan, batch, globbed):
+    """Driving read(start) to fixpoint must deliver every matching
+    event exactly once, in global (counter, actor) order within and
+    across batches, with per-batch counts <= batchsize; and
+    readBetweenOffsets must replay each recorded slice verbatim."""
+    import tempfile
+
+    from flo_spark.sources.flo_datasource import FloCreditStreamReader
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = _materialize(tmp, plan)
+        opts = {"path": root, "batchsize": str(batch)}
+        if globbed:
+            opts["namespace"] = "/keep/*"
+        r = FloCreditStreamReader(opts)
+        start = r.initialOffset()
+        batches, offsets = [], [start]
+        for _ in range(200):
+            rows, nxt = r.read(dict(start))
+            rows = list(rows)
+            if not rows and nxt == start:
+                break
+            batches.append(rows)
+            offsets.append(nxt)
+            start = nxt
+        else:
+            raise AssertionError("reader did not converge")
+        got = [x for b in batches for x in b]
+        want = sorted(
+            (ev[0], ev[1])
+            for _a, segs in plan
+            for evs in segs
+            for ev in evs
+            if not globbed or ev[5].startswith("/keep")
+        )
+        assert [(x[0], x[1]) for x in got] == want  # order + exactness
+        assert all(len(b) <= batch for b in batches)
+        # replay determinism: each recorded slice reproduces its batch
+        for i, b in enumerate(batches):
+            replay = list(r.readBetweenOffsets(offsets[i], offsets[i + 1]))
+            assert sorted(replay) == sorted(b)
