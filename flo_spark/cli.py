@@ -17,6 +17,10 @@ reference:
   ``--start-position`` sets a single-entry version vector, which —
   exactly like the reference (consumer.rs:34-38 + server
   consumer/mod.rs:91-107) — consumes ONLY that partition.
+- ``--native`` points every command at a NATIVE flo data dir
+  (``*.events`` segments — e.g. a stopped flo server's storage):
+  produce appends real segments with ids continuing from the dir's
+  head, consume scans/tails through the native codec.
 """
 
 from __future__ import annotations
@@ -40,6 +44,13 @@ def _build_parser() -> argparse.ArgumentParser:
         description="flo client CLI over the embedded Spark engine",
     )
     p.add_argument("--stream-dir", required=True, help="event stream directory")
+    p.add_argument(
+        "--native",
+        action="store_true",
+        help="treat --stream-dir as a NATIVE flo data dir (*.events "
+        "segment files, e.g. a real flo server's storage) instead of "
+        "a parquet event stream",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -111,6 +122,8 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         from flo_spark.session import get_spark
 
         spark = get_spark("flo-client-cli")
+    if args.native:
+        return _main_native(args, spark, out)
     from flo_spark.sources.event_table import EventStream
 
     stream = EventStream(spark, args.stream_dir)
@@ -226,3 +239,98 @@ def _bench_produce(spark, stream, args, out) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _main_native(args, spark, out) -> int:
+    """The same CLI grammar against a NATIVE flo data dir — the
+    closest analog to the reference client talking to a live server's
+    storage.  produce appends real ``.events`` segments with
+    contiguous ids continuing from the dir's current head (server
+    semantics: id + timestamp assigned at persist time,
+    controller/mod.rs:192-215); consume scans/tails the segment files
+    through the native codec with the standard glob/vv/limit
+    filters."""
+    from flo_spark.sources.flo_segment import (
+        native_head_status,
+        read_flo_segments,
+    )
+
+    if args.command == "bench-produce":
+        raise SystemExit(
+            "bench-produce targets a parquet event stream; omit --native"
+        )
+
+    if args.command == "produce":
+        from datetime import datetime, timezone
+
+        from pyspark.sql import Row
+
+        from flo_spark.sources.flo_datasource import FloWriter
+
+        if not args.data:
+            raise SystemExit("produce requires at least one -d/--data body")
+        if args.partition < 1:
+            raise SystemExit(f"partition must be >= 1: {args.partition}")
+        heads = dict(
+            (p, h) for p, h, _primary in native_head_status(args.stream_dir)
+        )
+        head = heads.get(args.partition, 0)
+        pc = pa = None
+        if args.parent_id:
+            pc, pa = _parse_event_id(args.parent_id)
+        now = datetime.now(timezone.utc)
+        rows = [
+            Row(
+                event_counter=head + i + 1,
+                actor=args.partition,
+                parent_counter=pc,
+                parent_actor=pa,
+                timestamp=now,
+                namespace=args.namespace,
+                data=d.encode("utf-8"),
+                partition=args.partition,
+            )
+            for i, d in enumerate(args.data)
+        ]
+        w = FloWriter({"path": args.stream_dir}, overwrite=False)
+        w.commit([w.write(iter(rows))])
+        for i in range(len(rows)):
+            out.write(f"{head + i + 1}.{args.partition}\n")
+        out.write(
+            f"Successfully produced {len(rows)} events to {args.namespace}\n"
+        )
+        return 0
+
+    # consume
+    vv = None
+    if args.start_position:
+        counter, actor = _parse_event_id(args.start_position)
+        vv = {actor: counter}
+    if args.await_new:
+        from flo_spark.streaming.consume_stream import consume_tail_ordered
+
+        consumer = consume_tail_ordered(
+            spark,
+            args.stream_dir,
+            namespace=args.namespace,
+            version_vector=vv,
+            batch_size=args.batch_size,
+            sink=lambda rows, _eid: [_print_event(r, out) for r in rows],
+            source="native",
+        )
+        try:
+            consumer.query.awaitTermination()
+        except KeyboardInterrupt:
+            consumer.stop()
+        return 0
+    from flo_spark.operators.consume import consume as consume_df
+
+    rows = consume_df(
+        read_flo_segments(spark, args.stream_dir),
+        namespace=args.namespace,
+        version_vector=vv,
+        limit=args.limit,
+    ).collect()
+    for r in rows:
+        _print_event(r, out)
+    return 0

@@ -124,3 +124,50 @@ def test_produce_requires_data_and_valid_partition(spark, stream_dir):
             spark=spark,
             out=io.StringIO(),
         )
+
+
+def test_native_produce_consume_roundtrip(spark, tmp_path):
+    """--native drives a real .events dir: produce appends segments
+    with ids continuing from the dir head; consume decodes them with
+    glob/limit/start-position semantics intact."""
+    import os
+
+    d = str(tmp_path / "native")
+    os.makedirs(d)
+    out = run(
+        spark, "--stream-dir", d, "--native", "produce",
+        "-n", "/orders/new", "-p", "1", "-d", "first", "-d", "second",
+    )
+    assert out.splitlines() == [
+        "1.1",
+        "2.1",
+        "Successfully produced 2 events to /orders/new",
+    ]
+    # ids continue from the head on a second produce
+    out2 = run(
+        spark, "--stream-dir", d, "--native", "produce",
+        "-n", "/orders/more", "-p", "1", "-d", "third",
+    )
+    assert out2.splitlines()[0] == "3.1"
+    # real segment files exist
+    segs = sorted(os.listdir(os.path.join(d, "p1")))
+    assert segs == ["0.events", "1.events"]
+    got = run(spark, "--stream-dir", d, "--native", "consume",
+              "-n", "/orders/*")
+    assert got.count("EventId:") == 3
+    assert "Body: third" in got
+    limited = run(
+        spark, "--stream-dir", d, "--native", "consume",
+        "-s", "1.1", "-l", "1",
+    )
+    assert limited.count("EventId:") == 1
+    assert "EventId: 2.1" in limited
+
+
+def test_native_bench_produce_rejected(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        main(
+            ["--stream-dir", str(tmp_path), "--native", "bench-produce"],
+            spark=spark,
+            out=io.StringIO(),
+        )
