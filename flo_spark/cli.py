@@ -261,11 +261,11 @@ def _main_native(args, spark, out) -> int:
         )
 
     if args.command == "produce":
-        from datetime import datetime, timezone
+        import time
 
-        from pyspark.sql import Row
+        import pyarrow as _pa
 
-        from flo_spark.sources.flo_datasource import FloWriter
+        from flo_spark.sources.flo_datasource import _ARROW_SCHEMA, FloWriter
 
         if not args.data:
             raise SystemExit("produce requires at least one -d/--data body")
@@ -275,29 +275,30 @@ def _main_native(args, spark, out) -> int:
             (p, h) for p, h, _primary in native_head_status(args.stream_dir)
         )
         head = heads.get(args.partition, 0)
-        pc = pa = None
+        p_counter = p_actor = None
         if args.parent_id:
-            pc, pa = _parse_event_id(args.parent_id)
-        now = datetime.now(timezone.utc)
-        rows = [
-            Row(
-                event_counter=head + i + 1,
-                actor=args.partition,
-                parent_counter=pc,
-                parent_actor=pa,
-                timestamp=now,
-                namespace=args.namespace,
-                data=d.encode("utf-8"),
-                partition=args.partition,
-            )
-            for i, d in enumerate(args.data)
-        ]
+            p_counter, p_actor = _parse_event_id(args.parent_id)
+        now_us = int(time.time() * 1_000_000)
+        n = len(args.data)
+        batch = _pa.RecordBatch.from_pydict(
+            {
+                "event_counter": [head + i + 1 for i in range(n)],
+                "actor": [args.partition] * n,
+                "parent_counter": [p_counter] * n,
+                "parent_actor": [p_actor] * n,
+                "timestamp": [now_us] * n,
+                "namespace": [args.namespace] * n,
+                "data": [d.encode("utf-8") for d in args.data],
+                "partition": [args.partition] * n,
+            },
+            schema=_ARROW_SCHEMA,
+        )
         w = FloWriter({"path": args.stream_dir}, overwrite=False)
-        w.commit([w.write(iter(rows))])
-        for i in range(len(rows)):
+        w.commit([w.write(iter([batch]))])
+        for i in range(n):
             out.write(f"{head + i + 1}.{args.partition}\n")
         out.write(
-            f"Successfully produced {len(rows)} events to {args.namespace}\n"
+            f"Successfully produced {n} events to {args.namespace}\n"
         )
         return 0
 

@@ -67,10 +67,10 @@ from pyspark.errors import PySparkNotImplementedError
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -556,7 +556,7 @@ class FloWriteMessage(WriterCommitMessage):
     n_events: int
 
 
-class FloWriter(DataSourceWriter, DataSourceStreamWriter):
+class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
     """Write events as native ``.events`` segments — ``df.write
     .format("flo")`` (batch append/overwrite) and ``writeStream
     .format("flo")`` (one segment per (micro-batch, task, actor)).
@@ -590,12 +590,14 @@ class FloWriter(DataSourceWriter, DataSourceStreamWriter):
 
     # -- executor side -------------------------------------------------
     def write(self, iterator) -> FloWriteMessage:
-        """Rows stream straight into one open staged file per actor —
-        memory is O(actors), never O(task rows) (a task may carry a
-        whole reference-sized 1 GiB segment's worth).  The 16-byte
-        create/end-time header needs the min/max timestamps, which are
-        only known at the end, so each file starts with a placeholder
-        header that is patched in place on close."""
+        """Arrow batches stream straight into one open staged file per
+        actor — the Arrow writer API skips per-row pickling entirely,
+        and memory stays O(actors) + one batch, never O(task rows) (a
+        task may carry a whole reference-sized 1 GiB segment's worth).
+        The 16-byte create/end-time header needs the min/max
+        timestamps, which are only known at the end, so each file
+        starts with a placeholder header that is patched in place on
+        close."""
         import struct as _struct
         import uuid as _uuid
 
@@ -604,36 +606,45 @@ class FloWriter(DataSourceWriter, DataSourceStreamWriter):
         # per-actor: [file handle, path, n_events, min_ms, max_ms]
         open_files: dict[int, list] = {}
         try:
-            for row in iterator:
-                ts = row["timestamp"]
-                if ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=timezone.utc)
-                ms = int(ts.timestamp() * 1000)
-                actor = int(row["actor"])
-                st = open_files.get(actor)
-                if st is None:
-                    path = os.path.join(
-                        staging, f"{_uuid.uuid4().hex}.events"
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                col = {n: batch.column(n) for n in batch.schema.names}
+                ts_ms = [
+                    v // 1000
+                    for v in col["timestamp"].cast(pa.int64()).to_pylist()
+                ]
+                counters = col["event_counter"].to_pylist()
+                actors = col["actor"].to_pylist()
+                pcs = col["parent_counter"].to_pylist()
+                pas = col["parent_actor"].to_pylist()
+                nss = col["namespace"].to_pylist()
+                datas = col["data"].to_pylist()
+                for k in range(batch.num_rows):
+                    actor = int(actors[k])
+                    ms = int(ts_ms[k])
+                    st = open_files.get(actor)
+                    if st is None:
+                        path = os.path.join(
+                            staging, f"{_uuid.uuid4().hex}.events"
+                        )
+                        f = open(path, "wb")
+                        f.write(b"\x00" * HEADER_LEN)  # patched on close
+                        st = open_files[actor] = [f, path, 0, ms, ms]
+                    st[0].write(
+                        encode_event(
+                            int(counters[k]),
+                            actor,
+                            pcs[k],
+                            pas[k],
+                            ms,
+                            nss[k],
+                            datas[k] if datas[k] is not None else b"",
+                        )
                     )
-                    f = open(path, "wb")
-                    f.write(b"\x00" * HEADER_LEN)  # patched on close
-                    st = open_files[actor] = [f, path, 0, ms, ms]
-                st[0].write(
-                    encode_event(
-                        int(row["event_counter"]),
-                        actor,
-                        row["parent_counter"],
-                        row["parent_actor"],
-                        ms,
-                        row["namespace"],
-                        bytes(row["data"])
-                        if row["data"] is not None
-                        else b"",
-                    )
-                )
-                st[2] += 1
-                st[3] = min(st[3], ms)
-                st[4] = max(st[4], ms)
+                    st[2] += 1
+                    st[3] = min(st[3], ms)
+                    st[4] = max(st[4], ms)
             messages = []
             for actor in sorted(open_files):
                 f, path, n, lo, hi = open_files[actor]

@@ -317,12 +317,14 @@ def test_stream_write_replayed_batch_not_duplicated(spark, flo_dir, tmp_path):
 
     register(spark)
     out = str(tmp_path / "replay_out")
-    rows = spark.read.format("flo").load(flo_dir).limit(3).collect()
+    batches = (
+        spark.read.format("flo").load(flo_dir).limit(3).toArrow().to_batches()
+    )
     w = FloWriter({"path": out}, overwrite=False)
-    msg = w.write(iter(rows))
+    msg = w.write(iter(batches))
     w.commit([msg], batchId=7)
     n1 = spark.read.format("flo").load(out).count()
-    msg2 = w.write(iter(rows))  # same batch retried after crash
+    msg2 = w.write(iter(batches))  # same batch retried after crash
     w.commit([msg2], batchId=7)
     assert spark.read.format("flo").load(out).count() == n1 == 3
     ledger = _json.load(open(os.path.join(out, "_flo_commits.json")))
@@ -336,9 +338,11 @@ def test_writer_abort_drops_staged_files(spark, flo_dir, tmp_path):
 
     register(spark)
     out = str(tmp_path / "abort_out")
-    rows = spark.read.format("flo").load(flo_dir).limit(4).collect()
+    batches = (
+        spark.read.format("flo").load(flo_dir).limit(4).toArrow().to_batches()
+    )
     w = FloWriter({"path": out}, overwrite=False)
-    msg = w.write(iter(rows))
+    msg = w.write(iter(batches))
     w.abort([msg], batchId=0)
     assert os.listdir(os.path.join(out, "_staging")) == []
     assert not [
