@@ -4244,3 +4244,55 @@ def flo_native_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "primary_flag",
         )
     )
+
+
+@query(
+    "stream_profile",
+    """
+    WITH e AS (
+      SELECT '/' || event_type || '/u' || CAST(user_id % 10 AS VARCHAR)
+               AS namespace,
+             event_type AS ns0,
+             octet_length(encode(coalesce(props, ''))) AS nbytes
+      FROM events
+    )
+    SELECT ns0,
+           count(*) AS n_events,
+           CAST(count(DISTINCT namespace) AS BIGINT) AS n_namespaces,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
+           CAST(max(nbytes) AS BIGINT) AS max_bytes
+    FROM e GROUP BY ns0
+    """,
+)
+def stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational stream profile — the report a flo operator reads
+    before sizing retention/segments: per top-level namespace segment
+    (flo's convention is '/'-separated paths, README.md:103), event
+    counts, distinct-namespace cardinality under the prefix, and
+    payload byte totals/maxima.  Uses the engine's canonical
+    events->envelope derivation (namespace = '/<type>/u<user mod
+    10>'), so the numbers describe the same stream every flo-layer
+    entry consumes.
+
+    100 TB shape: one aggregate keyed on the (low-cardinality) first
+    path segment; the distinct-namespace count adds the standard
+    second (ns0, namespace) phase — both shuffles move reduced
+    partials, and payload LENGTHS are computed in the scan stage, so
+    payload bytes never cross an exchange."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.concat(
+            F.lit("/"),
+            F.col("event_type"),
+            F.lit("/u"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("namespace"),
+        F.col("event_type").alias("ns0"),
+        F.octet_length(F.coalesce("props", F.lit(""))).alias("nbytes"),
+    )
+    return e.groupBy("ns0").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("namespace").alias("n_namespaces"),
+        F.sum("nbytes").alias("sum_bytes"),
+        F.max("nbytes").alias("max_bytes"),
+    )
