@@ -303,9 +303,16 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram jaccard pairs via inverted-index co-occurrence
+    """Exact n-gram similarity pairs via inverted-index co-occurrence
     counting.
+
+    ``metric="jaccard"`` scores |A(i)B| / |A(u)B|; ``"containment"``
+    scores |A(i)B| / min(|A|, |B|) — the asymmetric nested-duplicate
+    detector (a quoted or truncated copy scores 1.0 against its
+    superset even when jaccard is low).  Same shuffle shape either
+    way; only the final quotient differs.
 
     Candidate pairs share at least one shingle; buckets larger than
     ``max_bucket`` (stop-shingles) are dropped before the self-join —
@@ -341,10 +348,14 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("__n_shared"))
     )
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    out_col = "containment" if metric == "containment" else "jaccard"
     if not pruned_any:
-        jac = F.col("__n_shared") / (
-            F.col("__n_a") + F.col("__n_b") - F.col("__n_shared")
-        )
+        if metric == "containment":
+            jac = F.col("__n_shared") / F.least("__n_a", "__n_b")
+        else:
+            jac = F.col("__n_shared") / (
+                F.col("__n_a") + F.col("__n_b") - F.col("__n_shared")
+            )
         return (
             shared.join(
                 sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__n_a")),
@@ -354,32 +365,33 @@ def ngram_jaccard_pairs(
                 sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__n_b")),
                 "id_b",
             )
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
+            .withColumn("__score", jac)
+            .filter(F.col("__score") >= threshold)
             # floor(x*1e4+0.5)/1e4, not round(): pure-IEEE half-up on
             # the exact int/int quotient — bit-identical to any engine
             # computing the same quotient (SQL-oracle-safe)
             .select(
                 "id_a",
                 "id_b",
-                (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+                (F.floor(F.col("__score") * 10000 + F.lit(0.5)) / 10000).alias(out_col),
             )
         )
     # stop-shingles were pruned: counts are partial, verify with arrays
     cand = shared.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    if metric == "containment":
+        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        score = inter / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("__score", score)
+        .filter(F.col("__score") >= threshold)
         .select(
             "id_a",
             "id_b",
-            (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+            (F.floor(F.col("__score") * 10000 + F.lit(0.5)) / 10000).alias(out_col),
         )
     )
 

@@ -4296,3 +4296,68 @@ def stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").alias("sum_bytes"),
         F.max("nbytes").alias("max_bytes"),
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(list_slice(
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> ''), 1, 12), ' ')
+      FROM documents WHERE doc_id < 25
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM base)
+    ),
+    c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / least(len(a.sh), len(b.sh)) AS cont
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, floor(cont * 10000 + 0.5) / 10000 AS containment
+    FROM c WHERE cont >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (nested-duplicate) detection: |A(i)B| / min(|A|,|B|)
+    over trigram shingle sets — the asymmetric metric that catches a
+    document CONTAINED in another (quotes, truncations, article-plus-
+    boilerplate) even when symmetric jaccard is low.  Planted
+    contract: the first 25 documents re-enter truncated to their
+    first 12 words under doc_id + 200000 — a truncation's shingle set
+    is a strict subset of its source's, so the planted pair scores
+    containment 1.0 by construction while its jaccard is far below
+    any dedup threshold; the oracle computes brute-force all-pairs
+    containment over the same corpus, so natural >=0.9 pairs (if any)
+    must agree too.
+
+    100 TB shape: identical to `dedup_ngram_jaccard` — the inverted
+    index shuffles 8-byte shingle hashes and 16-byte id pairs, never
+    shingle arrays; only the final quotient differs
+    (operators/dedup.py::ngram_jaccard_pairs(metric="containment"))."""
+    from flo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 12), " ").alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return ngram_jaccard_pairs(
+        corpus, threshold=0.9, metric="containment"
+    )
