@@ -449,3 +449,14 @@ def test_dataset_card_aggregate_only_no_join(spark, sf_dir):
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert ex, plan
     assert all("source" in k for k in ex), ex
+
+
+def test_stream_profile_lengths_in_scan_stage_no_join(spark, sf_dir):
+    """Payload lengths must be computed below the exchanges (scan-side
+    project); both aggregate phases key on ns0/namespace."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.stream_profile(spark, sf_dir))
+    assert "Join" not in plan, plan
+    ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert ex and all("ns0" in k for k in ex), ex
