@@ -32,7 +32,16 @@ def _rollup_aggs() -> list:
     (Built lazily: Column construction needs an active SparkContext.)"""
     return [
         F.count("*").alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        # Sum in DECIMAL so partials are EXACT and re-aggregation is
+        # order-insensitive: double sums in a different order than the
+        # raw aggregate can flip a cent at a .xx5 rounding boundary
+        # (the q7 class bug).  Inputs have <=4 fractional digits, so
+        # decimal(18,4) loses nothing; the partial is pinned at
+        # decimal(38,4) so the parquet schema stays stable across
+        # maintenance iterations (sum of decimal widens precision).
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     ]
@@ -71,12 +80,12 @@ def reaggregate(
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
+            F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
         )
         .withColumn(
-            "avg_value", F.col("sum_value") / F.col("n_events")
+            "avg_value", F.col("sum_value").cast("double") / F.col("n_events")
         )
     )
 
@@ -113,7 +122,7 @@ def maintain_rollup(
             .groupBy(*merged_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
+                F.sum("sum_value").cast("decimal(38,4)").alias("sum_value"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
             )

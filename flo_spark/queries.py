@@ -383,11 +383,11 @@ def flo_codec_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -402,13 +402,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.floor(
+                    F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -418,7 +445,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey AS l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -452,8 +479,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -465,7 +499,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     """
     SELECT n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -502,8 +536,15 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -541,9 +582,11 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_running_total",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -558,7 +601,9 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -566,7 +611,8 @@ def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_returnflag",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -574,7 +620,9 @@ def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -583,7 +631,8 @@ def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_orderpriority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -592,7 +641,9 @@ def cube_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -801,8 +852,10 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     "pivot_linestatus",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+           CAST(round(sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_f,
+           CAST(round(sum(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                                 AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_o
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -812,7 +865,11 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast(
+                "double"
+            )
+        )
     )
     return out.select(
         "l_returnflag",
@@ -972,10 +1029,18 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id >= 5),
          scored AS (
            SELECT q_id, c_id,
-                  round(list_cosine_similarity(q_emb, c_emb), 4) AS cos_sim,
+                  -- DOUBLE[] cast: on FLOAT[] DuckDB computes AND
+                  -- rounds in float32, whose float64 widening
+                  -- (0.26010000705...) never equals Spark's rounded
+                  -- double under full-precision comparison
+                  round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+                                               CAST(c_emb AS DOUBLE[])), 4)
+                      AS cos_sim,
                   row_number() OVER (
                     PARTITION BY q_id
-                    ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, c_id) AS rn
+                    ORDER BY list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+                                                    CAST(c_emb AS DOUBLE[]))
+                      DESC, c_id) AS rn
            FROM q CROSS JOIN c
          )
     SELECT q_id, c_id, cos_sim, rn FROM scored WHERE rn <= 10
@@ -1032,7 +1097,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY 1, event_type
     """,
 )
@@ -1049,7 +1115,9 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1450,7 +1518,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN value < 50 THEN 'low'
                 WHEN value < 150 THEN 'mid'
                 ELSE 'high' END AS bucket,
-           count(*) AS n, round(sum(value), 2) AS total
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM events GROUP BY 1
     """,
 )
@@ -1463,7 +1532,10 @@ def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
     )
     return ev.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 

@@ -129,7 +129,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -149,9 +149,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
         )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -160,7 +167,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -200,8 +207,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -223,8 +237,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'AMERICA'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           floor(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
 )
@@ -251,10 +267,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", vol)
+                        .otherwise(0.0)
+                        .cast("decimal(18,4)")
+                    ).cast("double")
+                    / F.sum(vol.cast("decimal(18,4)")).cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("mkt_share")
         )
     )
@@ -264,8 +288,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -295,7 +320,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(profit.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
     )
 
 
@@ -304,7 +333,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,
            n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -334,8 +363,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .withColumn("c_acctbal", F.round("c_acctbal", 2))
         .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
@@ -350,7 +386,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT l.l_partkey AS partkey,
              sum(l.l_quantity) AS part_qty,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+             CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))), 2) AS DOUBLE) AS part_value
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -385,8 +422,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("part_qty"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("part_value"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("part_value"),
         )
         .persist()
     )
@@ -495,7 +539,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -516,9 +561,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
         )
+        .cast("double")
+        .alias("total_revenue")
     )
     rev = rev.withColumn(
         "__max", F.max("total_revenue").over(Window.partitionBy())
@@ -564,7 +616,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0 * 100 + 0.5) / 100 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN part_avg a ON a.l_partkey = l.l_partkey
@@ -587,7 +640,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(part_avg, li["l_partkey"] == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                        "double"
+                    )
+                    / 7.0
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -596,7 +661,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            round(o.o_totalprice, 2) AS o_totalprice,
-           round(sum(l.l_quantity), 2) AS sum_qty
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS sum_qty
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -622,7 +688,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"))
         .filter(F.col("__qty") > 200)
     )
     return (
@@ -634,7 +700,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("__qty", 2).alias("sum_qty"),
+            F.round("__qty", 2).cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
@@ -644,7 +710,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_discounted_revenue",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -679,8 +745,15 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(clause).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
@@ -810,7 +883,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey, count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT a FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -833,7 +907,9 @@ def q22_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
         )
     )
 
@@ -887,7 +963,8 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
-           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_lines
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_price, count(*) AS n_lines
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -902,7 +979,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                grouping(l_returnflag) AS g_flag,
                grouping(l_linestatus) AS g_status,
-               round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_lines
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_price, count(*) AS n_lines
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -993,10 +1071,10 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_30d_customer_spend",
     """
     SELECT o_orderkey, o_custkey, o_orderdate,
-           round(sum(o_totalprice) OVER (
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
-           ), 2) AS spend_30d
+           ), 2) AS DOUBLE) AS spend_30d
     FROM orders
     """,
 )
@@ -1016,7 +1094,9 @@ def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("spend_30d"),
     )
 
 
@@ -1101,7 +1181,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'tier' || CAST(user_id % 5 AS VARCHAR) AS tier,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events GROUP BY tier
     """,
 )
@@ -1122,7 +1202,9 @@ def stream_static_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(tiers), "tier_id")
     agg = joined.groupBy("tier").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
     return run_to_memory(agg, await_new=False, output_mode="complete", shuffle_partitions=8)
 
@@ -1282,10 +1364,11 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value,
-           floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000
+           floor(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000
                AS avg_value
     FROM events GROUP BY 1, event_type
     """,
@@ -1308,18 +1391,19 @@ def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
         # derived average, rounded with a pure-IEEE floor formula on the
-        # ROUNDED sum: Spark's round() goes through the double's
-        # shortest decimal string (38.37875 -> .3788) while DuckDB
-        # rounds the binary value (38.378749999... -> .3787), so
-        # boundary quotients diverge; floor(x*1e4 + 0.5)/1e4 over
-        # identical doubles is bit-identical in both engines.
+        # ROUNDED decimal sum cast to double: floor(x*1e4 + 0.5)/1e4
+        # over identical doubles is bit-identical in both engines
+        # (round() on a double is NOT: Spark rounds the shortest
+        # decimal string, DuckDB the binary value).
         (
             F.floor(
-                F.round("sum_value", 2) / F.col("n_events") * 10000
+                F.round("sum_value", 2).cast("double")
+                / F.col("n_events")
+                * 10000
                 + F.lit(0.5)
             )
             / 10000
@@ -2277,7 +2361,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT upper(e.event_type) AS type_label,
            count(*) AS n_events,
-           round(sum(e.value), 2) AS sum_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
     FROM events e
     JOIN (SELECT DISTINCT event_type FROM events) d
       ON d.event_type = e.event_type
@@ -2304,7 +2388,9 @@ def skew_salted_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(ev, dim, on="event_type", salt=8)
     return j.groupBy("type_label").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 
@@ -2574,9 +2660,12 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT l_returnflag,
-             round(sum(l_extendedprice), 2) AS sum_price,
-             round(sum(l_discount), 2) AS sum_disc,
-             round(sum(l_quantity), 2) AS sum_qty
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) AS sum_price,
+             CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) AS sum_disc,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
@@ -2593,9 +2682,15 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent UNION ALL."""
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_disc"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
     )
     return agg.unpivot(
         ["l_returnflag"],
@@ -2778,7 +2873,7 @@ def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events GROUP BY bucket, event_type
@@ -2820,7 +2915,7 @@ def stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "event_type",
         "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
     )

@@ -42,7 +42,14 @@ def _canon(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full precision (shortest round-trip repr, unique per bit
+        # pattern).  The old ``%.6g`` canonicalization collapsed
+        # 536532.32 and 536532.31 to "536532" and let the q7 one-cent
+        # rounding flip ship in round 5 while the driver (which
+        # compares full values) failed it.  Entries whose contract is
+        # approximate must round identically on BOTH engines instead
+        # of relying on a lossy comparison here.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if hasattr(v, "isoformat"):

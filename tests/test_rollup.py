@@ -41,11 +41,16 @@ def test_reaggregate_matches_direct_daily(spark):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # same exact-decimal partial type the rollup materializes
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
+        .withColumn(
+            "avg_value", F.col("sum_value").cast("double") / F.col("n_events")
+        )
     )
     cols = sorted(daily_via_rollup.columns)
     a = sorted(map(tuple, daily_via_rollup.select(cols).collect()))
