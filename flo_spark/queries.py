@@ -1775,61 +1775,61 @@ from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
 # displaced list are audited in DRIVER_COVERAGE.md and pinned by
 # tests/test_driver_window.py.
 DRIVER_CHECK_ORDER = [
-    # -- flo surface: the one never-checked entry --
-    "flo_interchange_roundtrip",   # CSV/JSON export + re-read round trip
-    # -- TPC-H adaptations never driver-checked (q4, q6-q22) --
-    "q4_order_priority",
+    # -- the 17 round-5 post-freeze entries: zero driver-green history --
+    "flo_segment_binary_roundtrip",
+    "flo_datasource_scan",
+    "flo_orc_roundtrip",
+    "flo_native_retention",
+    "corpus_jsonl_gz_roundtrip",
+    "bm25_search_topk",
+    "perplexity_bigram_filter",
+    "semantic_dedup_verdicts",
+    "span_dedup_stats",
+    "temperature_mix_sample",
+    "embedding_int8_quantize",
+    "approx_quantile_bounded",
+    "global_shuffle_shard",
+    "duplicate_ngram_rate",
+    "dedup_ngram_containment",
+    "dataset_card",
+    "stream_profile",
+    # -- every entry rewritten by the round-6 decimal-sum migration:
+    #    driver-green history predates the change, so re-certify --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
+    "q7_volume_shipping",      # the r5 driver failure the migration fixes
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_cnt",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
-    "q20_promo_part_suppliers",
-    "q21_waiting_suppliers",
     "q22_prospective_customers",
-    # -- window/statistics/sets/scalars never driver-checked --
-    "quantiles_by_returnflag",
-    "ntile_price_quartiles",
+    "customer_running_total",
+    "rollup_returnflag",
+    "cube_orderpriority",
+    "pivot_linestatus",
+    "grouping_sets_revenue",
     "rolling_30d_customer_spend",
-    "window_rank_suite",
-    "right_join_orders_nations",
-    "except_all_priorities",
-    "null_semantics_audit",
-    "json_props_extract",
-    "dense_hourly_event_counts",
+    "unpivot_measures",
+    "case_when_value_buckets",
+    "skew_salted_join_types",
+    "stream_tumbling_counts",
+    "stream_static_join_tiers",
     "rollup_daily_from_hourly",
-    # -- LLM-pipeline entries never driver-checked --
-    "quality_score",
-    "char_entropy",
-    "corpus_curation_filter",
-    "dedup_clusters_minhash",
-    "dedup_keep_best",
-    "decontamination_ngram_overlap",
-    "doc_chunking",
-    "pii_redaction",
-    "repetition_filter",
-    "embedding_centroids",
-    "train_val_test_split",
-    "sequence_packing",
-    "token_budget_mix",
-    "stratified_sample",
-    "bigram_conditional_probs",
-    "multimodal_wav_roundtrip",
-    "multimodal_bmp_roundtrip",
-    # -- new round-5 contract entries (never checked by construction) --
-    "multimodal_png_roundtrip",
-    "embedding_ann_recall",
-    "dedup_simhash_pairs",
+    "stream_rollup_hourly",
+    "embedding_topk_bruteforce",   # oracle now scores in DOUBLE[]
+    # -- rows-only companion contracts (stay pinned in every window) --
     "approx_distinct_bounded",
+    "dedup_simhash_pairs",
+    "embedding_ann_recall",
+    # -- flo-surface canaries --
+    "flo_produce_roundtrip",
+    "flo_consume_vv",
 ]
 
 
