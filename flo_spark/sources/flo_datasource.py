@@ -82,43 +82,19 @@ from flo_spark.sources.flo_segment import (
     EVENT_FIXED_LEN,
     HEADER_LEN,
     MARKER,
+    STAGING_DIRNAME,
     _FIXED,
     decode_segment,
     encode_event,
+    list_segment_files as _list_segments,
+    split_sealed_active as _split_sealed_active,
 )
 
-def _list_segments(root: str) -> dict[str, list[tuple[int, str]]]:
-    """{dir: [(segment_num, path), ...] sorted by number}."""
-    by_dir: dict[str, list[tuple[int, str]]] = {}
-    for r, _dirs, files in os.walk(root):
-        for fname in files:
-            if not fname.endswith(".events"):
-                continue
-            try:
-                num = int(fname[: -len(".events")])
-            except ValueError:
-                num = -1
-            by_dir.setdefault(r, []).append((num, os.path.join(r, fname)))
-    for entries in by_dir.values():
-        entries.sort()
-    return by_dir
 
-
-def _split_sealed_active(root: str) -> tuple[list[str], list[str]]:
-    """Sealed vs active segment paths.  A rotated segment is never
-    written again (segment/mod.rs:65-74), so every file except the
-    max-numbered one per dir is immutable."""
-    sealed: list[str] = []
-    active: list[str] = []
-    for entries in _list_segments(root).values():
-        sealed.extend(p for _n, p in entries[:-1])
-        active.append(entries[-1][1])
-    return sealed, active
-
-
-def _first_event_counter(path: str) -> int | None:
-    """Counter of a segment's first event from one 48-byte header read
-    (used for file-level pruning; None for empty/headerless files)."""
+def _first_event_header(path: str) -> tuple[int, int] | None:
+    """(counter, actor) of a segment's first event from one 48-byte
+    header read (used for file-level pruning; None for empty/headerless
+    files)."""
     try:
         with open(path, "rb") as f:
             head = f.read(HEADER_LEN + EVENT_FIXED_LEN)
@@ -126,12 +102,17 @@ def _first_event_counter(path: str) -> int | None:
         return None
     if len(head) < HEADER_LEN + EVENT_FIXED_LEN:
         return None
-    total_len, marker, _actor, counter, *_rest = _FIXED.unpack_from(
+    total_len, marker, actor, counter, *_rest = _FIXED.unpack_from(
         head, HEADER_LEN
     )
     if marker != MARKER:
         return None
-    return counter
+    return counter, actor
+
+
+def _first_event_counter(path: str) -> int | None:
+    got = _first_event_header(path)
+    return got[0] if got else None
 
 
 def _decode_file(path: str, tolerate_partial_tail: bool):
@@ -452,9 +433,12 @@ class FloCreditStreamReader(SimpleDataSourceStreamReader):
     rule as next_matching + the decrement at mod.rs:116-119); an event
     peeked but unprocessed when the budget ran out is re-read next
     trigger.  Data moves through the driver (the simple-reader
-    contract) bounded per trigger by the budget plus the glob-skipped
-    scan; large backfills belong on the partitioned reader
-    (no ``batchsize`` option)."""
+    contract); the lazy per-dir merge bounds driver MEMORY to one
+    decoded segment per partition dir plus the delivered batch, and
+    decode WORK per trigger to the files overlapping the cursor
+    frontier (consumed files prune via per-dir floors; files past the
+    budget are never opened).  Large backfills still belong on the
+    partitioned reader (no ``batchsize`` option)."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -473,44 +457,103 @@ class FloCreditStreamReader(SimpleDataSourceStreamReader):
             return {str(a): int(c) for a, c in self.start_vv.items()}
         return {}
 
-    def _actor_events(self, start: dict):
-        """Per-actor generators over events with counter > start[actor]
-        (0 when absent), in counter order; file-level pruning via
-        first-event header peeks against the global min cursor."""
-        floor = min((int(c) for c in start.values()), default=-1)
-        per_actor: dict[int, list] = {}
-        for _d, entries in _list_segments(self.root).items():
-            firsts = [_first_event_counter(p) for _n, p in entries]
-            for i, (_num, path) in enumerate(entries):
-                nxt = firsts[i + 1] if i + 1 < len(entries) else None
-                if floor >= 0 and nxt is not None and nxt <= floor:
-                    continue
-                is_active = i == len(entries) - 1
-                for ev in _decode_file(path, tolerate_partial_tail=is_active):
-                    actor = ev[1]
-                    if self.pinned is not None and actor not in self.pinned:
+    def _dir_floor(self, dir_actors: set[int] | None, start: dict) -> int:
+        """Exclusive prune floor for one partition dir: the min cursor
+        over the actors that can appear in it.
+
+        An actor ABSENT from ``start`` has an implicit cursor of 0, so
+        a floor taken over start.values() alone silently drops a new
+        actor's sealed history (its files prune against another actor's
+        high cursor, then read() advances the new actor's offset past
+        the lost events — permanent loss).  Hence:
+
+        - known single-actor dir (``p<N>`` writer layout, confirmed by
+          the first-event headers): that actor's own cursor;
+        - pinned consumer: min over the pinned cursors (non-pinned
+          actors are filtered out anyway, so they can't lose events);
+        - otherwise: 0 — no pruning, any unknown actor may appear.
+        """
+        if dir_actors is not None:
+            return min(int(start.get(str(a), 0)) for a in dir_actors)
+        if self.pinned is not None:
+            return min(int(start.get(str(a), 0)) for a in self.pinned)
+        return 0
+
+    @staticmethod
+    def _known_dir_actors(d: str, firsts: list) -> set[int] | None:
+        """{actor} when the dir is provably single-actor: named
+        ``p<N>`` (the FloWriter layout contract — one actor per
+        partition dir) AND every readable first-event header agrees;
+        None otherwise."""
+        m = re.fullmatch(r"p(\d+)", os.path.basename(d))
+        if not m:
+            return None
+        actor = int(m.group(1))
+        if any(h is not None and h[1] != actor for h in firsts):
+            return None
+        return {actor}
+
+    def _dir_streams(self, start: dict):
+        """One LAZY generator per partition dir, yielding that dir's
+        events with counter > start[actor] in id order.  Files decode
+        one at a time, only when the merge actually pulls on them, so
+        driver memory is O(one segment per dir + the heap) rather than
+        O(whole backlog) — and a budget-exhausted read() never opens
+        the files behind it.  In-order yield is safe because counters
+        within a partition dir only grow across rotations (same
+        invariant the batch reader's pruning uses); within one file we
+        sort defensively (file-sized, bounded)."""
+        streams = []
+        for d, entries in _list_segments(self.root).items():
+            firsts = [_first_event_header(p) for _n, p in entries]
+            dir_actors = self._known_dir_actors(d, firsts)
+            if (
+                self.pinned is not None
+                and dir_actors is not None
+                and not (dir_actors & self.pinned)
+            ):
+                continue  # single-actor dir for an unpinned actor
+            floor = self._dir_floor(dir_actors, start)
+
+            def gen(entries=entries, firsts=firsts, floor=floor):
+                for i, (_num, path) in enumerate(entries):
+                    nxt = firsts[i + 1] if i + 1 < len(entries) else None
+                    # every counter in file i is < the next file's first
+                    # counter, so the file is fully consumed exactly
+                    # when nxt-1 <= floor
+                    if nxt is not None and nxt[0] - 1 <= floor:
                         continue
-                    if ev[0] > int(start.get(str(actor), 0)):
-                        per_actor.setdefault(actor, []).append(ev)
-        for evs in per_actor.values():
-            evs.sort(key=lambda e: e[0])
-        return per_actor
+                    is_active = i == len(entries) - 1
+                    evs = sorted(
+                        _decode_file(path, tolerate_partial_tail=is_active),
+                        key=lambda e: (e[0], e[1]),
+                    )
+                    for ev in evs:
+                        actor = ev[1]
+                        if self.pinned is not None and actor not in self.pinned:
+                            continue
+                        if ev[0] > int(start.get(str(actor), 0)):
+                            yield ev
+
+            streams.append(gen())
+        return streams
 
     def read(self, start: dict):
-        per_actor = self._actor_events(start)
-        iters = {a: iter(evs) for a, evs in per_actor.items()}
-        peek = {a: next(it, None) for a, it in iters.items()}
+        import heapq
+
+        merged = heapq.merge(
+            *self._dir_streams(start), key=lambda e: (e[0], e[1])
+        )
         last: dict[int, int] = {}
         out: list[tuple] = []
         budget = self.batch_size
+        # budget checked BEFORE pulling: the merge must not advance
+        # (and so not decode the next file) past the last counted event
         while budget > 0:
-            live = [(ev[0], a) for a, ev in peek.items() if ev is not None]
-            if not live:
+            ev = next(merged, None)
+            if ev is None:
                 break
-            _c, a = min(live)
-            ev = peek[a]
-            peek[a] = next(iters[a], None)
-            last[a] = ev[0]
+            last[ev[1]] = ev[0]
             if self.ns_regex is None or re.match(self.ns_regex, ev[5]):
                 out.append(_simple_row(ev))
                 budget -= 1
@@ -521,14 +564,20 @@ class FloCreditStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Deterministic replay of a recorded (start, end] slice."""
+        import heapq
+
+        global_hi = max((int(c) for c in end.values()), default=0)
         rows = []
-        for a, evs in self._actor_events(start).items():
-            hi = int(end.get(str(a), 0))
-            for ev in evs:
-                if ev[0] <= hi and (
-                    self.ns_regex is None or re.match(self.ns_regex, ev[5])
-                ):
-                    rows.append(_simple_row(ev))
+        merged = heapq.merge(
+            *self._dir_streams(start), key=lambda e: (e[0], e[1])
+        )
+        for ev in merged:
+            if ev[0] > global_hi:
+                break  # merge is id-ordered; nothing later qualifies
+            if ev[0] <= int(end.get(str(ev[1]), 0)) and (
+                self.ns_regex is None or re.match(self.ns_regex, ev[5])
+            ):
+                rows.append(_simple_row(ev))
         return iter(rows)
 
     def commit(self, end: dict) -> None:
@@ -678,10 +727,16 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
 
     def _commit_files(self, staged: list[tuple[str, int, int]]) -> None:
         if self.overwrite:
+            # _list_segments prunes _staging, so this removes only
+            # COMMITTED segments — never the files this very commit is
+            # about to rename into place (a staging-inclusive walk here
+            # used to delete both old data and the new staged files,
+            # then fail the rename: data loss with nothing written)
             for _d, entries in _list_segments(self.root).items():
                 for _n, p in entries:
                     os.remove(p)
             self.overwrite = False
+        self._gc_stale_staged(keep={p for p, _a, _n in staged})
         next_num: dict[str, int] = {}
         for path, actor, _n in sorted(staged, key=lambda t: (t[1], t[0])):
             d = os.path.join(self.root, f"p{actor}")
@@ -704,6 +759,29 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
                 os.remove(path)
             except OSError:
                 pass
+
+    #: staged files older than this are crash/retry leftovers and are
+    #: garbage-collected at the next commit.  Age-based (not
+    #: whole-directory) so a CONCURRENT writer's in-flight staged files
+    #: survive another job's commit.
+    STALE_STAGED_SECONDS = 24 * 3600
+
+    def _gc_stale_staged(self, keep: set[str]) -> None:
+        import time as _time
+
+        staging = os.path.join(self.root, STAGING_DIRNAME)
+        if not os.path.isdir(staging):
+            return
+        cutoff = _time.time() - self.STALE_STAGED_SECONDS
+        for fname in os.listdir(staging):
+            path = os.path.join(staging, fname)
+            if path in keep:
+                continue
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    os.remove(path)
+            except OSError:
+                pass  # concurrent GC/commit
 
     def commit(self, messages, batchId: int | None = None) -> None:
         staged = self._staged(messages)

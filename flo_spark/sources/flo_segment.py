@@ -167,6 +167,47 @@ def decode_segment(buf: bytes) -> Iterator[tuple]:
         pos += total_len
 
 
+#: the flo Data Source writer stages uncommitted segments here; every
+#: segment-listing walk must skip it or half-written / never-committed
+#: files get scanned as real segments (duplicate or torn events)
+STAGING_DIRNAME = "_staging"
+
+
+def list_segment_files(root: str) -> dict[str, list[tuple[int, str]]]:
+    """``{dir: [(segment_num, path), ...] sorted by number}`` for every
+    ``.events`` file under ``root`` — the ONE shared walk used by all
+    readers and maintenance ops.  ``_staging`` subtrees (the writer's
+    two-phase-commit scratch space) are pruned: a file there is either
+    mid-write, a retried task's abandoned loser, or a crash leftover —
+    never data."""
+    by_dir: dict[str, list[tuple[int, str]]] = {}
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if d != STAGING_DIRNAME]
+        for fname in files:
+            if not fname.endswith(".events"):
+                continue
+            try:
+                num = int(fname[: -len(".events")])
+            except ValueError:
+                num = -1  # non-flo-named files sort first (sealed)
+            by_dir.setdefault(r, []).append((num, os.path.join(r, fname)))
+    for entries in by_dir.values():
+        entries.sort()
+    return by_dir
+
+
+def split_sealed_active(root: str) -> tuple[list[str], list[str]]:
+    """Sealed vs active segment paths.  A rotated segment is never
+    written again (segment/mod.rs:65-74), so every file except the
+    max-numbered one per dir is immutable."""
+    sealed: list[str] = []
+    active: list[str] = []
+    for entries in list_segment_files(root).values():
+        sealed.extend(p for _n, p in entries[:-1])
+        active.append(entries[-1][1])
+    return sealed, active
+
+
 _WRITE_REPORT_SCHEMA = T.StructType(
     [
         T.StructField("partition", T.IntegerType()),
@@ -449,25 +490,8 @@ class NativeDirTailer:
 
     def _segments(self) -> tuple[list[str], list[str]]:
         """(sealed, active) segment file paths, active = max-numbered
-        per directory."""
-        by_dir: dict[str, list[tuple[int, str]]] = {}
-        for root, _dirs, files in os.walk(self.path):
-            for fname in files:
-                if not fname.endswith(".events"):
-                    continue
-                try:
-                    num = int(fname[: -len(".events")])
-                except ValueError:
-                    num = -1  # non-flo-named files sort first (sealed)
-                by_dir.setdefault(root, []).append(
-                    (num, os.path.join(root, fname))
-                )
-        sealed, active = [], []
-        for entries in by_dir.values():
-            entries.sort()
-            sealed.extend(p for _n, p in entries[:-1])
-            active.append(entries[-1][1])
-        return sealed, active
+        per directory (shared walk; skips writer ``_staging`` dirs)."""
+        return split_sealed_active(self.path)
 
     def poll_once(self, include_active: bool = False) -> int:
         """Process newly sealed segments (plus active ones when
@@ -550,19 +574,7 @@ def expire_native_segments(
         now_millis = int(_time.time() * 1000)
     cutoff = now_millis - retention_millis
     report = {"files_deleted": 0, "files_kept": 0, "events_dropped": 0}
-    by_dir: dict[str, list[tuple[int, str]]] = {}
-    for r, _dirs, files in os.walk(root):
-        for fname in files:
-            if fname.endswith(".events"):
-                try:
-                    num = int(fname[: -len(".events")])
-                except ValueError:
-                    num = -1
-                by_dir.setdefault(r, []).append(
-                    (num, os.path.join(r, fname))
-                )
-    for entries in by_dir.values():
-        entries.sort()
+    for entries in list_segment_files(root).values():
         for i, (_num, path) in enumerate(entries):
             is_active = i == len(entries) - 1
             with open(path, "rb") as f:
@@ -595,19 +607,7 @@ def native_head_status(root: str, full_scan: bool = False) -> list[tuple]:
     constantly true: the embedded/single-engine deployment owns every
     partition it reads (client.rs:207-221; clustering is vestigial)."""
     heads: dict[int, int] = {}
-    by_dir: dict[str, list[tuple[int, str]]] = {}
-    for r, _dirs, files in os.walk(root):
-        for fname in files:
-            if fname.endswith(".events"):
-                try:
-                    num = int(fname[: -len(".events")])
-                except ValueError:
-                    num = -1
-                by_dir.setdefault(r, []).append(
-                    (num, os.path.join(r, fname))
-                )
-    for entries in by_dir.values():
-        entries.sort()
+    for entries in list_segment_files(root).values():
         paths = [p for _n, p in entries]
         scan = paths if full_scan else reversed(paths)
         for path in scan:

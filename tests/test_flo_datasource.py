@@ -468,12 +468,18 @@ from hypothesis import strategies as st
 @st.composite
 def _layouts(draw):
     """Random flo dir shape: 1-3 actors, 1-3 segments each, 0-8 events
-    per segment, globally unique increasing counters interleaved
-    across actors."""
+    per segment.  Counters either increase GLOBALLY across actors (one
+    server's log fanned into per-actor dirs) or INDEPENDENTLY per actor
+    (each partition its own sequence — the layout where a later actor's
+    counters sit far below another actor's cursor, which the old
+    global-floor pruning silently dropped)."""
     n_actors = draw(st.integers(1, 3))
+    shared = draw(st.booleans())
     plan = []
     counter = 0
     for actor in range(1, n_actors + 1):
+        if not shared:
+            counter = 0
         segs = []
         for _ in range(draw(st.integers(1, 3))):
             n = draw(st.integers(0, 8))
@@ -542,3 +548,134 @@ def test_credit_reader_partitions_event_set_exactly(plan, batch, globbed):
         for i, b in enumerate(batches):
             replay = list(r.readBetweenOffsets(offsets[i], offsets[i + 1]))
             assert sorted(replay) == sorted(b)
+
+
+# ---------------------------------------------------------------------------
+# round-6 fixes: overwrite safety, staging isolation, new-actor pruning,
+# lazy decode
+# ---------------------------------------------------------------------------
+
+
+def test_batch_overwrite_replaces_data(spark, flo_dir, tmp_path):
+    """mode("overwrite") must atomically replace prior segments with the
+    new data — the staging-inclusive deletion walk used to remove BOTH
+    the old segments and the freshly staged files, then fail the commit
+    rename (data loss with nothing written)."""
+    register(spark)
+    out = str(tmp_path / "ow_out")
+    src = spark.read.format("flo").load(flo_dir)
+    src.write.format("flo").mode("append").save(out)
+    assert spark.read.format("flo").load(out).count() == 13
+    repl = src.filter(F.col("actor") == 2)  # 5 events
+    repl.write.format("flo").mode("overwrite").save(out)
+    back = spark.read.format("flo").load(out)
+    key = lambda r: (r.event_counter, r.actor)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, repl.collect()))
+    assert os.listdir(os.path.join(out, "_staging")) == []
+
+
+def test_staging_residue_invisible_to_readers(spark, flo_dir, tmp_path):
+    """A leftover file under <root>/_staging (crashed writer, retried
+    task's abandoned loser) must be invisible to every scan: batch read,
+    streaming drain, head status, TTL sweep.  It is uncommitted — and
+    may be torn mid-record."""
+    from flo_spark.sources.flo_segment import (
+        expire_native_segments,
+        native_head_status,
+    )
+
+    staging = os.path.join(flo_dir, "_staging")
+    os.makedirs(staging)
+    _write_segment(
+        os.path.join(staging, "deadbeef.events"), [_ev(999, 9)]
+    )
+    with open(os.path.join(staging, "torn.events"), "wb") as f:
+        f.write(b"\x00" * 16 + b"\x00\x00\x01\x00FLO_EVT\n\x00\x01")
+
+    register(spark)
+    batch = spark.read.format("flo").load(flo_dir)
+    assert batch.count() == 13  # not 14, and the torn file didn't raise
+    assert all(r.actor != 9 for r in batch.collect())
+
+    got = _drain(spark, flo_dir, str(tmp_path / "ckpt_stage"))
+    assert len(got) == 13 and all(a != 9 for _c, a in got)
+
+    heads = native_head_status(flo_dir)
+    assert [a for a, _h, _p in heads] == [1, 2]
+
+    report = expire_native_segments(flo_dir, retention_millis=0, now_millis=10**15)
+    assert os.path.exists(os.path.join(staging, "deadbeef.events"))
+
+
+def test_credit_flow_new_actor_history_not_lost(spark, tmp_path):
+    """A new actor appearing AFTER other actors' cursors have advanced
+    must have its full sealed history delivered.  The old global-floor
+    pruning (floor = min over cursors PRESENT in start) dropped a new
+    actor's sealed files whenever its counters sat below another
+    actor's cursor, then advanced its offset past them — permanent
+    loss."""
+    from flo_spark.sources.flo_datasource import FloCreditStreamReader
+
+    root = tmp_path / "newactor"
+    d1 = root / "p1"
+    d1.mkdir(parents=True)
+    _write_segment(d1 / "0.events", [_ev(100 * (i + 1), 1) for i in range(10)])
+
+    r = FloCreditStreamReader({"path": str(root), "batchsize": "100"})
+    rows, cursor = r.read(r.initialOffset())
+    assert len(list(rows)) == 10 and cursor == {"1": 1000}
+
+    # actor 2 appears with a sealed (0.events) + active (1.events)
+    # segment, all counters far below actor 1's cursor
+    d2 = root / "p2"
+    d2.mkdir()
+    _write_segment(d2 / "0.events", [_ev(i + 1, 2) for i in range(6)])
+    _write_segment(d2 / "1.events", [_ev(i + 7, 2) for i in range(4)])
+
+    rows2, cursor2 = r.read(dict(cursor))
+    rows2 = list(rows2)
+    assert [(x[0], x[1]) for x in rows2] == [(i + 1, 2) for i in range(10)]
+    assert cursor2 == {"1": 1000, "2": 10}
+    # replay of the recorded slice sees the same events
+    replay = list(r.readBetweenOffsets(cursor, cursor2))
+    assert [(x[0], x[1]) for x in replay] == [(i + 1, 2) for i in range(10)]
+
+
+def test_credit_flow_decode_is_lazy_up_to_budget(spark, tmp_path, monkeypatch):
+    """With a deep backlog and a small budget, read() must decode only
+    the files at the cursor frontier — not the whole backlog (the old
+    implementation buffered and re-decoded every unconsumed event each
+    trigger)."""
+    from flo_spark.sources import flo_datasource as mod
+
+    root = tmp_path / "lazy"
+    d = root / "p1"
+    d.mkdir(parents=True)
+    for s in range(6):
+        _write_segment(
+            d / f"{s}.events", [_ev(s * 10 + i + 1, 1) for i in range(10)]
+        )
+
+    opened = []
+    real = mod._decode_file
+
+    def spy(path, tolerate_partial_tail):
+        opened.append(os.path.basename(path))
+        return real(path, tolerate_partial_tail)
+
+    monkeypatch.setattr(mod, "_decode_file", spy)
+    r = mod.FloCreditStreamReader({"path": str(root), "batchsize": "5"})
+    rows, cursor = r.read(r.initialOffset())
+    assert [x[0] for x in rows] == [1, 2, 3, 4, 5]
+    assert opened == ["0.events"], opened
+    # second trigger: consumed file 0 still re-decodes (cursor is mid-
+    # file) but nothing past the frontier
+    opened.clear()
+    rows2, cursor2 = r.read(dict(cursor))
+    assert [x[0] for x in rows2] == [6, 7, 8, 9, 10]
+    assert opened == ["0.events"], opened
+    # after file 0 is fully consumed it prunes away entirely
+    opened.clear()
+    rows3, _c3 = r.read(dict(cursor2))
+    assert [x[0] for x in rows3] == [11, 12, 13, 14, 15]
+    assert opened == ["1.events"], opened
