@@ -169,32 +169,46 @@ class TailConsumer:
 
     ``batches()`` returns the delivered micro-batches in delivery
     order, each a list of Rows sorted by ``(event_counter, actor)``;
-    ``rows()`` flattens them.  ``stop()`` is A10's StopConsuming."""
+    ``rows()`` flattens them.  ``stop()`` is A10's StopConsuming.
 
-    def __init__(self, query, delivered: list):
+    When the consume was started WITH a ``sink`` callback, rows are
+    handed to the sink and NOT retained — a long-running tail would
+    otherwise grow driver memory without bound (every micro-batch kept
+    forever).  Only the ``delivered_vv()`` cursor is maintained in that
+    mode (O(actors)); ``batches()``/``rows()`` raise."""
+
+    def __init__(self, query, delivered: list, vv: "VersionVector"):
         self.query = query
         self._delivered = delivered
+        self._vv = vv
+        self._retains_rows = None  # set by consume_tail_ordered
 
     def batches(self) -> list[list]:
+        self._require_retained()
         return [rows for _eid, rows in self._delivered]
 
     def rows(self) -> list:
+        self._require_retained()
         return [r for _eid, rows in self._delivered for r in rows]
+
+    def _require_retained(self) -> None:
+        if self._retains_rows is False:
+            raise RuntimeError(
+                "rows were delivered to the sink callback and not "
+                "retained (bounded-memory tail); use delivered_vv() "
+                "for the cursor, or start without a sink to buffer"
+            )
 
     def delivered_vv(self) -> "VersionVector":
         """VersionVector of everything this consumer has delivered —
         the event-granular cursor flo keeps per consumer
         (consumer_stream/mod.rs:84-119).  Hand it to a restarted
         consumer as ``resume_trim`` to drop the redelivered prefix of
-        the in-flight segment (rows are already driver-side, so this
-        is a local fold, not a Spark job)."""
-        from flo_spark.version_vector import EventId, VersionVector
+        the in-flight segment.  Maintained incrementally at delivery
+        time, so it stays exact even when rows are not retained."""
+        from flo_spark.version_vector import VersionVector
 
-        vv = VersionVector()
-        for _eid, rows in self._delivered:
-            for r in rows:
-                vv.update_if_greater(EventId.of(int(r["actor"]), int(r["event_counter"])))
-        return vv
+        return VersionVector(self._vv)
 
     def process_available(self, timeout_sec: int = 60) -> None:
         """Block until everything currently in the stream is delivered."""
@@ -310,26 +324,40 @@ def consume_tail_ordered(
         )
     else:
         raise ValueError(f"unknown source: {source!r}")
+    from flo_spark.version_vector import EventId, VersionVector
+
     delivered: list = []
+    vv = VersionVector()
+    retain = sink is None  # with a sink, rows are the sink's — holding
+    # every batch forever would OOM the driver on a long-running tail
 
     def _sink(bdf: DataFrame, epoch_id: int) -> None:
         rows = bdf.orderBy("event_counter", "actor").collect()
-        if rows:
+        for r in rows:
+            vv.update_if_greater(
+                EventId.of(int(r["actor"]), int(r["event_counter"]))
+            )
+        if rows and retain:
             delivered.append((epoch_id, rows))
         if sink is not None:
             sink(rows, epoch_id)
+
+    def _handle(query) -> TailConsumer:
+        tc = TailConsumer(query, delivered, vv)
+        tc._retains_rows = retain
+        return tc
 
     writer = df.writeStream.foreachBatch(_sink)
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if await_new:
-        return TailConsumer(writer.start(), delivered)
+        return _handle(writer.start())
     query = writer.trigger(availableNow=True).start()
     finished = query.awaitTermination(timeout_sec)
     if not finished and query.isActive:
         query.stop()
         raise TimeoutError(f"ordered drain did not finish within {timeout_sec}s")
-    return TailConsumer(query, delivered)
+    return _handle(query)
 
 
 def windowed_counts(

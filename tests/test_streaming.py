@@ -275,3 +275,38 @@ def test_available_now_drain_timeout_raises(spark, tmp_path):
             await_completion=True,
             timeout_sec=1,
         )
+
+
+def test_sink_mode_bounds_driver_memory(spark, tmp_path):
+    """With a sink callback attached, the TailConsumer must NOT retain
+    delivered batches (a long-running tail would otherwise accumulate
+    every micro-batch in driver memory forever).  The delivered_vv()
+    cursor stays exact — it is folded incrementally at delivery."""
+    from flo_spark.version_vector import VersionVector
+
+    s = EventStream.create(
+        spark, str(tmp_path / "bounded"), num_partitions=1, segment_max_records=5
+    )
+    for chunk in range(4):
+        s.produce(_batch(spark, [("/b", f"d{chunk}-{i}", 1) for i in range(5)]))
+
+    seen = []
+    tail = consume_tail_ordered(
+        spark,
+        s.path,
+        await_new=False,
+        batch_size=5,
+        sink=lambda rows, _eid: seen.extend(rows),
+    )
+    assert len(seen) == 20  # the sink got everything
+    assert tail._delivered == []  # nothing retained: O(1), not O(batches)
+    assert tail.delivered_vv() == VersionVector({1: 20})
+    with pytest.raises(RuntimeError, match="not.*retained|retained"):
+        tail.rows()
+    with pytest.raises(RuntimeError):
+        tail.batches()
+    # without a sink the buffering contract is unchanged
+    tail2 = consume_tail_ordered(spark, s.path, await_new=False, batch_size=5)
+    assert len(tail2.rows()) == 20
+    assert tail2.delivered_vv() == VersionVector({1: 20})
+    s.drop()
