@@ -39,7 +39,17 @@ Options (both readers):
 - ``batchsize`` (streaming): switches to the credit-flow reader
   (``FloCreditStreamReader``) — at most that many MATCHING events per
   micro-batch, delivered in global (counter, actor) id order; flo's
-  SetBatchSize/NextBatch loop (A8) as Spark admission control.
+  SetBatchSize/NextBatch loop (A8) as Spark admission control.  The
+  budget is per-connection state, NOT part of the durable cursor: a
+  restart from the same checkpoint with a different ``batchsize``
+  resumes from the exact version vector under the new budget
+  (SetBatchSize outside the handshake, client.rs:261-267).
+
+Writer option: ``maxbytes`` — segment byte budget (default 1 GiB,
+flo's max segment size): an event that would overflow the open staged
+segment seals it and rotates (EventTooBig -> rotate -> append,
+segment/mod.rs:65-74); an event larger than the whole budget gets a
+segment of its own.
 
 Scale shape: the stream reader keeps a driver-side **segment index**
 — per sealed file, the (min, max) counter range per actor, built by
@@ -636,6 +646,12 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
         if not self.root:
             raise ValueError("format('flo') requires .save(<data dir>)")
         self.overwrite = overwrite
+        # segment byte budget (flo's max segment size, event_stream/
+        # mod.rs:27-37 — 1 GiB default): an event that would overflow
+        # the open segment forces rotation (EventTooBig -> rotate ->
+        # append, segment/mod.rs:65-74); an event LARGER than the whole
+        # budget gets its own segment rather than erroring
+        self.max_bytes = int(options.get("maxbytes", 1 << 30))
 
     # -- executor side -------------------------------------------------
     def write(self, iterator) -> FloWriteMessage:
@@ -650,10 +666,26 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
         import struct as _struct
         import uuid as _uuid
 
-        staging = os.path.join(self.root, "_staging")
+        staging = os.path.join(self.root, STAGING_DIRNAME)
         os.makedirs(staging, exist_ok=True)
-        # per-actor: [file handle, path, n_events, min_ms, max_ms]
+        # per-actor: [file handle, path, n_events, min_ms, max_ms, bytes]
         open_files: dict[int, list] = {}
+        messages = []
+
+        def _seal(st) -> None:
+            f, path, n, lo, hi, _b, actor = st
+            f.seek(0)
+            f.write(_struct.pack(">QQ", lo, hi))
+            f.close()
+            messages.append(FloWriteMessage(path, actor, n))
+
+        def _fresh(actor: int, ms: int) -> list:
+            path = os.path.join(staging, f"{_uuid.uuid4().hex}.events")
+            f = open(path, "wb")
+            f.write(b"\x00" * HEADER_LEN)  # patched on close
+            st = [f, path, 0, ms, ms, HEADER_LEN, actor]
+            return st
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -672,35 +704,35 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
                 for k in range(batch.num_rows):
                     actor = int(actors[k])
                     ms = int(ts_ms[k])
-                    st = open_files.get(actor)
-                    if st is None:
-                        path = os.path.join(
-                            staging, f"{_uuid.uuid4().hex}.events"
-                        )
-                        f = open(path, "wb")
-                        f.write(b"\x00" * HEADER_LEN)  # patched on close
-                        st = open_files[actor] = [f, path, 0, ms, ms]
-                    st[0].write(
-                        encode_event(
-                            int(counters[k]),
-                            actor,
-                            pcs[k],
-                            pas[k],
-                            ms,
-                            nss[k],
-                            datas[k] if datas[k] is not None else b"",
-                        )
+                    encoded = encode_event(
+                        int(counters[k]),
+                        actor,
+                        pcs[k],
+                        pas[k],
+                        ms,
+                        nss[k],
+                        datas[k] if datas[k] is not None else b"",
                     )
+                    st = open_files.get(actor)
+                    if (
+                        st is not None
+                        and st[2] > 0
+                        and st[5] + len(encoded) > self.max_bytes
+                    ):
+                        # EventTooBig -> seal and rotate; a non-empty
+                        # check means an over-budget single event still
+                        # lands (alone) instead of erroring
+                        _seal(st)
+                        st = None
+                    if st is None:
+                        st = open_files[actor] = _fresh(actor, ms)
+                    st[0].write(encoded)
                     st[2] += 1
                     st[3] = min(st[3], ms)
                     st[4] = max(st[4], ms)
-            messages = []
+                    st[5] += len(encoded)
             for actor in sorted(open_files):
-                f, path, n, lo, hi = open_files[actor]
-                f.seek(0)
-                f.write(_struct.pack(">QQ", lo, hi))
-                f.close()
-                messages.append(FloWriteMessage(path, actor, n))
+                _seal(open_files[actor])
         finally:
             for st in open_files.values():
                 if not st[0].closed:
@@ -738,7 +770,16 @@ class FloWriter(DataSourceArrowWriter, DataSourceStreamArrowWriter):
             self.overwrite = False
         self._gc_stale_staged(keep={p for p, _a, _n in staged})
         next_num: dict[str, int] = {}
-        for path, actor, _n in sorted(staged, key=lambda t: (t[1], t[0])):
+        # commit per actor in FIRST-EVENT-COUNTER order (one header read
+        # per staged file), so rotated segments land with counters
+        # growing across segment numbers — the within-dir monotonicity
+        # every reader's file pruning relies on.  uuid path order is
+        # random and would interleave them.
+        def _key(t):
+            got = _first_event_header(t[0])
+            return (t[1], got[0] if got else -1, t[0])
+
+        for path, actor, _n in sorted(staged, key=_key):
             d = os.path.join(self.root, f"p{actor}")
             os.makedirs(d, exist_ok=True)
             if d not in next_num:

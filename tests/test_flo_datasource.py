@@ -679,3 +679,110 @@ def test_credit_flow_decode_is_lazy_up_to_budget(spark, tmp_path, monkeypatch):
     rows3, _c3 = r.read(dict(cursor2))
     assert [x[0] for x in rows3] == [11, 12, 13, 14, 15]
     assert opened == ["1.events"], opened
+
+
+def test_credit_flow_batchsize_renegotiated_on_restart(spark, tmp_path):
+    """SetBatchSize outside the handshake (client.rs:261-267): a
+    consumer restarting from its checkpoint with a DIFFERENT batchsize
+    must resume from the exact version-vector cursor and apply the new
+    budget immediately — the credit window is per-connection state, not
+    part of the durable cursor."""
+    root = tmp_path / "renego"
+    d = root / "p1"
+    d.mkdir(parents=True)
+    _write_segment(d / "0.events", [_ev(i + 1, 1) for i in range(12)])
+    register(spark)
+    ckpt = str(tmp_path / "ckpt_renego")
+
+    def drain(batchsize):
+        per_batch = []
+        q = (
+            spark.readStream.format("flo")
+            .option("batchsize", str(batchsize))
+            .load(str(root))
+            .writeStream.foreachBatch(
+                lambda b, _eid: per_batch.append(
+                    sorted(r.event_counter for r in b.collect())
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return [b for b in per_batch if b]
+
+    # one trigger per availableNow run on the simple-reader path
+    first = [drain(4) for _ in range(3)]
+    assert [len(b) for run in first for b in run] == [4, 4, 4]
+
+    _append_events(d / "0.events", [_ev(i + 13, 1) for i in range(10)])
+    second = [drain(7) for _ in range(2)]
+    # resumes at counter 13 exactly (no redelivery, no gap), with the
+    # NEW 7-event budget
+    assert [len(b) for run in second for b in run] == [7, 3]
+    flat = [c for run in second for b in run for c in b]
+    assert flat == list(range(13, 23))
+
+
+def test_writer_maxbytes_rotation_with_oversized_events(spark, tmp_path):
+    """Byte-budget segment rotation (segment/mod.rs:65-74): an event
+    that would overflow the open segment seals it and starts a new one
+    (EventTooBig -> rotate -> append); an event LARGER than the whole
+    budget gets a segment of its own instead of erroring.  Mixed
+    1 MiB + small events round-trip hash-checked, and counters grow
+    across the rotated segment files (the pruning invariant)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    register(spark)
+    out = str(tmp_path / "rot_out")
+    big = bytes(range(256)) * 4096  # 1 MiB
+    rows = []
+    for c in range(1, 21):
+        payload = big if c % 7 == 0 else f"small-{c}".encode()
+        rows.append(
+            Row(
+                event_counter=c,
+                actor=1,
+                parent_counter=None,
+                parent_actor=None,
+                timestamp=__import__("datetime").datetime(
+                    2024, 1, 1, 0, 0, c, tzinfo=__import__("datetime").timezone.utc
+                ),
+                namespace="/rot/x",
+                data=bytearray(payload),
+                partition=1,
+            )
+        )
+    from flo_spark.schema import EVENT_SCHEMA
+
+    src = spark.createDataFrame(rows, schema=EVENT_SCHEMA).coalesce(1)
+    (
+        src.write.format("flo")
+        .option("maxbytes", str(64 * 1024))
+        .mode("append")
+        .save(out)
+    )
+    d = os.path.join(out, "p1")
+    segs = sorted(
+        int(f[: -len(".events")]) for f in os.listdir(d)
+    )
+    assert len(segs) >= 4  # three 1 MiB events force rotations
+    # counters grow across segment numbers (within-dir monotonicity)
+    from flo_spark.sources.flo_datasource import _first_event_header
+
+    firsts = [
+        _first_event_header(os.path.join(d, f"{n}.events"))[0] for n in segs
+    ]
+    assert firsts == sorted(firsts)
+    back = spark.read.format("flo").load(out)
+
+    def canon(df):
+        return sorted(
+            (r.event_counter, r.actor, hashlib.sha256(bytes(r.data)).hexdigest())
+            for r in df.collect()
+        )
+
+    assert canon(back) == canon(src)
