@@ -305,14 +305,21 @@ def _assign_cells(
     ).mapInPandas(assign, "__id long, __v array<float>, cell int")
 
 
+#: target expected members per quantizer cell when ``n_cells`` is
+#: auto-derived — keeps the within-cell pair count (the quadratic term)
+#: task-sized at any corpus scale
+SEMANTIC_DEDUP_CELL_TARGET = 10_000
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     train_sample: int = 2048,
+    cell_target: int = SEMANTIC_DEDUP_CELL_TARGET,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-cluster the
     embedding space (spherical k-means cells, the IVF quantizer), find
@@ -330,7 +337,18 @@ def semantic_dedup(
     (id_b, id_a) pairs, and the final anti-shaped join is keyed on the
     id.  The quantizer trains on a bounded driver-side sample
     (documented); in production the cell is computed once at ingest
-    and stored as a partition column."""
+    and stored as a partition column.
+
+    ``n_cells=None`` (default) derives the cell count from the corpus:
+    ``max(16, ceil(n / cell_target))``, so expected cell membership —
+    and with it the quadratic within-cell pair count — stays bounded
+    regardless of corpus size (costs one count() pass; pass an explicit
+    ``n_cells`` to skip it)."""
+    if n_cells is None:
+        n = df.count()
+        n_cells = max(16, -(-n // max(1, cell_target)))
+        # the quantizer needs more training points than centroids
+        train_sample = max(train_sample, 8 * n_cells)
     cent = _train_quantizer(df, id_col, vec_col, n_cells, seed, train_sample)
     b = _assign_cells(df, cent, id_col, vec_col).persist()
     b.count()  # materialize: the self-join branches race a lazy cache
