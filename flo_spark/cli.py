@@ -94,6 +94,24 @@ def _build_parser() -> argparse.ArgumentParser:
         help="batch granularity (the engine acks per produce batch, "
         "not per event)",
     )
+
+    sv = sub.add_parser(
+        "serve",
+        help="serve the flo TCP wire protocol over --stream-dir (a "
+        "native data dir with one subdir per event stream); remote "
+        "clients produce/consume against this engine's storage",
+    )
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=3000)  # flo's default
+    sv.add_argument(
+        "--default-stream", default="default", help="stream served at announce"
+    )
+    sv.add_argument(
+        "--duration",
+        type=float,
+        default=None,
+        help="stop after N seconds (default: run until interrupted)",
+    )
     return p
 
 
@@ -118,6 +136,8 @@ def _print_event(row, out) -> None:
 def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     args = _build_parser().parse_args(argv)
     out = out or sys.stdout
+    if args.command == "serve":
+        return _main_serve(args, out)
     if spark is None:
         from flo_spark.session import get_spark
 
@@ -239,6 +259,34 @@ def _bench_produce(spark, stream, args, out) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _main_serve(args, out) -> int:
+    """Run the flo TCP server over a native data dir (no Spark needed:
+    the server speaks the wire protocol straight to the segment
+    codec).  Remote clients (flo_spark.protocol.client.FloClient, or
+    anything speaking the reference protocol) connect on --port."""
+    import time as _time
+
+    from flo_spark.protocol.server import FloTcpServer
+
+    with FloTcpServer(
+        args.stream_dir,
+        host=args.host,
+        port=args.port,
+        default_stream=args.default_stream,
+    ) as srv:
+        out.write(f"flo server listening on {srv.host}:{srv.port}\n")
+        out.flush()
+        try:
+            if args.duration is not None:
+                _time.sleep(args.duration)
+            else:
+                while True:
+                    _time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+    return 0
 
 
 def _main_native(args, spark, out) -> int:

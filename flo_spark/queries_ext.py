@@ -4456,3 +4456,69 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         corpus, threshold=0.9, metric="containment"
     )
+
+
+# --------------------------------------------------------------------------
+# flo TCP wire protocol round trip
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flo_tcp_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, lang, text FROM documents
+               ORDER BY doc_id LIMIT 20)
+    SELECT CAST(row_number() OVER (PARTITION BY doc_id % 2
+                                   ORDER BY doc_id) AS BIGINT)
+               AS event_counter,
+           CAST(doc_id % 2 + 1 AS INT) AS actor,
+           '/docs/' || lang AS namespace,
+           substr(text, 1, 40) AS payload
+    FROM d
+    """,
+)
+def flo_tcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The network surface end-to-end: a remote client produces the
+    first 20 documents over the flo TCP WIRE PROTOCOL (announce
+    handshake, ProduceEvent/AckEvent — flo-protocol/src/client.rs) to
+    an embedded server persisting native ``.events`` segments; the
+    engine then scans the server's data dir with
+    ``spark.read.format("flo")``.  The oracle reconstructs the
+    expected events from the documents table alone: the server's
+    per-partition contiguous counter assignment over doc_id-ordered
+    produces IS row_number() partitioned by doc_id % 2 — so the hash
+    match proves id assignment, payload integrity, and the shared
+    storage format across the TCP and Spark access paths.
+
+    Driver-side work is the 20-row produce loop (bounded, documented);
+    the read-back is the distributed flo scan.  Timestamps are
+    server-assigned wall clock, hence excluded from the contract."""
+    from flo_spark.protocol.client import FloClient
+    from flo_spark.protocol.server import FloTcpServer
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_datasource import register
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    root = scratch_dir("flo_tcp_")
+    with FloTcpServer(root) as srv:
+        with FloClient(srv.host, srv.port, client_name="roundtrip") as c:
+            for r in docs:
+                c.produce(
+                    int(r["doc_id"]) % 2 + 1,
+                    f"/docs/{r['lang']}",
+                    r["text"][:40].encode("utf-8"),
+                )
+    register(spark)
+    ev = spark.read.format("flo").load(f"{root}/default")
+    return ev.select(
+        "event_counter",
+        "actor",
+        "namespace",
+        F.decode(F.col("data"), "UTF-8").alias("payload"),
+    )

@@ -171,3 +171,42 @@ def test_native_bench_produce_rejected(spark, tmp_path):
             spark=spark,
             out=io.StringIO(),
         )
+
+
+def test_serve_runs_the_tcp_server(tmp_path):
+    """`serve` exposes the wire protocol over a native data dir — no
+    Spark session needed; a remote client produces and consumes."""
+    import re
+    import threading
+    import time
+
+    from flo_spark.protocol.client import FloClient
+
+    root = str(tmp_path / "served")
+    out = io.StringIO()
+
+    def run_server():
+        main(
+            [
+                "--stream-dir", root, "serve",
+                "--port", "0", "--duration", "15",
+            ],
+            out=out,
+        )
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    port = None
+    while time.time() < deadline:
+        m = re.search(r"listening on 127\.0\.0\.1:(\d+)", out.getvalue())
+        if m:
+            port = int(m.group(1))
+            break
+        time.sleep(0.05)
+    assert port, "server did not report its port"
+    with FloClient("127.0.0.1", port) as c:
+        for i in range(3):
+            c.produce(1, "/cli/serve", f"e{i}".encode())
+        got = list(c.consume(version_vector={1: 0}))
+        assert [e.data for e in got] == [b"e0", b"e1", b"e2"]
