@@ -8,9 +8,9 @@ moves to Python exactly once.
 
 Decode support is layered by format: stdlib-decodable formats decode
 for real with stdlib + numpy (PCM WAV via ``wave``; binary PPM/PGM
-and 24-bit BMP via header parsing; non-interlaced 8-bit PNG via
-``zlib`` + the five scanline filters) — tested end-to-end through
-mapInPandas.  Formats needing codec libraries NOT in this container
+incl. 16-bit big-endian samples and 24-bit BMP via header parsing;
+8-bit PNG — non-interlaced AND Adam7-interlaced — via ``zlib`` + the
+five scanline filters) — tested end-to-end through mapInPandas.  Formats needing codec libraries NOT in this container
 (JPEG/FLAC/...) sit behind guarded PIL/soundfile imports and raise
 NotImplementedError here; ``extract_features``'s default hash
 features stay decoder-free so the oracle-checked catalog entries are
@@ -136,20 +136,27 @@ def _decode_ppm(payload: bytes):
         i = j
     i += 1  # the spec's single whitespace separator after maxval
     w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
+    if maxval > 65535:
+        raise ValueError(f"invalid netpbm maxval {maxval}")
     channels = 3 if payload[:2] == b"P6" else 1
+    # maxval > 255: two-byte big-endian samples (the netpbm "plain
+    # raster, 16-bit" rule) -> uint16 array
+    sample_bytes = 2 if maxval > 255 else 1
     count = w * h * channels
+    nbytes = count * sample_bytes
     # tolerate a CRLF-terminated header (two separator bytes): skip
-    # further whitespace ONLY while more than `count` bytes remain, so a
-    # legitimate first sample that happens to be 0x0A is never eaten
-    while len(payload) - i > count and payload[i : i + 1] in (b"\r", b"\n", b"\t", b" "):
+    # further whitespace ONLY while more than `nbytes` bytes remain, so
+    # a legitimate first sample that happens to be 0x0A is never eaten
+    while len(payload) - i > nbytes and payload[i : i + 1] in (b"\r", b"\n", b"\t", b" "):
         i += 1
-    if len(payload) - i < count:
+    if len(payload) - i < nbytes:
         raise ValueError(
-            f"truncated netpbm payload: need {count} sample bytes for "
-            f"{w}x{h}x{channels}, have {len(payload) - i}"
+            f"truncated netpbm payload: need {nbytes} sample bytes for "
+            f"{w}x{h}x{channels}@{8 * sample_bytes}bit, have {len(payload) - i}"
         )
+    if sample_bytes == 2:
+        arr = np.frombuffer(payload, dtype=">u2", count=count, offset=i)
+        return arr.astype(np.uint16).reshape(h, w, channels)
     arr = np.frombuffer(payload, dtype=np.uint8, count=count, offset=i)
     return arr.reshape(h, w, channels)
 
@@ -185,55 +192,26 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: PNG color type -> samples per pixel (8-bit, non-palette)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step) per pass
+#: (PNG spec §8.2 — the 8x8 tile sampling grid)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / RGB /
-    gray+alpha / RGBA) to an (H, W, C) uint8 array.
 
-    PNG is zlib-deflate over per-scanline filtered samples: each
-    scanline is one filter-type byte (0 none, 1 sub, 2 up, 3 average,
-    4 paeth) followed by W*C filtered bytes.  Chunk walk (IHDR sizes,
-    IDAT concatenation), ``zlib.decompress``, then the standard
-    unfilter recurrences reconstruct the raw samples — no codec
-    library involved."""
-    import struct
-    import zlib
-
+def _png_unfilter(lines, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (0 none, 1 sub, 2 up,
+    3 average, 4 paeth) over an (h, stride+1) byte grid whose first
+    column is the filter type; returns (h, stride) uint8."""
     import numpy as np
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated PNG chunk")
-        pos += 12 + length  # length + type + body + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color not in _PNG_CHANNELS:
-                raise NotImplementedError(
-                    f"only 8-bit gray/RGB/GA/RGBA PNG decoded here "
-                    f"(got depth={depth}, color_type={color})"
-                )
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    c = _PNG_CHANNELS[color]
-    stride = w * c
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel data length mismatch")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = c  # bytes per pixel at depth 8
     for y in range(h):
         ftype, cur = lines[y, 0], lines[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
@@ -260,14 +238,86 @@ def _decode_png(payload: bytes):
                     raise ValueError(f"bad PNG filter type {ftype}")
                 rec[x] = (cur[x] + pred) & 0xFF
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, c)
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of 8-bit PNG (gray / RGB / gray+alpha /
+    RGBA), non-interlaced OR Adam7-interlaced, to an (H, W, C) uint8
+    array.
+
+    PNG is zlib-deflate over per-scanline filtered samples: each
+    scanline is one filter-type byte (0 none, 1 sub, 2 up, 3 average,
+    4 paeth) followed by W*C filtered bytes.  Chunk walk (IHDR sizes,
+    IDAT concatenation), ``zlib.decompress``, then the standard
+    unfilter recurrences reconstruct the raw samples — no codec
+    library involved.  Adam7 streams hold 7 sequential sub-images,
+    each filtered INDEPENDENTLY at its own reduced width; the decoded
+    passes scatter back onto the 8x8 sampling grid (PNG spec §8.2)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/GA/RGBA PNG decoded here "
+                    f"(got depth={depth}, color_type={color})"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        stride = w * c
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG pixel data length mismatch")
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        return _png_unfilter(lines, h, stride, c).reshape(h, w, c)
+    # Adam7: 7 sequential reduced images, empty passes absent
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = pw * c
+        need = (pstride + 1) * ph
+        if pos + need > len(raw):
+            raise ValueError("truncated Adam7 pass data")
+        lines = np.frombuffer(
+            raw, dtype=np.uint8, count=need, offset=pos
+        ).reshape(ph, pstride + 1)
+        pos += need
+        rec = _png_unfilter(lines, ph, pstride, c).reshape(ph, pw, c)
+        out[y0::dy, x0::dx, :] = rec
+    if pos != len(raw):
+        raise ValueError("Adam7 pixel data length mismatch")
+    return out
 
 
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, C) uint8 numpy array.
 
     Stdlib-decodable formats (binary PPM/PGM, 24-bit BI_RGB BMP,
-    non-interlaced 8-bit PNG via zlib) decode here with stdlib +
+    8-bit PNG incl. Adam7 via zlib) decode here with stdlib +
     numpy — a REAL decode, no codec library needed.  Everything else
     uses PIL when available (guarded optional import — deployments
     with codec libraries get the full decoder transparently) and

@@ -150,12 +150,103 @@ def test_png_unsupported_variants_raise_not_implemented():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    interlaced = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError):
-        decode_image(interlaced)
     sixteen_bit = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
     with pytest.raises(NotImplementedError):
         decode_image(sixteen_bit)
+
+
+def _filter_scanlines(rows, bpp):
+    """Filter an (h, stride) sample grid with filter type y%5 per line
+    (every PNG filter exercised); returns the raw pre-zlib stream."""
+    h, stride = rows.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
+        diag = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]]) if stride > bpp else np.zeros(stride, np.int32)
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) & 0xFF
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - diag
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - diag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, diag)
+            )
+            filt = (cur - pred) & 0xFF
+        raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(raw)
+
+
+def make_png_adam7(w=9, h=7, channels=3, seed=11):
+    """Adam7-interlaced PNG: 7 sequential reduced images, each filtered
+    independently at its own width (PNG spec 8.2)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, channels)).astype(np.uint8)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        raw += _filter_scanlines(
+            sub.reshape(ph, pw * channels), channels
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return payload, img
+
+
+def test_png_adam7_decodes_exact_pixels():
+    """Interlaced decode: every color type, and dimensions exercising
+    empty passes (w or h < the pass origin) and partial 8x8 tiles."""
+    for channels in (1, 2, 3, 4):
+        for (w, h) in [(9, 7), (8, 8), (3, 2), (1, 1), (16, 5)]:
+            payload, img = make_png_adam7(w, h, channels, seed=channels + w)
+            arr = decode_image(payload)
+            assert arr.shape == img.shape, (channels, w, h)
+            np.testing.assert_array_equal(arr, img)
+
+
+def test_netpbm_16bit_decodes_exact_samples():
+    """maxval > 255: two-byte big-endian samples -> uint16 arrays."""
+    rng = np.random.RandomState(5)
+    pix = rng.randint(0, 65536, size=(3, 4, 3)).astype(np.uint16)
+    ppm = b"P6\n4 3\n65535\n" + pix.astype(">u2").tobytes()
+    got = decode_image(ppm)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, pix)
+    gray = rng.randint(0, 65536, size=(2, 5, 1)).astype(np.uint16)
+    pgm = b"P5\n5 2\n65535\n" + gray.astype(">u2").tobytes()
+    np.testing.assert_array_equal(decode_image(pgm), gray)
+    # truncation still fails loudly at 16-bit widths
+    with pytest.raises(ValueError, match="truncated netpbm payload"):
+        decode_image(b"P6\n4 3\n65535\n" + pix.astype(">u2").tobytes()[:-3])
 
 
 def test_codec_lib_formats_raise_without_codec_libs():
