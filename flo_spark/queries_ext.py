@@ -4522,3 +4522,96 @@ def flo_tcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "namespace",
         F.decode(F.col("data"), "UTF-8").alias("payload"),
     )
+
+
+@query(
+    "text_normalize_nfc",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 300000,
+             'cafe' || chr(769) || '  na' || chr(771) || 'ive' || chr(9)
+               || chr(160) || 'te' || chr(769) || 'xt' || chr(13)
+               || chr(10) || ' tail' || chr(7) || chr(127)
+               || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS clean_len,
+           norm <> text AS changed,
+           substr(norm, 1, 30) AS head
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(nfc_normalize(text), chr(160), ' '),
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+               '[ \\t\\r\\n]+', ' ', 'g')) AS norm
+      FROM base
+    )
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization for training corpora: NFC
+    composition (combining marks folded into precomposed forms), NBSP
+    mapped to space, C0/DEL control characters stripped, whitespace
+    runs collapsed to single spaces, ends trimmed.  The planted
+    contract re-enters the first 10 docs wrapped in decomposed
+    accents (e + U+0301), NBSP, tab/CRLF runs, BEL and DEL — each
+    provably changes under normalization and the oracle applies the
+    identical pipeline through DuckDB's utf8proc ``nfc_normalize``,
+    so the hash match pins the two engines' Unicode tables against
+    each other.
+
+    NFC needs real Unicode data tables, which no JVM built-in
+    expression exposes — this is a sanctioned Arrow-batched
+    mapInPandas hop (one ``unicodedata.normalize`` pass per batch),
+    NOT a row-at-a-time UDF.  100 TB shape: a narrow scan-stage map —
+    zero shuffles, composes with any downstream partitioning; the
+    whitespace/control steps use explicit character classes shared
+    verbatim with the oracle so RE2-vs-Python ``\\s`` semantics can
+    never diverge."""
+    import re as _re
+    import unicodedata
+
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    planted = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.lit("cafe\u0301  na\u0303ive\t\u00a0te\u0301xt\r\n tail\x07\x7f"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile("[ \t\r\n]+")
+
+    def norm_batches(batches):
+        for pdf in batches:
+            norm = []
+            for s in pdf["text"]:
+                n = unicodedata.normalize("NFC", s).replace(" ", " ")
+                n = ws.sub(" ", ctrl.sub("", n)).strip()
+                norm.append(n)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "clean_len": [len(n) for n in norm],
+                    "changed": [n != s for n, s in zip(norm, pdf["text"])],
+                    "head": [n[:30] for n in norm],
+                }
+            )
+            yield out
+
+    return d.unionByName(planted).mapInPandas(
+        norm_batches,
+        "doc_id long, clean_len long, changed boolean, head string",
+    )
