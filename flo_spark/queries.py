@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flo_spark.functions.glob import glob_to_regex
@@ -53,6 +53,70 @@ def query(name: str, oracle: str | None):
 
     return deco
 
+
+# -- exact money aggregation -----------------------------------------------
+#
+# Money columns in this testdata carry <= 4 fractional digits, so
+# round(sum(x), 2) has ONE exact engine-independent answer — but double
+# sums reach it order-dependently (the q7 one-cent flip), and Spark's
+# decimal sums leave the long-backed fast path once the accumulator
+# passes 18 digits (sum(decimal(18,4)) -> decimal(28,4)), costing
+# ~3x on an aggregate-heavy scan (q1 at sf0.1: 0.25s double / 0.84s
+# decimal / 0.25s scaled-long, measured interleaved).  The scaled-long
+# form keeps exactness inside whole-stage codegen: each value becomes
+# its exact 1e4-scaled integer, longs sum exactly, and the final
+# half-up rounding to cents is integer arithmetic.
+#
+# Overflow contract: a single group's sum must stay under 2^63/1e4
+# ~= 9.2e14 (921 trillion in money units).  Session ANSI mode (Spark 4
+# default, asserted in tests) makes a breach RAISE [ARITHMETIC_OVERFLOW]
+# loudly rather than wrap — at that scale switch the entry to the
+# decimal(18,4) form used by the non-headline entries (exact at any
+# magnitude, off the codegen fast path).  The DuckDB oracle sums BIGINT
+# into HUGEINT, so the oracle side never overflows.
+
+
+def money_scaled(col: Column) -> Column:
+    """Exact 1e4-scaled integer of a <=4-fractional-digit money double
+    (floor(x*1e4 + 0.5) = round-half-up toward +inf, deterministic and
+    identical in Spark and DuckDB)."""
+    return F.floor(col * 10000 + F.lit(0.5)).cast("long")
+
+
+def money_sum(col: Column) -> Column:
+    """``round(sum(col), 2)`` computed exactly: long sum of the scaled
+    integers, half-up to cents in integer space, one final exact
+    int->double conversion."""
+    s = F.sum(money_scaled(col))
+    return F.floor((s + F.lit(50)) / F.lit(100.0)) / F.lit(100.0)
+
+
+def money_avg(col: Column) -> Column:
+    """``round(avg(col), 4)`` computed from the exact scaled sum: the
+    1e4 scale IS the 4-digit rounding grid, so avg*1e4 == s/n and one
+    half-up floor lands the answer."""
+    s = F.sum(money_scaled(col)).cast("double")
+    return F.floor(s / F.count(F.lit(1)) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def money_sum_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`money_sum` (sum(BIGINT) is HUGEINT
+    there — exact, never overflows)."""
+    return (
+        f"floor((sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)) + 50)"
+        " / 100.0) / 100.0"
+    )
+
+
+def money_avg_sql(expr: str) -> str:
+    return (
+        f"floor(CAST(sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / count(*) + 0.5) / 10000.0"
+    )
+
+
+#: the TPC-H revenue aggregate, shared by several oracle strings
+REVENUE_SQL = money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")
 
 _SCRATCH_ROOT: str | None = None
 
@@ -381,13 +445,13 @@ def flo_codec_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-           floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
-           floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
+           {money_sum_sql("l_quantity")} AS sum_qty,
+           {money_sum_sql("l_extendedprice")} AS sum_base_price,
+           {money_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {money_avg_sql("l_quantity")} AS avg_qty,
+           {money_avg_sql("l_discount")} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -402,40 +466,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_base_price"),
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ).cast("decimal(18,4)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            (
-                F.floor(
-                    F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-                    / F.count(F.lit(1))
-                    * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
-            ).alias("avg_qty"),
-            (
-                F.floor(
-                    F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
-                    / F.count(F.lit(1))
-                    * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
-            ).alias("avg_disc"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            money_avg(F.col("l_quantity")).alias("avg_qty"),
+            money_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -443,9 +480,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey AS l_orderkey,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           {REVENUE_SQL} AS revenue,
            o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -478,16 +515,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(filtered_orders, li["l_orderkey"] == filtered_orders["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ).cast("decimal(18,4)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -497,9 +527,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_regional_revenue",
-    """
+    f"""
     SELECT n.n_name AS n_name,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+           {REVENUE_SQL} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -535,16 +565,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
-                    (
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ).cast("decimal(18,4)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
     )
 

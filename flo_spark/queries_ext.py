@@ -31,7 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flo_spark.queries import load, query
+from flo_spark.queries import (
+    load,
+    money_avg,
+    money_scaled,
+    money_sum,
+    money_sum_sql,
+    query,
+)
 
 
 # --------------------------------------------------------------------------
@@ -128,8 +135,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    """
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    f"""
+    SELECT {money_sum_sql("l_extendedprice * l_discount")} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -149,16 +156,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                    "decimal(18,4)"
-                )
-            ),
-            2,
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
         )
-        .cast("double")
-        .alias("revenue")
     )
 
 
@@ -286,11 +286,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q9_product_profit",
-    """
+    f"""
     SELECT ns.n_name AS nation, year(o.o_orderdate) AS o_year,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity
-                     AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+           {money_sum_sql("l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity")}
+               AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -320,11 +319,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("nation", "o_year")
-        .agg(
-            F.round(F.sum(profit.cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_profit")
-        )
+        .agg(money_sum(profit).alias("sum_profit"))
     )
 
 
@@ -658,16 +653,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_large_volume_customers",
-    """
+    f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
            round(o.o_totalprice, 2) AS o_totalprice,
-           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
-               AS sum_qty
+           {money_sum_sql("l.l_quantity")} AS sum_qty
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-    HAVING sum(l.l_quantity) > 200
+    HAVING sum(CAST(floor(l.l_quantity * 10000 + 0.5) AS BIGINT)) > 2000000
     ORDER BY o_totalprice DESC, o.o_orderkey ASC
     LIMIT 100
     """,
@@ -688,8 +682,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     qty = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"))
-        .filter(F.col("__qty") > 200)
+        .agg(F.sum(money_scaled(F.col("l_quantity"))).alias("__qty"))
+        .filter(F.col("__qty") > 200 * 10000)
     )
     return (
         o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
@@ -700,7 +694,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("__qty", 2).cast("double").alias("sum_qty"),
+            (
+                F.floor((F.col("__qty") + F.lit(50)) / F.lit(100.0))
+                / F.lit(100.0)
+            ).alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)

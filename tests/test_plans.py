@@ -460,3 +460,11 @@ def test_stream_profile_lengths_in_scan_stage_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     ex = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert ex and all("ns0" in k for k in ex), ex
+
+
+def test_ansi_mode_on_for_money_sum_overflow_contract(spark):
+    """queries.money_sum's overflow contract (a group sum past
+    2^63/1e4 RAISES rather than wrapping) requires ANSI mode, Spark
+    4's default — pin it so a session-config change can't silently
+    turn exact-failure into silent corruption."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
