@@ -468,3 +468,15 @@ def test_ansi_mode_on_for_money_sum_overflow_contract(spark):
     4's default — pin it so a session-config change can't silently
     turn exact-failure into silent corruption."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_text_normalize_is_narrow_scan_stage_map(spark, sf_dir):
+    """The NFC normalization is a scan-stage mapInPandas over a union
+    of two scans: no join, no shuffle — it composes with any
+    downstream partitioning at 100 TB."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.text_normalize_nfc(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
