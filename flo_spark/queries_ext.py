@@ -4612,3 +4612,43 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_batches,
         "doc_id long, clean_len long, changed boolean, head string",
     )
+
+
+@query(
+    "stream_dedup_ingest",
+    """
+    SELECT DISTINCT md5(event_type || '|'
+                        || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR))
+               AS dedup_key
+    FROM events
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with UNBOUNDED cross-batch exact
+    dedup (streaming/dedup_ingest.py): every micro-batch's keys
+    anti-join a persistent parquet seen-store and only first-seen keys
+    are accepted — once seen, duplicate forever, the contract a
+    watermarked dedup cannot express.  Batch shards are named by batch
+    id so crash replays overwrite themselves (exactly-once accepts;
+    replay/restart semantics pinned in tests/test_streaming.py).  The
+    oracle is the batch ground truth: the accepted set must equal the
+    distinct key set of the whole stream.  Key = md5 of a coarse
+    (event_type, floor(value)) fingerprint so real duplicate pressure
+    exists in the testdata."""
+    from flo_spark.queries import _events_stream, scratch_dir
+    from flo_spark.streaming.dedup_ingest import dedup_ingest
+
+    tmp = scratch_dir("flo_dedup_ingest_")
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.floor(F.col("value")).cast("long").cast("string"),
+        ).cast("binary")
+    )
+    return dedup_ingest(
+        _events_stream(spark, sf_dir),
+        store_dir=f"{tmp}/store",
+        key=key,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )

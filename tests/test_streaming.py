@@ -310,3 +310,61 @@ def test_sink_mode_bounds_driver_memory(spark, tmp_path):
     assert len(tail2.rows()) == 20
     assert tail2.delivered_vv() == VersionVector({1: 20})
     s.drop()
+
+
+def test_dedup_ingest_cross_batch_and_replay_safe(spark, tmp_path):
+    """Unbounded cross-batch dedup (streaming/dedup_ingest.py): a key
+    accepted in an early micro-batch stays rejected in every later one
+    (no watermark horizon), a crash-replayed batch overwrites its own
+    shard instead of double-inserting, and a RESTARTED ingest over a
+    grown stream accepts only genuinely new keys."""
+    from pyspark.sql import functions as F
+
+    from flo_spark.streaming.dedup_ingest import (
+        accepted_keys,
+        dedup_ingest,
+        fold_batch,
+    )
+
+    s = EventStream.create(
+        spark, str(tmp_path / "ingest"), num_partitions=1, segment_max_records=4
+    )
+    # 3 segments; payloads repeat across segments (d0..d3 twice, d4..d7)
+    for chunk in range(2):
+        s.produce(_batch(spark, [("/i", f"d{i}", 1) for i in range(4)]))
+    s.produce(_batch(spark, [("/i", f"d{i}", 1) for i in range(4, 8)]))
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    key = F.md5(F.col("data").cast("binary"))
+    stream = consume_stream(spark, s.path, max_files_per_trigger=1)
+    got = dedup_ingest(stream, store, key, ckpt)
+    assert got.count() == 8  # d0..d7 exactly once despite cross-batch dupes
+    # multiple batches really happened (one shard per non-empty batch)
+    import os
+
+    shards = [d for d in os.listdir(store) if d.startswith("batch=")]
+    assert len(shards) >= 2, shards
+
+    # crash replay: re-fold an already-folded batch id by hand -> store
+    # unchanged (the shard overwrites itself)
+    replay = spark.createDataFrame(
+        [("d0",), ("d4",), ("brandnew",)], ["data"]
+    ).select(F.col("data").cast("binary").alias("data"))
+    fold_batch(replay, batch_id=0, store_dir=store, key=key)
+    n_after_replay = accepted_keys(spark, store).count()
+    fold_batch(replay, batch_id=0, store_dir=store, key=key)
+    assert accepted_keys(spark, store).count() == n_after_replay
+
+    # restart over a grown stream: only the new payload is accepted
+    s.produce(
+        _batch(spark, [("/i", "d0", 1), ("/i", "fresh", 1)])
+    )
+    stream2 = consume_stream(spark, s.path, max_files_per_trigger=1)
+    got2 = dedup_ingest(stream2, store, key, ckpt)
+    hashes = {r.dedup_key for r in got2.collect()}
+    import hashlib
+
+    assert hashlib.md5(b"fresh").hexdigest() in hashes
+    assert got2.count() == n_after_replay + 1
+    s.drop()
