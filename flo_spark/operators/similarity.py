@@ -439,3 +439,88 @@ def ann_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
     )
+
+
+# -- persisted IVF index: cell as a PARTITION COLUMN -----------------------
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """Materialize the IVF index the ``ann_topk_ivf`` docstring
+    promises for production: cell assignments written ONCE at ingest,
+    with ``cell`` as a physical PARTITION COLUMN, so query-time scans
+    prune unprobed cells at the FILE level — |corpus| * n_probe /
+    n_cells bytes read, not |corpus|.  Centroids persist alongside
+    (``_centroids.json``) so queries never retrain.  Returns the
+    centroid matrix."""
+    import json
+    import os
+
+    cent = _train_quantizer(corpus, id_col, vec_col, n_cells, seed, train_sample)
+    (
+        _assign_cells(corpus, cent, id_col, vec_col)
+        .withColumnRenamed("__id", "c_id")
+        .withColumnRenamed("__v", "c_emb")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump([[float(x) for x in row] for row in cent], f)
+    return cent
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a PERSISTED index (:func:`write_ivf_index`):
+    probe cells come from the stored centroids driver-side, and the
+    ``cell IN (probes)`` predicate lands in the scan's
+    PartitionFilters — unprobed cells' files are never opened
+    (plan-pinned in tests/test_dedup_similarity.py).  Scoring and
+    ranking are identical to :func:`ann_topk_ivf`, so results match
+    the in-memory form exactly for the same quantizer."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        cent = np.array(json.load(f), dtype=np.float64)
+    cb = spark.read.parquet(index_path)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(r[0]), [float(x) for x in r[1]], int(c))
+        for r, cells in zip(qrows, probes)
+        for c in cells
+    ]
+    qb = spark.createDataFrame(probe_rows, "q_id long, q_emb array<float>, cell int")
+    probed_cells = sorted({int(c) for _r, cells in zip(qrows, probes) for c in cells})
+
+    scored = (
+        cb.filter(F.col("cell").isin(probed_cells))  # -> PartitionFilters
+        .join(F.broadcast(qb), "cell")
+        .withColumn("cos_raw", _cosine_pairs_udf()(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )

@@ -248,3 +248,39 @@ def test_semantic_dedup_n_cells_autoscales_with_corpus(spark):
         assert sum(r["count"] for r in sizes) == n
         assert n / cells <= target
         assert max(r["count"] for r in sizes) <= 8 * target
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index must (a) return exactly what the
+    in-memory ann_topk_ivf returns for the same quantizer, and (b)
+    push `cell IN (probes)` into the scan's PartitionFilters so
+    unprobed cells' files are never opened — the 100 TB claim made
+    concrete."""
+    from flo_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_indexed,
+        write_ivf_index,
+    )
+    from flo_spark.plans import explain_str
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(e.vec_id >= 5)
+    queries = e.filter(e.vec_id < 5)
+
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, idx, n_cells=8)
+    got = ann_topk_ivf_indexed(spark, idx, queries, k=5, n_probe=3)
+    want = ann_topk_ivf(corpus, queries, k=5, n_probe=3, n_cells=8)
+    key = lambda r: (r.q_id, r.rn)  # noqa: E731
+    got_rows = {key(r): (r.c_id, r.cos_sim) for r in got.collect()}
+    want_rows = {key(r): (r.c_id, r.cos_sim) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+
+    plan = explain_str(got)
+    assert "PartitionFilters" in plan, plan
+    # the partition predicate names the cell column, and the scan shows
+    # a pruned partition count rather than the full index
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m, plan
