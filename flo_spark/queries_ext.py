@@ -502,9 +502,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    SELECT floor(100.0
+                 * CAST(sum(CAST(floor((CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                       * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                       * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS promo_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
@@ -519,12 +523,23 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # ratio of EXACT scaled-long sums (identical ints on both engines),
+    # floor-rounded over the identical quotient double — the q7/q8
+    # cross-engine boundary-flip class can't occur
     return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
-            4,
+        (
+            F.floor(
+                100.0
+                * F.sum(
+                    money_scaled(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    )
+                ).cast("double")
+                / F.sum(money_scaled(rev)).cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
         ).alias("promo_revenue")
     )
 
@@ -1009,25 +1024,92 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_by_linestatus",
     """
+    WITH s AS (
+      SELECT l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS spp,
+             CAST(sum(CAST(l_quantity AS DECIMAL(19,0))
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sqp,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(19,0))
+                      * CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(19,0))) AS DOUBLE) AS sdd
+      FROM lineitem GROUP BY l_linestatus
+    )
     SELECT l_linestatus,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_discount), 6) AS var_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
-    FROM lineitem GROUP BY l_linestatus
+           floor(sqrt((sqq - sq * sq / n) / (n - 1)) * 10000 + 0.5) / 10000
+               AS sd_qty,
+           floor((sdd - sd * sd / n) / (n - 1) / 10000 * 1000000 + 0.5) / 1000000
+               AS var_disc,
+           floor((sqp - sq * sp / n)
+                 / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n))
+                 * 10000 + 0.5) / 10000 AS corr_qty_price,
+           floor((sqp - sq * sp / n) / (n - 1) / 100 * 100 + 0.5) / 100
+               AS cov_qty_price
+    FROM s
     """,
 )
 def stats_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: sample stddev/variance, Pearson
-    correlation, sample covariance."""
+    """Statistical aggregates — sample stddev/variance, Pearson
+    correlation, sample covariance — computed EXACTLY from decomposable
+    scaled-integer power sums (n, Σx, Σx², Σy, Σy², Σxy as
+    decimal(38,0) integers, identical on both engines), then derived
+    in double from those identical inputs.  The builtin stddev/corr
+    aggregates fold doubles in engine-specific orders, so their low
+    bits differ cross-engine and a rounding boundary can flip — the
+    same class as the r5 q7 failure, eliminated here at the source.
+    The power sums are also the map-side-combinable form every
+    distributed stats engine ships at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "cov_qty_price"
-        ),
+    qs = F.col("l_quantity").cast("decimal(19,0)")  # integral by data
+    ps = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    ds = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("decimal(19,0)")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qs).cast("double").alias("sq"),
+        F.sum(qs * qs).cast("double").alias("sqq"),
+        F.sum(ps).cast("double").alias("sp"),
+        F.sum(ps * ps).cast("double").alias("spp"),
+        F.sum(qs * ps).cast("double").alias("sqp"),
+        F.sum(ds).cast("double").alias("sd"),
+        F.sum(ds * ds).cast("double").alias("sdd"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    sp, spp, sqp = F.col("sp"), F.col("spp"), F.col("sqp")
+    sd, sdd = F.col("sd"), F.col("sdd")
+    return s.select(
+        "l_linestatus",
+        (
+            F.floor(
+                F.sqrt((sqq - sq * sq / n) / (n - 1)) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("sd_qty"),
+        (
+            F.floor(
+                (sdd - sd * sd / n) / (n - 1) / 10000 * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("var_disc"),
+        (
+            F.floor(
+                (sqp - sq * sp / n)
+                / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n))
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("corr_qty_price"),
+        (
+            F.floor((sqp - sq * sp / n) / (n - 1) / 100 * 100 + F.lit(0.5))
+            / 100
+        ).alias("cov_qty_price"),
     )
 
 
