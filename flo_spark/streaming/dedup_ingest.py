@@ -99,3 +99,25 @@ def accepted_keys(spark, store_dir: str) -> DataFrame:
     if out is None:
         return spark.createDataFrame([], "dedup_key string")
     return out.distinct()
+
+
+def compact_store(spark, store_dir: str) -> int:
+    """Offline compaction: fold all batch shards into one, so a year
+    of ingest (one small shard per micro-batch) becomes one scan-
+    efficient file set.  Run only while no ingest is active (the
+    shards are the replay-idempotency unit).  The compacted shard
+    takes batch id -1, which no Spark epoch ever uses, so a later
+    resumed ingest can never overwrite it.  Returns the key count."""
+    import shutil
+
+    keys = accepted_keys(spark, store_dir)
+    n = keys.count()
+    if n == 0:
+        return 0
+    tmp = store_dir.rstrip("/") + "__compact_tmp"
+    keys.write.mode("overwrite").parquet(tmp)
+    for d in os.listdir(store_dir):
+        if d.startswith("batch="):
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+    os.replace(tmp, _batch_dir(store_dir, -1))
+    return n

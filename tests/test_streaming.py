@@ -368,3 +368,46 @@ def test_dedup_ingest_cross_batch_and_replay_safe(spark, tmp_path):
     assert hashlib.md5(b"fresh").hexdigest() in hashes
     assert got2.count() == n_after_replay + 1
     s.drop()
+
+
+def test_dedup_store_compaction_preserves_semantics(spark, tmp_path):
+    """Compacting the seen-store must not change the accepted set and
+    must stay replay-safe: ingest after compaction still rejects old
+    keys and accepts new ones."""
+    from pyspark.sql import functions as F
+
+    from flo_spark.streaming.dedup_ingest import (
+        accepted_keys,
+        compact_store,
+        dedup_ingest,
+    )
+
+    s = EventStream.create(
+        spark, str(tmp_path / "cmp"), num_partitions=1, segment_max_records=3
+    )
+    s.produce(_batch(spark, [("/c", f"k{i}", 1) for i in range(6)]))
+    store = str(tmp_path / "store")
+    key = F.md5(F.col("data").cast("binary"))
+    dedup_ingest(
+        consume_stream(spark, s.path, max_files_per_trigger=1),
+        store,
+        key,
+        str(tmp_path / "ck1"),
+    )
+    before = {r.dedup_key for r in accepted_keys(spark, store).collect()}
+    assert compact_store(spark, store) == 6
+    import os
+
+    shards = [d for d in os.listdir(store) if d.startswith("batch=")]
+    assert shards == ["batch=-1"]
+    assert {r.dedup_key for r in accepted_keys(spark, store).collect()} == before
+
+    s.produce(_batch(spark, [("/c", "k0", 1), ("/c", "k9", 1)]))
+    got = dedup_ingest(
+        consume_stream(spark, s.path, max_files_per_trigger=1),
+        store,
+        key,
+        str(tmp_path / "ck1"),
+    )
+    assert got.count() == 7  # only k9 newly accepted
+    s.drop()
