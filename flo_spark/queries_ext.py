@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from flo_spark.queries import (
     load,
-    money_avg,
     money_scaled,
     money_sum,
     money_sum_sql,
