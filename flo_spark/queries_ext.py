@@ -4733,3 +4733,55 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=key,
         checkpoint_dir=f"{tmp}/ckpt",
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering (multi-dimensional data skipping)
+# --------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql() -> str:
+    from flo_spark.operators.zorder import zorder_value_sql
+
+    z = zorder_value_sql(
+        [("o_custkey", 0.0, 100000.0), ("o_totalprice", 0.0, 600000.0)]
+    )
+    return f"""
+    SELECT o_orderkey, {z} AS zvalue
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """
+
+
+@query("zorder_morton_key", _zorder_oracle_sql())
+def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key computation — the layout primitive behind
+    multi-dimensional file skipping (operators/zorder.py): quantize
+    each dimension onto a FIXED grid (layout constants, not batch
+    statistics) and interleave the bits so a sort by the key keeps
+    every participating column locally dense.  The oracle evaluates
+    the bit-for-bit identical interleave in DuckDB, pinning the
+    quantization arithmetic and bit layout across engines.  The
+    actual skipping effect — a totalprice-only range predicate prunes
+    files under the Z-order layout but cannot prune a
+    custkey-sorted one — is measured from real parquet footers in
+    tests/test_zorder.py.
+
+    100 TB shape: pure JVM bit arithmetic in the scan stage; writing
+    the layout costs one range shuffle, identical to any sorted
+    write."""
+    from flo_spark.operators.zorder import zorder_value
+
+    o = load(spark, sf_dir, "orders")
+    z = zorder_value(
+        [
+            (F.col("o_custkey"), 0.0, 100000.0),
+            (F.col("o_totalprice"), 0.0, 600000.0),
+        ]
+    )
+    return (
+        o.select("o_orderkey", z.alias("zvalue"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
