@@ -4785,3 +4785,39 @@ def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "freq_items_heavy_hitters",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    """,
+)
+def freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through Spark's single-pass ``freqItems`` sketch
+    (Karp-Schenker-Papadimitriou), verified exactly: the sketch
+    guarantees a SUPERSET of all items with frequency > support, so
+    exact-counting only the candidates and applying the threshold must
+    reproduce the full-table answer — if the superset guarantee ever
+    broke, a missing row fails the hash check.  The two driver-side
+    collects (the 1-row candidate array and the total count) are O(1),
+    documented.
+
+    100 TB shape: this is THE pattern for heavy hitters at scale —
+    one streaming-sketch pass over the corpus, then an exact count of
+    the O(1/support) candidates only, instead of a full groupBy on an
+    ultra-high-cardinality key."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    [row] = docs.freqItems(["lang"], support=0.05).collect()
+    candidates = list(row[0])
+    return (
+        docs.filter(F.col("lang").isin(candidates))
+        .groupBy("lang")
+        .count()
+        .filter(F.col("count") > 0.05 * total)
+        .select("lang", F.col("count").alias("n_docs"))
+    )
