@@ -152,6 +152,27 @@ def literal_first_segment(pattern: str | None) -> str | None:
     return c
 
 
+def literal_prefix(pattern: str | None) -> str | None:
+    """Longest leading LITERAL of the glob — every match must start
+    with these characters, so they form a sound ``startswith``
+    predicate.  Unlike the regex the glob compiles to, a StartsWith
+    IS pushable into a parquet scan (Catalyst's StringStartsWith
+    maps to row-group min/max pruning on the string column), so a
+    prefixed glob like ``/orders/eu/*`` skips row groups whose
+    namespace range cannot contain the prefix — the columnar analog
+    of flo's per-reader glob (event_reader/mod.rs:60-74) evaluated
+    from statistics alone.  Returns None when the pattern starts with
+    a metacharacter or matches everything."""
+    if pattern is None or is_match_all(pattern):
+        return None
+    out = []
+    for ch in pattern:
+        if ch in "*?[":
+            break
+        out.append(ch)
+    return "".join(out) or None
+
+
 def namespace_matches(pattern: str, namespace: str) -> bool:
     """Pure-Python evaluation (used in tests; Spark path uses rlike)."""
     if is_match_all(pattern):

@@ -33,7 +33,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flo_spark.functions.glob import glob_to_regex, is_match_all
+from flo_spark.functions.glob import glob_to_regex, is_match_all, literal_prefix
 from flo_spark.schema import ID_ORDER
 
 
@@ -93,10 +93,21 @@ def resume_trim_filter(
 
 
 def namespace_filter(pattern: str | None, namespace_col: str = "namespace") -> Column | None:
-    """Glob predicate, or None for the match-all fast path."""
+    """Glob predicate, or None for the match-all fast path.
+
+    The glob's longest literal prefix rides along as a ``startswith``
+    conjunct: the rlike regex can never reach the parquet scan, but
+    StringStartsWith does — row groups whose namespace min/max exclude
+    the prefix are skipped from statistics alone (plan-pinned in
+    tests/test_plans.py).  Semantically redundant (the regex implies
+    the prefix), so results are unchanged."""
     if is_match_all(pattern):
         return None
-    return F.col(namespace_col).rlike(glob_to_regex(pattern))
+    pred = F.col(namespace_col).rlike(glob_to_regex(pattern))
+    prefix = literal_prefix(pattern)
+    if prefix:
+        pred = F.col(namespace_col).startswith(prefix) & pred
+    return pred
 
 
 def consume(

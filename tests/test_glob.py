@@ -124,3 +124,15 @@ def test_literal_first_segment():
     assert lfs(None) is None
     assert lfs("/") is None
     assert lfs("") is None
+
+
+def test_literal_prefix_extraction():
+    from flo_spark.functions.glob import literal_prefix
+
+    assert literal_prefix("/orders/eu/*") == "/orders/eu/"
+    assert literal_prefix("/orders/e?/x") == "/orders/e"
+    assert literal_prefix("/a/[bc]/d") == "/a/"
+    assert literal_prefix("*anything") is None
+    assert literal_prefix("/**/*") is None  # match-all fast path
+    assert literal_prefix(None) is None
+    assert literal_prefix("/plain/literal") == "/plain/literal"

@@ -480,3 +480,24 @@ def test_text_normalize_is_narrow_scan_stage_map(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "hashpartitioning" not in plan, plan
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+
+
+def test_namespace_glob_prefix_reaches_parquet_scan(spark, sf_dir):
+    """The glob's literal prefix must land in PushedFilters as a
+    StartsWith — the rlike itself can never push, so without the
+    prefix conjunct a namespace-filtered consume scans every row
+    group."""
+    from flo_spark.operators.consume import consume
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, f"/app/{i % 3}/x") for i in range(100)],
+            "event_counter long, namespace string",
+        ).write.parquet(f"{d}/t")
+        df = spark.read.parquet(f"{d}/t")
+        out = consume(df, namespace="/app/1/*", order_globally=False)
+        joined = ",".join(pushed_filters(out))
+        assert "StringStartsWith(namespace" in joined and "/app/1/" in joined, joined
+        assert out.count() == 33  # 1, 4, ..., 97
