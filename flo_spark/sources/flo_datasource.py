@@ -306,28 +306,61 @@ class FloStreamReader(DataSourceStreamReader):
         self.pinned = (
             frozenset(self.start_vv) if self.start_vv is not None else None
         )
-        #: sealed-file index: path -> {actor: (min_counter, max_counter)}
-        self._index: dict[str, dict[int, tuple[int, int]]] = {}
+        #: sealed-file index: path -> {"actors": {actor: (lo, hi)},
+        #: "ns": sorted list of distinct namespaces, or None when the
+        #: file holds more than NS_INDEX_CAP distinct ones ("mixed" —
+        #: never pruned by namespace)}
+        self._index: dict[str, dict] = {}
         self._indexfile = options.get("indexfile")
         if self._indexfile and os.path.exists(self._indexfile):
             with open(self._indexfile) as f:
+                raw = json.load(f)
+            if isinstance(raw, dict) and raw.get("version") == 2:
                 self._index = {
-                    p: {int(a): tuple(rng) for a, rng in actors.items()}
-                    for p, actors in json.load(f).items()
+                    p: {
+                        "actors": {
+                            int(a): tuple(rng)
+                            for a, rng in e["actors"].items()
+                        },
+                        "ns": e["ns"],
+                    }
+                    for p, e in raw["files"].items()
+                }
+            else:  # v1 files carried actor ranges only
+                self._index = {
+                    p: {
+                        "actors": {
+                            int(a): tuple(rng) for a, rng in actors.items()
+                        },
+                        "ns": None,
+                    }
+                    for p, actors in raw.items()
                 }
 
+    #: distinct namespaces recorded per sealed file before the entry
+    #: degrades to "mixed" (no namespace pruning for that file)
+    NS_INDEX_CAP = 64
+
     # -- index maintenance (driver-side, each sealed file decoded once)
-    def _scan_file(self, path: str, tolerant: bool) -> dict[int, tuple[int, int]]:
+    def _scan_file(self, path: str, tolerant: bool) -> dict:
         rng: dict[int, tuple[int, int]] = {}
+        namespaces: set | None = set()
         for ev in _decode_file(path, tolerate_partial_tail=tolerant):
             counter, actor = ev[0], ev[1]
             lo, hi = rng.get(actor, (counter, counter))
             rng[actor] = (min(lo, counter), max(hi, counter))
-        return rng
+            if namespaces is not None:
+                namespaces.add(ev[5])
+                if len(namespaces) > self.NS_INDEX_CAP:
+                    namespaces = None  # mixed: too many to index
+        return {
+            "actors": rng,
+            "ns": sorted(namespaces) if namespaces is not None else None,
+        }
 
-    def _refresh_index(self) -> dict[str, dict[int, tuple[int, int]]]:
+    def _refresh_index(self) -> dict[str, dict]:
         """Update the sealed index; return the ACTIVE files' live
-        ranges (recomputed every trigger — the only per-trigger decode,
+        entries (recomputed every trigger — the only per-trigger decode,
         bounded by one segment per partition dir)."""
         sealed, active = _split_sealed_active(self.root)
         dirty = False
@@ -343,8 +376,17 @@ class FloStreamReader(DataSourceStreamReader):
             with open(tmp, "w") as f:
                 json.dump(
                     {
-                        p: {str(a): list(rng) for a, rng in actors.items()}
-                        for p, actors in self._index.items()
+                        "version": 2,
+                        "files": {
+                            p: {
+                                "actors": {
+                                    str(a): list(rng)
+                                    for a, rng in e["actors"].items()
+                                },
+                                "ns": e["ns"],
+                            }
+                            for p, e in self._index.items()
+                        },
                     },
                     f,
                 )
@@ -357,10 +399,10 @@ class FloStreamReader(DataSourceStreamReader):
         return {}
 
     def latestOffset(self) -> dict:
-        active_rng = self._refresh_index()
+        active_entries = self._refresh_index()
         heads: dict[int, int] = {}
-        for rng in list(self._index.values()) + list(active_rng.values()):
-            for actor, (_lo, hi) in rng.items():
+        for entry in list(self._index.values()) + list(active_entries.values()):
+            for actor, (_lo, hi) in entry["actors"].items():
                 if self.pinned is not None and actor not in self.pinned:
                     continue
                 heads[actor] = max(heads.get(actor, 0), hi)
@@ -389,10 +431,23 @@ class FloStreamReader(DataSourceStreamReader):
                 continue
             files = []
             for path in sealed:
-                rng = self._index.get(path)
-                got = rng.get(actor) if rng else None
-                if got and got[1] > start_c and got[0] <= end_c:
-                    files.append(path)
+                entry = self._index.get(path)
+                got = entry["actors"].get(actor) if entry else None
+                if not (got and got[1] > start_c and got[0] <= end_c):
+                    continue
+                # namespace pruning: a sealed file whose (indexed)
+                # namespace set contains no glob match holds nothing
+                # the reader would emit — skip it entirely, the glob
+                # analog of the counter index seek.  "mixed" files
+                # (ns is None) are never pruned.
+                ns_set = entry.get("ns")
+                if (
+                    self.ns_regex is not None
+                    and ns_set is not None
+                    and not any(re.match(self.ns_regex, n) for n in ns_set)
+                ):
+                    continue
+                files.append(path)
             out.append(
                 FloStreamPartition(
                     files=tuple(sorted(files)),

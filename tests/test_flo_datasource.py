@@ -364,14 +364,24 @@ def test_stream_indexfile_persists_and_preloads(spark, flo_dir, tmp_path):
     )
     assert len(got) == 13
     saved = json.load(open(idx))
+    assert saved["version"] == 2
     # exactly the sealed files (p1/0.events; actives are never indexed)
-    assert list(saved) == [os.path.join(flo_dir, "p1", "0.events")]
-    assert saved[os.path.join(flo_dir, "p1", "0.events")] == {
-        "1": [1, 9]
+    sealed = os.path.join(flo_dir, "p1", "0.events")
+    assert list(saved["files"]) == [sealed]
+    assert saved["files"][sealed] == {
+        "actors": {"1": [1, 9]},
+        "ns": ["/foo/a"],
     }
     fresh = FloStreamReader({"path": flo_dir, "indexfile": idx})
     assert fresh._index == {
-        os.path.join(flo_dir, "p1", "0.events"): {1: (1, 9)}
+        sealed: {"actors": {1: (1, 9)}, "ns": ["/foo/a"]}
+    }
+    # a v1 indexfile (actor ranges only) still loads, with ns unknown
+    with open(idx, "w") as f:
+        json.dump({sealed: {"1": [1, 9]}}, f)
+    legacy = FloStreamReader({"path": flo_dir, "indexfile": idx})
+    assert legacy._index == {
+        sealed: {"actors": {1: (1, 9)}, "ns": None}
     }
 
 
@@ -786,3 +796,28 @@ def test_writer_maxbytes_rotation_with_oversized_events(spark, tmp_path):
         )
 
     assert canon(back) == canon(src)
+
+
+def test_stream_partitions_namespace_index_prunes_files(spark, flo_dir):
+    """A sealed file whose indexed namespace set contains no glob match
+    is skipped at planning — the glob analog of the counter index
+    seek.  Mixed files (too many namespaces to index) never prune."""
+    from flo_spark.sources.flo_datasource import FloStreamReader
+
+    # p1/0.events namespaces are all /foo/a; 1.events (active) /bar/b
+    r = FloStreamReader({"path": flo_dir, "namespace": "/bar/*"})
+    r.latestOffset()
+    [part] = r.partitions({"1": 0}, {"1": 102})
+    assert part.files == ()  # sealed /foo-only file pruned by glob
+    assert part.active_files  # actives always scanned
+
+    r2 = FloStreamReader({"path": flo_dir, "namespace": "/foo/*"})
+    r2.latestOffset()
+    [part2] = r2.partitions({"1": 0}, {"1": 102})
+    assert any(p.endswith("p1/0.events") for p in part2.files)
+
+    # a "mixed" entry (ns None) is never pruned
+    sealed = os.path.join(flo_dir, "p1", "0.events")
+    r._index[sealed]["ns"] = None
+    [part3] = r.partitions({"1": 0}, {"1": 102})
+    assert any(p.endswith("p1/0.events") for p in part3.files)
