@@ -355,6 +355,7 @@ def test_stream_indexfile_persists_and_preloads(spark, flo_dir, tmp_path):
     reloaded by a fresh consumer (restart skips the rebuild scan)."""
     from flo_spark.sources.flo_datasource import FloStreamReader
 
+    register(spark)  # standalone-runnable: don't rely on test order
     idx = str(tmp_path / "flo_index.json")
     got = _drain(
         spark,
