@@ -95,6 +95,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "not per event)",
     )
 
+    sub.add_parser(
+        "fsck",
+        help="integrity-check a NATIVE data dir (--native implied): "
+        "decode every segment, classify torn tails, verify header "
+        "times and within-dir counter monotonicity; exit 1 on "
+        "corruption",
+    )
+
     sv = sub.add_parser(
         "serve",
         help="serve the flo TCP wire protocol over --stream-dir (a "
@@ -138,6 +146,9 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     out = out or sys.stdout
     if args.command == "serve":
         return _main_serve(args, out)
+    if args.command == "fsck":
+        args.native = True  # fsck is native-only and needs no Spark
+        return _main_native(args, spark=None, out=out)
     if spark is None:
         from flo_spark.session import get_spark
 
@@ -302,6 +313,25 @@ def _main_native(args, spark, out) -> int:
         native_head_status,
         read_flo_segments,
     )
+
+    if args.command == "fsck":
+        from flo_spark.sources.flo_segment import fsck_native_dir
+
+        rep = fsck_native_dir(args.stream_dir)
+        out.write(
+            f"checked {rep['files_ok']} segment file(s), "
+            f"{rep['n_events']} event(s)\n"
+        )
+        for a in sorted(rep["heads"]):
+            out.write(f"partition {a}: head {rep['heads'][a]}\n")
+        for line in rep["torn_active"]:
+            out.write(f"PARKED (in-flight append): {line}\n")
+        for line in rep["warnings"]:
+            out.write(f"WARNING: {line}\n")
+        for line in rep["errors"]:
+            out.write(f"ERROR: {line}\n")
+        out.write("OK\n" if not rep["errors"] else "CORRUPT\n")
+        return 0 if not rep["errors"] else 1
 
     if args.command == "bench-produce":
         raise SystemExit(

@@ -627,3 +627,90 @@ def native_head_status(root: str, full_scan: bool = False) -> list[tuple]:
             if found and not full_scan:
                 break
     return [(a, heads[a], True) for a in sorted(heads)]
+
+
+def fsck_native_dir(root: str) -> dict:
+    """Integrity check for a native flo data dir — the reference's
+    recovery scan (mmap.rs:111-134) and PersistentEvent::validate
+    (persistent_event.rs:69-103) packaged as an operational tool
+    (``python -m flo_spark --stream-dir DIR --native fsck``).
+
+    Per segment file: header shape (16 bytes, create <= end), full
+    event decode (marker / length cross-checks), torn-tail
+    classification (PARKED on the active segment — an in-flight
+    append, exactly what the recovery scan tolerates — but an ERROR on
+    a sealed one, where nothing should ever append again).  Per
+    partition dir: counter monotonicity across segment numbers (the
+    invariant every reader's file pruning relies on) and header
+    end-times covering the events (an end-time below the last event's
+    timestamp lets the TTL sweep expire live data).
+
+    Returns ``{files_ok, n_events, errors: [...], warnings: [...],
+    torn_active: [...], heads: {actor: head}}`` — empty errors ==
+    healthy.  Pure driver-side sequential scan: fsck is an admin
+    command, not a query path."""
+    import struct as _struct
+
+    report = {
+        "files_ok": 0,
+        "n_events": 0,
+        "errors": [],
+        "warnings": [],
+        "torn_active": [],
+        "heads": {},
+    }
+    for d, entries in list_segment_files(root).items():
+        prev_max = None
+        for i, (_num, path) in enumerate(entries):
+            is_active = i == len(entries) - 1
+            try:
+                with open(path, "rb") as f:
+                    buf = f.read()
+            except OSError as err:
+                report["errors"].append(f"{path}: unreadable: {err}")
+                continue
+            if len(buf) < HEADER_LEN:
+                report["errors"].append(f"{path}: short header ({len(buf)}B)")
+                continue
+            create_ms, end_ms = _struct.unpack(">QQ", buf[:HEADER_LEN])
+            if end_ms < create_ms:
+                report["warnings"].append(
+                    f"{path}: header end-time precedes create-time"
+                )
+            n, file_min, file_max, max_ts, torn = 0, None, None, None, None
+            it = decode_segment(buf)
+            while True:
+                try:
+                    ev = next(it)
+                except StopIteration:
+                    break
+                except ValueError as err:
+                    torn = str(err)
+                    break
+                n += 1
+                file_min = ev[0] if file_min is None else min(file_min, ev[0])
+                file_max = ev[0] if file_max is None else max(file_max, ev[0])
+                max_ts = ev[4] if max_ts is None else max(max_ts, ev[4])
+                report["heads"][ev[1]] = max(report["heads"].get(ev[1], 0), ev[0])
+            report["n_events"] += n
+            if torn is not None:
+                if is_active:
+                    report["torn_active"].append(f"{path}: {torn}")
+                else:
+                    report["errors"].append(f"{path}: sealed file torn: {torn}")
+                    continue
+            if max_ts is not None and end_ms < max_ts:
+                report["warnings"].append(
+                    f"{path}: header end-time {end_ms} < last event "
+                    f"timestamp {max_ts} (TTL could expire live data)"
+                )
+            if prev_max is not None and file_min is not None and file_min <= prev_max:
+                report["warnings"].append(
+                    f"{path}: first counter {file_min} <= previous "
+                    f"segment's max {prev_max} — within-dir monotonicity "
+                    "broken; file pruning will be conservative"
+                )
+            if file_max is not None:
+                prev_max = file_max
+            report["files_ok"] += 1
+    return report

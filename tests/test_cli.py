@@ -210,3 +210,32 @@ def test_serve_runs_the_tcp_server(tmp_path):
             c.produce(1, "/cli/serve", f"e{i}".encode())
         got = list(c.consume(version_vector={1: 0}))
         assert [e.data for e in got] == [b"e0", b"e1", b"e2"]
+
+
+def test_fsck_cli_reports_and_exit_code(tmp_path):
+    """`fsck` needs no Spark session; OK on a healthy dir, exit 1 with
+    an ERROR line on corruption."""
+    from flo_spark.sources.flo_segment import encode_segment
+
+    root = tmp_path / "fsck_cli"
+    d = root / "p1"
+    d.mkdir(parents=True)
+    evs = [(i + 1, 1, None, None, 5000, "/f", b"x") for i in range(3)]
+    with open(d / "0.events", "wb") as f:
+        f.write(encode_segment(iter(evs), 0, 10**13))
+    out = io.StringIO()
+    rc = main(["--stream-dir", str(root), "fsck"], out=out)
+    assert rc == 0
+    text = out.getvalue()
+    assert "partition 1: head 3" in text and text.rstrip().endswith("OK")
+
+    # corrupt a sealed file (add a second file so 0.events seals)
+    with open(d / "1.events", "wb") as f:
+        f.write(encode_segment(iter([(4, 1, None, None, 5001, "/f", b"y")]), 0, 10**13))
+    blob = bytearray((d / "0.events").read_bytes())
+    blob[16 + 4] ^= 0xFF
+    (d / "0.events").write_bytes(bytes(blob))
+    out2 = io.StringIO()
+    rc2 = main(["--stream-dir", str(root), "fsck"], out=out2)
+    assert rc2 == 1 and "ERROR" in out2.getvalue()
+    assert out2.getvalue().rstrip().endswith("CORRUPT")

@@ -560,3 +560,58 @@ def test_native_head_status_reads_tail_segments(tmp_path):
     with open(tmp_path / "p1" / "1.events", "ab") as f:
         f.write(full[:-3])
     assert native_head_status(str(tmp_path))[0] == (1, 9, True)
+
+
+def test_fsck_reports_health_and_corruption(tmp_path):
+    """fsck_native_dir: clean dirs report OK; torn tails classify by
+    sealed-vs-active; mid-file corruption and stale header end-times
+    surface with file context (persistent_event.rs:69-103 validate +
+    the recovery-scan rule as an admin tool)."""
+    import struct
+
+    from flo_spark.sources.flo_segment import (
+        encode_event,
+        encode_segment,
+        fsck_native_dir,
+    )
+
+    root = tmp_path / "fsck"
+    d = root / "p1"
+    d.mkdir(parents=True)
+    evs = [(i + 1, 1, None, None, 5000 + i, "/f", b"x") for i in range(4)]
+    with open(d / "0.events", "wb") as f:
+        f.write(encode_segment(iter(evs), 0, 10**13))
+    with open(d / "1.events", "wb") as f:
+        f.write(encode_segment(iter([(5, 1, None, None, 9000, "/f", b"y")]), 0, 10**13))
+    rep = fsck_native_dir(str(root))
+    assert rep["errors"] == [] and rep["warnings"] == []
+    assert rep["files_ok"] == 2 and rep["n_events"] == 5
+    assert rep["heads"] == {1: 5}
+
+    # torn tail on the ACTIVE (max-numbered) file: parked, not an error
+    full = encode_event(6, 1, None, None, 9100, "/f", b"z")
+    with open(d / "1.events", "ab") as f:
+        f.write(full[:-3])
+    rep2 = fsck_native_dir(str(root))
+    assert rep2["errors"] == [] and len(rep2["torn_active"]) == 1
+
+    # the same torn bytes on a SEALED file: error
+    with open(d / "2.events", "wb") as f:
+        f.write(encode_segment(iter([(7, 1, None, None, 9200, "/f", b"w")]), 0, 10**13))
+    rep3 = fsck_native_dir(str(root))
+    assert any("sealed file torn" in e for e in rep3["errors"])
+
+    # header end-time below the events: TTL-hazard warning
+    d2 = root / "p2"
+    d2.mkdir()
+    with open(d2 / "0.events", "wb") as f:
+        f.write(encode_segment(iter([(1, 2, None, None, 7777, "/g", b"v")]), 0, 100))
+    rep4 = fsck_native_dir(str(root))
+    assert any("TTL could expire live data" in w for w in rep4["warnings"])
+
+    # mid-file marker corruption on a sealed file
+    blob = bytearray((d / "0.events").read_bytes())
+    blob[16 + 4] ^= 0xFF  # flip a marker byte of the first event
+    (d / "0.events").write_bytes(bytes(blob))
+    rep5 = fsck_native_dir(str(root))
+    assert any("0.events" in e and "torn" in e for e in rep5["errors"])
