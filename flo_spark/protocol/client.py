@@ -104,6 +104,40 @@ class FloClient:
             raise RuntimeError(f"ack for op {ack.op_id}, expected {op}")
         return ack.event_id
 
+    def produce_many(
+        self,
+        events: list[tuple[int, str, bytes]],
+        parent_id: wire.EventId | None = None,
+    ) -> list[wire.EventId]:
+        """Pipelined batch produce — the protocol is pipelined by
+        design (op_id correlation, client.rs:102-109): send every
+        ProduceEvent back-to-back, then collect the acks, so the batch
+        costs ~one round trip instead of one per event (the same
+        amortization the reference's produce_all stream drives,
+        flo-client-lib/src/async/ops/produce.rs:159-264).  Events are
+        ``(partition, namespace, data)``; acks return in send order.
+        An ErrorMessage for any op aborts with the ids produced so far
+        attached to the exception."""
+        ops = []
+        for partition, namespace, data in events:
+            op = self._next_op()
+            ops.append(op)
+            self._send(
+                wire.ProduceEvent(op, partition, namespace, parent_id, data)
+            )
+        acks: dict[int, wire.EventId] = {}
+        while len(acks) < len(ops):
+            got = self._recv()
+            if isinstance(got, wire.AckEvent):
+                acks[got.op_id] = got.event_id
+            elif isinstance(got, wire.ErrorMessage):
+                err = FloProtocolError(got)
+                err.produced = [acks[o] for o in ops if o in acks]
+                raise err
+            else:
+                raise RuntimeError(f"unexpected during produce: {got!r}")
+        return [acks[o] for o in ops]
+
     def consume(
         self,
         namespace: str = "/**/*",

@@ -395,3 +395,22 @@ def test_spark_written_dir_is_tcp_consumable(spark, tmp_path):
             # and the recovered head continues the counter sequence
             eid = c.produce(1, "/s/y", b"over-tcp")
             assert eid.counter == 7
+
+
+def test_pipelined_produce_many(server):
+    """produce_many sends every ProduceEvent before reading acks (the
+    protocol's op_id pipelining), and acks come back in send order with
+    contiguous per-partition ids."""
+    with FloClient(server.host, server.port) as c:
+        events = [((i % 2) + 1, f"/pipe/{i}", f"e{i}".encode()) for i in range(20)]
+        ids = c.produce_many(events)
+        assert len(ids) == 20
+        per_part = {}
+        for (part, _ns, _d), eid in zip(events, ids):
+            assert eid.actor == part
+            per_part.setdefault(part, []).append(eid.counter)
+        assert per_part[1] == list(range(1, 11))
+        assert per_part[2] == list(range(1, 11))
+        # the stream agrees
+        got = list(c.consume(version_vector={1: 0, 2: 0}))
+        assert len(got) == 20
