@@ -65,6 +65,36 @@ def version_vector_filter(
     return pred
 
 
+def version_vector_ceiling(
+    snapshot: Mapping[int, int],
+    partition_col: str = "partition",
+    counter_col: str = "event_counter",
+) -> Column:
+    """Predicate for an AS-OF snapshot read — the engine-extension
+    complement of :func:`version_vector_filter`: a version vector read
+    as an INCLUSIVE upper bound.  Every event at or below the
+    snapshot's per-partition head is visible; partitions absent from
+    the snapshot had produced nothing at snapshot time and are
+    excluded.  Because counters are immutable and append-only, the
+    result is a perfectly reproducible point-in-time view of the
+    stream — time travel keyed by the consumer cursor itself (pair
+    with a floor vector for an (a, b] window of history).  The plain
+    upper comparison pushes into the parquet scan for row-group
+    pruning exactly like the floor does."""
+    if not snapshot:
+        return F.lit(False)
+    pred = None
+    for part, counter in sorted(snapshot.items()):
+        clause = (F.col(partition_col) == int(part)) & (
+            F.col(counter_col) <= int(counter)
+        )
+        pred = clause if pred is None else (pred | clause)
+    pred = (
+        F.col(counter_col) <= max(int(c) for c in snapshot.values())
+    ) & pred
+    return pred
+
+
 def resume_trim_filter(
     delivered: Mapping[int, int],
     partition_col: str = "partition",
@@ -116,12 +146,19 @@ def consume(
     version_vector: Mapping[int, int] | None = None,
     limit: int | None = None,
     order_globally: bool = True,
+    as_of: Mapping[int, int] | None = None,
 ) -> DataFrame:
     """Batch consume — flo's ``consume(namespace, vv, limit, await_new=False)``
-    (flo-client-lib/src/async/mod.rs:115-121) as a DataFrame pipeline."""
+    (flo-client-lib/src/async/mod.rs:115-121) as a DataFrame pipeline.
+
+    ``as_of`` (engine extension): an inclusive snapshot ceiling — see
+    :func:`version_vector_ceiling`; with ``version_vector`` it reads
+    the (floor, snapshot] window of history."""
     df = events
     if version_vector is not None:
         df = df.filter(version_vector_filter(version_vector))
+    if as_of is not None:
+        df = df.filter(version_vector_ceiling(as_of))
     ns = namespace_filter(namespace)
     if ns is not None:
         df = df.filter(ns)

@@ -257,6 +257,40 @@ def flo_consume_vv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flo_consume_snapshot",
+    f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT event_counter, partition, event_type
+    FROM env
+    WHERE ((partition = 0 AND event_counter > 200)
+        OR (partition = 1 AND event_counter > 50))
+      AND ((partition = 0 AND event_counter <= 900)
+        OR (partition = 1 AND event_counter <= 400))
+    ORDER BY event_counter
+    """,
+)
+def flo_consume_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF snapshot consume (engine extension): a version vector
+    read as an INCLUSIVE ceiling gives a reproducible point-in-time
+    view of the append-only stream — time travel keyed by the consumer
+    cursor; paired with a floor vector it reads the (floor, snapshot]
+    window of history.  Both bounds are plain counter comparisons, so
+    they push into the parquet scan for row-group pruning (the same
+    index-seek shape as the floor-only consume)."""
+    from flo_spark.operators.consume import version_vector_ceiling
+
+    env = _events_envelope(spark, sf_dir)
+    floor = {0: 200, 1: 50}
+    snapshot = {0: 900, 1: 400}
+    return (
+        env.filter(version_vector_filter(floor, counter_col="event_counter"))
+        .filter(version_vector_ceiling(snapshot, counter_col="event_counter"))
+        .select("event_counter", "partition", "event_type")
+        .orderBy("event_counter")
+    )
+
+
+@query(
     "flo_glob_star",
     f"""
     WITH env AS ({_ENVELOPE_SQL})
