@@ -212,9 +212,16 @@ def minhash_lsh_pairs(
     already saturates the cluster.
 
     Pipeline: signature -> explode band keys -> self-join per bucket ->
-    distinct candidates -> verify with exact jaccard over shingle-hash
-    sets.  Shuffles: one on band key (candidate gen), one to join back
-    the shingle arrays — both key-partitioned, skew-safe under AQE.
+    distinct candidates -> verify with exact jaccard computed from
+    CO-OCCURRENCE COUNTS over exploded 8-byte shingle hashes (the same
+    inverted-index shape as ``ngram_jaccard_pairs``): |A∩B| is a
+    count over (id, hash) row joins keyed on the candidate ids and the
+    hash, |A∪B| = |A|+|B|-|A∩B| from per-doc set sizes.  Nothing
+    wider than 24-byte rows ever shuffles — the earlier formulation
+    shipped each candidate pair both full shingle-hash ARRAYS (~KBs
+    per pair), which at corpus scale made verify traffic proportional
+    to candidate count × document size instead of candidate count ×
+    overlap.
     """
     rows_per_band = num_hashes // bands
     # Materialize (id, shingles, signature) ONCE: this frame feeds four
@@ -261,14 +268,34 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select("__id", "__sh")
+    # array_distinct: the shingle GRAMS are distinct by construction
+    # but their 64-bit hashes could (astronomically rarely) collide;
+    # set semantics must hold exactly for the count-based jaccard
+    ex = base.select(
+        F.col("__id"), F.explode(F.array_distinct("__sh")).alias("__h")
+    )
+    sizes = base.select(
+        "__id", F.size(F.array_distinct("__sh")).alias("__n")
+    )
+    inter = (
+        candidates.join(ex.select(F.col("__id").alias("id_a"), "__h"), "id_a")
+        .join(ex.select(F.col("__id").alias("id_b"), "__h"), ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
     verified = (
-        candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("__inter")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         # floor(x*1e4+0.5)/1e4, not round(): pure-IEEE half-up on the
