@@ -77,9 +77,14 @@ def query(name: str, oracle: str | None):
 
 
 def money_scaled(col: Column) -> Column:
-    """Exact 1e4-scaled integer of a <=4-fractional-digit money double
-    (floor(x*1e4 + 0.5) = round-half-up toward +inf, deterministic and
-    identical in Spark and DuckDB)."""
+    """Exact 1e4-scaled integer of a <=4-fractional-digit money double.
+
+    floor(x*1e4 + 0.5) rounds halves toward +INFINITY (for the
+    positive money domain that is plain half-up; a negative half like
+    -.00005 lands on the upper neighbor) — chosen because it is the
+    one half rule both engines implement identically as pure IEEE
+    floor, which is the whole point.  Property-tested against Decimal
+    ground truth in tests/test_money_model.py."""
     return F.floor(col * 10000 + F.lit(0.5)).cast("long")
 
 

@@ -414,3 +414,96 @@ def test_pipelined_produce_many(server):
         # the stream agrees
         got = list(c.consume(version_vector={1: 0, 2: 0}))
         assert len(got) == 20
+
+
+# ---------------------------------------------------------------------------
+# property tests: random messages must round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ns = st.text(
+    alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+    max_size=80,
+)
+_eid = st.builds(
+    wire.EventId, st.integers(1, 2**63 - 1), st.integers(0, 2**16 - 1)
+)
+_opt_eid = st.one_of(st.none(), _eid)
+
+_message = st.one_of(
+    st.builds(
+        wire.Announce,
+        st.integers(0, 2**32 - 1),
+        st.integers(0, 2**32 - 1),
+        _ns,
+        st.one_of(st.none(), st.integers(1, 2**32 - 1)),
+    ),
+    st.builds(
+        wire.ProduceEvent,
+        st.integers(0, 2**32 - 1),
+        st.integers(0, 2**16 - 1),
+        _ns,
+        _opt_eid,
+        st.binary(max_size=200),
+    ),
+    st.builds(
+        wire.ReceiveEvent,
+        _eid,
+        _opt_eid,
+        st.integers(0, 2**63 - 1),
+        _ns,
+        st.binary(max_size=200),
+    ),
+    st.builds(wire.AckEvent, st.integers(0, 2**32 - 1), _eid),
+    st.builds(
+        wire.NewStartConsuming,
+        st.integers(0, 2**32 - 1),
+        st.lists(
+            st.builds(
+                wire.EventId, st.integers(0, 2**63 - 1), st.integers(0, 2**16 - 1)
+            ),
+            max_size=8,
+        ),
+        st.integers(0, 2**63 - 1),
+        _ns,
+    ),
+    st.builds(
+        wire.StreamStatus,
+        st.integers(0, 2**32 - 1),
+        _ns,
+        st.lists(
+            st.builds(
+                wire.PartitionStatus,
+                st.integers(0, 2**16 - 1),
+                st.integers(0, 2**63 - 1),
+                st.booleans(),
+            ),
+            max_size=6,
+        ),
+    ),
+    st.builds(
+        wire.ErrorMessage,
+        st.integers(0, 2**32 - 1),
+        st.sampled_from(sorted(wire.ERROR_KINDS)),
+        _ns,
+    ),
+    st.builds(wire.SetBatchSize, st.integers(0, 2**32 - 1)),
+    st.builds(wire.StopConsuming, st.integers(0, 2**32 - 1)),
+    st.builds(wire.CursorCreated, st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=st.lists(_message, min_size=1, max_size=6), chunk=st.integers(1, 64))
+def test_wire_property_random_messages_roundtrip_through_framer(msgs, chunk):
+    """Any message sequence, any unicode namespace, any payload, fed
+    through the Framer in arbitrary chunk sizes, comes back verbatim
+    and in order."""
+    blob = b"".join(wire.serialize(m) for m in msgs)
+    f = wire.Framer()
+    got = []
+    for i in range(0, len(blob), chunk):
+        got.extend(f.feed(blob[i : i + chunk]))
+    assert got == msgs
