@@ -4821,3 +4821,312 @@ def freq_items_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") > 0.05 * total)
         .select("lang", F.col("count").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 additions: interval-join binning, CCNet-style boilerplate strip,
+# exact linear quality classifier, fixed-point PageRank
+# --------------------------------------------------------------------------
+
+#: irregular, OVERLAPPING price bands — a point can match several, so the
+#: join is a genuine interval join, not a disguised bucketing.
+_PRICE_BANDS = [
+    ("micro", 0, 25000),
+    ("small", 20000, 60000),
+    ("mid", 50000, 150000),
+    ("large", 140000, 300000),
+    ("jumbo", 280000, 500000),
+    ("premium", 450000, 520000),
+    ("vip_overlay", 100000, 400000),
+    ("all_range", 0, 520000),
+]
+_BAND_W = 50000  # bin width for the equi-join rewrite
+
+_BANDS_VALUES_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+
+
+@query(
+    "interval_join_binned",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES_SQL})
+    SELECT b.band AS band,
+           count(*) AS n_orders,
+           {money_sum_sql('o.o_totalprice')} AS sum_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join rewritten as an EQUI-join on bin ids.
+
+    A pure interval predicate (no equality key) compiles to
+    BroadcastNestedLoopJoin — O(|points| x |intervals|) compares and a
+    mandatory broadcast, the classic 100 TB scale-killer for IP-range
+    lookups, time-interval attribution, and genomic overlap joins.  The
+    rewrite is the standard binning trick (DBR's range-join optimization,
+    here hand-built from DataFrame ops): explode each interval into the
+    fixed-width bins it overlaps, key each point by its bin, hash-join
+    on the bin id, then re-check the exact predicate.  Each matching
+    (point, interval) pair survives exactly once because the point lies
+    in exactly one bin.  The plan becomes a shuffleable hash join that
+    scales with both sides (plan-pinned: no BroadcastNestedLoopJoin, no
+    CartesianProduct); bin width trades replication (wide intervals hit
+    more bins) against join fan-in.
+
+    Bands overlap deliberately (vip_overlay spans mid/large/jumbo) so
+    multi-match semantics are exercised; money totals via the exact
+    scaled-long path."""
+    bands = spark.createDataFrame(_PRICE_BANDS, "band string, lo long, hi long")
+    binned = bands.withColumn(
+        "bin",
+        F.explode(F.sequence(F.expr(f"lo div {_BAND_W}"), F.expr(f"hi div {_BAND_W}"))),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_totalprice", F.floor(F.col("o_totalprice") / _BAND_W).alias("bin")
+    )
+    return (
+        o.join(binned, "bin")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "boilerplate_chunk_strip",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    c AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS idx,
+             array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+      FROM d, UNNEST(range((len(ws) + 2) // 3)) AS t(i)
+    ),
+    dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.idx, c.chunk
+      FROM c JOIN dfreq USING (chunk), tot
+      WHERE dfreq.df * 200 <= tot.n_docs
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    ntot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+    SELECT n.doc_id AS doc_id,
+           n.n_chunks AS n_chunks,
+           n.n_chunks - coalesce(a.n_kept, 0) AS n_removed,
+           coalesce(a.cleaned, '') AS cleaned_text
+    FROM ntot n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def boilerplate_chunk_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal by CORPUS frequency:
+    a text unit repeated across more than 0.5% of documents (nav menus,
+    cookie banners, license headers) is stripped from every document
+    that contains it, and the document is reassembled in original
+    order.  Re-based on non-overlapping 3-word chunks because this
+    corpus has no line structure; the unit is a parameter, not the
+    semantics.  Distinct from span_dedup_stats (keep-FIRST exact span
+    dedup): here removal is frequency-thresholded and hits every
+    occurrence including the first.
+
+    100 TB shape: chunking is shuffle-free in the scan stage; the
+    document-frequency table shuffles (chunk -> count distinct) once;
+    the verdict join is chunk-keyed; reassembly is one doc_id shuffle
+    with an in-group sort.  The corpus-size scalar is a 1-row broadcast
+    (no driver collect).  The frequency threshold is RELATIVE
+    (df * 200 <= n_docs), so the operator's behavior is stable as the
+    corpus grows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    tot = d.agg(F.count("*").alias("n_docs"))
+    c = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (size(ws) + 2) div 3 - 1),"
+                " i -> array_join(slice(ws, i*3 + 1, 3), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    dfreq = c.groupBy("chunk").agg(F.countDistinct("doc_id").alias("df"))
+    kept = (
+        c.join(dfreq, "chunk")
+        .join(F.broadcast(tot))
+        .filter(F.col("df") * 200 <= F.col("n_docs"))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    ntot = c.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return ntot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+@query(
+    "quality_classifier_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             w -> w = 'the' OR w = 'a')) AS n_stop,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (1000 * n_distinct) // n_words AS r_distinct,
+           (1000 * n_stop) // n_words AS r_stop,
+           (10 * n_chars) // n_words AS r_wlen,
+           3 * ((1000 * n_distinct) // n_words)
+             - 20 * ((1000 * n_stop) // n_words)
+             + 7 * ((10 * n_chars) // n_words) AS score,
+           (3 * ((1000 * n_distinct) // n_words)
+             - 20 * ((1000 * n_stop) // n_words)
+             + 7 * ((10 * n_chars) // n_words)) >= 1500 AS keep
+    FROM f
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the FineWeb-Edu /
+    DCLM-style 'model-based quality filtering' stage, re-based on an
+    interpretable linear model so the contract is EXACT): engineered
+    features — lexical diversity, stopword rate, mean word length —
+    combined with integer weights into a score and a keep verdict.
+
+    Every feature is an integer-scaled ratio computed with integer
+    division, so the score is bit-identical on any engine — no
+    sigmoid/exp whose libm rounding could flip a verdict at a ulp
+    boundary (the q7 lesson applied to ML scoring).  A real deployment
+    swaps the weights for learned ones (the shape is a dot product
+    either way); the Spark plan is a pure scan-stage projection —
+    shuffle-free, whole-stage-codegen, zero Python — so it runs at
+    scan speed over 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w = 'the' OR w = 'a'))"
+        ).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    r_distinct = F.expr("(1000 * n_distinct) div n_words")
+    r_stop = F.expr("(1000 * n_stop) div n_words")
+    r_wlen = F.expr("(10 * n_chars) div n_words")
+    score = 3 * r_distinct - 20 * r_stop + 7 * r_wlen
+    return f.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        r_distinct.alias("r_distinct"),
+        r_stop.alias("r_stop"),
+        r_wlen.alias("r_wlen"),
+        score.alias("score"),
+        (score >= 1500).alias("keep"),
+    )
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank step for the DuckDB oracle."""
+    return (
+        f"{cur} AS (SELECT a.dst AS node,"
+        f" 150000 + CAST((85 * sum(r.pr // a.outdeg)) // 100 AS BIGINT) AS pr"
+        f" FROM adj a JOIN {prev} r ON r.node = a.src GROUP BY a.dst)"
+    )
+
+
+@query(
+    "pagerank_customer_supplier",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    adj AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    {_pagerank_iter_sql('r0', 'r1')},
+    {_pagerank_iter_sql('r1', 'r2')},
+    {_pagerank_iter_sql('r2', 'r3')}
+    SELECT node, pr AS rank_scaled FROM r3
+    ORDER BY rank_scaled DESC, node LIMIT 20
+    """,
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the bipartite customer<->supplier
+    trade graph (edges = distinct (customer, supplier) pairs through
+    orders x lineitem, symmetrized) — the iterative-algorithm pattern
+    (Pregel on DataFrames): per round, one edge->rank equi-join and one
+    shuffle grouping messages by destination.
+
+    Arithmetic is FIXED-POINT (1e-6 units, BIGINT): contribution =
+    pr div outdeg, damping = 0.15 + 0.85x applied as integer ops — so
+    three engines running three rounds land bit-identical ranks, where
+    double summation would be order-sensitive (the q7 lesson applied to
+    graph analytics).  The oracle unrolls the three rounds as chained
+    CTEs — no recursion, aggregates allowed.
+
+    100 TB shape: the adjacency (edges + out-degree) is built once and
+    persisted; each round shuffles messages by dst — O(|E|) per round,
+    no driver-side state.  Deep iteration adds localCheckpoint every
+    few rounds to cut lineage (the operators/graph.py discipline);
+    top-20 compiles to TakeOrderedAndProject, never a global sort."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    adj = edges.join(deg, "src").persist()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(3):
+        msgs = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.col("dst").alias("mnode"), F.expr("pr div outdeg").alias("contrib")
+        )
+        ranks = (
+            msgs.groupBy("mnode")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("mnode").alias("node"),
+                F.expr("150000 + (85 * s) div 100").alias("pr"),
+            )
+        )
+    return (
+        ranks.select("node", F.col("pr").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(20)
+    )

@@ -501,3 +501,49 @@ def test_namespace_glob_prefix_reaches_parquet_scan(spark, sf_dir):
         joined = ",".join(pushed_filters(out))
         assert "StringStartsWith(namespace" in joined and "/app/1/" in joined, joined
         assert out.count() == 33  # 1, 4, ..., 97
+
+
+def test_interval_join_binned_is_equi_join_no_nested_loop(spark, sf_dir):
+    """The binning rewrite must turn the pure interval predicate into a
+    hash-joinable equi-key: a BroadcastNestedLoopJoin (what the naive
+    non-equi join compiles to) caps the interval side at broadcast size
+    and compares every pair — the thing the operator exists to avoid."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.interval_join_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_pagerank_rounds_are_keyed_joins_topk_take_ordered(spark, sf_dir):
+    """Every PageRank round is an equi-join + keyed aggregation; the
+    final top-20 must compile to TakeOrderedAndProject (never a global
+    sort of all nodes)."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.pagerank_customer_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_is_scan_stage_projection(spark, sf_dir):
+    """The classifier is a pure projection: no join, no shuffle, no
+    Python — it must run at scan speed."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.quality_classifier_score(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_boilerplate_strip_joins_are_keyed_stats_broadcast(spark, sf_dir):
+    """Chunk-frequency join is chunk-keyed, reassembly doc_id-keyed,
+    and the corpus-size scalar is a broadcast — no cartesian anywhere
+    except the documented 1-row stats frame."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.boilerplate_chunk_strip(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
