@@ -5130,3 +5130,109 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "cdc_chunk_dedup_stats",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, i AS pos, ws[i] AS word
+          FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+    h AS (SELECT doc_id, pos, word,
+                 ascii(substr(word || '__', 1, 1)) * 4096
+               + ascii(substr(word || '__', 2, 1)) * 64
+               + length(word) AS wh
+          FROM w),
+    ck AS (SELECT doc_id, pos, word,
+                  coalesce(sum(CASE WHEN wh % 5 = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk_id
+           FROM h),
+    chunks AS (SELECT doc_id, chunk_id,
+                      string_agg(word, ' ' ORDER BY pos) AS ctext,
+                      count(*) AS n_words
+               FROM ck GROUP BY doc_id, chunk_id),
+    ranked AS (SELECT doc_id, chunk_id, n_words,
+                      row_number() OVER (PARTITION BY ctext
+                                         ORDER BY doc_id, chunk_id) AS rn
+               FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT)
+               AS dup_words
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC/rsync-style, re-based on
+    words) + corpus-wide first-occurrence chunk dedup accounting.
+
+    A word is a chunk BOUNDARY when a deterministic hash of the word
+    satisfies h % 5 == 0, so chunk identity depends only on local
+    content: inserting a word shifts at most the chunk it lands in,
+    where fixed-width chunking (doc_chunking, span_dedup) reslices the
+    whole tail — THE property that makes CDC the storage-dedup
+    standard.  Chunks dedup corpus-wide by first occurrence
+    ((doc_id, chunk_id) min per chunk text); per doc the entry reports
+    total chunks, duplicate instances, and the words those duplicates
+    would save — the dedupable-bytes estimate.
+
+    The word hash is engine-portable arithmetic (ascii of padded first
+    two chars + length — no engine hash function), so the oracle
+    reproduces boundaries bit-exactly; all outputs are integers.
+
+    100 TB shape: boundary detection and word explode are scan-stage;
+    chunk assembly shuffles once on doc_id (window + group);
+    first-occurrence ranking shuffles once on chunk text — at scale
+    that key becomes xxhash64(ctext) so 8-byte keys move, not strings
+    (the duplicate_ngram_rate discipline); per-doc rollup re-shuffles
+    reduced rows only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    w = d.select(
+        "doc_id",
+        (F.posexplode("ws")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    wh = (
+        F.ascii(F.substring(F.concat(F.col("word"), F.lit("__")), 1, 1)) * 4096
+        + F.ascii(F.substring(F.concat(F.col("word"), F.lit("__")), 2, 1)) * 64
+        + F.length("word")
+    )
+    h = w.withColumn("wh", wh)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ck = h.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(F.when(F.col("wh") % 5 == 0, 1).otherwise(0)).over(win),
+            F.lit(0),
+        ),
+    )
+    chunks = ck.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("ctext"),
+        F.count("*").alias("n_words"),
+    )
+    rnw = Window.partitionBy("ctext").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(rnw))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("dup_words"),
+    )

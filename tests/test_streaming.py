@@ -411,3 +411,70 @@ def test_dedup_store_compaction_preserves_semantics(spark, tmp_path):
     )
     assert got.count() == 7  # only k9 newly accepted
     s.drop()
+
+
+def test_drop_duplicates_within_watermark_state_ttl(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state lives only for the
+    watermark delay — the bounded-state alternative to global
+    dropDuplicates (whose key store grows forever).  Pin the eviction
+    semantics: a key re-arriving AFTER its state expired is emitted
+    again; one re-arriving while state is live is dropped.
+
+    Timeline (delay 10 min): batch 1 carries k_old@10:00, k_live@10:18,
+    k_dup twice@10:19, plus a 10:30 row that advances the watermark to
+    10:20 for batch 2.  k_old's state (expires 10:10) is evicted;
+    k_live's (expires 10:28) survives.  Batch 2 re-sends both at 10:25:
+    k_old is re-emitted, k_live is dropped."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, *hm)) for k, hm in rows],
+            "k string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(str(src / name))
+
+    write_file(
+        "b1",
+        [
+            ("k_old", (10, 0)),
+            ("k_live", (10, 18)),
+            ("k_dup", (10, 19)),
+            ("k_dup", (10, 19)),
+            ("wm_pusher", (10, 30)),
+        ],
+    )
+    sdf = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.k for r in spark.sql("SELECT k FROM wm_dedup").collect()}
+        assert got1 == {"k_old", "k_live", "k_dup", "wm_pusher"}
+        assert spark.table("wm_dedup").count() == 4  # in-batch dup dropped
+
+        write_file("b2", [("k_old", (10, 25)), ("k_live", (10, 25))])
+        q.processAllAvailable()
+        counts = {
+            r.k: r.n
+            for r in spark.sql(
+                "SELECT k, count(*) AS n FROM wm_dedup GROUP BY k"
+            ).collect()
+        }
+        # expired state => re-emitted; live state => still deduped
+        assert counts["k_old"] == 2, counts
+        assert counts["k_live"] == 1, counts
+    finally:
+        q.stop()
