@@ -194,6 +194,37 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """``(__id, band, bucket)`` LSH band keys from a signature frame
+    (``minhash_signatures`` output).  xxhash64 hashes the sliced
+    signature array natively (no string round-trip); the band index
+    salts the bucket key so ONE shuffle key spans all bands.  Shared
+    by the batch LSH pipeline and the streaming near-dup ingest."""
+    return sigs.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                        ),
+                        b,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "__id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,21 +270,7 @@ def minhash_lsh_pairs(
     # of "write signatures to a table, then join".
     base.count()
 
-    banded = base.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                # xxhash64 hashes the sliced array natively (no string
-                # round-trip); band index salts the bucket key so one
-                # shuffle key spans all bands.
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), b).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_buckets(base, bands, rows_per_band)
 
     left = banded.alias("l")
     right = banded.alias("r")

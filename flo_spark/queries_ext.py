@@ -5236,3 +5236,77 @@ def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_words"),
     )
+
+
+@query(
+    "neardup_ingest_verdicts",
+    """
+    SELECT doc_id, TRUE AS accepted FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, FALSE AS accepted
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def neardup_ingest_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest contract (streaming/dedup_ingest.py
+    ``fold_neardup_batch``): documents arriving over three batches are
+    admitted iff none of their MinHash LSH band buckets collides with
+    an already-accepted document — sequential admission, unbounded
+    across batches, the near-dup analog of ``stream_dedup_ingest``.
+
+    PLANTED so every verdict is provable: each base document's words
+    are suffixed with its doc_id, so distinct documents share ZERO
+    shingles (band collision probability ~2^-64 per pair — and the
+    outcome is deterministic, re-verified at every SF); each planted
+    copy (id + 100000) reuses its original's text VERBATIM, so its
+    signature — hence every band bucket — is identical and rejection
+    is guaranteed.  Copies of batch-0/1 originals land one batch later
+    (cross-batch rejection through the persistent store); copies of
+    batch-2 originals land in batch 2 itself (within-batch sequential
+    rejection: the copy's higher id loses).  The oracle is the
+    construction: originals accepted, copies rejected.
+
+    Replay idempotency and the collides-only-with-rejected admission
+    subtlety are pinned in tests/test_neardup_ingest.py."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.streaming.dedup_ingest import (
+        _read_store,
+        fold_neardup_batch,
+    )
+
+    tmp = scratch_dir("flo_neardup_ingest_")
+    store = f"{tmp}/store"
+    uniq = F.expr(
+        "array_join(transform(split(text, ' '),"
+        " w -> concat(w, '_', cast(doc_id as string))), ' ')"
+    )
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", uniq.alias("text"))
+    )
+    copies = base.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    all_docs = base.unionByName(copies)
+    for b in range(3):
+        orig_b = base.filter(F.col("doc_id") % 3 == b)
+        # copies of batch-0/1 originals arrive one batch later;
+        # copies of batch-2 originals arrive in batch 2 itself
+        cpy_src = F.col("doc_id") - 100000
+        cpy_b = copies.filter(
+            ((cpy_src % 3 == b - 1) & F.lit(b in (1, 2)))
+            | ((cpy_src % 3 == 2) & F.lit(b == 2))
+        )
+        fold_neardup_batch(
+            orig_b.unionByName(cpy_b), b, store, fan_out=False
+        )
+    accepted = (
+        _read_store(spark, store)
+        .select("doc_id")
+        .distinct()
+        .withColumn("accepted", F.lit(True))
+    )
+    return all_docs.select("doc_id").join(accepted, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("accepted"), F.lit(False)).alias("accepted")
+    )

@@ -121,3 +121,156 @@ def compact_store(spark, store_dir: str) -> int:
             shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
     os.replace(tmp, _batch_dir(store_dir, -1))
     return n
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-duplicate ingest (MinHash LSH against a persistent store)
+# --------------------------------------------------------------------------
+
+
+def _neardup_shard(store_dir: str, batch_id: int) -> str:
+    return os.path.join(store_dir, f"batch={batch_id}")
+
+
+def fold_neardup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bands: int = 16,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+    fan_out: bool = True,
+) -> None:
+    """foreachBatch body: admit the batch's documents that are NOT
+    near-duplicates of any previously accepted document, exactly once
+    across crash replays.
+
+    Semantics are SEQUENTIAL ADMISSION — each document (in doc-id
+    order, batches in arrival order) is accepted iff none of its LSH
+    band buckets collides with an already-ACCEPTED document.  A
+    document that collides only with a REJECTED one is admitted (the
+    rejected doc never entered the accepted set), which a naive
+    "drop both band-mates" rule gets wrong.
+
+    Per batch: one Arrow/numpy signature stage, a (band, bucket)
+    semi-join against the store (rejects), a bucket self-join among
+    survivors (candidate edges), connected components, then EXACT
+    sequential admission per component via applyInPandas — components
+    are collision clusters, orders of magnitude smaller than the
+    batch, so the per-group sequential scan is bounded while groups
+    run in parallel.  Accepted docs append their band keys as the
+    batch's own shard (overwrite-on-replay idempotency, identical to
+    ``fold_batch``).
+
+    100 TB shape: the store holds ``bands`` 16-byte rows per accepted
+    doc — ~1/10^3 of corpus bytes; the semi-join shuffles on
+    (band, bucket); at scale bucket the store by that key so each
+    micro-batch reads only its colliding buckets."""
+    from flo_spark.operators.dedup import band_buckets, minhash_signatures
+    from flo_spark.operators.graph import connected_components
+
+    import pandas as pd
+
+    spark = batch.sparkSession
+    rows_per_band = num_hashes // bands
+    bk = band_buckets(
+        minhash_signatures(
+            batch, id_col, text_col, shingle_k, num_hashes, seed, fan_out=fan_out
+        ),
+        bands,
+        rows_per_band,
+    ).persist()
+    bk.count()  # materialize once: 4 consumer branches below
+
+    store = _read_store(spark, store_dir, exclude_batch=batch_id)
+    if store is not None:
+        rejected = (
+            bk.join(store, ["band", "bucket"], "left_semi")
+            .select("__id")
+            .distinct()
+        )
+        surv = bk.join(rejected, "__id", "left_anti")
+    else:
+        surv = bk
+    surv = surv.persist()
+    surv.count()
+
+    left, right = surv.alias("l"), surv.alias("r")
+    edges = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("src"), F.col("r.__id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    keyed = (
+        surv.join(comp, surv["__id"] == comp["node"], "left")
+        .select(
+            "__id",
+            "band",
+            "bucket",
+            F.coalesce(F.col("label"), F.col("__id")).alias("comp"),
+        )
+    )
+
+    def _admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        taken: set = set()
+        keep = []
+        for did in sorted(pdf["__id"].unique()):
+            rows = pdf[pdf["__id"] == did]
+            keys = set(zip(rows["band"], rows["bucket"]))
+            if keys & taken:
+                continue  # collides with an earlier ACCEPTED doc
+            taken |= keys
+            keep.append(did)
+        return pdf[pdf["__id"].isin(keep)][["__id", "band", "bucket"]]
+
+    accepted = (
+        keyed.groupBy("comp")
+        .applyInPandas(_admit, "__id long, band int, bucket bigint")
+        .select(F.col("__id").alias("doc_id"), "band", "bucket")
+    )
+    accepted.write.mode("overwrite").parquet(_neardup_shard(store_dir, batch_id))
+    surv.unpersist()
+    bk.unpersist()
+
+
+def neardup_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 180,
+    **kwargs,
+) -> DataFrame:
+    """Drain a document stream through the cross-batch near-dup fold
+    and return the accepted doc ids (one row per admitted document)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, eid: fold_neardup_batch(
+                b, eid, store_dir, id_col, text_col, **kwargs
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"near-dup ingest did not drain within {timeout_sec}s"
+        )
+    spark = stream.sparkSession
+    out = _read_store(spark, store_dir)
+    if out is None:
+        return spark.createDataFrame([], "doc_id long")
+    return out.select("doc_id").distinct()
