@@ -5310,3 +5310,125 @@ def neardup_ingest_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_docs.select("doc_id").join(accepted, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("accepted"), F.lit(False)).alias("accepted")
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT count(*) FROM t1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    ) ORDER BY ord
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's completion time — the classic product-analytics query,
+    here as three chained filtered aggregations (each stage = one
+    pre-filtered scan + one user_id-keyed join + min-agg).
+
+    100 TB shape: each stage's scan is filtered to ONE event type
+    before any shuffle (predicate reaches the parquet scan); joins are
+    user_id-keyed against already-reduced per-user frames that shrink
+    monotonically down the funnel.  No windows over the raw event
+    stream, no driver-side state."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    counts = [
+        (1, "view", t1),
+        (2, "click", t2),
+        (3, "purchase", t3),
+    ]
+    parts = [
+        t.agg(F.count("*").alias("n_users")).select(
+            F.lit(ordn).alias("ord"), F.lit(stage).alias("stage"), "n_users"
+        )
+        for ordn, stage, t in counts
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("ord").select("stage", "n_users")
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH w AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                 AS week
+      FROM events
+    ),
+    first_w AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM w)
+    SELECT f.cohort_week AS cohort_week,
+           a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_w f USING (user_id)
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each cohort and week offset, how many are still
+    active — the standard retention triangle, all integer-week
+    arithmetic so the contract is exact.
+
+    100 TB shape: one user_id shuffle for first-week, one distinct on
+    the already-narrow (user, week) projection, one keyed join of two
+    reduced frames, one final small-key aggregate.  The raw event
+    stream is scanned once, two columns wide."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), date '2024-01-01') div 7"
+        ).alias("week"),
+    )
+    first_w = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = w.distinct()
+    return (
+        active.join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
