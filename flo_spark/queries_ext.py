@@ -5432,3 +5432,145 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def _bpe_step_sql(prev: str, k: int) -> str:
+    """One unrolled BPE merge step for the DuckDB oracle: pair counts
+    over the previous step's token sequences, deterministic top pair
+    (count desc, then lexicographic; equal-halves pairs excluded so
+    mark-based application is exact), merge application, corpus size."""
+    return f"""
+    pc{k} AS (
+      SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pcnt
+      FROM {prev}, UNNEST(range(1, len(toks))) AS t(i)
+      GROUP BY toks[i], toks[i+1]
+    ),
+    m{k} AS (SELECT l, r, pcnt FROM pc{k} WHERE l <> r
+             ORDER BY pcnt DESC, l, r LIMIT 1),
+    s{k} AS (
+      SELECT word, cnt,
+             list_filter(
+               list_transform(range(1, len(toks) + 1), i ->
+                 CASE
+                   WHEN i < len(toks) AND toks[i] = m{k}.l
+                        AND toks[i+1] = m{k}.r
+                     THEN toks[i] || toks[i+1]
+                   WHEN i > 1 AND toks[i-1] = m{k}.l AND toks[i] = m{k}.r
+                     THEN NULL
+                   ELSE toks[i]
+                 END),
+               x -> x IS NOT NULL) AS toks
+      FROM {prev}, m{k}
+    ),
+    ta{k} AS (SELECT CAST(sum(cnt * len(toks)) AS BIGINT) AS tokens_after
+              FROM s{k})"""
+
+
+@query(
+    "bpe_merge_steps",
+    f"""
+    WITH wf AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS toks FROM wf),
+    {_bpe_step_sql('s0', 1)},
+    {_bpe_step_sql('s1', 2)},
+    {_bpe_step_sql('s2', 3)}
+    SELECT 1 AS step, m1.l AS left_tok, m1.r AS right_tok,
+           m1.pcnt AS pair_count, ta1.tokens_after AS tokens_after
+    FROM m1, ta1
+    UNION ALL
+    SELECT 2, m2.l, m2.r, m2.pcnt, ta2.tokens_after FROM m2, ta2
+    UNION ALL
+    SELECT 3, m3.l, m3.r, m3.pcnt, ta3.tokens_after FROM m3, ta3
+    """,
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as a DataFrame program: three merge
+    steps learned from corpus word frequencies (Sennrich et al. 2016
+    re-based on Spark), each step = count adjacent token pairs
+    weighted by word frequency, pick the most frequent pair, merge
+    every occurrence across the vocabulary.
+
+    Exactness: the top pair is deterministic (count desc, then
+    lexicographic), pairs with EQUAL halves are excluded from
+    selection so mark-based merge application (absorb the right token
+    of every (l,r) adjacency) is provably identical to greedy
+    left-to-right — marks can never be adjacent when l != r.  Output
+    per step: the learned merge, its count, and the corpus token count
+    after applying it — the tokens_after column pins the APPLICATION,
+    not just the selection.  The oracle unrolls the three steps as
+    chained CTEs (the PageRank discipline).
+
+    100 TB shape: this IS the real structure of BPE training — ONE
+    corpus-scale shuffle builds the word-frequency table, which is
+    vocabulary-sized (tiny) from then on; every merge iteration
+    operates on that reduced table, and the only driver-bound data is
+    the 1-row top-pair frame broadcast per step."""
+    wf = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seqs = wf.select(
+        "word", "cnt", F.expr("regexp_extract_all(word, '.', 0)").alias("toks")
+    )
+    merge_expr = """
+      filter(
+        transform(sequence(1, size(toks)), i ->
+          CASE
+            WHEN i < size(toks) AND element_at(toks, i) = ml
+                 AND try_element_at(toks, i + 1) = mr
+              THEN concat(element_at(toks, i), try_element_at(toks, i + 1))
+            WHEN i > 1 AND try_element_at(toks, greatest(i - 1, 1)) = ml
+                 AND element_at(toks, i) = mr
+              THEN NULL
+            ELSE element_at(toks, i)
+          END),
+        x -> x IS NOT NULL)"""
+    steps = []
+    for step in (1, 2, 3):
+        pairs = (
+            seqs.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                        " i -> struct(element_at(toks, i) AS l,"
+                        " try_element_at(toks, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+            .filter(F.col("r").isNotNull())
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("pcnt"))
+            .filter(F.col("l") != F.col("r"))
+            .orderBy(F.col("pcnt").desc(), "l", "r")
+            .limit(1)
+        )
+        seqs = seqs.crossJoin(
+            F.broadcast(
+                top.select(F.col("l").alias("ml"), F.col("r").alias("mr"))
+            )
+        ).select("word", "cnt", F.expr(merge_expr).alias("toks"))
+        # cut the per-step plan growth: the vocab table is tiny and the
+        # next step re-reads it 3x (pairs, merge, corpus size)
+        seqs = seqs.localCheckpoint()
+        ta = seqs.agg(
+            F.sum(F.col("cnt") * F.size("toks")).alias("tokens_after")
+        )
+        steps.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.col("pcnt").alias("pair_count"),
+            ).crossJoin(F.broadcast(ta))
+        )
+    return steps[0].unionByName(steps[1]).unionByName(steps[2])
