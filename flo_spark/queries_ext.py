@@ -5509,6 +5509,15 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized (tiny) from then on; every merge iteration
     operates on that reduced table, and the only driver-bound data is
     the 1-row top-pair frame broadcast per step."""
+    _seqs, steps = _bpe_train(spark, sf_dir)
+    return steps[0].unionByName(steps[1]).unionByName(steps[2])
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the 3-step BPE merge loop; returns (final word->tokens
+    vocabulary frame, per-step merge summary frames).  Shared by the
+    training entry (reports the steps) and the encode entry (applies
+    the final vocabulary to the corpus)."""
     wf = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -5573,4 +5582,55 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pcnt").alias("pair_count"),
             ).crossJoin(F.broadcast(ta))
         )
-    return steps[0].unionByName(steps[1]).unionByName(steps[2])
+    return seqs, steps
+
+
+@query(
+    "bpe_encode_tokens",
+    f"""
+    WITH wf AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS toks FROM wf),
+    {_bpe_step_sql('s0', 1)},
+    {_bpe_step_sql('s1', 2)},
+    {_bpe_step_sql('s2', 3)},
+    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    SELECT w.doc_id AS doc_id,
+           count(*) AS n_words,
+           CAST(sum(len(s3.toks)) AS BIGINT) AS n_tokens_bpe
+    FROM w JOIN s3 ON s3.word = w.word
+    GROUP BY w.doc_id
+    """,
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING with the trained BPE vocabulary: every
+    document's words join the word->tokens table learned by
+    ``bpe_merge_steps``'s 3 merges, yielding the exact post-merge
+    token count per document — the token accounting an LLM data
+    pipeline runs before packing/budgeting, using a REAL trained
+    tokenizer rather than a whitespace proxy.
+
+    100 TB shape: the vocabulary is tiny relative to the corpus, so
+    the encode join auto-broadcasts (no hint — at an extreme
+    vocabulary scale it degrades to a word-keyed shuffle, still
+    correct); the corpus is scanned once, exploded to words, and
+    aggregated straight back to doc_id — two shuffles total, nothing
+    driver-side but the per-step 1-row top-pair frames."""
+    seqs, _steps = _bpe_train(spark, sf_dir)
+    vocab = seqs.select("word", F.size("toks").alias("n_toks"))
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_toks").alias("n_tokens_bpe"),
+        )
+    )
