@@ -5634,3 +5634,150 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("n_tokens_bpe"),
         )
     )
+
+
+@query(
+    "langid_trigram_confusion",
+    """
+    WITH tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(text) - 1),
+                                   i -> substr(text, CAST(i AS INT), 3)))
+                 AS tg
+      FROM documents WHERE length(text) >= 3
+    ),
+    prof AS (
+      SELECT lang AS p_lang, tg FROM (
+        SELECT lang, tg, row_number() OVER (
+                 PARTITION BY lang ORDER BY count(*) DESC, tg) AS rk
+        FROM tri GROUP BY lang, tg
+      ) WHERE rk <= 20
+    ),
+    dtg AS (SELECT DISTINCT doc_id, lang, tg FROM tri),
+    overlap AS (
+      SELECT d.doc_id, d.lang AS lang_actual, p.p_lang,
+             count(*) AS n_hits
+      FROM dtg d JOIN prof p USING (tg)
+      GROUP BY d.doc_id, d.lang, p.p_lang
+    ),
+    pred AS (
+      SELECT doc_id, lang_actual, p_lang AS lang_predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n_hits DESC, p_lang) AS rk
+        FROM overlap
+      ) WHERE rk = 1
+    ),
+    all_docs AS (SELECT doc_id, lang AS lang_actual FROM documents)
+    SELECT a.lang_actual,
+           coalesce(p.lang_predicted, 'unk') AS lang_predicted,
+           count(*) AS n_docs
+    FROM all_docs a LEFT JOIN pred p USING (doc_id)
+    GROUP BY a.lang_actual, coalesce(p.lang_predicted, 'unk')
+    """,
+)
+def langid_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification, TRAINED on the
+    labeled corpus (the real n-gram recipe behind fastText-style
+    lang-id, integer-exact edition): per language, the 20 most
+    frequent trigrams form a profile; each document is classified to
+    the profile sharing the most distinct trigrams (deterministic
+    tie-breaks: count desc then trigram/lang asc); output is the
+    actual x predicted confusion matrix.  On this synthetic corpus the
+    labels are independent of the text, so the matrix REPORTS that
+    honestly (near-uniform rows) — the operator contract is the
+    training + classification pipeline, which is exact.
+
+    100 TB shape: trigram explode is scan-stage; profile training is
+    one (lang, trigram) shuffle cut to top-20 per language by a
+    bounded window; the profile (n_langs x 20 rows) auto-broadcasts
+    into the classification join; per-doc argmax is a doc-keyed
+    window over <= n_langs rows."""
+    d = load(spark, sf_dir, "documents")
+    tri = d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    )
+    prof_w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tg")
+    )
+    prof = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    dtg = tri.select("doc_id", "lang", "tg").distinct()
+    overlap = (
+        dtg.join(prof, "tg")
+        .groupBy("doc_id", F.col("lang").alias("lang_actual"), "p_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    pred_w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("p_lang")
+    )
+    pred = (
+        overlap.withColumn("rk", F.row_number().over(pred_w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("p_lang").alias("lang_predicted"))
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id", "left")
+        .groupBy(
+            "lang_actual",
+            F.coalesce(F.col("lang_predicted"), F.lit("unk")).alias(
+                "lang_predicted"
+            ),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "doc_length_log2_histogram",
+    """
+    WITH n AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(length(bin(n_words)) - 1 AS BIGINT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(min(n_words) AS BIGINT) AS min_words,
+           CAST(max(n_words) AS BIGINT) AS max_words
+    FROM n
+    GROUP BY source, length(bin(n_words)) - 1
+    """,
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source — the
+    long-tail diagnostic every corpus report carries (truncation
+    thresholds, packing efficiency, outlier hunting).  The bucket is
+    floor(log2(n)) computed EXACTLY as length(bin(n)) - 1 — binary
+    digit count, pure integer arithmetic, no libm log whose rounding
+    could flip a boundary value (1024 is always bucket 10).  One
+    map-side-combinable aggregate; the bucketing runs in the scan
+    stage."""
+    d = load(spark, sf_dir, "documents")
+    n = d.select(
+        "source", F.expr("size(split(text, ' '))").alias("n_words")
+    )
+    return (
+        n.withColumn(
+            "log2_bucket",
+            (F.length(F.expr("bin(n_words)")) - 1).cast("long"),
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+        )
+    )
