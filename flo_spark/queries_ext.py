@@ -5781,3 +5781,169 @@ def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_words").cast("long").alias("max_words"),
         )
     )
+
+
+@query(
+    "federated_trimodal_join",
+    """
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id < 100 THEN 'native'
+                  WHEN doc_id < 200 THEN 'jsonl_gz'
+                  ELSE 'parquet' END AS via,
+             len(string_split(text, ' ')) AS n_words,
+             n_chars
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT via, source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY via, source
+    """,
+)
+def federated_trimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated query over THREE storage systems in one logical plan:
+    a slice of the corpus served from native flo ``.events`` segments
+    (binary codec scan), a slice from gzipped JSONL shards (the
+    public-dataset wire format), and a slice from parquet — unioned,
+    joined back to the parquet catalog for per-doc metadata, and
+    aggregated together.  The contract a lakehouse engine owes its
+    users: where a record LIVES never changes what a query SAYS.
+
+    100 TB shape: each source contributes its own scan parallelism
+    (segment files / gzip shards / parquet splits); the union is
+    plan-level (no materialization); the metadata join is doc_id-keyed
+    against reduced frames.  The oracle reconstructs all three slices
+    from the parquet catalog alone, so any codec/export drift in the
+    native or JSONL paths breaks the hash."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_segment import (
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tmp = scratch_dir("flo_federated_")
+
+    # slice A -> native flo segments (text as the event payload)
+    native_path = f"{tmp}/native"
+    a = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1).alias("event_counter"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("actor"),
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        F.timestamp_seconds(F.col("doc_id")).alias("timestamp"),
+        F.concat(F.lit("/corpus/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("partition"),
+    )
+    write_flo_segments(a, native_path, max_events_per_segment=40)
+    native = read_flo_segments(spark, native_path).select(
+        (F.col("event_counter") - 1).alias("doc_id"),
+        F.expr("substring(namespace, 9)").alias("source"),
+        F.lit("native").alias("via"),
+        F.expr("size(split(decode(data, 'utf-8'), ' '))").alias("n_words"),
+    )
+
+    # slice B -> gzipped JSONL shards
+    jdir = f"{tmp}/jsonl"
+    d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "source", "text"
+    ).repartition(3).write.option("compression", "gzip").json(jdir)
+    jsonl = (
+        spark.read.schema("doc_id long, source string, text string")
+        .json(jdir)
+        .select(
+            "doc_id",
+            "source",
+            F.lit("jsonl_gz").alias("via"),
+            F.expr("size(split(text, ' '))").alias("n_words"),
+        )
+    )
+
+    # slice C -> the parquet catalog itself
+    parquet = d.filter(F.col("doc_id") >= 200).select(
+        "doc_id",
+        "source",
+        F.lit("parquet").alias("via"),
+        F.expr("size(split(text, ' '))").alias("n_words"),
+    )
+
+    unioned = native.unionByName(jsonl).unionByName(parquet)
+    meta = d.select("doc_id", "n_chars")
+    return (
+        unioned.join(meta, "doc_id")
+        .groupBy("via", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "hll_sketch_union_bounded",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
+def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+ ``hll_sketch_agg``/``hll_union_agg``): per event type a
+    sketch of the user set, then the per-type SKETCHES — not the raw
+    data — union into the global estimate.  Re-aggregating sketches is
+    THE pattern for distinct counts over 100 TB: per-partition/per-day
+    sketches persist as bytes and roll up at query time without ever
+    rescanning raw data (contrast approx_count_distinct, whose partial
+    state lives only inside one query).
+
+    The hash contract is the error bound, not the estimate: a merged
+    union takes a different internal promotion path than a one-pass
+    sketch, so estimates may legally differ by a few ulps of the rsd —
+    and partition order can perturb them — but |estimate - exact| <=
+    4*rsd*exact + 1 (rsd ~ 1.04/sqrt(2^12) for the default lgK=12)
+    must hold for every sketch and for the union, under ANY execution
+    order.  Exact counts come from the same scan; a sketch gone wrong
+    flips a boolean and breaks the hash."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    rsd = 1.04 / (2 ** 12) ** 0.5
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    per_checked = per.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)") - F.col("n_exact")
+            )
+            <= 4 * rsd * F.col("n_exact") + 1
+        ).alias("within_bound"),
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    global_row = (
+        total.join(F.broadcast(merged))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 4 * rsd * F.col("n_exact") + 1
+            ).alias("within_bound"),
+        )
+    )
+    return per_checked.unionByName(global_row)

@@ -94,3 +94,33 @@ def test_neardup_admits_doc_colliding_only_with_rejected_doc(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(store).select("doc_id").distinct().collect()
     )
     assert got == [1, 3]
+
+
+def test_neardup_store_compaction_preserves_admission(spark, tmp_path):
+    """compact_store is schema-agnostic (distinct over all columns),
+    so the band-bucket store compacts with the same offline tool as
+    the exact-dedup store — and admission decisions after compaction
+    are identical: a near-copy of a pre-compaction accept still
+    rejects, a novel doc still admits."""
+    from flo_spark.streaming.dedup_ingest import compact_store
+
+    t1, t2 = _text("pre"), _text("post")
+    store = str(tmp_path / "store")
+    fold_neardup_batch(
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"),
+        0, store, fan_out=False,
+    )
+    n = compact_store(spark, store)
+    assert n > 0
+    assert sorted(os.listdir(store)) == ["batch=-1"]
+    fold_neardup_batch(
+        spark.createDataFrame(
+            [(2, _near(t1)), (3, t2)], "doc_id long, text string"
+        ),
+        7, store, fan_out=False,
+    )
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(store).select("doc_id").distinct().collect()
+    )
+    assert got == [1, 3]
