@@ -5947,3 +5947,209 @@ def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_checked.unionByName(global_row)
+
+
+@query(
+    "constraint_audit",
+    """
+    SELECT 'orders_pk_unique' AS constraint_name,
+           (SELECT count(*) FROM
+              (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+               HAVING count(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_domain',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    UNION ALL
+    SELECT 'customer_acctbal_not_null',
+           (SELECT count(*) FROM customer WHERE c_acctbal IS NULL)
+    UNION ALL
+    SELECT 'orders_totalprice_cap_300k',
+           (SELECT count(*) FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality audit in one program:
+    primary-key uniqueness, two referential-integrity checks
+    (orders->customer, lineitem->orders via anti-joins), domain and
+    positivity constraints, and a completeness check — each reported
+    as (constraint_name, n_violations), so the audit output doubles as
+    the quality dashboard feed and any regression is an exact integer
+    diff.
+
+    100 TB shape: uniqueness is one key shuffle cut to dup groups;
+    referential integrity is a LEFT ANTI join per FK (the dim side
+    auto-broadcasts when small, degrades to a key shuffle at scale);
+    the scalar domain checks are scan-stage conditional counts that
+    collapse into one pass per table.  No driver-side data — the
+    result is seven 1-row aggregates unioned at plan level."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("constraint_name"), "n_violations"
+        )
+
+    dup_pk = (
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    )
+    fk_cust = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    )
+    fk_ord = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    )
+    checks = [
+        one("orders_pk_unique", dup_pk),
+        one("orders_fk_customer", fk_cust),
+        one("lineitem_fk_orders", fk_ord),
+        one("lineitem_qty_positive", li.filter(F.col("l_quantity") <= 0)),
+        one(
+            "lineitem_discount_domain",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ),
+        one(
+            "orders_status_domain",
+            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        one("customer_acctbal_not_null", c.filter(F.col("c_acctbal").isNull())),
+        # a soft expectation that HAS violations by design: with every
+        # hard constraint at zero, a checker that always returned 0
+        # would pass vacuously — this row proves the counting path
+        one(
+            "orders_totalprice_cap_300k",
+            o.filter(F.col("o_totalprice") > 300000),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@query(
+    "triangle_count_copurchase",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(DISTINCT n) FROM
+                (SELECT lo AS n FROM e UNION ALL SELECT hi FROM e)) AS n_nodes
+    )
+    SELECT s.n_nodes, s.n_edges, CAST(t.n_triangles AS BIGINT) AS n_triangles
+    FROM stats s, tri t
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing
+    >= 2 orders), via DEGREE-ORDERED edge orientation — the
+    compact-forward algorithm every distributed triangle counter uses:
+    orient each edge from the (degree, id)-smaller endpoint to the
+    larger, making a DAG whose max out-degree is O(sqrt(|E|)); then
+    triangles = pairs of out-edges from one node whose far endpoints
+    are themselves an oriented edge.  Each triangle is counted exactly
+    once (its unique (deg,id)-minimal apex), and the candidate-pair
+    join is bounded by sum(outdeg^2) = O(|E|^1.5) instead of the
+    naive sum(deg^2), which on skewed co-occurrence graphs is the
+    difference between feasible and not.
+
+    The support >= 2 threshold makes the graph the MEANINGFUL
+    co-purchase structure (one shared order is noise) and keeps it
+    sparse at every SF.  The oracle counts the same triangles with
+    the orientation-free a<b<c 3-way join — a different algorithm
+    reaching the same exact integer."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("lo", "hi")
+        .persist()
+    )
+    sym = e.select(F.col("lo").alias("n")).unionAll(
+        e.select(F.col("hi").alias("n"))
+    )
+    deg = sym.groupBy("n").agg(F.count("*").alias("deg"))
+    # orient lo->hi iff (deg,id) of lo < (deg,id) of hi, else hi->lo
+    dl = deg.select(F.col("n").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("n").alias("hi"), F.col("deg").alias("dhi"))
+    ori = (
+        e.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+        .persist()
+    )
+    x, y, z = ori.alias("x"), ori.alias("y"), ori.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.dst") != F.col("y.dst")),
+        )
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    stats = e.agg(
+        F.count("*").alias("n_edges"),
+    ).crossJoin(sym.distinct().agg(F.count("*").alias("n_nodes")))
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )
