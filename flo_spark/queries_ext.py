@@ -5472,7 +5472,7 @@ def _bpe_step_sql(prev: str, k: int) -> str:
     WITH wf AS (
       SELECT word, count(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      GROUP BY word
+      WHERE word <> '' GROUP BY word
     ),
     s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS toks FROM wf),
     {_bpe_step_sql('s0', 1)},
@@ -5521,6 +5521,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     wf = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
+        # consecutive/leading/trailing spaces yield empty words whose
+        # empty token array would crash ANSI element_at downstream
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -5591,14 +5594,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     WITH wf AS (
       SELECT word, count(*) AS cnt
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      GROUP BY word
+      WHERE word <> '' GROUP BY word
     ),
     s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS toks FROM wf),
     {_bpe_step_sql('s0', 1)},
     {_bpe_step_sql('s1', 2)},
     {_bpe_step_sql('s2', 3)},
-    w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-          FROM documents)
+    w AS (SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) WHERE word <> '')
     SELECT w.doc_id AS doc_id,
            count(*) AS n_words,
            CAST(sum(len(s3.toks)) AS BIGINT) AS n_tokens_bpe
@@ -5625,6 +5629,7 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
     )
     return (
         words.join(vocab, "word")
@@ -5915,12 +5920,20 @@ def hll_sketch_union_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     must hold for every sketch and for the union, under ANY execution
     order.  Exact counts come from the same scan; a sketch gone wrong
     flips a boolean and breaks the hash."""
-    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # HLL is duplicate-insensitive, so everything downstream can run on
+    # the reduced distinct (type, user) frame: ONE corpus scan, persisted,
+    # feeds the per-type sketches, the union, and the exact counts
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
     rsd = 1.04 / (2 ** 12) ** 0.5
     per = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
+        F.count("*").alias("n_exact"),
         F.expr("hll_sketch_agg(user_id)").alias("sk"),
-    )
+    ).persist()
     per_checked = per.select(
         "event_type",
         "n_exact",

@@ -193,11 +193,12 @@ def fold_neardup_batch(
             .select("__id")
             .distinct()
         )
-        surv = bk.join(rejected, "__id", "left_anti")
+        # genuinely new frame -> its own materialization; when the store
+        # is empty, surv IS bk, which is already persisted and counted
+        surv = bk.join(rejected, "__id", "left_anti").persist()
+        surv.count()
     else:
         surv = bk
-    surv = surv.persist()
-    surv.count()
 
     left, right = surv.alias("l"), surv.alias("r")
     edges = (
@@ -222,10 +223,11 @@ def fold_neardup_batch(
     )
 
     def _admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one linear pass in id order (groupby(sort=True)): a single
+        # giant collision cluster must not turn admission quadratic
         taken: set = set()
         keep = []
-        for did in sorted(pdf["__id"].unique()):
-            rows = pdf[pdf["__id"] == did]
+        for did, rows in pdf.groupby("__id", sort=True):
             keys = set(zip(rows["band"], rows["bucket"]))
             if keys & taken:
                 continue  # collides with an earlier ACCEPTED doc
@@ -239,7 +241,8 @@ def fold_neardup_batch(
         .select(F.col("__id").alias("doc_id"), "band", "bucket")
     )
     accepted.write.mode("overwrite").parquet(_neardup_shard(store_dir, batch_id))
-    surv.unpersist()
+    if surv is not bk:
+        surv.unpersist()
     bk.unpersist()
 
 
