@@ -6215,3 +6215,83 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("schema_of_variant_agg(v)") == F.lit("OBJECT<k: BIGINT>")
         ).alias("schema_ok"),
     )
+
+
+@query(
+    "regression_price_quantity",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                 AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 AS sxx,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                 * CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                 AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5) / 10000.0
+               AS slope,
+           floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 + 0.5) / 10.0
+               AS intercept,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1e4 + 0.5) / 1e4
+               AS r2
+    FROM s
+    """,
+)
+def regression_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares regression of extended price on
+    quantity per return flag — the ``regr_slope``/``regr_intercept``/
+    ``regr_r2`` family, made ENGINE-EXACT: the builtins fold doubles
+    in partition order (the q7 flip class applied to statistics), so
+    instead every moment (n, Sx, Sy, Sxy, Sxx, Syy) accumulates as an
+    exact integer (prices on the 1e4 money grid), the five moments
+    combine by the textbook formulas in exact integer arithmetic, and
+    the ONLY float steps are final IEEE divisions of exact integers —
+    bit-identical on any engine — rounded on the fixed grid (slope
+    4dp, intercept 1dp, r2 4dp).
+
+    100 TB shape: one map-side-combinable aggregate, six integer
+    partials per group, no second pass — the same single-shuffle shape
+    as q1.  Spark sums in decimal(38,0) (the cross-products exceed
+    long range at scale; ANSI raises rather than wraps), DuckDB in
+    HUGEINT."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = money_scaled(F.col("l_extendedprice"))
+    d = lambda c: c.cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(x * y)).alias("sxy"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+    )
+    n, sx, sy = d(F.col("n")), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    inum = (sy * sxx - sx * sxy).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(num / den + F.lit(0.5)) / 10000.0).alias("slope"),
+        (F.floor(inum / den / 1000.0 + F.lit(0.5)) / 10.0).alias("intercept"),
+        (F.floor(num * num / (den * deny) * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "r2"
+        ),
+    )
