@@ -377,14 +377,106 @@ def decode_audio(payload: bytes):
         else:
             raise NotImplementedError(f"unsupported WAV sample width {width}")
         return samples.reshape(-1, n_ch), rate
+    if bytes(payload[:4]) == b".snd":
+        return _decode_au(bytes(payload))
+    if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
+        return _decode_aiff(bytes(payload))
     try:
         import soundfile  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - not in container
         raise NotImplementedError(
             "compressed-audio decode requires soundfile, not present in "
-            "this container; PCM WAV payloads decode natively above"
+            "this container; PCM WAV/AU/AIFF payloads decode natively above"
         ) from exc
     return soundfile.read(io.BytesIO(payload))  # pragma: no cover
+
+
+#: G.711 mu-law segment decode table construction is pure arithmetic, so
+#: build the 256-entry LUT once (the format IS the lookup table)
+def _mulaw_lut():
+    import numpy as np
+
+    u = np.arange(256, dtype=np.uint8) ^ 0xFF  # stored complemented
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+    return (sign * (magnitude - 0x84) / 32768.0).astype(np.float32)
+
+
+def _decode_au(buf: bytes):
+    """Sun AU (.snd): big-endian header (magic, data offset/size,
+    encoding, rate, channels) + sample data.  Linear PCM 8/16/32-bit
+    and G.711 mu-law decode natively (au.h encodings 2, 3, 5, 1)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 24:
+        raise ValueError("truncated AU header")
+    _, offset, size, enc, rate, n_ch = struct.unpack(">4sIIIII", buf[:24])
+    if offset < 24 or n_ch < 1:
+        raise ValueError("invalid AU header")
+    end = len(buf) if size == 0xFFFFFFFF else min(len(buf), offset + size)
+    raw = buf[offset:end]
+    if enc == 2:  # 8-bit linear (SIGNED, unlike WAV's unsigned 8-bit)
+        samples = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif enc == 3:  # 16-bit big-endian linear
+        samples = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    elif enc == 5:  # 32-bit big-endian linear
+        samples = (
+            np.frombuffer(raw, dtype=">i4").astype(np.float32) / 2147483648.0
+        )
+    elif enc == 1:  # G.711 mu-law
+        samples = _mulaw_lut()[np.frombuffer(raw, dtype=np.uint8)]
+    else:
+        raise NotImplementedError(f"unsupported AU encoding {enc}")
+    usable = (len(samples) // n_ch) * n_ch
+    return samples[:usable].reshape(-1, n_ch), int(rate)
+
+
+def _decode_aiff(buf: bytes):
+    """AIFF: IFF FORM container, COMM chunk (channels, frames, sample
+    size, rate as an 80-bit IEEE extended float — parsed by hand) and
+    SSND chunk of interleaved big-endian signed PCM."""
+    import struct
+
+    import numpy as np
+
+    pos, end = 12, len(buf)
+    comm = ssnd = None
+    while pos + 8 <= end:
+        cid, clen = buf[pos : pos + 4], struct.unpack(">I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even length
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    n_ch, _n_frames, bits = struct.unpack(">HIH", comm[:8])
+    # 80-bit extended: 1 sign + 15 exponent bits, 64-bit explicit mantissa
+    (se,) = struct.unpack(">H", comm[8:10])
+    (mant,) = struct.unpack(">Q", comm[10:18])
+    exp = se & 0x7FFF
+    rate = 0 if mant == 0 else mant * 2.0 ** (exp - 16383 - 63)
+    if se & 0x8000:
+        rate = -rate
+    soff, _blk = struct.unpack(">II", ssnd[:8])
+    raw = ssnd[8 + soff :]
+    if bits == 8:  # AIFF 8-bit is SIGNED
+        samples = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        samples = (
+            np.frombuffer(raw, dtype=">i4").astype(np.float32) / 2147483648.0
+        )
+    else:
+        raise NotImplementedError(f"unsupported AIFF sample size {bits}")
+    usable = (len(samples) // n_ch) * n_ch
+    return samples[:usable].reshape(-1, n_ch), int(round(rate))
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

@@ -311,3 +311,119 @@ def test_real_decode_through_map_in_pandas(spark):
     assert abs(got[2]["mean_value"] - float(pixels.mean())) < 1e-9
     assert got[3]["n_values"] == rgb.size
     assert abs(got[3]["mean_value"] - float(rgb.mean())) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# AU / AIFF (round 6): same samples through three containers must agree
+# ---------------------------------------------------------------------------
+
+
+def _pcm16():
+    import numpy as np
+
+    t = np.arange(64, dtype=np.float64)
+    return (np.sin(t / 3.0) * 20000).astype(np.int16)
+
+
+def _au_bytes(enc: int, body: bytes, rate: int = 8000, n_ch: int = 1) -> bytes:
+    import struct
+
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), enc, rate, n_ch) + body
+
+
+def _aiff_bytes(pcm, rate: int = 8000, n_ch: int = 1, bits: int = 16) -> bytes:
+    import struct
+
+    body = pcm.astype(">i2").tobytes() if bits == 16 else pcm.tobytes()
+    # 80-bit extended rate: normalize mantissa so the top bit is set
+    exp, mant = 16383 + 63, rate
+    while not (mant & (1 << 63)):
+        mant <<= 1
+        exp -= 1
+    comm = struct.pack(">HIH", n_ch, len(pcm) // n_ch, bits) + struct.pack(
+        ">HQ", exp, mant
+    )
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def test_au_linear16_matches_wav_decode():
+    """The same PCM through WAV (little-endian) and AU (big-endian)
+    must decode to identical floats — container-independence of the
+    sample pipeline."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    pcm = _pcm16()
+    wav_io = io.BytesIO()
+    with wave.open(wav_io, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    au = _au_bytes(3, pcm.astype(">i2").tobytes())
+    s_wav, r_wav = decode_audio(wav_io.getvalue())
+    s_au, r_au = decode_audio(au)
+    assert r_wav == r_au == 8000
+    np.testing.assert_array_equal(s_wav, s_au)
+
+
+def test_au_mulaw_roundtrip_against_stdlib_encoder():
+    """G.711 mu-law decoded through our LUT must invert the stdlib
+    audioop encoder to within one quantization step (mu-law is lossy
+    by design; the step at 20000 amplitude is ~1024)."""
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from flo_spark.operators.multimodal import decode_audio
+
+    pcm = _pcm16()
+    ulaw = audioop.lin2ulaw(pcm.astype("<i2").tobytes(), 2)
+    samples, rate = decode_audio(_au_bytes(1, ulaw))
+    assert rate == 8000
+    back = (samples[:, 0] * 32768.0).astype(np.int32)
+    ref = np.frombuffer(
+        audioop.ulaw2lin(ulaw, 2), dtype="<i2"
+    ).astype(np.int32)
+    assert np.abs(back - ref).max() <= 4  # same quantized value both paths
+
+
+def test_aiff_decode_matches_au_and_handles_stereo():
+    import numpy as np
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    pcm = _pcm16()
+    s_aiff, r_aiff = decode_audio(_aiff_bytes(pcm, rate=44100))
+    s_au, _ = decode_audio(_au_bytes(3, pcm.astype(">i2").tobytes()))
+    assert r_aiff == 44100  # 80-bit extended rate parsed exactly
+    np.testing.assert_array_equal(s_aiff, s_au)
+    # stereo de-interleave: (frames, 2), channel 1 = negated channel 0
+    inter = np.empty(len(pcm) * 2, dtype=np.int16)
+    inter[0::2], inter[1::2] = pcm, -pcm
+    s2, _ = decode_audio(_aiff_bytes(inter, n_ch=2))
+    assert s2.shape == (len(pcm), 2)
+    np.testing.assert_array_equal(s2[:, 0], -s2[:, 1])
+
+
+def test_au_signed8_and_unsupported_encoding():
+    import numpy as np
+    import pytest
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    body = np.int8([-128, -1, 0, 1, 127]).tobytes()
+    samples, _ = decode_audio(_au_bytes(2, body))
+    np.testing.assert_allclose(
+        samples[:, 0], [-1.0, -1 / 128, 0.0, 1 / 128, 127 / 128]
+    )
+    with pytest.raises(NotImplementedError, match="AU encoding 23"):
+        decode_audio(_au_bytes(23, body))
