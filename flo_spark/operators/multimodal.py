@@ -313,6 +313,62 @@ def _decode_png(payload: bytes):
     return out
 
 
+def _decode_tiff(payload: bytes):
+    """Baseline uncompressed TIFF, both byte orders: walk the first
+    IFD, read the geometry/layout tags (width, length, bits, samples,
+    strip offsets/counts, rows-per-strip), concatenate the strips, and
+    reshape to (H, W, C) uint8.  Types SHORT and LONG, inline or
+    offset-stored values; compression must be 1 (none) — LZW/JPEG
+    variants raise and fall through to the guarded PIL path upstream
+    in deployments that carry codec libraries."""
+    import struct
+
+    import numpy as np
+
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    type_size = {3: 2, 4: 4}
+    type_fmt = {3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        ep = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", payload[ep : ep + 8])
+        if typ not in type_size:
+            continue  # RATIONAL resolution tags etc. — not needed
+        total = type_size[typ] * cnt
+        if total <= 4:
+            raw = payload[ep + 8 : ep + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", payload[ep + 8 : ep + 12])
+            raw = payload[off : off + total]
+        tags[tag] = list(struct.unpack(bo + type_fmt[typ] * cnt, raw))
+    try:
+        width, height = tags[256][0], tags[257][0]
+        strip_offs, strip_lens = tags[273], tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag: {exc}") from exc
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a codec library"
+        )
+    samples = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"unsupported TIFF bit depths {bits}")
+    data = b"".join(
+        payload[o : o + n] for o, n in zip(strip_offs, strip_lens)
+    )
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) < height * width * samples:
+        raise ValueError("TIFF strip data shorter than geometry")
+    arr = arr[: height * width * samples].reshape(height, width, samples)
+    if tags.get(262, [1])[0] == 0:  # WhiteIsZero grayscale: invert
+        arr = 255 - arr
+    return arr
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, C) uint8 numpy array.
 
@@ -328,6 +384,8 @@ def decode_image(payload: bytes):
         return _decode_bmp(bytes(payload))
     if bytes(payload[:8]) == _PNG_SIG:
         return _decode_png(bytes(payload))
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(bytes(payload))
     try:
         import io
 
