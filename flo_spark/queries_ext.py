@@ -6295,3 +6295,162 @@ def regression_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+@query(
+    "multimodal_tiff_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 72)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_channels,
+           CAST(sum((doc_id * 11 + i) % 256) AS BIGINT) AS sum_pixels
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode, hash-checked (the TIFF sibling of the
+    BMP/PNG round trips): per document assemble a baseline
+    uncompressed 6x4 RGB TIFF — little-endian for even doc ids,
+    BIG-endian for odd, so both byte orders are exercised in every
+    run — with 2-row strips (multi-strip assembly) and offset-stored
+    multi-value tags (BitsPerSample, strip arrays), channel values
+    (doc_id*11 + i) % 256; decode through ``decode_image`` (the
+    engine's native IFD walker) and sum the recovered channels.  The
+    oracle computes the same sums from the formula — a defect in tag
+    parsing, endianness, strip concatenation, or geometry breaks the
+    hash."""
+    import struct
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image
+
+    W, H, C = 6, 4, 3
+
+    def _tiff(arr, bo: str) -> bytes:
+        h, w, c = arr.shape
+        rps = 2
+        strips = [arr[r : r + rps].tobytes() for r in range(0, h, rps)]
+        pos, offs = 8, []
+        for st in strips:
+            offs.append(pos)
+            pos += len(st)
+        ifd_off = pos
+        entries = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c), (259, 3, [1]),
+            (262, 3, [2]), (273, 4, offs), (277, 3, [c]), (278, 4, [rps]),
+            (279, 4, [len(st) for st in strips]),
+        ]
+        tsize, tfmt = {3: 2, 4: 4}, {3: "H", 4: "I"}
+        overflow = b""
+        ov_pos = ifd_off + 2 + 12 * len(entries) + 4
+        packed = []
+        for tag, typ, vals in entries:
+            total = tsize[typ] * len(vals)
+            raw = struct.pack(bo + tfmt[typ] * len(vals), *vals)
+            if total <= 4:
+                packed.append(
+                    struct.pack(bo + "HHI", tag, typ, len(vals))
+                    + raw.ljust(4, b"\0")
+                )
+            else:
+                packed.append(
+                    struct.pack(
+                        bo + "HHII", tag, typ, len(vals), ov_pos + len(overflow)
+                    )
+                )
+                overflow += raw
+        header = struct.pack(
+            bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off
+        )
+        ifd = (
+            struct.pack(bo + "H", len(entries))
+            + b"".join(packed)
+            + struct.pack(bo + "I", 0)
+        )
+        return header + b"".join(strips) + ifd + overflow
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_channels": [], "sum_pixels": []}
+            for doc_id in pdf.doc_id:
+                arr = (
+                    (int(doc_id) * 11 + np.arange(W * H * C)) % 256
+                ).astype(np.uint8).reshape(H, W, C)
+                bo = "<" if doc_id % 2 == 0 else ">"
+                got = decode_image(_tiff(arr, bo))
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(int(got.size))
+                out["sum_pixels"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_channels long, sum_pixels long"
+    )
+
+
+@query(
+    "multimodal_au_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 50)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * 13 + i * 31) % 65536 - 32768) AS BIGINT)
+               AS sum_samples
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_au_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Sun AU decode, hash-checked: per document 50 deterministic
+    16-bit samples ((doc_id*13 + i*31) % 65536 - 32768) encode into a
+    big-endian .snd container (encoding 3), decode through
+    ``decode_audio``, and the recovered floats multiply back to the
+    exact integers (int16/32768 is exactly representable in float32).
+    The oracle computes the same sums from the formula — a header,
+    endianness, or normalization defect breaks the hash."""
+    import struct
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    N = 50
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "sum_samples": []}
+            for doc_id in pdf.doc_id:
+                pcm = (
+                    (int(doc_id) * 13 + np.arange(N) * 31) % 65536 - 32768
+                ).astype(np.int16)
+                body = pcm.astype(">i2").tobytes()
+                au = (
+                    struct.pack(
+                        ">4sIIIII", b".snd", 24, len(body), 3, 8000, 1
+                    )
+                    + body
+                )
+                samples, _rate = decode_audio(au)
+                ints = np.round(samples[:, 0] * 32768.0).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(len(ints)))
+                out["sum_samples"].append(int(ints.sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_samples long, sum_samples long"
+    )
