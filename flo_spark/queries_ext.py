@@ -6454,3 +6454,83 @@ def multimodal_au_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_samples long, sum_samples long"
     )
+
+
+@query(
+    "copurchase_lift_topk",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+    freq AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+           floor(CAST(n.n_orders * p.c_ab AS DOUBLE)
+                 / CAST(fa.c * fb.c AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift scoring on co-purchased parts (the
+    'customers also bought' primitive): for part pairs sharing >= 2
+    orders, lift = P(a,b) / (P(a) P(b)) computed as the exact integer
+    ratio n_orders*c_ab / (c_a*c_b), IEEE-divided and rounded on the
+    4dp grid — top-50 by lift with deterministic tie-breaks.
+
+    100 TB shape: the pair generation is the market-basket self-join
+    keyed by order (baskets are small, so the blow-up is sum of
+    basket^2, not corpus^2); support >= 2 prunes the pair tail before
+    the frequency joins; the scalar order count is a 1-row broadcast;
+    top-50 compiles to TakeOrderedAndProject."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            (
+                F.floor(
+                    (F.col("n_orders") * F.col("c_ab")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
