@@ -1,0 +1,129 @@
+"""Mergeable quantile sketch — a deterministic KLL-style compactor.
+
+The blueprint's "novel sketch" slot (SURVEY §2 B-LLM: custom operators
+as Arrow-batched Python where Spark lacks a built-in): Spark exposes
+``percentile_approx`` but NOT its sketch state, so partial quantile
+summaries cannot be persisted per partition/day and re-aggregated the
+way HLL sketches can (``hll_union_agg``).  This module fills that gap
+with a compactor sketch in the KLL family (Karnin-Lang-Liberty 2016),
+simplified to a DETERMINISTIC alternating compaction so results are
+reproducible run to run and engine to engine:
+
+- level k holds values with weight 2^k in an unsorted buffer;
+- when a level exceeds capacity, the buffer is sorted and the
+  odd-indexed half is promoted to level k+1 (weight doubles); an odd
+  leftover stays at level k, so TOTAL WEIGHT IS EXACTLY PRESERVED —
+  ``total_weight()`` always equals the number of inserted values;
+- each compaction of level k perturbs any rank by at most 2^k, and the
+  sketch tracks the accumulated worst-case ``rank_error_bound``
+  (deterministic compaction trades KLL's randomized unbiasedness for a
+  still-valid worst-case bound, property-tested in
+  tests/test_sketch.py);
+- ``merge`` concatenates levels pairwise and re-compacts — partial
+  sketches built per partition combine associatively, the property
+  that makes the operator distribute.
+
+Size: O(capacity * log(n / capacity)) doubles; the relative rank error
+is ~log2(n/capacity)/capacity, so capacity scales with log(n) to hold
+a target epsilon (1024 keeps it under 2% out to ~1e12 rows).
+
+Serialization is columnar (list of per-level value lists + the bound),
+so sketches travel between Spark tasks as plain
+``array<array<double>>`` rows — no binary codec needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["QuantileSketch"]
+
+
+class QuantileSketch:
+    def __init__(self, capacity: int = 1024):
+        if capacity < 2:
+            raise ValueError("capacity must be >= 2")
+        self.capacity = int(capacity)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.rank_error_bound: int = 0
+
+    # -- building ---------------------------------------------------------
+
+    def add(self, values) -> "QuantileSketch":
+        arr = np.asarray(values, dtype=np.float64).ravel()
+        if arr.size:
+            self.levels[0] = np.concatenate([self.levels[0], arr])
+            self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for k, arr in enumerate(other.levels):
+            while k >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            if arr.size:
+                self.levels[k] = np.concatenate([self.levels[k], arr])
+        self.rank_error_bound += other.rank_error_bound
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        k = 0
+        while k < len(self.levels):
+            buf = self.levels[k]
+            if buf.size > self.capacity:
+                buf = np.sort(buf)
+                if buf.size % 2:  # odd leftover keeps its weight here
+                    leftover, buf = buf[:1], buf[1:]
+                else:
+                    leftover = np.empty(0, dtype=np.float64)
+                promoted = buf[1::2]  # deterministic alternating pick
+                self.levels[k] = leftover
+                if k + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[k + 1] = np.concatenate(
+                    [self.levels[k + 1], promoted]
+                )
+                # any fixed rank moves by at most 2^k per compaction
+                self.rank_error_bound += 1 << k
+            k += 1
+
+    # -- querying ---------------------------------------------------------
+
+    def total_weight(self) -> int:
+        return int(sum(arr.size << k for k, arr in enumerate(self.levels)))
+
+    def n_retained(self) -> int:
+        return int(sum(arr.size for arr in self.levels))
+
+    def quantile(self, q: float) -> float:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        total = self.total_weight()
+        if total == 0:
+            raise ValueError("empty sketch")
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(arr.size, 1 << k) for k, arr in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        target = q * total
+        cum = np.cumsum(wts)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    # -- columnar (de)serialization for Spark rows ------------------------
+
+    def to_row(self) -> tuple[list[list[float]], int]:
+        return [arr.tolist() for arr in self.levels], self.rank_error_bound
+
+    @classmethod
+    def from_row(
+        cls, levels: list[list[float]], bound: int, capacity: int = 1024
+    ) -> "QuantileSketch":
+        sk = cls(capacity)
+        sk.levels = [np.asarray(lv, dtype=np.float64) for lv in levels]
+        if not sk.levels:
+            sk.levels = [np.empty(0, dtype=np.float64)]
+        sk.rank_error_bound = int(bound)
+        return sk

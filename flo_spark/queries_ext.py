@@ -6534,3 +6534,98 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "quantile_sketch_mergeable",
+    """
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT count(*) FROM orders) AS n_rows,
+           TRUE AS within_bound, TRUE AS bound_ok
+    FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q)
+    """,
+)
+def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom MERGEABLE quantile sketch (operators/sketch.py, the KLL
+    compactor family) run the way a 1000-executor cluster would: one
+    partial sketch per input partition built in a single Arrow pass
+    (mapInPandas), partials shipped as plain array<array<double>> rows
+    — O(capacity * log n) doubles each, NOT the data — and reduced in
+    one task (applyInPandas over a constant group; at cluster scale
+    this becomes a tree of merges, which the property-tested
+    associativity licenses).  Spark's own percentile_approx cannot do
+    this: its sketch state is not exposed, so partials can't persist
+    or re-aggregate across queries the way these (or HLL sketches)
+    can.
+
+    Contract: each estimated quantile must land between the EXACT
+    q +- 0.02 percentiles (computed JVM-side), and the sketch's own
+    tracked worst-case rank-error bound must stay under 2% of n —
+    both emitted as booleans, deterministic because compaction is
+    (capacity=1024, alternating-pick) deterministic."""
+    from flo_spark.operators.sketch import QuantileSketch
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    QS = [0.25, 0.5, 0.75, 0.9]
+    CAP, EPS = 1024, 0.02
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = QuantileSketch(CAP)
+        seen = False
+        for pdf in it:
+            if len(pdf):
+                seen = True
+                sk.add(pdf["v"].to_numpy())
+        if seen:
+            levels, bound = sk.to_row()
+            yield pd.DataFrame({"levels": [levels], "bound": [bound]})
+
+    def merge_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = QuantileSketch(CAP)
+        for levels, bound in zip(pdf["levels"], pdf["bound"]):
+            sk.merge(QuantileSketch.from_row(list(levels), int(bound), CAP))
+        n = sk.total_weight()
+        return pd.DataFrame(
+            {
+                "q": QS,
+                "est": [sk.quantile(q) for q in QS],
+                "bound_ok": [sk.rank_error_bound <= EPS * n] * len(QS),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    parts = o.mapInPandas(partials, "levels array<array<double>>, bound long")
+    merged = (
+        parts.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge_query, "q double, est double, bound_ok boolean")
+    )
+    brackets = o.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.expr(f"percentile(v, {max(q - EPS, 0.0)})").alias(f"lo_{i}")
+            for i, q in enumerate(QS)
+        ],
+        *[
+            F.expr(f"percentile(v, {min(q + EPS, 1.0)})").alias(f"hi_{i}")
+            for i, q in enumerate(QS)
+        ],
+    )
+    lo = F.array(*[F.col(f"lo_{i}") for i in range(len(QS))])
+    hi = F.array(*[F.col(f"hi_{i}") for i in range(len(QS))])
+    qpos = F.array_position(F.array(*[F.lit(q) for q in QS]), F.col("q"))
+    return (
+        merged.crossJoin(F.broadcast(brackets))
+        .select(
+            "q",
+            "n_rows",
+            (
+                (F.col("est") >= F.element_at(lo, qpos.cast("int")))
+                & (F.col("est") <= F.element_at(hi, qpos.cast("int")))
+            ).alias("within_bound"),
+            "bound_ok",
+        )
+    )

@@ -1,0 +1,78 @@
+"""QuantileSketch invariants: exact weight conservation, the tracked
+worst-case rank-error bound, merge associativity, and determinism —
+property-tested over random data, chunkings, and merge orders."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flo_spark.operators.sketch import QuantileSketch
+
+
+def _rank_of(sorted_vals: np.ndarray, v: float) -> tuple[int, int]:
+    """Inclusive rank range of value v in the exact sorted data."""
+    return (
+        int(np.searchsorted(sorted_vals, v, side="left")),
+        int(np.searchsorted(sorted_vals, v, side="right")),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=4000
+    ),
+    n_chunks=st.integers(1, 7),
+    capacity=st.sampled_from([8, 32, 128]),
+    seed=st.integers(0, 2**31),
+)
+def test_weight_conserved_and_rank_error_within_bound(
+    data, n_chunks, capacity, seed
+):
+    rng = np.random.default_rng(seed)
+    arr = np.array(data)
+    bounds = np.sort(rng.choice(len(arr), size=min(n_chunks - 1, len(arr)), replace=False)) if n_chunks > 1 else []
+    chunks = np.split(arr, bounds)
+    sketches = [QuantileSketch(capacity).add(c) for c in chunks]
+    rng.shuffle(sketches)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+
+    assert merged.total_weight() == len(arr)  # exact weight conservation
+    srt = np.sort(arr)
+    n = len(arr)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        est = merged.quantile(q)
+        lo, hi = _rank_of(srt, est)
+        target = q * n
+        # the estimate's true rank range must overlap [target - B, target + B]
+        b = merged.rank_error_bound
+        assert lo - b <= target <= hi + b, (q, est, lo, hi, b, n)
+
+
+def test_deterministic_across_runs():
+    vals = np.sin(np.arange(5000) * 0.7) * 1000
+    a = QuantileSketch(64).add(vals)
+    b = QuantileSketch(64).add(vals)
+    assert a.to_row() == b.to_row()
+    assert a.quantile(0.5) == b.quantile(0.5)
+
+
+def test_row_serialization_roundtrip():
+    sk = QuantileSketch(16).add(np.arange(1000, dtype=float))
+    levels, bound = sk.to_row()
+    back = QuantileSketch.from_row(levels, bound, capacity=16)
+    assert back.total_weight() == 1000
+    assert back.quantile(0.25) == sk.quantile(0.25)
+
+
+def test_exact_when_under_capacity():
+    """No compaction ever fires below capacity: the sketch IS the data
+    and every quantile is exact with bound 0."""
+    vals = np.array([5.0, 1.0, 9.0, 3.0])
+    sk = QuantileSketch(16).add(vals)
+    assert sk.rank_error_bound == 0
+    assert sk.quantile(0.0) == 1.0
+    assert sk.quantile(0.5) == 3.0
+    assert sk.quantile(1.0) == 9.0
