@@ -6629,3 +6629,68 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bound_ok",
         )
     )
+
+
+@query(
+    "stream_quantile_monitor",
+    """
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT count(*) FROM events WHERE value IS NOT NULL) AS n_rows,
+           TRUE AS within_bound
+    FROM (VALUES (0.25), (0.5), (0.9)) AS t(q)
+    """,
+)
+def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitoring over a PERSISTENT sketch store
+    (streaming/sketch_monitor.py): every micro-batch of the event
+    stream reduces to one mergeable sketch row written as its own
+    replay-safe shard; the all-time quantiles come from merging the
+    shards — never rescanning raw history.  This is the operational
+    'p50/p95 of a metric, maintained forever, restart-safe' monitor
+    that percentile_approx cannot express because its sketch state
+    never leaves the query.
+
+    Contract: each monitored quantile of event.value must land
+    between the exact q +- 0.02 percentiles of the same data
+    (JVM-computed, boolean per q); replay idempotency is pinned in
+    tests/test_sketch_monitor.py."""
+    from flo_spark.queries import _events_stream, scratch_dir
+    from flo_spark.streaming.sketch_monitor import sketch_monitor
+
+    QS = [0.25, 0.5, 0.9]
+    EPS = 0.02
+    tmp = scratch_dir("flo_sketch_monitor_")
+    sk = sketch_monitor(
+        _events_stream(spark, sf_dir),
+        store_dir=f"{tmp}/store",
+        value=F.col("value"),
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    ests = [(q, sk.quantile(q)) for q in QS]
+    est_df = spark.createDataFrame(ests, "q double, est double")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    brackets = ev.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.expr(f"percentile(value, {max(q - EPS, 0.0)})").alias(f"lo_{i}")
+            for i, q in enumerate(QS)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + EPS, 1.0)})").alias(f"hi_{i}")
+            for i, q in enumerate(QS)
+        ],
+    )
+    lo = F.array(*[F.col(f"lo_{i}") for i in range(len(QS))])
+    hi = F.array(*[F.col(f"hi_{i}") for i in range(len(QS))])
+    qpos = F.array_position(F.array(*[F.lit(q) for q in QS]), F.col("q"))
+    return (
+        est_df.crossJoin(F.broadcast(brackets))
+        .select(
+            "q",
+            "n_rows",
+            (
+                (F.col("est") >= F.element_at(lo, qpos.cast("int")))
+                & (F.col("est") <= F.element_at(hi, qpos.cast("int")))
+            ).alias("within_bound"),
+        )
+    )
