@@ -524,3 +524,137 @@ def ann_topk_ivf_indexed(
         .filter(F.col("rn") <= k)
         .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 6) — the ANN serving compression standard
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_l2(x: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic plain-L2 k-means (PQ codebooks are Euclidean,
+    unlike the spherical coarse quantizer): seeded permutation init,
+    empty cells re-seeded deterministically, fixed iteration count."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.permutation(len(x))[:k]].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:  # re-seed an empty cell with the worst-served point
+                cent[c] = x[d.min(axis=1).argmax()]
+    return cent
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """(m, k, dim/m) PQ codebooks from a bounded, deterministic sample
+    (first ``train_sample`` ids — O(KB) to the driver, documented;
+    the production variant trains per-block k-means distributed and
+    broadcasts only the centroids, same contract)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans_l2(x[:, b * sub : (b + 1) * sub], k, seed=seed + b)
+            for b in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m codebook
+    indices (m bytes at k<=256, a 32x cut for 64-dim float32).  One
+    Arrow pass; codebooks broadcast in the closure (m*k*sub doubles)."""
+    m, _k, sub = codebooks.shape
+    cb = codebooks
+
+    def _enc(batches):
+        for pdf in batches:
+            vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for b in range(m):
+                block = vecs[:, b * sub : (b + 1) * sub]
+                d = ((block[:, None, :] - cb[b][None, :, :]) ** 2).sum(axis=2)
+                codes[:, b] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _enc, "__id long, codes array<int>"
+    )
+
+
+def pq_adc_top1(
+    codes_df: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Asymmetric distance computation: each query builds an (m, k)
+    lookup table of block distances ONCE; every corpus code scores as
+    m table lookups — no vector math per candidate, the PQ serving
+    trick.  Batch-local argmin per query cuts shuffle traffic to
+    one row per (query, batch); the final exact argmin ties break on
+    the lower corpus id (deterministic).  Returns (q_id, top1_id)."""
+    m, k, sub = codebooks.shape
+    luts = np.empty((len(queries), m, k), dtype=np.float64)
+    for qi, q in enumerate(queries):
+        for b in range(m):
+            luts[qi, b] = (
+                (codebooks[b] - q[b * sub : (b + 1) * sub][None, :]) ** 2
+            ).sum(axis=1)
+    qids = query_ids
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["__id"].to_numpy()
+            # dists[q, n] = sum over blocks of LUT[q, b, codes[n, b]]
+            dists = np.zeros((len(qids), len(ids)))
+            for b in range(m):
+                dists += luts[:, b, codes[:, b]]
+            # batch-local argmin, ties to the LOWER id regardless of
+            # row order so the result is partitioning-independent
+            minv = dists.min(axis=1, keepdims=True)
+            tied = dists == minv
+            best_id = np.where(tied, ids[None, :], np.iinfo(np.int64).max).min(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"q_id": qids, "cand_id": best_id, "dist": minv[:, 0]}
+            )
+
+    scored = codes_df.mapInPandas(_score, "q_id long, cand_id long, dist double")
+    return (
+        scored.groupBy("q_id")
+        .agg(F.min(F.struct("dist", "cand_id")).alias("best"))
+        .select("q_id", F.col("best.cand_id").alias("top1_id"))
+    )
