@@ -6743,3 +6743,106 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top1_id",
         (F.col("top1_id") == F.col("q_id")).alias("self_hit"),
     )
+
+
+@query(
+    "anomaly_zscore_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    w AS (
+      SELECT hour, cnt,
+             count(*) OVER tw AS n_prev,
+             sum(cnt) OVER tw AS s1,
+             sum(cnt * cnt) OVER tw AS s2
+      FROM c
+      WINDOW tw AS (ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           floor((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24)
+                 / sqrt((24 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE)) / (24.0 * 24.0))
+                 * 1e4 + 0.5) / 1e4 AS z,
+           abs(floor((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24)
+                 / sqrt((24 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE)) / (24.0 * 24.0))
+                 * 1e4 + 0.5) / 1e4) >= 2.0 AS is_anomaly
+    FROM w
+    WHERE n_prev = 24
+      AND 24 * s2 - s1 * s1 > 0
+    """,
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event rate —
+    the standard ops-monitoring primitive: each hour scores against
+    the TRAILING 24 hours (current excluded), z = (x - mean)/stddev,
+    flagged at |z| >= 2.  The spine densifies missing hours to zero so
+    the trailing window is 24 real HOURS, not 24 non-empty rows.
+
+    Exactness: the rolling mean/variance come from integer window
+    sums (s1, s2) combined by the population-variance identity; the
+    only float steps are IEEE divisions/sqrt of exact integers,
+    rounded 4dp — cross-engine identical, unlike a windowed
+    stddev_samp fold of doubles.
+
+    100 TB shape: the hourly pre-aggregation is the only corpus-scale
+    shuffle; the window runs over the tiny dense spine.  (A single
+    unpartitioned time-ordered window is spine-sized here; at
+    century-scale spines, partition by coarse time and overlap 24
+    rows.)"""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tw = Window.orderBy("hour").rowsBetween(-24, -1)
+    w = (
+        c.withColumn("n_prev", F.count("*").over(tw))
+        .withColumn("s1", F.sum("cnt").over(tw))
+        .withColumn("s2", F.sum(F.col("cnt") * F.col("cnt")).over(tw))
+        .filter(
+            (F.col("n_prev") == 24)
+            & (24 * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+    )
+    zraw = (
+        F.col("cnt").cast("double") - F.col("s1").cast("double") / 24
+    ) / F.sqrt(
+        (
+            24 * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (24.0 * 24.0)
+    )
+    z = F.floor(zraw * 1e4 + F.lit(0.5)) / 1e4
+    return w.select(
+        "hour",
+        F.col("cnt").cast("long").alias("cnt"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
