@@ -547,3 +547,43 @@ def test_boilerplate_strip_joins_are_keyed_stats_broadcast(spark, sf_dir):
 
     plan = explain_str(QX.boilerplate_chunk_strip(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_no_cartesian_all_joins_keyed(spark, sf_dir):
+    """Both the co-occurrence self-join and the two triangle-closing
+    joins must be equi-keyed — a cartesian here is |E|^2."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.triangle_count_copurchase(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_copurchase_lift_topk_take_ordered(spark, sf_dir):
+    """Top-50 by lift must compile to TakeOrderedAndProject, never a
+    global sort of all pairs; no cartesian anywhere except the
+    documented 1-row order-count broadcast."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.copurchase_lift_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_federated_union_is_plan_level_no_cartesian(spark, sf_dir):
+    """The three sources union inside one plan (Union node present)
+    and the metadata join is doc_id-keyed."""
+    from flo_spark import queries_ext as QX
+
+    plan = explain_str(QX.federated_trimodal_join(spark, sf_dir))
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_stage_predicates_reach_the_scan(spark, sf_dir):
+    """Each funnel stage filters to ONE event type before any join —
+    the event_type predicate must land in PushedFilters."""
+    from flo_spark import queries_ext as QX
+
+    pf = pushed_filters(QX.funnel_conversion(spark, sf_dir))
+    joined = ",".join(pf)
+    assert "event_type" in joined, pf
