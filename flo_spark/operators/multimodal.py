@@ -353,6 +353,10 @@ def _decode_tiff(payload: bytes):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library"
         )
+    if tags.get(284, [1])[0] != 1:
+        # planar (RRR..GGG..BBB) layout would silently scramble under a
+        # chunky reshape — refuse loudly instead of mis-decoding
+        raise NotImplementedError("planar-configuration TIFF unsupported")
     samples = tags.get(277, [1])[0]
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
@@ -369,6 +373,65 @@ def _decode_tiff(payload: bytes):
     return arr
 
 
+def encode_tiff_baseline(
+    arr,
+    byteorder: str = "<",
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+) -> bytes:
+    """Assemble a baseline uncompressed TIFF from an (H, W, C) uint8
+    array: header, pixel strips, one IFD with offset-stored
+    multi-value tags where needed.  The single encoder behind both the
+    hash-checked round-trip entry and the decoder unit tests, so the
+    fixtures and the catalog always exercise the same container
+    layout."""
+    import struct
+
+    h, w, c = arr.shape
+    rps = rows_per_strip or h
+    strips = [arr[r : r + rps].tobytes() for r in range(0, h, rps)]
+    pos, offs = 8, []
+    for st in strips:
+        offs.append(pos)
+        pos += len(st)
+    ifd_off = pos
+    photo = photometric if photometric is not None else (1 if c == 1 else 2)
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c), (259, 3, [1]),
+        (262, 3, [photo]), (273, 4, offs), (277, 3, [c]), (278, 4, [rps]),
+        (279, 4, [len(st) for st in strips]),
+    ]
+    tsize, tfmt = {3: 2, 4: 4}, {3: "H", 4: "I"}
+    overflow = b""
+    ov_pos = ifd_off + 2 + 12 * len(entries) + 4
+    packed = []
+    for tag, typ, vals in entries:
+        total = tsize[typ] * len(vals)
+        raw = struct.pack(byteorder + tfmt[typ] * len(vals), *vals)
+        if total <= 4:
+            packed.append(
+                struct.pack(byteorder + "HHI", tag, typ, len(vals))
+                + raw.ljust(4, b"\0")
+            )
+        else:
+            packed.append(
+                struct.pack(
+                    byteorder + "HHII", tag, typ, len(vals),
+                    ov_pos + len(overflow),
+                )
+            )
+            overflow += raw
+    header = struct.pack(
+        byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, ifd_off
+    )
+    ifd = (
+        struct.pack(byteorder + "H", len(entries))
+        + b"".join(packed)
+        + struct.pack(byteorder + "I", 0)
+    )
+    return header + b"".join(strips) + ifd + overflow
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, C) uint8 numpy array.
 
@@ -378,22 +441,33 @@ def decode_image(payload: bytes):
     uses PIL when available (guarded optional import — deployments
     with codec libraries get the full decoder transparently) and
     raises NotImplementedError where it isn't."""
-    if payload[:2] in (b"P6", b"P5"):
-        return _decode_ppm(bytes(payload))
-    if payload[:2] == b"BM":
-        return _decode_bmp(bytes(payload))
-    if bytes(payload[:8]) == _PNG_SIG:
-        return _decode_png(bytes(payload))
-    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
-        return _decode_tiff(bytes(payload))
+    native_miss: NotImplementedError | None = None
+    try:
+        if payload[:2] in (b"P6", b"P5"):
+            return _decode_ppm(bytes(payload))
+        if payload[:2] == b"BM":
+            return _decode_bmp(bytes(payload))
+        if bytes(payload[:8]) == _PNG_SIG:
+            return _decode_png(bytes(payload))
+        if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+            return _decode_tiff(bytes(payload))
+    except NotImplementedError as exc:
+        # a container we sniff but whose variant needs a codec library
+        # (e.g. LZW TIFF) must still reach the PIL path when present —
+        # the fallback contract this docstring promises
+        native_miss = exc
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - no PIL in container
-        raise NotImplementedError(
-            "compressed-image decode requires PIL, not present in this "
-            "container; PPM/PGM/BMP payloads decode natively above"
+        raise (
+            native_miss
+            or NotImplementedError(
+                "compressed-image decode requires PIL, not present in this "
+                "container; PPM/PGM/BMP/PNG/TIFF payloads decode natively "
+                "above"
+            )
         ) from exc
     import numpy as np
 
@@ -435,22 +509,37 @@ def decode_audio(payload: bytes):
         else:
             raise NotImplementedError(f"unsupported WAV sample width {width}")
         return samples.reshape(-1, n_ch), rate
-    if bytes(payload[:4]) == b".snd":
-        return _decode_au(bytes(payload))
-    if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
-        return _decode_aiff(bytes(payload))
+    native_miss: NotImplementedError | None = None
+    try:
+        if bytes(payload[:4]) == b".snd":
+            return _decode_au(bytes(payload))
+        if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
+            return _decode_aiff(bytes(payload))
+    except NotImplementedError as exc:
+        # A-law AU, 24-bit AIFF, etc. must still reach soundfile when
+        # the deployment carries it — the documented fallback contract
+        native_miss = exc
     try:
         import soundfile  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - not in container
-        raise NotImplementedError(
-            "compressed-audio decode requires soundfile, not present in "
-            "this container; PCM WAV/AU/AIFF payloads decode natively above"
+        raise (
+            native_miss
+            or NotImplementedError(
+                "compressed-audio decode requires soundfile, not present in "
+                "this container; PCM WAV/AU/AIFF payloads decode natively "
+                "above"
+            )
         ) from exc
     return soundfile.read(io.BytesIO(payload))  # pragma: no cover
 
 
 #: G.711 mu-law segment decode table construction is pure arithmetic, so
-#: build the 256-entry LUT once (the format IS the lookup table)
+#: build the 256-entry LUT once (the format IS the lookup table);
+#: lru_cache keeps it once-per-process without importing numpy eagerly
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _mulaw_lut():
     import numpy as np
 

@@ -595,6 +595,8 @@ def pq_encode(
 
     def _enc(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             vecs = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for b in range(m):

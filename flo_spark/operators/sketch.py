@@ -127,3 +127,44 @@ class QuantileSketch:
             sk.levels = [np.empty(0, dtype=np.float64)]
         sk.rank_error_bound = int(bound)
         return sk
+
+
+# -- shared Spark reduction helpers ---------------------------------------
+#
+# One implementation of the per-partition partial build and the
+# shard-row merge, used by BOTH the batch entry and the streaming
+# monitor — so a fix (e.g. the NaN filtering below) lands everywhere.
+
+SKETCH_ROW_SCHEMA = "levels array<array<double>>, bound long"
+
+
+def sketch_partials_fn(capacity: int = 1024, col: str = "v"):
+    """mapInPandas body: fold a partition's values into one sketch row.
+    NULL/NaN values are dropped — they carry no rank and would poison
+    every quantile above their sort position."""
+
+    def partials(it):
+        import pandas as pd
+
+        sk = QuantileSketch(capacity)
+        seen = False
+        for pdf in it:
+            if len(pdf):
+                vals = pdf[col].to_numpy(dtype=np.float64)
+                vals = vals[~np.isnan(vals)]
+                if vals.size:
+                    seen = True
+                    sk.add(vals)
+        if seen:
+            levels, bound = sk.to_row()
+            yield pd.DataFrame({"levels": [levels], "bound": [bound]})
+
+    return partials
+
+
+def merge_sketch_rows(pdf, capacity: int = 1024) -> QuantileSketch:
+    """Fold a frame of serialized sketch rows into one sketch."""
+    sk = QuantileSketch(capacity)
+    for levels, bound in zip(pdf["levels"], pdf["bound"]):
+        sk.merge(QuantileSketch.from_row(list(levels), int(bound), capacity))
+    return sk

@@ -6321,58 +6321,16 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same sums from the formula — a defect in tag
     parsing, endianness, strip concatenation, or geometry breaks the
     hash."""
-    import struct
-
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from flo_spark.operators.multimodal import decode_image
+    from flo_spark.operators.multimodal import (
+        decode_image,
+        encode_tiff_baseline,
+    )
 
     W, H, C = 6, 4, 3
-
-    def _tiff(arr, bo: str) -> bytes:
-        h, w, c = arr.shape
-        rps = 2
-        strips = [arr[r : r + rps].tobytes() for r in range(0, h, rps)]
-        pos, offs = 8, []
-        for st in strips:
-            offs.append(pos)
-            pos += len(st)
-        ifd_off = pos
-        entries = [
-            (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c), (259, 3, [1]),
-            (262, 3, [2]), (273, 4, offs), (277, 3, [c]), (278, 4, [rps]),
-            (279, 4, [len(st) for st in strips]),
-        ]
-        tsize, tfmt = {3: 2, 4: 4}, {3: "H", 4: "I"}
-        overflow = b""
-        ov_pos = ifd_off + 2 + 12 * len(entries) + 4
-        packed = []
-        for tag, typ, vals in entries:
-            total = tsize[typ] * len(vals)
-            raw = struct.pack(bo + tfmt[typ] * len(vals), *vals)
-            if total <= 4:
-                packed.append(
-                    struct.pack(bo + "HHI", tag, typ, len(vals))
-                    + raw.ljust(4, b"\0")
-                )
-            else:
-                packed.append(
-                    struct.pack(
-                        bo + "HHII", tag, typ, len(vals), ov_pos + len(overflow)
-                    )
-                )
-                overflow += raw
-        header = struct.pack(
-            bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off
-        )
-        ifd = (
-            struct.pack(bo + "H", len(entries))
-            + b"".join(packed)
-            + struct.pack(bo + "I", 0)
-        )
-        return header + b"".join(strips) + ifd + overflow
 
     def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -6384,7 +6342,9 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (int(doc_id) * 11 + np.arange(W * H * C)) % 256
                 ).astype(np.uint8).reshape(H, W, C)
                 bo = "<" if doc_id % 2 == 0 else ">"
-                got = decode_image(_tiff(arr, bo))
+                got = decode_image(
+                    encode_tiff_baseline(arr, bo, rows_per_strip=2)
+                )
                 out["doc_id"].append(int(doc_id))
                 out["n_channels"].append(int(got.size))
                 out["sum_pixels"].append(int(got.astype(np.int64).sum()))
@@ -6563,30 +6523,19 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked worst-case rank-error bound must stay under 2% of n —
     both emitted as booleans, deterministic because compaction is
     (capacity=1024, alternating-pick) deterministic."""
-    from flo_spark.operators.sketch import QuantileSketch
-
-    from collections.abc import Iterator
+    from flo_spark.operators.sketch import (
+        SKETCH_ROW_SCHEMA,
+        merge_sketch_rows,
+        sketch_partials_fn,
+    )
 
     import pandas as pd
 
     QS = [0.25, 0.5, 0.75, 0.9]
     CAP, EPS = 1024, 0.02
 
-    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk = QuantileSketch(CAP)
-        seen = False
-        for pdf in it:
-            if len(pdf):
-                seen = True
-                sk.add(pdf["v"].to_numpy())
-        if seen:
-            levels, bound = sk.to_row()
-            yield pd.DataFrame({"levels": [levels], "bound": [bound]})
-
     def merge_query(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = QuantileSketch(CAP)
-        for levels, bound in zip(pdf["levels"], pdf["bound"]):
-            sk.merge(QuantileSketch.from_row(list(levels), int(bound), CAP))
+        sk = merge_sketch_rows(pdf, CAP)
         n = sk.total_weight()
         return pd.DataFrame(
             {
@@ -6597,7 +6546,7 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     o = load(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
-    parts = o.mapInPandas(partials, "levels array<array<double>>, bound long")
+    parts = o.mapInPandas(sketch_partials_fn(CAP), SKETCH_ROW_SCHEMA)
     merged = (
         parts.withColumn("g", F.lit(1))
         .groupBy("g")

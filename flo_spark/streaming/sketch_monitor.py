@@ -43,25 +43,18 @@ def fold_sketch_batch(
     exactly once across crash replays (overwrite-own-shard)."""
     import pandas as pd
 
-    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk = QuantileSketch(capacity)
-        seen = False
-        for pdf in it:
-            if len(pdf):
-                seen = True
-                sk.add(pdf["v"].to_numpy())
-        if seen:
-            levels, bound = sk.to_row()
-            yield pd.DataFrame({"levels": [levels], "bound": [bound]})
+    from flo_spark.operators.sketch import (
+        merge_sketch_rows,
+        sketch_partials_fn,
+    )
 
     def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = QuantileSketch(capacity)
-        for levels, bound in zip(pdf["levels"], pdf["bound"]):
-            sk.merge(QuantileSketch.from_row(list(levels), int(bound), capacity))
-        levels, bound = sk.to_row()
+        levels, bound = merge_sketch_rows(pdf, capacity).to_row()
         return pd.DataFrame({"levels": [levels], "bound": [bound]})
 
-    parts = batch.select(value.alias("v")).mapInPandas(partials, _SCHEMA)
+    parts = batch.select(value.alias("v")).mapInPandas(
+        sketch_partials_fn(capacity), _SCHEMA
+    )
     merged = (
         parts.withColumn("g", F.lit(1))
         .groupBy("g")

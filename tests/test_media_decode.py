@@ -434,61 +434,14 @@ def test_au_signed8_and_unsupported_encoding():
 # ---------------------------------------------------------------------------
 
 
-def _tiff_bytes(arr, byteorder: str = "<", rows_per_strip: int | None = None,
-                photometric: int | None = None) -> bytes:
-    """Hand-assemble a baseline uncompressed TIFF: header, pixel strips,
-    then one IFD with offset-stored multi-value tags where needed."""
-    import struct
+from flo_spark.operators.multimodal import encode_tiff_baseline as _tiff_bytes_impl
 
-    import numpy as np
 
-    h, w, c = arr.shape
-    rps = rows_per_strip or h
-    strips = [
-        arr[r : r + rps].tobytes() for r in range(0, h, rps)
-    ]
-    pos = 8
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(pos)
-        pos += len(s)
-    ifd_off = pos
-    header = struct.pack(
-        byteorder + "2sHI", b"II" if byteorder == "<" else b"MM", 42, ifd_off
-    )
-    photo = photometric if photometric is not None else (1 if c == 1 else 2)
-    entries = [
-        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c), (259, 3, [1]),
-        (262, 3, [photo]), (273, 4, strip_offs), (277, 3, [c]),
-        (278, 4, [rps]), (279, 4, [len(s) for s in strips]),
-    ]
-    type_size = {3: 2, 4: 4}
-    type_fmt = {3: "H", 4: "I"}
-    overflow = b""
-    overflow_pos = ifd_off + 2 + 12 * len(entries) + 4
-    packed = []
-    for tag, typ, vals in entries:
-        total = type_size[typ] * len(vals)
-        raw = struct.pack(byteorder + type_fmt[typ] * len(vals), *vals)
-        if total <= 4:
-            packed.append(
-                struct.pack(byteorder + "HHI", tag, typ, len(vals))
-                + raw.ljust(4, b"\0")
-            )
-        else:
-            packed.append(
-                struct.pack(
-                    byteorder + "HHII", tag, typ, len(vals),
-                    overflow_pos + len(overflow),
-                )
-            )
-            overflow += raw
-    ifd = (
-        struct.pack(byteorder + "H", len(entries))
-        + b"".join(packed)
-        + struct.pack(byteorder + "I", 0)
-    )
-    return header + b"".join(strips) + ifd + overflow
+def _tiff_bytes(arr, byteorder="<", rows_per_strip=None, photometric=None):
+    """Thin alias onto the engine's shared baseline-TIFF encoder so the
+    unit tests and the hash-checked catalog entry exercise the SAME
+    container layout."""
+    return _tiff_bytes_impl(arr, byteorder, rows_per_strip, photometric)
 
 
 def test_tiff_rgb_both_byteorders_and_strips():
