@@ -478,3 +478,70 @@ def test_drop_duplicates_within_watermark_state_ttl(spark, tmp_path):
         assert counts["k_live"] == 1, counts
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a left row with no match within
+    the join window emits WITH NULLS only after the watermark passes
+    the window's end (state eviction) — never eagerly.  Pin both
+    halves: the matched row joins normally; the unmatched row appears
+    exactly once, null-extended, after late data advances the
+    watermark."""
+    import datetime as dt
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+
+    def write(d, name, rows):
+        spark.createDataFrame(
+            [(ad, dt.datetime(2024, 1, 1, *hm)) for ad, hm in rows],
+            "ad string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(str(d / name))
+
+    write(imp_dir, "b1", [("adA", (10, 0)), ("adB", (10, 0))])
+    write(clk_dir, "b1", [("adA", (10, 5))])
+    imp = (
+        spark.readStream.schema("ad string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(imp_dir / "*"))
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("ad"), F.col("ts").alias("imp_ts"))
+    )
+    clk = (
+        spark.readStream.schema("ad string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(clk_dir / "*"))
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("ad").alias("c_ad"), F.col("ts").alias("clk_ts"))
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            "ad = c_ad AND clk_ts >= imp_ts"
+            " AND clk_ts <= imp_ts + interval 10 minutes"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.ad: r.clk_ts for r in spark.table("ss_left_outer").collect()
+        }
+        assert got.get("adA") is not None  # matched within the window
+        # adB unmatched: null emission only after the watermark passes
+        # imp_ts + 10min; push both streams past it
+        write(imp_dir, "b2", [("late1", (11, 0))])
+        write(clk_dir, "b2", [("late2", (11, 0))])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT ad, clk_ts FROM ss_left_outer WHERE ad = 'adB'"
+        ).collect()
+        assert len(rows) == 1 and rows[0].clk_ts is None, rows
+    finally:
+        q.stop()
