@@ -6795,3 +6795,99 @@ def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "ewma_hourly_trend",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt, CAST(cnt * 16 AS BIGINT) AS s
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+             CAST(r.s + (c.cnt * 16 - r.s) // 4 AS BIGINT)
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           s AS ewma_x16,
+           CAST(cnt * 16 - s AS BIGINT) AS residual_x16
+    FROM r
+    """,
+)
+def ewma_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly event rate
+    (alpha = 1/4) in EXACT FIXED POINT: the recurrence
+    s_t = s_{t-1} + (16*x_t - s_{t-1}) div 4 runs in scale-16
+    integers with floor division, so every engine that replays it —
+    here DuckDB via a RECURSIVE CTE stepping the same integers — lands
+    bit-identical, where a float EWMA would drift by an ulp per step.
+    The residual column is the trend-adjusted deviation the smoothing
+    exists to expose.
+
+    100 TB shape: the corpus-scale work is the hourly pre-aggregation
+    (one shuffle); the recurrence itself runs over the tiny dense
+    spine in a single applyInPandas task.  An exact integer EWMA is
+    inherently sequential (truncating division breaks the linearity that
+    would admit a parallel prefix scan); the float variant composes
+    associatively and could segment-scan — the entry trades that for
+    cross-engine exactness, and says so."""
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        s, out = None, []
+        for cnt in pdf["cnt"]:
+            x = int(cnt) * 16
+            if s is None:
+                s = x
+            else:
+                d = x - s
+                # truncate toward zero, matching SQL integer division
+                s = s + (d // 4 if d >= 0 else -((-d) // 4))
+            out.append(s)
+        pdf["ewma_x16"] = out
+        pdf["residual_x16"] = pdf["cnt"] * 16 - pdf["ewma_x16"]
+        return pdf[["hour", "cnt", "ewma_x16", "residual_x16"]]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold, "hour timestamp, cnt long, ewma_x16 long, residual_x16 long"
+        )
+    )
