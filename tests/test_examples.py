@@ -1,0 +1,18 @@
+"""The examples must actually run — they are the 'switching user's
+first session' and rot silently otherwise."""
+
+import subprocess
+import sys
+
+
+def test_curation_pipeline_example_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/curation_pipeline.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "after near-dedup" in out.stdout
+    assert "train" in out.stdout and "test" in out.stdout
