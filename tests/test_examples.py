@@ -16,3 +16,20 @@ def test_curation_pipeline_example_runs():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "after near-dedup" in out.stdout
     assert "train" in out.stdout and "test" in out.stdout
+
+
+def test_event_store_tour_example_runs(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "examples/event_store_tour.py",
+            str(tmp_path / "tour"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "acked id ranges" in out.stdout
+    assert "format('flo') scan sees 6 events" in out.stdout
