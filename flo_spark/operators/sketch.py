@@ -168,3 +168,98 @@ def merge_sketch_rows(pdf, capacity: int = 1024) -> QuantileSketch:
     for levels, bound in zip(pdf["levels"], pdf["bound"]):
         sk.merge(QuantileSketch.from_row(list(levels), int(bound), capacity))
     return sk
+
+
+# -------------------------------------------------------------------------
+# Theta sketch (KMV) — set ALGEBRA on sketches, which HLL cannot do
+# -------------------------------------------------------------------------
+
+
+class ThetaSketch:
+    """K-minimum-values theta sketch over hashed items (Beyer et al.;
+    the DataSketches theta family).  Where HLL supports only union,
+    theta sketches estimate INTERSECTIONS and differences of sets that
+    were sketched independently — the "how many users did both X and
+    Y" question at 100 TB without a distinct-join.
+
+    Determinism: items hash through blake2b/8B to a uniform point in
+    [0, 2^63); the sketch keeps the k smallest points, so its state is
+    a pure function of the item SET — insertion order, partitioning,
+    and merge order all cancel (property-tested).  With fewer than k
+    distinct items the sketch is EXACT.
+
+    Estimation: with the k-th smallest point at T (theta = T / 2^63),
+    the retained points are a uniform sample of the set at rate theta,
+    so |S| ~= (k - 1) / theta.  Intersection: cut both sketches to
+    theta = min(theta_a, theta_b); common retained points / theta
+    estimates the overlap.  Relative error ~ 1/sqrt(k)."""
+
+    MAX_HASH = 1 << 63
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self._hashes: np.ndarray = np.empty(0, dtype=np.int64)
+
+    @staticmethod
+    def hash_items(items) -> np.ndarray:
+        import hashlib
+
+        out = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(x).encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                >> 1  # into [0, 2^63)
+                for x in items
+            ),
+            dtype=np.int64,
+            count=len(items),
+        )
+        return out
+
+    def add_hashes(self, hashes: np.ndarray) -> "ThetaSketch":
+        merged = np.unique(np.concatenate([self._hashes, hashes]))
+        self._hashes = merged[: self.k]
+        return self
+
+    def add(self, items) -> "ThetaSketch":
+        return self.add_hashes(self.hash_items(list(items)))
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        return self.add_hashes(other._hashes)
+
+    def theta(self) -> float:
+        if len(self._hashes) < self.k:
+            return 1.0
+        return float(self._hashes[-1]) / self.MAX_HASH
+
+    def estimate(self) -> float:
+        if len(self._hashes) < self.k:
+            return float(len(self._hashes))  # exact below capacity
+        return (self.k - 1) / self.theta()
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        th = min(self.theta(), other.theta())
+        cut = int(th * self.MAX_HASH)
+        a = self._hashes[self._hashes < cut] if th < 1.0 else self._hashes
+        b = other._hashes[other._hashes < cut] if th < 1.0 else other._hashes
+        common = np.intersect1d(a, b, assume_unique=True)
+        if th >= 1.0:
+            return float(len(common))  # both exact
+        return len(common) / th
+
+    # -- columnar (de)serialization ---------------------------------------
+
+    def to_row(self) -> list[int]:
+        return self._hashes.tolist()
+
+    @classmethod
+    def from_row(cls, hashes: list[int], k: int = 256) -> "ThetaSketch":
+        sk = cls(k)
+        sk._hashes = np.asarray(sorted(hashes), dtype=np.int64)[:k]
+        return sk

@@ -6891,3 +6891,94 @@ def ewma_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold, "hour timestamp, cnt long, ewma_x16 long, residual_x16 long"
         )
     )
+
+
+@query(
+    "theta_sketch_audience_overlap",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_overlap AS BIGINT) AS n_exact_overlap,
+           TRUE AS within_bound
+    FROM p
+    """,
+)
+def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via theta (KMV) sketches
+    (operators/sketch.py::ThetaSketch) — the set-ALGEBRA sketch: HLL
+    unions but cannot intersect, so 'users who did both X and Y'
+    normally costs a distinct-join per pair; theta sketches answer it
+    from per-segment sketches built ONCE.  Each event type's user set
+    reduces to a k=256 minimum-hash sample (one applyInPandas task per
+    type, groups parallel); all pairwise overlaps then come from the
+    O(types) collected sketch rows — a documented, bounded driver
+    step, never the user sets.
+
+    Contract: the sketch state is provably independent of insertion
+    order, chunking, and merge order (property-tested), so estimates
+    are deterministic; each must land within 4/sqrt(k) of the exact
+    overlap scaled by the pair's union (the theta error model), and
+    below k distinct users the sketch — hence the estimate — is EXACT.
+    The exact overlaps come from the same scan and pin the pairing."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import ThetaSketch
+
+    K = 256
+    du = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = ThetaSketch(K).add(pdf["user_id"].tolist())
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "hashes": [sk.to_row()]}
+        )
+
+    sk_rows = (
+        du.groupBy("event_type")
+        .applyInPandas(build, "event_type string, hashes array<long>")
+        .collect()  # O(types) tiny rows, documented
+    )
+    sketches = {
+        r.event_type: ThetaSketch.from_row(list(r.hashes), K) for r in sk_rows
+    }
+    sizes = {t: sk.estimate() for t, sk in sketches.items()}
+    types = sorted(sketches)
+    rel = 4 / K ** 0.5
+    est_rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            est = sketches[ta].intersect_estimate(sketches[tb])
+            union_est = sizes[ta] + sizes[tb] - est
+            est_rows.append((ta, tb, float(est), float(union_est)))
+    est_df = spark.createDataFrame(
+        est_rows, "type_a string, type_b string, est double, union_est double"
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_exact_overlap"))
+    )
+    return exact.join(est_df, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_exact_overlap",
+        (
+            F.abs(F.col("est") - F.col("n_exact_overlap"))
+            <= rel * F.col("union_est") + F.lit(1e-9)
+        ).alias("within_bound"),
+    )

@@ -76,3 +76,55 @@ def test_exact_when_under_capacity():
     assert sk.quantile(0.0) == 1.0
     assert sk.quantile(0.5) == 3.0
     assert sk.quantile(1.0) == 9.0
+
+
+# -- theta sketch ----------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    items=st.sets(st.integers(0, 10**9), min_size=0, max_size=2000),
+    n_chunks=st.integers(1, 6),
+    k=st.sampled_from([16, 64, 256]),
+    seed=st.integers(0, 2**31),
+)
+def test_theta_state_independent_of_chunking_and_order(items, n_chunks, k, seed):
+    from flo_spark.operators.sketch import ThetaSketch
+
+    rng = np.random.default_rng(seed)
+    arr = list(items)
+    rng.shuffle(arr)
+    bounds = sorted(rng.choice(len(arr), size=min(n_chunks - 1, len(arr)), replace=False)) if n_chunks > 1 and arr else []
+    chunks = np.split(np.array(arr, dtype=object), bounds) if arr else [[]]
+    merged = ThetaSketch(k)
+    for c in chunks:
+        merged.merge(ThetaSketch(k).add(list(c)))
+    direct = ThetaSketch(k).add(items)
+    assert merged.to_row() == direct.to_row()  # order/partitioning cancels
+    if len(items) < k:
+        assert merged.estimate() == len(items)  # exact below capacity
+
+
+def test_theta_estimate_and_intersection_error_bounds():
+    from flo_spark.operators.sketch import ThetaSketch
+
+    k = 512
+    a_items = [f"a{i}" for i in range(20000)] + [f"c{i}" for i in range(5000)]
+    b_items = [f"b{i}" for i in range(10000)] + [f"c{i}" for i in range(5000)]
+    a = ThetaSketch(k).add(a_items)
+    b = ThetaSketch(k).add(b_items)
+    rel = 4 / np.sqrt(k)  # ~4 standard errors
+    assert abs(a.estimate() - 25000) <= rel * 25000
+    assert abs(b.estimate() - 15000) <= rel * 15000
+    inter = a.intersect_estimate(b)
+    # intersection error scales with the UNION size at the common theta
+    assert abs(inter - 5000) <= rel * 40000
+
+
+def test_theta_exact_small_set_intersection():
+    from flo_spark.operators.sketch import ThetaSketch
+
+    a = ThetaSketch(64).add(["x", "y", "z", "w"])
+    b = ThetaSketch(64).add(["y", "z", "q"])
+    assert a.estimate() == 4 and b.estimate() == 3
+    assert a.intersect_estimate(b) == 2.0  # both under capacity: exact
