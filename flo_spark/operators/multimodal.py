@@ -451,6 +451,8 @@ def decode_image(payload: bytes):
             return _decode_png(bytes(payload))
         if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
             return _decode_tiff(bytes(payload))
+        if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(bytes(payload))
     except NotImplementedError as exc:
         # a container we sniff but whose variant needs a codec library
         # (e.g. LZW TIFF) must still reach the PIL path when present —
@@ -729,3 +731,178 @@ def resize_images(
             yield pdf
 
     return assets.mapInPandas(_batches, schema=out_schema)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, dynamic code width
+    3..12 bits, CLEAR/END control codes) — implemented from the GIF89a
+    spec appendix, no codec library."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh_dict():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh_dict()
+    code_size = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = fresh_dict()
+                code_size = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a first frame to (H, W, 3) uint8 RGB: logical screen
+    descriptor, global/local color tables, extension-block skipping,
+    sub-block reassembly, from-spec LZW decode, optional 4-pass
+    interlace reorder."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 0x07))
+                table = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+                pos += n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(arr)
+                deinter[order] = arr
+                arr = deinter
+            return table[arr].astype(np.uint8)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img, palette) -> bytes:
+    """Assemble a single-frame GIF89a from an (H, W) index array and an
+    RGB palette, with a greedy longest-match LZW encoder — the shared
+    encoder behind the hash-checked round-trip entry and the decoder
+    tests (which additionally cross-check against a dictionary-free
+    clear-heavy encoding)."""
+    import struct
+
+    h, w = img.shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    clear, end = 1 << depth, (1 << depth) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, depth + 1
+    acc = nbits = 0
+    data = bytearray()
+
+    def put(code, sz):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += sz
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, size)
+    buf = ()
+    for px in (int(v) for v in img.reshape(-1)):
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size) and size < 12:
+            size += 1
+        buf = (px,)
+    if buf:
+        put(table[buf], size)
+    put(end, size)
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    full = list(palette) + [(0, 0, 0)] * ((1 << depth) - n)
+    for rgb in full:
+        out += bytes(rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += bytes([depth])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3b"
+    return bytes(out)

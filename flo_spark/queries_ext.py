@@ -6982,3 +6982,56 @@ def theta_sketch_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             <= rel * F.col("union_est") + F.lit(1e-9)
         ).alias("within_bound"),
     )
+
+
+@query(
+    "multimodal_gif_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 48)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id * 5 + i) % 8) AS BIGINT) AS sum_indices
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, hash-checked: per document an 8x6 paletted
+    image with indices (doc_id*5 + i) % 8 encodes through the actual
+    GIF89a container — greedy LZW with dictionary growth and
+    code-width changes — and decodes through ``decode_image``'s
+    from-spec LZW implementation; the palette maps index k to
+    (k, 2k, 3k) so the recovered index is R, and summing it per doc
+    must reproduce the generating formula.  A defect anywhere in the
+    LZW bit unpacking, dictionary maintenance (incl. the KwKwK case),
+    sub-block reassembly, or palette application breaks the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_gif
+
+    W, H = 8, 6
+    PALETTE = [(k, 2 * k, 3 * k) for k in range(8)]
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_indices": []}
+            for doc_id in pdf.doc_id:
+                idx = (
+                    (int(doc_id) * 5 + np.arange(W * H)) % 8
+                ).astype(np.uint8).reshape(H, W)
+                got = decode_image(encode_gif(idx, PALETTE))
+                out["doc_id"].append(int(doc_id))
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                # channel R IS the palette index by construction
+                out["sum_indices"].append(int(got[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_indices long"
+    )

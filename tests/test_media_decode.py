@@ -480,3 +480,130 @@ def test_tiff_compressed_raises():
     buf[idx + 8] = 5
     with pytest.raises(NotImplementedError, match="compression 5"):
         decode_image(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 6): from-spec LZW, two independent encoders cross-check
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.acc, self.nbits, self.out = 0, 0, bytearray()
+
+    def put(self, code, size):
+        self.acc |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def done(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def _lzw_encode_greedy(indices, min_code_size):
+    """Proper greedy longest-match GIF LZW encoder (exercises the
+    decoder's dictionary-growth and width-change paths)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, min_code_size + 1
+    bw = _BitWriter()
+    bw.put(clear, size)
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        bw.put(table[buf], size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size) and size < 12:
+            size += 1
+        buf = (px,)
+    if buf:
+        bw.put(table[buf], size)
+    bw.put(end, size)
+    return bw.done()
+
+
+def _lzw_encode_clearheavy(indices, min_code_size):
+    """Dict-free encoder: CLEAR before every literal.  Trivially
+    correct straight from the spec (no dictionary is ever used), so it
+    cross-checks the greedy encoder + decoder pair independently."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    size = min_code_size + 1
+    bw = _BitWriter()
+    for px in indices:
+        bw.put(clear, size)
+        bw.put(px, size)
+    bw.put(end, size)
+    return bw.done()
+
+
+def _gif_bytes(img, palette, encoder, interlace=False):
+    import struct
+
+    h, w = img.shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    table = list(palette) + [(0, 0, 0)] * ((1 << depth) - n)
+    gct_flags = 0x80 | (depth - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, gct_flags, 0, 0)
+    for rgb in table:
+        out += bytes(rgb)
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    rows = img
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = img[order]
+    data = encoder([int(v) for v in rows.reshape(-1)], depth)
+    out += bytes([depth])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decodes_both_encoders_identically():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 5, size=(11, 9)).astype(np.uint8)
+    palette = [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200), (255, 255, 0)]
+    expected = np.array(palette, dtype=np.uint8)[img]
+    for enc in (_lzw_encode_greedy, _lzw_encode_clearheavy):
+        got = decode_image(_gif_bytes(img, palette, enc))
+        np.testing.assert_array_equal(got, expected, err_msg=enc.__name__)
+
+
+def test_gif_interlaced_and_extension_blocks():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 4, size=(13, 6)).astype(np.uint8)
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    payload = bytearray(_gif_bytes(img, palette, _lzw_encode_greedy, interlace=True))
+    # splice a graphic-control extension before the image descriptor
+    idesc = payload.index(b"\x2c")
+    payload[idesc:idesc] = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    got = decode_image(bytes(payload))
+    np.testing.assert_array_equal(
+        got, np.array(palette, dtype=np.uint8)[img]
+    )
+
+
+def test_gif_large_image_exercises_width_growth():
+    """Enough distinct pixel runs to push the LZW dictionary through
+    several code-width increases."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 16, size=(40, 50)).astype(np.uint8)
+    palette = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    got = decode_image(_gif_bytes(img, palette, _lzw_encode_greedy))
+    np.testing.assert_array_equal(got, np.array(palette, dtype=np.uint8)[img])
