@@ -349,7 +349,7 @@ def _decode_tiff(payload: bytes):
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag: {exc}") from exc
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 5):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a codec library"
         )
@@ -361,13 +361,23 @@ def _decode_tiff(payload: bytes):
     bits = tags.get(258, [8])
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"unsupported TIFF bit depths {bits}")
-    data = b"".join(
-        payload[o : o + n] for o, n in zip(strip_offs, strip_lens)
-    )
+    if compression == 5:
+        data = b"".join(
+            _lzw_decode_tiff(payload[o : o + n])
+            for o, n in zip(strip_offs, strip_lens)
+        )
+    else:
+        data = b"".join(
+            payload[o : o + n] for o, n in zip(strip_offs, strip_lens)
+        )
     arr = np.frombuffer(data, dtype=np.uint8)
     if len(arr) < height * width * samples:
         raise ValueError("TIFF strip data shorter than geometry")
     arr = arr[: height * width * samples].reshape(height, width, samples)
+    if tags.get(317, [1])[0] == 2:
+        # horizontal-differencing predictor: each row stores deltas
+        # from the previous pixel per channel; undo with a cumsum
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
     if tags.get(262, [1])[0] == 0:  # WhiteIsZero grayscale: invert
         arr = 255 - arr
     return arr
@@ -905,4 +915,57 @@ def encode_gif(img, palette) -> bytes:
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + bytes(chunk)
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec section 13): MSB-first bit packing,
+    8-bit symbols, CLEAR=256/EOI=257, and the 'early change' rule —
+    the code width grows one code EARLIER than in GIF (at next_code ==
+    2^size - 1)."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {i: bytes([i]) for i in range(256)}
+
+    table = fresh()
+    size, next_code = 9, EOI + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= size:
+            code = (acc >> (nbits - size)) & ((1 << size) - 1)
+            nbits -= size
+            acc &= (1 << nbits) - 1
+            if code == CLEAR:
+                table = fresh()
+                size, next_code = 9, EOI + 1
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt TIFF LZW stream: code {code}")
+            out += entry
+            prev = entry
+            # early change, decoder side: the decoder's table is one
+            # entry BEHIND the encoder's (the first code after CLEAR
+            # creates none), so it widens at 2^size - 2 — libtiff's
+            # maxcode-1 convention — to stay in step with an encoder
+            # that widens at 2^size - 1
+            if next_code == (1 << size) - 2 and size < 12:
+                size += 1
     return bytes(out)

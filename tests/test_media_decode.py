@@ -607,3 +607,143 @@ def test_gif_large_image_exercises_width_growth():
     palette = [(i * 16, 255 - i * 16, i) for i in range(16)]
     got = decode_image(_gif_bytes(img, palette, _lzw_encode_greedy))
     np.testing.assert_array_equal(got, np.array(palette, dtype=np.uint8)[img])
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (round 6): MSB-first early-change variant + predictor
+# ---------------------------------------------------------------------------
+
+
+class _MsbBitWriter:
+    def __init__(self):
+        self.acc, self.nbits, self.out = 0, 0, bytearray()
+
+    def put(self, code, size):
+        self.acc = (self.acc << size) | code
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def done(self):
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def _tiff_lzw_encode_greedy(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code, size = EOI + 1, 9
+    bw = _MsbBitWriter()
+    bw.put(CLEAR, size)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        bw.put(table[buf], size)
+        table[cand] = next_code
+        next_code += 1
+        buf = bytes([byte])
+        if next_code == (1 << size) - 1:  # early change
+            if size < 12:
+                size += 1
+            else:  # table full: CLEAR and start over (the spec's rule)
+                bw.put(CLEAR, size)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, size = EOI + 1, 9
+    if buf:
+        bw.put(table[buf], size)
+    bw.put(EOI, size)
+    return bw.done()
+
+
+def _tiff_lzw_encode_clearheavy(data: bytes) -> bytes:
+    """CLEAR before every literal — no dictionary, trivially correct,
+    the independent cross-check for the greedy encoder + decoder."""
+    CLEAR, EOI = 256, 257
+    bw = _MsbBitWriter()
+    for byte in data:
+        bw.put(CLEAR, 9)
+        bw.put(byte, 9)
+    bw.put(EOI, 9)
+    return bw.done()
+
+
+def _tiff_lzw_bytes(arr, encoder, predictor=False, rows_per_strip=None):
+    """Baseline TIFF container with compression=5 strips (and
+    optionally predictor=2), assembled around the shared encoder."""
+    import struct
+
+    h, w, c = arr.shape
+    rps = rows_per_strip or h
+    src = arr
+    if predictor:
+        first = src[:, :1, :].astype(np.int32)
+        deltas = np.diff(src.astype(np.int32), axis=1)
+        src = np.concatenate([first, deltas & 0xFF], axis=1).astype(np.uint8)
+    strips = [
+        encoder(src[r : r + rps].tobytes()) for r in range(0, h, rps)
+    ]
+    pos, offs = 8, []
+    for st in strips:
+        offs.append(pos)
+        pos += len(st)
+    ifd_off = pos
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * c), (259, 3, [5]),
+        (262, 3, [2 if c == 3 else 1]), (273, 4, offs), (277, 3, [c]),
+        (278, 4, [rps]), (279, 4, [len(st) for st in strips]),
+    ]
+    if predictor:
+        entries.append((317, 3, [2]))
+    tsize, tfmt = {3: 2, 4: 4}, {3: "H", 4: "I"}
+    overflow = b""
+    ov_pos = ifd_off + 2 + 12 * len(entries) + 4
+    packed = []
+    for tag, typ, vals in entries:
+        total = tsize[typ] * len(vals)
+        raw = struct.pack("<" + tfmt[typ] * len(vals), *vals)
+        if total <= 4:
+            packed.append(
+                struct.pack("<HHI", tag, typ, len(vals)) + raw.ljust(4, b"\0")
+            )
+        else:
+            packed.append(
+                struct.pack("<HHII", tag, typ, len(vals), ov_pos + len(overflow))
+            )
+            overflow += raw
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    ifd = (
+        struct.pack("<H", len(entries))
+        + b"".join(packed)
+        + struct.pack("<I", 0)
+    )
+    return header + b"".join(strips) + ifd + overflow
+
+
+def test_tiff_lzw_decodes_both_encoders():
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(10, 14, 3)).astype(np.uint8)
+    for enc in (_tiff_lzw_encode_greedy, _tiff_lzw_encode_clearheavy):
+        got = decode_image(_tiff_lzw_bytes(img, enc, rows_per_strip=4))
+        np.testing.assert_array_equal(got, img, err_msg=enc.__name__)
+
+
+def test_tiff_lzw_with_horizontal_predictor():
+    # a smooth gradient: exactly the content the predictor exists for
+    img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    got = decode_image(
+        _tiff_lzw_bytes(img, _tiff_lzw_encode_greedy, predictor=True)
+    )
+    np.testing.assert_array_equal(got, img)
+
+
+def test_tiff_lzw_large_exercises_width_growth():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(40, 60, 3)).astype(np.uint8)
+    got = decode_image(_tiff_lzw_bytes(img, _tiff_lzw_encode_greedy))
+    np.testing.assert_array_equal(got, img)
