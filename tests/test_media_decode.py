@@ -475,10 +475,11 @@ def test_tiff_compressed_raises():
 
     g = np.zeros((2, 2, 1), dtype=np.uint8)
     buf = bytearray(_tiff_bytes(g))
-    # flip the compression tag value (259 -> LZW=5) in place
+    # flip the compression tag value (259 -> JPEG=7) in place; LZW (5)
+    # now decodes natively, so use a genuinely codec-library variant
     idx = buf.find(struct.pack("<HH", 259, 3))
-    buf[idx + 8] = 5
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    buf[idx + 8] = 7
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_image(bytes(buf))
 
 
