@@ -487,6 +487,36 @@ def decode_image(payload: bytes):
         return np.asarray(img.convert("RGB"))
 
 
+def _decode_wav(payload: bytes):
+    """PCM WAV via the stdlib ``wave`` module + numpy: 8/16/32-bit int
+    samples de-interleaved to (frames, channels).  Widths the native
+    path can't handle (e.g. 24-bit) raise NotImplementedError so the
+    caller's soundfile fallback gets its chance."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        samples = (
+            np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        )
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    return samples.reshape(-1, n_ch), rate
+
+
 def decode_audio(payload: bytes):
     """Decode an audio payload to (samples: float32 ndarray in [-1, 1],
     rate: int).
@@ -498,31 +528,10 @@ def decode_audio(payload: bytes):
     where it isn't."""
     import io
 
-    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
-        import wave
-
-        import numpy as np
-
-        with wave.open(io.BytesIO(bytes(payload))) as wf:
-            rate = wf.getframerate()
-            n_ch = wf.getnchannels()
-            width = wf.getsampwidth()
-            raw = wf.readframes(wf.getnframes())
-        if width == 1:  # unsigned 8-bit
-            samples = (
-                np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
-            ) / 128.0
-        elif width == 2:
-            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        elif width == 4:
-            samples = (
-                np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-            )
-        else:
-            raise NotImplementedError(f"unsupported WAV sample width {width}")
-        return samples.reshape(-1, n_ch), rate
     native_miss: NotImplementedError | None = None
     try:
+        if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WAVE":
+            return _decode_wav(bytes(payload))
         if bytes(payload[:4]) == b".snd":
             return _decode_au(bytes(payload))
         if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
@@ -831,6 +840,10 @@ def _decode_gif(payload: bytes):
                 raise ValueError("GIF image without a color table")
             min_code = payload[pos]
             pos += 1
+            if not 2 <= min_code <= 8:
+                # spec bounds; a corrupt byte would otherwise allocate
+                # a 2^min_code literal table (hang/OOM on 40 or 255)
+                raise ValueError(f"invalid GIF LZW code size {min_code}")
             chunks = []
             while payload[pos]:
                 ln = payload[pos]
@@ -895,8 +908,13 @@ def encode_gif(img, palette) -> bytes:
         put(table[buf], size)
         table[cand] = next_code
         next_code += 1
-        if next_code - 1 == (1 << size) and size < 12:
-            size += 1
+        if next_code - 1 == (1 << size):
+            if size < 12:
+                size += 1
+            else:  # 12-bit table full: CLEAR and start over (spec rule)
+                put(clear, size)
+                table = {(i,): i for i in range(clear)}
+                next_code, size = end + 1, depth + 1
         buf = (px,)
     if buf:
         put(table[buf], size)

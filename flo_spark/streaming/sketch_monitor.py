@@ -18,14 +18,13 @@ O(batches) sketches, never touching the stream's raw history.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flo_spark.operators.sketch import (
+    SKETCH_ROW_SCHEMA as _SCHEMA,
+)
 from flo_spark.operators.sketch import QuantileSketch
-
-_SCHEMA = "levels array<array<double>>, bound long"
 
 
 def _shard(store_dir: str, batch_id: int) -> str:

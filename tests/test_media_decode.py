@@ -748,3 +748,36 @@ def test_tiff_lzw_large_exercises_width_growth():
     img = rng.randint(0, 256, size=(40, 60, 3)).astype(np.uint8)
     got = decode_image(_tiff_lzw_bytes(img, _tiff_lzw_encode_greedy))
     np.testing.assert_array_equal(got, img)
+
+
+def test_gif_encoder_handles_table_overflow_and_corrupt_code_size():
+    """A content-rich image pushes the LZW dictionary past the 12-bit
+    ceiling: the encoder must CLEAR and restart instead of leaking
+    13-bit codes (round trip pins it).  A corrupt minimum-code-size
+    byte must raise immediately, not allocate a 2^40-entry table."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 16, size=(128, 128)).astype(np.uint8)
+    pal = [(i, i, i) for i in range(16)]
+    from flo_spark.operators.multimodal import encode_gif
+
+    got = decode_image(encode_gif(img, pal))
+    np.testing.assert_array_equal(got[:, :, 0], img)
+
+    buf = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal[:2]))
+    buf[buf.index(0x2C) + 10] = 40
+    with pytest.raises(ValueError, match="invalid GIF LZW code size"):
+        decode_image(bytes(buf))
+
+
+def test_wav_unsupported_width_reaches_soundfile_fallback_contract():
+    """A 24-bit WAV must fall through toward the soundfile path (absent
+    here, so the NotImplementedError mentions it) instead of
+    dead-ending in the native WAV branch."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)  # 24-bit: native path can't, soundfile could
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x01\x02" * 8)
+    with pytest.raises(NotImplementedError, match="WAV sample width 3"):
+        decode_audio(buf.getvalue())
