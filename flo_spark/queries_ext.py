@@ -7035,3 +7035,77 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_indices long"
     )
+
+
+@query(
+    "gini_revenue_concentration",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, s,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY s, o_custkey) AS i,
+             count(*) OVER (PARTITION BY nationkey) AS n
+      FROM spend
+    )
+    SELECT n2.n_name AS nation,
+           CAST(max(r.n) AS BIGINT) AS n_customers,
+           floor(CAST(sum((2 * r.i - r.n - 1) * r.s) AS DOUBLE)
+                 / CAST(max(r.n) * sum(r.s) AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS gini
+    FROM ranked r JOIN nation n2 ON n2.n_nationkey = r.nationkey
+    GROUP BY n2.n_name
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) per nation over customer spend —
+    the inequality metric every marketplace dashboard carries, exact:
+    spend accumulates as 1e4-scaled integers, the Gini numerator
+    sum((2i - n - 1) * s_i) over the (spend, custkey)-ordered ranking
+    is pure integer arithmetic (the tie-break makes the ranking — and
+    thus the statistic — deterministic on any engine), and the only
+    float step is one final IEEE division of exact integers, rounded
+    4dp.
+
+    100 TB shape: one fact shuffle to per-customer spend, one
+    nation-partitioned window (state bounded per nation), one reduced
+    aggregate; the dim join broadcasts (nation = 25 rows, hinted per
+    the fixed-cardinality rule)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
+        )
+        .agg(F.sum(money_scaled(F.col("o_totalprice"))).alias("s"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("s", "o_custkey")
+    wn = Window.partitionBy("nationkey")
+    ranked = spend.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.join(F.broadcast(n), ranked["nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (
+                F.floor(
+                    F.sum(
+                        (2 * F.col("i") - F.col("n") - 1) * F.col("s")
+                    ).cast("double")
+                    / (F.max("n") * F.sum("s")).cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("gini"),
+        )
+    )
