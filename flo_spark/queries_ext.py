@@ -7109,3 +7109,68 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@query(
+    "herfindahl_supplier_share",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, s.s_suppkey,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                            + 0.5) AS BIGINT)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           floor(CAST(sum(v * v) AS DOUBLE)
+                 / (CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS hhi
+    FROM rev GROUP BY region
+    """,
+)
+def herfindahl_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per region over
+    supplier revenue shares — the antitrust-dashboard companion to the
+    Gini entry: HHI = sum(share_i^2) computed as
+    sum(v_i^2) / (sum v_i)^2 over exact 1e4-scaled revenue integers,
+    so both sums are exact (decimal(38,0)/HUGEINT — squares of
+    per-supplier revenue exceed long range at scale) and the single
+    IEEE division of exact integers rounds on the 6dp grid.
+
+    100 TB shape: one fact shuffle to (region, supplier) partials
+    (dims broadcast: region/nation fixed-cardinality, supplier rides
+    AQE), then a 5-row aggregate of reduced rows."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    v = F.sum(
+        money_scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("s_suppkey"))
+        .agg(v.alias("v"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    return rev.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        (
+            F.floor(
+                F.sum(d(F.col("v")) * d(F.col("v"))).cast("double")
+                / (
+                    F.sum(d(F.col("v"))).cast("double")
+                    * F.sum(d(F.col("v"))).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("hhi"),
+    )
