@@ -7174,3 +7174,95 @@ def herfindahl_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("hhi"),
     )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT l_returnflag, p,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY p) AS i,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ),
+    cuts AS (
+      SELECT l_returnflag,
+             max(CASE WHEN i = CAST(ceil(0.05 * n) AS BIGINT) THEN p END) AS lo,
+             max(CASE WHEN i = CAST(ceil(0.95 * n) AS BIGINT) THEN p END) AS hi,
+             max(n) AS n
+      FROM rk GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(c.n AS BIGINT) AS n_rows,
+           c.lo / 10000.0 AS p05,
+           c.hi / 10000.0 AS p95,
+           floor(CAST(sum(least(greatest(r.p, c.lo), c.hi)) AS DOUBLE)
+                 / c.n + 0.5) / 10000.0 AS winsorized_avg
+    FROM rk r JOIN cuts c USING (l_returnflag)
+    GROUP BY r.l_returnflag, c.n, c.lo, c.hi
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) price statistics per return flag —
+    the robust-mean recipe feature pipelines apply before
+    normalization: clamp every value to the EXACT 5th/95th order
+    statistics (rank ceil(q*n) over the 1e4-scaled integers — a
+    well-defined order statistic regardless of tie order) and average
+    the clamped integers on the money grid.  Everything is integer
+    arithmetic until the final exact division.
+
+    100 TB shape: one group-partitioned rank window (state bounded per
+    group), the 3-row cuts frame broadcasts back, and the clamped
+    aggregate is map-side combinable.  At extreme group cardinality
+    swap the rank window for approx_percentile bounds — the clamp
+    stays exact either way."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag", money_scaled(F.col("l_extendedprice")).alias("p")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("p")
+    wn = Window.partitionBy("l_returnflag")
+    rk = v.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    cuts = rk.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    return (
+        rk.drop("n", "i")
+        .join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "n", "lo", "hi")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+                ).cast("double")
+                / F.col("n")
+                + F.lit(0.5)
+            ).alias("wsum")
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("lo") / 10000.0).alias("p05"),
+            (F.col("hi") / 10000.0).alias("p95"),
+            (F.col("wsum") / 10000.0).alias("winsorized_avg"),
+        )
+    )
