@@ -7266,3 +7266,107 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wsum") / 10000.0).alias("winsorized_avg"),
         )
     )
+
+
+@query(
+    "lorenz_revenue_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT s, ntile(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(s) AS ds
+      FROM rk GROUP BY decile
+    ),
+    t AS (SELECT sum(ds) AS total FROM d)
+    SELECT decile, n_customers,
+           floor(CAST(sum(ds) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS cum_revenue_share
+    FROM d, t
+    """,
+)
+def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue by decile — the 'bottom 50%
+    hold X% of revenue' chart behind the Gini entry: customers rank by
+    exact scaled-integer spend (custkey tie-break, so ntile boundaries
+    are deterministic), each decile's revenue sums exactly, and the
+    cumulative share is one IEEE division of exact integers per row,
+    4dp.
+
+    100 TB shape: one fact shuffle to per-customer spend; the global
+    ntile is the one unpartitioned window (customer-count sized, the
+    smallest frame in the query — at extreme cardinality switch to
+    range-partitioned rank + broadcast boundaries); the decile rollup
+    and cumulative window run over 10 rows."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(money_scaled(F.col("o_totalprice"))).alias("s")
+    )
+    rk = spend.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("s", "o_custkey"))
+    )
+    d = rk.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("s").alias("ds"),
+    )
+    t = d.agg(F.sum("ds").alias("total"))
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cs", F.sum("ds").over(cum))
+        .select(
+            "decile",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("cs").cast("double")
+                    / F.col("total").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    """
+    WITH k AS (
+      SELECT md5(text) AS key, count(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_removable
+    FROM k GROUP BY sz
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-multiplicity histogram over exact content keys — the
+    corpus-duplication profile every dedup run reports first: for each
+    cluster size, how many clusters, how many documents they hold, and
+    how many a keep-one dedup would remove.  Two map-side-combinable
+    aggregates (content-key shuffle, then size rollup of reduced
+    rows); integer-exact."""
+    d = load(spark, sf_dir, "documents")
+    k = d.groupBy(F.md5(F.col("text").cast("binary")).alias("key")).agg(
+        F.count("*").alias("sz")
+    )
+    return k.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+    )
