@@ -33,6 +33,7 @@ from flo_spark.sources.flo_segment import (
     tail_flo_segments,
     write_flo_segments,
 )
+from flo_spark.operators.sketch import QuantileSketch, ThetaSketch
 from flo_spark.version_vector import EventId, VersionVector
 
 __all__ = [
@@ -42,7 +43,9 @@ __all__ = [
     "FloDataSource",
     "register_flo_format",
     "GlobError",
+    "QuantileSketch",
     "StreamRegistry",
+    "ThetaSketch",
     "VersionVector",
     "expire_native_segments",
     "get_spark",

@@ -36,7 +36,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["QuantileSketch"]
+__all__ = [
+    "QuantileSketch",
+    "ThetaSketch",
+    "SKETCH_ROW_SCHEMA",
+    "sketch_partials_fn",
+    "merge_sketch_rows",
+]
 
 
 class QuantileSketch:
