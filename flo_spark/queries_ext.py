@@ -7370,3 +7370,151 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
     )
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT cur, sum(n) AS total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n_transitions,
+           floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1e4 + 0.5)
+               / 1e4 AS p
+    FROM c JOIN t USING (cur)
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next | current) for every event-type pair, the
+    product-analytics 'what do users do after X' primitive: order each
+    user's events by (ts, event_id) (the id tie-break makes
+    simultaneous events deterministic), pair each with its successor
+    via lead(), count transitions, and normalize per source state.
+    Counts are exact integers; probabilities are exact int/int
+    quotients on the 4dp grid.
+
+    100 TB shape: one user_id-partitioned window (state bounded per
+    user), then two aggregates over reduced (cur, nxt) rows — 25 pairs
+    here, event-type-squared in general."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("total"))
+    return c.join(t, "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n_transitions"),
+        (
+            F.floor(
+                F.col("n").cast("double") / F.col("total").cast("double") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("p"),
+    )
+
+
+@query(
+    "cusum_changepoint_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    s AS (
+      SELECT hour, cnt,
+             row_number() OVER (ORDER BY hour) AS k,
+             sum(cnt) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+                 AS prefix,
+             (SELECT count(*) FROM c) AS n,
+             (SELECT sum(cnt) FROM c) AS total
+      FROM c
+    ),
+    scored AS (
+      SELECT hour, k, CAST(n * prefix - k * total AS BIGINT) AS cusum
+      FROM s WHERE k < n
+    )
+    SELECT hour AS changepoint_hour,
+           CAST(k AS BIGINT) AS k,
+           cusum AS cusum_scaled
+    FROM scored
+    ORDER BY abs(cusum) DESC, hour LIMIT 1
+    """,
+)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event rate, EXACT:
+    the classic statistic max_k |sum_{i<=k}(x_i - mean)| needs the
+    fractional mean — multiplying through by n turns it into
+    S_k = n*prefix_k - k*total, PURE INTEGER arithmetic with the same
+    argmax, so the detected split point is bit-identical on every
+    engine (no running float drift).  Reports the hour k maximizing
+    |S_k| — the boundary where the rate regime most plausibly changed
+    — with deterministic tie-breaks.
+
+    100 TB shape: the corpus-scale work is the hourly
+    pre-aggregation; the prefix window and argmax run over the tiny
+    dense spine; top-1 is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tot = c.agg(
+        F.count("*").alias("n"), F.sum("cnt").alias("total")
+    )
+    wp = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        c.withColumn("k", F.row_number().over(Window.orderBy("hour")))
+        .withColumn("prefix", F.sum("cnt").over(wp))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            F.col("hour").alias("changepoint_hour"),
+            F.col("k").cast("long").alias("k"),
+            (F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+            .cast("long")
+            .alias("cusum_scaled"),
+        )
+    )
+    return s.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "changepoint_hour"
+    ).limit(1)
