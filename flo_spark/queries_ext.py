@@ -7518,3 +7518,60 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.orderBy(
         F.abs(F.col("cusum_scaled")).desc(), "changepoint_hour"
     ).limit(1)
+
+
+@query(
+    "stream_theta_audience_monitor",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_theta_audience_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distinct-audience monitoring over a PERSISTENT
+    theta-sketch store (streaming/sketch_monitor.py): each micro-batch
+    of the event stream reduces to one k-minimum-values sketch row per
+    event type, written as a replay-safe shard; all-time distinct
+    counts — and pairwise overlaps, the set algebra HLL lacks — come
+    from merging shards, never rescanning history.  Theta state is a
+    pure function of the user SET, so replays, reorderings, and
+    partitionings all converge to the identical store (pinned exactly
+    in tests/test_sketch_monitor.py).
+
+    Contract: per type, |estimate - exact| <= 4/sqrt(k) * exact + 1
+    under the KMV error model; below k distinct users the sketch is
+    exact.  The exact counts come from the same data and pin the
+    grouping."""
+    from flo_spark.queries import _events_stream, scratch_dir
+    from flo_spark.streaming.sketch_monitor import theta_monitor
+
+    K = 256
+    tmp = scratch_dir("flo_theta_monitor_")
+    sketches = theta_monitor(
+        _events_stream(spark, sf_dir),
+        store_dir=f"{tmp}/store",
+        segment=F.col("event_type"),
+        item=F.col("user_id"),
+        checkpoint_dir=f"{tmp}/ckpt",
+        k=K,
+    )
+    rel = 4 / K ** 0.5
+    est_df = spark.createDataFrame(
+        [(t, float(sk.estimate())) for t, sk in sketches.items()],
+        "event_type string, est double",
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(est_df, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= rel * F.col("n_exact") + 1
+        ).alias("within_bound"),
+    )

@@ -106,3 +106,89 @@ def sketch_monitor(
         q.stop()
         raise TimeoutError(f"sketch monitor did not drain within {timeout_sec}s")
     return read_sketch(stream.sparkSession, store_dir, capacity)
+
+
+# -------------------------------------------------------------------------
+# Theta-sketch audience monitor: per-segment distinct sets, streamed
+# -------------------------------------------------------------------------
+
+_THETA_SCHEMA = "segment string, hashes array<long>"
+
+
+def fold_theta_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    segment: Column,
+    item: Column,
+    k: int = 256,
+) -> None:
+    """foreachBatch body: one theta sketch row per segment value,
+    written as the batch's own replay-safe shard.  Because theta
+    state is a pure function of the item SET, shards from replayed or
+    reordered batches merge to the identical store."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import ThetaSketch
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = ThetaSketch(k).add(pdf["item"].tolist())
+        return pd.DataFrame(
+            {"segment": [pdf["segment"].iloc[0]], "hashes": [sk.to_row()]}
+        )
+
+    rows = (
+        batch.select(segment.alias("segment"), item.alias("item"))
+        .groupBy("segment")
+        .applyInPandas(build, _THETA_SCHEMA)
+    )
+    rows.write.mode("overwrite").parquet(_shard(store_dir, batch_id))
+
+
+def read_theta(spark, store_dir: str, k: int = 256):
+    """{segment: merged ThetaSketch} across every batch shard —
+    O(batches x segments) tiny rows, never the raw items."""
+    from flo_spark.operators.sketch import ThetaSketch
+
+    out: dict = {}
+    if not os.path.isdir(store_dir):
+        return out
+    shards = [
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d.startswith("batch=")
+    ]
+    if not shards:
+        return out
+    for row in spark.read.parquet(*shards).collect():
+        sk = out.setdefault(row.segment, ThetaSketch(k))
+        sk.merge(ThetaSketch.from_row(list(row.hashes), k))
+    return out
+
+
+def theta_monitor(
+    stream: DataFrame,
+    store_dir: str,
+    segment: Column,
+    item: Column,
+    checkpoint_dir: str,
+    k: int = 256,
+    timeout_sec: int = 120,
+):
+    """Drain a stream through the theta fold; return the merged
+    per-segment sketches (distinct counts AND pairwise overlaps
+    queryable forever without rescanning history)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, eid: fold_theta_batch(
+                b, eid, store_dir, segment, item, k
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"theta monitor did not drain within {timeout_sec}s")
+    return read_theta(stream.sparkSession, store_dir, k)

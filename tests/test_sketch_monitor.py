@@ -47,3 +47,34 @@ def test_windowed_reaggregation_from_single_shard(spark, tmp_path):
         [list(lv) for lv in row.levels], int(row.bound)
     )
     assert sk.total_weight() == 70
+
+
+def test_theta_fold_state_equals_direct_and_replay_safe(spark, tmp_path):
+    """Theta state is a pure function of the item set, so the folded
+    store must equal a direct one-shot sketch EXACTLY — and a replayed
+    batch must change nothing."""
+    from flo_spark.operators.sketch import ThetaSketch
+    from flo_spark.streaming.sketch_monitor import (
+        fold_theta_batch,
+        read_theta,
+    )
+
+    store = str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "seg string, item long")
+
+    b0 = [("a", i) for i in range(50)] + [("b", i) for i in range(30)]
+    b1 = [("a", i) for i in range(25, 75)] + [("b", 99)]
+    fold_theta_batch(batch(b0), 0, store, F.col("seg"), F.col("item"))
+    fold_theta_batch(batch(b1), 1, store, F.col("seg"), F.col("item"))
+    got = read_theta(spark, store)
+    direct_a = ThetaSketch(256).add(list(range(75)))
+    assert got["a"].to_row() == direct_a.to_row()
+    assert got["a"].estimate() == 75  # under capacity: exact
+    assert got["b"].estimate() == 31
+    # overlap straight from the store, no raw data
+    assert got["a"].intersect_estimate(got["b"]) == 31 - 1
+    fold_theta_batch(batch(b1), 1, store, F.col("seg"), F.col("item"))
+    again = read_theta(spark, store)
+    assert again["a"].to_row() == got["a"].to_row()
