@@ -1826,65 +1826,66 @@ from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
 
 # The driver's correctness gate has checked exactly the FIRST 50 keys
 # of queries() in insertion order every round (the window is positional
-# and capped at 50 — see DRIVER_COVERAGE.md).  Rounds 1-4 cumulatively
-# driver-verified 71 of the catalog's entries; the round-5 window is a
-# ROTATION: all 46 entries with zero driver-green history plus the 4
-# contract entries new this round — 50 first-time keys, bringing
-# cumulative driver coverage to the full catalog.  Every entry
-# displaced from the window has at least one prior round of
-# driver-green history (r1-r4) AND stays hash-checked by the local
-# replica gate (tests/test_oracle.py); the rotation history and
-# displaced list are audited in DRIVER_COVERAGE.md and pinned by
-# tests/test_driver_window.py.
+# and capped at 50 — see DRIVER_COVERAGE.md).  Rounds 1-6 cumulatively
+# driver-verified all 138 entries registered through the round-6
+# window; the round-7 window is the next ROTATION: the 42 entries
+# registered after the round-6 freeze (zero driver-green history), the
+# 2 entries rewritten by the exact-arithmetic migrations after their
+# last certification (q14_promo_revenue, stats_by_linestatus), the 3
+# rows-only companion contracts, 2 flo-surface canaries, and the q7
+# exact-money class-bug canary.  Every entry displaced from the window
+# has at least one prior round of driver-green history AND stays
+# hash-checked by the local replica gate (tests/test_oracle.py); the
+# rotation history and displaced list are audited in DRIVER_COVERAGE.md
+# and pinned by tests/test_driver_window.py.
 DRIVER_CHECK_ORDER = [
-    # -- the 17 round-5 post-freeze entries: zero driver-green history --
-    "flo_segment_binary_roundtrip",
-    "flo_datasource_scan",
-    "flo_orc_roundtrip",
-    "flo_native_retention",
-    "corpus_jsonl_gz_roundtrip",
-    "bm25_search_topk",
-    "perplexity_bigram_filter",
-    "semantic_dedup_verdicts",
-    "span_dedup_stats",
-    "temperature_mix_sample",
-    "embedding_int8_quantize",
-    "approx_quantile_bounded",
-    "global_shuffle_shard",
-    "duplicate_ngram_rate",
-    "dedup_ngram_containment",
-    "dataset_card",
-    "stream_profile",
-    # -- every entry rewritten by the round-6 decimal-sum migration:
-    #    driver-green history predates the change, so re-certify --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",      # the r5 driver failure the migration fixes
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_prospective_customers",
-    "customer_running_total",
-    "rollup_returnflag",
-    "cube_orderpriority",
-    "pivot_linestatus",
-    "grouping_sets_revenue",
-    "rolling_30d_customer_spend",
-    "unpivot_measures",
-    "case_when_value_buckets",
-    "skew_salted_join_types",
-    "stream_tumbling_counts",
-    "stream_static_join_tiers",
-    "rollup_daily_from_hourly",
-    "stream_rollup_hourly",
-    "embedding_topk_bruteforce",   # oracle now scores in DOUBLE[]
+    # -- the 42 round-6 post-window entries: zero driver-green history --
+    "flo_tcp_roundtrip",
+    "text_normalize_nfc",
+    "stream_dedup_ingest",
+    "zorder_morton_key",
+    "freq_items_heavy_hitters",
+    "flo_consume_snapshot",
+    "interval_join_binned",
+    "boilerplate_chunk_strip",
+    "quality_classifier_score",
+    "pagerank_customer_supplier",
+    "cdc_chunk_dedup_stats",
+    "neardup_ingest_verdicts",
+    "funnel_conversion",
+    "cohort_retention",
+    "bpe_merge_steps",
+    "bpe_encode_tokens",
+    "langid_trigram_confusion",
+    "doc_length_log2_histogram",
+    "federated_trimodal_join",
+    "hll_sketch_union_bounded",
+    "constraint_audit",
+    "triangle_count_copurchase",
+    "variant_props_extract",
+    "regression_price_quantity",
+    "multimodal_tiff_roundtrip",
+    "multimodal_au_roundtrip",
+    "copurchase_lift_topk",
+    "quantile_sketch_mergeable",
+    "stream_quantile_monitor",
+    "embedding_pq_adc",
+    "anomaly_zscore_hourly",
+    "ewma_hourly_trend",
+    "theta_sketch_audience_overlap",
+    "multimodal_gif_roundtrip",
+    "gini_revenue_concentration",
+    "herfindahl_supplier_share",
+    "winsorized_price_stats",
+    "lorenz_revenue_deciles",
+    "dup_cluster_size_histogram",
+    "markov_event_transitions",
+    "cusum_changepoint_hourly",
+    "stream_theta_audience_monitor",
+    # -- rewritten AFTER their r5 driver-green (exact-arithmetic
+    #    migrations), so their certification predates the code --
+    "q14_promo_revenue",
+    "stats_by_linestatus",
     # -- rows-only companion contracts (stay pinned in every window) --
     "approx_distinct_bounded",
     "dedup_simhash_pairs",
@@ -1892,6 +1893,8 @@ DRIVER_CHECK_ORDER = [
     # -- flo-surface canaries --
     "flo_produce_roundtrip",
     "flo_consume_vv",
+    # -- the r5 failure / exact-money class-bug canary --
+    "q7_volume_shipping",
 ]
 
 
