@@ -6,13 +6,15 @@ model: an asset is a BINARY column plus a metadata struct, processed
 by Arrow-batched Pandas functions over ``mapInPandas`` so each batch
 moves to Python exactly once.
 
-Decode support is layered by format: stdlib-decodable formats decode
-for real with stdlib + numpy (PCM WAV via ``wave``; binary PPM/PGM
-incl. 16-bit big-endian samples and 24-bit BMP via header parsing;
-8-bit PNG — non-interlaced AND Adam7-interlaced — via ``zlib`` + the
-five scanline filters) — tested end-to-end through mapInPandas.  Formats needing codec libraries NOT in this container
-(JPEG/FLAC/...) sit behind guarded PIL/soundfile imports and raise
-NotImplementedError here; ``extract_features``'s default hash
+Decode support is layered by format: natively-decodable formats decode
+for real with stdlib + numpy (PCM WAV via ``wave``; Sun AU, AIFF, and
+FLAC — the lossless codec in operators/flac.py; binary PPM/PGM incl.
+16-bit big-endian samples and 24-bit BMP via header parsing; 8-bit
+PNG — non-interlaced AND Adam7-interlaced — via ``zlib`` + the five
+scanline filters; baseline + LZW TIFF; GIF) — tested end-to-end
+through mapInPandas.  Formats needing codec libraries NOT in this
+container (JPEG/...) sit behind guarded PIL/soundfile imports and
+raise NotImplementedError here; ``extract_features``'s default hash
 features stay decoder-free so the oracle-checked catalog entries are
 deterministic everywhere.
 """
@@ -536,6 +538,8 @@ def decode_audio(payload: bytes):
             return _decode_au(bytes(payload))
         if bytes(payload[:4]) == b"FORM" and bytes(payload[8:12]) == b"AIFF":
             return _decode_aiff(bytes(payload))
+        if bytes(payload[:4]) == b"fLaC":
+            return _decode_flac_norm(bytes(payload))
     except NotImplementedError as exc:
         # A-law AU, 24-bit AIFF, etc. must still reach soundfile when
         # the deployment carries it — the documented fallback contract
@@ -570,6 +574,32 @@ def _mulaw_lut():
     mantissa = u & 0x0F
     magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
     return (sign * (magnitude - 0x84) / 32768.0).astype(np.float32)
+
+
+def _decode_flac_norm(buf: bytes):
+    """FLAC via the native codec (operators/flac.py): lossless decode
+    to exact integers, normalized to the float32 [-1, 1) convention
+    the other audio decoders use."""
+    import numpy as np
+
+    from flo_spark.operators.flac import decode_flac
+
+    ints, rate = decode_flac(buf)
+    # bits per sample live in STREAMINFO bits 103..107; walk the
+    # metadata blocks to find it (STREAMINFO is first per spec, but
+    # walking keeps this robust to padding blocks up front)
+    pos, bps = 4, 16
+    while pos + 4 <= len(buf):
+        is_last, btype = buf[pos] & 0x80, buf[pos] & 0x7F
+        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            body = buf[pos + 4 : pos + 4 + blen]
+            bps = (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
+            break
+        pos += 4 + blen
+        if is_last:
+            break
+    return (ints.astype(np.float32) / float(1 << (bps - 1))), int(rate)
 
 
 def _decode_au(buf: bytes):

@@ -7575,3 +7575,243 @@ def stream_theta_audience_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
             <= rel * F.col("n_exact") + 1
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: native FLAC + the Adam7/16-bit image paths, hash-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_flac_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 200)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * 37 + i * i) % 4096 - 2048) AS BIGINT)
+               AS sum_samples
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC encode+decode, hash-checked: FLAC is LOSSLESS, so the
+    native codec (operators/flac.py — fixed predictors, Rice coding,
+    CRC-8/16 + STREAMINFO MD5 verification) can be verified through
+    exact integers, unlike lossy formats.  Per document 200
+    deterministic 16-bit samples ((doc_id*37 + i*i) % 4096 - 2048, a
+    quadratic residue pattern the order-2 fixed predictor compresses)
+    encode to a framed FLAC stream (block_size=64 forces multiple
+    frames + coded frame numbers per doc), decode back through
+    ``decode_audio`` (sniffed by the fLaC marker), and the float32
+    samples multiply back to the exact integers.  The oracle computes
+    the same sums from the formula — a predictor, Rice, framing, CRC,
+    or normalization defect breaks the value hash.
+
+    100 TB shape: one mapInPandas pass, partition-preserving, no
+    shuffle; codec work is per-row CPU inside the Arrow batch."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.flac import encode_flac
+    from flo_spark.operators.multimodal import decode_audio
+
+    N = 200
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(N, dtype=np.int64)
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "sum_samples": []}
+            for doc_id in pdf.doc_id:
+                pcm = ((int(doc_id) * 37 + i * i) % 4096 - 2048).astype(
+                    np.int16
+                )
+                buf = encode_flac(pcm, rate=16000, block_size=64)
+                samples, rate = decode_audio(buf)
+                assert rate == 16000
+                ints = np.round(samples[:, 0] * 32768.0).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(len(ints)))
+                out["sum_samples"].append(int(ints.sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_samples long, sum_samples long"
+    )
+
+
+@query(
+    "multimodal_png_adam7_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 297)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_channels,
+           CAST(sum((doc_id * 11 + i * 3) % 256) AS BIGINT) AS sum_pixels
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode, hash-checked through real container
+    bytes (the non-interlaced sibling is ``multimodal_png_roundtrip``):
+    per document an 11x9 RGB image — odd dimensions so every one of the
+    seven passes has a ragged edge subimage — whose channel values are
+    (doc_id*11 + i*3) % 256, encoded with a real Adam7 encoder (passes
+    extracted on the 8x8 sampling grid, each pass filtered
+    INDEPENDENTLY with filter type (pass + y) % 5 so all five filters
+    hit interlaced data, zlib deflate over the concatenated passes),
+    decoded through ``decode_image`` (operators/multimodal.py::
+    _decode_png), and the recovered channels summed.  The oracle
+    computes the same sums from the formula — a pass-geometry,
+    scatter, or per-pass unfilter defect breaks the value hash.
+
+    100 TB shape: one partition-preserving mapInPandas pass."""
+    import struct
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import _ADAM7, decode_image
+
+    W, H, C = 11, 9, 3
+
+    def _filter_scanlines(img, f0):
+        import numpy as np
+
+        h, w, c = img.shape
+        bpp = c
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.int32)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int32)
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            f = (f0 + y) % 5
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = (cur - left) & 0xFF
+            elif f == 2:
+                filt = (cur - prev) & 0xFF
+            elif f == 3:
+                filt = (cur - ((left + prev) >> 1)) & 0xFF
+            else:
+                diag = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                p = left + prev - diag
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - diag)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, diag),
+                )
+                filt = (cur - pred) & 0xFF
+            raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+            prev = cur
+        return bytes(raw)
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 1))
+        for pdf in it:
+            out = {"doc_id": [], "n_channels": [], "sum_pixels": []}
+            for doc_id in pdf.doc_id:
+                rgb = (
+                    (int(doc_id) * 11 + np.arange(W * H * C) * 3) % 256
+                ).astype(np.uint8).reshape(H, W, C)
+                raw = bytearray()
+                for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+                    sub = rgb[y0::dy, x0::dx, :]
+                    if sub.size == 0:
+                        continue
+                    raw += _filter_scanlines(sub, p)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + ihdr
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b"")
+                )
+                arr = decode_image(png)
+                assert arr.shape == (H, W, C)
+                assert np.array_equal(arr, rgb)
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(int(arr.size))
+                out["sum_pixels"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_channels long, sum_pixels long"
+    )
+
+
+@query(
+    "multimodal_pnm16_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 48)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * 257 + i * 1021) % 65536) AS BIGINT)
+               AS sum_samples
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_pnm16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT netpbm decode, hash-checked: per document an 8x6 P5
+    (binary graymap) with maxval 65535 — two-byte BIG-ENDIAN samples,
+    the netpbm wide-raster rule — whose values are
+    (doc_id*257 + i*1021) % 65536, plus a '# comment' line in the
+    header so tokenizer comment handling is exercised on every image.
+    Decoded through ``decode_image`` (operators/multimodal.py::
+    _decode_ppm, the maxval > 255 branch) and summed as exact
+    integers; the oracle recomputes the sums from the formula — an
+    endianness or header-tokenizer defect breaks the hash.
+
+    100 TB shape: one partition-preserving mapInPandas pass."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image
+
+    W, H = 8, 6
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "sum_samples": []}
+            for doc_id in pdf.doc_id:
+                vals = (
+                    (int(doc_id) * 257 + np.arange(W * H) * 1021) % 65536
+                ).astype(np.uint16)
+                header = b"P5\n# 16-bit fixture\n%d %d\n65535\n" % (W, H)
+                pgm = header + vals.astype(">u2").tobytes()
+                arr = decode_image(pgm)
+                assert arr.shape == (H, W, 1) and arr.dtype == np.uint16
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(int(arr.size))
+                out["sum_samples"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_samples long, sum_samples long"
+    )
