@@ -33,7 +33,11 @@ from flo_spark.sources.flo_segment import (
     tail_flo_segments,
     write_flo_segments,
 )
-from flo_spark.operators.sketch import QuantileSketch, ThetaSketch
+from flo_spark.operators.sketch import (
+    CountMinSketch,
+    QuantileSketch,
+    ThetaSketch,
+)
 from flo_spark.version_vector import EventId, VersionVector
 
 __all__ = [
@@ -43,6 +47,7 @@ __all__ = [
     "FloDataSource",
     "register_flo_format",
     "GlobError",
+    "CountMinSketch",
     "QuantileSketch",
     "StreamRegistry",
     "ThetaSketch",

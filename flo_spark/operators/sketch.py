@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "CountMinSketch",
     "QuantileSketch",
     "ThetaSketch",
     "SKETCH_ROW_SCHEMA",
@@ -268,4 +269,117 @@ class ThetaSketch:
     def from_row(cls, hashes: list[int], k: int = 256) -> "ThetaSketch":
         sk = cls(k)
         sk._hashes = np.asarray(sorted(hashes), dtype=np.int64)[:k]
+        return sk
+
+
+# -------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation, overestimate-only
+# -------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth x width
+    integer table; each item increments one cell per row, a point query
+    takes the MIN over its rows.  Collisions only ADD, so the estimate
+    is a deterministic one-sided bound: estimate(x) >= true_count(x),
+    ALWAYS — that inequality, not the probabilistic eps*N upper bound,
+    is the cross-engine contract the catalog entry hashes.
+
+    Determinism/mergeability: items hash once through blake2b/8B (the
+    ThetaSketch hash), then each row derives its cell by an independent
+    affine map mod a Mersenne prime.  Merge is cell-wise integer sum,
+    so the table is a pure function of the input MULTISET — insertion
+    order, partitioning, and merge shape all cancel (property-tested),
+    which is what lets per-partition/per-batch partials persist and
+    re-aggregate at 100 TB without rescanning raw data.
+
+    Error model (for sizing, tested statistically not hashed):
+    estimate <= true + eps*N with probability >= 1 - delta for
+    eps = e/width, delta = exp(-depth)."""
+
+    _MASK = (1 << 64) - 1
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        if width < 8 or depth < 1:
+            raise ValueError("width must be >= 8 and depth >= 1")
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0  # total inserted weight (exact, merges by sum)
+        # fixed per-row multiply-shift-xor mixers derived from the row
+        # index — identical in every process, vectorizable in uint64
+        self._a = [
+            (2 * r * 0x9E3779B97F4A7C15 + 1) & self._MASK
+            for r in range(1, depth + 1)
+        ]
+        self._b = [
+            (r * 0xC2B2AE3D27D4EB4F + r) & self._MASK
+            for r in range(1, depth + 1)
+        ]
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) cell indices for pre-hashed items — uint64
+        wrap-around multiply + xor-shift mixing, fully vectorized."""
+        h = hashes.astype(np.uint64)
+        pos = np.empty((self.depth, len(hashes)), dtype=np.int64)
+        with np.errstate(over="ignore"):  # wrap-around is the point
+            for r in range(self.depth):
+                mixed = h * np.uint64(self._a[r]) + np.uint64(self._b[r])
+                mixed ^= mixed >> np.uint64(33)
+                pos[r] = (mixed % np.uint64(self.width)).astype(np.int64)
+        return pos
+
+    def add(self, items, counts=None) -> "CountMinSketch":
+        items = list(items)
+        if not items:
+            return self
+        w = (
+            np.ones(len(items), dtype=np.int64)
+            if counts is None
+            else np.asarray(list(counts), dtype=np.int64)
+        )
+        if np.any(w < 0):
+            raise ValueError("negative weights")
+        pos = self._positions(ThetaSketch.hash_items(items))
+        for r in range(self.depth):
+            np.add.at(self.table[r], pos[r], w)
+        self.total += int(w.sum())
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge sketches of different shapes")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def estimate(self, item) -> int:
+        pos = self._positions(ThetaSketch.hash_items([item]))
+        return int(min(self.table[r, pos[r, 0]] for r in range(self.depth)))
+
+    def estimate_many(self, items) -> np.ndarray:
+        items = list(items)
+        if not items:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(ThetaSketch.hash_items(items))
+        ests = np.stack(
+            [self.table[r, pos[r]] for r in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    # -- columnar (de)serialization ---------------------------------------
+
+    def to_row(self) -> tuple[list[int], int]:
+        return self.table.reshape(-1).tolist(), self.total
+
+    @classmethod
+    def from_row(
+        cls, cells: list[int], total: int, width: int = 2048, depth: int = 4
+    ) -> "CountMinSketch":
+        sk = cls(width, depth)
+        arr = np.asarray(cells, dtype=np.int64)
+        if arr.size != width * depth:
+            raise ValueError("cell count does not match sketch shape")
+        sk.table = arr.reshape(depth, width).copy()
+        sk.total = int(total)
         return sk

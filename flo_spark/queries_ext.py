@@ -7815,3 +7815,101 @@ def multimodal_pnm16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_samples long, sum_samples long"
     )
+
+
+@query(
+    "countmin_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rn
+      FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           TRUE AS est_ge_exact
+    FROM r WHERE rn <= 20
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a MERGEABLE Count-Min sketch
+    (operators/sketch.py::CountMinSketch) — the frequency sibling of
+    the HLL/theta/KLL entries: each partition folds its user_ids into
+    one (depth x width) integer table row via mapInPandas, the rows
+    merge by cell-wise sum (state is a pure function of the event
+    multiset — partitioning and merge order provably cancel,
+    tests/test_countmin.py), and the merged table answers point
+    queries for the top-20 users.  freq_items_heavy_hitters covers the
+    candidate-set sketch; this one covers mergeable COUNTS — the piece
+    that persists per-day/per-shard and re-aggregates at 100 TB
+    without rescanning raw events.
+
+    Contract: CM collisions only ADD, so estimate >= exact is a
+    deterministic invariant for every reported user (a boolean the
+    hash checks); the eps*N upper bound is statistical and pinned in
+    tests/test_countmin.py instead.  Exact counts and the top-20
+    selection (deterministic ties: count desc, user_id asc) come from
+    the same scan and pin the ranking.
+
+    100 TB shape: one scan; partials are O(width*depth) per partition;
+    the merged-table collect is one documented bounded row (64 KiB),
+    never data-scale; the exact ranking is one key shuffle + top-k."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import CountMinSketch
+
+    WIDTH, DEPTH = 2048, 4
+    ROW = "cells array<long>, total long"
+
+    def partials(it):
+        sk = CountMinSketch(WIDTH, DEPTH)
+        seen = False
+        for pdf in it:
+            ids = pdf["user_id"].dropna()
+            if len(ids):
+                seen = True
+                sk.add(ids.astype("int64").tolist())
+        if seen:
+            cells, total = sk.to_row()
+            yield pd.DataFrame({"cells": [cells], "total": [total]})
+
+    def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch(WIDTH, DEPTH)
+        for cells, total in zip(pdf["cells"], pdf["total"]):
+            sk.merge(CountMinSketch.from_row(list(cells), int(total), WIDTH, DEPTH))
+        cells, total = sk.to_row()
+        return pd.DataFrame({"cells": [cells], "total": [total]})
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    merged_row = (
+        ev.mapInPandas(partials, ROW)
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge_rows, ROW)
+        .collect()  # ONE row of width*depth cells (64 KiB), documented
+    )
+    sk = (
+        CountMinSketch.from_row(
+            list(merged_row[0].cells), int(merged_row[0].total), WIDTH, DEPTH
+        )
+        if merged_row
+        else CountMinSketch(WIDTH, DEPTH)
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)  # TakeOrderedAndProject — no global sort
+        .collect()  # 20 rows, documented bounded collect
+    )
+    ests = sk.estimate_many([int(r.user_id) for r in top])
+    rows = [
+        (int(r.user_id), int(r.n_events), bool(est >= r.n_events))
+        for r, est in zip(top, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, est_ge_exact boolean"
+    )
