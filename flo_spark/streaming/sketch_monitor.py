@@ -192,3 +192,172 @@ def theta_monitor(
         q.stop()
         raise TimeoutError(f"theta monitor did not drain within {timeout_sec}s")
     return read_theta(stream.sparkSession, store_dir, k)
+
+
+# -------------------------------------------------------------------------
+# Count-Min sliding top-k monitor: per-window frequency sketches, streamed
+# -------------------------------------------------------------------------
+
+_CM_SK_SCHEMA = "window_start timestamp, cells array<long>, total long"
+_CM_CAND_SCHEMA = "window_start timestamp, item long, cnt long"
+
+
+def _expand_slides(batch: DataFrame, ts: Column, item: Column,
+                   window_sec: int, slide_sec: int) -> DataFrame:
+    """Assign each event to every sliding window containing it, using
+    the same epoch arithmetic Spark's F.window uses (session TZ is
+    pinned to UTC by flo_spark.queries.load)."""
+    if window_sec % slide_sec:
+        raise ValueError("window must be a multiple of the slide")
+    slides = window_sec // slide_sec
+    w0 = F.floor(F.unix_timestamp(ts) / slide_sec) * slide_sec
+    starts = F.array(
+        *[F.to_timestamp(w0 - k * slide_sec) for k in range(slides)]
+    )
+    return batch.select(
+        F.explode(starts).alias("window_start"), item.alias("item")
+    )
+
+
+def fold_countmin_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    ts: Column,
+    item: Column,
+    window_sec: int = 3600,
+    slide_sec: int = 1800,
+    width: int = 1024,
+    depth: int = 4,
+) -> None:
+    """foreachBatch body: per sliding window, one Count-Min sketch row
+    (weighted add over the batch's per-item counts — provably equal to
+    adding raw occurrences, tests/test_countmin.py) plus the batch's
+    per-(window, item) counts, both written as the batch's own
+    replay-safe shards.  CM state merges by cell-wise sum, so replayed
+    batches overwrite their shard instead of double-counting."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import CountMinSketch
+
+    cand = (
+        _expand_slides(batch, ts, item, window_sec, slide_sec)
+        .groupBy("window_start", "item")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinSketch(width, depth).add(
+            pdf["item"].tolist(), pdf["cnt"].tolist()
+        )
+        cells, total = sk.to_row()
+        return pd.DataFrame(
+            {
+                "window_start": [pdf["window_start"].iloc[0]],
+                "cells": [cells],
+                "total": [total],
+            }
+        )
+
+    sk_rows = cand.groupBy("window_start").applyInPandas(build, _CM_SK_SCHEMA)
+    sk_rows.write.mode("overwrite").parquet(
+        _shard(os.path.join(store_dir, "sketch"), batch_id)
+    )
+    cand.write.mode("overwrite").parquet(
+        _shard(os.path.join(store_dir, "cand"), batch_id)
+    )
+    cand.unpersist()
+
+
+def _store_shards(store_dir: str, sub: str) -> list[str]:
+    base = os.path.join(store_dir, sub)
+    if not os.path.isdir(base):
+        return []
+    return [
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("batch=")
+    ]
+
+
+def read_countmin_windows(spark, store_dir: str, width: int = 1024,
+                          depth: int = 4) -> dict:
+    """{window_start: merged CountMinSketch} across every batch shard.
+    Driver-side but bounded: O(batches x windows) sketch rows of
+    width*depth cells each — a real deployment compacts shards per
+    window once batches pile up; raw events never move."""
+    from flo_spark.operators.sketch import CountMinSketch
+
+    out: dict = {}
+    shards = _store_shards(store_dir, "sketch")
+    if not shards:
+        return out
+    for row in spark.read.parquet(*shards).collect():
+        sk = out.setdefault(row.window_start, CountMinSketch(width, depth))
+        sk.merge(
+            CountMinSketch.from_row(
+                list(row.cells), int(row.total), width, depth
+            )
+        )
+    return out
+
+
+def read_candidate_counts(spark, store_dir: str) -> DataFrame:
+    """Exact per-(window, item) counts from the candidate shards: each
+    batch contributed its full per-window counts, and counts are
+    additive, so summing shards reproduces the true sliding counts
+    without touching raw history."""
+    shards = _store_shards(store_dir, "cand")
+    if not shards:
+        raise ValueError("no candidate shards in store")
+    return (
+        spark.read.parquet(*shards)
+        .groupBy("window_start", "item")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_topk_monitor(
+    stream: DataFrame,
+    store_dir: str,
+    ts: Column,
+    item: Column,
+    checkpoint_dir: str,
+    window_sec: int = 3600,
+    slide_sec: int = 1800,
+    width: int = 1024,
+    depth: int = 4,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a stream through the Count-Min sliding fold; return the
+    exact per-(window, item) counts re-aggregated from the candidate
+    shards.  The per-window sketches stay IN the store as DataFrame
+    rows — merge them distributed (one cogroup per window) or via
+    ``read_countmin_windows`` when the window count is small."""
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, eid: fold_countmin_batch(
+                b, eid, store_dir, ts, item, window_sec, slide_sec,
+                width, depth,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"countmin monitor did not drain within {timeout_sec}s"
+        )
+    return read_candidate_counts(stream.sparkSession, store_dir)
+
+
+def sketch_rows_df(spark, store_dir: str) -> DataFrame:
+    """The raw per-(batch, window) sketch rows as a DataFrame — the
+    distributed path for estimating against the store."""
+    shards = _store_shards(store_dir, "sketch")
+    if not shards:
+        raise ValueError("no sketch shards in store")
+    return spark.read.parquet(*shards)

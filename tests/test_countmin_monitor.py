@@ -1,0 +1,99 @@
+"""Count-Min sliding monitor: slide expansion, cross-batch exactness,
+replay idempotency, and folded-store == direct-sketch state."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flo_spark.operators.sketch import CountMinSketch
+from flo_spark.streaming.sketch_monitor import (
+    fold_countmin_batch,
+    read_candidate_counts,
+    read_countmin_windows,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, user_id long")
+
+
+def test_slide_expansion_and_cross_batch_counts(spark, tmp_path):
+    store = str(tmp_path / "store")
+    # 00:10 belongs to windows starting 23:30 (prev day) and 00:00
+    b0 = [(T0 + timedelta(minutes=10), 1), (T0 + timedelta(minutes=40), 1)]
+    b1 = [(T0 + timedelta(minutes=50), 1), (T0 + timedelta(minutes=50), 2)]
+    fold_countmin_batch(
+        _batch(spark, b0), 0, store, F.col("ts"), F.col("user_id"),
+        width=64, depth=2,
+    )
+    fold_countmin_batch(
+        _batch(spark, b1), 1, store, F.col("ts"), F.col("user_id"),
+        width=64, depth=2,
+    )
+    counts = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    # window 00:00-01:00 sees user 1 three times (00:10, 00:40, 00:50)
+    assert counts[(T0, 1)] == 3
+    assert counts[(T0, 2)] == 1
+    # window 00:30-01:30 sees 00:40 and both 00:50 events
+    assert counts[(T0 + timedelta(minutes=30), 1)] == 2
+    # the 00:10 event's earlier window starts the previous day 23:30
+    assert counts[(T0 - timedelta(minutes=30), 1)] == 1
+    # every event lands in exactly window/slide = 2 windows
+    assert sum(counts.values()) == 2 * (len(b0) + len(b1))
+
+
+def test_replay_is_idempotent_and_store_equals_direct(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rng = np.random.default_rng(3)
+    rows0 = [
+        (T0 + timedelta(minutes=int(m)), int(u))
+        for m, u in zip(rng.integers(0, 120, 40), rng.integers(0, 5, 40))
+    ]
+    rows1 = [
+        (T0 + timedelta(minutes=int(m)), int(u))
+        for m, u in zip(rng.integers(60, 180, 40), rng.integers(0, 5, 40))
+    ]
+    kw = dict(width=64, depth=2)
+    fold_countmin_batch(
+        _batch(spark, rows0), 0, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    fold_countmin_batch(
+        _batch(spark, rows1), 1, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    sketches = read_countmin_windows(spark, store, 64, 2)
+    exact = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    # folded per-window sketch state == a direct one-shot sketch over
+    # that window's items (CM state is a pure multiset function)
+    for wstart, sk in sketches.items():
+        direct = CountMinSketch(64, 2)
+        items = {
+            item: cnt for (w, item), cnt in exact.items() if w == wstart
+        }
+        direct.add(list(items), list(items.values()))
+        assert np.array_equal(sk.table, direct.table), wstart
+        assert sk.total == direct.total
+        # one-sided invariant against the exact counts
+        for item, cnt in items.items():
+            assert sk.estimate(item) >= cnt
+    # crash replay of batch 1: identical store afterwards
+    fold_countmin_batch(
+        _batch(spark, rows1), 1, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    again = read_countmin_windows(spark, store, 64, 2)
+    assert set(again) == set(sketches)
+    for wstart in sketches:
+        assert np.array_equal(again[wstart].table, sketches[wstart].table)
+    exact_again = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert exact_again == exact
