@@ -8027,3 +8027,118 @@ def stream_sliding_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_ge_exact boolean",
         )
     )
+
+
+from flo_spark.queries import REVENUE_SQL as _REVENUE_SQL  # noqa: E402
+
+
+@query(
+    "bloom_pruned_join",
+    f"""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_REVENUE_SQL} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1
+    """,
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom) join pruning written as a DataFrame
+    program — the pattern Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects, built
+    explicitly so the mechanics are visible and testable: the FILTERED
+    dim side (urgent orders in 1996-H1) folds its join keys into an
+    m-bit Bloom bitmap with k=3 xxhash64 probes — entirely JVM-side
+    aggregation (bit_or of shifted bits grouped by word) — the bitmap
+    broadcasts as ONE array<long> row, and the fact scan drops
+    non-matching lineitems BEFORE the join via pure JVM bit tests.
+    False positives survive the filter and die in the real equi-join,
+    so the result is bit-identical to the unpruned join (the oracle IS
+    the unpruned join); false negatives are impossible.
+
+    100 TB shape: the win is shuffle-volume — only lineitems passing
+    the bitmap enter the join exchange (~dim-selectivity of the fact,
+    vs 100% unpruned).  The bitmap is O(m) = 16 KiB regardless of
+    data scale (m sizes off the EXPECTED dim count; saturated bitmaps
+    degrade to no pruning, never to wrong results).  No driver
+    collect: the bitmap rides a broadcast join.  Plan shape (bitmap
+    build broadcast + fact-side filter before the shuffle) is pinned
+    in tests/test_plans.py."""
+    M_BITS, N_WORDS, K = 1 << 17, (1 << 17) // 64, 3
+
+    o = load(spark, sf_dir, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey")
+
+    seeds = F.sequence(F.lit(0), F.lit(K - 1))
+    bits = dim.select(
+        F.explode(seeds).alias("seed"), "o_orderkey"
+    ).select(
+        F.pmod(F.xxhash64("o_orderkey", "seed"), F.lit(M_BITS)).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+        ).alias("bit"),
+    )
+    bitmap = (
+        bits.groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_WORDS - 1)),
+                lambda w: F.coalesce(
+                    F.element_at("wm", w.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("words")
+        )
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    probe_ok = F.forall(
+        F.sequence(F.lit(0), F.lit(K - 1)),
+        lambda s: (
+            F.element_at(
+                "words",
+                (F.pmod(F.xxhash64("l_orderkey", s), F.lit(M_BITS)) / 64)
+                .cast("int")
+                + 1,
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.pmod(F.xxhash64("l_orderkey", s), F.lit(M_BITS)) % 64)
+                    .cast("int"),
+                )
+            )
+            != 0
+        ),
+    )
+    pruned = (
+        li.join(F.broadcast(bitmap))  # ONE 16 KiB row
+        .filter(probe_ok)
+        .drop("words")
+    )
+    return (
+        pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

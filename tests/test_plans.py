@@ -587,3 +587,37 @@ def test_funnel_stage_predicates_reach_the_scan(spark, sf_dir):
     pf = pushed_filters(QX.funnel_conversion(spark, sf_dir))
     joined = ",".join(pf)
     assert "event_type" in joined, pf
+
+
+def test_bloom_pruned_join_filter_precedes_join_and_prunes(spark, sf_dir):
+    """The Bloom probe must run fact-side BEFORE the equi-join (the
+    whole point is cutting the join's shuffle input), the 1-row bitmap
+    must ride a broadcast, and the filter must actually reject most
+    non-matching keys."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.bloom_pruned_join(spark, sf_dir)
+    plan = explain_str(df)
+    # the probe is a Filter full of xxhash64 bit tests on the fact side
+    assert plan.count("xxhash64") >= 3, plan
+    # the bitmap row arrives by broadcast, never a shuffle
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the probe compiles to a Filter node (scan-side), not a join
+    # condition: the equi-join's fact input is already cut
+    assert re.search(r"Filter.*xxhash64", plan, re.DOTALL), plan
+    # effectiveness: the bitmap passes (matches + false positives) but
+    # rejects the bulk of the fact table at this dim selectivity
+    from flo_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey")
+    n_fact = li.count()
+    n_match = li.join(dim, li.l_orderkey == dim.o_orderkey).count()
+    n_joined = df.agg(F.sum("n_items")).collect()[0][0] or 0
+    assert n_joined == n_match  # pruning never changes the answer
+    assert n_match < 0.2 * n_fact  # the dim filter is genuinely selective
