@@ -8142,3 +8142,343 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "holt_linear_trend",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt,
+             CAST(cnt * 16 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+             CAST(r.l + r.b + (c.cnt * 16 - (r.l + r.b)) // 4 AS BIGINT),
+             CAST(r.b + ((r.l + r.b + (c.cnt * 16 - (r.l + r.b)) // 4
+                          - r.l) - r.b) // 8 AS BIGINT)
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           l AS level_x16, b AS trend_x16,
+           CAST(l + b AS BIGINT) AS forecast_x16
+    FROM r
+    """,
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR (double-exponential) smoothing of the hourly event
+    rate — the trend-aware sibling of ``ewma_hourly_trend`` — in EXACT
+    scale-16 fixed point (alpha = 1/4, beta = 1/8, truncating integer
+    division):
+
+        l_t = l' + b' + (16*y_t - (l' + b')) div 4
+        b_t = b' + ((l_t - l') - b') div 8
+
+    seeded l_1 = 16*y_1, b_1 = 0; forecast_x16 = l_t + b_t is the
+    one-step-ahead prediction a float Holt drifts away from by an ulp
+    per step.  The oracle replays the identical integer recurrence
+    with a two-state RECURSIVE CTE, so every level/trend/forecast is
+    bit-identical across engines.
+
+    100 TB shape: corpus-scale work is the hourly pre-aggregation (one
+    shuffle); the two-state recurrence is inherently sequential
+    (truncating division breaks linearity, the documented trade for
+    exactness) and runs over the tiny dense spine in one applyInPandas
+    task."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero, matching SQL integer division
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        level = trend = None
+        ls, bs = [], []
+        for cnt in pdf["cnt"]:
+            y = int(cnt) * 16
+            if level is None:
+                level, trend = y, 0
+            else:
+                prior = level + trend
+                new_level = prior + tdiv(y - prior, 4)
+                trend = trend + tdiv((new_level - level) - trend, 8)
+                level = new_level
+            ls.append(level)
+            bs.append(trend)
+        pdf["level_x16"] = ls
+        pdf["trend_x16"] = bs
+        pdf["forecast_x16"] = pdf["level_x16"] + pdf["trend_x16"]
+        return pdf[["hour", "cnt", "level_x16", "trend_x16", "forecast_x16"]]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "hour timestamp, cnt long, level_x16 long, trend_x16 long, "
+            "forecast_x16 long",
+        )
+    )
+
+
+@query(
+    "line_dedup_corpus",
+    r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, s['idx'] AS idx, s['line'] AS line
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                 i -> struct_pack(
+                   idx := i,
+                   line := array_to_string(
+                     list_slice(ws, (i - 1) * 8 + 1,
+                                least(i * 8, len(ws))), ' ')))) AS s
+        FROM w WHERE len(ws) > 0
+      )
+    ),
+    r AS (
+      SELECT doc_id, idx, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn
+      FROM c
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+                               ORDER BY idx), '') AS cleaned_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/MassiveText-style exact LINE dedup with document
+    reassembly: every line that already occurred anywhere in the corpus
+    (first occurrence = smallest (doc_id, idx), deterministic) is
+    dropped from its document, and the document is rebuilt from its
+    surviving lines in original order — the CLEANED TEXT is the
+    output, where span_dedup_stats only counts and
+    boilerplate_chunk_strip removes by frequency threshold (including
+    first occurrences).  Re-based on non-overlapping 8-word lines
+    because this corpus has no newline structure; the unit is a
+    parameter, not the semantics.
+
+    100 TB shape: chunking is shuffle-free (scan-stage HOFs); the
+    dedup window partitions by the LINE ITSELF — exact, no collision
+    caveat — which is affordable because the output IS text, so line
+    text must shuffle once for the reassembly anyway; a stats-only
+    variant would shuffle 8-byte xxhash64 keys instead (the
+    span_dedup_stats shape, with its documented ~1e-7 collision odds).
+    Reassembly is one doc_id shuffle with an in-group sort."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    nlines = F.ceil(n / F.lit(8.0))
+    lines = F.transform(
+        F.sequence(F.lit(1).cast("long"), nlines),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(words, (i - 1) * 8 + 1, F.lit(8)))
+            .alias("line"),
+        ),
+    )
+    c = (
+        d.where(n > 0)
+        .select("doc_id", F.explode(lines).alias("s"))
+        .select("doc_id", F.col("s.idx").alias("idx"), F.col("s.line").alias("line"))
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    r = c.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("idx", "line")
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )
+
+
+@query(
+    "reservoir_sample_per_group",
+    """
+    WITH k AS (
+      SELECT o_orderpriority, o_orderkey,
+             (o_orderkey * 2654435761) % 1000000007 AS skey
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, skey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY skey, o_orderkey) AS pos
+      FROM k
+    )
+    SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(pos AS BIGINT) AS pos
+    FROM r WHERE pos <= 5
+    """,
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sampling — exactly k rows per
+    group, selection invariant to row order, partitioning, and data
+    arrival — via BOTTOM-K BY SEEDED HASH: a multiplicative hash mod a
+    large prime gives each key a reproducible pseudo-random draw, and
+    the k smallest draws per group ARE a uniform sample without
+    replacement.  This is the distributed form of reservoir sampling:
+    the classic algorithm is sequential state, but bottom-k is
+    MERGEABLE (the bottom-k of a union is the bottom-k of each side's
+    bottom-k), so per-partition top-k candidates combine without ever
+    materializing the group.  The selection rule is pure arithmetic,
+    so the oracle reproduces it exactly — the contract is the rule
+    itself, not a statistical property.
+
+    100 TB shape: one group-partitioned rank window over scan-computed
+    keys (at extreme group size, per-partition bottom-k partials cut
+    shuffle input to k rows per partition-group before the window).
+    No driver collect, no global sort."""
+    o = load(spark, sf_dir, "orders")
+    skey = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("o_orderpriority").orderBy("skey", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_orderkey", skey.alias("skey"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 5)
+        .select("o_orderpriority", "o_orderkey", "pos")
+    )
+
+
+@query(
+    "robust_scaler_features",
+    """
+    WITH rk AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             max(CASE WHEN i = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN n_chars END) AS q1,
+             max(CASE WHEN i = CAST(ceil(0.50 * n) AS BIGINT)
+                      THEN n_chars END) AS med,
+             max(CASE WHEN i = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN n_chars END) AS q3
+      FROM rk GROUP BY source
+    )
+    SELECT r.doc_id AS doc_id, r.source AS source,
+           CAST(r.n_chars AS BIGINT) AS n_chars,
+           c.med AS median_chars,
+           c.q3 - c.q1 AS iqr_chars,
+           CASE WHEN c.q3 = c.q1 THEN 0.0
+                ELSE floor(CAST(r.n_chars - c.med AS DOUBLE)
+                           / (c.q3 - c.q1) * 1e4 + 0.5) / 1e4
+           END AS scaled
+    FROM rk r JOIN cuts c USING (source)
+    """,
+)
+def robust_scaler_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of document lengths per
+    source — sklearn's RobustScaler as a DataFrame program, the
+    normalization step quality classifiers apply before thresholding:
+    center on the EXACT median and scale by the EXACT interquartile
+    range, both as rank-ceil(q*n) order statistics over integers (the
+    winsorized_price_stats recipe), so outliers cannot drag the scale
+    the way mean/stddev scaling allows.  The only float operation is
+    one final IEEE division of exact integers, half-up on the 4dp grid
+    on both engines; a zero IQR falls back to 0 by contract.
+
+    100 TB shape: one source-partitioned rank window (state bounded
+    per group), a groups-sized cuts frame broadcast back, and a
+    scan-stage projection for the scaling itself."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    wn = Window.partitionBy("source")
+    rk = d.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("i") == F.ceil(q * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        )
+
+    cuts = rk.groupBy("source").agg(
+        at(0.25).alias("q1"), at(0.50).alias("med"), at(0.75).alias("q3")
+    )
+    return (
+        rk.drop("i", "n")
+        .join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("med").alias("median_chars"),
+            (F.col("q3") - F.col("q1")).alias("iqr_chars"),
+            F.when(F.col("q3") == F.col("q1"), F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    (F.col("n_chars") - F.col("med")).cast("double")
+                    / (F.col("q3") - F.col("q1"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            )
+            .alias("scaled"),
+        )
+    )
