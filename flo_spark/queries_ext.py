@@ -8482,3 +8482,115 @@ def robust_scaler_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scaled"),
         )
     )
+
+
+@query(
+    "recursive_cte_order_chains",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY rk) AS BIGINT) AS chain_root,
+           CAST(rk - 1 AS BIGINT) AS depth
+    FROM r
+    """,
+)
+def recursive_cte_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's RECURSIVE CTE (SPARK-24497), exercised on a real
+    multi-level walk: each customer's orders form a chain in
+    (o_orderdate, o_orderkey) succession; the recursive query seeds at
+    every chain head (the customer's first order) and walks next-links
+    one hop per recursion level, labeling each order with its chain
+    root and depth — customers place ~10 orders, so the recursion
+    genuinely iterates at every SF (cteRecursionLevelLimit raised to
+    200 and the walk provably terminates: edges strictly advance the
+    per-customer rank).  The ORACLE computes the same labels
+    NON-recursively from rank arithmetic — two algorithms, one exact
+    integer answer, so a drift in either engine's recursion or
+    ordering semantics breaks the hash.
+
+    100 TB shape: the edge list is one customer-partitioned window;
+    each recursion level is an equi-join on o_orderkey (dst keyed by
+    src) — Spark executes levels as iterative joins over the frontier,
+    which shrinks as chains end; depth is bounded by max orders per
+    customer (domain-bounded, not SF-bounded)."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "200")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        r AS (
+          SELECT o_orderkey, o_custkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rk
+          FROM orders_rcte_v
+        ),
+        e AS (
+          SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+          FROM r a JOIN r b
+            ON a.o_custkey = b.o_custkey AND b.rk = a.rk + 1
+        ),
+        walk AS (
+          SELECT o_custkey, o_orderkey AS chain_root,
+                 o_orderkey, 0 AS depth
+          FROM r WHERE rk = 1
+          UNION ALL
+          SELECT w.o_custkey, w.chain_root, e.dst, w.depth + 1
+          FROM walk w JOIN e ON e.src = w.o_orderkey
+        )
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(chain_root AS BIGINT) AS chain_root,
+               CAST(depth AS BIGINT) AS depth
+        FROM walk
+        """
+    )
+
+
+@query(
+    "lateral_topn_per_customer",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+           t.o_totalprice AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    'top-N related rows for each outer row' idiom SQL users reach for
+    before discovering window functions: each BUILDING-segment
+    customer pulls its 2 highest-value orders (deterministic ties by
+    orderkey).  Both engines run the textual LATERAL; DuckDB executes
+    it as a correlated scan while Spark DECORRELATES it into a ranked
+    join — same rows either way, which is exactly the semantics
+    contract worth pinning.
+
+    100 TB shape: Catalyst's decorrelation turns the per-row rescan
+    into one key-partitioned window + equi-join (no O(customers)
+    rescans of orders); prices pass through unaggregated so no
+    rounding contract is needed."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+               CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+               t.o_totalprice AS o_totalprice
+        FROM cust_lat_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
