@@ -11,12 +11,13 @@ for real with stdlib + numpy (PCM WAV via ``wave``; Sun AU, AIFF, and
 FLAC — the lossless codec in operators/flac.py; binary PPM/PGM incl.
 16-bit big-endian samples and 24-bit BMP via header parsing; 8-bit
 PNG — non-interlaced AND Adam7-interlaced — via ``zlib`` + the five
-scanline filters; baseline + LZW TIFF; GIF) — tested end-to-end
-through mapInPandas.  Formats needing codec libraries NOT in this
-container (JPEG/...) sit behind guarded PIL/soundfile imports and
-raise NotImplementedError here; ``extract_features``'s default hash
-features stay decoder-free so the oracle-checked catalog entries are
-deterministic everywhere.
+scanline filters; baseline + LZW TIFF; GIF; baseline JPEG — the
+from-spec codec in operators/jpeg.py) — tested end-to-end through
+mapInPandas.  Variants still needing codec libraries NOT in this
+container (progressive JPEG, 12-bit precision, ...) sit behind
+guarded PIL/soundfile imports and raise NotImplementedError here;
+``extract_features``'s default hash features stay decoder-free so the
+oracle-checked catalog entries are deterministic everywhere.
 """
 
 from __future__ import annotations
@@ -465,6 +466,10 @@ def decode_image(payload: bytes):
             return _decode_tiff(bytes(payload))
         if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
             return _decode_gif(bytes(payload))
+        if bytes(payload[:2]) == b"\xff\xd8":
+            from flo_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(payload))
     except NotImplementedError as exc:
         # a container we sniff but whose variant needs a codec library
         # (e.g. LZW TIFF) must still reach the PIL path when present —

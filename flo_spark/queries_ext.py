@@ -8594,3 +8594,65 @@ def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 6)) AS b FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) * 64 AS BIGINT) AS n_pixels,
+           CAST(sum(64 * (128 + 2 * ((doc_id * 13 + b * 7) % 120 - 60)))
+                AS BIGINT) AS sum_pixels
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG encode+decode, hash-checked through the one
+    input class the format preserves EXACTLY: constant 8x8 blocks whose
+    value offset from 128 is even, so the DC coefficient 8*(v - 128)
+    is a multiple of the quality-50 luminance Q(0,0) = 16 and
+    quantization is lossless (AC coefficients are identically zero;
+    the IDCT of a DC-only block is flat).  Per document a 16x24
+    grayscale image of six such blocks (v = 128 + 2*((doc_id*13 +
+    b*7) % 120 - 60), spanning [8, 248] and forcing signed DC deltas
+    between blocks) goes through the native codec
+    (operators/jpeg.py — markers, Annex K tables, canonical Huffman
+    with byte stuffing, DCT) and every pixel must come back
+    bit-for-bit; the oracle computes the block sums from the formula.
+    Lossy-path behavior (gradients, 4:2:0, restarts, progressive
+    refusal) is pinned in tests/test_jpeg.py where tolerances belong.
+
+    100 TB shape: one partition-preserving mapInPandas pass."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.jpeg import encode_jpeg_baseline
+    from flo_spark.operators.multimodal import decode_image
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_pixels": []}
+            for doc_id in pdf.doc_id:
+                img = np.zeros((16, 24), dtype=np.uint8)
+                for b in range(6):
+                    v = 128 + 2 * ((int(doc_id) * 13 + b * 7) % 120 - 60)
+                    by, bx = divmod(b, 3)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                arr = decode_image(encode_jpeg_baseline(img, quality=50))
+                assert arr.shape == (16, 24, 1)
+                assert np.array_equal(arr[:, :, 0], img), int(doc_id)
+                out["doc_id"].append(int(doc_id))
+                out["n_pixels"].append(int(arr.size))
+                out["sum_pixels"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_pixels long"
+    )
