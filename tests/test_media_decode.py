@@ -250,15 +250,24 @@ def test_netpbm_16bit_decodes_exact_samples():
 
 
 def test_codec_lib_formats_raise_without_codec_libs():
-    # JPEG needs a codec library this container does not ship; the
+    # BASELINE JPEG now decodes natively (operators/jpeg.py); the
+    # codec-lib-gated class is PROGRESSIVE JPEG (SOF2) — the
     # guarded-import fallback must raise NotImplementedError exactly
     # (ADVICE r4: a broad exception class would mask header-parse bugs)
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    import struct
+
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
     try:
         import PIL  # noqa: F401  # pragma: no cover
     except ImportError:
         with pytest.raises(NotImplementedError):
-            decode_image(jpeg_magic)
+            decode_image(progressive)
 
 
 def test_real_decode_through_map_in_pandas(spark):
