@@ -27,6 +27,11 @@ from flo_spark.operators.sketch import (
 from flo_spark.operators.sketch import QuantileSketch
 
 
+#: compacted shard directory name (see compact_countmin_store); batch
+#: shards fold into it and the readers merge base + remaining shards
+_BASE = "base"
+
+
 def _shard(store_dir: str, batch_id: int) -> str:
     return os.path.join(store_dir, f"batch={batch_id}")
 
@@ -270,15 +275,19 @@ def fold_countmin_batch(
     cand.unpersist()
 
 
-def _store_shards(store_dir: str, sub: str) -> list[str]:
+def _store_shards(store_dir: str, sub: str,
+                  include_base: bool = False) -> list[str]:
     base = os.path.join(store_dir, sub)
     if not os.path.isdir(base):
         return []
-    return [
+    out = [
         os.path.join(base, d)
         for d in os.listdir(base)
         if d.startswith("batch=")
     ]
+    if include_base and os.path.isdir(os.path.join(base, _BASE)):
+        out.append(os.path.join(base, _BASE))
+    return out
 
 
 def read_countmin_windows(spark, store_dir: str, width: int = 1024,
@@ -290,7 +299,7 @@ def read_countmin_windows(spark, store_dir: str, width: int = 1024,
     from flo_spark.operators.sketch import CountMinSketch
 
     out: dict = {}
-    shards = _store_shards(store_dir, "sketch")
+    shards = _store_shards(store_dir, "sketch", include_base=True)
     if not shards:
         return out
     for row in spark.read.parquet(*shards).collect():
@@ -308,7 +317,7 @@ def read_candidate_counts(spark, store_dir: str) -> DataFrame:
     batch contributed its full per-window counts, and counts are
     additive, so summing shards reproduces the true sliding counts
     without touching raw history."""
-    shards = _store_shards(store_dir, "cand")
+    shards = _store_shards(store_dir, "cand", include_base=True)
     if not shards:
         raise ValueError("no candidate shards in store")
     return (
@@ -357,7 +366,78 @@ def countmin_topk_monitor(
 def sketch_rows_df(spark, store_dir: str) -> DataFrame:
     """The raw per-(batch, window) sketch rows as a DataFrame — the
     distributed path for estimating against the store."""
-    shards = _store_shards(store_dir, "sketch")
+    shards = _store_shards(store_dir, "sketch", include_base=True)
     if not shards:
         raise ValueError("no sketch shards in store")
     return spark.read.parquet(*shards)
+
+
+# -------------------------------------------------------------------------
+# store compaction — the "shards pile up" answer the fold docstrings promise
+# -------------------------------------------------------------------------
+
+def compact_countmin_store(spark, store_dir: str, width: int = 1024,
+                           depth: int = 4) -> int:
+    """Fold every per-batch shard of a Count-Min sliding store into one
+    compacted base shard per kind (sketch rows merged cell-wise per
+    window; candidate counts summed per (window, item)), then drop the
+    batch shards.  Returns the number of batch shards folded.
+
+    Replay safety: Structured Streaming's checkpoint never re-runs a
+    COMMITTED batch, and only committed batches have shards — so
+    folding committed shards into the base and deleting them cannot
+    double-count; a batch replayed after a crash writes a fresh
+    ``batch=N`` shard alongside the base exactly as before (its old
+    shard is gone either way).  The readers merge base + remaining
+    batch shards transparently.
+
+    100 TB shape: the whole fold is two aggregations over
+    O(batches x windows) sketch/candidate rows — never raw history;
+    run it whenever shard count grows past the read fan-in you want."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import CountMinSketch
+
+    folded = 0
+    for sub, key_cols in (("sketch", ["window_start"]),
+                          ("cand", ["window_start", "item"])):
+        base_dir = os.path.join(store_dir, sub, _BASE)
+        shards = _store_shards(store_dir, sub, include_base=True)
+        if not shards:
+            continue
+        df = spark.read.parquet(*shards)
+        if sub == "cand":
+            merged = df.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
+        else:
+            def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+                sk = CountMinSketch(width, depth)
+                for cells, total in zip(pdf["cells"], pdf["total"]):
+                    sk.merge(
+                        CountMinSketch.from_row(
+                            list(cells), int(total), width, depth
+                        )
+                    )
+                cells, total = sk.to_row()
+                return pd.DataFrame(
+                    {
+                        "window_start": [pdf["window_start"].iloc[0]],
+                        "cells": [cells],
+                        "total": [total],
+                    }
+                )
+
+            merged = df.groupBy("window_start").applyInPandas(
+                merge_rows, _CM_SK_SCHEMA
+            )
+        tmp_dir = os.path.join(store_dir, sub, "_compacting")
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        # swap: remove folded shards, then move tmp into place
+        import shutil
+
+        for sh in _store_shards(store_dir, sub):
+            shutil.rmtree(sh)
+            folded += 1
+        if os.path.isdir(base_dir):
+            shutil.rmtree(base_dir)
+        os.rename(tmp_dir, base_dir)
+    return folded

@@ -97,3 +97,71 @@ def test_replay_is_idempotent_and_store_equals_direct(spark, tmp_path):
         for r in read_candidate_counts(spark, store).collect()
     }
     assert exact_again == exact
+
+
+def test_compaction_preserves_state_and_accepts_new_batches(spark, tmp_path):
+    store = str(tmp_path / "store")
+    rng = np.random.default_rng(7)
+
+    def rows(seed_shift, lo, hi):
+        return [
+            (T0 + timedelta(minutes=int(m)), int(u))
+            for m, u in zip(
+                rng.integers(lo, hi, 30), rng.integers(0, 6, 30)
+            )
+        ]
+
+    kw = dict(width=64, depth=2)
+    fold_countmin_batch(
+        _batch(spark, rows(0, 0, 90)), 0, store,
+        F.col("ts"), F.col("user_id"), **kw,
+    )
+    fold_countmin_batch(
+        _batch(spark, rows(1, 60, 150)), 1, store,
+        F.col("ts"), F.col("user_id"), **kw,
+    )
+    before_sk = read_countmin_windows(spark, store, 64, 2)
+    before_cnt = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+
+    from flo_spark.streaming.sketch_monitor import compact_countmin_store
+
+    folded = compact_countmin_store(spark, store, 64, 2)
+    assert folded == 4  # two batches x two kinds
+    import os
+
+    assert not [
+        d for d in os.listdir(f"{store}/sketch") if d.startswith("batch=")
+    ]
+    after_sk = read_countmin_windows(spark, store, 64, 2)
+    after_cnt = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert after_cnt == before_cnt
+    assert set(after_sk) == set(before_sk)
+    for w in before_sk:
+        assert np.array_equal(after_sk[w].table, before_sk[w].table)
+        assert after_sk[w].total == before_sk[w].total
+
+    # new batches keep folding on top of the compacted base
+    fold_countmin_batch(
+        _batch(spark, rows(2, 120, 200)), 2, store,
+        F.col("ts"), F.col("user_id"), **kw,
+    )
+    final_cnt = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert sum(final_cnt.values()) == sum(before_cnt.values()) + 2 * 30
+    # idempotent: compacting twice in a row changes nothing
+    compact_countmin_store(spark, store, 64, 2)
+    again = compact_countmin_store(spark, store, 64, 2)
+    assert again == 0  # no batch shards left to fold
+    final2 = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert final2 == final_cnt
