@@ -431,6 +431,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -486,6 +489,12 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # per-component (non-interleaved) scans need multi-scan
+                # assembly — refuse via the codec-lib fallback contract
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG"
+                )
             scan_sel = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
@@ -502,6 +511,10 @@ def _decode_scan(buf, pos, frame, scan_sel, qtabs, dc_tabs, ac_tabs,
                  restart_interval):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved: sampling factors
+        # do not apply (T.81 A.2.2) — treat the plane as 1x1
+        comps = [{**comps[0], "h": 1, "v": 1}]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

@@ -587,23 +587,9 @@ def _decode_flac_norm(buf: bytes):
     the other audio decoders use."""
     import numpy as np
 
-    from flo_spark.operators.flac import decode_flac
+    from flo_spark.operators.flac import decode_flac_full
 
-    ints, rate = decode_flac(buf)
-    # bits per sample live in STREAMINFO bits 103..107; walk the
-    # metadata blocks to find it (STREAMINFO is first per spec, but
-    # walking keeps this robust to padding blocks up front)
-    pos, bps = 4, 16
-    while pos + 4 <= len(buf):
-        is_last, btype = buf[pos] & 0x80, buf[pos] & 0x7F
-        blen = int.from_bytes(buf[pos + 1 : pos + 4], "big")
-        if btype == 0:
-            body = buf[pos + 4 : pos + 4 + blen]
-            bps = (((body[12] & 0x01) << 4) | (body[13] >> 4)) + 1
-            break
-        pos += 4 + blen
-        if is_last:
-            break
+    ints, rate, bps = decode_flac_full(buf)
     return (ints.astype(np.float32) / float(1 << (bps - 1))), int(rate)
 
 

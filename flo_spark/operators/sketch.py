@@ -286,8 +286,10 @@ class CountMinSketch:
     is the cross-engine contract the catalog entry hashes.
 
     Determinism/mergeability: items hash once through blake2b/8B (the
-    ThetaSketch hash), then each row derives its cell by an independent
-    affine map mod a Mersenne prime.  Merge is cell-wise integer sum,
+    ThetaSketch hash), then each row derives its cell by a fixed
+    per-row uint64 multiply-add (wrap-around) followed by an xor-shift
+    mix and a mod-width reduction — see ``_positions``, which IS the
+    normative placement.  Merge is cell-wise integer sum,
     so the table is a pure function of the input MULTISET — insertion
     order, partitioning, and merge shape all cancel (property-tested),
     which is what lets per-partition/per-batch partials persist and

@@ -8108,20 +8108,20 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    probe_ok = F.forall(
+    # hash once per seed: materialize the K bit positions, then test
+    # each — the probe runs per fact row, so K hash evaluations, not 2K
+    positions = F.transform(
         F.sequence(F.lit(0), F.lit(K - 1)),
-        lambda s: (
-            F.element_at(
-                "words",
-                (F.pmod(F.xxhash64("l_orderkey", s), F.lit(M_BITS)) / 64)
-                .cast("int")
-                + 1,
-            ).bitwiseAND(
+        lambda s: F.pmod(F.xxhash64("l_orderkey", s), F.lit(M_BITS)),
+    )
+    probe_ok = F.forall(
+        positions,
+        lambda pos: (
+            F.element_at("words", (pos / 64).cast("int") + 1).bitwiseAND(
                 F.call_function(
                     "shiftleft",
                     F.lit(1).cast("long"),
-                    (F.pmod(F.xxhash64("l_orderkey", s), F.lit(M_BITS)) % 64)
-                    .cast("int"),
+                    (pos % 64).cast("int"),
                 )
             )
             != 0

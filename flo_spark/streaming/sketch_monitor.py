@@ -27,9 +27,9 @@ from flo_spark.operators.sketch import (
 from flo_spark.operators.sketch import QuantileSketch
 
 
-#: compacted shard directory name (see compact_countmin_store); batch
-#: shards fold into it and the readers merge base + remaining shards
-_BASE = "base"
+#: compacted shard directory prefix (see compact_countmin_store);
+#: full name is ``base-upto-N`` where N is the highest folded batch id
+_BASE = "base-upto-"
 
 
 def _shard(store_dir: str, batch_id: int) -> str:
@@ -275,18 +275,42 @@ def fold_countmin_batch(
     cand.unpersist()
 
 
+def _batch_shards(kind_dir: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(kind_dir):
+        return []
+    out = []
+    for d in os.listdir(kind_dir):
+        if d.startswith("batch="):
+            out.append((int(d.split("=", 1)[1]), os.path.join(kind_dir, d)))
+    return sorted(out)
+
+
+def _base_dirs(kind_dir: str) -> list[tuple[int, str]]:
+    """Compacted bases, named ``base-upto-N`` (N = highest batch id
+    folded in).  The LARGEST N is current; smaller ones are leftovers
+    of an interrupted compaction and are ignored by readers."""
+    if not os.path.isdir(kind_dir):
+        return []
+    out = []
+    for d in os.listdir(kind_dir):
+        if d.startswith(_BASE):
+            out.append((int(d[len(_BASE):]), os.path.join(kind_dir, d)))
+    return sorted(out)
+
+
 def _store_shards(store_dir: str, sub: str,
                   include_base: bool = False) -> list[str]:
-    base = os.path.join(store_dir, sub)
-    if not os.path.isdir(base):
-        return []
-    out = [
-        os.path.join(base, d)
-        for d in os.listdir(base)
-        if d.startswith("batch=")
-    ]
-    if include_base and os.path.isdir(os.path.join(base, _BASE)):
-        out.append(os.path.join(base, _BASE))
+    """Live shards of one store kind: the current base (largest
+    ``base-upto-N``) plus batch shards with id > N.  Batch shards at or
+    below the base watermark are already folded in (stale leftovers of
+    a crash between publish and cleanup) and are excluded so nothing
+    double-counts."""
+    kind = os.path.join(store_dir, sub)
+    bases = _base_dirs(kind)
+    floor = bases[-1][0] if bases else -1
+    out = [p for i, p in _batch_shards(kind) if i > floor]
+    if include_base and bases:
+        out.append(bases[-1][1])
     return out
 
 
@@ -377,67 +401,93 @@ def sketch_rows_df(spark, store_dir: str) -> DataFrame:
 # -------------------------------------------------------------------------
 
 def compact_countmin_store(spark, store_dir: str, width: int = 1024,
-                           depth: int = 4) -> int:
-    """Fold every per-batch shard of a Count-Min sliding store into one
-    compacted base shard per kind (sketch rows merged cell-wise per
-    window; candidate counts summed per (window, item)), then drop the
-    batch shards.  Returns the number of batch shards folded.
+                           depth: int = 4,
+                           committed_through: int | None = None) -> int:
+    """Fold batch shards of a Count-Min sliding store into one
+    compacted ``base-upto-N`` shard per kind (sketch rows merged
+    cell-wise per window; candidate counts summed per (window, item)),
+    then drop the folded shards.  Returns the number of batch shards
+    folded.
 
-    Replay safety: Structured Streaming's checkpoint never re-runs a
-    COMMITTED batch, and only committed batches have shards — so
-    folding committed shards into the base and deleting them cannot
-    double-count; a batch replayed after a crash writes a fresh
-    ``batch=N`` shard alongside the base exactly as before (its old
-    shard is gone either way).  The readers merge base + remaining
-    batch shards transparently.
+    Replay safety: foreachBatch writes its shards BEFORE the
+    checkpoint commits the batch, so the shard with the HIGHEST batch
+    id may belong to an uncommitted batch that Structured Streaming
+    will replay.  Micro-batch execution runs one batch at a time, so
+    only that highest id can be in flight — by default it is excluded
+    from folding; pass ``committed_through`` (e.g. the last committed
+    batchId from the checkpoint or StreamingQuery progress) to fold
+    through a known watermark instead.
+
+    Crash safety: the merged result publishes by an atomic
+    ``os.rename`` to ``base-upto-N`` BEFORE anything is deleted.
+    Readers always use the largest base plus batch shards above its
+    watermark, so every crash point leaves a consistent view: before
+    the rename the old state is intact; after it, folded inputs are
+    stale-but-ignored until this or the next compaction deletes them.
 
     100 TB shape: the whole fold is two aggregations over
     O(batches x windows) sketch/candidate rows — never raw history;
     run it whenever shard count grows past the read fan-in you want."""
+    import shutil
+
     import pandas as pd
 
     from flo_spark.operators.sketch import CountMinSketch
 
     folded = 0
-    for sub, key_cols in (("sketch", ["window_start"]),
-                          ("cand", ["window_start", "item"])):
-        base_dir = os.path.join(store_dir, sub, _BASE)
-        shards = _store_shards(store_dir, sub, include_base=True)
-        if not shards:
-            continue
-        df = spark.read.parquet(*shards)
-        if sub == "cand":
-            merged = df.groupBy(*key_cols).agg(F.sum("cnt").alias("cnt"))
+    for sub in ("sketch", "cand"):
+        kind = os.path.join(store_dir, sub)
+        bases = _base_dirs(kind)
+        floor = bases[-1][0] if bases else -1
+        live = [(i, p) for i, p in _batch_shards(kind) if i > floor]
+        if committed_through is None:
+            guard = max((i for i, _ in live), default=-1)
+            fold = [(i, p) for i, p in live if i < guard]
         else:
-            def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-                sk = CountMinSketch(width, depth)
-                for cells, total in zip(pdf["cells"], pdf["total"]):
-                    sk.merge(
-                        CountMinSketch.from_row(
-                            list(cells), int(total), width, depth
-                        )
-                    )
-                cells, total = sk.to_row()
-                return pd.DataFrame(
-                    {
-                        "window_start": [pdf["window_start"].iloc[0]],
-                        "cells": [cells],
-                        "total": [total],
-                    }
+            fold = [(i, p) for i, p in live if i <= committed_through]
+        if fold:
+            new_n = max(i for i, _ in fold)
+            srcs = [p for _, p in fold] + ([bases[-1][1]] if bases else [])
+            df = spark.read.parquet(*srcs)
+            if sub == "cand":
+                merged = df.groupBy("window_start", "item").agg(
+                    F.sum("cnt").alias("cnt")
                 )
+            else:
+                def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+                    sk = CountMinSketch(width, depth)
+                    for cells, total in zip(pdf["cells"], pdf["total"]):
+                        sk.merge(
+                            CountMinSketch.from_row(
+                                list(cells), int(total), width, depth
+                            )
+                        )
+                    cells, total = sk.to_row()
+                    return pd.DataFrame(
+                        {
+                            "window_start": [pdf["window_start"].iloc[0]],
+                            "cells": [cells],
+                            "total": [total],
+                        }
+                    )
 
-            merged = df.groupBy("window_start").applyInPandas(
-                merge_rows, _CM_SK_SCHEMA
-            )
-        tmp_dir = os.path.join(store_dir, sub, "_compacting")
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        # swap: remove folded shards, then move tmp into place
-        import shutil
-
-        for sh in _store_shards(store_dir, sub):
-            shutil.rmtree(sh)
-            folded += 1
-        if os.path.isdir(base_dir):
-            shutil.rmtree(base_dir)
-        os.rename(tmp_dir, base_dir)
+                merged = df.groupBy("window_start").applyInPandas(
+                    merge_rows, _CM_SK_SCHEMA
+                )
+            tmp_dir = os.path.join(kind, "_compacting")
+            if os.path.isdir(tmp_dir):
+                shutil.rmtree(tmp_dir)  # leftover of an interrupted run
+            merged.write.mode("overwrite").parquet(tmp_dir)
+            os.rename(tmp_dir, os.path.join(kind, f"{_BASE}{new_n}"))
+            folded += len(fold)
+        # cleanup AFTER publish (also sweeps a prior crash's leftovers):
+        # batch shards at or below the current watermark + older bases
+        bases = _base_dirs(kind)
+        if bases:
+            cur_n, cur_p = bases[-1]
+            for i, p in _batch_shards(kind):
+                if i <= cur_n:
+                    shutil.rmtree(p)
+            for n, p in bases[:-1]:
+                shutil.rmtree(p)
     return folded

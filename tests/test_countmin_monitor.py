@@ -128,13 +128,27 @@ def test_compaction_preserves_state_and_accepts_new_batches(spark, tmp_path):
 
     from flo_spark.streaming.sketch_monitor import compact_countmin_store
 
+    # the default guard treats the HIGHEST batch id as possibly
+    # uncommitted (foreachBatch writes before the checkpoint commits)
+    # and folds everything below it
     folded = compact_countmin_store(spark, store, 64, 2)
-    assert folded == 4  # two batches x two kinds
+    assert folded == 2  # batch 0 only, x two kinds
+    mid_cnt = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert mid_cnt == before_cnt  # batch 1 still live alongside the base
+    # with a known committed watermark, everything folds
+    folded = compact_countmin_store(spark, store, 64, 2, committed_through=1)
+    assert folded == 2  # batch 1 in each kind
     import os
 
     assert not [
         d for d in os.listdir(f"{store}/sketch") if d.startswith("batch=")
     ]
+    assert any(
+        d.startswith("base-upto-1") for d in os.listdir(f"{store}/sketch")
+    )
     after_sk = read_countmin_windows(spark, store, 64, 2)
     after_cnt = {
         (r.window_start, r.item): r.cnt
@@ -165,3 +179,52 @@ def test_compaction_preserves_state_and_accepts_new_batches(spark, tmp_path):
         for r in read_candidate_counts(spark, store).collect()
     }
     assert final2 == final_cnt
+
+
+def test_stale_shards_below_watermark_are_ignored_and_swept(spark, tmp_path):
+    """Crash window: a compaction published base-upto-N but died before
+    cleanup — batch shards <= N still on disk must NOT double-count,
+    and the next compaction sweeps them."""
+    import os
+
+    from flo_spark.streaming.sketch_monitor import compact_countmin_store
+
+    store = str(tmp_path / "store")
+    rows = [(T0 + timedelta(minutes=m), u) for m, u in
+            [(5, 1), (10, 1), (20, 2)]]
+    kw = dict(width=64, depth=2)
+    fold_countmin_batch(
+        _batch(spark, rows), 0, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    fold_countmin_batch(
+        _batch(spark, rows), 1, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    truth = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    compact_countmin_store(spark, store, 64, 2, committed_through=1)
+    # simulate the crash leftover: re-create a batch shard BELOW the
+    # base watermark (exactly what an interrupted cleanup leaves)
+    fold_countmin_batch(
+        _batch(spark, rows), 1, store, F.col("ts"), F.col("user_id"), **kw
+    )
+    assert any(
+        d.startswith("batch=") for d in os.listdir(f"{store}/cand")
+    )
+    stale_view = {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    }
+    assert stale_view == truth  # ignored, not double-counted
+    sk = read_countmin_windows(spark, store, 64, 2)
+    for (w, item), cnt in truth.items():
+        assert sk[w].estimate(int(item)) >= cnt
+    compact_countmin_store(spark, store, 64, 2, committed_through=1)
+    assert not any(
+        d.startswith("batch=") for d in os.listdir(f"{store}/cand")
+    )
+    assert {
+        (r.window_start, r.item): r.cnt
+        for r in read_candidate_counts(spark, store).collect()
+    } == truth

@@ -598,8 +598,11 @@ def test_bloom_pruned_join_filter_precedes_join_and_prunes(spark, sf_dir):
 
     df = QX.bloom_pruned_join(spark, sf_dir)
     plan = explain_str(df)
-    # the probe is a Filter full of xxhash64 bit tests on the fact side
-    assert plan.count("xxhash64") >= 3, plan
+    # the probe is a Filter of xxhash64 bit tests on the fact side: one
+    # xxhash64 inside the transform lambda (evaluated K times per row)
+    # plus one on the bitmap build side
+    assert plan.count("xxhash64") >= 2, plan
+    assert "forall" in plan or "transform" in plan, plan
     # the bitmap row arrives by broadcast, never a shuffle
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     # the probe compiles to a Filter node (scan-side), not a join
