@@ -8656,3 +8656,128 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_pixels long"
     )
+
+
+@query(
+    "dedup_fuzzy_verify_levenshtein",
+    """
+    WITH w AS (
+      SELECT doc_id, substr(text, 1, 120) AS head,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, head,
+             concat_ws(' ', ws[1], ws[2], ws[3]) AS blk
+      FROM w
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+             levenshtein(a.head, bb.head) AS edit_dist,
+             greatest(length(a.head), length(bb.head), 1) AS denom
+      FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+           floor((1.0 - CAST(edit_dist AS DOUBLE) / denom) * 1e4 + 0.5)
+             / 1e4 AS head_similarity,
+           edit_dist <= 25 AS near_dup
+    FROM p
+    """,
+)
+def dedup_fuzzy_verify_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup VERIFICATION by edit distance — the exact-verify
+    stage fuzzy-dedup pipelines run after cheap blocking: candidate
+    pairs come from a deterministic block key (first 3 words — in this
+    corpus exactly the planted duplicate/variant families), and each
+    pair is scored by Levenshtein distance over the 120-char document
+    heads (capped operands keep the O(n*m) DP bounded per pair — the
+    standard trick; MinHash/SimHash handle whole-document scale).
+    Classic Levenshtein is an exact integer both engines implement
+    identically, so distance, 4dp head similarity, and the verdict all
+    hash-match.
+
+    100 TB shape: blocking is a scan-stage key + one equi-join (never
+    all-pairs); pair count is sum of block^2, bounded by block sizes
+    (max 3 in this corpus); the DP cost is capped by the 120-char
+    operand limit."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    b = d.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("head"),
+        F.concat_ws(
+            " ",
+            F.element_at(ws, 1),
+            F.element_at(ws, 2),
+            F.element_at(ws, 3),
+        ).alias("blk"),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    denom = F.greatest(
+        F.length("a.head"), F.length("b.head"), F.lit(1)
+    )
+    return (
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+            (
+                F.floor(
+                    (1.0 - dist.cast("double") / denom) * 1e4 + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("head_similarity"),
+            (dist <= 25).alias("near_dup"),
+        )
+    )
+
+
+@query(
+    "modern_aggregates_suite",
+    """
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_large_qty,
+           bool_and(l_quantity > 0) AS all_qty_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_div_by_zero,
+           CAST(NULL AS BIGINT) AS overflow_is_null
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def modern_aggregates_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL aggregate/error-handling surface in one entry:
+    ``count_if`` / ``bool_and`` / ``bool_or`` (Spark 3.x additions SQL
+    users expect from Postgres/DuckDB), plus the ANSI-mode ``try_*``
+    arithmetic family — this session runs ANSI, where a plain division
+    by zero or a long overflow RAISES, so ``try_divide`` and
+    ``try_add`` returning NULL is load-bearing semantics, pinned here
+    against literal expectations the oracle mirrors: every
+    try_divide(x, 0) row counts 0 non-nulls, and
+    try_add(BIGINT_MAX, 1) is NULL per group.
+
+    100 TB shape: one map-side-combinable aggregate, single shuffle of
+    partials; the try_* expressions are scan-stage JVM codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).cast("long").alias("n_large_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.try_divide(F.col("l_quantity"), F.col("l_tax") - F.col("l_tax"))
+        )
+        .cast("long")
+        .alias("n_div_by_zero"),
+        F.max(
+            F.try_add(F.lit(9223372036854775807), F.lit(1).cast("long"))
+        )
+        .cast("long")
+        .alias("overflow_is_null"),
+    )
