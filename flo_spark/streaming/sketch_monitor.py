@@ -1,18 +1,31 @@
-"""Streaming quantile monitoring over a persistent sketch store.
+"""Streaming monitors over persistent sketch stores.
 
-The payoff of a MERGEABLE sketch (operators/sketch.py): each
-micro-batch reduces to one O(capacity * log n) sketch row, persisted
-as the batch's own parquet shard — so the monitoring state survives
-restarts, replayed batches overwrite their own shard instead of
-double-counting (the flo-writer/dedup-ingest idempotency recipe), and
-ANY window of history re-aggregates by merging its shards without
-rescanning raw data.  ``percentile_approx`` cannot do this: its sketch
-state never leaves the query that built it.
+Three monitors share one recipe — the payoff of a MERGEABLE sketch
+(operators/sketch.py): each micro-batch reduces to tiny sketch rows
+persisted as the batch's own parquet shard, so the monitoring state
+survives restarts, replayed batches overwrite their own shard instead
+of double-counting (the flo-writer/dedup-ingest idempotency recipe),
+and ANY window of history re-aggregates by merging its shards without
+rescanning raw data.  Spark's built-in ``percentile_approx`` /
+``approx_count_distinct`` cannot do this: their sketch state never
+leaves the query that built it.
+
+- QUANTILE monitor: one KLL-family row per batch -> all-time
+  percentiles with a tracked rank-error bound;
+- THETA monitor: one KMV row per (batch, segment) -> distinct counts
+  AND set algebra (overlaps) across segments;
+- COUNT-MIN monitor: one CM table row per (batch, sliding window) +
+  exact candidate counts -> per-window heavy hitters with the
+  overestimate-only invariant.
+
+``compact_countmin_store`` folds committed batch shards into a
+versioned ``base-upto-N`` shard (atomic-rename publish, stale shards
+ignored by readers) so the store's read fan-in stays bounded forever.
 
 100 TB shape: the per-batch reduction is one Arrow pass over the
-batch's partitions plus a single-task merge; the store grows by one
-tiny row per batch (compactable by merging shards); querying merges
-O(batches) sketches, never touching the stream's raw history.
+batch's partitions plus a keyed merge; the store grows by O(1)/O(keys)
+tiny rows per batch; querying merges O(batches) sketches — never the
+stream's raw history.
 """
 
 from __future__ import annotations
