@@ -624,3 +624,21 @@ def test_bloom_pruned_join_filter_precedes_join_and_prunes(spark, sf_dir):
     n_joined = df.agg(F.sum("n_items")).collect()[0][0] or 0
     assert n_joined == n_match  # pruning never changes the answer
     assert n_match < 0.2 * n_fact  # the dim filter is genuinely selective
+
+
+def test_line_dedup_two_keyed_shuffles_no_cartesian(spark, sf_dir):
+    """line_dedup_corpus: chunking stays in the scan stage; the only
+    exchanges are the line-keyed dedup window and the doc_id
+    reassembly aggregate — no joins, no cartesian."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.line_dedup_corpus(spark, sf_dir)
+    plan = explain_str(df)
+    assert_no_cartesian(df)
+    # window partition key is the line, reassembly key is doc_id
+    assert re.search(r"hashpartitioning\(line", plan), plan
+    assert re.search(r"hashpartitioning\(doc_id", plan), plan
+    # exactly those two data exchanges (formatted mode lists each node
+    # once in the numbered detail section)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 2, plan
