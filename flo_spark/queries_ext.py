@@ -8781,3 +8781,151 @@ def modern_aggregates_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overflow_is_null"),
     )
+
+
+@query(
+    "scd2_customer_versions",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS eff_date,
+             max(o_totalprice) AS attr_value
+      FROM orders GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT custkey, eff_date, attr_value,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY eff_date) AS version,
+             lead(eff_date) OVER (PARTITION BY custkey
+                                  ORDER BY eff_date) AS valid_to
+      FROM upd
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(version AS BIGINT) AS version,
+           eff_date AS valid_from, valid_to,
+           valid_to IS NULL AS is_current,
+           floor(attr_value * 1e2 + 0.5) / 1e2 AS attr_value
+    FROM v
+    """,
+)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history build — the versioned
+    dimension every warehouse keeps and flo's event log naturally
+    feeds: each (customer, day) change event (here: per-day max order
+    value as the tracked attribute, deduplicated to one update per
+    effective date) becomes a dimension VERSION with
+    [valid_from, valid_to) effectivity derived by ``lead`` over the
+    customer's change sequence; the open-ended current row carries
+    NULL valid_to and is_current.  This is the half-open-interval
+    construction a point-in-time join consumes
+    (``scd2_point_in_time_join``).
+
+    100 TB shape: one key shuffle for the per-day change dedup, one
+    customer-partitioned window for versioning (state bounded by a
+    customer's change count); no joins, no driver data."""
+    upd = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("day", "o_orderdate").alias("eff_date"),
+        )
+        .agg(F.max("o_totalprice").alias("attr_value"))
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_date")
+    return upd.select(
+        "custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("eff_date").alias("valid_from"),
+        F.lead("eff_date").over(w).alias("valid_to"),
+        "attr_value",
+    ).select(
+        "custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        (F.floor(F.col("attr_value") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "attr_value"
+        ),
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS eff_date,
+             max(o_totalprice) AS attr_value
+      FROM orders GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT custkey, eff_date AS valid_from, attr_value,
+             lead(eff_date) OVER (PARTITION BY custkey
+                                  ORDER BY eff_date) AS valid_to
+      FROM upd
+    ),
+    j AS (
+      SELECT o.o_orderkey, v.custkey, v.valid_from, v.attr_value
+      FROM orders o JOIN v
+        ON v.custkey = o.o_custkey
+       AND o.o_orderdate >= v.valid_from
+       AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_matched,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           count(*) = (SELECT count(*) FROM orders) AS exactly_one_version
+    FROM j
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: every
+    order joins the customer version VALID AT its order date — the
+    lookup that makes Type-2 history useful and the classic
+    training-data leak guard ("join features as of the label's
+    timestamp, never the current row").  The half-open intervals from
+    ``scd2_customer_versions`` guarantee each order matches EXACTLY
+    one version (its own day's update at minimum); the entry proves it
+    corpus-wide: matched count == order count == distinct matched
+    orders, as a hashed boolean.
+
+    100 TB shape: the interval predicate rides a customer-keyed
+    equi-join (the non-equi part filters within the key group — never
+    a BroadcastNestedLoopJoin, plan-pinned in tests/test_plans.py);
+    versions-per-customer is domain-bounded, so the within-key scan is
+    bounded.  At extreme version counts the bin-id rewrite
+    (interval_join_binned) applies unchanged."""
+    o = load(spark, sf_dir, "orders")
+    upd = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("day", "o_orderdate").alias("eff_date"),
+    ).agg(F.max("o_totalprice").alias("attr_value"))
+    w = Window.partitionBy("custkey").orderBy("eff_date")
+    v = upd.select(
+        "custkey",
+        F.col("eff_date").alias("valid_from"),
+        F.lead("eff_date").over(w).alias("valid_to"),
+    )
+    j = o.join(
+        v,
+        (v["custkey"] == o["o_custkey"])
+        & (o["o_orderdate"] >= v["valid_from"])
+        & (v["valid_to"].isNull() | (o["o_orderdate"] < v["valid_to"])),
+    )
+    total = o.agg(F.count("*").alias("n_orders"))
+    return (
+        j.agg(
+            F.count("*").alias("n_orders_matched"),
+            F.countDistinct("o_orderkey").alias("n_distinct"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "n_orders_matched",
+            "n_orders",
+            "n_distinct",
+            (F.col("n_orders_matched") == F.col("n_orders")).alias(
+                "exactly_one_version"
+            ),
+        )
+    )

@@ -642,3 +642,26 @@ def test_line_dedup_two_keyed_shuffles_no_cartesian(spark, sf_dir):
     # once in the numbered detail section)
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(exchanges) == 2, plan
+
+
+def test_scd2_point_in_time_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The temporal predicate must ride the custkey equi-join as a
+    residual condition — a BroadcastNestedLoopJoin would compare every
+    order against every version."""
+    from flo_spark import queries_ext as QX
+
+    df = QX.scd2_point_in_time_join(spark, sf_dir)
+    plan = explain_str(df)
+    # the interval join itself must be hash/sort-merge on custkey (the
+    # only permitted nested-loop is the 1-row scalar-count crossJoin)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*custkey",
+        plan,
+        re.DOTALL,
+    ), plan
+    keyed = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M,
+    )
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(keyed) >= 1 and len(bnlj) <= 1, plan
