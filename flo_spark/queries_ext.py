@@ -8929,3 +8929,107 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "approx_topk_verified",
+    """
+    WITH c AS (
+      SELECT event_type, count(*) AS n_exact FROM events GROUP BY event_type
+    ),
+    k AS (
+      SELECT n_exact AS kth FROM c ORDER BY n_exact DESC LIMIT 1 OFFSET 2
+    )
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS topk_consistent, TRUE AS est_matches_exact
+    FROM c, k
+    """,
+)
+def approx_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``approx_top_k`` sketch with exact verification: the
+    sketch tracks up to maxItemsTracked items (default 10000), so at
+    this column's cardinality its counts are EXACT and its top-3
+    membership must agree with the true ranking.  The contract is
+    tie-proof: membership is consistent iff every sketched item counts
+    >= the true 3rd-highest count and every unsketched item counts <=
+    it (a boundary tie legally resolves either way), and every
+    sketched item's estimate equals its exact count.  Both booleans
+    hash against literal TRUE; the exact counts pin the grouping.
+
+    100 TB shape: approx_top_k is a single map-side-combinable
+    aggregate whose state is O(maxItemsTracked) — the heavy-hitter
+    shape that replaces a full groupBy + sort when only the top of the
+    distribution matters; the exact verification side is one key
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    kth = (
+        exact.orderBy(F.col("n_exact").desc())
+        .limit(3)
+        .agg(F.min("n_exact").alias("kth"))
+    )
+    sk = ev.agg(
+        F.expr("approx_top_k(event_type, 3)").alias("top")
+    ).select(F.explode("top").alias("t")).select(
+        F.col("t.item").alias("event_type"),
+        F.col("t.count").alias("est"),
+    )
+    return (
+        exact.join(sk, "event_type", "left")
+        .join(F.broadcast(kth))
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.when(F.col("est").isNotNull(), F.col("n_exact") >= F.col("kth"))
+            .otherwise(F.col("n_exact") <= F.col("kth"))
+            .alias("topk_consistent"),
+            F.coalesce(F.col("est") == F.col("n_exact"), F.lit(True)).alias(
+                "est_matches_exact"
+            ),
+        )
+    )
+
+
+@query(
+    "listagg_order_manifest",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS first_keys
+    FROM r WHERE rn <= 5 GROUP BY o_orderpriority
+    """,
+)
+def listagg_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` — new in
+    Spark 4 — building a deterministic per-group manifest string (the
+    5 lowest order keys per priority, comma-joined in key order);
+    DuckDB spells the same aggregate ``string_agg(... ORDER BY ...)``.
+    An unordered listagg would be partition-order-dependent; the
+    WITHIN GROUP ordering is what makes the result hashable at all —
+    which is exactly the semantics worth pinning.
+
+    100 TB shape: the rank window bounds each group's contribution to
+    5 rows before the aggregate, so the manifest string is O(k) per
+    group regardless of data scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    r = o.select("o_orderpriority", "o_orderkey").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= 5)
+    r.createOrReplaceTempView("listagg_sample_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS first_keys
+        FROM listagg_sample_v GROUP BY o_orderpriority
+        """
+    )
