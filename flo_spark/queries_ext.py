@@ -9108,3 +9108,86 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "stream_scd2_maintenance",
+    """
+    WITH chg AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS valid_from,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS BIGINT)
+             AS version,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM chg
+    """,
+)
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 maintained FROM A STREAM: the change feed (per-user
+    per-day activity) arrives in micro-batches; each batch reduces to
+    its partial (user, day, count) change rows written as the batch's
+    own replay-safe shard (overwrite-own-shard — the monitor-store
+    idempotency recipe), and the versioned dimension DERIVES at read
+    time: merge shards additively, then the same lead-window
+    construction as ``scd2_customer_versions``.  Keeping the STORE as
+    an idempotent change log and deriving versions on read is what
+    makes streaming SCD2 replay-safe — a stored materialized
+    [valid_from, valid_to) row would need in-place rewrites on every
+    late or replayed batch.
+
+    Contract: the streamed store's derived versions hash-match the
+    batch ground truth computed straight from the events table.
+
+    100 TB shape: per batch one (user, day) partial aggregation; the
+    store grows by batch-partial rows (compactable additively, same
+    scheme as compact_countmin_store); the read-side merge is one key
+    shuffle + a user-partitioned window."""
+    from flo_spark.queries import _events_stream, scratch_dir
+
+    tmp = scratch_dir("flo_scd2_stream_")
+    store = f"{tmp}/store"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy(
+                "user_id", F.date_trunc("day", "ts").alias("valid_from")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch={batch_id}")
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("scd2 maintenance stream did not drain")
+    chg = (
+        spark.read.parquet(f"{store}/batch=*")
+        .groupBy("user_id", "valid_from")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    return chg.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
