@@ -49,6 +49,18 @@ def _shard(store_dir: str, batch_id: int) -> str:
     return os.path.join(store_dir, f"batch={batch_id}")
 
 
+def _flat_store_shards(store_dir: str) -> list[str]:
+    """Current base + live batch shards for a flat (single-kind) store
+    — same exclusion rule as the Count-Min store's ``_store_shards``:
+    batch ids at or below the base watermark are already folded in."""
+    bases = _base_dirs(store_dir)
+    floor = bases[-1][0] if bases else -1
+    out = [p for i, p in _batch_shards(store_dir) if i > floor]
+    if bases:
+        out.append(bases[-1][1])
+    return out
+
+
 def fold_sketch_batch(
     batch: DataFrame,
     batch_id: int,
@@ -81,16 +93,11 @@ def fold_sketch_batch(
 
 
 def read_sketch(spark, store_dir: str, capacity: int = 1024) -> QuantileSketch:
-    """Merge every persisted batch shard into one queryable sketch.
-    Driver-side, but O(batches) tiny rows — documented, never raw data."""
+    """Merge the current base (if compacted) plus every live batch
+    shard into one queryable sketch.  Driver-side, but O(batches) tiny
+    rows — documented, never raw data."""
     sk = QuantileSketch(capacity)
-    if not os.path.isdir(store_dir):
-        return sk
-    shards = [
-        os.path.join(store_dir, d)
-        for d in os.listdir(store_dir)
-        if d.startswith("batch=")
-    ]
+    shards = _flat_store_shards(store_dir)
     if not shards:
         return sk
     for row in spark.read.parquet(*shards).collect():
@@ -169,13 +176,7 @@ def read_theta(spark, store_dir: str, k: int = 256):
     from flo_spark.operators.sketch import ThetaSketch
 
     out: dict = {}
-    if not os.path.isdir(store_dir):
-        return out
-    shards = [
-        os.path.join(store_dir, d)
-        for d in os.listdir(store_dir)
-        if d.startswith("batch=")
-    ]
+    shards = _flat_store_shards(store_dir)
     if not shards:
         return out
     for row in spark.read.parquet(*shards).collect():
@@ -504,3 +505,88 @@ def compact_countmin_store(spark, store_dir: str, width: int = 1024,
             for n, p in bases[:-1]:
                 shutil.rmtree(p)
     return folded
+
+
+def _compact_flat(spark, store_dir: str, merge_fn,
+                  committed_through: int | None) -> int:
+    """Shared fold for flat stores: same watermark guard, atomic
+    ``base-upto-N`` publish, and post-publish cleanup as the Count-Min
+    compactor.  ``merge_fn(df) -> DataFrame`` reduces the unioned live
+    rows to the compacted representation."""
+    import shutil
+
+    bases = _base_dirs(store_dir)
+    floor = bases[-1][0] if bases else -1
+    live = [(i, p) for i, p in _batch_shards(store_dir) if i > floor]
+    if committed_through is None:
+        guard = max((i for i, _ in live), default=-1)
+        fold = [(i, p) for i, p in live if i < guard]
+    else:
+        fold = [(i, p) for i, p in live if i <= committed_through]
+    folded = 0
+    if fold:
+        new_n = max(i for i, _ in fold)
+        srcs = [p for _, p in fold] + ([bases[-1][1]] if bases else [])
+        merged = merge_fn(spark.read.parquet(*srcs))
+        tmp_dir = os.path.join(store_dir, "_compacting")
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, os.path.join(store_dir, f"{_BASE}{new_n}"))
+        folded = len(fold)
+    bases = _base_dirs(store_dir)
+    if bases:
+        cur_n, _cur_p = bases[-1]
+        for i, p in _batch_shards(store_dir):
+            if i <= cur_n:
+                shutil.rmtree(p)
+        for _n, p in bases[:-1]:
+            shutil.rmtree(p)
+    return folded
+
+
+def compact_sketch_store(spark, store_dir: str, capacity: int = 1024,
+                         committed_through: int | None = None) -> int:
+    """Fold the quantile store's batch shards into one base row (KLL
+    merge is associative, so the compacted sketch answers identically).
+    Same replay/crash safety as ``compact_countmin_store``."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import merge_sketch_rows
+
+    def merge_fn(df: DataFrame) -> DataFrame:
+        def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            levels, bound = merge_sketch_rows(pdf, capacity).to_row()
+            return pd.DataFrame({"levels": [levels], "bound": [bound]})
+
+        return (
+            df.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+                merge_rows, _SCHEMA
+            )
+        )
+
+    return _compact_flat(spark, store_dir, merge_fn, committed_through)
+
+
+def compact_theta_store(spark, store_dir: str, k: int = 256,
+                        committed_through: int | None = None) -> int:
+    """Fold the theta store's batch shards into one base row per
+    segment (KMV state is a pure set function, so the compacted store
+    provably equals the uncompacted one).  Same replay/crash safety as
+    ``compact_countmin_store``."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import ThetaSketch
+
+    def merge_fn(df: DataFrame) -> DataFrame:
+        def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk = ThetaSketch(k)
+            for hashes in pdf["hashes"]:
+                sk.merge(ThetaSketch.from_row(list(hashes), k))
+            return pd.DataFrame(
+                {"segment": [pdf["segment"].iloc[0]], "hashes": [sk.to_row()]}
+            )
+
+        return df.groupBy("segment").applyInPandas(merge_rows, _THETA_SCHEMA)
+
+    return _compact_flat(spark, store_dir, merge_fn, committed_through)

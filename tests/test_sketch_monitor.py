@@ -78,3 +78,64 @@ def test_theta_fold_state_equals_direct_and_replay_safe(spark, tmp_path):
     fold_theta_batch(batch(b1), 1, store, F.col("seg"), F.col("item"))
     again = read_theta(spark, store)
     assert again["a"].to_row() == got["a"].to_row()
+
+
+def test_quantile_store_compaction_preserves_answers(spark, tmp_path):
+    from flo_spark.streaming.sketch_monitor import compact_sketch_store
+
+    store = str(tmp_path / "store")
+    fold_sketch_batch(_batch(spark, range(100)), 0, store, F.col("value"))
+    fold_sketch_batch(_batch(spark, range(100, 300)), 1, store, F.col("value"))
+    fold_sketch_batch(_batch(spark, range(300, 350)), 2, store, F.col("value"))
+    before = read_sketch(spark, store)
+    folded = compact_sketch_store(spark, store, committed_through=2)
+    assert folded == 3
+    import os
+
+    assert not [
+        d for d in os.listdir(store) if d.startswith("batch=")
+    ]
+    after = read_sketch(spark, store)
+    assert after.total_weight() == before.total_weight() == 350
+    for q in (0.1, 0.5, 0.9):
+        assert after.quantile(q) == before.quantile(q)
+    # keeps accepting new batches on top of the base
+    fold_sketch_batch(_batch(spark, range(350, 400)), 3, store, F.col("value"))
+    assert read_sketch(spark, store).total_weight() == 400
+
+
+def test_theta_store_compaction_state_equal(spark, tmp_path):
+    from flo_spark.operators.sketch import ThetaSketch
+    from flo_spark.streaming.sketch_monitor import (
+        compact_theta_store,
+        fold_theta_batch,
+        read_theta,
+    )
+
+    store = str(tmp_path / "store")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "seg string, item long")
+
+    fold_theta_batch(
+        batch([("a", i) for i in range(60)]), 0, store,
+        F.col("seg"), F.col("item"),
+    )
+    fold_theta_batch(
+        batch([("a", i) for i in range(30, 90)] + [("b", 1)]), 1, store,
+        F.col("seg"), F.col("item"),
+    )
+    before = read_theta(spark, store)
+    folded = compact_theta_store(spark, store, committed_through=1)
+    assert folded == 2
+    after = read_theta(spark, store)
+    assert set(after) == {"a", "b"}
+    # theta state is a pure set function: compacted == uncompacted
+    assert after["a"].to_row() == before["a"].to_row()
+    assert after["a"].to_row() == ThetaSketch(256).add(range(90)).to_row()
+    # default guard (no watermark) folds nothing when one live batch
+    fold_theta_batch(
+        batch([("b", 2)]), 2, store, F.col("seg"), F.col("item")
+    )
+    assert compact_theta_store(spark, store) == 0
+    assert read_theta(spark, store)["b"].estimate() == 2
