@@ -9191,3 +9191,237 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).isNull().alias("is_current"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "flo_xml_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             '/xml/' || lang AS namespace,
+             CAST(doc_id % 4 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 250
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.namespace,
+             off.off + row_number()
+               OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+               AS event_counter,
+             octet_length(encode(b.text)) AS nbytes
+      FROM b JOIN off USING (partition)
+    )
+    SELECT namespace,
+           count(*) AS n_events,
+           CAST(sum(event_counter) AS BIGINT) AS sum_counters,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
+           count(*) AS n_null_parents
+    FROM env GROUP BY namespace
+    """,
+)
+def flo_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange: produce a 4-partition event stream, export it
+    through Spark 4's NATIVE XML source (the spark-xml package folded
+    into core — new public surface in this Spark generation), read it
+    back with the explicit envelope schema, and aggregate.  Payloads
+    travel base64 (XML is text, same rule as CSV/JSON); null parent
+    ids become OMITTED elements on write and must come back as real
+    NULLs under the explicit read schema — ``n_null_parents`` pins
+    exactly that omitted-element round trip (every produced event has
+    no parent, so the count must equal ``n_events``).
+
+    Completes the interchange matrix: parquet / orc / csv / json /
+    gzip-jsonl / xml / native ``.events`` all have hash-checked
+    round-trip evidence.
+
+    100 TB shape: XML records span physical lines, so a shard is
+    parallel at FILE granularity only (like the gzip JSONL shards) —
+    export partitioning decides scan parallelism; the aggregation is
+    one map-side-combinable shuffle of per-namespace partials.
+    Reference: flo's wire form is length-prefixed bytes
+    (flo-protocol/src/client.rs:106-122); base64 is the text-safe
+    analog, identical to the CSV/JSON rule."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+
+    tmp = scratch_dir("flo_xml_")
+    s = EventStream.create(spark, f"{tmp}/stream", num_partitions=4)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(250)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/xml/"), F.col("lang")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 4 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    s.export(f"{tmp}/xml", fmt="xml")
+    x = EventStream.read_events(spark, f"{tmp}/xml", fmt="xml")
+    return x.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+        F.count(F.when(F.col("parent_counter").isNull(), 1)).alias(
+            "n_null_parents"
+        ),
+    )
+
+
+@query(
+    "sql_scripting_threshold_report",
+    """
+    WITH t AS (
+      SELECT CAST(floor(count(*) / 200) AS BIGINT) AS min_n FROM orders
+    ),
+    cap AS (
+      SELECT CASE WHEN min_n <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(power(2, length(bin(min_n - 1))) AS BIGINT)
+             END AS pow2_cap, min_n
+      FROM t
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(floor((sum(CAST(floor((o.o_totalprice) * 10000 + 0.5)
+                                AS BIGINT)) + 50) / 100.0) / 100.0
+                AS DOUBLE) AS sum_price,
+           cap.min_n AS min_n,
+           cap.pow2_cap AS pow2_cap
+    FROM orders o CROSS JOIN cap
+    GROUP BY o.o_orderpriority, cap.min_n, cap.pow2_cap
+    HAVING count(*) >= cap.min_n
+    """,
+)
+def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN..END compound statements, local
+    DECLARE variables, SET VAR from a scalar subquery, and a WHILE
+    loop) driving a real report: the script derives a dynamic count
+    threshold (|orders|/200) into a variable, raises a second variable
+    to the smallest power of two >= that threshold by LOOPING
+    (``cap = cap * 2`` until it clears), then returns the per-priority
+    money report filtered by the computed threshold.  The oracle has
+    no procedural engine, so it derives the loop's fixed point in
+    closed form (2^bitlength(n-1)) — two algorithms, one exact integer,
+    which is precisely what makes a control-flow feature
+    hash-checkable.
+
+    Money uses the exact scaled-long spelling (queries.money_sum_sql)
+    written inline in BOTH engines' SQL with a final CAST AS DOUBLE —
+    SQL-text literals like 100.0 parse as DECIMAL (unlike the
+    DataFrame API's lit(100.0)), and the two engines format decimals
+    differently.  The threshold is CAST(floor(count/200) AS BIGINT):
+    an explicit floor because double->int CASTs disagree across
+    engines (Spark truncates, DuckDB rounds — 7.5 became 7 vs 8).
+
+    100 TB shape: scripting is driver-side control flow around
+    ordinary Catalyst statements — the scalar-subquery SET VAR is a
+    1-row aggregate, the loop is O(log n) driver arithmetic touching
+    no data, and the report is one map-side-combinable aggregate of
+    the orders scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE min_n BIGINT DEFAULT 0;
+          DECLARE cap BIGINT DEFAULT 1;
+          SET min_n =
+            (SELECT CAST(floor(count(*) / 200) AS BIGINT)
+             FROM orders_script_v);
+          WHILE cap < min_n DO
+            SET cap = cap * 2;
+          END WHILE;
+          SELECT o_orderpriority,
+                 count(*) AS n_orders,
+                 CAST(floor((sum(CAST(floor((o_totalprice) * 10000 + 0.5)
+                                      AS BIGINT)) + 50) / 100.0) / 100.0
+                      AS DOUBLE) AS sum_price,
+                 min_n AS min_n,
+                 cap AS pow2_cap
+          FROM orders_script_v
+          GROUP BY o_orderpriority
+          HAVING count(*) >= min_n;
+        END
+        """
+    )
+
+
+@query(
+    "dpp_month_partition_prune",
+    """
+    WITH m AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+    )
+    SELECT l.ship_month,
+           count(*) AS n_items,
+           floor((sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount))
+                                 * 10000 + 0.5) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
+    FROM (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ) l JOIN m USING (ship_month)
+    GROUP BY l.ship_month
+    """,
+)
+def dpp_month_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end to end: the fact table is laid out
+    hive-partitioned by ship month (``ship_month=YYYY-MM/`` dirs — the
+    canonical 100 TB fact layout), the dim side is the set of months
+    that saw an URGENT order in 1996, and Catalyst injects the dim's
+    month set into the fact scan's PartitionFilters AT RUNTIME
+    (``dynamicpruning#`` subquery, reusing the join's broadcast) — so
+    the ~12 matching month directories are the only ones whose files
+    open, out of the full date range.  Static pruning can't do this:
+    the month list is data, known only after the dim filter runs.
+    tests/test_plans.py pins the ``dynamicpruning`` PartitionFilter
+    and the broadcast reuse in the physical plan.
+
+    100 TB shape: THE mechanism that makes date-partitioned fact joins
+    affordable — scan cost scales with the dim's selectivity, not the
+    fact's history length.  The scratch layout writes one file per
+    month (repartition by the partition column before partitionBy) —
+    the small-files discipline a real table needs.
+
+    Correctness: revenue per selected month hash-matches the oracle
+    computed from the unpartitioned parquet; the scaled-long money sum
+    keeps both engines exact."""
+    from flo_spark.queries import money_sum, scratch_dir
+
+    tmp = scratch_dir("flo_dpp_")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    (
+        li.repartition("ship_month")
+        .write.partitionBy("ship_month")
+        .mode("overwrite")
+        .parquet(f"{tmp}/fact")
+    )
+    fact = spark.read.parquet(f"{tmp}/fact")
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

@@ -510,7 +510,7 @@ class EventStream:
 
     # -- interchange (CSV/JSON/Parquet/ORC sources & sinks) ------------
     def export(self, path: str, fmt: str = "json") -> int:
-        """Write the stream's events out as parquet/orc/json/csv (the
+        """Write the stream's events out as parquet/orc/json/csv/xml (the
         B-relational sink surface).  Binary payloads are base64-encoded
         for the text formats (flo's wire form is also length-prefixed
         bytes — client.rs:106-122; base64 is the text-safe analog);
@@ -533,6 +533,14 @@ class EventStream:
             df.withColumn("data", b64).write.mode("overwrite").option(
                 "header", True
             ).csv(path)
+        elif fmt == "xml":
+            # Spark 4 native XML source (the spark-xml package folded
+            # into core).  Text format, so payloads travel base64 like
+            # CSV/JSON.  Null parent ids are simply omitted elements;
+            # the explicit read schema restores them as NULL.
+            df.withColumn("data", b64).write.mode("overwrite").format(
+                "xml"
+            ).option("rowTag", "event").save(path)
         else:
             raise ValueError(f"unsupported export format: {fmt!r}")
         return n
@@ -540,7 +548,7 @@ class EventStream:
     @staticmethod
     def read_events(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
         """Read an exported event set back into the canonical schema —
-        the Parquet/ORC/CSV/JSON scan surface.  Schema is always supplied
+        the Parquet/ORC/CSV/JSON/XML scan surface.  Schema is always supplied
         explicitly (never inferred), matching flo's fixed envelope
         (SURVEY.md §1.2)."""
         if fmt == "parquet":
@@ -559,6 +567,17 @@ class EventStream:
             raw = spark.read.schema(text_schema).json(path)
         elif fmt == "csv":
             raw = spark.read.schema(text_schema).option("header", True).csv(path)
+        elif fmt == "xml":
+            # rowTag must match the writer's.  XML records span lines,
+            # so unlike CSV/JSON a shard is parallel at FILE granularity
+            # only — export partitioning determines scan parallelism
+            # (same caveat as the gzip JSONL shards).
+            raw = (
+                spark.read.schema(text_schema)
+                .format("xml")
+                .option("rowTag", "event")
+                .load(path)
+            )
         else:
             raise ValueError(f"unsupported read format: {fmt!r}")
         return raw.withColumn("data", F.unbase64("data")).select(

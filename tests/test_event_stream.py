@@ -207,7 +207,7 @@ def test_produce_single_materialization(spark, stream):
     assert evals.value == 12, f"input evaluated {evals.value/12:.0f}x, want 1x"
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_export_import_round_trip(spark, stream, tmp_path, fmt):
     stream.produce(
         _batch(

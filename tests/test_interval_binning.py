@@ -8,7 +8,7 @@ matching pair appears in exactly one bin)."""
 
 import math
 
-from hypothesis import given
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 
@@ -33,14 +33,20 @@ def test_matching_point_bin_is_always_covered(lo, span, w, frac):
     w=st.sampled_from([1, 7, 1000, 50000]),
     frac=st.floats(0.0, 1.0, exclude_max=True, allow_nan=False),
 )
+@example(lo=393535, span=602894, w=1, frac=0.18282815208850933)
+@settings(deadline=None)  # w=1 cases are large; load spikes broke 200ms
 def test_matching_pair_survives_exactly_once(lo, span, w, frac):
     """A point lies in exactly ONE bin, so after the equi-join +
     re-check each matching pair appears exactly once — no dedup step
-    needed (the entry relies on this)."""
+    needed (the entry relies on this).
+
+    The exploded bins are range(lo//w, hi//w + 1) — distinct by
+    construction — so "exactly once" reduces to: the point's single
+    bin floor(p/w) is a member (O(1) range membership; a materialized
+    list scan here is O(span) per example and deadline-flaky)."""
     hi = lo + span
     p = lo + frac * span
     if not (lo <= p < hi):
         return
-    bins = list(range(lo // w, hi // w + 1))
-    hits = [b for b in bins if math.floor(p / w) == b and lo <= p < hi]
-    assert len(hits) == 1
+    bins = range(lo // w, hi // w + 1)
+    assert math.floor(p / w) in bins

@@ -696,3 +696,18 @@ def test_bucketed_join_has_no_join_exchange_or_sort(spark, sf_dir):
     # is the bucketing payoff being pinned
     sorts = re.findall(r"^\(\d+\) Sort\b", plan, re.M)
     assert len(sorts) <= 2, plan
+
+
+def test_dpp_month_partition_prune_plan(spark, sf_dir):
+    """Dynamic partition pruning: the fact scan's PartitionFilters must
+    carry the runtime dynamicpruning subquery (the dim's month set
+    injected at execution), and the join must stay broadcast — scan
+    cost then scales with dim selectivity, not fact history length."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.dpp_month_partition_prune(spark, sf_dir)
+    plan = explain_str(df)
+    assert "dynamicpruning" in plan, plan[:4000]
+    assert "PartitionFilters" in plan, plan[:4000]
+    assert uses_broadcast_join(df)
+    assert_no_cartesian(df)
