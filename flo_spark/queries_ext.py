@@ -9425,3 +9425,327 @@ def dpp_month_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "community_label_propagation",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM sym),
+    v1 AS (
+      SELECT s.src AS n, l.lbl, count(*) AS c
+      FROM sym s JOIN l0 l ON l.n = s.dst
+      GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT n, lbl FROM (
+        SELECT n, lbl,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl ASC)
+                 AS rk
+        FROM v1) t WHERE rk = 1
+    ),
+    v2 AS (
+      SELECT s.src AS n, l.lbl, count(*) AS c
+      FROM sym s JOIN l1 l ON l.n = s.dst
+      GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT n, lbl FROM (
+        SELECT n, lbl,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl ASC)
+                 AS rk
+        FROM v2) t WHERE rk = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           count(*) AS n_members,
+           CAST(min(n) AS BIGINT) AS min_member,
+           CAST(max(n) AS BIGINT) AS max_member
+    FROM l2 GROUP BY lbl
+    """,
+)
+def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation on the
+    part co-purchase graph (the `triangle_count_copurchase` edge set):
+    every node starts labeled with its own id; each round it adopts
+    the most frequent label among its NEIGHBORS, ties broken toward
+    the smallest label — the deterministic variant of
+    Raghavan et al. 2007 (classic async LPA is run-order dependent,
+    useless under a hash oracle; the sync+min-tie form is the one
+    Pregel systems implement).  Two rounds, then communities report
+    (label, size, min/max member).
+
+    The oracle replays both rounds as chained CTEs — same algorithm,
+    independently evaluated, exact integer labels.
+
+    100 TB shape: per round ONE keyed join (symmetric edges x current
+    labels on dst) + one (node,label) count shuffle + one per-node
+    window cut — all partitioned by node id; the label frame is
+    |V|-sized and never collected.  Deep iteration would add
+    localCheckpoint lineage cuts every few rounds (operators/graph.py
+    discipline); two rounds stay well inside plan-size limits.
+    Reference scope: flo has no graph surface — north-star extension
+    (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("lo", "hi")
+    )
+    sym = (
+        e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(2):
+        votes = (
+            sym.join(
+                labels.select(F.col("n").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("n"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("n", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("n").cast("long").alias("min_member"),
+        F.max("n").cast("long").alias("max_member"),
+    )
+
+
+@query(
+    "dsir_importance_resample",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, lang, unnest(ws) AS w FROM toks
+    ),
+    ct AS (
+      SELECT w, count(*) AS ct FROM words WHERE lang = 'en' GROUP BY w
+    ),
+    cr AS (
+      SELECT w, count(*) AS cr FROM words WHERE lang <> 'en' GROUP BY w
+    ),
+    ratio AS (
+      SELECT cr.w,
+             CAST(floor((10000 * (COALESCE(ct.ct, 0) + 1))
+                        / (cr.cr + 1)) AS BIGINT) AS r
+      FROM cr LEFT JOIN ct ON ct.w = cr.w
+    ),
+    doc_scores AS (
+      SELECT wd.doc_id,
+             count(*) AS n_toks,
+             CAST(floor(CAST(sum(ratio.r) AS DOUBLE) / count(*)) AS BIGINT)
+               AS dsir_score
+      FROM words wd JOIN ratio ON ratio.w = wd.w
+      WHERE wd.lang <> 'en'
+      GROUP BY wd.doc_id
+    )
+    SELECT d.doc_id, t.lang, t.source,
+           CAST(d.n_toks AS BIGINT) AS n_toks, d.dsir_score
+    FROM doc_scores d JOIN toks t ON t.doc_id = d.doc_id
+    ORDER BY d.dsir_score DESC, d.doc_id LIMIT 100
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) re-based on exact integers: score every raw-pool document
+    (lang != 'en') by its unigram importance under the TARGET
+    distribution (the English slice), then take the top-100 — the
+    deterministic analog of sampling proportionally to the importance
+    weight.  Per word, importance = floor(1e4*(ct+1)/(cr+1)) — the
+    add-one target/raw likelihood ratio on a fixed integer grid; per
+    doc, the floor-mean of its words' ratios.  All inputs are exact
+    integers and every division is a correctly-rounded IEEE op whose
+    distance from the nearest integer (>= 1/n) dwarfs the ulp, so the
+    scores are bit-identical cross-engine (the q7 discipline applied
+    to likelihood ratios).
+
+    Paper mapping: DSIR hashes n-grams into 2^k buckets so the
+    importance model fits one machine's memory.  Here the model IS a
+    DataFrame keyed by word — vocabulary-sized, joined not broadcast —
+    so the hashing trick becomes an optional constant-memory
+    refinement rather than a requirement; the estimator is otherwise
+    the paper's (add-one smoothed unigram ratio, resample top-k).
+
+    100 TB shape: two corpus-scale word aggregations (one shuffle
+    each, map-side combinable), a vocab-sized ratio join on the word
+    key (AQE picks broadcast only if it fits), one per-doc score
+    shuffle, TakeOrderedAndProject for the cut — no driver-side
+    state."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+    )
+    words = toks.select("doc_id", "lang", F.explode("ws").alias("w"))
+    ct = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count("*").alias("ct"))
+    )
+    cr = (
+        words.filter(F.col("lang") != "en")
+        .groupBy("w")
+        .agg(F.count("*").alias("cr"))
+    )
+    ratio = cr.join(ct, "w", "left").select(
+        "w",
+        F.floor(
+            (10000 * (F.coalesce(F.col("ct"), F.lit(0)) + 1))
+            / (F.col("cr") + 1)
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    doc_scores = (
+        words.filter(F.col("lang") != "en")
+        .join(ratio, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.floor(F.sum("r").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )
+    return (
+        doc_scores.join(toks.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            "dsir_score",
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "image_dhash_neardup",
+    """
+    SELECT doc_id AS orig_id,
+           doc_id + 100000 AS dup_id,
+           CAST(doc_id AS BIGINT) AS dhash
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image deduplication (dHash, the
+    difference-hash behind every photo-dedup pipeline) with a planted,
+    PROVABLE contract — the image sibling of ``dedup_simhash_pairs``:
+
+    Per document, build a REAL 9x8 grayscale PGM whose horizontal
+    gradient SIGNS encode the bits of doc_id (pixel walks +3 for a set
+    bit, -3 for clear, from 128), so by construction
+    dHash(image) == doc_id — and dHash is distinct across documents
+    because doc_id is.  For doc_id < 40 a brightness-shifted copy
+    (+15 on every pixel, a new asset id) is planted: dHash compares
+    ADJACENT pixels, so a global brightness change preserves every
+    bit — exactly the invariance that makes dHash a near-dup hash
+    rather than a checksum.  The pipeline encodes real P5 container
+    bytes, decodes them back through ``decode_image`` (the engine's
+    actual netpbm decoder), computes the 64-bit dHash from the decoded
+    pixels with numpy, and self-joins on the hash — so the planted
+    pair set (each base with its copy, nothing else) is the only
+    possible correct answer, and a defect in the container encode, the
+    decoder, the bit packing, or the join breaks the hash.
+
+    Hamming-tolerant matching (t > 0) composes with the simhash
+    band-join (operators/dedup.py): dhash here IS a 64-bit simhash-
+    shaped key.  100 TB shape: decode + hash is one Arrow-batched
+    mapInPandas over the asset scan (no shuffle); the dedup join is
+    one hash shuffle on an 8-byte key — identical to exact dedup."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image
+
+    W, H = 9, 8
+
+    def _hash_assets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def render(v: int, bright: int) -> bytes:
+            px = np.empty((H, W), dtype=np.uint8)
+            for y in range(H):
+                p = 128 + bright
+                px[y, 0] = p
+                for x in range(W - 1):
+                    bit = (v >> (y * 8 + x)) & 1
+                    p += 3 if bit else -3
+                    px[y, x + 1] = p
+            return b"P5\n%d %d\n255\n" % (W, H) + px.tobytes()
+
+        def dhash(payload: bytes) -> int:
+            arr = decode_image(payload)
+            a = np.asarray(arr, dtype=np.int64).reshape(H, W)
+            bits = (a[:, 1:] > a[:, :-1]).astype(np.uint64).ravel()
+            return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+        for pdf in it:
+            out = {"asset_id": [], "dhash": []}
+            for doc_id in pdf.doc_id:
+                did = int(doc_id)
+                out["asset_id"].append(did)
+                out["dhash"].append(dhash(render(did, 0)))
+                if did < 40:  # planted brightness-shifted copy
+                    out["asset_id"].append(did + 100000)
+                    out["dhash"].append(dhash(render(did, 15)))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.mapInPandas(_hash_assets, "asset_id long, dhash long")
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("orig_id"),
+            F.col("b.asset_id").alias("dup_id"),
+            F.col("a.dhash").alias("dhash"),
+        )
+    )
