@@ -260,6 +260,23 @@ class ThetaSketch:
             return float(len(common))  # both exact
         return len(common) / th
 
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """A-not-B estimate — the third set-algebra op (DataSketches'
+        AnotB).  Same cut-to-common-theta rule as intersection: below
+        theta both sketches retain a uniform sample at the SAME rate,
+        so the retained difference scaled by 1/theta estimates
+        |A \\ B|.  Exact when both sketches are below capacity.
+        Identity (tested): on the cut sample, intersect + difference
+        partition A's retained points exactly."""
+        th = min(self.theta(), other.theta())
+        cut = int(th * self.MAX_HASH)
+        a = self._hashes[self._hashes < cut] if th < 1.0 else self._hashes
+        b = other._hashes[other._hashes < cut] if th < 1.0 else other._hashes
+        only_a = np.setdiff1d(a, b, assume_unique=True)
+        if th >= 1.0:
+            return float(len(only_a))  # both exact
+        return len(only_a) / th
+
     # -- columnar (de)serialization ---------------------------------------
 
     def to_row(self) -> list[int]:

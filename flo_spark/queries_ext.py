@@ -9749,3 +9749,375 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.dhash").alias("dhash"),
         )
     )
+
+
+@query(
+    "theta_sketch_audience_diff",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n - p.n_overlap AS BIGINT) AS n_a_not_b,
+           CAST(sb.n - p.n_overlap AS BIGINT) AS n_b_not_a,
+           TRUE AS within_bound_ab,
+           TRUE AS within_bound_ba
+    FROM p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def theta_sketch_audience_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience DIFFERENCE via theta sketches — A-not-B, the third
+    set-algebra operation (DataSketches' AnotB), completing the
+    union / intersection / difference triple over the same per-type
+    sketch rows `theta_sketch_audience_overlap` builds: 'users who did
+    X but never Y' answered from O(types) sketches, no distinct-join
+    per pair.  Retention/churn asks exactly this shape (bought-then-
+    left, saw-but-never-clicked).
+
+    Contract: per ordered pair both directions' estimates land within
+    4/sqrt(k) of the exact difference scaled by the pair's union (the
+    cut-sample error model, property-tested with the exact partition
+    identity intersect+diff == cut cardinality in
+    tests/test_sketch.py); below k distinct users the sketch is exact.
+    Exact differences derive from the same scan (|A| - |A∩B|) and pin
+    the pairing.
+
+    100 TB shape: identical to the overlap entry — one distinct
+    shuffle, one applyInPandas sketch task per type, O(types) rows
+    collected (documented), pairwise algebra on sketch state only."""
+    import pandas as pd
+
+    from flo_spark.operators.sketch import ThetaSketch
+
+    K = 256
+    du = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = ThetaSketch(K).add(pdf["user_id"].tolist())
+        return pd.DataFrame(
+            {"event_type": [pdf["event_type"].iloc[0]], "hashes": [sk.to_row()]}
+        )
+
+    sk_rows = (
+        du.groupBy("event_type")
+        .applyInPandas(build, "event_type string, hashes array<long>")
+        .collect()  # O(types) tiny rows, documented
+    )
+    sketches = {
+        r.event_type: ThetaSketch.from_row(list(r.hashes), K) for r in sk_rows
+    }
+    sizes = {t: sk.estimate() for t, sk in sketches.items()}
+    types = sorted(sketches)
+    rel = 4 / K ** 0.5
+    est_rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            inter = sketches[ta].intersect_estimate(sketches[tb])
+            union_est = sizes[ta] + sizes[tb] - inter
+            est_rows.append(
+                (
+                    ta,
+                    tb,
+                    float(sketches[ta].difference_estimate(sketches[tb])),
+                    float(sketches[tb].difference_estimate(sketches[ta])),
+                    float(union_est),
+                )
+            )
+    est_df = spark.createDataFrame(
+        est_rows,
+        "type_a string, type_b string, est_ab double, est_ba double,"
+        " union_est double",
+    )
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    overlap = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    szs = du.groupBy(F.col("event_type")).agg(F.count("*").alias("n"))
+    exact = (
+        overlap.join(
+            szs.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")),
+            "type_a",
+        )
+        .join(
+            szs.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") - F.col("n_overlap")).cast("long").alias("n_a_not_b"),
+            (F.col("nb") - F.col("n_overlap")).cast("long").alias("n_b_not_a"),
+        )
+    )
+    return exact.join(est_df, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a_not_b",
+        "n_b_not_a",
+        (
+            F.abs(F.col("est_ab") - F.col("n_a_not_b"))
+            <= rel * F.col("union_est") + F.lit(1e-9)
+        ).alias("within_bound_ab"),
+        (
+            F.abs(F.col("est_ba") - F.col("n_b_not_a"))
+            <= rel * F.col("union_est") + F.lit(1e-9)
+        ).alias("within_bound_ba"),
+    )
+
+
+@query(
+    "audio_fingerprint_neardup",
+    """
+    SELECT doc_id AS orig_id,
+           doc_id + 100000 AS dup_id,
+           CAST(doc_id AS BIGINT) AS fp
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint deduplication with a planted, PROVABLE
+    contract — the audio sibling of ``image_dhash_neardup``: the
+    fingerprint is the SIGN CONTOUR of successive sample amplitudes
+    (the 1-bit energy-delta scheme that band-energy fingerprints like
+    Shazam's reduce to per band), which is invariant under GAIN — a
+    louder copy of the same recording fingerprints identically.
+
+    Per document, synthesize a real RIFF/WAVE PCM16 mono container
+    whose 65 samples walk +3/-3 around 1000 following the bits of
+    doc_id, so fingerprint(audio) == doc_id by construction and is
+    distinct across documents.  For doc_id < 40 a gain-doubled copy
+    (x2 every sample — exact in int16 and in the decoder's /32768
+    float32 normalization) is planted under a new asset id.  The
+    pipeline writes actual WAV bytes, decodes them back through
+    ``decode_audio`` (the engine's stdlib WAV path), computes the
+    64-bit contour with numpy, and self-joins on it: the planted
+    (base, copy) pairs are the only possible answer; a defect in the
+    container encode, the decoder's width/normalization handling, the
+    bit packing, or the join breaks the hash.
+
+    100 TB shape: decode + fingerprint is one Arrow-batched
+    mapInPandas over the asset scan; the dedup join is one hash
+    shuffle on an 8-byte key.  Hamming-tolerant matching composes
+    with the simhash band-join exactly as for dHash."""
+    import struct
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_audio
+
+    N = 65  # 64 sign bits
+
+    def _fingerprint(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def render(v: int, gain: int) -> bytes:
+            s = np.empty(N, dtype=np.int16)
+            p = 1000
+            s[0] = p * gain
+            for k in range(N - 1):
+                p += 3 if (v >> k) & 1 else -3
+                s[k + 1] = p * gain
+            pcm = s.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(pcm))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(pcm))
+            )
+            return hdr + pcm
+
+        def fp(payload: bytes) -> int:
+            samples, _rate = decode_audio(payload)
+            a = np.asarray(samples, dtype=np.float64).ravel()
+            bits = (a[1:] > a[:-1]).astype(np.uint64)
+            return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+        for pdf in it:
+            out = {"asset_id": [], "fp": []}
+            for doc_id in pdf.doc_id:
+                did = int(doc_id)
+                out["asset_id"].append(did)
+                out["fp"].append(fp(render(did, 1)))
+                if did < 40:  # planted gain-doubled copy
+                    out["asset_id"].append(did + 100000)
+                    out["fp"].append(fp(render(did, 2)))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.mapInPandas(_fingerprint, "asset_id long, fp long")
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("orig_id"),
+            F.col("b.asset_id").alias("dup_id"),
+            F.col("a.fp").alias("fp"),
+        )
+    )
+
+
+@query(
+    "group_leakage_safe_split",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 1000 < 800 THEN 'train'
+                  WHEN (user_id * 2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT u.split,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           TRUE AS no_leakage
+    FROM events e JOIN u ON u.user_id = e.user_id
+    GROUP BY u.split
+    """,
+)
+def group_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage guard
+    ``train_val_test_split`` (row-hash) cannot give: the split key is
+    the multiplicative hash of the GROUP (user_id), so every event of
+    a user lands in the same split and no user's behavior leaks from
+    train into eval — sklearn's GroupShuffleSplit as a deterministic
+    DataFrame program.  Same Knuth hash, same 80/10/10 bands, same
+    stability contract (new users never reassign existing ones).
+
+    ``no_leakage`` is PROVEN inside the query, not assumed: the max
+    over users of their distinct-split count must be 1, checked as a
+    1-row aggregate and broadcast onto every output row — a split
+    function accidentally keyed on a row attribute breaks the hash.
+
+    100 TB shape: the split is scan-stage arithmetic on the group
+    key — no distinct-users table needed at assignment time (the hash
+    IS the assignment); the audit aggregate is one extra
+    map-side-combinable pass."""
+    ev = load(spark, sf_dir, "events")
+    split = (
+        F.when((F.col("user_id") * 2654435761) % 1000 < 800, "train")
+        .when((F.col("user_id") * 2654435761) % 1000 < 900, "val")
+        .otherwise("test")
+    )
+    tagged = ev.select("user_id", split.alias("split"))
+    audit = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg((F.max("k") == 1).alias("no_leakage"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+@query(
+    "auc_quality_classifier",
+    """
+    WITH labeled AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score, sum(pos) AS p, sum(1 - pos) AS n
+      FROM labeled GROUP BY score
+    ),
+    cum AS (
+      SELECT score, p, n,
+             COALESCE(sum(n) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS neg_below
+      FROM by_score
+    ),
+    agg AS (
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS n_neg,
+             CAST(sum(2 * p * neg_below) + sum(p * n) AS BIGINT) AS auc2
+      FROM cum
+    )
+    SELECT n_pos, n_neg, auc2,
+           floor(auc2 * 1000000.0 / (2 * n_pos * n_neg) + 0.5)
+             / 1000000.0 AS auc
+    FROM agg
+    """,
+)
+def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC — the evaluation metric every curation classifier
+    needs — computed distributed WITHOUT materializing pairs: AUC is
+    the Mann-Whitney statistic P(score_pos > score_neg) + 0.5 *
+    P(tie), so with counts grouped BY SCORE it reduces to one sorted
+    cumulative sum: auc2 = 2*sum_s(p_s * neg_below(s)) + sum_s(p_s *
+    n_s), all integers, then ONE final IEEE division onto the 1e-6
+    grid.  Ties (documents sharing a length) are handled exactly —
+    the 0.5 credit is the integer p_s*n_s term — where a naive
+    rank-based AUC silently miscounts them.
+
+    Here the 'classifier' is document length (n_chars) predicting the
+    English label: a weak but deterministic signal, which is the
+    point — the metric machinery is the operator under test.
+
+    100 TB shape: one aggregation to the |distinct scores| table, one
+    window over it ordered by score (tiny — scores, not documents),
+    one 1-row aggregate.  The O(P*N) pair space is never formed."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    by_score = d.groupBy("score").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("n")
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = by_score.withColumn(
+        "neg_below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        (F.sum(2 * F.col("p") * F.col("neg_below")) + F.sum(F.col("p") * F.col("n")))
+        .cast("long")
+        .alias("auc2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc2",
+        (
+            F.floor(
+                F.col("auc2") * 1000000.0 / (2 * F.col("n_pos") * F.col("n_neg"))
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("auc"),
+    )

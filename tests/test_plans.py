@@ -711,3 +711,26 @@ def test_dpp_month_partition_prune_plan(spark, sf_dir):
     assert "PartitionFilters" in plan, plan[:4000]
     assert uses_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The full join-hint surface: each strategy hint must surface as
+    its physical operator — the knobs a 100 TB tuning session turns
+    when AQE's default pick is wrong (e.g. forcing SHUFFLE_HASH for a
+    large-but-uniform build side, or MERGE when both sides are already
+    sort-bucketed)."""
+    o = Q.load(spark, sf_dir, "orders")
+    c = Q.load(spark, sf_dir, "customer")
+    cond = o["o_custkey"] == c["c_custkey"]
+    cases = [
+        ("broadcast", "BroadcastHashJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+    ]
+    for hint, node in cases:
+        plan = explain_str(o.join(c.hint(hint), cond))
+        assert node in plan, f"hint {hint!r} did not yield {node}:\n{plan[:2000]}"
+    # and the hint wins over AQE's size-based preference in BOTH
+    # directions: a merge hint suppresses the broadcast pick
+    plan = explain_str(o.join(c.hint("merge"), cond))
+    assert "BroadcastHashJoin" not in plan

@@ -128,3 +128,35 @@ def test_theta_exact_small_set_intersection():
     b = ThetaSketch(64).add(["y", "z", "q"])
     assert a.estimate() == 4 and b.estimate() == 3
     assert a.intersect_estimate(b) == 2.0  # both under capacity: exact
+
+
+def test_theta_difference_exact_small_sets():
+    from flo_spark.operators.sketch import ThetaSketch
+
+    a = ThetaSketch(64).add(["x", "y", "z", "w"])
+    b = ThetaSketch(64).add(["y", "z", "q"])
+    assert a.difference_estimate(b) == 2.0  # {x, w}
+    assert b.difference_estimate(a) == 1.0  # {q}
+
+
+def test_theta_difference_error_bound_and_partition_identity():
+    from flo_spark.operators.sketch import ThetaSketch
+
+    k = 512
+    a_items = [f"a{i}" for i in range(20000)] + [f"c{i}" for i in range(5000)]
+    b_items = [f"b{i}" for i in range(10000)] + [f"c{i}" for i in range(5000)]
+    a = ThetaSketch(k).add(a_items)
+    b = ThetaSketch(k).add(b_items)
+    rel = 4 / np.sqrt(k)
+    diff = a.difference_estimate(b)
+    # error scales with the union size at the common theta, like
+    # intersection (same cut-sample argument)
+    assert abs(diff - 20000) <= rel * 40000
+    # partition identity: on the common-theta cut, A's retained points
+    # split EXACTLY into common + only-A, so the two estimates sum to
+    # the cut cardinality / theta
+    th = min(a.theta(), b.theta())
+    cut = int(th * a.MAX_HASH)
+    n_cut = int((a._hashes < cut).sum())
+    total = a.intersect_estimate(b) + diff
+    assert abs(total - n_cut / th) < 1e-6
