@@ -10121,3 +10121,92 @@ def auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("auc"),
     )
+
+
+@query(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS q_emb
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neg_id, label AS neg_label,
+             CAST(embedding AS DOUBLE[]) AS c_emb
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.neg_id, c.neg_label,
+             round(list_cosine_similarity(q.q_emb, c.c_emb), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC,
+                        c.neg_id) AS rn
+      FROM q JOIN c ON c.neg_label <> q.q_label
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cos_sim,
+           CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training: for
+    each anchor (first 20 vectors), the 3 most-cosine-similar vectors
+    with a DIFFERENT label — the near-miss negatives that make
+    InfoNCE/triplet training converge, and the standard curation step
+    before a retrieval fine-tune.  The similarity is computed entirely
+    in JVM higher-order functions (transform-to-double, zip_with
+    product, sequential aggregate fold, one sqrt) — no Python in the
+    scoring path — and rounded on the module's 4dp ratio grid.
+
+    100 TB shape: the anchor side is a bounded mining batch, hinted
+    broadcast, so the 'cross' join is one pass over the corpus with
+    batch-local scoring and a per-anchor TakeOrdered-style window cut;
+    swapping the corpus scan for `ann_topk_ivf_indexed`'s cell-pruned
+    scan gives the sublinear variant with the same output contract.
+    Label filtering happens in the join condition, BEFORE any score is
+    computed."""
+    e = load(spark, sf_dir, "embeddings")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        to_d("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        to_d("embedding").alias("c_emb"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neg_label") != F.col("q_label"))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / F.sqrt(
+                dot(F.col("q_emb"), F.col("q_emb"))
+                * dot(F.col("c_emb"), F.col("c_emb"))
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            F.round("cos_raw", 4).alias("cos_sim"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
