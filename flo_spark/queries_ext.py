@@ -10210,3 +10210,140 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+@query(
+    "bitmap_exact_distinct",
+    """
+    SELECT event_type AS scope,
+           count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS scope, count(DISTINCT user_id) AS n_exact
+    FROM events
+    """,
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count — Spark's
+    roaring-bitmap-style surface): ids partition into 32k-bit buckets,
+    each (group, bucket) folds to one bitmap, and distinct = SUM over
+    buckets of the bitmap popcount.  Where HLL/theta sketches trade
+    error for size, bitmaps are exact AND still re-aggregable: the
+    'ALL' row is NOT a second scan — it ORs the per-type bucket
+    bitmaps (users in several types collapse through bitmap_or_agg),
+    proving the same partial-state re-aggregation the sketch monitors
+    use, with zero error.
+
+    Contract: both scopes must equal count(DISTINCT user_id) computed
+    directly by the oracle.
+
+    100 TB shape: one shuffle to (group, bucket) — the bucket number
+    splits even a billion-id space into bounded 4 KiB bitmaps so no
+    single reduce key is hot; per-type and global counts share the
+    same partials; persisting the bucket bitmaps gives exact
+    incremental distinct (the Count-Min/theta store recipe, error
+    -free for integer keys)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("ev_bitmap_v")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bk,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM ev_bitmap_v GROUP BY 1, 2
+        ),
+        per_type AS (
+          SELECT event_type AS scope,
+                 CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_exact
+          FROM b GROUP BY event_type
+        ),
+        global_buckets AS (
+          SELECT bk, bitmap_or_agg(bm) AS bm FROM b GROUP BY bk
+        ),
+        global_row AS (
+          SELECT 'ALL' AS scope,
+                 CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_exact
+          FROM global_buckets
+        )
+        SELECT scope, n_exact FROM per_type
+        UNION ALL
+        SELECT scope, n_exact FROM global_row
+        """
+    )
+
+
+@query(
+    "map_hof_suite",
+    """
+    WITH per AS (
+      SELECT source, lang, count(*) AS docs, sum(n_chars) AS chars
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(docs) AS total FROM per GROUP BY source)
+    SELECT p.source, p.lang,
+           CAST(floor(p.chars / p.docs) AS BIGINT) AS avg_chars,
+           CAST(floor(1000 * p.docs / t.total) AS BIGINT) AS docs_permille
+    FROM per p JOIN tot t USING (source)
+    WHERE p.docs >= 2
+    """,
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map higher-order-function surface completed —
+    ``map_zip_with``, ``transform_values``, ``map_filter``,
+    ``map_contains_key`` (complementing `map_funcs_priority_profile`'s
+    construct/element_at/keys/values row): per source, a lang->docs
+    map and a lang->chars map are zipped into avg-chars-per-doc,
+    doc counts transform into per-mille shares of the source total,
+    and map_filter keeps langs with >= 2 docs — then everything
+    EXPLODES back to plain rows so the oracle (which has no map
+    types in common with Spark's hash) verifies pure integers.
+    Divisions are floor() over exact integers with >= 1/500 integer
+    distance, engine-identical.
+
+    100 TB shape: one (source, lang) aggregation, one source-level
+    fold to maps (bounded: |langs| entries per source), HOFs evaluate
+    JVM-side inside codegen, explode restores row parallelism —
+    maps never hold high-cardinality state."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("chars")
+    )
+    folded = per.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", "docs"))
+        ).alias("m_docs"),
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", "chars"))
+        ).alias("m_chars"),
+        F.sum("docs").alias("total"),
+    )
+    z = folded.select(
+        "source",
+        "total",
+        F.map_zip_with(
+            "m_docs", "m_chars", lambda k, d_, c: F.floor(c / d_)
+        ).alias("m_avg"),
+        F.transform_values(
+            "m_docs", lambda k, v: F.floor(1000 * v / F.col("total"))
+        ).alias("m_permille"),
+        F.map_filter("m_docs", lambda k, v: v >= 2).alias("m_kept"),
+    )
+    return (
+        z.select(
+            "source",
+            "m_permille",
+            "m_kept",
+            F.explode("m_avg").alias("lang", "avg_chars"),
+        )
+        .filter(F.map_contains_key("m_kept", F.col("lang")))
+        .select(
+            "source",
+            "lang",
+            F.col("avg_chars").cast("long").alias("avg_chars"),
+            F.element_at("m_permille", F.col("lang"))
+            .cast("long")
+            .alias("docs_permille"),
+        )
+    )
