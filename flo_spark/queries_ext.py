@@ -10347,3 +10347,72 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_permille"),
         )
     )
+
+
+@query(
+    "stream_bitmap_distinct_monitor",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_bitmap_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming distinct-count monitoring — the zero-error
+    sibling of `stream_theta_audience_monitor`: each micro-batch folds
+    to per-(type, bucket) BITMAPS (bitmap_construct_agg over
+    bitmap_bit_position) written as the batch's own replay-safe shard;
+    all-time distincts come from bitmap_or_agg over shards + popcount,
+    never rescanning history.  Bitmap OR is IDEMPOTENT — a replayed
+    batch's shard ORs in with no effect even if the shard scheme
+    failed — so this store is replay-safe by algebra, not just by
+    overwrite discipline (stronger than the additive Count-Min/theta
+    stores).  The price vs sketches: state scales with the true id
+    range (32k ids per 4 KiB bucket), the right trade for integer
+    keys below ~10^10.
+
+    Contract: the folded store's counts hash-match exact
+    count(DISTINCT) from the batch table — no error bound needed.
+
+    100 TB shape: per batch one (type, bucket) aggregation; the store
+    grows by bucket rows per batch and compacts by the same OR
+    (idempotent, crash-safe to re-run); the read-side merge is one
+    key shuffle of 4 KiB values."""
+    from flo_spark.queries import _events_stream, scratch_dir
+
+    tmp = scratch_dir("flo_bitmap_monitor_")
+    store = f"{tmp}/store"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.groupBy(
+                "event_type",
+                F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+            )
+            .agg(
+                F.expr(
+                    "bitmap_construct_agg(bitmap_bit_position(user_id))"
+                ).alias("bm")
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch={batch_id}")
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("bitmap monitor stream did not drain")
+    shards = spark.read.parquet(f"{store}/batch=*")
+    return (
+        shards.groupBy("event_type", "bk")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
+        )
+    )
