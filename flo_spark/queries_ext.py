@@ -10416,3 +10416,80 @@ def stream_bitmap_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
         )
     )
+
+
+@query(
+    "collation_case_insensitive_stats",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+               AS lang_mixed,
+             n_chars
+      FROM documents
+    )
+    SELECT lower(lang_mixed) AS lang,
+           CASE lower(lang_mixed)
+             WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+             WHEN 'fr' THEN 'french' WHEN 'es' THEN 'spanish'
+             WHEN 'zh' THEN 'chinese' ELSE 'other' END AS lang_name,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM mixed
+    GROUP BY lower(lang_mixed)
+    """,
+)
+def collation_case_insensitive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: comparison semantics carried by the TYPE
+    (``COLLATE UTF8_LCASE``) instead of smeared through lower() calls
+    — grouping AND joining match case-insensitively while the planner
+    still hashes/broadcasts normally.  A mixed-case language code
+    (upper-cased on even doc_ids) groups under the collated column,
+    and a 5-row UPPERCASE lookup dim joins onto it across case — both
+    would silently fragment under binary collation.
+
+    The group representative under a case-insensitive collation is
+    whichever casing the engine saw first — nondeterministic — so the
+    output key is normalized (lower + cast back to binary collation)
+    before hashing; the oracle replays with lower() grouping, which is
+    the semantic the collation subsumes.
+
+    100 TB shape: collation is scan/shuffle-neutral (hash of the
+    collation key), so this costs exactly what binary grouping costs —
+    versus the lower()-everywhere rewrite which re-derives the
+    expression per use site and blocks stats-based pruning on the
+    original column."""
+    d = load(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed"),
+        "n_chars",
+    )
+    dim = spark.createDataFrame(
+        [
+            ("EN", "english"),
+            ("DE", "german"),
+            ("FR", "french"),
+            ("ES", "spanish"),
+            ("ZH", "chinese"),
+        ],
+        "code string, lang_name string",
+    )
+    grouped = (
+        mixed.groupBy(F.collate("lang_mixed", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    joined = grouped.join(
+        F.broadcast(dim),
+        F.col("k") == F.collate("code", "UTF8_LCASE"),
+        "left",
+    )
+    return joined.select(
+        F.collate(F.lower("k"), "UTF8_BINARY").alias("lang"),
+        F.coalesce("lang_name", F.lit("other")).alias("lang_name"),
+        "n_docs",
+        "sum_chars",
+    )
