@@ -33,3 +33,22 @@ def test_event_store_tour_example_runs(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "acked id ranges" in out.stdout
     assert "format('flo') scan sees 6 events" in out.stdout
+
+
+def test_training_data_eval_example_runs():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "examples/training_data_eval.py",
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "no_leakage=True" in out.stdout
+    assert "AUC=" in out.stdout
+    assert "planted: 40" in out.stdout
+    assert "tour complete" in out.stdout
