@@ -668,6 +668,37 @@ def _decode_aiff(buf: bytes):
     return samples[:usable].reshape(-1, n_ch), int(round(rate))
 
 
+def dhash64(arr) -> int:
+    """64-bit difference hash (dHash) of a decoded grayscale image:
+    bit k = (pixel[k+1] > pixel[k]) along each row, rows concatenated
+    row-major.  Expects an array reshapeable to (8, 9) — the classic
+    9x8 dHash geometry (resize larger images to that grid first).
+    INVARIANT under any monotone per-pixel intensity map (brightness
+    shift, gain, gamma), which is what makes it a near-dup hash
+    rather than a checksum; property-tested in
+    tests/test_fingerprints.py."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64).reshape(8, 9)
+    bits = (a[:, 1:] > a[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def sign_contour64(samples) -> int:
+    """64-bit audio sign-contour fingerprint: bit k =
+    (sample[k+1] > sample[k]) over the first 65 samples (mono).  The
+    1-bit energy-delta scheme band-energy fingerprints reduce to per
+    band; invariant under positive GAIN.  Property-tested in
+    tests/test_fingerprints.py."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64).ravel()[:65]
+    if len(a) < 65:
+        raise ValueError(f"need >= 65 samples, have {len(a)}")
+    bits = (a[1:] > a[:-1]).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapter: treat documents.text bytes as binary assets (the test
     corpus has no real media, so text payloads stand in)."""

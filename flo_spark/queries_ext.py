@@ -9699,7 +9699,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from flo_spark.operators.multimodal import decode_image
+    from flo_spark.operators.multimodal import decode_image, dhash64
 
     W, H = 9, 8
 
@@ -9718,10 +9718,7 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return b"P5\n%d %d\n255\n" % (W, H) + px.tobytes()
 
         def dhash(payload: bytes) -> int:
-            arr = decode_image(payload)
-            a = np.asarray(arr, dtype=np.int64).reshape(H, W)
-            bits = (a[:, 1:] > a[:, :-1]).astype(np.uint64).ravel()
-            return int((bits << np.arange(64, dtype=np.uint64)).sum())
+            return dhash64(decode_image(payload))
 
         for pdf in it:
             out = {"asset_id": [], "dhash": []}
@@ -9922,7 +9919,7 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from flo_spark.operators.multimodal import decode_audio
+    from flo_spark.operators.multimodal import decode_audio, sign_contour64
 
     N = 65  # 64 sign bits
 
@@ -9949,9 +9946,7 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fp(payload: bytes) -> int:
             samples, _rate = decode_audio(payload)
-            a = np.asarray(samples, dtype=np.float64).ravel()
-            bits = (a[1:] > a[:-1]).astype(np.uint64)
-            return int((bits << np.arange(64, dtype=np.uint64)).sum())
+            return sign_contour64(samples)
 
         for pdf in it:
             out = {"asset_id": [], "fp": []}
