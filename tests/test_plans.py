@@ -734,3 +734,35 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     # directions: a merge hint suppresses the broadcast pick
     plan = explain_str(o.join(c.hint("merge"), cond))
     assert "BroadcastHashJoin" not in plan
+
+
+def test_hard_negative_mining_broadcasts_anchor_batch(spark, sf_dir):
+    """The label-inequality join must be a BroadcastNestedLoopJoin
+    with the BOUNDED anchor batch as the broadcast side — one pass
+    over the corpus.  A shuffled NLJ or cartesian here would be the
+    100 TB killer."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.hard_negative_mining(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert_no_cartesian(df)
+
+
+def test_community_label_propagation_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.community_label_propagation(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_dsir_importance_resample_topk_and_no_cartesian(spark, sf_dir):
+    """The resample cut must compile to TakeOrderedAndProject (no
+    global sort of scored docs), and the word-keyed model join must
+    not degenerate."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.dsir_importance_resample(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert_no_cartesian(df)
