@@ -466,6 +466,8 @@ def decode_image(payload: bytes):
             return _decode_tiff(bytes(payload))
         if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
             return _decode_gif(bytes(payload))
+        if bytes(payload[:4]) == b"qoif":
+            return _decode_qoi(bytes(payload))
         if bytes(payload[:2]) == b"\xff\xd8":
             from flo_spark.operators.jpeg import decode_jpeg
 
@@ -1039,3 +1041,132 @@ def _lzw_decode_tiff(data: bytes) -> bytes:
             if next_code == (1 << size) - 2 and size < 12:
                 size += 1
     return bytes(out)
+
+
+def encode_qoi(img) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as QOI (the public
+    qoiformat.org one-page spec): a 14-byte header, then a byte
+    stream of RUN / INDEX / DIFF / LUMA / RGB / RGBA ops over a
+    64-entry running palette keyed by (3r+5g+7b+11a) mod 64, closed
+    by the 7x00+01 end marker.  Channel diffs wrap mod 256 (the
+    spec's signed-char bias arithmetic), so 255->0 is a +1 DIFF."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError("QOI encodes (H, W, 3|4) uint8 images")
+    h, w, ch = a.shape
+    if ch == 3:
+        px = np.concatenate(
+            [a, np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+    else:
+        px = a
+    out = bytearray(b"qoif")
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    out += bytes((ch, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in map(tuple, px.reshape(-1, 4).tolist()):
+        if p == prev:
+            run += 1
+            if run == 62:  # 63/64 collide with the RGB/RGBA tags
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        r, g, b, al = p
+        k = (r * 3 + g * 5 + b * 7 + al * 11) % 64
+        if index[k] == p:
+            out.append(k)
+        else:
+            index[k] = p
+            pr, pg, pb, pa = prev
+            if al == pa:
+                dr = (r - pr + 128) % 256 - 128
+                dg = (g - pg + 128) % 256 - 128
+                db = (b - pb + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(
+                        0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                    )
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+            else:
+                out += bytes((0xFF, r, g, b, al))
+        prev = p
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def _decode_qoi(payload: bytes):
+    """Decode a QOI stream to (H, W, 3|4) uint8 — the exact inverse
+    of ``encode_qoi``; the running index is refreshed after every
+    op byte (incl. a RUN's, where the value is unchanged), matching
+    the spec decoder's behavior."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w = int.from_bytes(buf[4:8], "big")
+    h = int.from_bytes(buf[8:12], "big")
+    ch = buf[12]
+    if ch not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {ch}")
+    n = w * h
+    out = np.empty((n, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, o = 14, 0
+    while o < n:
+        bt = buf[pos]
+        pos += 1
+        if bt == 0xFE:
+            r, g, b = buf[pos], buf[pos + 1], buf[pos + 2]
+            pos += 3
+        elif bt == 0xFF:
+            r, g, b, a = (
+                buf[pos], buf[pos + 1], buf[pos + 2], buf[pos + 3]
+            )
+            pos += 4
+        else:
+            tag = bt >> 6
+            if tag == 0:
+                r, g, b, a = index[bt & 0x3F]
+            elif tag == 1:
+                r = (r + ((bt >> 4) & 3) - 2) % 256
+                g = (g + ((bt >> 2) & 3) - 2) % 256
+                b = (b + (bt & 3) - 2) % 256
+            elif tag == 2:
+                dg = (bt & 0x3F) - 32
+                b2 = buf[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:
+                rl = (bt & 0x3F) + 1
+                out[o : o + rl] = (r, g, b, a)
+                o += rl
+                index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[o] = (r, g, b, a)
+        o += 1
+    if buf[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI stream missing end marker")
+    arr = out.reshape(h, w, 4)
+    return np.ascontiguousarray(arr[:, :, :3]) if ch == 3 else arr

@@ -10488,3 +10488,80 @@ def collation_case_insensitive_stats(spark: SparkSession, sf_dir: str) -> DataFr
         "n_docs",
         "sum_chars",
     )
+
+@query(
+    "multimodal_qoi_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 128)) AS i FROM documents
+    ),
+    p AS (
+      SELECT doc_id, i,
+             (doc_id * 3 + i // 4) % 256 AS v,
+             (i % 32 = 31) AS mark
+      FROM s
+    ),
+    rgb AS (
+      SELECT doc_id,
+             CASE WHEN mark THEN 250 ELSE v END AS r,
+             CASE WHEN mark THEN 13
+                  WHEN i < 64 THEN v ELSE (v * 7) % 256 END AS g,
+             CASE WHEN mark THEN 77
+                  WHEN i < 64 THEN v ELSE (v * 13) % 256 END AS b
+      FROM p
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_rgb
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI round trip, hash-checked: per document a 16x8 RGB
+    image encodes through the actual QOI container (qoiformat.org
+    public spec) and decodes back through ``decode_image``; summing
+    the recovered channels must reproduce the generating formula.
+
+    The image is built to hit every QOI op: a gray first half in
+    width-4 plateaus (RUN inside a plateau, wrapped +-1 DIFF at each
+    step), a color-separated second half with per-step channel deltas
+    of +1/+7/+13 (LUMA), fixed marker pixels every 32 px (large jumps
+    = RGB ops; their recurrence = INDEX hits on the 64-entry running
+    palette).  A defect anywhere in run folding, the wraparound diff
+    arithmetic, the luma pack, or the index hash breaks the hash.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle (the groupBy is
+    batch-local by construction: each doc's pixels never leave its
+    batch), binary payloads opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_qoi
+
+    W, H = 16, 8
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_rgb": []}
+            for doc_id in pdf.doc_id:
+                v = (int(doc_id) * 3 + i // 4) % 256
+                r = v.copy()
+                g = np.where(i < 64, v, (v * 7) % 256)
+                b = np.where(i < 64, v, (v * 13) % 256)
+                mark = i % 32 == 31
+                r[mark], g[mark], b[mark] = 250, 13, 77
+                img = np.stack([r, g, b], axis=1).astype(np.uint8)
+                got = decode_image(encode_qoi(img.reshape(H, W, 3)))
+                out["doc_id"].append(int(doc_id))
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                out["sum_rgb"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
+    )

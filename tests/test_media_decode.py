@@ -790,3 +790,78 @@ def test_wav_unsupported_width_reaches_soundfile_fallback_contract():
         wf.writeframes(b"\x00\x01\x02" * 8)
     with pytest.raises(NotImplementedError, match="WAV sample width 3"):
         decode_audio(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# QOI (qoiformat.org public spec)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import _decode_qoi, encode_qoi
+
+
+def test_qoi_spec_vector_wrapped_diff():
+    # 1x1 pure red: prev starts (0,0,0,255); 0->255 wraps to a -1
+    # DIFF (the spec's signed-char arithmetic), so the whole image is
+    # one 0x5A op byte between the 14-byte header and the end marker.
+    enc = encode_qoi(np.array([[[255, 0, 0]]], np.uint8))
+    exp = (
+        b"qoif"
+        + (1).to_bytes(4, "big") * 2
+        + bytes((3, 0, 0x5A))
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    assert enc == exp
+
+
+def test_qoi_roundtrip_rgb_rgba_and_long_runs():
+    rng = np.random.default_rng(7)
+    for ch in (3, 4):
+        for shape in ((1, 1), (5, 7), (16, 8), (2, 200)):
+            img = rng.integers(0, 256, size=shape + (ch,), dtype=np.uint8)
+            got = _decode_qoi(encode_qoi(img))
+            assert got.shape == img.shape
+            assert np.array_equal(got, img)
+    # run > 62 forces run-op splitting; constant rows also hit INDEX
+    img = np.zeros((4, 40, 3), np.uint8)
+    img[2:, :, :] = 255
+    assert np.array_equal(_decode_qoi(encode_qoi(img)), img)
+
+
+def test_qoi_alpha_transitions_use_rgba_op():
+    # alpha changes can only travel via QOI_OP_RGBA; a decode that
+    # mishandles it corrupts every later pixel
+    img = np.array(
+        [[[10, 20, 30, 255], [10, 20, 30, 128], [11, 21, 31, 128]]],
+        np.uint8,
+    )
+    enc = encode_qoi(img)
+    assert b"\xff" in enc  # at least one RGBA op emitted
+    assert np.array_equal(_decode_qoi(enc), img)
+
+
+def test_qoi_decode_image_dispatch_and_errors():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image(encode_qoi(img)), img)
+    with pytest.raises(ValueError, match="not a QOI"):
+        _decode_qoi(b"nope")
+    trunc = encode_qoi(img)[:-1]  # damaged end marker
+    with pytest.raises(ValueError, match="end marker"):
+        _decode_qoi(trunc)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_qoi_property_random_images(seed):
+    # deterministic fuzz across sizes/channels: every image must
+    # survive encode->decode bit-exactly (QOI is lossless)
+    rng = np.random.default_rng(seed)
+    for _ in range(10):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        ch = int(rng.choice([3, 4]))
+        # mix smooth gradients (DIFF/LUMA) with flat spans (RUN/INDEX)
+        base = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        if rng.random() < 0.5:
+            base[:, : w // 2] = base[:, :1]
+        got = _decode_qoi(encode_qoi(base))
+        assert np.array_equal(got, base)
