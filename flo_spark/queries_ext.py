@@ -10565,3 +10565,475 @@ def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
     )
+
+@query(
+    "kcore_copurchase_peel",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    d1 AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY src),
+    a1 AS (SELECT n FROM d1 WHERE deg >= 3),
+    d2 AS (
+      SELECT s.src AS n, count(*) AS deg
+      FROM sym s
+      JOIN a1 x ON x.n = s.src
+      JOIN a1 y ON y.n = s.dst
+      GROUP BY s.src
+    ),
+    a2 AS (SELECT n FROM d2 WHERE deg >= 3),
+    d3 AS (
+      SELECT s.src AS n, count(*) AS deg
+      FROM sym s
+      JOIN a2 x ON x.n = s.src
+      JOIN a2 y ON y.n = s.dst
+      GROUP BY s.src
+    ),
+    a3 AS (SELECT n, deg FROM d3 WHERE deg >= 3)
+    SELECT CAST(n AS BIGINT) AS part_id, CAST(deg AS BIGINT) AS degree
+    FROM a3
+    """,
+)
+def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling on the part co-purchase graph (the
+    ``triangle_count_copurchase`` / ``community_label_propagation``
+    edge set): three synchronous peel rounds — recompute every
+    surviving node's degree over the survivor-induced subgraph, drop
+    nodes with degree < 3 — the Matula-Beck / Batagelj-Zaversnik
+    k-core algorithm truncated to a fixed round count so the result
+    is a deterministic integer relation (full convergence is
+    data-dependent; 3 rounds is the contract, and each extra round is
+    the same plan shape).  Output: the nodes still alive after round
+    3 with their round-3 degree.
+
+    The oracle replays the identical peel as chained CTEs — two
+    independent evaluations of one exact integer algorithm.
+
+    100 TB shape: per round TWO semi-join-shaped hash joins (edges x
+    alive on src, x alive on dst — both keyed shuffles on node id, no
+    broadcast of anything corpus-scale) + one degree count; the edge
+    frame is persisted once and reused across rounds; deep peeling
+    would add localCheckpoint lineage cuts (operators/graph.py
+    discipline).  Reference scope: flo has no graph surface —
+    north-star extension (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("lo", "hi")
+    )
+    sym = (
+        e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("deg"))
+    alive = deg.filter(F.col("deg") >= 3).select("n")
+    for _ in range(2):
+        deg = (
+            sym.join(alive.withColumnRenamed("n", "src"), "src")
+            .join(alive.withColumnRenamed("n", "dst"), "dst")
+            .groupBy(F.col("src").alias("n"))
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= 3).select("n")
+    return deg.join(alive, "n").select(
+        F.col("n").cast("long").alias("part_id"),
+        F.col("deg").cast("long").alias("degree"),
+    )
+
+@query(
+    "target_encoding_loo_nation",
+    """
+    WITH oc AS (
+      SELECT o.o_orderkey, c.c_nationkey AS nation,
+             CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    w AS (
+      SELECT o_orderkey, nation, x,
+             sum(x) OVER (PARTITION BY nation) AS s,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM oc
+    )
+    SELECT o_orderkey, CAST(nation AS INT) AS nation,
+           CASE WHEN n > 1
+                THEN floor(CAST(s - x AS DOUBLE) / (n - 1) + 0.5) / 10000.0
+           END AS loo_enc
+    FROM w
+    """,
+)
+def target_encoding_loo_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of the customer nation by order
+    value — the categorical-feature encoder that does NOT leak the
+    row's own label: each order's encoding is the mean o_totalprice
+    of every OTHER order in its nation, (S_nation - x_i)/(n-1).
+    Computed on the exact scaled-long grid (the ``money_avg``
+    discipline): integer window sums, one IEEE division of exact
+    integers per row, half-up to 4dp — identical on both engines
+    where a double-sum fold would drift.  Single-member groups encode
+    NULL (no peers, no estimate) rather than a leaked self-mean.
+
+    100 TB shape: one keyed join (orders x customer on custkey — both
+    scale with SF, so NO broadcast hint; AQE picks the strategy) and
+    one window shuffle on the 25-value nation key; nothing collects.
+    At real scale the nation window is skew-prone (25 groups), so the
+    production variant would compute (S, n) per nation with a
+    groupBy (map-side combinable, 25-row result) and broadcast-join
+    it back — same integers, same result; the window form is used
+    here because the per-row subtraction IS the LOO point.
+    Reference scope: flo has no relational surface — north-star
+    extension (SURVEY §2 Part B)."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").cast("int").alias("nation"),
+            money_scaled(F.col("o_totalprice")).alias("x"),
+        )
+    )
+    w = Window.partitionBy("nation")
+    s = F.sum("x").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return oc.select(
+        "o_orderkey",
+        "nation",
+        F.when(
+            n > 1,
+            F.floor((s - F.col("x")).cast("double") / (n - 1) + F.lit(0.5))
+            / F.lit(10000.0),
+        ).alias("loo_enc"),
+    )
+
+@query(
+    "pmi_collocations_topk",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    uni AS (SELECT unnest(ws) AS w FROM toks),
+    cu AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM uni),
+    big AS (
+      SELECT s['w1'] AS w1, s['w2'] AS w2
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS s
+        FROM toks WHERE len(ws) > 1
+      )
+    ),
+    nb AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM big),
+    cb AS (
+      SELECT w1, w2, count(*) AS cxy FROM big
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT cb.w1, cb.w2, CAST(cb.cxy AS BIGINT) AS n_pair,
+           CAST((CAST(10000 AS HUGEINT) * cb.cxy * nu.n * nu.n)
+                // (nb.n * c1.c * c2.c) AS BIGINT) AS lift_x1e4
+    FROM cb
+    JOIN cu c1 ON c1.w = cb.w1
+    JOIN cu c2 ON c2.w = cb.w2
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY lift_x1e4 DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over the
+    corpus — the classic Church-Hanks association measure, kept EXACT
+    by reporting the PMI's argument (the lift) on the 1e-4 integer
+    grid instead of its log: lift = P(xy) / (P(x)P(y)) =
+    c_xy*N_uni^2 / (N_bi*c_x*c_y), computed in decimal(38,0)/HUGEINT
+    (the products pass 2^63) with truncating integral division — log
+    is monotone, so the top-k and ordering are PMI's own.  Support
+    pruning (c_xy >= 5) kills the hapax pairs that dominate raw PMI.
+
+    100 TB shape: bigram formation is shuffle-free scan-stage
+    arithmetic (slice+zip on the token array — pairs never travel as
+    a self-join); then one (w1,w2) count shuffle with map-side
+    combine, support-pruned BEFORE the two vocabulary joins; the two
+    corpus totals are 1-row frames (broadcast by construction); final
+    top-50 compiles to TakeOrderedAndProject, never a global sort.
+    Reference scope: flo has no text surface — north-star extension
+    (LLM-pipeline family, SURVEY §2 Part B)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
+    )
+    uni = toks.select(F.explode("ws").alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").cast("decimal(38,0)").alias("nu"))
+    big = (
+        toks.filter(F.size("ws") > 1)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                    F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    nb = big.agg(F.count("*").cast("decimal(38,0)").alias("nb"))
+    cb = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    c1 = cu.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = cu.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        cb.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    out = joined.select(
+        "w1",
+        "w2",
+        F.col("cxy").cast("long").alias("n_pair"),
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * CAST(cxy AS DECIMAL(38,0))"
+            " * nu * nu) DIV (nb * CAST(c1 AS DECIMAL(38,0))"
+            " * CAST(c2 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("lift_x1e4"),
+    )
+    return out.orderBy(
+        F.col("lift_x1e4").desc(), "w1", "w2"
+    ).limit(50)
+
+@query(
+    "transpose_quantity_buckets",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity <= 30 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             CAST(l_quantity AS BIGINT) AS qty, l_partkey
+      FROM lineitem
+    ),
+    a AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM b GROUP BY bucket
+    )
+    SELECT 'n_items' AS key,
+           max(CASE WHEN bucket = 'high' THEN n_items END) AS high,
+           max(CASE WHEN bucket = 'low' THEN n_items END) AS low,
+           max(CASE WHEN bucket = 'mid' THEN n_items END) AS mid
+    FROM a
+    UNION ALL
+    SELECT 'sum_qty',
+           max(CASE WHEN bucket = 'high' THEN sum_qty END),
+           max(CASE WHEN bucket = 'low' THEN sum_qty END),
+           max(CASE WHEN bucket = 'mid' THEN sum_qty END)
+    FROM a
+    UNION ALL
+    SELECT 'n_parts',
+           max(CASE WHEN bucket = 'high' THEN n_parts END),
+           max(CASE WHEN bucket = 'low' THEN n_parts END),
+           max(CASE WHEN bucket = 'mid' THEN n_parts END)
+    FROM a
+    """,
+)
+def transpose_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose`` — the measures-as-rows pivot
+    of a summary frame (index values become columns, lexically
+    ordered; the original column names land in ``key``).  Quantity
+    buckets are derived (low/mid/high over the uniform 1..50 domain),
+    so every column exists at every SF and the transposed schema is
+    stable; all measures share LONG, the least-common-type rule
+    transpose enforces.  The oracle writes the transpose out longhand
+    as a conditional-aggregation UNION — same relation, no transpose
+    primitive needed.
+
+    100 TB shape: the corpus-scale work is the 3-group aggregate
+    (map-side combinable, one shuffle of partials); transpose itself
+    runs on the 3x4 summary — a driver-sized frame by construction
+    (transpose collects the index column internally, which is why it
+    must only ever see pre-aggregated inputs; pinning that discipline
+    is the point of this entry)."""
+    b = load(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") <= 30, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_partkey",
+    )
+    a = b.groupBy("bucket").agg(
+        F.count("*").alias("n_items"),
+        F.sum("qty").alias("sum_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return a.transpose("bucket")
+
+@query(
+    "holt_winters_seasonal",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt,
+             CAST(cnt * 16 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT)] AS seas
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+        CASE WHEN r.rn < 24 THEN CAST(c.cnt * 16 AS BIGINT)
+             ELSE CAST(r.l + r.b
+                       + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4
+                  AS BIGINT) END,
+        CASE WHEN r.rn < 24 THEN CAST(0 AS BIGINT)
+             ELSE CAST(r.b + ((r.l + r.b
+                       + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4
+                       - r.l) - r.b) // 8 AS BIGINT) END,
+        CASE WHEN r.rn < 24 THEN list_append(r.seas, CAST(0 AS BIGINT))
+             ELSE list_append(list_slice(r.seas, 2, 24),
+                  CAST(r.seas[1]
+                       + (c.cnt * 16
+                          - (r.l + r.b
+                             + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4)
+                          - r.seas[1]) // 16 AS BIGINT)) END
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           l AS level_x16, b AS trend_x16,
+           seas[len(seas)] AS season_x16,
+           CASE WHEN len(seas) = 24
+                THEN CAST(l + b + seas[1] AS BIGINT) END AS forecast_x16
+    FROM r
+    """,
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE Holt-Winters (triple-exponential) smoothing of the
+    hourly event rate with a 24-hour season — the seasonal completion
+    of ``holt_linear_trend`` — in EXACT scale-16 fixed point
+    (alpha = 1/4, beta = 1/8, gamma = 1/16, truncating division):
+
+        l_t = l' + b' + (16*y_t - s_{t-24} - (l' + b')) div 4
+        b_t = b' + ((l_t - l') - b') div 8
+        s_t = s_{t-24} + (16*y_t - l_t - s_{t-24}) div 16
+
+    seeded for t <= 24 with l_t = 16*y_t, b_t = 0, s_t = 0; the
+    one-step forecast l_t + b_t + s_{t+1-24} exists once a full
+    season is buffered.  The oracle replays the identical integers
+    with a RECURSIVE CTE whose state carries the 24-slot seasonal
+    ring as a LIST column — bit-identical across engines where a
+    float Holt-Winters drifts per step.
+
+    100 TB shape: as holt_linear_trend — corpus-scale work is the
+    hourly pre-aggregation (one shuffle); the recurrence is
+    inherently sequential (truncating division breaks linearity, the
+    documented trade for exactness) and folds the tiny dense spine
+    in one applyInPandas task."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero, matching SQL integer division
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        level = trend = 0
+        seas: deque[int] = deque()
+        ls, bs, ss, fs = [], [], [], []
+        for t, cnt in enumerate(pdf["cnt"], 1):
+            y = int(cnt) * 16
+            if t <= 24:
+                level, trend, s = y, 0, 0
+                seas.append(0)
+            else:
+                sa = seas[0]
+                prior = level + trend
+                new_level = prior + tdiv(y - sa - prior, 4)
+                trend = trend + tdiv((new_level - level) - trend, 8)
+                s = sa + tdiv(y - new_level - sa, 16)
+                level = new_level
+                seas.popleft()
+                seas.append(s)
+            ls.append(level)
+            bs.append(trend)
+            ss.append(s)
+            fs.append(level + trend + seas[0] if len(seas) == 24 else None)
+        pdf["level_x16"] = ls
+        pdf["trend_x16"] = bs
+        pdf["season_x16"] = ss
+        pdf["forecast_x16"] = pd.array(fs, dtype="Int64")
+        return pdf[
+            ["hour", "cnt", "level_x16", "trend_x16", "season_x16",
+             "forecast_x16"]
+        ]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "hour timestamp, cnt long, level_x16 long, trend_x16 long, "
+            "season_x16 long, forecast_x16 long",
+        )
+    )
