@@ -766,3 +766,38 @@ def test_dsir_importance_resample_topk_and_no_cartesian(spark, sf_dir):
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert_no_cartesian(df)
+
+
+def test_pmi_collocations_topk_shape(spark, sf_dir):
+    """Bigram formation must stay in the scan stage (slice+zip, no
+    self-join), the final cut must compile to TakeOrderedAndProject
+    (no global sort of the pair space), and the two 1-row corpus
+    totals must broadcast — a shuffled or nested-loop total join
+    would serialize the pair table."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.pmi_collocations_topk(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_kcore_peel_keyed_joins_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.kcore_copurchase_peel(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_target_encoding_loo_single_window_shuffle(spark, sf_dir):
+    """One keyed join + one window over the nation key; the window
+    input must arrive via a hash exchange on the partition key (not
+    a global sort-everything plan) and nothing SF-scaling may be
+    force-broadcast."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.target_encoding_loo_nation(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Window") >= 1, plan[:2000]
+    assert_no_cartesian(df)
