@@ -11037,3 +11037,103 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "season_x16 long, forecast_x16 long",
         )
     )
+
+@query(
+    "stream_stream_left_outer_attribution",
+    """
+    WITH m AS (
+      SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts END))
+               AS mx
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.user_id, c.click_id, p.purchase_id, c.cts
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    )
+    SELECT j.user_id, j.click_id, j.purchase_id
+    FROM j, m WHERE j.cts < m.mx - INTERVAL 95 MINUTE
+    """,
+)
+def stream_stream_left_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantic the
+    inner-join entry can't show: clicks with NO purchase within 30
+    minutes must still emit, null-padded, and they can only do so
+    once the watermark PROVES no match can still arrive (state
+    eviction time, watermark - 30 min past the click).  Inner matches
+    emit in the batch the match arrives; the null pads emit in the
+    post-watermark flush batch.
+
+    The drained result is then restricted — identically on both
+    engines — to clicks older than the GLOBAL watermark's final
+    position minus margin: Spark's multi-input watermark is the MIN
+    over both sides' per-column watermarks (least(max click_ts,
+    max purchase_ts) - 1h), so the cutoff is least(...) - 95 min —
+    the region where the final watermark provably passed every
+    click's +30 min match window and pad emission is deterministic.
+    Clicks in the stream's trailing watermark window are NOT
+    comparable (the stream hasn't decided them yet — that's watermark
+    semantics, not a defect) and are excluded by the same cutoff in
+    the oracle.
+
+    100 TB shape: join state is O(watermark window), not O(stream) —
+    clicks evict 90 min after their event time, purchases after 60 —
+    which is the property that makes an unbounded stream-stream outer
+    join runnable at all; the cutoff frame is 1-row (broadcast by
+    construction)."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "purchase_id", "click_ts")
+    res = run_to_memory(
+        joined, await_new=False, output_mode="append", shuffle_partitions=8
+    )
+    mx = load(spark, sf_dir, "events").agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("mx")
+    )
+    return (
+        res.crossJoin(F.broadcast(mx))
+        .filter(F.col("click_ts") < F.col("mx") - F.expr("INTERVAL 95 MINUTES"))
+        .select("user_id", "click_id", "purchase_id")
+    )
