@@ -11137,3 +11137,293 @@ def stream_stream_left_outer_attribution(
         .filter(F.col("click_ts") < F.col("mx") - F.expr("INTERVAL 95 MINUTES"))
         .select("user_id", "click_id", "purchase_id")
     )
+
+@query(
+    "proximity_join_grid_2d",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           a.user_id AS a_user, b.user_id AS b_user
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 7200000000
+     AND abs(a.value - b.value) <= 20.0
+    """,
+)
+def proximity_join_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D proximity self-join — purchases within 2 hours AND within
+    20.0 in value of each other — rewritten as an EQUI-join on a 2-D
+    grid cell (time bin x value bin, bin width = threshold in each
+    dimension): the right side sits in its home cell, the left side
+    probes the 3x3 neighborhood, and the exact predicate filters the
+    candidates.  Each qualifying pair matches EXACTLY once (the
+    right row's home cell is unique, so only one of the left row's 9
+    probes can land on it) — no distinct pass needed.  Time is
+    compared in exact integer microseconds (epoch_us // bin on both
+    engines; Spark's unix_timestamp would FLOOR to seconds and
+    disagree at boundaries), value in IEEE doubles both engines
+    evaluate identically.  The oracle runs the plain theta join.
+
+    100 TB shape: this is the spatial-join pattern — the theta join
+    is a nested loop (the 100 TB killer, what interval_join_binned
+    fixes in 1-D); the grid rewrite is a keyed shuffle on cell id
+    with 9x left amplification, candidate count bounded by cell
+    occupancy instead of |L|x|R|.  Plan-pinned: no
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "value",
+        )
+    )
+    TB = 7200000000  # 2 h in microseconds == the time threshold
+    VB = 20.0
+    right = p.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        F.col("value").alias("b_value"),
+        F.expr(f"us div {TB}").alias("tcell"),
+        F.floor(F.col("value") / VB).alias("vcell"),
+    )
+    left = (
+        p.select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("us").alias("a_us"),
+            F.col("value").alias("a_value"),
+            F.explode(
+                F.expr(f"array(us div {TB} - 1, us div {TB}, us div {TB} + 1)")
+            ).alias("tcell"),
+        )
+        .withColumn(
+            "vcell",
+            F.explode(
+                F.array(
+                    F.floor(F.col("a_value") / VB) - 1,
+                    F.floor(F.col("a_value") / VB),
+                    F.floor(F.col("a_value") / VB) + 1,
+                )
+            ),
+        )
+    )
+    return (
+        left.join(right, ["tcell", "vcell"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_us") - F.col("b_us")) <= TB)
+            & (F.abs(F.col("a_value") - F.col("b_value")) <= VB)
+        )
+        .select("a_id", "b_id", "a_user", "b_user")
+    )
+
+@query(
+    "chi_square_crosstab_audit",
+    """
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS dowi
+      FROM events
+    ),
+    o AS (
+      SELECT event_type, dowi, CAST(count(*) AS HUGEINT) AS obs
+      FROM base GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS rt FROM base GROUP BY 1),
+    c AS (SELECT dowi, CAST(count(*) AS HUGEINT) AS ct FROM base GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS nt FROM base)
+    SELECT o.event_type, CAST(o.dowi AS BIGINT) AS dowi,
+           CAST(o.obs AS BIGINT) AS observed,
+           CAST((10000 * r.rt * c.ct) // n.nt AS BIGINT) AS expected_x1e4,
+           CAST((1000000 * (o.obs * n.nt - r.rt * c.ct)
+                         * (o.obs * n.nt - r.rt * c.ct))
+                // (r.rt * c.ct * n.nt) AS BIGINT) AS contrib_x1e6
+    FROM o JOIN r USING (event_type) JOIN c USING (dowi) CROSS JOIN n
+    """,
+)
+def chi_square_crosstab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the event_type x day-of-week
+    contingency table — 'is traffic mix stable across the week?', the
+    classic data-drift check — with every statistic EXACT on an
+    integer grid: expected counts as (r*c*1e4) div N and per-cell
+    chi-square contributions as (O*N - r*c)^2 * 1e6 div (r*c*N),
+    computed in decimal(38,0)/HUGEINT (the squared numerators pass
+    2^63 at scale; the q7 lesson applied to hypothesis testing — no
+    float expected-count folds).  Day-of-week is derived portably as
+    epoch-days mod 7 (0 = Thursday): Spark and DuckDB disagree on
+    dayofweek() numbering, integer arithmetic can't.
+
+    100 TB shape: three map-side-combinable aggregates over ONE scan
+    lineage (cells, row totals, col totals — each one shuffle of
+    partials); the totals frames are 5/7/1 rows, broadcast by AQE;
+    contributions are scan-free arithmetic on the joined cells."""
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000) % 7").alias("dowi"),
+    )
+    D = "decimal(38,0)"
+    o = base.groupBy("event_type", "dowi").agg(
+        F.count("*").cast(D).alias("obs")
+    )
+    r = base.groupBy("event_type").agg(F.count("*").cast(D).alias("rt"))
+    c = base.groupBy("dowi").agg(F.count("*").cast(D).alias("ct"))
+    n = base.agg(F.count("*").cast(D).alias("nt"))
+    return (
+        o.join(r, "event_type")
+        .join(c, "dowi")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dowi").cast("long").alias("dowi"),
+            F.col("obs").cast("long").alias("observed"),
+            F.expr(
+                "CAST((CAST(10000 AS DECIMAL(38,0)) * rt * ct) DIV nt"
+                " AS BIGINT)"
+            ).alias("expected_x1e4"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (obs * nt - rt * ct) * (obs * nt - rt * ct))"
+                " DIV (rt * ct * nt) AS BIGINT)"
+            ).alias("contrib_x1e6"),
+        )
+    )
+
+@query(
+    "tfidf_cosine_pairs_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS HUGEINT) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(count(*) AS HUGEINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+    wt AS (
+      SELECT tf.doc_id, tf.w, tf.tf * ((1000000 * n.n) // df.df) AS wt
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    ),
+    nrm AS (SELECT doc_id, sum(wt * wt) AS nrm FROM wt GROUP BY doc_id),
+    rare AS (SELECT w FROM df WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+      JOIN rare r ON r.w = a.w
+    ),
+    dots AS (
+      SELECT c.da, c.db, sum(x.wt * y.wt) AS dot
+      FROM cand c
+      JOIN wt x ON x.doc_id = c.da
+      JOIN wt y ON y.doc_id = c.db AND y.w = x.w
+      GROUP BY 1, 2
+    )
+    SELECT d.da AS doc_a, d.db AS doc_b,
+           CAST(floor(10000 * CAST(d.dot AS DOUBLE)
+                      / (sqrt(CAST(na.nrm AS DOUBLE))
+                         * sqrt(CAST(nb.nrm AS DOUBLE))) + 0.5)
+                AS BIGINT) AS cos_x1e4
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.da
+    JOIN nrm nb ON nb.doc_id = d.db
+    ORDER BY cos_x1e4 DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space document similarity: top-50 TF-IDF cosine pairs —
+    the sparse-retrieval complement of BM25 search and the embedding
+    cosine entries.  Kept EXACT until the last step: integer idf on
+    the 1e-6 grid ((1e6*N) div df — a libm-free monotone inverse
+    frequency, so no ln() ulp skew across engines), exact
+    decimal(38,0)/HUGEINT dot products and norms (weights square past
+    2^63), and one final IEEE sqrt+divide — both correctly rounded
+    per IEEE 754, hence bit-identical — onto the 1e-4 grid.
+
+    Candidate pairs come from an inverted index restricted to RARE
+    words (2 <= df <= 10): the prefix-filter trick — frequent words
+    generate quadratic candidate blowup and contribute least to
+    cosine ranking; rare co-occurrence is the similarity signal.
+
+    100 TB shape: tf/df/norms are map-side-combinable aggregates; the
+    candidate generator shuffles 8-byte-hashable word keys with
+    df-bounded fanout (a df<=10 word yields <=45 pairs); the exact
+    verify join ships weight vectors only to CANDIDATE pairs (the
+    minhash-verify discipline — bounded by candidate count, never
+    all-pairs); final top-50 is TakeOrderedAndProject."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
+    )
+    D = "decimal(38,0)"
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast(D).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast(D).alias("df"))
+    n = load(spark, sf_dir, "documents").agg(
+        F.count("*").cast(D).alias("n")
+    )
+    wt = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "tf * ((CAST(1000000 AS DECIMAL(38,0)) * n) DIV df)"
+            ).alias("wt"),
+        )
+    )
+    nrm = wt.groupBy("doc_id").agg(F.expr("sum(wt * wt)").alias("nrm"))
+    rare = df.filter((F.col("df") >= 2) & (F.col("df") <= 10)).select("w")
+    rtf = tf.join(rare, "w").select("w", "doc_id")
+    a, b = rtf.alias("a"), rtf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    x = wt.select(
+        F.col("doc_id").alias("da"), F.col("w").alias("w"),
+        F.col("wt").alias("wx"),
+    )
+    y = wt.select(
+        F.col("doc_id").alias("db"), F.col("w").alias("w"),
+        F.col("wt").alias("wy"),
+    )
+    dots = (
+        cand.join(x, "da")
+        .join(y, ["db", "w"])
+        .groupBy("da", "db")
+        .agg(F.expr("sum(wx * wy)").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    out = (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.expr(
+                "CAST(floor(10000 * CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+                " + 0.5) AS BIGINT)"
+            ).alias("cos_x1e4"),
+        )
+    )
+    return out.orderBy(F.col("cos_x1e4").desc(), "doc_a", "doc_b").limit(50)

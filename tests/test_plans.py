@@ -801,3 +801,31 @@ def test_target_encoding_loo_single_window_shuffle(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("Window") >= 1, plan[:2000]
     assert_no_cartesian(df)
+
+
+def test_proximity_grid_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The 2-D proximity join must compile to a keyed join on the
+    grid cell — a BroadcastNestedLoopJoin/Cartesian here is exactly
+    the theta-join plan the grid rewrite exists to avoid."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.proximity_join_grid_2d(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_tfidf_cosine_pairs_topk_shape(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.tfidf_cosine_pairs_topk(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_chi_square_crosstab_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.chi_square_crosstab_audit(spark, sf_dir)
+    assert_no_cartesian(df)
