@@ -11427,3 +11427,271 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("cos_x1e4").desc(), "doc_a", "doc_b").limit(50)
+
+@query(
+    "stream_ivm_signed_deltas",
+    """
+    SELECT user_id,
+           CAST(sum(CASE event_type WHEN 'purchase' THEN 1
+                                    WHEN 'error' THEN -1 END) AS BIGINT)
+             AS net_rows,
+           CAST(sum(CASE event_type WHEN 'purchase' THEN 1 ELSE -1 END
+                    * CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS net_value_x1e4
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY user_id
+    """,
+)
+def stream_ivm_signed_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS — the
+    differential-dataflow/DBSP pattern: the change stream carries
+    SIGNED deltas (purchase = insert +value, error = retraction
+    -value), each micro-batch folds to per-user partial sums (which
+    can be NEGATIVE — the property an append-only monitor never
+    exercises), partials persist as replay-safe per-batch shards, and
+    the live view derives by merging shards additively.  The view can
+    go DOWN; correctness rests on the aggregate being a commutative
+    GROUP (sum/count — invertible), which is precisely the class IVM
+    can maintain without rescanning: MIN/MAX are deliberately absent
+    (a retraction of the current min forces a rescan — the documented
+    boundary of delta maintenance).
+
+    Contract: the shard-merged view hash-matches the batch signed
+    aggregate over the same events.  Value deltas ride the exact
+    scaled-long grid (money discipline), so retraction is exact
+    cancellation, not float residue.
+
+    100 TB shape: per batch one map-side-combinable signed partial
+    aggregation (shuffle of per-user partials); the store grows by
+    batch-partial rows and compacts additively (same scheme as
+    compact_countmin_store); the read-side merge is one key shuffle.
+    Reference scope: flo consumers rebuild views by replaying the
+    log (README.md:8-19); signed-delta folding is the engine-side
+    shortcut — north-star extension."""
+    from flo_spark.queries import _events_stream, scratch_dir
+
+    tmp = scratch_dir("flo_ivm_")
+    store = f"{tmp}/store"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.filter(F.col("event_type").isin("purchase", "error"))
+            .select(
+                "user_id",
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(-1)
+                .alias("sgn"),
+                money_scaled(F.col("value")).alias("v"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("sgn").alias("d_rows"),
+                F.sum(F.col("sgn") * F.col("v")).alias("d_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch={batch_id}")
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("ivm stream did not drain")
+    return (
+        spark.read.parquet(f"{store}/batch=*")
+        .groupBy("user_id")
+        .agg(
+            F.sum("d_rows").cast("long").alias("net_rows"),
+            F.sum("d_value").cast("long").alias("net_value_x1e4"),
+        )
+    )
+
+@query(
+    "gdpr_forget_compaction",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 20 AS BIGINT) AS uid,
+             CAST(doc_id % 2 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.uid, b.text,
+             off.off + row_number() OVER (PARTITION BY b.partition
+                                          ORDER BY b.doc_id) AS counter
+      FROM b JOIN off USING (partition)
+    )
+    SELECT uid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(min(counter) AS BIGINT) AS min_counter,
+           CAST(max(counter) AS BIGINT) AS max_counter
+    FROM env WHERE uid % 7 <> 3
+    GROUP BY uid
+    """,
+)
+def gdpr_forget_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the append-only native segment store —
+    the deletion primitive an immutable log needs: subjects are
+    forgotten by appending TOMBSTONE events
+    (``/system/tombstones/<uid>``, the log's own mechanism — flo has
+    no in-place mutation, segment/mod.rs append-only contract), and a
+    COMPACTION pass rewrites the segment files dropping both the
+    subject's events and the applied tombstones — physical erasure,
+    not a read-side mask.  Retained events keep their ORIGINAL ids
+    (erasure leaves counter gaps; ids are immutable, so gaps are the
+    correct observable).  The entry round-trips documents -> native
+    ``.events`` segments (+ trailing tombstone batch) -> compaction ->
+    native segments -> scan, and aggregates per subject; the oracle
+    reproduces the id assignment arithmetic and the forget-set filter
+    from the raw table.  Physical erasure (no forgotten payload bytes
+    anywhere in the compacted files) is pinned in
+    tests/test_flo_segment.py.
+
+    100 TB shape: compaction is read-filter-write over sealed
+    segments — distributed at segment granularity by
+    write_flo_segments' range-partitioned id ranking (no
+    whole-partition task); the tombstone set is an anti-join key
+    frame that scales with the forget batch, not the corpus."""
+    from flo_spark.operators.produce import assign_event_ids
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_segment import (
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    tmp = scratch_dir("flo_gdpr_")
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    users = docs.select(
+        F.col("doc_id").alias("ord"),
+        (F.col("doc_id") % 20).alias("uid"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("partition"),
+        F.concat(
+            F.lit("/users/"), (F.col("doc_id") % 20), F.lit("/docs")
+        ).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    tombs = (
+        users.filter(F.col("uid") % 7 == 3)
+        .select("uid")
+        .distinct()
+        .select(
+            (F.col("uid") + 100000).alias("ord"),
+            "uid",
+            F.lit(2).cast("int").alias("partition"),
+            F.concat(F.lit("/system/tombstones/"), F.col("uid")).alias(
+                "namespace"
+            ),
+            F.lit(None).cast("binary").alias("data"),
+        )
+    )
+    batch = users.unionByName(tombs).select(
+        "ord",
+        "partition",
+        "namespace",
+        "data",
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("ord"))
+        ).alias("timestamp"),
+    )
+    env = assign_event_ids(batch, 0, order_by="ord").drop("ord")
+    write_flo_segments(env, f"{tmp}/raw", max_events_per_segment=40)
+
+    ev = read_flo_segments(spark, f"{tmp}/raw")
+    forgotten = (
+        ev.filter(F.col("namespace").startswith("/system/tombstones/"))
+        .select(
+            F.element_at(F.split("namespace", "/"), 4).alias("uid")
+        )
+        .distinct()
+    )
+    keep = (
+        ev.filter(~F.col("namespace").startswith("/system/tombstones/"))
+        .withColumn("uid", F.element_at(F.split("namespace", "/"), 3))
+        .join(forgotten, "uid", "left_anti")
+    )
+    write_flo_segments(
+        keep.drop("uid"), f"{tmp}/compacted", max_events_per_segment=40
+    )
+    out = read_flo_segments(spark, f"{tmp}/compacted")
+    return (
+        out.withColumn(
+            "uid", F.element_at(F.split("namespace", "/"), 3).cast("long")
+        )
+        .groupBy("uid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(F.decode("data", "utf-8"))).alias("n_chars"),
+            F.min("event_counter").alias("min_counter"),
+            F.max("event_counter").alias("max_counter"),
+        )
+    )
+
+@query(
+    "schema_evolution_merge_read",
+    """
+    WITH b AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents ORDER BY doc_id LIMIT 400
+    ),
+    g AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN lang END AS lang,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars END AS nc
+      FROM b
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(nc) AS BIGINT) AS sum_chars_meta
+    FROM g GROUP BY lang
+    """,
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table generations — the lake-format
+    reality that columns ARRIVE over time: generation 1 files carry
+    (doc_id, text), generation 2 adds (lang, n_chars), and ONE
+    ``mergeSchema`` scan reads both — old files surface the new
+    columns as NULL, no rewrite of historical data.  The aggregate
+    groups by the evolved column, so the NULL group IS the
+    pre-evolution history — visible, not silently dropped.  The
+    oracle reproduces the generation split from the raw table.
+
+    100 TB shape: mergeSchema reconciles STRUCTURE from file footers
+    (schema union at planning time, not a data pass); per-file reads
+    project only the columns that exist — old files pay nothing for
+    new columns.  The footer-schema union does scale with file count,
+    which is why production tables checkpoint the merged schema in a
+    catalog/metastore rather than re-deriving it per query
+    (documented trade; the scan itself is unchanged)."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_schemaevo_")
+    b = load(spark, sf_dir, "documents").orderBy("doc_id").limit(400)
+    gen1 = b.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    gen2 = b.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    gen1.write.mode("overwrite").parquet(f"{tmp}/tbl/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{tmp}/tbl/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/tbl")
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("n_chars").alias("sum_chars_meta"),
+    )

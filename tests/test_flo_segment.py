@@ -615,3 +615,69 @@ def test_fsck_reports_health_and_corruption(tmp_path):
     (d / "0.events").write_bytes(bytes(blob))
     rep5 = fsck_native_dir(str(root))
     assert any("0.events" in e and "torn" in e for e in rep5["errors"])
+
+
+def test_gdpr_compaction_physically_erases_subject_bytes(spark, tmp_path):
+    """Tombstone-driven compaction must leave NO trace of the
+    forgotten subject in the compacted segment FILES — namespace,
+    payload, or tombstone — while every retained event keeps its
+    original id (erasure leaves counter gaps, ids never reassign)."""
+    from pyspark.sql import functions as F
+
+    from flo_spark.operators.produce import assign_event_ids
+
+    rows = [
+        # (ord, uid, secret payload)
+        (1, 1, b"alpha-public"),
+        (2, 3, b"SECRET-FORGET-ME"),
+        (3, 1, b"beta-public"),
+        (4, 3, b"SECRET-TOO"),
+        (5, 2, b"gamma-public"),
+    ]
+    base = spark.createDataFrame(
+        [
+            (o, 1, f"/users/{u}/docs", d, None, None,
+             datetime(2024, 1, 1, 0, 0, o, tzinfo=UTC))
+            for o, u, d in rows
+        ]
+        + [(99, 1, "/system/tombstones/3", None, None, None,
+            datetime(2024, 1, 1, 0, 2, tzinfo=UTC))],
+        "ord long, partition int, namespace string, data binary, "
+        "parent_counter long, parent_actor int, timestamp timestamp",
+    )
+    env = assign_event_ids(base, 0, order_by="ord").drop("ord")
+    raw, compacted = str(tmp_path / "raw"), str(tmp_path / "compacted")
+    write_flo_segments(env, raw, max_events_per_segment=2)
+
+    ev = read_flo_segments(spark, raw)
+    forgotten = (
+        ev.filter(F.col("namespace").startswith("/system/tombstones/"))
+        .select(F.element_at(F.split("namespace", "/"), 4).alias("uid"))
+        .distinct()
+    )
+    keep = (
+        ev.filter(~F.col("namespace").startswith("/system/tombstones/"))
+        .withColumn("uid", F.element_at(F.split("namespace", "/"), 3))
+        .join(forgotten, "uid", "left_anti")
+    )
+    write_flo_segments(keep.drop("uid"), compacted, max_events_per_segment=2)
+
+    blob = b""
+    for root, _, files in os.walk(compacted):
+        for f in files:
+            if f.endswith(".events"):
+                blob += open(os.path.join(root, f), "rb").read()
+    assert b"SECRET" not in blob
+    assert b"/users/3/" not in blob
+    assert b"tombstones" not in blob
+    assert b"alpha-public" in blob and b"gamma-public" in blob
+
+    out = read_flo_segments(spark, compacted)
+    kept = sorted(
+        (r.event_counter, bytes(r.data).decode())
+        for r in out.collect()
+    )
+    # ords 1,3,5 got counters 1,3,5 at write time and keep them:
+    # the forgotten events' counters (2, 4) are GAPS, not reassigned
+    assert kept == [(1, "alpha-public"), (3, "beta-public"),
+                    (5, "gamma-public")]
