@@ -11695,3 +11695,247 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("sum_chars"),
         F.sum("n_chars").alias("sum_chars_meta"),
     )
+
+@query(
+    "vocab_index_encode",
+    """
+    WITH vocab AS (
+      SELECT lang,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, lang) - 1
+                  AS BIGINT) AS lang_index
+      FROM documents GROUP BY lang
+    )
+    SELECT d.source, v.lang_index, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN vocab v ON v.lang = d.lang
+    GROUP BY d.source, v.lang_index
+    """,
+)
+def vocab_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical vocabulary indexing — MLlib StringIndexer's
+    ``frequencyDesc`` contract as a pure DataFrame program: categories
+    rank by (count DESC, value ASC) into dense 0-based ids, and the
+    corpus re-encodes by joining the mapping back.  The deterministic
+    tie-break is the point — hash-based id assignment would be
+    partition-order-dependent and untestable cross-engine.
+
+    100 TB shape: the vocabulary is one map-side-combinable count +
+    one window over a |vocab|-sized frame (vocab cardinality, not
+    corpus); the encode join auto-broadcasts the mapping.  Fit once,
+    apply everywhere — the mapping frame IS the model artifact
+    (persist it; re-fitting per query would re-shuffle the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    vocab = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "lang", (F.row_number().over(w) - 1).cast("long").alias("lang_index")
+        )
+    )
+    return (
+        d.join(F.broadcast(vocab), "lang")
+        .groupBy("source", "lang_index")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "interval_union_sweepline",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    agg AS (
+      SELECT user_id, island, max(e) - min(s) AS covered
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(covered) AS BIGINT) AS covered_us,
+           CAST(max(covered) AS BIGINT) AS longest_us
+    FROM agg GROUP BY user_id
+    """,
+)
+def interval_union_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user — total ONLINE time when every
+    event opens a 30-minute presence window and overlaps must not
+    double-count — by the sweep-line-as-window construction: running
+    max of interval ends over the time-ordered prefix marks island
+    starts (start > max end so far = a gap), a running sum of the
+    flags numbers the islands, and each island contributes
+    max(end) - min(start).  All arithmetic in exact integer
+    microseconds (epoch_us) — no float time.
+
+    100 TB shape: ONE hash shuffle on user_id feeding two
+    user-partitioned window passes and a two-level aggregation —
+    the sort is per-user inside partitions, never global; interval
+    count per user bounds window state.  This is the scan-friendly
+    form of interval union; an interval tree would be a driver-side
+    structure with no distributed analog."""
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("s"),
+        (F.expr("unix_micros(ts)") + 1800000000).alias("e"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "pmax", F.max("e").over(wp.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1)
+            .otherwise(0)
+        ).over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return agg.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_us"),
+        F.max("covered").cast("long").alias("longest_us"),
+    )
+
+
+@query(
+    "gaps_islands_event_runs",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rnt AS grp, count(*) AS run_len
+      FROM o GROUP BY user_id, event_type, rn - rnt
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           CAST(sum(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, event_type
+    """,
+)
+def gaps_islands_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — maximal runs of consecutive same-type
+    events per user — via the classic rn-difference construction:
+    two row_numbers (one over the user's full sequence, one per
+    (user, type)) differ by a constant exactly within a consecutive
+    run, so the difference IS the run id.  Deterministic total order
+    (ts, event_id) makes run boundaries engine-independent.  Output:
+    per (user, type) run count, longest run, event count — the
+    session-behavior shape (e.g. N consecutive errors) that plain
+    aggregation can't see.
+
+    100 TB shape: one hash shuffle on user_id; both window passes
+    and the two aggregations reuse that partitioning (the per-type
+    row_number only sub-sorts inside it) — no second corpus
+    shuffle."""
+    o = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rnt"),
+    )
+    runs = o.groupBy(
+        "user_id", "event_type", (F.col("rn") - F.col("rnt")).alias("grp")
+    ).agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        F.sum("run_len").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "benford_leading_digit_audit",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 10000 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    o AS (SELECT digit, count(*) AS n_obs FROM c GROUP BY digit),
+    n AS (SELECT count(*) AS nt FROM c),
+    p(digit, p_x1e6) AS (
+      VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+             (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    )
+    SELECT p.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(p.p_x1e6 AS BIGINT) AS benford_p_x1e6,
+           CAST((n.nt * p.p_x1e6) // 10000 AS BIGINT) AS expected_x1e2
+    FROM p LEFT JOIN o ON o.digit = p.digit CROSS JOIN n
+    """,
+)
+def benford_leading_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    fraud/data-fabrication screen: observed leading-digit counts vs
+    the Benford expectation log10(1+1/d).  The leading digit is
+    extracted ARITHMETICALLY from the exact scaled-long cents
+    (integer-to-string is exact and engine-identical; a double's
+    leading digit via log10/formatting is neither), and the
+    irrational Benford probabilities enter as shared 1e-6-grid
+    literals, so expected counts are exact integer floor products —
+    no libm anywhere.  All nine digits emit (LEFT join from the
+    probability table), absent digits as zero — an absent digit IS
+    the anomaly.
+
+    100 TB shape: one map-side-combinable 9-group count over a
+    single pruned column scan; the probability table and the total
+    are broadcast by construction."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(money_scaled(F.col("o_totalprice")).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    o = c.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    n = c.agg(F.count("*").alias("nt"))
+    p = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit long, p_x1e6 long",
+    )
+    return (
+        p.join(o, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.col("p_x1e6").alias("benford_p_x1e6"),
+            F.expr("CAST((nt * p_x1e6) DIV 10000 AS BIGINT)").alias(
+                "expected_x1e2"
+            ),
+        )
+    )
