@@ -11939,3 +11939,55 @@ def benford_leading_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@query(
+    "pandas_api_on_spark_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(floor((sum(CAST(floor(o_totalprice * 10000 + 0.5)
+                                AS BIGINT)) + 50) / 100.0) / 100.0
+                AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pandas_api_on_spark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) — the third query
+    surface after DataFrame and SQL: a pandas-shaped program
+    (``groupby`` + ``agg`` + ``nunique`` on a ``ps.DataFrame``) that
+    compiles to the SAME distributed plans, proven by hash-matching
+    the SQL oracle.  Money stays exact by scaling to cents BEFORE the
+    pandas-API fold (the money_sum discipline survives the API
+    change — sums run on longs, the rounding happens once at the
+    end on the Spark DataFrame).
+
+    100 TB shape: ps operations lower to Catalyst — this groupby is
+    the same map-side-combinable aggregate the DataFrame API emits
+    (one shuffle of partials; nunique = count distinct expansion).
+    The caveat pinned here: ps defaults that pull data to the driver
+    (``to_pandas``, implicit default-index attachment) are avoided —
+    the frame converts back via ``to_spark()``, never the driver."""
+    import pyspark.pandas as ps
+
+    odf = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_custkey",
+        money_scaled(F.col("o_totalprice")).alias("cents"),
+    )
+    pdf = odf.pandas_api()
+    g = pdf.groupby("o_orderpriority").agg(
+        n_orders=("o_custkey", "count"),
+        n_customers=("o_custkey", "nunique"),
+        cents=("cents", "sum"),
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        (
+            F.floor((F.col("cents") + F.lit(50)) / F.lit(100.0))
+            / F.lit(100.0)
+        ).alias("sum_price"),
+    )

@@ -52,3 +52,21 @@ def test_training_data_eval_example_runs():
     assert "AUC=" in out.stdout
     assert "planted: 40" in out.stdout
     assert "tour complete" in out.stdout
+
+
+def test_governed_lake_tour_example_runs(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "examples/governed_lake_tour.py",
+            str(tmp_path / "gov"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "user 2 fully retracted" in out.stdout
+    assert "physically erased" in out.stdout
+    assert "governed-lake tour complete" in out.stdout
