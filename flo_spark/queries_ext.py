@@ -11991,3 +11991,225 @@ def pandas_api_on_spark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("sum_price"),
     )
+
+@query(
+    "asof_forward_nearest_click",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN event_id END AS cid,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS cus,
+             event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, event_id, us, event_type,
+             first_value(cid IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nid,
+             first_value(cus IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nus,
+             last_value(cid IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+             last_value(cus IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus
+      FROM seq
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN nus - us <= 3600000000 THEN nid END AS next_click_id,
+           CASE
+             WHEN pid IS NULL AND nid IS NULL THEN NULL
+             WHEN nid IS NULL THEN pid
+             WHEN pid IS NULL THEN nid
+             WHEN us - pus <= nus - us THEN pid
+             ELSE nid
+           END AS nearest_click_id
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def asof_forward_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD and NEAREST as-of joins — the two directions
+    ``asof_last_click_before_purchase`` (backward) doesn't cover:
+    for every purchase, the next click strictly after it (capped at
+    1 hour — pandas merge_asof direction='forward' + tolerance) and
+    the nearest click in either direction (ties break to the earlier
+    side, merge_asof direction='nearest' semantics).  Implemented as
+    the union-sort construction: one per-user time-ordered sequence,
+    forward = first_value IGNORE NULLS over the strict-following
+    frame, backward = last_value over the strict-preceding frame —
+    no join at all, which also makes 'strictly after' exact (a
+    same-instant click is ordered by (ts, event_id) deterministically
+    on both engines).  Gaps compare in exact integer microseconds.
+
+    100 TB shape: ONE hash shuffle on user_id; both as-of directions
+    and the nearest arbitration ride the same partitioning — versus
+    the range-join formulation which shuffles twice and explodes
+    candidates.  This is how the engine's as-of family scales: sort
+    once per key, answer every direction from the frames."""
+    seq = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("us"),
+            "event_type",
+            F.when(
+                F.col("event_type") == "click", F.col("event_id")
+            ).alias("cid"),
+            F.when(
+                F.col("event_type") == "click", F.expr("unix_micros(ts)")
+            ).alias("cus"),
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("us", "event_id")
+    fol = wp.rowsBetween(1, Window.unboundedFollowing)
+    pre = wp.rowsBetween(Window.unboundedPreceding, -1)
+    w = seq.select(
+        "user_id",
+        "event_id",
+        "us",
+        "event_type",
+        F.first("cid", ignorenulls=True).over(fol).alias("nid"),
+        F.first("cus", ignorenulls=True).over(fol).alias("nus"),
+        F.last("cid", ignorenulls=True).over(pre).alias("pid"),
+        F.last("cus", ignorenulls=True).over(pre).alias("pus"),
+    )
+    return w.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.when(
+            F.col("nus") - F.col("us") <= 3600000000, F.col("nid")
+        ).alias("next_click_id"),
+        F.when(
+            F.col("pid").isNull() & F.col("nid").isNull(), F.lit(None)
+        )
+        .when(F.col("nid").isNull(), F.col("pid"))
+        .when(F.col("pid").isNull(), F.col("nid"))
+        .when(
+            F.col("us") - F.col("pus") <= F.col("nus") - F.col("us"),
+            F.col("pid"),
+        )
+        .otherwise(F.col("nid"))
+        .cast("long")
+        .alias("nearest_click_id"),
+    )
+
+
+@query(
+    "gapfill_locf_interpolate",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (SELECT hour, sum(cents) AS v FROM e GROUP BY hour),
+    bnd AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM obs),
+    spine AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bnd),
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    j AS (
+      SELECT s.hour, obs.v,
+             row_number() OVER (ORDER BY s.hour) AS rn
+      FROM spine s LEFT JOIN obs ON obs.hour = s.hour
+    ),
+    w AS (
+      SELECT hour, v, rn,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS locf,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prn,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS nrn
+      FROM j
+    )
+    SELECT hour,
+           CAST(v AS BIGINT) AS observed_cents,
+           CAST(locf AS BIGINT) AS locf_cents,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v * 10000
+             WHEN locf IS NULL OR nv IS NULL THEN NULL
+             ELSE locf * 10000
+                  + ((nv - locf) * 10000 * (rn - prn)) // (nrn - prn)
+           END AS BIGINT) AS interp_x1e4
+    FROM w
+    """,
+)
+def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filling of a SPARSE hourly series (hours
+    with no purchases are MISSING, not zero) with both standard
+    policies: LOCF (last observation carried forward) and LINEAR
+    interpolation between the surrounding observations — TimescaleDB
+    time_bucket_gapfill + locf()/interpolate() semantics.  All
+    arithmetic exact: the metric rides the scaled-long cents grid,
+    the interpolation is integer ((v2-v1)*1e4*dt) div span on the
+    hour-rank axis, and leading/trailing unbounded regions are NULL
+    (no invented data).  IGNORE-NULLS window frames find the
+    surrounding observations — no self-join against the observed
+    set.
+
+    100 TB shape: corpus-scale work is one hourly pre-aggregation
+    shuffle; the spine is bounded by the time range, and all four
+    IGNORE-NULLS lookups share one ordered pass.  The global-ordered
+    window is the documented trade at the spine's (tiny) scale; a
+    sharded deployment would partition the spine by coarse time
+    range and stitch boundaries."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            money_scaled(F.col("value")).alias("cents"),
+        )
+    )
+    obs = e.groupBy("hour").agg(F.sum("cents").alias("v"))
+    bnd = obs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bnd.select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour")
+    )
+    j = (
+        spine.join(obs, "hour", "left")
+        .withColumn("rn", F.row_number().over(Window.orderBy("hour")))
+    )
+    wo = Window.orderBy("rn")
+    pre = wo.rowsBetween(Window.unboundedPreceding, 0)
+    fol = wo.rowsBetween(0, Window.unboundedFollowing)
+    vrn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    w = j.select(
+        "hour",
+        "v",
+        "rn",
+        F.last("v", ignorenulls=True).over(pre).alias("locf"),
+        F.last(vrn, ignorenulls=True).over(pre).alias("prn"),
+        F.first("v", ignorenulls=True).over(fol).alias("nv"),
+        F.first(vrn, ignorenulls=True).over(fol).alias("nrn"),
+    )
+    return w.select(
+        "hour",
+        F.col("v").cast("long").alias("observed_cents"),
+        F.col("locf").cast("long").alias("locf_cents"),
+        F.when(F.col("v").isNotNull(), F.col("v") * 10000)
+        .when(F.col("locf").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("locf") * 10000
+            + F.expr(
+                "((nv - locf) * 10000 * (rn - prn)) DIV (nrn - prn)"
+            )
+        )
+        .cast("long")
+        .alias("interp_x1e4"),
+    )
