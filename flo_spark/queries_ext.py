@@ -12213,3 +12213,126 @@ def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("interp_x1e4"),
     )
+
+@query(
+    "seasonal_decompose_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    t AS (
+      SELECT hour, cnt,
+             CASE WHEN count(*) OVER w1 = 24 AND count(*) OVER w2 = 24
+                  THEN sum(cnt) OVER w1 + sum(cnt) OVER w2 END AS trend_x48
+      FROM c
+      WINDOW w1 AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING
+                    AND 11 FOLLOWING),
+             w2 AS (ORDER BY hour ROWS BETWEEN 11 PRECEDING
+                    AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT hour, cnt, trend_x48,
+             CASE WHEN trend_x48 IS NOT NULL
+                  THEN 48 * cnt - trend_x48 END AS detr_x48,
+             hour(hour) AS hod
+      FROM t
+    ),
+    s AS (
+      SELECT hod, sum(detr_x48) // count(detr_x48) AS seas_x48
+      FROM d WHERE detr_x48 IS NOT NULL GROUP BY hod
+    )
+    SELECT d.hour, CAST(d.cnt AS BIGINT) AS cnt,
+           CAST(d.trend_x48 AS BIGINT) AS trend_x48,
+           CAST(s.seas_x48 AS BIGINT) AS seasonal_x48,
+           CAST(d.detr_x48 - s.seas_x48 AS BIGINT) AS remainder_x48
+    FROM d LEFT JOIN s ON s.hod = d.hod AND d.detr_x48 IS NOT NULL
+    """,
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL additive seasonal decomposition of the hourly event
+    rate (trend + seasonal + remainder, period 24) in EXACT x48 fixed
+    point: the even-period centered moving average is the sum of the
+    two straddling 24-hour window sums (the [1,2,...,2,1]/48 kernel
+    with the /48 NEVER performed — the x48 numerator is the exact
+    integer), detrended values are 48*y - trend, the seasonal index
+    is the truncating per-hour-of-day mean of detrended values, and
+    the remainder closes the identity detr = seasonal + remainder
+    exactly.  Hours whose +-12 neighborhood leaves the observed range
+    have NULL trend/seasonal/remainder — no invented edge data.
+
+    100 TB shape: one hourly pre-aggregation shuffle; the two sliding
+    sums share one ordered pass over the (tiny, time-bounded) spine;
+    the seasonal index is a 24-row aggregate joined back broadcast.
+    The spine window is globally ordered — the documented trade at
+    spine scale (cf. gapfill_locf_interpolate)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    w1 = Window.orderBy("hour").rowsBetween(-12, 11)
+    w2 = Window.orderBy("hour").rowsBetween(-11, 12)
+    t = c.select(
+        "hour",
+        "cnt",
+        F.when(
+            (F.count("*").over(w1) == 24) & (F.count("*").over(w2) == 24),
+            F.sum("cnt").over(w1) + F.sum("cnt").over(w2),
+        ).alias("trend_x48"),
+    )
+    d = t.select(
+        "hour",
+        "cnt",
+        "trend_x48",
+        F.when(
+            F.col("trend_x48").isNotNull(),
+            48 * F.col("cnt") - F.col("trend_x48"),
+        ).alias("detr_x48"),
+        F.hour("hour").alias("hod"),
+    )
+    s = (
+        d.filter(F.col("detr_x48").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.expr("sum(detr_x48) DIV count(detr_x48)").alias("seas_x48")
+        )
+    )
+    return (
+        d.join(
+            F.broadcast(s),
+            (d["hod"] == s["hod"]) & d["detr_x48"].isNotNull(),
+            "left",
+        )
+        .select(
+            "hour",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("trend_x48").cast("long").alias("trend_x48"),
+            F.col("seas_x48").cast("long").alias("seasonal_x48"),
+            (F.col("detr_x48") - F.col("seas_x48"))
+            .cast("long")
+            .alias("remainder_x48"),
+        )
+    )
