@@ -12336,3 +12336,139 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("remainder_x48"),
         )
     )
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             c_custkey
+      FROM customer
+    ),
+    g AS (
+      SELECT nation, segment, bal_bucket, count(*) AS grp_size,
+             count(DISTINCT c_custkey % 97) AS sens_diversity
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(nation AS INT) AS nation, segment, bal_bucket,
+           CAST(grp_size AS BIGINT) AS grp_size,
+           grp_size >= 5 AS k5_anonymous,
+           CAST(sens_diversity AS BIGINT) AS sens_diversity,
+           sens_diversity >= 3 AS l3_diverse
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a dataset
+    passes BEFORE release: group by the quasi-identifier tuple
+    (nation, market segment, coarse balance bucket), flag equivalence
+    classes smaller than k=5 (re-identifiable) and classes whose
+    sensitive attribute (here a derived 97-class proxy) shows fewer
+    than l=3 distinct values (attribute-disclosable even at k).
+    Both checks are exact integer aggregates — Sweeney's k-anonymity
+    and Machanavajjhala's l-diversity as one pass.  The generalization
+    lattice step (coarsen buckets until every class passes) is the
+    caller's loop over this audit; each step is the same single
+    aggregate.
+
+    100 TB shape: ONE map-side-combinable aggregate over the
+    quasi-identifier key (count + distinct partials in the same
+    shuffle); output is |equivalence classes|, not |rows|.  Pairs
+    with gdpr_forget_compaction as the governance family."""
+    q = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        "c_custkey",
+    )
+    g = q.groupBy("nation", "segment", "bal_bucket").agg(
+        F.count("*").alias("grp_size"),
+        F.countDistinct(F.col("c_custkey") % 97).alias("sens_diversity"),
+    )
+    return g.select(
+        "nation",
+        "segment",
+        "bal_bucket",
+        F.col("grp_size").cast("long").alias("grp_size"),
+        (F.col("grp_size") >= 5).alias("k5_anonymous"),
+        F.col("sens_diversity").cast("long").alias("sens_diversity"),
+        (F.col("sens_diversity") >= 3).alias("l3_diverse"),
+    )
+
+
+@query(
+    "grid_density_outliers",
+    """
+    WITH p AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 7200000000 AS tc,
+             CAST(floor(value / 20.0) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (SELECT tc, vc, count(*) AS n FROM p GROUP BY tc, vc),
+    nb AS (
+      SELECT c.tc, c.vc, sum(o.n) AS neigh
+      FROM cells c JOIN cells o
+        ON o.tc BETWEEN c.tc - 1 AND c.tc + 1
+       AND o.vc BETWEEN c.vc - 1 AND c.vc + 1
+      GROUP BY c.tc, c.vc
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(nb.neigh AS BIGINT) AS neighborhood_n,
+           nb.neigh < 3 AS is_outlier
+    FROM p JOIN nb ON nb.tc = p.tc AND nb.vc = p.vc
+    """,
+)
+def grid_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based outlier detection on the (time x value) plane —
+    DBSCAN's core-point rule without the clustering: a purchase is an
+    outlier when its 3x3 grid neighborhood (cell = the epsilon box:
+    2 h x 20.0, the proximity_join_grid_2d geometry) holds fewer than
+    minPts = 3 points.  The neighborhood count aggregates CELLS first
+    (|cells| << |points|), so the 9-cell stencil join runs on the
+    cell table and points just look their cell up — density per point
+    without any point-point join.  Grid counts approximate the true
+    epsilon-ball (standard grid-DBSCAN bound: the 3x3 stencil covers
+    every true epsilon neighbor); the rule as stated IS the contract,
+    reproduced exactly by the oracle.
+
+    100 TB shape: one cell-count shuffle, one |cells|-sized stencil
+    self-join (9x fanout on cell keys, never on points), one keyed
+    lookup join for points; identical integer cell arithmetic to the
+    proximity join (epoch_us, floor-division value buckets)."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 7200000000").alias("tc"),
+            F.floor(F.col("value") / 20.0).cast("long").alias("vc"),
+        )
+    )
+    cells = p.groupBy("tc", "vc").agg(F.count("*").alias("n"))
+    # scatter each cell's count to its 9 neighbors IN THE SCAN STAGE
+    # (explode of a literal stencil — no join at all), then gather
+    # per target cell; the stencil never becomes a nested loop over
+    # cells the way a BETWEEN-condition join would
+    stencil = ", ".join(
+        f"struct(tc + {dt} AS tc, vc + {dv} AS vc)"
+        for dt in (-1, 0, 1)
+        for dv in (-1, 0, 1)
+    )
+    nb = (
+        cells.select(
+            F.explode(F.expr(f"array({stencil})")).alias("s"), "n"
+        )
+        .select(F.col("s.tc").alias("tc"), F.col("s.vc").alias("vc"), "n")
+        .groupBy("tc", "vc")
+        .agg(F.sum("n").alias("neigh"))
+        .join(cells.select("tc", "vc"), ["tc", "vc"])
+    )
+    return p.join(nb, ["tc", "vc"]).select(
+        "event_id",
+        "user_id",
+        F.col("neigh").cast("long").alias("neighborhood_n"),
+        (F.col("neigh") < 3).alias("is_outlier"),
+    )

@@ -829,3 +829,15 @@ def test_chi_square_crosstab_no_cartesian(spark, sf_dir):
 
     df = QE.chi_square_crosstab_audit(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_grid_density_stencil_is_equi_join(spark, sf_dir):
+    """The 3x3 stencil must be the scatter/gather equi-join — a
+    BETWEEN-condition stencil compiles to a nested loop over cells,
+    which dies when the cell table itself is large."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.grid_density_outliers(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
