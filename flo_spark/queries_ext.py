@@ -12472,3 +12472,290 @@ def grid_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neigh").cast("long").alias("neighborhood_n"),
         (F.col("neigh") < 3).alias("is_outlier"),
     )
+
+
+@query(
+    "acf_hourly_lags",
+    """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS hour FROM events
+    ),
+    h1 AS (SELECT max(hour) AS h1 FROM ev),
+    hours AS (
+      SELECT unnest(generate_series(
+        TIMESTAMP '2024-01-01 00:00:00', (SELECT h1 FROM h1),
+        INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN ev e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    tot AS (SELECT count(*) AS n, sum(cnt) AS s FROM c),
+    dev AS (
+      SELECT hour, CAST(n * cnt - s AS HUGEINT) AS dev
+      FROM c, tot
+    ),
+    den AS (SELECT sum(dev * dev) AS den FROM dev),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    num AS (
+      SELECT l.lag, sum(a.dev * b.dev) AS num, count(*) AS n_pairs
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.hour = a.hour + INTERVAL 1 HOUR * l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN num >= 0 THEN (num * 10000) // den
+                     ELSE -((-num * 10000) // den) END AS BIGINT)
+             AS acf_x1e4
+    FROM num, den
+    """,
+)
+def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event rate at lags
+    1..24, in EXACT integer arithmetic: deviations are scaled by the
+    series length (dev_t = n*x_t - S, so the /n mean is never
+    performed), the lag-k numerator is sum(dev_t * dev_{t+k}) over
+    observed pairs, the denominator is sum(dev^2), and the reported
+    coefficient is the toward-zero-truncated 1e4-scaled quotient —
+    the n^2 factors cancel, so this IS the textbook ACF on a 1e-4
+    grid, bit-identical on both engines (doubles would drift in the
+    sum fold).  Accumulation runs in decimal(38,0)/HUGEINT; ANSI mode
+    raises on overflow rather than wrapping.
+
+    100 TB shape: one hourly pre-aggregation shuffle collapses the
+    corpus to a time-bounded spine; the 24 lags are a single explode
+    (24x fanout on the SPINE, never on events) + one keyed self-join
+    on hour; the denominator is a 1-row broadcast.  Completes the
+    time-series family (EWMA/Holt/Holt-Winters/CUSUM/seasonal
+    decomposition) with the diagnostic that picks their lag/period
+    parameters.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tot = c.agg(
+        F.count("*").alias("n"), F.sum("cnt").alias("s")
+    )
+    dev = c.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        (F.col("n") * F.col("cnt") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    pairs = dev.select(
+        "hour", F.col("dev").alias("dev_a"), F.explode(F.expr("sequence(1, 24)")).alias("lag")
+    ).withColumn("hour", F.expr("hour + make_interval(0, 0, 0, 0, lag)"))
+    num = (
+        pairs.join(
+            dev.select(F.col("hour").alias("hour"), F.col("dev").alias("dev_b")),
+            "hour",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(
+            F.col("num") >= 0,
+            F.expr("(num * 10000) div den"),
+        )
+        .otherwise(-F.expr("((-num) * 10000) div den"))
+        .cast("long")
+        .alias("acf_x1e4"),
+    )
+
+
+@query(
+    "copurchase_hop_distance",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    d0 AS (
+      SELECT p_partkey AS n, 0 AS d FROM part WHERE p_size = 1
+    ),
+    d1 AS (
+      SELECT n, min(d) AS d FROM (
+        SELECT n, d FROM d0
+        UNION ALL
+        SELECT s.dst AS n, x.d + 1 AS d FROM d0 x JOIN sym s ON s.src = x.n
+      ) GROUP BY n
+    ),
+    d2 AS (
+      SELECT n, min(d) AS d FROM (
+        SELECT n, d FROM d1
+        UNION ALL
+        SELECT s.dst AS n, x.d + 1 AS d FROM d1 x JOIN sym s ON s.src = x.n
+      ) GROUP BY n
+    ),
+    d3 AS (
+      SELECT n, min(d) AS d FROM (
+        SELECT n, d FROM d2
+        UNION ALL
+        SELECT s.dst AS n, x.d + 1 AS d FROM d2 x JOIN sym s ON s.src = x.n
+      ) GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS part_id, CAST(d AS INT) AS hops
+    FROM d3
+    """,
+)
+def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the part co-purchase graph
+    (the triangle/k-core/label-propagation edge set): seeds are the
+    p_size=1 parts at distance 0; three synchronous relaxation rounds
+    (dist' = min(dist, min over in-edges of dist+1)) — unweighted
+    single-source-shortest-path truncated to a fixed round count so
+    the result is a deterministic integer relation (full convergence
+    is diameter-dependent; 3 rounds is the contract and each extra
+    round is the same plan shape).  Output: every part within 3 hops
+    of a seed, with its exact hop count.  The oracle replays the
+    identical rounds as chained CTEs — two independent evaluations of
+    one exact integer algorithm.
+
+    100 TB shape: per round ONE keyed join (frontier x edges on node
+    id) + one min-combine — both map-side-combinable hash shuffles;
+    the edge frame is persisted once and reused across rounds; deep
+    traversals add localCheckpoint lineage cuts every ~5 rounds
+    (operators/graph.py discipline).  This is the Pregel/BSP shortest
+    path written as DataFrame rounds.  Completes the graph family
+    (CC, PageRank, triangles, k-core, LPA) with reachability.
+    Reference scope: flo has no graph surface — north-star extension
+    (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("lo", "hi")
+    )
+    sym = (
+        e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    dist = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("n"), F.lit(0).alias("d"))
+    )
+    for _ in range(3):
+        hop = (
+            dist.join(sym, dist["n"] == sym["src"])
+            .select(F.col("dst").alias("n"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionAll(hop).groupBy("n").agg(F.min("d").alias("d"))
+    out = dist.select(
+        F.col("n").cast("long").alias("part_id"),
+        F.col("d").cast("int").alias("hops"),
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
+@query(
+    "pareto_frontier_orders",
+    """
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+               AS price_scaled,
+             max(o_orderdate) AS best_date,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    sky AS (
+      SELECT price_scaled, best_date, n_orders,
+             max(best_date) OVER (
+               ORDER BY price_scaled DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_above
+      FROM pts
+    )
+    SELECT price_scaled, best_date, CAST(n_orders AS BIGINT) AS n_orders
+    FROM sky
+    WHERE best_above IS NULL OR best_date > best_above
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the orders not dominated in
+    the (total price, order date) plane — maximize both.  Classic
+    Borzsony-Kossmann skyline reduced to one sorted pass: collapse to
+    distinct price points first (only the max date per price can
+    survive), then a price-descending running max of dates marks a
+    point dominated iff some strictly-higher-price point already
+    reached its date (ties on price collapse by construction; equal
+    date under strictly higher price IS dominated — the standard
+    one-strict-coordinate rule).  Money on the exact 1e4-scaled
+    integer grid; dates compare exactly.
+
+    100 TB shape: the pre-aggregation shrinks the corpus to
+    |distinct prices| before the only ordered pass; the window's
+    global sort runs on that bounded frontier-candidate set, never on
+    orders (same documented spine-scale trade as the sweepline
+    entries).  A 2-dim skyline is one window; higher dims re-run the
+    pass per added dimension.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B)."""
+    pts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(money_scaled(F.col("o_totalprice")).alias("price_scaled"))
+        .agg(
+            F.max("o_orderdate").alias("best_date"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("price_scaled").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = pts.withColumn("best_above", F.max("best_date").over(w))
+    return sky.filter(
+        F.col("best_above").isNull()
+        | (F.col("best_date") > F.col("best_above"))
+    ).select(
+        "price_scaled",
+        "best_date",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
