@@ -12759,3 +12759,205 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_date",
         F.col("n_orders").cast("long").alias("n_orders"),
     )
+
+
+# Discount weights for DCG@10: floor(1e6 / log2(rank+1)) for rank 1..10.
+# Precomputed to EXACT integer literals embedded in both engines' query
+# text, so the transcendental log never runs inside either engine and
+# the whole metric stays on an integer grid.
+_DCG_W = [1000000, 630929, 500000, 430676, 386852, 356207,
+          333333, 315464, 301029, 289064]
+_DCG_W_SQL = ", ".join(str(w) for w in _DCG_W)
+
+
+@query(
+    "ndcg_search_eval",
+    f"""
+    WITH terms AS (
+      SELECT unnest(['join', 'scan', 'merge']) AS term
+    ),
+    tf AS (
+      SELECT t.term, d.doc_id,
+             len(list_filter(string_split(d.text, ' '), x -> x = t.term))
+               AS tf
+      FROM documents d JOIN terms t ON TRUE
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+      FROM tf
+    ),
+    top AS (
+      SELECT term, doc_id, rn,
+             CAST((1 << (doc_id % 4)) - 1 AS BIGINT) AS gain
+      FROM ranked WHERE rn <= 10
+    ),
+    ideal AS (
+      SELECT term, gain, rn,
+             row_number() OVER (
+               PARTITION BY term ORDER BY gain DESC, doc_id ASC) AS irn
+      FROM top
+    ),
+    agg AS (
+      SELECT term,
+             sum(gain * ([{_DCG_W_SQL}])[rn]) AS dcg_x1e6,
+             sum(gain * ([{_DCG_W_SQL}])[irn]) AS idcg_x1e6
+      FROM ideal GROUP BY term
+    )
+    SELECT term,
+           CAST(dcg_x1e6 AS BIGINT) AS dcg_x1e6,
+           CAST(idcg_x1e6 AS BIGINT) AS idcg_x1e6,
+           CAST(CASE WHEN idcg_x1e6 = 0 THEN NULL
+                     ELSE (dcg_x1e6 * 10000) // idcg_x1e6 END AS BIGINT)
+             AS ndcg_x1e4
+    FROM agg
+    """,
+)
+def ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 ranking evaluation on an exact integer grid: rank
+    documents per query term by exact term frequency (space-token
+    match, doc_id tie-break), grade each hit with a synthetic
+    deterministic relevance label rel = doc_id % 4, gain = 2^rel - 1,
+    and score DCG with the 1e6-scaled 1/log2(rank+1) discount table
+    precomputed OUTSIDE both engines (the one transcendental reduced
+    to ten shared integer literals).  IDCG re-ranks the same
+    retrieved set by gain (the retrieved-set nDCG variant — stated
+    contract), and nDCG is the toward-zero-truncated 1e4-scaled
+    quotient — bit-identical across engines where float DCG drifts.
+
+    100 TB shape: term frequencies are one scan-stage lambda over the
+    token array (3x literal-term fanout, no join against a term
+    table); per-term top-10 is a bounded window (k rows per term
+    survive); the two rank passes run on the 30-row retrieved frame.
+    Completes the search family (BM25 retrieval, TF-IDF pairs) with
+    the evaluation metric that grades them; pairs with
+    auc_quality_classifier as the eval-metric family.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B)."""
+    d = load(spark, sf_dir, "documents")
+    tf = d.select(
+        F.explode(F.array(F.lit("join"), F.lit("scan"), F.lit("merge"))).alias(
+            "term"
+        ),
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "term",
+        "doc_id",
+        F.expr("size(filter(ws, x -> x = term))").cast("long").alias("tf"),
+    )
+    wr = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        tf.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .withColumn(
+            "gain",
+            F.expr("shiftleft(1, cast(doc_id % 4 as int)) - 1").cast("long"),
+        )
+    )
+    wi = Window.partitionBy("term").orderBy(
+        F.col("gain").desc(), F.col("doc_id").asc()
+    )
+    warr = F.array(*[F.lit(w) for w in _DCG_W])
+    ideal = top.withColumn("irn", F.row_number().over(wi))
+    agg = ideal.groupBy("term").agg(
+        F.sum(F.col("gain") * F.element_at(warr, F.col("rn"))).alias(
+            "dcg_x1e6"
+        ),
+        F.sum(F.col("gain") * F.element_at(warr, F.col("irn"))).alias(
+            "idcg_x1e6"
+        ),
+    )
+    return agg.select(
+        "term",
+        F.col("dcg_x1e6").cast("long").alias("dcg_x1e6"),
+        F.col("idcg_x1e6").cast("long").alias("idcg_x1e6"),
+        F.when(F.col("idcg_x1e6") == 0, F.lit(None))
+        .otherwise(F.expr("(dcg_x1e6 * 10000) div idcg_x1e6"))
+        .cast("long")
+        .alias("ndcg_x1e4"),
+    )
+
+
+@query(
+    "dp_randomized_response",
+    """
+    WITH priv AS (
+      SELECT c_nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS b,
+             (c_custkey * 2654435761) % 1000 < 750 AS keep,
+             (c_custkey * 2246822519) % 2 AS coin
+      FROM customer
+    ),
+    rep AS (
+      SELECT c_nationkey, b,
+             CASE WHEN keep THEN b ELSE coin END AS reported
+      FROM priv
+    ),
+    g AS (
+      SELECT c_nationkey AS nation,
+             count(*) AS n,
+             sum(reported) AS reported_yes,
+             sum(b) AS true_yes
+      FROM rep GROUP BY 1
+    )
+    SELECT CAST(nation AS INT) AS nation,
+           CAST(n AS BIGINT) AS n,
+           CAST(reported_yes AS BIGINT) AS reported_yes,
+           CAST(true_yes AS BIGINT) AS true_yes,
+           CAST(((8 * reported_yes - n) * 10000) // 6 AS BIGINT)
+             AS est_yes_x1e4
+    FROM g
+    """,
+)
+def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response — the local-DP mechanism shape: each
+    row reports its sensitive bit (segment = BUILDING) truthfully with
+    p = 3/4 and a fair coin otherwise, and the per-nation true count
+    is recovered by the unbiased estimator (Y - n/8)/(3/4), carried
+    as the exact integer (8Y - n)*1e4 div 6.  The coins here are
+    DETERMINISTIC multiplicative hashes of the key (the
+    train_val_test_split discipline) so the whole mechanism is
+    reproducible and hash-checkable — real deployments draw true
+    randomness per report; the mechanism arithmetic, estimator
+    included, is what this entry pins.  epsilon = ln(((3/4)+(1/8)) /
+    (1/8)) = ln 7 per report under the standard RR analysis.
+
+    100 TB shape: privatization is pure scan-stage arithmetic (no
+    shuffle), aggregation is one map-side-combinable count/sum per
+    nation; key*multiplier stays in int64 for keys < 2^33.  Completes
+    the privacy/governance family (k-anonymity, PII redaction, GDPR
+    forget) with the statistical-disclosure mechanism.  Reference
+    scope: flo has no privacy surface — north-star extension (SURVEY
+    §2 Part B)."""
+    c = load(spark, sf_dir, "customer")
+    priv = c.select(
+        "c_nationkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("b"),
+        ((F.col("c_custkey") * 2654435761) % 1000 < 750).alias("keep"),
+        ((F.col("c_custkey") * 2246822519) % 2).alias("coin"),
+    )
+    rep = priv.select(
+        "c_nationkey",
+        "b",
+        F.when(F.col("keep"), F.col("b")).otherwise(F.col("coin")).alias(
+            "reported"
+        ),
+    )
+    g = rep.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("n"),
+        F.sum("reported").alias("reported_yes"),
+        F.sum("b").alias("true_yes"),
+    )
+    return g.select(
+        F.col("nation").cast("int").alias("nation"),
+        F.col("n").cast("long").alias("n"),
+        F.col("reported_yes").cast("long").alias("reported_yes"),
+        F.col("true_yes").cast("long").alias("true_yes"),
+        F.expr("((8 * reported_yes - n) * 10000) div 6")
+        .cast("long")
+        .alias("est_yes_x1e4"),
+    )
