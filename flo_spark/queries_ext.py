@@ -12961,3 +12961,260 @@ def dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_yes_x1e4"),
     )
+
+
+@query(
+    "stream_observe_metrics",
+    """
+    WITH t AS (
+      SELECT count(*) AS n_rows,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_value,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchase
+      FROM events
+    )
+    SELECT metric, observed, direct, observed = direct AS consistent
+    FROM (
+      SELECT 'n_rows' AS metric, CAST(n_rows AS BIGINT) AS observed,
+             CAST(n_rows AS BIGINT) AS direct FROM t
+      UNION ALL
+      SELECT 'sum_value_x1e4', CAST(sum_value AS BIGINT),
+             CAST(sum_value AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'n_purchase', CAST(n_purchase AS BIGINT),
+             CAST(n_purchase AS BIGINT) FROM t
+    )
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Dataset.observe`` on a STREAMING query — Spark's built-in
+    pipeline-observability hook: named aggregate metrics ride each
+    micro-batch's ``StreamingQueryProgress.observedMetrics`` without a
+    second pass over the data.  The stream observes row count, exact
+    scaled-long value sum, and purchase count while draining to a
+    foreachBatch sink; per-batch observations are folded driver-side
+    from ``recentProgress`` (O(batches) metadata — documented) and the
+    contract is that the folded totals EQUAL the direct batch
+    aggregate over the same events — exact because count/sum are
+    batch-split-invariant and values ride the money grid.
+
+    100 TB shape: observe() is a zero-extra-shuffle side aggregate
+    computed inside the existing micro-batch plan (partial aggregation
+    on the scan, one metrics row per batch to the driver); this is the
+    production pattern for row-count/quality SLO monitoring of a
+    streaming ingest (cf. constraint_audit for the batch analog).
+    Reference scope: flo exposes per-partition head counters as its
+    only ingest telemetry (SURVEY §2 A13); named metric observation is
+    engine-side — north-star extension."""
+    import time
+
+    from flo_spark.queries import _events_stream, scratch_dir
+
+    tmp = scratch_dir("flo_observe_")
+    store = f"{tmp}/store"
+    n_batches = {"n": 0}
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        batch.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "value_x1e4", money_scaled(F.col("value"))
+    )
+    q = (
+        src.observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_x1e4").alias("sum_value_x1e4"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("observe stream did not drain")
+    # progress events are delivered asynchronously after termination;
+    # wait (bounded) until every data batch's observation has landed
+    deadline = time.monotonic() + 30
+    obs = []
+    while time.monotonic() < deadline:
+        obs = [
+            p["observedMetrics"]["ingest"]
+            for p in (q.recentProgress or [])
+            if p.get("observedMetrics", {}).get("ingest") is not None
+            and p["observedMetrics"]["ingest"]["n_rows"] > 0
+        ]
+        if len(obs) >= n_batches["n"] or sum(
+            m["n_rows"] for m in obs
+        ) >= spark.read.parquet(f"{store}/batch=*").count():
+            break
+        time.sleep(0.5)
+    folded = {
+        "n_rows": sum(m["n_rows"] for m in obs),
+        "sum_value_x1e4": sum(m["sum_value_x1e4"] for m in obs),
+        "n_purchase": sum(m["n_purchase"] for m in obs),
+    }
+    direct = (
+        spark.read.parquet(f"{store}/batch=*")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_x1e4").alias("sum_value_x1e4"),
+            F.count_if(F.col("event_type") == "purchase").alias(
+                "n_purchase"
+            ),
+        )
+        .collect()[0]  # 1-row ground-truth aggregate (documented)
+    )
+    rows = [
+        ("n_rows", int(folded["n_rows"]), int(direct["n_rows"])),
+        (
+            "sum_value_x1e4",
+            int(folded["sum_value_x1e4"]),
+            int(direct["sum_value_x1e4"]),
+        ),
+        ("n_purchase", int(folded["n_purchase"]), int(direct["n_purchase"])),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, observed long, direct long"
+    ).select(
+        "metric",
+        "observed",
+        "direct",
+        (F.col("observed") == F.col("direct")).alias("consistent"),
+    )
+
+
+@query(
+    "exact_percentile_suite",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           median(CAST(l_quantity AS BIGINT)) AS median_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty,
+           max_by(l_orderkey,
+                  CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                    * 100000000 + l_orderkey) AS top_price_order,
+           min_by(l_orderkey,
+                  CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                    * 100000000 + l_orderkey) AS bottom_price_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ordered-set aggregates (vs the approx_percentile/KLL
+    sketch family): ``median`` and ``percentile`` (R-7 linear
+    interpolation) over integer quantities — every interpolated value
+    is dyadic (k + {0,.25,.5,.75}), so the doubles are exact and
+    engine-identical with no rounding step — plus ``max_by``/``min_by``
+    with a COMPOSITE scaled (price, key) ordering scalar
+    (price_x1e4 * 1e8 + orderkey — exact for orderkeys < 1e8, every
+    driver SF; wider keys move the composite to decimal(38,0)), which
+    makes the argmax deterministic under price ties (bare max_by on a
+    tied ordering column is nondeterministic — the composite is the
+    documented discipline).  DuckDB's quantile_cont/max_by implement
+    the same interpolation and ordering — two engines, one exact
+    answer.
+
+    100 TB shape: exact percentiles are rank-based and need a sort of
+    each group (Spark plans a single shuffle + per-group sort here —
+    the honest cost of EXACT order statistics; the mergeable-sketch
+    path for cluster-scale monitoring is quantile_sketch_mergeable /
+    approx_quantile_bounded); max_by/min_by stay map-side-combinable.
+    Six groups bound the output.  Reference scope: flo has no
+    aggregate surface — north-star extension (SURVEY §2 Part B)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        money_scaled(F.col("l_extendedprice")).alias("price_x1e4"),
+    )
+    ordkey = F.col("price_x1e4") * 100000000 + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.median("qty").alias("median_qty"),
+        F.percentile("qty", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("qty", F.lit(0.75)).alias("p75_qty"),
+        F.max_by(F.col("l_orderkey"), ordkey).alias("top_price_order"),
+        F.min_by(F.col("l_orderkey"), ordkey).alias("bottom_price_order"),
+    )
+
+
+@query(
+    "small_file_compaction",
+    """
+    WITH b AS (
+      SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 300
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(64 AS INT) AS files_before,
+           CAST(4 AS INT) AS files_after
+    FROM b GROUP BY source
+    """,
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance op that keeps
+    a streaming-ingested table scannable: a deliberately fragmented
+    layout (64 round-robin files for 300 docs — the many-tiny-files
+    state every micro-batch sink converges to) is rewritten into
+    size-targeted files (4 here; production derives the count as
+    ceil(total_bytes / target_file_size) from the source listing),
+    and the contract is CONTENT IDENTITY — the per-source aggregate
+    over the compacted table hash-matches the source rows, with the
+    before/after file counts pinned.  File counts come from a
+    filesystem listing (O(files) driver metadata — documented).
+
+    100 TB shape: compaction is one round-robin repartition (pure
+    width change, no key shuffle) executed per partition-directory in
+    production so rewrite units stay independent and incremental;
+    pairs with flo segment compaction (A12) which does the same for
+    the native event log, and with gdpr_forget_compaction which
+    rewrites for deletion rather than size.  Reference:
+    segment/mod.rs rotation bounds file count at write time; parquet
+    sinks need it as a separate maintenance pass."""
+    import glob as _glob
+
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_compact_")
+    b = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(300)
+        .select("doc_id", "text", "source")
+    )
+    b.repartition(64).write.mode("overwrite").parquet(f"{tmp}/small")
+    small = spark.read.parquet(f"{tmp}/small")
+    files_before = len(_glob.glob(f"{tmp}/small/part-*.parquet"))
+    small.repartition(4).write.mode("overwrite").parquet(f"{tmp}/compact")
+    files_after = len(_glob.glob(f"{tmp}/compact/part-*.parquet"))
+    assert files_before == 64 and files_after == 4, (
+        files_before,
+        files_after,
+    )
+    return (
+        spark.read.parquet(f"{tmp}/compact")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+        .withColumn("files_before", F.lit(files_before).cast("int"))
+        .withColumn("files_after", F.lit(files_after).cast("int"))
+        .select(
+            "source",
+            "n_docs",
+            "sum_doc_id",
+            "sum_chars",
+            "files_before",
+            "files_after",
+        )
+    )
