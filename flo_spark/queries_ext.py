@@ -13218,3 +13218,215 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_after",
         )
     )
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    """
+    WITH r AS (
+      SELECT c_custkey,
+             c_mktsegment || '|' ||
+               lpad(CAST(CAST(floor(c_acctbal) AS BIGINT) + 100000
+                         AS VARCHAR), 7, '0') AS sort_key,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_x100
+      FROM customer
+    ),
+    o AS (
+      SELECT c_custkey, sort_key, bal_x100,
+             row_number() OVER (ORDER BY sort_key, c_custkey) AS rn
+      FROM r
+    )
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           CAST(b.rn - a.rn AS INT) AS gap,
+           CAST(abs(a.bal_x100 - b.bal_x100) AS BIGINT) AS bal_diff_x100,
+           abs(a.bal_x100 - b.bal_x100) <= 500 AS candidate_match
+    FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND 2
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) — the third
+    entity-resolution candidate generator next to LSH banding and
+    prefix blocking: sort records by a domain key (segment +
+    zero-padded balance bucket, shifted to be sign-free), slide a
+    window of w = 3 over the sorted order, and emit every in-window
+    pair with its exact cent-grid balance distance and a <= $5.00
+    match verdict.  Candidate count is exactly (w-1) * n - O(w^2) —
+    LINEAR in the corpus where all-pairs is quadratic; the oracle
+    replays the identical window rule.
+
+    100 TB shape: one global sort (range partition) of the KEYS, then
+    the pairing is shuffle-free lead() arithmetic within the sorted
+    run — Spark plans lead(1)/lead(2) in a single window pass; the
+    multi-pass variant re-sorts on a second key to catch fuzzier
+    matches, same shape per pass.  The sort is on (key, id) pairs —
+    bytes-per-row bounded, never payloads.  Reference scope: flo has
+    no ER surface — north-star extension (SURVEY §2 Part B,
+    dedup family)."""
+    r = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("|"),
+            F.lpad(
+                (F.floor("c_acctbal").cast("long") + 100000).cast("string"),
+                7,
+                "0",
+            ),
+        ).alias("sort_key"),
+        money_scaled(F.col("c_acctbal")).alias("bal_x10000"),
+    ).withColumn("bal_x100", F.expr("bal_x10000 div 100")).drop("bal_x10000")
+    w = Window.orderBy("sort_key", "c_custkey")
+    o = r.select(
+        "c_custkey",
+        "bal_x100",
+        *[
+            F.lead("c_custkey", k).over(w).alias(f"k{k}")
+            for k in (1, 2)
+        ],
+        *[
+            F.lead("bal_x100", k).over(w).alias(f"b{k}")
+            for k in (1, 2)
+        ],
+    )
+    pairs = None
+    for k in (1, 2):
+        p = o.filter(F.col(f"k{k}").isNotNull()).select(
+            F.col("c_custkey").alias("a_key"),
+            F.col(f"k{k}").alias("b_key"),
+            F.lit(k).cast("int").alias("gap"),
+            F.abs(F.col("bal_x100") - F.col(f"b{k}")).alias("bal_diff_x100"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.select(
+        "a_key",
+        "b_key",
+        "gap",
+        F.col("bal_diff_x100").cast("long").alias("bal_diff_x100"),
+        (F.col("bal_diff_x100") <= 500).alias("candidate_match"),
+    )
+
+
+@query(
+    "inverted_index_build",
+    """
+    WITH tok AS (
+      SELECT d.doc_id, t.term
+      FROM documents d,
+           unnest(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             AS t(term)
+    ),
+    tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+      FROM tf
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY term
+    ),
+    post AS (
+      SELECT term, list(doc_id ORDER BY doc_id) AS top_postings
+      FROM ranked WHERE rn <= 5 GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, p.top_postings
+    FROM stats s JOIN post p USING (term)
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the batch artifact BM25 retrieval
+    presupposes, built as a relation: per term, document frequency,
+    total term frequency, and a CAPPED posting list (the top-5 docs by
+    tf, stored id-sorted so the array is order-canonical across
+    engines).  The cap is the impact-ordered / WAND-style index-time
+    pruning rule: high-impact postings stay hot, the full list is the
+    same relation uncapped.
+
+    100 TB shape: tokenize in the scan stage (one explode, no joins),
+    ONE (term, doc) hash aggregation, then per-term stats and the
+    bounded top-k window — all shuffles keyed on the term; posting
+    arrays are k-bounded so no group blows task memory (the uncapped
+    variant would stream postings as rows, never as one array).
+    Pairs with bm25_search_topk (query side) and vocab_index_encode
+    (the dictionary side).  Reference scope: flo has no text surface —
+    north-star extension (SURVEY §2 Part B)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    wr = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    post = (
+        tf.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("top_postings"))
+    )
+    return stats.join(post, "term").select(
+        "term", "df", "total_tf", "top_postings"
+    )
+
+
+@query(
+    "context_window_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(generate_series(5, 12)) AS pos
+      FROM d
+    )
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           array_to_string(list_slice(ws, pos - 4, pos - 1), ' ')
+             AS context,
+           ws[pos] AS target
+    FROM pos WHERE pos <= len(ws)
+    """,
+)
+def context_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token training-pair construction — the map from documents
+    to (context, target) supervision the LM data pipeline ends with:
+    for each sampled document (1-in-50 by key, the deterministic
+    split discipline) and each position 5..12, the 4-token context
+    window and the token it predicts.  Pure array arithmetic on the
+    token list; the position range bounds output fanout explicitly
+    (production uses stride = context length for disjoint windows —
+    same expression, different sequence bounds).
+
+    100 TB shape: entirely scan-stage (split + bounded explode +
+    slice — NO shuffle, no join); output rows = |docs| x windows,
+    written shard-parallel.  The sequence_packing entry handles the
+    batch-assembly half; this is the supervision-extraction half.
+    Reference scope: flo has no text surface — north-star extension
+    (SURVEY §2 Part B)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+    )
+    pos = d.select(
+        "doc_id", "ws", F.explode(F.expr("sequence(5, 12)")).alias("pos")
+    ).filter(F.col("pos") <= F.size("ws"))
+    return pos.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.expr("slice(ws, pos - 4, 4)"), " "
+        ).alias("context"),
+        F.element_at("ws", F.col("pos")).alias("target"),
+    )
