@@ -13430,3 +13430,442 @@ def context_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("context"),
         F.element_at("ws", F.col("pos")).alias("target"),
     )
+
+
+@query(
+    "welch_t2_ab_test",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS grp,
+             count(*) AS n,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT)
+                 * CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT))
+                 AS q
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 'A' THEN n END) AS na,
+        max(CASE WHEN grp = 'R' THEN n END) AS nr,
+        max(CASE WHEN grp = 'A' THEN s END) AS sa,
+        max(CASE WHEN grp = 'R' THEN s END) AS sr,
+        max(CASE WHEN grp = 'A' THEN q END) AS qa,
+        max(CASE WHEN grp = 'R' THEN q END) AS qr
+      FROM g
+    ),
+    m AS (
+      SELECT na, nr,
+             sa // na AS ma, sr // nr AS mr,
+             (na * qa - CAST(sa AS HUGEINT) * sa) // (na * (na - 1)) AS va,
+             (nr * qr - CAST(sr AS HUGEINT) * sr) // (nr * (nr - 1)) AS vr
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+           CAST(ma AS BIGINT) AS mean_a_x1e4,
+           CAST(mr AS BIGINT) AS mean_r_x1e4,
+           CAST(va // 10000 AS BIGINT) AS var_a_x1e4,
+           CAST(vr // 10000 AS BIGINT) AS var_r_x1e4,
+           CAST(ma - mr AS BIGINT) AS diff_x1e4,
+           CAST(CAST(ma - mr AS HUGEINT) * (ma - mr) * 10000
+                // (va // na + vr // nr) AS BIGINT) AS t2_x1e4
+    FROM m
+    """,
+)
+def welch_t2_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample test statistic (the A/B-testing primitive)
+    between return-flag groups A and R on extended price, ENGINE-EXACT:
+    per group the moments (n, sum, sum-of-squares) accumulate as exact
+    integers on the 1e4 money grid, then mean, sample variance
+    (n*Q - S^2 over n(n-1)), the mean difference, and
+    t^2 = diff^2 / (var_a/n_a + var_r/n_r) evaluate as a SPECIFIED
+    chain of truncating integer divisions (every operand nonnegative,
+    so DuckDB's floor // and Spark's truncating DIV agree) — the
+    Mann-Whitney/AUC and regression entries' q7 lesson applied to
+    hypothesis testing.  t^2 (squared) avoids the square root; the
+    caller compares against (t_crit)^2.  Squares run in
+    decimal(38,0)/HUGEINT (S^2 passes 2^63 at bench SF; ANSI raises
+    rather than wraps on overflow).
+
+    100 TB shape: ONE map-side-combinable conditional aggregate over
+    the fact scan (three integer partials per group), a single-row
+    combine — the same shape as q6; no second pass, nothing
+    broadcast.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    y = money_scaled(F.col("l_extendedprice"))
+    d = lambda c: c.cast("decimal(38,0)")
+    g = li.select(
+        F.col("l_returnflag").alias("grp"), y.alias("y")
+    ).groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("q"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("nr"),
+        F.max(F.when(F.col("grp") == "A", F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("grp") == "R", F.col("s"))).alias("sr"),
+        F.max(F.when(F.col("grp") == "A", F.col("q"))).alias("qa"),
+        F.max(F.when(F.col("grp") == "R", F.col("q"))).alias("qr"),
+    )
+    m = w.selectExpr(
+        "na",
+        "nr",
+        "sa div na AS ma",
+        "sr div nr AS mr",
+        "(CAST(na AS DECIMAL(38,0)) * qa - CAST(sa AS DECIMAL(38,0))"
+        " * CAST(sa AS DECIMAL(38,0))) div (na * (na - 1)) AS va",
+        "(CAST(nr AS DECIMAL(38,0)) * qr - CAST(sr AS DECIMAL(38,0))"
+        " * CAST(sr AS DECIMAL(38,0))) div (nr * (nr - 1)) AS vr",
+    )
+    return m.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nr AS BIGINT) AS n_r",
+        "CAST(ma AS BIGINT) AS mean_a_x1e4",
+        "CAST(mr AS BIGINT) AS mean_r_x1e4",
+        "CAST(va div 10000 AS BIGINT) AS var_a_x1e4",
+        "CAST(vr div 10000 AS BIGINT) AS var_r_x1e4",
+        "CAST(ma - mr AS BIGINT) AS diff_x1e4",
+        "CAST((CAST(ma - mr AS DECIMAL(38,0)) * CAST(ma - mr AS"
+        " DECIMAL(38,0)) * 10000) div (va div na + vr div nr) AS BIGINT)"
+        " AS t2_x1e4",
+    )
+
+
+@query(
+    "linkpred_resource_allocation",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, dst FROM (
+        SELECT lo, hi AS dst FROM e
+        UNION ALL
+        SELECT hi AS lo, lo AS dst FROM e
+      )
+    ),
+    deg AS (
+      SELECT src AS z, count(*) AS d FROM sym GROUP BY src
+    ),
+    zok AS (SELECT z, d FROM deg WHERE d <= 32),
+    wedge AS (
+      SELECT s1.dst AS a, s2.dst AS b, 1000000 // k.d AS w
+      FROM sym s1
+      JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+      JOIN zok k ON k.z = s1.src
+    ),
+    cand AS (
+      SELECT a, b, count(*) AS cn, sum(w) AS ra
+      FROM wedge
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = a AND e.hi = b)
+      GROUP BY a, b
+    )
+    SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(ra AS BIGINT) AS ra_x1e6
+    FROM cand
+    ORDER BY ra_x1e6 DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph by the
+    Resource-Allocation index (Zhou/Lu/Zhang 2009 — Adamic-Adar's
+    1/deg sibling, chosen because 1/deg is a RATIONAL damping, so
+    RA = sum over common neighbors z of 1e6//deg(z) stays on an exact
+    integer grid where AA's 1/log(deg) would need a transcendental):
+    candidate (a,b) pairs are the wedges a-z-b that are NOT already
+    edges, scored by common-neighbor count and RA, top-50 by
+    (RA desc, pair) — fully deterministic.
+
+    Intermediate nodes are restricted to deg(z) <= 32: wedge fanout is
+    sum over z of deg(z)^2, so hub suppression bounds the candidate
+    blowup (same candidate-generator discipline as LSH banding), and
+    it is PRINCIPLED here — a hub's 1/deg weight contributes least by
+    construction.  The cap is part of the stated contract.
+
+    100 TB shape: edge list persists once; the wedge join is keyed on
+    z (one shuffle), the existing-edge exclusion is a keyed ANTI join,
+    the score is one hash aggregate on (a,b), and top-50 compiles to
+    TakeOrderedAndProject — no global sort, no cartesian (same plan
+    family as triangle_count_copurchase, which documents the
+    orientation variant for counting).  Reference scope: flo has no
+    graph surface — north-star extension (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("lo", "hi")
+        .persist()
+    )
+    sym = e.selectExpr("lo AS src", "hi AS dst").unionAll(
+        e.selectExpr("hi AS src", "lo AS dst")
+    )
+    zok = (
+        sym.groupBy(F.col("src").alias("z"))
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") <= 32)
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .join(zok, F.col("s1.src") == F.col("z"))
+        .select(
+            F.col("s1.dst").alias("wa"),
+            F.col("s2.dst").alias("wb"),
+            F.expr("1000000 div d").alias("w"),
+        )
+    )
+    cand = (
+        wedge.join(
+            e,
+            (F.col("wa") == F.col("lo")) & (F.col("wb") == F.col("hi")),
+            "left_anti",
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cn"), F.sum("w").alias("ra"))
+    )
+    return (
+        cand.select(
+            F.col("wa").cast("long").alias("part_a"),
+            F.col("wb").cast("long").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("ra").cast("long").alias("ra_x1e6"),
+        )
+        .orderBy(F.col("ra_x1e6").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "lakehouse_time_travel",
+    """
+    WITH v AS (SELECT unnest([1, 2, 3]) AS version),
+    snap AS (
+      SELECT v.version, d.doc_id, d.n_chars, d.lang
+      FROM v JOIN documents d ON
+           (v.version = 1 AND d.doc_id % 4 IN (0, 1))
+        OR (v.version = 2 AND d.doc_id % 4 IN (0, 1, 2))
+        OR (v.version = 3 AND d.doc_id % 4 IN (0, 1, 2)
+            AND d.doc_id % 8 <> 0)
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM snap GROUP BY version
+    """,
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on a manifest-versioned
+    parquet table (``sources/manifest_table.py`` — the minimal
+    correct core of the Iceberg/Delta commit protocol): commit 1
+    writes a base fragment (doc_id % 4 in (0,1)), commit 2 APPENDS a
+    fragment (% 4 = 2) by manifest reference, commit 3 is a
+    COPY-ON-WRITE DELETE (doc_id % 8 = 0) that rewrites only the one
+    fragment containing matches — the appended fragment carries over
+    untouched by reference.  The query then reads ALL THREE versions
+    AFTER the final commit and aggregates each snapshot: matching the
+    oracle's per-version reconstruction from the raw table proves
+    that v1 and v2 still read their exact original snapshots after
+    v3's rewrite (time travel), and that the delete physically
+    removed its rows from v3 (copy-on-write correctness).
+
+    Commits are atomic put-if-absent (hard-link claim) with
+    optimistic retry — no reader ever sees a partial manifest; the
+    conflict path is unit-tested in tests/test_manifest_table.py.
+
+    100 TB shape: manifests are O(fragments) driver-side metadata
+    (exactly what table formats ship); data fragments scan fully
+    distributed, the COW delete rewrites only fragments with matches
+    (here 1 of 2; at scale, file-level stats prune the rewrite set).
+    Reference scope: flo's append-only segment store
+    (flo-server persistent_event.rs) has no snapshots — north-star
+    extension (SURVEY §2 Part B sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    t = ManifestTable(scratch_dir("lakehouse_tt_"))
+    t.append(docs.filter(F.col("doc_id") % 4 < 2).coalesce(4), "base")
+    t.append(docs.filter(F.col("doc_id") % 4 == 2).coalesce(4), "more")
+    t.delete_where(spark, "doc_id % 8 = 0")
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            t.read(spark, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+                F.max("doc_id").cast("long").alias("max_doc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@query(
+    "golden_record_survivorship",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(substring(text, 1, 80)) AS cluster_key
+      FROM documents
+    ),
+    big AS (
+      SELECT cluster_key FROM keyed
+      GROUP BY cluster_key HAVING count(*) > 1
+    ),
+    members AS (
+      SELECT k.* FROM keyed k JOIN big USING (cluster_key)
+    ),
+    canon AS (
+      SELECT cluster_key, doc_id AS canonical_doc_id,
+             n_chars AS canonical_len
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster_key
+          ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM members
+      ) WHERE rn = 1
+    ),
+    langmode AS (
+      SELECT cluster_key, lang AS lang_mode
+      FROM (
+        SELECT cluster_key, lang, count(*) AS c,
+               row_number() OVER (
+                 PARTITION BY cluster_key
+                 ORDER BY count(*) DESC, lang ASC) AS rn
+        FROM members GROUP BY cluster_key, lang
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT cluster_key,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(min(doc_id) AS BIGINT) AS golden_doc_id,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      FROM members GROUP BY cluster_key
+    )
+    SELECT a.cluster_key, a.n_members, a.golden_doc_id,
+           CAST(c.canonical_doc_id AS BIGINT) AS canonical_doc_id,
+           CAST(c.canonical_len AS BIGINT) AS canonical_len,
+           m.lang_mode, a.sources, a.total_chars
+    FROM agg a
+    JOIN canon c USING (cluster_key)
+    JOIN langmode m USING (cluster_key)
+    """,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction — the SURVIVORSHIP step of entity
+    resolution that follows blocking (sorted_neighborhood_pairs /
+    LSH) and clustering (dedup_connected_components): each duplicate
+    cluster (content-key, same 80-char-prefix rule as
+    dedup_keep_best) merges into ONE synthetic master record with
+    FIELD-LEVEL rules — most-complete field wins for the canonical
+    text (longest member, doc_id tiebreak), majority vote with a
+    deterministic tiebreak for language, earliest id as the golden
+    key, and a provenance column (sorted distinct sources) so the
+    merge is auditable.  This differs from dedup_keep_best (which
+    keeps one whole RECORD): the golden record mixes fields from
+    different members, the standard MDM semantics.
+
+    100 TB shape: every stage is keyed on cluster_key — one hash
+    shuffle for membership, windows and the lang-vote aggregate
+    re-use the same partitioning, and the three per-cluster frames
+    join on the same key (AQE coalesces to broadcast at small scale);
+    documents shuffle once, field payloads never fan out.  Reference
+    scope: flo has no curation surface — north-star extension
+    (SURVEY §2 Part B dedup family)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "cluster_key", F.md5(F.substring("text", 1, 80))
+    )
+    wk = Window.partitionBy("cluster_key")
+    members = docs.withColumn("n_members", F.count("*").over(wk)).filter(
+        F.col("n_members") > 1
+    )
+    canon = (
+        members.withColumn(
+            "rn",
+            F.row_number().over(
+                wk.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_key",
+            F.col("doc_id").cast("long").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("canonical_len"),
+        )
+    )
+    langmode = (
+        members.groupBy("cluster_key", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_key").orderBy(
+                    F.col("c").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_key", F.col("lang").alias("lang_mode"))
+    )
+    agg = members.groupBy("cluster_key").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("doc_id").cast("long").alias("golden_doc_id"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+    )
+    return (
+        agg.join(canon, "cluster_key")
+        .join(langmode, "cluster_key")
+        .select(
+            "cluster_key",
+            "n_members",
+            "golden_doc_id",
+            "canonical_doc_id",
+            "canonical_len",
+            "lang_mode",
+            "sources",
+            "total_chars",
+        )
+    )

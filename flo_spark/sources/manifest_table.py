@@ -1,0 +1,169 @@
+"""Manifest-versioned parquet table — snapshot isolation + time travel.
+
+The lakehouse commit protocol (the shape Iceberg/Delta implement, here
+as the minimal correct core): a table is a directory with
+
+* ``data/`` — immutable parquet fragments (each one Spark write),
+* ``manifests/v{N}.json`` — version N's snapshot: the list of data
+  fragments that ARE the table at version N, plus commit metadata.
+
+A commit never mutates data in place.  It writes new fragments, then
+publishes a new manifest; readers resolve a version (default: latest)
+to its fragment list and scan exactly those files.  Appends add
+fragments; deletes/updates are copy-on-write (rewrite the affected
+fragment without the removed rows and publish a manifest that swaps
+it).  Old versions keep reading their exact original snapshot —
+time travel — until a retention sweep removes unreferenced fragments.
+
+Atomicity + optimistic concurrency: the manifest is staged to a temp
+file and CLAIMED with ``os.link`` (hard link), which fails with
+``FileExistsError`` if version N already exists — the POSIX
+equivalent of the atomic put-if-absent every lakehouse commit
+protocol needs.  A losing writer re-reads the head and retries on top
+of the winner (``commit`` takes a ``build`` callback for exactly
+that).  No partial state is ever visible: a reader either sees
+``v{N}.json`` complete or not at all.
+
+Scale note: manifests hold file paths, not data — O(fragments)
+driver-side metadata, exactly what table formats ship.  Fragment
+scans stay fully distributed; version resolution is one small JSON
+read.
+
+Reference scope: flo's append-only segment store (persistent_event.rs)
+has no snapshot isolation; this is a north-star extension (SURVEY §2
+Part B sources/sinks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["ManifestTable", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer claimed the version this commit targeted."""
+
+
+class ManifestTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._data = os.path.join(root, "data")
+        self._manifests = os.path.join(root, "manifests")
+        os.makedirs(self._data, exist_ok=True)
+        os.makedirs(self._manifests, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+
+    def current_version(self) -> int:
+        """Highest committed version, 0 if none.  O(manifests) listing."""
+        best = 0
+        for name in os.listdir(self._manifests):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifests, f"v{version}.json")
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        path = self._manifest_path(v)
+        if v == 0 or not os.path.exists(path):
+            return {"version": 0, "files": [], "op": "init"}
+        with open(path) as fh:
+            return json.load(fh)
+
+    # -- write path --------------------------------------------------------
+
+    def write_fragment(self, df: DataFrame, name: str) -> str:
+        """Materialize one immutable data fragment; returns its relative
+        path.  Fragments are directories (one Spark parquet write), the
+        same unit table formats track per commit."""
+        rel = os.path.join("data", name)
+        df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _publish(self, version: int, files: list[str], op: str) -> int:
+        body = {
+            "version": version,
+            "files": sorted(files),
+            "op": op,
+            # wall time is commit METADATA only — never part of query
+            # results, so determinism of reads is unaffected.
+            "committed_at": time.time(),
+        }
+        tmp = self._manifest_path(version) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            # atomic put-if-absent: the one writer whose link lands owns
+            # version N; everyone else gets CommitConflict and retries.
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as exc:
+            raise CommitConflict(f"version {version} already committed") from exc
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def commit(
+        self, build: Callable[[list[str]], tuple[list[str], str]], retries: int = 10
+    ) -> int:
+        """Optimistic commit: ``build(current_files) -> (new_files, op)``
+        runs against the head snapshot; on a version collision the head
+        is re-read and ``build`` re-runs on the winner's snapshot."""
+        for _ in range(retries + 1):
+            head = self.manifest()
+            files, op = build(list(head["files"]))
+            try:
+                return self._publish(head["version"] + 1, files, op)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} retries")
+
+    def append(self, df: DataFrame, name: str) -> int:
+        rel = self.write_fragment(df, name)
+        return self.commit(lambda files: (files + [rel], "append"))
+
+    def delete_where(
+        self, spark: SparkSession, predicate: str, name_suffix: str = "cow"
+    ) -> int:
+        """Copy-on-write delete: every fragment containing matching rows
+        is rewritten without them; untouched fragments carry over by
+        reference (the Iceberg/Delta COW rule — at 100 TB only the
+        affected fragments rewrite, driven by file-level stats)."""
+
+        def build(files: list[str]) -> tuple[list[str], str]:
+            kept: list[str] = []
+            for rel in files:
+                frag = spark.read.parquet(os.path.join(self.root, rel))
+                n_match = frag.filter(predicate).limit(1).count()
+                if n_match == 0:
+                    kept.append(rel)
+                    continue
+                base = os.path.basename(rel.rstrip("/"))
+                new_rel = self.write_fragment(
+                    frag.filter(f"NOT ({predicate})"), f"{base}_{name_suffix}"
+                )
+                kept.append(new_rel)
+            return kept, "delete"
+
+        return self.commit(build)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read at ``version`` (default: latest)."""
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError(f"version {m['version']} is empty")
+        paths = [os.path.join(self.root, rel) for rel in m["files"]]
+        return spark.read.parquet(*paths)

@@ -1,0 +1,78 @@
+"""Unit tests for the manifest-versioned lakehouse table
+(sources/manifest_table.py): snapshot isolation, time travel,
+copy-on-write delete selectivity, and the atomic put-if-absent
+commit claim."""
+
+import os
+
+import pytest
+
+from flo_spark.sources.manifest_table import CommitConflict, ManifestTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 10).withColumnRenamed("id", "k"), "base")
+    return t
+
+
+def test_versions_and_time_travel(spark, table):
+    t = table
+    assert t.current_version() == 1
+    t.append(spark.range(10, 15).withColumnRenamed("id", "k"), "more")
+    t.delete_where(spark, "k % 2 = 0")
+    assert t.current_version() == 3
+    # v1 and v2 still read their exact original snapshots after the
+    # v3 rewrite — the time-travel contract.
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == list(range(10))
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == list(range(15))
+    assert sorted(r.k for r in t.read(spark, 3).collect()) == [
+        1, 3, 5, 7, 9, 11, 13,
+    ]
+    # latest == explicit head version
+    assert (
+        t.read(spark).orderBy("k").collect()
+        == t.read(spark, 3).orderBy("k").collect()
+    )
+
+
+def test_cow_rewrites_only_affected_fragments(spark, table):
+    t = table
+    t.append(spark.range(100, 105).withColumnRenamed("id", "k"), "more")
+    before = t.manifest(2)["files"]
+    t.delete_where(spark, "k >= 100")  # matches only the 'more' fragment
+    after = t.manifest(3)["files"]
+    # base fragment carried over BY REFERENCE, only 'more' was rewritten
+    base = [f for f in before if f.endswith("base")]
+    assert base and all(f in after for f in base)
+    assert not any(f.endswith("more") for f in after)
+
+
+def test_commit_claim_is_put_if_absent(spark, table):
+    t = table
+    # simulate a racing writer that claimed version 2 first
+    t2 = ManifestTable(t.root)
+    t2.append(spark.range(50, 52).withColumnRenamed("id", "k"), "racer")
+    # a direct publish at the stale head version must CONFLICT...
+    with pytest.raises(CommitConflict):
+        t._publish(2, t.manifest(1)["files"], "stale")
+    # ...while the optimistic commit() path retries on the winner's
+    # snapshot and lands at version 3 including the racer's fragment.
+    rel = t.write_fragment(
+        spark.range(60, 62).withColumnRenamed("id", "k"), "late"
+    )
+    v = t.commit(lambda files: (files + [rel], "append"))
+    assert v == 3
+    ks = sorted(r.k for r in t.read(spark, 3).collect())
+    assert ks == list(range(10)) + [50, 51, 60, 61]
+    # no temp files leak from the conflicted attempt
+    assert not [
+        f for f in os.listdir(os.path.join(t.root, "manifests")) if ".tmp." in f
+    ]
+
+
+def test_empty_read_raises(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        t.read(spark)
