@@ -1170,3 +1170,128 @@ def _decode_qoi(payload: bytes):
         raise ValueError("QOI stream missing end marker")
     arr = out.reshape(h, w, 4)
     return np.ascontiguousarray(arr[:, :, :3]) if ch == 3 else arr
+
+
+# -- YUV4MPEG2 (Y4M) uncompressed video -----------------------------------
+#
+# The one video container that is both REAL (ffmpeg/mjpegtools'
+# standard raw-video interchange format) and fully decodable with the
+# stdlib: an ASCII stream header ("YUV4MPEG2 W.. H.. F25:1 Ip A1:1
+# C420\n"), then per frame an ASCII "FRAME\n" marker followed by raw
+# planar YCbCr.  Supported colorspaces: the C420 family (420 /
+# 420jpeg / 420mpeg2 / 420paldv share the same plane layout — the
+# suffix only states chroma siting, which does not affect byte
+# geometry), C422, C444 and Cmono.  Spec: the mjpegtools yuv4mpeg(5)
+# man page (public).
+
+
+def _y4m_plane_sizes(w: int, h: int, cs: str):
+    if cs.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        return [(w, h), (w // 2, h // 2), (w // 2, h // 2)]
+    if cs.startswith("422"):
+        if w % 2:
+            raise ValueError("C422 needs even width")
+        return [(w, h), (w // 2, h), (w // 2, h)]
+    if cs.startswith("444"):
+        return [(w, h)] * 3
+    if cs.startswith("mono"):
+        return [(w, h)]
+    raise ValueError(f"unsupported Y4M colorspace C{cs}")
+
+
+def encode_y4m(frames, colorspace: str = "420", rate: str = "25:1") -> bytes:
+    """Encode frames (each a tuple of planes as uint8 numpy arrays —
+    (Y, U, V), or (Y,) for mono) into a real YUV4MPEG2 byte stream."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0][0].shape
+    sizes = _y4m_plane_sizes(w, h, colorspace)
+    out = [
+        f"YUV4MPEG2 W{w} H{h} F{rate} Ip A1:1 C{colorspace}\n".encode()
+    ]
+    for planes in frames:
+        if len(planes) != len(sizes):
+            raise ValueError("plane count mismatch for colorspace")
+        out.append(b"FRAME\n")
+        for plane, (pw, ph) in zip(planes, sizes):
+            if plane.shape != (ph, pw):
+                raise ValueError(
+                    f"plane shape {plane.shape} != expected {(ph, pw)}"
+                )
+            out.append(plane.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 stream -> (frames, meta): frames is a list
+    of plane tuples (uint8 arrays), meta has width/height/rate/
+    colorspace.  Unknown stream/frame parameter tokens (X metadata,
+    interlacing, aspect) are carried, not rejected — the spec says
+    readers must skip what they don't understand."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii")
+    toks = head.split(" ")
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs, rate = "420", "25:1"
+    for t in toks[1:]:
+        if not t:
+            continue
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            cs = t[1:]
+        elif t[0] == "F":
+            rate = t[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    sizes = _y4m_plane_sizes(w, h, cs)
+    frames = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = payload.index(b"\n", pos)
+        pos = fnl + 1
+        planes = []
+        for pw, ph in sizes:
+            end = pos + pw * ph
+            if end > n:
+                raise ValueError("truncated Y4M frame payload")
+            planes.append(
+                np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(
+                    ph, pw
+                )
+            )
+            pos = end
+        frames.append(tuple(planes))
+    return frames, {
+        "width": w,
+        "height": h,
+        "rate": rate,
+        "colorspace": cs,
+        "n_frames": len(frames),
+    }
+
+
+def decode_video(payload: bytes):
+    """Container-dispatching video decode (the video sibling of
+    ``decode_image``/``decode_audio``).  Y4M decodes natively;
+    codec-library formats (MP4/H.264, WebM/VP9, ...) raise loudly —
+    same guarded-import policy as JPEG-progressive/PIL paths."""
+    if payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
+    raise NotImplementedError(
+        "only YUV4MPEG2 uncompressed video decodes natively; "
+        "codec formats need an external library absent here"
+    )

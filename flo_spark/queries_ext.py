@@ -13869,3 +13869,391 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+@query(
+    "multimodal_y4m_roundtrip",
+    """
+    WITH fr AS (
+      SELECT doc_id, unnest([0, 1, 2]) AS frame_idx FROM documents
+    ),
+    y AS (
+      SELECT doc_id, frame_idx,
+             sum((doc_id * 7 + frame_idx * 13 + i) % 256) AS sum_y
+      FROM (SELECT doc_id, frame_idx, unnest(range(0, 48)) AS i FROM fr)
+      GROUP BY doc_id, frame_idx
+    ),
+    uv AS (
+      SELECT doc_id, frame_idx,
+             sum((doc_id * 3 + frame_idx * 5 + 2 * i) % 256) AS sum_u,
+             sum((doc_id * 5 + frame_idx * 7 + 3 * i) % 256) AS sum_v
+      FROM (SELECT doc_id, frame_idx, unnest(range(0, 12)) AS i FROM fr)
+      GROUP BY doc_id, frame_idx
+    )
+    SELECT y.doc_id, CAST(y.frame_idx AS INT) AS frame_idx,
+           CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_u AS BIGINT) AS sum_u,
+           CAST(sum_v AS BIGINT) AS sum_v
+    FROM y JOIN uv ON y.doc_id = uv.doc_id AND y.frame_idx = uv.frame_idx
+    """,
+)
+def multimodal_y4m_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VIDEO decode, hash-checked — the first moving-picture
+    container in the multimodal matrix: per document a 3-frame 8x6
+    YUV4MPEG2 (Y4M — ffmpeg/mjpegtools' standard raw-video
+    interchange format) stream is assembled with deterministic planar
+    C420 content (Y[i] = (doc*7 + frame*13 + i) % 256, U/V from
+    sibling formulas on the quarter-size chroma planes), encoded into
+    actual container bytes (stream header + per-frame FRAME markers),
+    decoded back through ``decode_video``'s header/plane-geometry
+    parser, and reduced to per-frame plane sums.  The oracle computes
+    the same sums from the generating formula — a header-parse,
+    chroma-subsampling-geometry, or frame-boundary defect breaks the
+    hash.  Codec formats (H.264/VP9) refuse loudly behind
+    ``decode_video``; frame-rate/interlace/aspect tokens are parsed
+    and carried (tests/test_media_decode.py).
+
+    100 TB shape: one Arrow-batched mapInPandas stage, frame fan-out
+    inside the batch (no shuffle, no skew amplification — the
+    sample_frames discipline); real codec work would slot into the
+    same batch loop.  Reference scope: flo stores opaque binary
+    payloads (flo-event/src/lib.rs:185-204); decode is a north-star
+    extension (SURVEY §2 Part B multimodal)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_video, encode_y4m
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "sum_y": [],
+                "sum_u": [],
+                "sum_v": [],
+            }
+            iy = np.arange(48, dtype=np.int64)
+            ic = np.arange(12, dtype=np.int64)
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                frames = []
+                for f in range(3):
+                    yp = ((d * 7 + f * 13 + iy) % 256).astype(
+                        np.uint8
+                    ).reshape(6, 8)
+                    up = ((d * 3 + f * 5 + 2 * ic) % 256).astype(
+                        np.uint8
+                    ).reshape(3, 4)
+                    vp = ((d * 5 + f * 7 + 3 * ic) % 256).astype(
+                        np.uint8
+                    ).reshape(3, 4)
+                    frames.append((yp, up, vp))
+                payload = encode_y4m(frames, colorspace="420")
+                decoded, meta = decode_video(payload)
+                assert meta["n_frames"] == 3 and meta["width"] == 8
+                for f, (yp, up, vp) in enumerate(decoded):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["sum_y"].append(int(yp.astype(np.int64).sum()))
+                    out["sum_u"].append(int(up.astype(np.int64).sum()))
+                    out["sum_v"].append(int(vp.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip,
+        "doc_id long, frame_idx int, sum_y long, sum_u long, sum_v long",
+    )
+
+
+@query(
+    "sql_syntax_surface_suite",
+    """
+    WITH tier(seg, tier) AS (
+      VALUES ('AUTOMOBILE', 'retail'), ('BUILDING', 'b2b'),
+             ('FURNITURE', 'retail'), ('MACHINERY', 'b2b'),
+             ('HOUSEHOLD', 'retail')
+    ),
+    agg AS (
+      SELECT t.tier, c.c_mktsegment AS segment,
+             count(*) AS n_customers,
+             sum(CAST(floor(c.c_acctbal * 10000 + 0.5) AS BIGINT))
+                 AS bal_x1e4
+      FROM customer c JOIN tier t ON t.seg = c.c_mktsegment
+      GROUP BY t.tier, c.c_mktsegment
+    )
+    SELECT tier, segment, 'n_customers' AS metric,
+           CAST(n_customers AS BIGINT) AS value
+    FROM agg
+    UNION ALL
+    SELECT tier, segment, 'bal_x1e4' AS metric,
+           CAST(bal_x1e4 AS BIGINT) AS value
+    FROM agg
+    """,
+)
+def sql_syntax_surface_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL syntax surface in ONE hash-checked query:
+    ``VALUES`` inline tables (the lookup join every ad-hoc analysis
+    starts with), ``GROUP BY ALL`` (grouping keys inferred from the
+    non-aggregate select list — Spark 3.4+/SQL:2023 idiom), the
+    ``stack()`` generator as the inline row-wise unpivot, and
+    ``ORDER BY ALL`` — all evaluated against a longhand oracle
+    (explicit GROUP BY + UNION ALL), so the syntax sugar is proven to
+    MEAN its longhand form, not just parse.  Account balances ride
+    the exact 1e4 integer grid (they can be negative; floor(x*1e4+.5)
+    is applied identically on both engines).
+
+    100 TB shape: the VALUES table is a literal LocalRelation
+    (broadcast by construction); one hash aggregate on the inferred
+    keys; stack() is a scan-stage generator with fixed fanout 2 — the
+    sugar compiles to exactly the longhand plan.  Reference scope:
+    flo has no SQL surface — north-star extension (SURVEY §2 Part B
+    scalar/SQL)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_syn_v"
+    )
+    return spark.sql(
+        """
+        WITH tier(seg, tier) AS (
+          VALUES ('AUTOMOBILE', 'retail'), ('BUILDING', 'b2b'),
+                 ('FURNITURE', 'retail'), ('MACHINERY', 'b2b'),
+                 ('HOUSEHOLD', 'retail')
+        ),
+        agg AS (
+          SELECT t.tier, c.c_mktsegment AS segment,
+                 count(*) AS n_customers,
+                 sum(CAST(floor(c.c_acctbal * 10000 + 0.5) AS BIGINT))
+                     AS bal_x1e4
+          FROM customer_syn_v c JOIN tier t ON t.seg = c.c_mktsegment
+          GROUP BY ALL
+        )
+        SELECT tier, segment,
+               stack(2, 'n_customers', n_customers,
+                        'bal_x1e4', bal_x1e4) AS (metric, value)
+        FROM agg
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "shuffle_skew_profile",
+    """
+    WITH k AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt
+      FROM k
+    ),
+    r AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt, o_custkey) AS rn
+      FROM k
+    ),
+    q AS (
+      SELECT
+        max(CASE WHEN rn = CAST(ceil(0.50 * s.n_keys) AS BIGINT)
+            THEN cnt END) AS p50_cnt,
+        max(CASE WHEN rn = CAST(ceil(0.90 * s.n_keys) AS BIGINT)
+            THEN cnt END) AS p90_cnt,
+        max(CASE WHEN rn = CAST(ceil(0.99 * s.n_keys) AS BIGINT)
+            THEN cnt END) AS p99_cnt
+      FROM r, s
+    )
+    SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.total AS BIGINT) AS total_rows,
+           CAST(s.max_cnt AS BIGINT) AS max_cnt,
+           CAST(s.max_cnt * 1000000 // s.total AS BIGINT)
+               AS top1_share_x1e6,
+           CAST(s.max_cnt * s.n_keys * 10000 // s.total AS BIGINT)
+               AS skew_factor_x1e4,
+           CAST(q.p50_cnt AS BIGINT) AS p50_cnt,
+           CAST(q.p90_cnt AS BIGINT) AS p90_cnt,
+           CAST(q.p99_cnt AS BIGINT) AS p99_cnt
+    FROM s, q
+    """,
+)
+def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostics — the profile you run BEFORE
+    choosing a salting factor or enabling AQE skew handling: per-key
+    cardinalities of a prospective shuffle key (o_custkey), reduced to
+    the decision numbers — key count, hottest-key share (x1e6),
+    skew factor max/mean (x1e4, = 1.0 when perfectly uniform), and
+    exact p50/p90/p99 per-key counts by rank order statistic
+    (ceil(q*n), the winsorized/robust-scaler discipline; the
+    deterministic (cnt, key) rank makes ties engine-identical).  The
+    skew_salted_join_types entry MITIGATES skew; this entry MEASURES
+    it — together they are the operational loop.
+
+    100 TB shape: one hash aggregate collapses the fact table to
+    per-key counts (map-side combine, 16-byte rows); the stats over
+    the KEY-cardinality frame (scalar aggregate + one rank window)
+    run on |keys| rows, not |fact| rows.  The windowed rank is a
+    single-partition sort of per-key counts — bounded by key
+    cardinality; for billion-key profiles swap in the mergeable
+    quantile sketch (quantile_sketch_mergeable) at a stated rank
+    error.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    r = k.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").asc(), F.col("o_custkey").asc())
+        ),
+    )
+    q = r.crossJoin(F.broadcast(s)).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.50 * F.col("n_keys")), F.col("cnt")
+            )
+        ).alias("p50_cnt"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.90 * F.col("n_keys")), F.col("cnt")
+            )
+        ).alias("p90_cnt"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("n_keys")), F.col("cnt")
+            )
+        ).alias("p99_cnt"),
+    )
+    return s.crossJoin(F.broadcast(q)).selectExpr(
+        "CAST(n_keys AS BIGINT) AS n_keys",
+        "CAST(total AS BIGINT) AS total_rows",
+        "CAST(max_cnt AS BIGINT) AS max_cnt",
+        "CAST(max_cnt * 1000000 div total AS BIGINT) AS top1_share_x1e6",
+        "CAST(max_cnt * n_keys * 10000 div total AS BIGINT)"
+        " AS skew_factor_x1e4",
+        "CAST(p50_cnt AS BIGINT) AS p50_cnt",
+        "CAST(p90_cnt AS BIGINT) AS p90_cnt",
+        "CAST(p99_cnt AS BIGINT) AS p99_cnt",
+    )
+
+
+@query(
+    "stream_late_data_drop_audit",
+    """
+    WITH b AS (SELECT max(ts) AS tmax FROM events),
+    ok AS (
+      SELECT e.ts, e.event_type FROM events e, b
+      WHERE NOT (e.ts > b.tmax - INTERVAL 48 HOUR
+                 AND e.ts <= b.tmax - INTERVAL 24 HOUR)
+    )
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+               AS window_start,
+           event_type, count(*) AS n_events
+    FROM ok GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics made deterministic and
+    hash-checkable: the event stream arrives in two waves against ONE
+    checkpoint — wave 1 is everything except a 24-hour "late slice"
+    (tmax-48h, tmax-24h], wave 2 is that slice, delivered only AFTER
+    the first drain has committed an event-time watermark of
+    max(wave1.ts) - 1h.  Every wave-2 row's hourly window closed >= 23
+    hours before that watermark, so the stateful aggregation MUST drop
+    all of them (the append/update-mode late-row rule: window.end <=
+    watermark); the final per-(window, type) counts therefore equal
+    the batch aggregate over wave 1 alone, which is exactly what the
+    oracle computes.  Batch boundaries are deterministic because each
+    wave is one parquet file and each run drains with
+    Trigger.AvailableNow; the watermark survives the restart in the
+    checkpoint (the contract that makes the construction sound).  The
+    dropped-row COUNT is additionally pinned via the progress metrics
+    (numRowsDroppedByWatermark) in tests/test_streaming.py.
+
+    Update-mode emissions fold into per-batch shards keyed by
+    (window, type) with last-writer-wins by batch id — the replay-safe
+    upsert store the SCD2/rollup entries use.  The single-row tmax
+    lookup is O(1) driver metadata (documented).
+
+    100 TB shape: the windowed aggregation carries O(open windows x
+    types) state, late rows are filtered BEFORE the state store (no
+    state churn from stragglers), and the shard store grows by
+    changed-keys-per-batch, compactable like the sketch stores.
+    Reference scope: flo delivers events in id order with no
+    event-time semantics (SURVEY §1.4); watermarks are the Spark-side
+    extension (SURVEY §2 Part B streaming)."""
+    import datetime
+    import os
+
+    from flo_spark.queries import scratch_dir
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    # single-row metadata collect: the horizon anchor (documented —
+    # O(1), same discipline as the head/status entries)
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    late_lo = tmax - datetime.timedelta(hours=48)
+    late_hi = tmax - datetime.timedelta(hours=24)
+    in_slice = (F.col("ts") > F.lit(late_lo)) & (F.col("ts") <= F.lit(late_hi))
+
+    tmp = scratch_dir("flo_late_audit_")
+    feed, ckpt, store = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/store"
+    ev.filter(~in_slice).coalesce(1).write.parquet(feed)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(f"{store}/batch={batch_id}")
+
+    def drain() -> None:
+        src = spark.readStream.schema(ev.schema).parquet(feed)
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("late-audit stream did not drain")
+
+    drain()  # wave 1: establishes watermark = max(wave1.ts) - 1h
+    ev.filter(in_slice).coalesce(1).write.mode("append").parquet(feed)
+    drain()  # wave 2: every row late -> dropped before the state store
+
+    shards = [
+        f"{store}/{d}"
+        for d in sorted(os.listdir(store))
+        if d.startswith("batch=")
+    ]
+    merged = None
+    for s in shards:
+        part = spark.read.parquet(s).withColumn(
+            "bid", F.lit(int(s.rsplit("=", 1)[1]))
+        )
+        merged = part if merged is None else merged.unionByName(part)
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("bid").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "event_type", "n_events")
+    )

@@ -865,3 +865,86 @@ def test_qoi_property_random_images(seed):
             base[:, : w // 2] = base[:, :1]
         got = _decode_qoi(encode_qoi(base))
         assert np.array_equal(got, base)
+
+
+# -- YUV4MPEG2 video -------------------------------------------------------
+
+
+class TestY4M:
+    def _planes(self, w, h, seed=0):
+        import numpy as np
+
+        return (np.arange(w * h, dtype=np.int64) * 31 + seed).astype(
+            np.uint8
+        ).reshape(h, w)
+
+    def test_c420_roundtrip_multi_frame(self):
+        from flo_spark.operators.multimodal import decode_video, encode_y4m
+
+        frames = [
+            (
+                self._planes(8, 6, f),
+                self._planes(4, 3, f + 100),
+                self._planes(4, 3, f + 200),
+            )
+            for f in range(4)
+        ]
+        out, meta = decode_video(encode_y4m(frames))
+        assert meta == {
+            "width": 8,
+            "height": 6,
+            "rate": "25:1",
+            "colorspace": "420",
+            "n_frames": 4,
+        }
+        for (a, b, c), (x, y, z) in zip(frames, out):
+            assert (a == x).all() and (b == y).all() and (c == z).all()
+
+    def test_c422_c444_mono_geometry(self):
+        from flo_spark.operators.multimodal import decode_video, encode_y4m
+
+        y = self._planes(6, 4)
+        half = self._planes(3, 4, 7)
+        out, meta = decode_video(
+            encode_y4m([(y, half, half)], colorspace="422")
+        )
+        assert meta["colorspace"] == "422" and (out[0][1] == half).all()
+        out, _ = decode_video(encode_y4m([(y, y, y)], colorspace="444"))
+        assert (out[0][2] == y).all()
+        out, meta = decode_video(encode_y4m([(y,)], colorspace="mono"))
+        assert meta["colorspace"] == "mono" and len(out[0]) == 1
+
+    def test_unknown_header_tokens_skipped(self):
+        from flo_spark.operators.multimodal import decode_video, encode_y4m
+
+        y = self._planes(4, 2)
+        raw = encode_y4m([(y,)], colorspace="mono")
+        head, body = raw.split(b"\n", 1)
+        # spec: readers skip parameters they don't understand, and
+        # FRAME lines may carry their own parameters
+        raw2 = head + b" XCOLORRANGE=FULL It\n" + body.replace(
+            b"FRAME\n", b"FRAME Xtimecode=1\n"
+        )
+        out, meta = decode_video(raw2)
+        assert (out[0][0] == y).all() and meta["n_frames"] == 1
+
+    def test_errors(self):
+        import pytest
+
+        from flo_spark.operators.multimodal import (
+            decode_video,
+            encode_y4m,
+        )
+
+        y = self._planes(8, 6)
+        with pytest.raises(ValueError, match="even"):
+            encode_y4m([(self._planes(5, 3), y, y)], colorspace="420")
+        good = encode_y4m(
+            [(y, self._planes(4, 3), self._planes(4, 3))]
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            decode_video(good[:-5])
+        with pytest.raises(ValueError, match="FRAME"):
+            decode_video(good + b"JUNK")
+        with pytest.raises(NotImplementedError):
+            decode_video(b"\x00\x00\x00\x18ftypmp42 not a y4m stream")

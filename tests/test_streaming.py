@@ -545,3 +545,61 @@ def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
         assert len(rows) == 1 and rows[0].clk_ts is None, rows
     finally:
         q.stop()
+
+
+def test_watermark_late_rows_dropped_metric(spark, tmp_path):
+    """The stream_late_data_drop_audit construction's load-bearing
+    claim, pinned via progress metrics: after a restart that committed
+    an event-time watermark, rows older than the watermark are dropped
+    BEFORE the state store and the engine reports exactly how many
+    (numRowsDroppedByWatermark)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows1 = [(base + datetime.timedelta(minutes=i), "a") for i in range(30)]
+    late = [
+        (base - datetime.timedelta(hours=40, minutes=i), "a") for i in range(7)
+    ]
+    schema = "ts timestamp, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(feed)
+
+    drops = []
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(feed)
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                drops.append(op["numRowsDroppedByWatermark"])
+
+    drain()
+    assert sum(drops) == 0  # first run: watermark starts at 0, nothing late
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    drain()
+    # second run resumes with watermark = max(wave1) - 1h from the
+    # checkpoint; every late row (40h older) is dropped BEFORE the
+    # state store.  The metric counts state-store INPUT rows, i.e.
+    # after map-side partial aggregation: the 7 raw rows collapse to
+    # one partial per distinct (hour window, type) — that granularity
+    # is itself worth pinning (drops cost no state churn AND no
+    # shuffle of raw rows).
+    late_groups = {ts.replace(minute=0, second=0) for ts, _ in late}
+    assert sum(drops) == len(late_groups) == 2
