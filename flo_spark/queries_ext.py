@@ -14257,3 +14257,354 @@ def stream_late_data_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("window_start", "event_type", "n_events")
     )
+
+
+@query(
+    "ams_f2_selfjoin_size",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    est AS (
+      SELECT event_type,
+             count(*) AS n_users,
+             sum(cnt) AS n_rows,
+             sum(CAST(cnt AS HUGEINT) * cnt) AS f2,
+             sum(CASE WHEN (user_id * 48271 + 11) % 1000003 % 2 = 0
+                 THEN cnt ELSE -cnt END) AS z1,
+             sum(CASE WHEN (user_id * 69621 + 23) % 1000003 % 2 = 0
+                 THEN cnt ELSE -cnt END) AS z2,
+             sum(CASE WHEN (user_id * 40692 + 37) % 1000003 % 2 = 0
+                 THEN cnt ELSE -cnt END) AS z3,
+             sum(CASE WHEN (user_id * 16807 + 53) % 1000003 % 2 = 0
+                 THEN cnt ELSE -cnt END) AS z4
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(f2 AS BIGINT) AS f2_exact,
+           CAST((CAST(z1 AS HUGEINT) * z1 + CAST(z2 AS HUGEINT) * z2
+                 + CAST(z3 AS HUGEINT) * z3 + CAST(z4 AS HUGEINT) * z4)
+                // 4 AS BIGINT) AS ams_estimate
+    FROM est
+    """,
+)
+def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment F2 = sum of per-key count squares — the
+    SELF-JOIN SIZE of each event type on user_id, the statistic query
+    optimizers need for join-cardinality estimation — computed EXACTLY
+    from one count aggregate, alongside the classic AMS tug-of-war
+    sketch estimate (Alon-Matias-Szegedy 1996): four +/-1 sign hashes,
+    Z_k = sum of s_k(u)*c_u, estimate = mean of Z_k^2.  The sign hashes
+    are DETERMINISTIC multiplicative hashes (Lehmer multipliers mod a
+    prime, then parity) so the whole mechanism — sketch included — is
+    reproducible and hash-checkable on both engines; real deployments
+    draw the hash seeds randomly, and the estimator arithmetic (which
+    is what this entry pins) is identical.  Same
+    deterministic-mechanism discipline as dp_randomized_response.
+
+    100 TB shape: the only corpus-scale shuffle is the (type, user)
+    count aggregate (map-side combinable); the F2/AMS reduction runs
+    on per-key counts.  The AMS path matters at scale because Z_k
+    partials are MERGEABLE (a sum) without materializing per-key
+    counts at all — the streaming form folds s(u) per row.  Squares
+    accumulate in decimal(38,0)/HUGEINT.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B
+    distinct/approx)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+
+    def z(mult: int, add: int, alias: str):
+        sgn = (
+            (F.col("user_id") * mult + add) % 1000003 % 2 == 0
+        )
+        return F.sum(
+            F.when(sgn, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(alias)
+
+    est = c.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt")
+        ).alias("f2"),
+        z(48271, 11, "z1"),
+        z(69621, 23, "z2"),
+        z(40692, 37, "z3"),
+        z(16807, 53, "z4"),
+    )
+    return est.selectExpr(
+        "event_type",
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(f2 AS BIGINT) AS f2_exact",
+        "CAST((CAST(z1 AS DECIMAL(38,0)) * z1 + CAST(z2 AS DECIMAL(38,0))"
+        " * z2 + CAST(z3 AS DECIMAL(38,0)) * z3 + CAST(z4 AS"
+        " DECIMAL(38,0)) * z4) div 4 AS BIGINT) AS ams_estimate",
+    )
+
+
+@query(
+    "quantile_discretizer_encode",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    r AS (
+      SELECT px, row_number() OVER (ORDER BY px, o_orderkey) AS rn FROM p
+    ),
+    n AS (SELECT count(*) AS n FROM p),
+    b AS (
+      SELECT
+        max(CASE WHEN rn = CAST(ceil(0.25 * n.n) AS BIGINT)
+            THEN px END) AS b1,
+        max(CASE WHEN rn = CAST(ceil(0.50 * n.n) AS BIGINT)
+            THEN px END) AS b2,
+        max(CASE WHEN rn = CAST(ceil(0.75 * n.n) AS BIGINT)
+            THEN px END) AS b3
+      FROM r, n
+    )
+    SELECT CAST(CASE WHEN px > b3 THEN 3 WHEN px > b2 THEN 2
+                     WHEN px > b1 THEN 1 ELSE 0 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(px) AS BIGINT) AS min_px,
+           CAST(max(px) AS BIGINT) AS max_px
+    FROM p, b
+    GROUP BY 1
+    """,
+)
+def quantile_discretizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``QuantileDiscretizer`` semantics as a deterministic
+    DataFrame program (the feature-engineering sibling of
+    vocab_index_encode's StringIndexer and robust_scaler_features'
+    RobustScaler): 4 equal-frequency buckets of order totals with
+    split points taken as EXACT rank order statistics
+    (ceil(q*n), the winsorized discipline) on the 1e4 money grid —
+    where MLlib would call approxQuantile with a relativeError, this
+    pins the exact-rank contract so both engines agree bit-for-bit;
+    bucket(x) = number of splits strictly below x (half-open
+    [s_i, s_{i+1}) intervals, MLlib's rule).  Output: per-bucket
+    cardinality and the realized [min, max] scaled-price range —
+    near-equal counts by construction (ties land left).
+
+    100 TB shape: the split points come from one ranked pass (swap in
+    quantile_sketch_mergeable at a stated rank error to avoid the
+    sort, same trade as shuffle_skew_profile documents); the splits
+    broadcast as ONE row and encoding is a scan-stage CASE — the
+    encode path adds zero shuffles.  Reference scope: flo has no ML
+    surface — north-star extension (SURVEY §2 Part B pipeline
+    hygiene)."""
+    p = load(spark, sf_dir, "orders").select(
+        "o_orderkey", money_scaled(F.col("o_totalprice")).alias("px")
+    )
+    r = p.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("px").asc(), F.col("o_orderkey").asc())
+        ),
+    )
+    n = p.agg(F.count("*").alias("n"))
+    b = r.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.25 * F.col("n")), F.col("px"))
+        ).alias("b1"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.50 * F.col("n")), F.col("px"))
+        ).alias("b2"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.75 * F.col("n")), F.col("px"))
+        ).alias("b3"),
+    )
+    return (
+        p.crossJoin(F.broadcast(b))
+        .withColumn(
+            "bucket",
+            F.when(F.col("px") > F.col("b3"), 3)
+            .when(F.col("px") > F.col("b2"), 2)
+            .when(F.col("px") > F.col("b1"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("px").cast("long").alias("min_px"),
+            F.max("px").cast("long").alias("max_px"),
+        )
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+      FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (
+      SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n_sh AS BIGINT) AS shingles_a,
+           CAST(sb.n_sh AS BIGINT) AS shingles_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union,
+           CAST(i.n_inter * 10000
+                // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT)
+               AS jaccard_x1e4
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-level overlap accounting — the contamination/provenance
+    matrix run before mixing corpora: for every ordered pair of
+    sources, the exact Jaccard overlap of their distinct 3-word
+    shingle sets (set sizes, intersection, union, 1e-4-grid
+    similarity).  The per-DOC near-dup entries ask "is this document a
+    copy"; this asks "how much does corpus A repeat corpus B" — the
+    number that decides whether two feeds are the same crawl.
+
+    100 TB shape: shingles collapse to (source, shingle-hash) DISTINCT
+    rows in the scan+one-shuffle stage — per-source shingle VOCABULARY
+    size, not corpus size; the intersection self-join keys on the
+    8-byte xxhash64 shingle hash (Spark side; the oracle joins the
+    shingle strings themselves — the standard hash-vs-string
+    equivalence of the n-gram entries, collision odds ~2^-64); output
+    is |sources|^2 rows.  At pair-heavy scale swap exact intersection
+    for theta-sketch A-and-B (theta_sketch_audience_overlap) at a
+    stated error.  Reference scope: flo has no corpus surface —
+    north-star extension (SURVEY §2 Part B dedup/mixing)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias(
+            "ws"
+        ),
+    )
+    sh = (
+        toks.filter(F.size("ws") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .select("source", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.selectExpr("source AS source_a", "n_sh AS na")
+    sb = sizes.selectExpr("source AS source_b", "n_sh AS nb")
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "CAST(na AS BIGINT) AS shingles_a",
+            "CAST(nb AS BIGINT) AS shingles_b",
+            "CAST(n_inter AS BIGINT) AS n_inter",
+            "CAST(na + nb - n_inter AS BIGINT) AS n_union",
+            "CAST(n_inter * 10000 div (na + nb - n_inter) AS BIGINT)"
+            " AS jaccard_x1e4",
+        )
+    )
+
+
+@query(
+    "embedding_jl_projection",
+    """
+    WITH q AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    j AS (SELECT unnest(range(0, 16)) AS dim)
+    SELECT q.vec_id, CAST(j.dim AS INT) AS dim,
+           CAST(sum(CASE WHEN (q.i * 1103515245 + j.dim * 12345)
+                              % 97 % 2 = 0
+                    THEN qv ELSE -qv END) AS BIGINT) AS proj_x1e4
+    FROM q, j
+    GROUP BY q.vec_id, j.dim
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims — the
+    dimensionality-reduction front end for ANN/clustering at scale
+    (Achlioptas 2001: +/-1 sign matrices satisfy the JL lemma; the
+    sign matrix here is a DETERMINISTIC multiplicative hash of
+    (input_dim, output_dim), the dp_randomized_response discipline,
+    so the projection is reproducible and hash-checkable — production
+    draws the seed once and broadcasts nothing either way, the matrix
+    never materializes).  Components quantize to the exact 1e4 grid
+    first, so every projected coordinate is an exact integer on both
+    engines — no float fold order anywhere.
+
+    100 TB shape: entirely scan-stage JVM higher-order functions
+    (transform over output dims, aggregate over the zipped input) —
+    NO shuffle, no UDF, no materialized projection matrix; output is
+    16/64 the input width, which is the point (the int8/PQ entries
+    compress per-component precision; this compresses dimensionality
+    — composable).  Reference scope: flo has no vector surface —
+    north-star extension (SURVEY §2 Part B embedding analytics)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding,"
+        " e -> CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    )
+    proj = F.expr(
+        "transform(sequence(0, 15), j -> aggregate("
+        " zip_with(q, sequence(0, size(q) - 1),"
+        "          (qv, i) -> CASE WHEN (CAST(i AS BIGINT) * 1103515245"
+        "                                + CAST(j AS BIGINT) * 12345)"
+        "                               % 97 % 2 = 0"
+        "                     THEN qv ELSE -qv END),"
+        " 0L, (acc, x) -> acc + x))"
+    )
+    return (
+        e.select("vec_id", q.alias("q"))
+        .select("vec_id", F.posexplode(proj).alias("dim", "proj_x1e4"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("proj_x1e4").cast("long").alias("proj_x1e4"),
+        )
+    )
