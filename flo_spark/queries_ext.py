@@ -14608,3 +14608,465 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("proj_x1e4").cast("long").alias("proj_x1e4"),
         )
     )
+
+
+@query(
+    "theil_sen_hourly_trend",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    h0 AS (SELECT min(h) AS h0 FROM c),
+    p AS (
+      SELECT ((b.cnt - a.cnt) * 1000000
+              + 1000000000000 * (b.h - a.h)) // (b.h - a.h)
+             - 1000000000000 AS s
+      FROM c a JOIN c b ON b.h > a.h
+    ),
+    m AS (SELECT count(*) AS n_pairs FROM p),
+    r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p),
+    sen AS (
+      SELECT r.s AS sen FROM r, m WHERE r.rn = (m.n_pairs + 1) // 2
+    ),
+    ic AS (
+      SELECT c.cnt * 1000000 - sen.sen * (c.h - h0.h0) AS b
+      FROM c, sen, h0
+    ),
+    icn AS (SELECT count(*) AS n_hours FROM ic),
+    ir AS (SELECT b, row_number() OVER (ORDER BY b) AS rn FROM ic),
+    icb AS (
+      SELECT ir.b AS icpt FROM ir, icn WHERE ir.rn = (icn.n_hours + 1) // 2
+    )
+    SELECT CAST(icn.n_hours AS BIGINT) AS n_hours,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(sen.sen AS BIGINT) AS sen_slope_x1e6,
+           CAST(icb.icpt AS BIGINT) AS intercept_x1e6
+    FROM icn, m, sen, icb
+    """,
+)
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly event rate: the (lower)
+    median of all pairwise slopes (c_j - c_i)/(h_j - h_i) over the
+    hourly-count series, ENGINE-EXACT on the 1e-6 grid.  Each slope is
+    floored onto the grid by a nonnegative-operand division — the
+    numerator is offset by 1e12*(h_j - h_i) so DuckDB's floor ``//``
+    and Spark's truncating ``div`` agree (valid while hourly counts
+    stay below 1e6; see welch_t2_ab_test for the discipline) — and the
+    median of the gridded integers is an exact rank pick, so the
+    breakdown-point-0.29 estimator that outlier hours cannot drag
+    (unlike the OLS slope) hash-matches across engines.  The intercept
+    is the lower median of cnt_i*1e6 - sen*(h_i - h0): the robust
+    level at the window start on the same grid.
+
+    100 TB shape: one map-side-combinable hourly count collapses the
+    corpus to a calendar-bounded spine (720 rows/month at ANY SF); the
+    O(spine^2) pair join and the rank medians run on that spine —
+    ~260k pairs, one broadcast nested loop + one single-partition
+    sort, all driver-free.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B statistics,
+    robust counterpart to holt_linear_trend's least-squares fit)."""
+    OFF = 1_000_000_000_000
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h0 = c.agg(F.min("h").alias("h0"))
+    a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    p = a.join(b, F.col("hb") > F.col("ha")).select(
+        (
+            F.expr(
+                f"((cb - ca) * 1000000 + {OFF} * (hb - ha))"
+                " div (hb - ha)"
+            )
+            - F.lit(OFF)
+        ).alias("s")
+    )
+    m = p.agg(F.count("*").alias("n_pairs"))
+    r = p.select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("rn")
+    )
+    sen = (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(F.col("s").alias("sen"), "n_pairs")
+    )
+    ic = c.crossJoin(F.broadcast(sen)).crossJoin(F.broadcast(h0)).select(
+        (F.col("cnt") * 1_000_000 - F.col("sen") * (F.col("h") - F.col("h0"))).alias("b"),
+        "sen",
+        "n_pairs",
+    )
+    icn = ic.groupBy("sen", "n_pairs").agg(F.count("*").alias("n_hours"))
+    ir = ic.select(
+        "b", "sen", "n_pairs",
+        F.row_number().over(Window.orderBy("b")).alias("rn"),
+    )
+    return (
+        ir.crossJoin(F.broadcast(icn.select("n_hours")))
+        .filter(F.expr("rn = (n_hours + 1) div 2"))
+        .select(
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("sen").cast("long").alias("sen_slope_x1e6"),
+            F.col("b").cast("long").alias("intercept_x1e6"),
+        )
+    )
+
+
+@query(
+    "ks_drift_priority",
+    """
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS px,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS i2
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    n AS (SELECT sum(i1) AS n1, sum(i2) AS n2 FROM s),
+    g AS (SELECT px, sum(i1) AS c1, sum(i2) AS c2 FROM s GROUP BY px),
+    cum AS (
+      SELECT px,
+             sum(c1) OVER (ORDER BY px) AS cc1,
+             sum(c2) OVER (ORDER BY px) AS cc2
+      FROM g
+    ),
+    d AS (
+      SELECT px, abs(cc1 * n.n2 - cc2 * n.n1) AS dn FROM cum, n
+    ),
+    best AS (SELECT px, dn FROM d ORDER BY dn DESC, px LIMIT 1)
+    SELECT CAST(n.n1 AS BIGINT) AS n_1,
+           CAST(n.n2 AS BIGINT) AS n_2,
+           CAST(best.dn AS BIGINT) AS ks_num,
+           CAST((best.dn * 1000000) // (n.n1 * n.n2) AS BIGINT)
+             AS ks_x1e6,
+           CAST(best.px AS BIGINT) AS ks_at_cents,
+           CAST(best.dn AS HUGEINT) * best.dn * 1000000
+             > CAST(1844164 AS HUGEINT) * (n.n1 + n.n2) * n.n1 * n.n2
+             AS ks_reject_005
+    FROM best, n
+    """,
+)
+def ks_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the total-price
+    distributions of '1-URGENT' and '5-LOW' orders, ENGINE-EXACT: on
+    the cents grid D = max_x |F1(x) - F2(x)| has the exact integer
+    numerator max|C1(x)*n2 - C2(x)*n1| over the merged support (the
+    max always lands on an observed point), so the statistic, its
+    location (smallest cents value attaining the max), and even the
+    alpha=0.05 REJECTION VERDICT — dn^2*1e6 > 1.358^2*1e6*(n1+n2)*n1*n2
+    cross-multiplied into decimal(38,0)/HUGEINT, no square root —
+    hash-match across engines.  This is the distribution-drift gate a
+    training pipeline runs between data refreshes; the chi-square
+    entry (chi_square_crosstab_audit) covers categorical drift, this
+    covers continuous drift.
+
+    100 TB shape: one map-side-combinable (cents, side) count shuffle
+    collapses the corpus to its distinct price points; the cumulative
+    ECDF walk is a single-partition window over that spine (swap in
+    the mergeable quantile sketch when the DOMAIN itself is corpus-
+    scale), and the verdict is a 1-row reduce.  Reference scope: flo
+    has no analytics surface — north-star extension (SURVEY §2 Part B
+    statistics)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("px"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("i1"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1)
+        .otherwise(0)
+        .alias("i2"),
+    )
+    n = s.agg(F.sum("i1").alias("n1"), F.sum("i2").alias("n2"))
+    g = s.groupBy("px").agg(
+        F.sum("i1").alias("c1"), F.sum("i2").alias("c2")
+    )
+    w = Window.orderBy("px")
+    cum = g.select(
+        "px",
+        F.sum("c1").over(w).alias("cc1"),
+        F.sum("c2").over(w).alias("cc2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "px",
+        "n1",
+        "n2",
+        F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1")).alias("dn"),
+    )
+    best = d.orderBy(F.col("dn").desc(), F.col("px")).limit(1)
+    return best.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_1",
+        "CAST(n2 AS BIGINT) AS n_2",
+        "CAST(dn AS BIGINT) AS ks_num",
+        "CAST((dn * 1000000) div (n1 * n2) AS BIGINT) AS ks_x1e6",
+        "CAST(px AS BIGINT) AS ks_at_cents",
+        "CAST(dn AS DECIMAL(38,0)) * dn * 1000000"
+        " > CAST(1844164 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2"
+        " AS ks_reject_005",
+    )
+
+
+@query(
+    "decision_stump_status",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000
+               AS t,
+             o_orderstatus AS s
+      FROM orders
+    ),
+    cls AS (SELECT t, s, count(*) AS c FROM o GROUP BY t, s),
+    ts AS (SELECT DISTINCT t FROM o),
+    ss AS (SELECT DISTINCT s FROM o),
+    grid AS (SELECT ts.t, ss.s FROM ts, ss),
+    cum AS (
+      SELECT g.t, g.s,
+             sum(coalesce(cls.c, 0))
+               OVER (PARTITION BY g.s ORDER BY g.t) AS lc
+      FROM grid g LEFT JOIN cls ON cls.t = g.t AND cls.s = g.s
+    ),
+    tot AS (SELECT s, count(*) AS tc FROM o GROUP BY s),
+    per AS (
+      SELECT cum.t,
+             sum(lc) AS nl, max(lc) AS maxl,
+             sum(tc - lc) AS nr, max(tc - lc) AS maxr
+      FROM cum JOIN tot ON tot.s = cum.s
+      GROUP BY cum.t
+    ),
+    scored AS (
+      SELECT t, nl, nr, maxl, maxr,
+             (nl - maxl) + (nr - maxr) AS mis
+      FROM per WHERE nr > 0
+    ),
+    best AS (SELECT * FROM scored ORDER BY mis, t LIMIT 1),
+    base AS (
+      SELECT (SELECT count(*) FROM o) - max(tc) AS base_mis FROM tot
+    )
+    SELECT CAST((best.t + 1) * 10000 AS BIGINT) AS threshold_usd,
+           CAST(best.nl AS BIGINT) AS n_left,
+           CAST(best.nr AS BIGINT) AS n_right,
+           (SELECT min(cum.s) FROM cum, best b2
+             WHERE cum.t = b2.t AND cum.lc = b2.maxl) AS left_label,
+           (SELECT min(cum.s) FROM cum JOIN tot ON tot.s = cum.s, best b3
+             WHERE cum.t = b3.t AND tot.tc - cum.lc = b3.maxr)
+             AS right_label,
+           CAST(best.mis AS BIGINT) AS misclass,
+           CAST(base.base_mis AS BIGINT) AS baseline_misclass
+    FROM best, base
+    """,
+)
+def decision_stump_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump predicting o_orderstatus from
+    o_totalprice, ENGINE-EXACT: candidate thresholds are the $10,000
+    bucket boundaries, the split criterion is the MISCLASSIFICATION
+    impurity sum_{side}(n_side - max_c n_{c,side}) — a pure integer, so
+    the exact argmin (tie-break: lowest threshold) and the majority
+    labels (tie-break: lexicographically smallest among argmax classes)
+    hash-match across engines where a Gini/entropy stump's per-split
+    rational denominators could not be totally ordered in SQL without
+    floats.  The full CART recursion is this primitive applied per
+    node; one level is what a feature-importance triage needs.
+
+    100 TB shape: one map-side-combinable (bucket, class) count
+    collapses the corpus to a |buckets| x |classes| grid (~150 rows at
+    ANY SF); cumulative left-counts, per-threshold scoring, and the
+    argmin all run on that grid — the same aggregate-then-spine shape
+    as the histogram entries; nothing corpus-scale moves twice.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B, the supervised counterpart to
+    quantile_discretizer_encode's unsupervised binning)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " div 1000000"
+        ).alias("t"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    cls = o.groupBy("t", "s").agg(F.count("*").alias("c"))
+    ts = o.select("t").distinct()
+    ss = o.select("s").distinct()
+    grid = ts.crossJoin(ss)
+    cum = grid.join(cls, ["t", "s"], "left").select(
+        "t",
+        "s",
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .over(Window.partitionBy("s").orderBy("t"))
+        .alias("lc"),
+    )
+    tot = o.groupBy("s").agg(F.count("*").alias("tc"))
+    joined = cum.join(tot, "s")
+    per = joined.groupBy("t").agg(
+        F.sum("lc").alias("nl"),
+        F.max("lc").alias("maxl"),
+        F.sum(F.col("tc") - F.col("lc")).alias("nr"),
+        F.max(F.col("tc") - F.col("lc")).alias("maxr"),
+    )
+    scored = per.filter(F.col("nr") > 0).select(
+        "t", "nl", "nr", "maxl", "maxr",
+        ((F.col("nl") - F.col("maxl")) + (F.col("nr") - F.col("maxr"))).alias("mis"),
+    )
+    best = scored.orderBy("mis", "t").limit(1)
+    left_lab = (
+        best.select("t", "maxl")
+        .join(cum, ["t"])
+        .filter(F.col("lc") == F.col("maxl"))
+        .agg(F.min("s").alias("left_label"))
+    )
+    right_lab = (
+        best.select("t", "maxr")
+        .join(joined, ["t"])
+        .filter(F.col("tc") - F.col("lc") == F.col("maxr"))
+        .agg(F.min("s").alias("right_label"))
+    )
+    base = (
+        tot.agg(
+            F.sum("tc").alias("n_all"), F.max("tc").alias("max_tc")
+        ).select((F.col("n_all") - F.col("max_tc")).alias("base_mis"))
+    )
+    return (
+        best.crossJoin(F.broadcast(left_lab))
+        .crossJoin(F.broadcast(right_lab))
+        .crossJoin(F.broadcast(base))
+        .select(
+            ((F.col("t") + 1) * 10000).cast("long").alias("threshold_usd"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            "left_label",
+            "right_label",
+            F.col("mis").cast("long").alias("misclass"),
+            F.col("base_mis").cast("long").alias("baseline_misclass"),
+        )
+    )
+
+
+@query(
+    "ols_two_feature_cramer",
+    """
+    WITH v AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM v
+    ),
+    det AS (
+      SELECT n, s1, s2,
+        n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2) AS dm,
+        sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS d1,
+        n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2) AS d2
+      FROM s
+    ),
+    c AS (
+      SELECT n, dm,
+        (d0 + 1000000000000 * dm) // dm AS q0,
+        (d0 + 1000000000000 * dm) % dm AS r0,
+        (d1 + 1000000000000 * dm) // dm AS q1,
+        (d1 + 1000000000000 * dm) % dm AS r1,
+        (d2 + 1000000000000 * dm) // dm AS q2,
+        (d2 + 1000000000000 * dm) % dm AS r2
+      FROM det
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(q0 * 1000000 + (r0 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b0_x1e6,
+           CAST(q1 * 1000000 + (r1 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b1_x1e6,
+           CAST(q2 * 1000000 + (r2 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b2_x1e6
+    FROM c
+    """,
+)
+def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression — extended price (1e4 money grid) on
+    quantity and discount-percent — solved in closed form by CRAMER'S
+    RULE over the 3x3 normal equations, ENGINE-EXACT: the nine power
+    sums accumulate as exact integers in decimal(38,0)/HUGEINT, the
+    four determinants are integer polynomials of those sums, and each
+    coefficient det_k/det(M) lands on the 1e-6 grid through a
+    nonnegative-operand floor-division chain (offset by 1e12*det(M),
+    i.e. coefficients must stay within ±1e12 grid units — they are
+    ~1e9 here; two-step q*1e6 + (r*1e6)//dm keeps every intermediate
+    under 38 digits where the naive det*1e6 would overflow).  Extends
+    regression_price_quantity (one regressor) to the genuinely
+    multivariate case where collinearity between regressors matters;
+    det(M) > 0 is Gram positive-definiteness.
+
+    100 TB shape: identical to q6 — ONE map-side-combinable aggregate
+    over the fact scan producing nine integer partials, a single-row
+    combine, then O(1) driver-free arithmetic; adding regressors grows
+    the partial vector quadratically but never adds a pass or a
+    shuffle.  This is the textbook reason normal-equation OLS beats
+    gradient descent on Spark for small feature counts.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,0)")
+    v = li.select(
+        d(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).alias("x1"),
+        d(F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")).alias("x2"),
+        d(money_scaled(F.col("l_extendedprice"))).alias("y"),
+    )
+    s = v.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det = s.selectExpr(
+        "n",
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2) AS dm",
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y) AS d0",
+        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2) AS d1",
+        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2) AS d2",
+    )
+    c = det.selectExpr(
+        "n",
+        "dm",
+        "(d0 + 1000000000000 * dm) div dm AS q0",
+        "(d0 + 1000000000000 * dm) % dm AS r0",
+        "(d1 + 1000000000000 * dm) div dm AS q1",
+        "(d1 + 1000000000000 * dm) % dm AS r1",
+        "(d2 + 1000000000000 * dm) div dm AS q2",
+        "(d2 + 1000000000000 * dm) % dm AS r2",
+    )
+    return c.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(q0 * 1000000 + (r0 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b0_x1e6",
+        "CAST(q1 * 1000000 + (r1 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b1_x1e6",
+        "CAST(q2 * 1000000 + (r2 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b2_x1e6",
+    )
