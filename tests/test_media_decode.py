@@ -948,3 +948,116 @@ class TestY4M:
             decode_video(good + b"JUNK")
         with pytest.raises(NotImplementedError):
             decode_video(b"\x00\x00\x00\x18ftypmp42 not a y4m stream")
+
+
+# ---------------------------------------------------------------------------
+# TGA (Truevision TGA 2.0 public spec)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import _decode_tga, encode_tga
+
+
+def _tga_hdr(img_type, w, h, depth, desc, cmap=None):
+    cmap_type = 1 if cmap is not None else 0
+    cmap_len = 0 if cmap is None else len(cmap) // 3
+    return (
+        bytes([0, cmap_type, img_type])
+        + (0).to_bytes(2, "little")
+        + cmap_len.to_bytes(2, "little")
+        + bytes([24 if cmap is not None else 0])
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([depth, desc])
+        + (cmap or b"")
+    )
+
+
+_TGA_FOOT = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def test_tga_roundtrip_rgb_gray_rgba_rle_and_raw():
+    rng = np.random.default_rng(11)
+    for rle in (True, False):
+        img = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+        img[:, :6] = 100  # runs exercise run packets under rle
+        assert np.array_equal(decode_image(encode_tga(img, rle=rle)), img)
+        g = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+        g[:, :4] = 7
+        assert np.array_equal(decode_image(encode_tga(g, rle=rle)), g)
+        a = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_tga(a, rle=rle)), a)
+    # RLE and raw encodings of one image must decode identically
+    img = rng.integers(0, 256, (3, 130, 3), dtype=np.uint8)
+    img[:, :129] = 42  # run longer than the 128-pixel packet cap
+    assert np.array_equal(
+        _decode_tga(encode_tga(img, rle=True)),
+        _decode_tga(encode_tga(img, rle=False)),
+    )
+
+
+def test_tga_color_mapped_and_bottom_up_origin():
+    # 2x2 color-mapped (type 1), 24-bit BGR palette, BOTTOM-UP origin
+    pal = bytes([255, 0, 0, 0, 0, 255])  # entry0 blue, entry1 red
+    payload = (
+        _tga_hdr(1, 2, 2, 8, 0x00, cmap=pal)
+        + bytes([0, 1, 1, 0])  # stored bottom row first
+        + _TGA_FOOT
+    )
+    # stored row0 = image bottom; palette entry0 = blue, entry1 = red
+    exp = np.array(
+        [[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]],
+        np.uint8,
+    )
+    assert np.array_equal(decode_image(payload), exp)
+
+
+def test_tga_16bit_a1r5g5b5_expansion():
+    # r=31,g=0,b=31 -> 255,0,255 via (v << 3) | (v >> 2)
+    v = ((31 << 10) | 31).to_bytes(2, "little")
+    payload = _tga_hdr(2, 1, 1, 16, 0x20) + v + _TGA_FOOT
+    assert np.array_equal(
+        decode_image(payload), np.array([[[255, 0, 255]]], np.uint8)
+    )
+    # mid-range channel: 16 -> (16<<3)|(16>>2) = 132
+    v2 = (16 << 5).to_bytes(2, "little")
+    assert np.array_equal(
+        decode_image(_tga_hdr(2, 1, 1, 16, 0x20) + v2 + _TGA_FOOT),
+        np.array([[[0, 132, 0]]], np.uint8),
+    )
+
+
+def test_tga_right_to_left_flag_and_rle_crossing_rows():
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    enc = bytearray(encode_tga(img, rle=False))
+    enc[17] |= 0x10  # flip the right-to-left descriptor bit
+    assert np.array_equal(decode_image(bytes(enc)), img[:, ::-1])
+    # a decoder must also accept RLE streams where a run crosses a
+    # scanline boundary (liberal-in-what-you-accept; some writers do)
+    row = np.full((2, 3, 3), 9, np.uint8)
+    rle_stream = bytes([0x80 | 5, 9, 9, 9])  # one 6-pixel run
+    payload = _tga_hdr(10, 3, 2, 24, 0x20) + rle_stream + _TGA_FOOT
+    assert np.array_equal(decode_image(payload), row)
+
+
+def test_tga_unsupported_variants_raise():
+    with pytest.raises(NotImplementedError, match="image type"):
+        _decode_tga(_tga_hdr(32, 1, 1, 24, 0x20) + _TGA_FOOT)
+    with pytest.raises(NotImplementedError, match="color map"):
+        bad = bytearray(_tga_hdr(1, 1, 1, 8, 0x20, cmap=b"\x00" * 3))
+        bad[7] = 16  # 16-bit palette entries unsupported
+        _decode_tga(bytes(bad) + b"\x00" + _TGA_FOOT)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_tga_property_random_images(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 200))
+        ch = int(rng.choice([0, 3, 4]))
+        shape = (h, w) if ch == 0 else (h, w, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for rle in (True, False):
+            got = _decode_tga(encode_tga(img, rle=rle))
+            assert np.array_equal(got, img)
