@@ -15144,3 +15144,114 @@ def multimodal_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
     )
+
+
+@query(
+    "stream_stream_full_outer_attribution",
+    """
+    WITH m AS (
+      SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts END))
+               AS mx
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT coalesce(c.user_id, p.user_id) AS user_id,
+             c.click_id, p.purchase_id, c.cts, p.pts
+      FROM c FULL JOIN p
+        ON p.user_id = c.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    )
+    SELECT j.user_id, j.click_id, j.purchase_id
+    FROM j, m
+    WHERE coalesce(j.cts < m.mx - INTERVAL 95 MINUTE, TRUE)
+      AND coalesce(j.pts < m.mx - INTERVAL 95 MINUTE, TRUE)
+    """,
+)
+def stream_stream_full_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the set-complete
+    attribution relation: matched click->purchase pairs, clicks with
+    no purchase in their 30-minute window (purchase_id null), AND
+    purchases with no preceding click (click_id null).  Pads on each
+    side can only emit once the watermark proves no match can still
+    arrive, so the decidable-region contract from the left-outer
+    entry now applies to BOTH sides: a drained row is comparable iff
+    every non-null event time sits below the final global watermark
+    position minus margin (coalesce(ts < cutoff, TRUE) per side,
+    cutoff = least(max click ts, max purchase ts) - 95 min > the 60
+    min state retention + 30 min window).  Matched pairs emit when the
+    match arrives and pass the same filter on both engines, so the
+    three row populations stay consistent under one predicate.
+
+    100 TB shape: state on each side is O(watermark window), never
+    O(stream) — the eviction property that makes an unbounded
+    full-outer stream join runnable; the cutoff frame is 1 row.
+    Reference scope: flo's consume surface feeds Spark streams
+    (SURVEY §2 Part B stream-stream joins); the outer-join semantics
+    are Structured Streaming's, pinned here against a batch oracle."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("u"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "p_ts",
+    )
+    res = run_to_memory(
+        joined, await_new=False, output_mode="append", shuffle_partitions=8
+    )
+    mx = load(spark, sf_dir, "events").agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        ).alias("mx")
+    )
+    cut = F.col("mx") - F.expr("INTERVAL 95 MINUTES")
+    return (
+        res.crossJoin(F.broadcast(mx))
+        .filter(
+            F.coalesce(F.col("click_ts") < cut, F.lit(True))
+            & F.coalesce(F.col("p_ts") < cut, F.lit(True))
+        )
+        .select(
+            F.col("u").alias("user_id"), "click_id", "purchase_id"
+        )
+    )
