@@ -15255,3 +15255,193 @@ def stream_stream_full_outer_attribution(
             F.col("u").alias("user_id"), "click_id", "purchase_id"
         )
     )
+
+
+@query(
+    "degree_assortativity_copurchase",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    deg AS (SELECT src AS n, count(*) AS d FROM sym GROUP BY src),
+    ends AS (
+      SELECT CAST(dj.d AS HUGEINT) AS j, CAST(dk.d AS HUGEINT) AS k
+      FROM sym s
+      JOIN deg dj ON dj.n = s.src
+      JOIN deg dk ON dk.n = s.dst
+    ),
+    s AS (
+      SELECT count(*) AS m, sum(j) AS sj, sum(j * k) AS sjk,
+             sum(j * j) AS sjj
+      FROM ends
+    )
+    SELECT CAST(m AS BIGINT) AS m_ends,
+           CAST(m * sjk - sj * sj AS BIGINT) AS num,
+           CAST(m * sjj - sj * sj AS BIGINT) AS den,
+           CAST(CASE WHEN m * sjk - sj * sj >= 0
+                THEN ((m * sjk - sj * sj) * 1000000)
+                     // (m * sjj - sj * sj)
+                ELSE -(((sj * sj - m * sjk) * 1000000)
+                       // (m * sjj - sj * sj)) END AS BIGINT)
+             AS assortativity_x1e6
+    FROM s
+    """,
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase
+    graph, ENGINE-EXACT: over the symmetric directed edge list every
+    edge contributes its endpoint degrees (j, k), and because each
+    undirected edge appears in both orientations the j- and k-marginals
+    are IDENTICAL — so Pearson's r = (M*Sjk - Sj*Sk) /
+    sqrt((M*Sjj - Sj^2)(M*Skk - Sk^2)) collapses to the square-root-
+    free exact rational (M*Sjk - Sj^2) / (M*Sjj - Sj^2), reported on
+    the 1e-6 grid with the toward-zero signed-division idiom (negative
+    assortativity = hubs attach to leaves, the usual shape of
+    co-occurrence graphs).  All moments accumulate in
+    decimal(38,0)/HUGEINT.
+
+    100 TB shape: degrees are one count shuffle over the symmetric
+    edges; the (j, k) pairing is two keyed joins of the edge list
+    against the degree table (src then dst — the same
+    join-degree-then-reduce shape as linkpred_resource_allocation);
+    the moment reduce is map-side combinable into a single row.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B graph analytics: the global mixing
+    diagnostic next to the local triangle/k-core/LPA structure)."""
+    li = load(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("pa").alias("lo"), F.col("pb").alias("hi"))
+    )
+    sym = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
+        e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
+    dd = lambda c: F.col(c).cast("decimal(38,0)")
+    ends = (
+        sym.join(deg.select(F.col("n").alias("src"), F.col("d").alias("dj")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("dk")), "dst")
+        .select(dd("dj").alias("j"), dd("dk").alias("k"))
+    )
+    s = ends.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+    )
+    return s.selectExpr(
+        "CAST(m AS BIGINT) AS m_ends",
+        "CAST(m * sjk - sj * sj AS BIGINT) AS num",
+        "CAST(m * sjj - sj * sj AS BIGINT) AS den",
+        "CAST(CASE WHEN m * sjk - sj * sj >= 0"
+        " THEN ((m * sjk - sj * sj) * 1000000) div (m * sjj - sj * sj)"
+        " ELSE -(((sj * sj - m * sjk) * 1000000)"
+        " div (m * sjj - sj * sj)) END AS BIGINT)"
+        " AS assortativity_x1e6",
+    )
+
+
+@query(
+    "stream_chained_window_rollup",
+    """
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS day_start,
+             event_type,
+             max(n_events) AS peak_hourly,
+             count(*) AS n_hours
+      FROM h GROUP BY 1, 2
+    ),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT d.day_start, d.event_type,
+           CAST(d.peak_hourly AS BIGINT) AS peak_hourly,
+           CAST(d.n_hours AS BIGINT) AS n_hours
+    FROM d, m
+    WHERE d.day_start + INTERVAL 1 DAY <= m.mx - INTERVAL 2 HOUR
+    """,
+)
+def stream_chained_window_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark 4
+    multiple-stateful-operator support): a watermarked 1-hour tumbling
+    count per event type feeds a SECOND windowed aggregation —
+    window(w, '1 day') over the inner window column — producing each
+    day's peak hourly rate and hour coverage without ever leaving the
+    stream.  Chaining REQUIRES append mode (complete mode cannot
+    propagate watermarks through the first aggregate), so the drained
+    result is restricted — identically in the oracle — to days whose
+    end sits at or below the final watermark (max ts - 2h): the region
+    where the outer windows provably closed and emitted.  The
+    single-aggregation entries (stream_tumbling_counts,
+    stream_rollup_hourly) drain in complete mode and dodge this; the
+    chained form is the one that needs the discipline.
+
+    100 TB shape: two stateful operators, each keyed by (window,
+    type) — state is O(open windows x types) per operator, not
+    O(stream); the day rollup consumes the hourly aggregate's already
+    tiny output, so the second shuffle moves spine-sized data.
+    Reference scope: flo's consume surface feeds Spark streams; the
+    chained-operator semantics are Structured Streaming's, pinned
+    against a batch oracle."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("w"), "1 day").alias("day"), "event_type"
+        )
+        .agg(
+            F.max("n_events").alias("peak_hourly"),
+            F.count("*").alias("n_hours"),
+        )
+        .select(
+            F.col("day.start").alias("day_start"),
+            F.col("day.end").alias("day_end"),
+            "event_type",
+            "peak_hourly",
+            "n_hours",
+        )
+    )
+    res = run_to_memory(
+        daily, await_new=False, output_mode="append", shuffle_partitions=8
+    )
+    mx = load(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    return (
+        res.crossJoin(F.broadcast(mx))
+        .filter(F.col("day_end") <= F.col("mx") - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            "day_start",
+            "event_type",
+            F.col("peak_hourly").cast("long").alias("peak_hourly"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+    )
