@@ -1290,14 +1290,17 @@ def _decode_y4m(payload: bytes):
 
 def decode_video(payload: bytes):
     """Container-dispatching video decode (the video sibling of
-    ``decode_image``/``decode_audio``).  Y4M decodes natively;
-    codec-library formats (MP4/H.264, WebM/VP9, ...) raise loudly —
-    same guarded-import policy as JPEG-progressive/PIL paths."""
+    ``decode_image``/``decode_audio``).  Y4M and uncompressed-DIB AVI
+    decode natively; codec-library formats (MP4/H.264, WebM/VP9,
+    compressed AVI streams, ...) raise loudly — same guarded-import
+    policy as JPEG-progressive/PIL paths."""
     if payload[:9] == b"YUV4MPEG2":
         return _decode_y4m(payload)
+    if payload[:4] == b"RIFF" and bytes(payload[8:12]) == b"AVI ":
+        return _decode_avi(payload)
     raise NotImplementedError(
-        "only YUV4MPEG2 uncompressed video decodes natively; "
-        "codec formats need an external library absent here"
+        "only YUV4MPEG2 and uncompressed-DIB AVI video decode "
+        "natively; codec formats need an external library absent here"
     )
 
 
@@ -1441,3 +1444,148 @@ def _decode_tga(payload: bytes):
     if desc & 0x10:  # right-to-left
         arr = arr[:, ::-1]
     return np.ascontiguousarray(arr)
+
+
+# -- AVI (Microsoft RIFF container, uncompressed DIB video) ----------------
+#
+# Spec: the public RIFF/AVI file-format documentation (MainAVIHeader,
+# AVIStreamHeader, BITMAPINFOHEADER, LIST hdrl/strl/movi, idx1).  Only
+# the uncompressed BI_RGB path decodes natively; codec-compressed
+# streams refuse loudly per the decode_video policy.
+
+
+def encode_avi(frames, fps: int = 25) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames into a real AVI file: one
+    'vids'/'DIB ' stream of uncompressed 24-bit BI_RGB DIB frames
+    (bottom-up BGR rows padded to 4-byte stride), with MainAVIHeader,
+    AVIStreamHeader, BITMAPINFOHEADER and an idx1 keyframe index."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    size_image = stride * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    dibs = []
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one (H, W, 3) shape")
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR order
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows.tobytes())
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        size_image * fps,  # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        len(frames), 0, 1, size_image,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<I", 0)
+        + struct.pack("<HH", 0, 0)  # priority, language
+        + struct.pack(
+            "<IIIIIII", 0, 1, fps, 0, len(frames), size_image, 0
+        )  # initial, scale, rate, start, length, bufsize, quality
+        + struct.pack("<I", 0)  # sample size
+        + struct.pack("<4h", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00db", d) for d in dibs)
+    movi = lst(b"movi", movi_body)
+    idx, off = [], 4  # offsets are relative to the 'movi' fourcc
+    for d in dibs:
+        idx.append(
+            b"00db" + struct.pack("<III", 0x10, off, len(d))
+        )
+        off += 8 + len(d) + (len(d) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_avi(payload: bytes):
+    """Decode an uncompressed-DIB AVI -> (frames, meta): frames is a
+    list of (H, W, 3) uint8 RGB arrays.  Walks the RIFF chunk tree
+    (LIST recursion, even-size padding), reads geometry/bit depth from
+    BITMAPINFOHEADER, accepts 24-bit BGR and 32-bit BGRX, both DIB row
+    orders (positive biHeight = bottom-up, negative = top-down), and
+    frame chunks from any stream ('##db'/'##dc' with BI_RGB only)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    strf = None
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body_start, body_end = pos + 8, pos + 8 + size
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)
+            elif fourcc == b"strf" and strf is None:
+                strf = b[body_start:body_end]
+            elif fourcc[2:4] in (b"db", b"dc") and size:
+                frames_raw.append(b[body_start:body_end])
+            pos = body_end + (size % 2)
+
+    walk(12, 8 + struct.unpack("<I", b[4:8])[0])
+    if strf is None:
+        raise ValueError("AVI missing BITMAPINFOHEADER (strf)")
+    w, hh = struct.unpack("<ii", strf[4:12])
+    bitcount = struct.unpack("<H", strf[14:16])[0]
+    compression = struct.unpack("<I", strf[16:20])[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"AVI compression 0x{compression:08x} needs a codec library"
+        )
+    if bitcount not in (24, 32):
+        raise NotImplementedError(f"{bitcount}-bit DIB frames")
+    h = abs(hh)
+    nb = bitcount // 8
+    stride = (w * nb + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            raise ValueError("truncated DIB frame")
+        rows = np.frombuffer(raw, np.uint8, count=stride * h).reshape(
+            h, stride
+        )
+        px = rows[:, : w * nb].reshape(h, w, nb)
+        rgb = px[..., ::-1] if nb == 3 else px[..., [2, 1, 0]]
+        if hh > 0:  # bottom-up storage
+            rgb = rgb[::-1]
+        frames.append(np.ascontiguousarray(rgb))
+    return frames, {
+        "width": w,
+        "height": h,
+        "bitcount": bitcount,
+        "n_frames": len(frames),
+    }

@@ -15445,3 +15445,92 @@ def stream_chained_window_rollup(
             F.col("n_hours").cast("long").alias("n_hours"),
         )
     )
+
+
+@query(
+    "multimodal_avi_roundtrip",
+    """
+    WITH fr AS (
+      SELECT doc_id, unnest([0, 1, 2]) AS frame_idx FROM documents
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, unnest(range(0, 48)) AS i FROM fr
+    ),
+    s AS (
+      SELECT doc_id, frame_idx,
+             sum((doc_id * 11 + frame_idx * 17 + i) % 256
+                 + (doc_id * 13 + frame_idx * 19 + 2 * i) % 256
+                 + (doc_id * 17 + frame_idx * 23 + 3 * i) % 256)
+               AS sum_rgb
+      FROM px GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(48 AS BIGINT) AS n_pixels,
+           CAST(sum_rgb AS BIGINT) AS sum_rgb
+    FROM s
+    """,
+)
+def multimodal_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI round trip, hash-checked — the second moving-picture
+    container after Y4M, this one a structured RIFF chunk tree rather
+    than a byte stream: per document a 3-frame 8x6 RGB video
+    (R = (doc*11 + frame*17 + i) % 256, G/B from sibling formulas)
+    encodes through an actual AVI file — MainAVIHeader,
+    AVIStreamHeader, BITMAPINFOHEADER, 'movi' LIST of 00db DIB chunks
+    (bottom-up BGR rows padded to 4-byte stride; width 6 forces real
+    padding), idx1 keyframe index — and decodes back through
+    ``decode_video``'s RIFF walker.  Per-frame pixel sums must
+    reproduce the generating formula: a chunk-size, stride-padding,
+    row-order, or BGR-swap defect breaks the hash.  Top-down DIBs,
+    32-bit BGRX frames, and compressed-stream refusal are unit-tested
+    in tests/test_media_decode.py.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle (each doc's frames
+    never leave its batch), binary payloads opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_video, encode_avi
+
+    W, H, NF = 6, 8, 3
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_pixels": [],
+                "sum_rgb": [],
+            }
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                frames = []
+                for f in range(NF):
+                    r = (d * 11 + f * 17 + i) % 256
+                    g = (d * 13 + f * 19 + 2 * i) % 256
+                    b = (d * 17 + f * 23 + 3 * i) % 256
+                    frames.append(
+                        np.stack([r, g, b], axis=1)
+                        .astype(np.uint8)
+                        .reshape(H, W, 3)
+                    )
+                got, meta = decode_video(encode_avi(frames))
+                for f, fr in enumerate(got):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["n_pixels"].append(
+                        int(fr.shape[0] * fr.shape[1])
+                    )
+                    out["sum_rgb"].append(int(fr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip,
+        "doc_id long, frame_idx int, n_pixels long, sum_rgb long",
+    )

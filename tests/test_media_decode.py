@@ -1061,3 +1061,97 @@ def test_tga_property_random_images(seed):
         for rle in (True, False):
             got = _decode_tga(encode_tga(img, rle=rle))
             assert np.array_equal(got, img)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed DIB video)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import (
+    _decode_avi,
+    decode_video,
+    encode_avi,
+)
+
+
+def test_avi_roundtrip_with_row_padding():
+    rng = np.random.default_rng(3)
+    # width 6 -> 18-byte rows padded to a 20-byte stride
+    frames = [
+        rng.integers(0, 256, (8, 6, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    dec, meta = decode_video(encode_avi(frames))
+    assert meta == {
+        "width": 6,
+        "height": 8,
+        "bitcount": 24,
+        "n_frames": 3,
+    }
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+
+def _patch_strf(payload: bytes, **fields) -> bytes:
+    import struct
+
+    i = payload.index(b"strf")
+    body = i + 8
+    out = bytearray(payload)
+    if "height" in fields:
+        out[body + 8 : body + 12] = struct.pack("<i", fields["height"])
+    if "compression" in fields:
+        out[body + 16 : body + 20] = struct.pack(
+            "<I", fields["compression"]
+        )
+    return bytes(out)
+
+
+def test_avi_top_down_rows_and_refusals():
+    img = np.arange(36, dtype=np.uint8).reshape(2, 6, 3)
+    enc = encode_avi([img])
+    # flip biHeight negative = top-down rows: same bytes now decode
+    # with the rows NOT re-flipped
+    dec, _ = _decode_avi(_patch_strf(enc, height=-2))
+    assert np.array_equal(dec[0], img[::-1])
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_avi(_patch_strf(enc, compression=0x34363248))  # 'H264'
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_video(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_32bit_bgrx_frames():
+    import struct
+
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)  # 1x2
+    enc = bytearray(encode_avi([img]))
+    # rewrite to 32-bit: patch biBitCount and replace the frame chunk
+    i = enc.index(b"strf")
+    enc[i + 8 + 14 : i + 8 + 16] = struct.pack("<H", 32)
+    j = enc.index(b"00db")
+    old_size = struct.unpack("<I", enc[j + 4 : j + 8])[0]
+    bgrx = bytes([3, 2, 1, 0, 6, 5, 4, 0])  # stride 8 = 2 px * 4
+    new = enc[: j + 4] + struct.pack("<I", len(bgrx)) + bgrx + enc[
+        j + 8 + old_size :
+    ]
+    dec, meta = _decode_avi(bytes(new))
+    assert meta["bitcount"] == 32
+    assert np.array_equal(dec[0], img)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_avi_property_random_videos(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(5):
+        h = int(rng.integers(1, 10))
+        w = int(rng.integers(1, 10))
+        n = int(rng.integers(1, 5))
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+        dec, meta = _decode_avi(encode_avi(frames))
+        assert meta["n_frames"] == n
+        for a, b in zip(frames, dec):
+            assert np.array_equal(a, b)
