@@ -15534,3 +15534,335 @@ def multimodal_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _roundtrip,
         "doc_id long, frame_idx int, n_pixels long, sum_rgb long",
     )
+
+
+@query(
+    "kmeans_lloyd_rounds",
+    """
+    WITH p AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    seed AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (
+      SELECT s.cid, p.dim, p.x AS c
+      FROM seed s JOIN p ON p.vec_id = s.vec_id
+    ),
+    d1 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c0 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cid, p.dim,
+             (sum(p.x) + 100000 * count(*)) // count(*) - 100000 AS c
+      FROM a1 a JOIN p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    ),
+    d2 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c1 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cid, p.dim,
+             (sum(p.x) + 100000 * count(*)) // count(*) - 100000 AS c
+      FROM a2 a JOIN p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    ),
+    d3 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c2 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d3) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_vec_ids,
+             sum(dist) AS wcss
+      FROM a3 GROUP BY cid
+    ),
+    cstat AS (
+      SELECT cid, sum(c * c) AS sumsq,
+             max(CASE WHEN dim = 0 THEN c END) AS c_dim0
+      FROM c2 GROUP BY cid
+    )
+    SELECT CAST(stats.cid AS INT) AS cid,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(sum_vec_ids AS BIGINT) AS sum_vec_ids,
+           CAST(wcss AS BIGINT) AS wcss,
+           CAST(sumsq AS BIGINT) AS centroid_sumsq,
+           CAST(c_dim0 AS BIGINT) AS centroid_dim0_x1e4
+    FROM stats JOIN cstat ON cstat.cid = stats.cid
+    """,
+)
+def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 rounds) over the embeddings table in
+    EXACT fixed point — the canonical iterative-ML loop made
+    engine-exact: components quantize to the 1e4 grid, squared
+    distances are exact BIGINT sums, argmin assignment tie-breaks
+    (dist, cid) deterministically, and re-centering is the truncated
+    integer mean on the same grid ((S + 1e5*n) div n - 1e5, operands
+    kept nonnegative so floor and truncating division agree).  Seeds
+    are the 4 smallest vec_ids; a fixed round count makes the result
+    a deterministic relation (data-dependent convergence isn't).  The
+    oracle unrolls the identical assign/recenter/assign chain as CTEs
+    — two independent evaluations of one exact algorithm.  Output per
+    cluster: size, member checksum, within-cluster sum of squares,
+    and the round-2 centroid's exact norm/first component.
+
+    100 TB shape: per round ONE broadcast of the k x dim centroid
+    table against the scanned corpus (distances via zip_with/aggregate
+    JVM HOFs — no explode on the corpus side, no shuffle for scoring),
+    one keyed (cid, dim) partial-sum shuffle to re-center (posexplode
+    of ASSIGNED rows ships dim-level partials, combiner-friendly);
+    rounds scale linearly and nothing corpus-sized ever sits in
+    driver memory — the same Pregel-on-DataFrames discipline as
+    pagerank_customer_supplier.  The semantic-dedup IVF quantizer
+    (operators/similarity.py) uses a bounded SAMPLE for speed; this
+    entry is the full-corpus exact form.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("qv"),
+    )
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cid"
+            ),
+            F.col("qv").alias("cv"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = q.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qv", "cid", "dist")
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select(
+            "cid", F.posexplode("qv").alias("dim", "x")
+        )
+        cd = (
+            ex.groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .selectExpr(
+                "cid", "dim", "(s + 100000 * n) div n - 100000 AS c"
+            )
+        )
+        return cd.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))),"
+                " t -> t.c)"
+            ).alias("cv")
+        )
+
+    c1 = recenter(assign(seeds))
+    c2 = recenter(assign(c1))
+    a3 = assign(c2)
+    stats = a3.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+        F.sum("dist").alias("wcss"),
+    )
+    cstat = c2.select(
+        "cid",
+        F.expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").alias(
+            "sumsq"
+        ),
+        F.element_at("cv", 1).alias("c_dim0"),
+    )
+    return stats.join(cstat, "cid").select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("sum_vec_ids").cast("long").alias("sum_vec_ids"),
+        F.col("wcss").cast("long").alias("wcss"),
+        F.col("sumsq").cast("long").alias("centroid_sumsq"),
+        F.col("c_dim0").cast("long").alias("centroid_dim0_x1e4"),
+    )
+
+
+@query(
+    "calibration_curve_quality",
+    """
+    WITH labeled AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM labeled),
+    ranked AS (
+      SELECT score, pos,
+             row_number() OVER (ORDER BY score, doc_id) AS rn
+      FROM labeled
+    ),
+    b AS (
+      SELECT ((rn - 1) * 10) // n.n AS bucket, score, pos
+      FROM ranked, n
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(score) AS BIGINT) AS score_lo,
+           CAST(max(score) AS BIGINT) AS score_hi,
+           CAST((sum(score) * 10000 + 0) // count(*) AS BIGINT)
+             AS mean_score_x1e4,
+           CAST((sum(pos) * 1000000) // count(*) AS BIGINT)
+             AS pos_rate_x1e6
+    FROM b GROUP BY bucket
+    """,
+)
+def calibration_curve_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram (calibration curve) for the length-predicts-
+    English classifier that auc_quality_classifier scores: documents
+    sort into EXACT rank deciles (bucket = (rank-1)*10 div n with a
+    deterministic (score, doc_id) order, so bucket boundaries are
+    reproducible even through score ties), and each decile reports its
+    exact score range, the truncated 1e4-grid mean score, and the
+    1e-6-grid positive rate — all integer arithmetic, engine-exact.
+    AUC measures ranking; calibration measures whether the score's
+    LEVEL tracks the outcome rate — the pair is the standard
+    classifier-evaluation kit before a curation threshold is picked.
+
+    100 TB shape: one global rank (single-partition window over the
+    corpus — swap in the mergeable quantile sketch's decile splits,
+    quantile_discretizer_encode's shape, when the corpus outgrows
+    one task's sort) then one 10-group aggregate.  Reference scope:
+    flo has no analytics surface — north-star extension (SURVEY §2
+    Part B statistics)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    ranked = docs.select(
+        "score",
+        "pos",
+        F.row_number()
+        .over(Window.orderBy("score", "doc_id"))
+        .alias("rn"),
+    )
+    b = ranked.crossJoin(F.broadcast(n)).selectExpr(
+        "((rn - 1) * 10) div n AS bucket", "score", "pos"
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("cnt"),
+        F.min("score").alias("score_lo"),
+        F.max("score").alias("score_hi"),
+        F.sum("score").alias("ssum"),
+        F.sum("pos").alias("psum"),
+    ).selectExpr(
+        "CAST(bucket AS INT) AS bucket",
+        "CAST(cnt AS BIGINT) AS n_docs",
+        "CAST(score_lo AS BIGINT) AS score_lo",
+        "CAST(score_hi AS BIGINT) AS score_hi",
+        "CAST((ssum * 10000) div cnt AS BIGINT) AS mean_score_x1e4",
+        "CAST((psum * 1000000) div cnt AS BIGINT) AS pos_rate_x1e6",
+    )
+
+
+@query(
+    "session_path_topk",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening event paths — each user's first three events in
+    deterministic (ts, event_id) order joined into an 'a>b>c' journey
+    string, counted across users (concat_ws drops the NULL slots of
+    short histories identically on both engines, so 1- and 2-event
+    users fold into their natural prefixes).  The product-analytics
+    path query next to funnel_conversion (fixed target sequence) and
+    markov_event_transitions (memoryless step model): this one ranks
+    the actual observed journeys.
+
+    100 TB shape: one user-keyed shuffle for the per-user window, a
+    conditional-aggregate collapse to one row per user (no arrays
+    shipped), one path-keyed count, TakeOrderedAndProject for the
+    top-k — no global sort.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(10)
+        .select("path", F.col("n_users").cast("long").alias("n_users"))
+    )
