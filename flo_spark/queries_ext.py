@@ -15866,3 +15866,139 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("path", F.col("n_users").cast("long").alias("n_users"))
     )
+
+
+@query(
+    "stratified_kfold_assignment",
+    """
+    WITH r AS (
+      SELECT lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    f AS (SELECT lang, (rn - 1) % 5 AS fold FROM r),
+    c AS (
+      SELECT lang, fold, count(*) AS n_docs
+      FROM f GROUP BY lang, fold
+    )
+    SELECT lang, CAST(fold AS INT) AS fold,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           max(n_docs) OVER (PARTITION BY lang)
+             - min(n_docs) OVER (PARTITION BY lang) <= 1 AS balanced
+    FROM c
+    """,
+)
+def stratified_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (k=5, strata =
+    language): within each stratum documents take a deterministic
+    rank order (doc_id) and fold = (rank-1) mod 5, so every stratum
+    splits as evenly as arithmetic allows — the audit column PROVES
+    it in-query (max-min fold size <= 1 per stratum), the
+    group_leakage_safe_split discipline applied to CV.  Unlike the
+    hash-based train/val/test split (whose fold sizes are only
+    binomially balanced), rank-mod assignment is exactly balanced —
+    the right tool when strata are small and a 60/40 wobble would
+    bias the validation score.
+
+    100 TB shape: one stratum-keyed window rank (per-stratum sort,
+    parallel across strata) + one (stratum, fold) count; the audit
+    window runs on the k*|strata| spine.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B
+    pipeline hygiene)."""
+    docs = load(spark, sf_dir, "documents")
+    r = docs.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    c = (
+        r.selectExpr("lang", "(rn - 1) % 5 AS fold")
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.max("n_docs").over(w) - F.min("n_docs").over(w) <= 1
+        ).alias("balanced"),
+    )
+
+
+@query(
+    "time_weighted_value_per_user",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v, nxt - us AS dt
+      FROM s WHERE nxt IS NOT NULL AND nxt > us
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_segments,
+             sum(dt) AS total_us,
+             sum(CAST(v AS HUGEINT) * dt) AS wsum
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(total_us AS BIGINT) AS total_us,
+           CAST(wsum // total_us AS BIGINT) AS twap_x1e4
+    FROM agg
+    """,
+)
+def time_weighted_value_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/ops-metrics
+    primitive): each event's value holds from its timestamp until the
+    user's next event (lead over a deterministic (ts, event_id)
+    order), segments weight by their exact microsecond duration, and
+    the average is one truncating division of exact integer sums —
+    Σ(v_1e4 · Δt_us) accumulates in decimal(38,0)/HUGEINT because a
+    month of microseconds times a 1e4-scaled value overflows BIGINT.
+    Arithmetic-mean aggregates overweight bursts; TWAP is what a
+    billing/utilization pipeline actually wants.  Zero-length
+    segments (same-timestamp events) and each user's open last
+    segment are excluded by construction on both engines.
+
+    100 TB shape: one user-keyed shuffle for the lead window, then a
+    map-side-combinable per-user aggregate — the asof/gap-fill plan
+    shape with an integer-exact reduction.  Reference scope: flo has
+    no analytics surface — north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("nxt"),
+    )
+    seg = s.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))
+    ).select("user_id", "v", (F.col("nxt") - F.col("us")).alias("dt"))
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dt").alias("total_us"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("dt")).alias(
+            "wsum"
+        ),
+    )
+    return agg.selectExpr(
+        "user_id",
+        "CAST(n_segments AS BIGINT) AS n_segments",
+        "CAST(total_us AS BIGINT) AS total_us",
+        "CAST(wsum div total_us AS BIGINT) AS twap_x1e4",
+    )
