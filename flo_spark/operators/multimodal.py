@@ -472,6 +472,12 @@ def decode_image(payload: bytes):
             from flo_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))
+        if bytes(payload[:4]) == b"\x59\xa6\x6a\x95":
+            return _decode_ras(bytes(payload))
+        if payload[0] == 0x0A and payload[2] == 1 and payload[3] in (
+            1, 2, 4, 8,
+        ):
+            return _decode_pcx(bytes(payload))
         if bytes(payload[-18:]) == _TGA_FOOTER_SIG:
             # TGA has no leading magic; the 2.0 footer is its only
             # reliable signature (encode_tga always writes it)
@@ -1589,3 +1595,246 @@ def _decode_avi(payload: bytes):
         "bitcount": bitcount,
         "n_frames": len(frames),
     }
+
+
+# -- PCX (ZSoft Paintbrush, per-scanline RLE) -------------------------------
+#
+# Spec: the public ZSoft PCX file-format technical reference (128-byte
+# header, 0xC0 run-length encoding per plane-row, optional 256-color
+# VGA palette trailer).
+
+
+def encode_pcx(img) -> bytes:
+    """Encode (H, W, 3) RGB as a 24-bit 3-plane PCX (version 5,
+    RLE), or (H, W) grayscale as 8-bit paletted PCX with a gray-ramp
+    VGA palette trailer."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    n_planes = 1 if gray else 3
+    bpl = w + (w % 2)  # even bytes per line
+    hdr = struct.pack(
+        "<BBBBHHHHHH",
+        0x0A, 5, 1, 8, 0, 0, w - 1, h - 1, 72, 72,
+    ) + b"\x00" * 48 + b"\x00" + struct.pack(
+        "<BHH", n_planes, bpl, 1
+    ) + b"\x00" * 58
+    assert len(hdr) == 128
+
+    def rle(row: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(row)
+        while i < n:
+            j = i + 1
+            while j < n and j - i < 63 and row[j] == row[i]:
+                j += 1
+            cnt, v = j - i, row[i]
+            if cnt > 1 or v >= 0xC0:
+                out += bytes([0xC0 | cnt, v])
+            else:
+                out.append(v)
+            i = j
+        return bytes(out)
+
+    body = bytearray()
+    planes = img[..., None] if gray else img
+    for y in range(h):
+        for p in range(n_planes):
+            line = planes[y, :, p].tobytes()
+            line += b"\x00" * (bpl - len(line))
+            body += rle(line)
+    trailer = b""
+    if gray:
+        ramp = bytes(v for i in range(256) for v in (i, i, i))
+        trailer = b"\x0c" + ramp
+    return hdr + bytes(body) + trailer
+
+
+def _decode_pcx(payload: bytes):
+    """PCX decode: 8-bit single-plane (VGA-palette trailer or raw
+    gray) and 8-bit 3-plane RGB, per-scanline RLE with runs allowed
+    to cross plane-row boundaries (liberal read), even bytes-per-line
+    padding stripped."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[0] != 0x0A:
+        raise ValueError("not a PCX file")
+    if b[2] != 1:
+        raise NotImplementedError(f"PCX encoding {b[2]}")
+    bits = b[3]
+    x0, y0, x1, y1 = struct.unpack("<HHHH", b[4:12])
+    n_planes = b[65]
+    bpl = struct.unpack("<H", b[66:68])[0]
+    if bits != 8 or n_planes not in (1, 3):
+        raise NotImplementedError(
+            f"PCX {bits}-bit {n_planes}-plane images"
+        )
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    pal = None
+    end = len(b)
+    if n_planes == 1 and end >= 769 and b[end - 769] == 0x0C:
+        pal = np.frombuffer(b[end - 768 :], np.uint8).reshape(256, 3)
+        end -= 769
+    need = h * n_planes * bpl
+    data = bytearray()
+    i = 128
+    while len(data) < need and i < end:
+        v = b[i]
+        i += 1
+        if v >= 0xC0:
+            data += bytes([b[i]]) * (v & 0x3F)
+            i += 1
+        else:
+            data.append(v)
+    if len(data) < need:
+        raise ValueError("truncated PCX pixel data")
+    rows = np.frombuffer(bytes(data[:need]), np.uint8).reshape(
+        h, n_planes, bpl
+    )[:, :, :w]
+    if n_planes == 3:
+        return np.ascontiguousarray(rows.transpose(0, 2, 1))
+    idx = rows[:, 0, :]
+    if pal is not None:
+        arr = pal[idx]
+        # a pure gray ramp means the image IS grayscale
+        if (pal[:, 0] == pal[:, 1]).all() and (
+            pal[:, 1] == pal[:, 2]
+        ).all():
+            return np.ascontiguousarray(arr[..., 0])
+        return arr
+    return np.ascontiguousarray(idx)
+
+
+# -- Sun Raster (.ras) ------------------------------------------------------
+#
+# Spec: the public Sun rasterfile format (big-endian 8-word header,
+# 16-bit row padding, type-2 byte RLE with the 0x80 escape).
+
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def encode_ras(img, rle: bool = False) -> bytes:
+    """Encode (H, W) gray or (H, W, 3) RGB as a Sun Raster file
+    (standard type 1, or type 2 byte-RLE), rows padded to 16 bits,
+    24-bit pixels stored BGR per the spec."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    depth = 8 if gray else 24
+    nb = depth // 8
+    stride = w * nb + ((w * nb) % 2)
+    rows = np.zeros((h, stride), np.uint8)
+    flat = img[..., None] if gray else img[..., ::-1]  # RGB -> BGR
+    rows[:, : w * nb] = flat.reshape(h, w * nb)
+    raw = rows.tobytes()
+    if rle:
+        out = bytearray()
+        i, n = 0, len(raw)
+        while i < n:
+            j = i + 1
+            while j < n and j - i < 256 and raw[j] == raw[i]:
+                j += 1
+            cnt, v = j - i, raw[i]
+            if v == 0x80 and cnt == 1:
+                out += b"\x80\x00"  # the spec's literal-0x80 escape
+                i = j
+            elif cnt >= 3 or v == 0x80:
+                out += bytes([0x80, cnt - 1, v])
+                i = j
+            else:
+                out.append(v)
+                i += 1
+        data = bytes(out)
+        rtype = 2
+    else:
+        data, rtype = raw, 1
+    hdr = struct.pack(
+        ">8I", _RAS_MAGIC, w, h, depth, len(data), rtype, 0, 0
+    )
+    return hdr + data
+
+
+def _decode_ras(payload: bytes):
+    """Sun Raster decode: types 0/1 (raw) and 2 (byte RLE with the
+    0x80 escape: 0x80 0x00 = literal 0x80, 0x80 n v = n+1 copies of
+    v), depths 8 (gray or RGB colormap) and 24 (BGR), 16-bit row
+    padding stripped."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    (magic, w, h, depth, length, rtype, maptype, maplen) = struct.unpack(
+        ">8I", b[:32]
+    )
+    if magic != _RAS_MAGIC:
+        raise ValueError("not a Sun Raster file")
+    if rtype not in (0, 1, 2):
+        raise NotImplementedError(f"Sun Raster type {rtype}")
+    if depth not in (8, 24):
+        raise NotImplementedError(f"Sun Raster depth {depth}")
+    pos = 32
+    cmap = None
+    if maplen:
+        if maptype != 1 or maplen % 3:
+            raise NotImplementedError(
+                f"Sun Raster map type {maptype}"
+            )
+        n = maplen // 3
+        flat = np.frombuffer(b, np.uint8, count=maplen, offset=pos)
+        cmap = flat.reshape(3, n).T  # stored as R-, G-, B-vectors
+        pos += maplen
+    nb = depth // 8
+    stride = w * nb + ((w * nb) % 2)
+    need = stride * h
+    if rtype == 2:
+        data = bytearray()
+        i = pos
+        end = pos + length
+        while len(data) < need and i < end:
+            v = b[i]
+            i += 1
+            if v == 0x80:
+                cnt = b[i]
+                i += 1
+                if cnt == 0:
+                    data.append(0x80)
+                else:
+                    data += bytes([b[i]]) * (cnt + 1)
+                    i += 1
+            else:
+                data.append(v)
+        raw = bytes(data[:need])
+    else:
+        raw = b[pos : pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated Sun Raster pixel data")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)
+    if depth == 24:
+        return np.ascontiguousarray(px[..., ::-1])  # BGR -> RGB
+    idx = px[..., 0]
+    if cmap is not None:
+        arr = cmap[idx]
+        if (cmap[:, 0] == cmap[:, 1]).all() and (
+            cmap[:, 1] == cmap[:, 2]
+        ).all():
+            return np.ascontiguousarray(arr[..., 0])
+        return arr
+    return np.ascontiguousarray(idx)

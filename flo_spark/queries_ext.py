@@ -16002,3 +16002,135 @@ def time_weighted_value_per_user(
         "CAST(total_us AS BIGINT) AS total_us",
         "CAST(wsum div total_us AS BIGINT) AS twap_x1e4",
     )
+
+
+@query(
+    "multimodal_pcx_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 128)) AS i FROM documents
+    ),
+    rgb AS (
+      SELECT doc_id,
+             CASE WHEN i % 16 < 5 THEN (doc_id * 3 + 200) % 256
+                  ELSE (doc_id * 19 + i * 7) % 256 END AS r,
+             CASE WHEN i % 16 < 5 THEN (doc_id * 3 + 201) % 256
+                  ELSE (i * 31 + 5) % 256 END AS g,
+             CASE WHEN i % 16 < 5 THEN (doc_id * 3 + 202) % 256
+                  ELSE (doc_id * 23 + i * 43) % 256 END AS b
+      FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(r + g + b) AS BIGINT) AS sum_rgb
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def multimodal_pcx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCX round trip, hash-checked: per document a 16x8 RGB
+    image encodes through an actual ZSoft PCX container (version 5,
+    8-bit 3-plane, per-plane-row 0xC0 run-length encoding) and decodes
+    back through ``decode_image``; channel sums must reproduce the
+    generating formula.  Each scanline's first 5 pixels are constant
+    (RLE runs) and the rest vary (literals, including values >= 0xC0
+    that MUST be escaped as 1-runs — the classic PCX trap); palette
+    trailers, even bytes-per-line padding, and refusal paths are
+    unit-tested in tests/test_media_decode.py.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle, binary payloads
+    opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_pcx
+
+    W, H = 16, 8
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        run = i % 16 < 5
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_rgb": []}
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                r = np.where(run, (d * 3 + 200) % 256, (d * 19 + i * 7) % 256)
+                g = np.where(run, (d * 3 + 201) % 256, (i * 31 + 5) % 256)
+                b = np.where(run, (d * 3 + 202) % 256, (d * 23 + i * 43) % 256)
+                img = (
+                    np.stack([r, g, b], axis=1)
+                    .astype(np.uint8)
+                    .reshape(H, W, 3)
+                )
+                got = decode_image(encode_pcx(img))
+                out["doc_id"].append(d)
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                out["sum_rgb"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
+    )
+
+
+@query(
+    "multimodal_ras_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 105)) AS i FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN i % 15 < 4 THEN 128
+                  ELSE (doc_id * 29 + i * 61) % 256 END AS v
+      FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS sum_gray
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_ras_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Sun Raster round trip, hash-checked: per document a 15x7
+    grayscale image (ODD width — forces the spec's 16-bit row
+    padding) encodes through an actual type-2 byte-RLE rasterfile and
+    decodes back through ``decode_image``; pixel sums must reproduce
+    the generating formula.  The run plateau is 0x80 — the RLE escape
+    byte itself — so the encoder's 0x80 0x00 literal escape and
+    0x80 n v run form are both on the hash path; colormapped and raw
+    variants are unit-tested in tests/test_media_decode.py.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle, binary payloads
+    opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_ras
+
+    W, H = 15, 7
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_gray": []}
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                v = np.where(i % 15 < 4, 128, (d * 29 + i * 61) % 256)
+                img = v.astype(np.uint8).reshape(H, W)
+                got = decode_image(encode_ras(img, rle=True))
+                out["doc_id"].append(d)
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                out["sum_gray"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_gray long"
+    )

@@ -1155,3 +1155,95 @@ def test_avi_property_random_videos(seed):
         assert meta["n_frames"] == n
         for a, b in zip(frames, dec):
             assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# PCX (ZSoft RLE) and Sun Raster
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import (
+    _decode_pcx,
+    _decode_ras,
+    encode_pcx,
+    encode_ras,
+)
+
+
+def test_pcx_roundtrip_rgb_gray_and_escape_values():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)  # odd width
+    img[:, :4] = 200  # runs
+    assert np.array_equal(decode_image(encode_pcx(img)), img)
+    g = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_pcx(g)), g)
+    # single bytes >= 0xC0 collide with the RLE flag and MUST be
+    # escaped as 1-runs
+    e = np.full((2, 3), 0xC5, np.uint8)
+    assert np.array_equal(_decode_pcx(encode_pcx(e)), e)
+
+
+def test_pcx_color_palette_and_refusals():
+    # non-gray palette -> (H, W, 3) lookup
+    enc = bytearray(encode_pcx(np.array([[0, 1]], np.uint8)))
+    pal_off = len(enc) - 768
+    enc[pal_off : pal_off + 6] = bytes([9, 8, 7, 6, 5, 4])
+    dec = _decode_pcx(bytes(enc))
+    assert dec.shape == (1, 2, 3)
+    assert list(dec[0, 0]) == [9, 8, 7] and list(dec[0, 1]) == [6, 5, 4]
+    with pytest.raises(NotImplementedError, match="encoding"):
+        bad = bytearray(encode_pcx(np.zeros((1, 1), np.uint8)))
+        bad[2] = 0
+        _decode_pcx(bytes(bad))
+    with pytest.raises(ValueError, match="not a PCX"):
+        _decode_pcx(b"\x00\x00\x01\x08")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_pcx(encode_pcx(np.zeros((4, 4, 3), np.uint8))[:-20])
+
+
+def test_ras_roundtrip_raw_rle_and_0x80_escape():
+    rng = np.random.default_rng(6)
+    for rle in (False, True):
+        img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+        img[:, :2] = 0x80  # runs of the escape byte itself
+        assert np.array_equal(
+            decode_image(encode_ras(img, rle=rle)), img
+        )
+        g = rng.integers(0, 256, (3, 7), dtype=np.uint8)
+        g[1, :] = 0x80
+        assert np.array_equal(decode_image(encode_ras(g, rle=rle)), g)
+    # an isolated 0x80 literal must use the two-byte 0x80 0x00 escape
+    one = np.array([[0x80, 1]], np.uint8)
+    enc = encode_ras(one, rle=True)
+    assert b"\x80\x00" in enc
+    assert np.array_equal(_decode_ras(enc), one)
+
+
+def test_ras_colormap_and_refusals():
+    import struct
+
+    hdr = struct.pack(">8I", 0x59A66A95, 2, 1, 8, 2, 1, 1, 6)
+    cm = bytes([10, 20, 30, 40, 50, 60])  # R/G/B vectors of length 2
+    dec = decode_image(hdr + cm + bytes([0, 1]))
+    assert np.array_equal(
+        dec, np.array([[[10, 30, 50], [20, 40, 60]]], np.uint8)
+    )
+    with pytest.raises(ValueError, match="not a Sun Raster"):
+        _decode_ras(struct.pack(">8I", 0x12345678, 1, 1, 8, 1, 1, 0, 0))
+    with pytest.raises(NotImplementedError, match="depth"):
+        _decode_ras(struct.pack(">8I", 0x59A66A95, 1, 1, 4, 1, 1, 0, 0))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_pcx_ras_property_random_images(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(6):
+        h = int(rng.integers(1, 10))
+        w = int(rng.integers(1, 16))
+        gray = bool(rng.integers(0, 2))
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(_decode_pcx(encode_pcx(img)), img)
+        for rle in (False, True):
+            assert np.array_equal(
+                _decode_ras(encode_ras(img, rle=rle)), img
+            )
