@@ -16134,3 +16134,129 @@ def multimodal_ras_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_gray long"
     )
+
+
+@query(
+    "isotonic_calibration_minimax",
+    """
+    WITH b AS (
+      SELECT n_chars // 10 AS x,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+             count(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    r AS (
+      SELECT x, p, n,
+             row_number() OVER (ORDER BY x) AS r,
+             sum(p) OVER (ORDER BY x) AS cp,
+             sum(n) OVER (ORDER BY x) AS cn
+      FROM b
+    ),
+    pairs AS (
+      SELECT lo.r AS i, hi.r AS j,
+             ((hi.cp - lo.cp + lo.p) * 1000000)
+               // (hi.cn - lo.cn + lo.n) AS v
+      FROM r lo JOIN r hi ON hi.r >= lo.r
+    ),
+    suff AS (
+      SELECT i, j AS k,
+             min(v) OVER (PARTITION BY i ORDER BY j DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS a
+      FROM pairs
+    ),
+    fit AS (SELECT k, max(a) AS iso FROM suff GROUP BY k)
+    SELECT CAST(r.x * 10 AS BIGINT) AS chars_lo,
+           CAST(r.n AS BIGINT) AS n_docs,
+           CAST((r.p * 1000000) // r.n AS BIGINT) AS raw_rate_x1e6,
+           CAST(fit.iso AS BIGINT) AS iso_rate_x1e6,
+           coalesce(fit.iso >= lag(fit.iso) OVER (ORDER BY r.r),
+                    TRUE) AS monotone
+    FROM r JOIN fit ON fit.k = r.r
+    """,
+)
+def isotonic_calibration_minimax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic regression — the standard monotone calibrator for
+    classifier scores — computed EXACTLY via its minimax
+    characterization instead of the sequential PAVA loop:
+    fitted[k] = max_{i<=k} min_{j>=k} mean(y_i..y_j).  Length buckets
+    (tens of characters) are the score, the English rate the target.
+    Because floor-to-grid is monotone it COMMUTES with min and max,
+    so evaluating the formula on 1e-6-grid bucket-range means yields
+    exactly the floor of the true rational isotonic fit — an exact
+    answer from a declarative plan where textbook PAVA is an
+    inherently sequential pooling loop.  Prefix sums make every range
+    mean O(1); a self-join builds the O(K^2) (i, j) means, one
+    descending window takes the inner min, one group-by the outer
+    max.  The in-query `monotone` column proves the output is a valid
+    isotonic function.
+
+    100 TB shape: the corpus collapses to a K-bucket spine in one
+    map-side-combinable aggregate; the K^2 minimax (K ~ tens) runs on
+    spine-sized data — same aggregate-then-spine shape as the ACF and
+    Theil-Sen entries.  Completes the calibration kit: AUC (ranking),
+    calibration_curve (level), isotonic (the fix).  Reference scope:
+    flo has no analytics surface — north-star extension (SURVEY §2
+    Part B statistics)."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.selectExpr(
+        "n_chars div 10 AS x",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+    ).groupBy("x").agg(
+        F.sum("y").alias("p"), F.count("*").alias("n")
+    )
+    wx = Window.orderBy("x")
+    r = b.select(
+        "x",
+        "p",
+        "n",
+        F.row_number().over(wx).alias("r"),
+        F.sum("p").over(wx).alias("cp"),
+        F.sum("n").over(wx).alias("cn"),
+    )
+    lo = r.select(
+        F.col("r").alias("i"),
+        F.col("p").alias("lp"),
+        F.col("n").alias("ln"),
+        F.col("cp").alias("lcp"),
+        F.col("cn").alias("lcn"),
+    )
+    hi = r.select(
+        F.col("r").alias("j"),
+        F.col("cp").alias("hcp"),
+        F.col("cn").alias("hcn"),
+    )
+    pairs = lo.join(hi, F.col("j") >= F.col("i")).selectExpr(
+        "i",
+        "j",
+        "((hcp - lcp + lp) * 1000000) div (hcn - lcn + ln) AS v",
+    )
+    ws = (
+        Window.partitionBy("i")
+        .orderBy(F.col("j").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suff = pairs.select(
+        "i", F.col("j").alias("k"), F.min("v").over(ws).alias("a")
+    )
+    fit = suff.groupBy("k").agg(F.max("a").alias("iso"))
+    out = r.join(fit, r["r"] == fit["k"]).select(
+        (F.col("x") * 10).cast("long").alias("chars_lo"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(p * 1000000) div n").cast("long").alias("raw_rate_x1e6"),
+        F.col("iso").cast("long").alias("iso_rate_x1e6"),
+        F.col("r").alias("rr"),
+    )
+    wl = Window.orderBy("rr")
+    return out.select(
+        "chars_lo",
+        "n_docs",
+        "raw_rate_x1e6",
+        "iso_rate_x1e6",
+        F.coalesce(
+            F.col("iso_rate_x1e6") >= F.lag("iso_rate_x1e6").over(wl),
+            F.lit(True),
+        ).alias("monotone"),
+    )
