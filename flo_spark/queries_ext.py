@@ -16260,3 +16260,205 @@ def isotonic_calibration_minimax(
             F.lit(True),
         ).alias("monotone"),
     )
+
+
+@query(
+    "diff_in_diff_revenue",
+    """
+    WITH base AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treated,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+               THEN 1 ELSE 0 END AS post,
+             CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT treated, post, count(*) AS n, sum(y) AS s,
+             sum(y) // count(*) AS mean_x1e4
+      FROM base GROUP BY treated, post
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean_x1e4 END) AS m00,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean_x1e4 END) AS m01,
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean_x1e4 END) AS m10,
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean_x1e4 END) AS m11,
+        max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00,
+        max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01,
+        max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+        max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11
+      FROM cells
+    )
+    SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+           CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+           CAST(m00 AS BIGINT) AS mean_ctrl_pre_x1e4,
+           CAST(m01 AS BIGINT) AS mean_ctrl_post_x1e4,
+           CAST(m10 AS BIGINT) AS mean_treat_pre_x1e4,
+           CAST(m11 AS BIGINT) AS mean_treat_post_x1e4,
+           CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS did_x1e4
+    FROM w
+    """,
+)
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal-inference
+    estimator — ENGINE-EXACT: the four (treated x pre/post) cell means
+    of order value compute as truncated 1e4-grid integer divisions
+    (sums are nonnegative, so DuckDB floor // = Spark div), and the
+    DiD effect is the integer double difference
+    (m11 - m10) - (m01 - m00) of those gridded means.  'Treatment' is
+    the BUILDING market segment, the 'policy date' 1996-01-01 — the
+    mechanism, not the story, is what the entry pins (the same
+    deterministic-mechanism discipline as welch_t2_ab_test, which
+    supplies the significance test for the effect).
+
+    100 TB shape: ONE customer-keyed fact join (dim side broadcast-
+    eligible) feeding one map-side-combinable 4-cell conditional
+    aggregate — q6's shape with a join; no second pass.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    ).selectExpr("treated", "post", "n", "s div n AS mean_x1e4")
+    w = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.col(col),
+                )
+            ).alias(f"{name}{t}{p}")
+            for col, name in (("mean_x1e4", "m"), ("n", "n"))
+            for t in (0, 1)
+            for p in (0, 1)
+        ]
+    )
+    return w.selectExpr(
+        "CAST(n00 AS BIGINT) AS n00",
+        "CAST(n01 AS BIGINT) AS n01",
+        "CAST(n10 AS BIGINT) AS n10",
+        "CAST(n11 AS BIGINT) AS n11",
+        "CAST(m00 AS BIGINT) AS mean_ctrl_pre_x1e4",
+        "CAST(m01 AS BIGINT) AS mean_ctrl_post_x1e4",
+        "CAST(m10 AS BIGINT) AS mean_treat_pre_x1e4",
+        "CAST(m11 AS BIGINT) AS mean_treat_post_x1e4",
+        "CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS did_x1e4",
+    )
+
+
+@query(
+    "mad_robust_outliers",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, x AS med FROM (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, abs(v.x - med.med) AS d, med.med
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, med, d AS mad FROM (
+        SELECT event_type, med, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(mad.med) AS BIGINT) AS median_x1e4,
+           CAST(max(mad.mad) AS BIGINT) AS mad_x1e4,
+           CAST(sum(CASE WHEN dev.d * 6745 > mad.mad * 30000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type —
+    the robust counterpart to anomaly_zscore_hourly's moment-based
+    z-score (one wild value corrupts a mean/stddev; the median and
+    MAD have breakdown point 0.5) — ENGINE-EXACT: values on the 1e4
+    grid, the (lower) median and MAD are exact rank picks, and the
+    '|x - med| > 3 sigma-hat' rule cross-multiplies the 0.6745
+    normal-consistency constant into integers
+    (d * 6745 > mad * 30000, i.e. d * 0.6745 > 3 * mad), so the
+    outlier count needs no division at all.
+
+    100 TB shape: two rank picks per group (per-type window sorts,
+    parallel across types — swap in the mergeable quantile sketch
+    when a single type outgrows one task) + one broadcast-sized
+    (type, med, mad) table joined back for the counting pass.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("x"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x")
+    med = (
+        v.select(
+            "event_type",
+            "x",
+            F.row_number().over(wo).alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("x").alias("med"))
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("d"), "med"
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select(
+            "event_type",
+            "med",
+            "d",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("med").cast("long").alias("median_x1e4"),
+            F.max("mad").cast("long").alias("mad_x1e4"),
+            F.sum(
+                F.when(
+                    F.col("d") * 6745 > F.col("mad") * 30000, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
