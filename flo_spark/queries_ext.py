@@ -14672,6 +14672,10 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
         .groupBy("h")
         .agg(F.count("*").alias("cnt"))
+        # the spine feeds FOUR branches (pair sides, h0, intercepts);
+        # without a persist each branch re-scans the corpus —
+        # plan-pinned in tests/test_plans.py
+        .persist()
     )
     h0 = c.agg(F.min("h").alias("h0"))
     a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))

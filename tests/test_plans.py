@@ -841,3 +841,98 @@ def test_grid_density_stencil_is_equi_join(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_kmeans_lloyd_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    """Every Lloyd round must score via a BROADCAST of the k x dim
+    centroid table against the corpus scan (zip_with/aggregate HOFs,
+    no corpus-side explode before assignment) and never degenerate to
+    CartesianProduct; re-centering is the only corpus-scale shuffle."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.kmeans_lloyd_rounds(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_theil_sen_pairs_on_spine_only(spark, sf_dir):
+    """The O(n^2) pair join is allowed ONLY because it runs on the
+    calendar-bounded hourly spine: the join inputs must be the
+    aggregated counts (HashAggregate below the join), never raw
+    events."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.theil_sen_hourly_trend(spark, sf_dir)
+    plan = explain_str(df)
+    # raw events are scanned exactly ONCE (the hourly count is
+    # persisted); all four consuming branches reuse the cached spine
+    assert plan.count("events.parquet") == 1, plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_ks_drift_single_fact_aggregation(spark, sf_dir):
+    """The ECDF walk must consume the grouped (cents, side) counts —
+    one map-side-combinable aggregate over orders — and the n1/n2
+    totals must broadcast (1-row frame), not shuffle-join."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.ks_drift_priority(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert_no_cartesian(df)
+    assert any("o_orderpriority" in f for f in pushed_filters(df))
+
+
+def test_degree_assortativity_keyed_joins_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.degree_assortativity_copurchase(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_isotonic_minimax_runs_on_bucket_spine(spark, sf_dir):
+    """The K^2 minimax self-join must consume the bucket aggregate
+    (HashAggregate below), and the documents scan must prune to the
+    two referenced columns."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.isotonic_calibration_minimax(spark, sf_dir)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan, plan[:2000]
+    scans = scan_columns(df)
+    assert scans and all(len(s) <= 2 for s in scans), scans
+
+
+def test_session_path_topk_is_take_ordered(spark, sf_dir):
+    from flo_spark import queries_ext as QE
+
+    df = QE.session_path_topk(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert_no_cartesian(df)
+
+
+def test_diff_in_diff_broadcasts_dim_side(spark, sf_dir):
+    """The customer join must hash-broadcast (AQE or planner) — at
+    TPC-H shape customer scales with SF, so the hint must NOT be
+    forced in code; this asserts the optimizer's choice at test SF
+    while the code stays scale-safe."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.diff_in_diff_revenue(spark, sf_dir)
+    assert_no_cartesian(df)
+    scans = scan_columns(df)
+    # orders: 3 referenced cols; customer: 2
+    assert scans and all(len(s) <= 3 for s in scans), scans
+
+
+def test_mad_outliers_broadcasts_per_type_stats(spark, sf_dir):
+    """The (type, med) and (type, mad) frames are |types|-sized and
+    must broadcast back onto the counting pass."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.mad_robust_outliers(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert_no_cartesian(df)
