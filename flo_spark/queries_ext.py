@@ -15334,11 +15334,21 @@ def degree_assortativity_copurchase(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select(F.col("pa").alias("lo"), F.col("pb").alias("hi"))
+        .persist()
     )
+    # the symmetric edge frame feeds the degree count AND both sides
+    # of the (j, k) pairing; the degree table joins twice — persist
+    # both or the lineitem fact re-scans once per branch (12 scans
+    # unpersisted; plan-pinned to ONE in tests/test_plans.py)
     sym = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
         e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    ).persist()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("src", "n")
+        .persist()
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
     dd = lambda c: F.col(c).cast("decimal(38,0)")
     ends = (
         sym.join(deg.select(F.col("n").alias("src"), F.col("d").alias("dj")), "src")

@@ -885,10 +885,17 @@ def test_ks_drift_single_fact_aggregation(spark, sf_dir):
 
 
 def test_degree_assortativity_keyed_joins_no_cartesian(spark, sf_dir):
+    """Keyed joins only, and the persisted edge/degree frames mean
+    the lineitem fact scans exactly once (12 scans unpersisted)."""
     from flo_spark import queries_ext as QE
 
     df = QE.degree_assortativity_copurchase(spark, sf_dir)
     assert_no_cartesian(df)
+    plan = explain_str(df)
+    # persisted edge/degree frames: lineitem appears only inside the
+    # cached edge build (its co-purchase self-join scans it twice);
+    # unpersisted the plan re-derived it 12 times
+    assert plan.count("lineitem.parquet") <= 2, plan[:2000]
 
 
 def test_isotonic_minimax_runs_on_bucket_spine(spark, sf_dir):
