@@ -14788,6 +14788,7 @@ def ks_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("i2"),
     )
+    s = s.persist()  # totals + per-cents counts share one scan
     n = s.agg(F.sum("i1").alias("n1"), F.sum("i2").alias("n2"))
     g = s.groupBy("px").agg(
         F.sum("i1").alias("c1"), F.sum("i2").alias("c2")
@@ -14892,8 +14893,10 @@ def decision_stump_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 1000000"
         ).alias("t"),
         F.col("o_orderstatus").alias("s"),
-    )
-    cls = o.groupBy("t", "s").agg(F.count("*").alias("c"))
+        # the bucket/class/total/label branches all re-derive this
+        # projection; persist or the fact re-scans 20x (plan-pinned)
+    ).persist()
+    cls = o.groupBy("t", "s").agg(F.count("*").alias("c")).persist()
     ts = o.select("t").distinct()
     ss = o.select("s").distinct()
     grid = ts.crossJoin(ss)
@@ -15668,7 +15671,10 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)"
             " AS BIGINT))"
         ).alias("qv"),
-    )
+        # three assignment passes + per-round recenter explodes all
+        # reuse the quantized corpus; persist or each branch re-scans
+        # it (7 scans unpersisted — plan-pinned)
+    ).persist()
     seeds = (
         q.orderBy("vec_id")
         .limit(4)
@@ -15792,6 +15798,7 @@ def calibration_curve_quality(
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )
+    docs = docs.persist()  # count + rank branches share one scan
     n = docs.agg(F.count("*").alias("n"))
     ranked = docs.select(
         "score",
@@ -16229,7 +16236,9 @@ def isotonic_calibration_minimax(
         F.row_number().over(wx).alias("r"),
         F.sum("p").over(wx).alias("cp"),
         F.sum("n").over(wx).alias("cn"),
-    )
+        # both pair sides and the final join reuse the spine; persist
+        # or the corpus re-aggregates per branch (plan-pinned)
+    ).persist()
     lo = r.select(
         F.col("r").alias("i"),
         F.col("p").alias("lp"),
@@ -16432,7 +16441,9 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("x"),
-    )
+        # median pick + deviation join both consume this; persist or
+        # the fact re-scans per branch (plan-pinned)
+    ).persist()
     wt = Window.partitionBy("event_type")
     wo = Window.partitionBy("event_type").orderBy("x")
     med = (
@@ -16447,7 +16458,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("x") - F.col("med")).alias("d"), "med"
-    )
+    ).persist()
     wd = Window.partitionBy("event_type").orderBy("d")
     mad = (
         dev.select(

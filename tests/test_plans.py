@@ -854,6 +854,9 @@ def test_kmeans_lloyd_broadcasts_centroids_no_cartesian(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastExchange" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    # persisted quantized corpus: ONE scan feeds all three assignment
+    # passes (7 scans unpersisted)
+    assert plan.count("embeddings.parquet") == 1, plan[:2000]
 
 
 def test_theil_sen_pairs_on_spine_only(spark, sf_dir):
@@ -882,6 +885,7 @@ def test_ks_drift_single_fact_aggregation(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:2000]
     assert_no_cartesian(df)
     assert any("o_orderpriority" in f for f in pushed_filters(df))
+    assert plan.count("orders.parquet") == 1, plan[:2000]
 
 
 def test_degree_assortativity_keyed_joins_no_cartesian(spark, sf_dir):
@@ -909,6 +913,7 @@ def test_isotonic_minimax_runs_on_bucket_spine(spark, sf_dir):
     assert "HashAggregate" in plan, plan[:2000]
     scans = scan_columns(df)
     assert scans and all(len(s) <= 2 for s in scans), scans
+    assert plan.count("documents.parquet") == 1, plan[:2000]
 
 
 def test_session_path_topk_is_take_ordered(spark, sf_dir):
@@ -943,3 +948,4 @@ def test_mad_outliers_broadcasts_per_type_stats(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastExchange" in plan, plan[:2000]
     assert_no_cartesian(df)
+    assert plan.count("events.parquet") == 1, plan[:2000]
