@@ -16487,3 +16487,251 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "mann_kendall_trend_test",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT sum(CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS s,
+             count(*) AS n_pairs
+      FROM c a JOIN c b ON b.h > a.h
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    ties AS (
+      SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                      0) AS tie_term
+      FROM (SELECT count(*) AS t FROM c GROUP BY cnt HAVING count(*) > 1)
+    ),
+    v AS (
+      SELECT s.s, s.n_pairs, n.n,
+             CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+               - ties.tie_term AS vs18
+      FROM s, n, ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(vs18 AS BIGINT) AS var_s_x18,
+           CAST(CASE WHEN s = 0 THEN 0
+                ELSE (CAST(abs(s) - 1 AS HUGEINT) * (abs(s) - 1)
+                      * 18000000) // vs18 END AS BIGINT) AS z2_x1e6,
+           CASE WHEN s = 0 THEN FALSE
+                ELSE (CAST(abs(s) - 1 AS HUGEINT) * (abs(s) - 1) * 18)
+                     * 1000000
+                     > CAST(3841459 AS HUGEINT) * vs18 END
+             AS reject_005
+    FROM v
+    """,
+)
+def mann_kendall_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the hourly event rate — the
+    nonparametric significance test that PAIRS with the Theil-Sen
+    slope (same pair space, same spine) — ENGINE-EXACT end to end:
+    S = sum of sign(x_j - x_i) is a pure integer, the tie-corrected
+    variance times 18 (n(n-1)(2n+5) - sum t(t-1)(2t+5)) stays an
+    integer, the continuity-corrected squared statistic
+    z^2 = (|S|-1)^2 / Var(S) lands on the 1e-6 grid, and the
+    alpha=0.05 verdict cross-multiplies against 1.96^2 = 3.841459
+    (z^2*18*1e6 > 3841459*VS18) in decimal(38,0)/HUGEINT — no square
+    root, no float anywhere.
+
+    100 TB shape: one map-side-combinable hourly count collapses the
+    corpus to the calendar-bounded spine; the O(spine^2) sign pairs,
+    tie census, and 1-row verdict all run on that spine — the
+    Theil-Sen shape with a single-row reduce instead of a rank pick.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        # pairs (both sides), n, and the tie census share the spine
+        .persist()
+    )
+    a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    s = a.join(b, F.col("hb") > F.col("ha")).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        ).alias("s"),
+        F.count("*").alias("n_pairs"),
+    )
+    n = c.agg(F.count("*").alias("n"))
+    d = lambda e: F.expr(e).cast("decimal(38,0)")
+    ties = (
+        c.groupBy("cnt")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(d("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_term")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "s",
+            "n_pairs",
+            "n",
+            "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)"
+            " - tie_term AS vs18",
+        )
+    )
+    return v.selectExpr(
+        "CAST(n AS BIGINT) AS n_hours",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(s AS BIGINT) AS s_stat",
+        "CAST(vs18 AS BIGINT) AS var_s_x18",
+        "CAST(CASE WHEN s = 0 THEN 0"
+        " ELSE (CAST(abs(s) - 1 AS DECIMAL(38,0)) * (abs(s) - 1)"
+        " * 18000000) div vs18 END AS BIGINT) AS z2_x1e6",
+        "CASE WHEN s = 0 THEN FALSE"
+        " ELSE (CAST(abs(s) - 1 AS DECIMAL(38,0)) * (abs(s) - 1) * 18)"
+        " * 1000000 > CAST(3841459 AS DECIMAL(38,0)) * vs18 END"
+        " AS reject_005",
+    )
+
+
+@query(
+    "mcnemar_paired_proportions",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicked,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT sum(clicked * purchased) AS a,
+             sum(clicked * (1 - purchased)) AS b,
+             sum((1 - clicked) * purchased) AS c,
+             sum((1 - clicked) * (1 - purchased)) AS d
+      FROM u
+    )
+    SELECT CAST(a AS BIGINT) AS both_yes,
+           CAST(b AS BIGINT) AS click_only,
+           CAST(c AS BIGINT) AS purchase_only,
+           CAST(d AS BIGINT) AS both_no,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                ELSE ((b - c) * (b - c) * 1000000) // (b + c) END
+                AS BIGINT) AS chi2_x1e6,
+           CASE WHEN b + c = 0 THEN FALSE
+                ELSE (b - c) * (b - c) * 1000000
+                     > 3841459 * (b + c) END AS reject_005
+    FROM cells
+    """,
+)
+def mcnemar_paired_proportions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes — does the same
+    population click and purchase at different rates? — ENGINE-EXACT:
+    users collapse to a (clicked, purchased) pair, the 2x2 paired
+    table fills from one conditional aggregate, and the discordant
+    cells give chi^2 = (b-c)^2/(b+c) as an exact 1e-6-grid quotient
+    with the alpha=0.05 verdict cross-multiplied against
+    1.96^2 = 3.841459 — integers throughout (the marginal-homogeneity
+    counterpart to chi_square_crosstab_audit's independence test,
+    which is WRONG for paired data).
+
+    100 TB shape: one user-keyed map-side-combinable collapse, one
+    4-cell reduce to a single row — nothing else moves.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicked"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            ).alias("purchased"),
+        )
+    )
+    cells = u.agg(
+        F.sum(F.col("clicked") * F.col("purchased")).alias("a"),
+        F.sum(F.col("clicked") * (1 - F.col("purchased"))).alias("b"),
+        F.sum((1 - F.col("clicked")) * F.col("purchased")).alias("c"),
+        F.sum(
+            (1 - F.col("clicked")) * (1 - F.col("purchased"))
+        ).alias("d"),
+    )
+    return cells.selectExpr(
+        "CAST(a AS BIGINT) AS both_yes",
+        "CAST(b AS BIGINT) AS click_only",
+        "CAST(c AS BIGINT) AS purchase_only",
+        "CAST(d AS BIGINT) AS both_no",
+        "CAST(CASE WHEN b + c = 0 THEN 0"
+        " ELSE ((b - c) * (b - c) * 1000000) div (b + c) END"
+        " AS BIGINT) AS chi2_x1e6",
+        "CASE WHEN b + c = 0 THEN FALSE"
+        " ELSE (b - c) * (b - c) * 1000000 > 3841459 * (b + c) END"
+        " AS reject_005",
+    )
+
+
+@query(
+    "sql_pipe_syntax_report",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_x1e4
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE SYNTAX (SQL has problems; pipes fix them —
+    the |> operator chain adopted from GoogleSQL): the classic
+    scan |> WHERE |> AGGREGATE ... GROUP BY |> WHERE (post-aggregate
+    filter, pipe's HAVING) |> ORDER BY flow, hash-checked against the
+    identical query in standard SQL — proving the pipe form MEANS its
+    longhand (same rows, same exact 1e4-grid sums), not just parses.
+    Alongside sql_scripting_threshold_report (procedural) and
+    sql_syntax_surface_suite (SQL:2023 sugar), this pins the third
+    modern SQL entry surface.
+
+    100 TB shape: pipes are pure syntax — Catalyst compiles this to
+    exactly the longhand plan (pushed filter, one map-side-combinable
+    aggregate, TakeOrderedAndProject-eligible sort), which is the
+    point being certified.  Reference scope: flo has no SQL surface —
+    north-star extension (SURVEY §2 Part B SQL text)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus <> 'P'
+        |> EXTEND CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+             AS px
+        |> AGGREGATE count(*) AS n_orders, sum(px) AS revenue_x1e4
+             GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+             CAST(revenue_x1e4 AS BIGINT) AS revenue_x1e4
+        |> ORDER BY o_orderpriority
+        """
+    )
