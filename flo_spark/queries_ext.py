@@ -16735,3 +16735,138 @@ def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "flo_fixedwidth_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def flo_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text interchange — the mainframe/feed format every
+    real ETL stack still meets: documents serialize to 37-byte records
+    (doc_id right-aligned in 12, lang left-padded to 5, n_chars in 8,
+    source in 12 — lpad/rpad, pure JVM), write through the text sink,
+    read back as raw lines, and parse by SUBSTRING offsets (no
+    delimiter anywhere); per-language aggregates of the PARSED columns
+    must hash-match SQL over the source table, so a one-byte offset
+    error in either direction breaks the round trip.  Completes the
+    interchange matrix (parquet/orc/csv/json/jsonl.gz/xml/native
+    .events) with the only format defined purely by column positions.
+
+    100 TB shape: scan-stage string formatting, a parallel text write
+    (one file per partition), a parallel text scan, scan-stage
+    substring parsing — no shuffle until the final aggregate;
+    fixed-width is the cheapest possible parse (constant offsets, no
+    quoting state machine).  Reference scope: interchange extension
+    of SURVEY §2 Part B sources/sinks."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_fixedwidth_")
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, " "),
+            F.rpad(F.col("lang"), 5, " "),
+            F.lpad(F.col("n_chars").cast("string"), 8, " "),
+            F.rpad(F.col("source"), 12, " "),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{tmp}/fw")
+    back = spark.read.text(f"{tmp}/fw").select(
+        F.expr("CAST(trim(substring(value, 1, 12)) AS BIGINT)").alias(
+            "doc_id"
+        ),
+        F.expr("trim(substring(value, 13, 5))").alias("lang"),
+        F.expr("CAST(trim(substring(value, 18, 8)) AS BIGINT)").alias(
+            "n_chars"
+        ),
+        F.expr("trim(substring(value, 26, 12))").alias("source"),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@query(
+    "discrete_hazard_lifetable",
+    """
+    WITH life AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))
+               // 604800000000 AS wk
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_users FROM life),
+    ev AS (SELECT wk, count(*) AS events FROM life GROUP BY wk),
+    tab AS (
+      SELECT ev.wk, ev.events,
+             n.n_users
+               - coalesce(sum(ev2.events), 0) AS at_risk
+      FROM ev
+      LEFT JOIN ev ev2 ON ev2.wk < ev.wk
+      CROSS JOIN n
+      GROUP BY ev.wk, ev.events, n.n_users
+    )
+    SELECT CAST(wk AS INT) AS week,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(events AS BIGINT) AS events,
+           CAST((events * 1000000) // at_risk AS BIGINT)
+             AS hazard_x1e6
+    FROM tab
+    """,
+)
+def discrete_hazard_lifetable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-time life table of user activity spans — the
+    churn-analytics primitive: each user's observed lifetime (first
+    to last event) buckets into whole weeks, and for every week k the
+    risk set (users whose lifetime reached week k), the exits, and
+    the exact 1e-6-grid hazard h_k = exits_k / at_risk_k are reported
+    — all integers until the one truncating division per row.  The
+    Kaplan-Meier survival curve is the running product of (1 - h_k);
+    products of rationals leave any fixed grid, so the entry pins the
+    hazard table (the estimator's sufficient statistic) and leaves
+    the product to the caller's presentation layer.
+
+    100 TB shape: one user-keyed span aggregate (map-side
+    combinable), then everything runs on the |weeks| spine; the
+    at-risk set is a spine-sized cumulative complement, not a rescan.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B event analytics, next to
+    cohort_retention's calendar triangle)."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts)))"
+            " div 604800000000"
+        ).alias("wk")
+    )
+    n = life.agg(F.count("*").alias("n_users"))
+    evt = life.groupBy("wk").agg(F.count("*").alias("events"))
+    w = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tab = evt.crossJoin(F.broadcast(n)).select(
+        "wk",
+        "events",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("events").over(w), F.lit(0))
+        ).alias("at_risk"),
+    )
+    return tab.selectExpr(
+        "CAST(wk AS INT) AS week",
+        "CAST(at_risk AS BIGINT) AS at_risk",
+        "CAST(events AS BIGINT) AS events",
+        "CAST((events * 1000000) div at_risk AS BIGINT)"
+        " AS hazard_x1e6",
+    )

@@ -1,0 +1,130 @@
+"""Mathematical-premise tests for the exact-fixed-point statistics
+entries: the catalog claims (in docstrings) that certain grid/floor
+constructions equal the textbook estimators exactly — prove the
+claims on random inputs so future edits can't silently break them."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+
+def _pava_fractions(p, n):
+    """Reference pool-adjacent-violators on exact rationals."""
+    res = []
+    blocks = [[Fraction(int(pi), int(ni)), int(pi), int(ni), 1] for pi, ni in zip(p, n)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) >= 2 and out[-2][0] > out[-1][0]:
+            v2, p2, n2, c2 = out.pop()
+            v1, p1, n1, c1 = out.pop()
+            out.append([Fraction(p1 + p2, n1 + n2), p1 + p2, n1 + n2, c1 + c2])
+    for v, bp, bn, c in out:
+        res.extend([v] * c)
+    return res
+
+
+def _minimax_grid(p, n, g=1_000_000):
+    """The entry's construction: gridded range means, suffix min,
+    prefix max — floor((P_j - P_{i-1}) * g / (N_j - N_{i-1}))."""
+    k = len(p)
+    cp = np.concatenate([[0], np.cumsum(p)])
+    cn = np.concatenate([[0], np.cumsum(n)])
+    fitted = []
+    for kk in range(1, k + 1):
+        best = None
+        for i in range(1, kk + 1):
+            inner = min(
+                (int(cp[j] - cp[i - 1]) * g) // int(cn[j] - cn[i - 1])
+                for j in range(kk, k + 1)
+            )
+            best = inner if best is None else max(best, inner)
+        fitted.append(best)
+    return fitted
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_isotonic_minimax_grid_equals_floor_of_true_pava(seed):
+    """floor-to-grid commutes with min/max, so the declarative
+    minimax on gridded means must equal floor(true rational PAVA) —
+    the exact claim isotonic_calibration_minimax's docstring makes."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 12))
+    n = rng.integers(1, 20, size=k)
+    p = np.array([rng.integers(0, ni + 1) for ni in n])
+    true = _pava_fractions(p, n)
+    grid = _minimax_grid(p, n)
+    assert len(true) == len(grid)
+    for t, g in zip(true, grid):
+        assert g == (t.numerator * 1_000_000) // t.denominator
+
+
+def test_theil_sen_grid_slope_is_floor_of_rational_slope():
+    """The offset trick ((dc*1e6 + OFF*dh) // dh - OFF) must equal
+    floor(dc*1e6/dh) for negative dc too — the nonnegative-operand
+    construction theil_sen_hourly_trend relies on."""
+    OFF = 10**12
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        dc = int(rng.integers(-10**5, 10**5))
+        dh = int(rng.integers(1, 720))
+        got = (dc * 10**6 + OFF * dh) // dh - OFF
+        import math
+
+        assert got == math.floor(Fraction(dc * 10**6, dh))
+
+
+def test_theil_sen_median_slope_resists_planted_outlier():
+    """Breakdown property on the entry's own arithmetic: corrupting
+    one point drags the OLS slope but not the pairwise-median."""
+    h = np.arange(50)
+    c = 10 * h + 3  # perfect trend, slope 10
+    pairs = [
+        ((int(c[j]) - int(c[i])) * 10**6) // int(h[j] - h[i])
+        for i in range(50)
+        for j in range(i + 1, 50)
+    ]
+    sen_clean = int(np.sort(pairs)[(len(pairs) - 1) // 2])
+    c2 = c.copy()
+    c2[25] += 100000  # one wild hour
+    pairs2 = [
+        ((int(c2[j]) - int(c2[i])) * 10**6) // int(h[j] - h[i])
+        for i in range(50)
+        for j in range(i + 1, 50)
+    ]
+    sen_out = int(np.sort(pairs2)[(len(pairs2) - 1) // 2])
+    ols_clean = np.polyfit(h, c, 1)[0]
+    ols_out = np.polyfit(h, c2, 1)[0]
+    assert sen_clean == 10_000_000
+    assert abs(sen_out - sen_clean) <= 1  # median unmoved (grid ulp)
+    # one wild point shifts the OLS slope by ~0.5e5/Sxx ≈ 4.8 units —
+    # 6 orders of magnitude more than the Sen median moved
+    assert abs(ols_out - ols_clean) > 1
+
+
+def test_mad_cross_multiplied_rule_matches_float_rule():
+    """d*6745 > mad*30000 must agree with |x-med| > 3*(mad/0.6745)
+    wherever the float rule is unambiguous."""
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        d = int(rng.integers(0, 10**6))
+        mad = int(rng.integers(1, 10**5))
+        exact = d * 6745 > mad * 30000
+        flt = d > 3.0 * mad / 0.6745
+        if abs(d * 6745 - mad * 30000) > 10:  # away from the boundary
+            assert exact == flt
+
+
+def test_ks_rejection_cross_multiplication_matches_float():
+    """dn^2*1e6 > 1844164*(n1+n2)*n1*n2  <=>  D > 1.358*sqrt((n1+n2)/(n1*n2))."""
+    rng = np.random.default_rng(2)
+    for _ in range(200):
+        n1 = int(rng.integers(10, 5000))
+        n2 = int(rng.integers(10, 5000))
+        dn = int(rng.integers(0, n1 * n2 + 1))
+        exact = dn * dn * 1_000_000 > 1_844_164 * (n1 + n2) * n1 * n2
+        D = dn / (n1 * n2)
+        crit = np.sqrt(1.844164 * (n1 + n2) / (n1 * n2))
+        if abs(D - crit) > 1e-9:
+            assert exact == (D > crit)
