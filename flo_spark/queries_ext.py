@@ -16870,3 +16870,221 @@ def discrete_hazard_lifetable(
         "CAST((events * 1000000) div at_risk AS BIGINT)"
         " AS hazard_x1e6",
     )
+
+
+@query(
+    "hits_hubs_authorities",
+    """
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, li.l_suppkey AS s
+      FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+    ),
+    a1 AS (
+      SELECT s, sum(CAST(1000000 AS HUGEINT)) AS a FROM e GROUP BY s
+    ),
+    am1 AS (SELECT max(a) AS m FROM a1),
+    a1n AS (SELECT s, (a * 1000000) // am1.m AS a FROM a1, am1),
+    h1 AS (
+      SELECT e.c, sum(a1n.a) AS h
+      FROM e JOIN a1n ON a1n.s = e.s GROUP BY e.c
+    ),
+    hm1 AS (SELECT max(h) AS m FROM h1),
+    h1n AS (SELECT c, (h * 1000000) // hm1.m AS h FROM h1, hm1),
+    a2 AS (
+      SELECT e.s, sum(h1n.h) AS a
+      FROM e JOIN h1n ON h1n.c = e.c GROUP BY e.s
+    ),
+    am2 AS (SELECT max(a) AS m FROM a2),
+    a2n AS (SELECT s, (a * 1000000) // am2.m AS a FROM a2, am2),
+    deg AS (SELECT s, count(*) AS degree FROM e GROUP BY s)
+    SELECT CAST(a2n.s AS BIGINT) AS s_suppkey,
+           CAST(a2n.a AS BIGINT) AS authority_x1e6,
+           CAST(deg.degree AS BIGINT) AS degree
+    FROM a2n JOIN deg ON deg.s = a2n.s
+    ORDER BY authority_x1e6 DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS on the bipartite customer->supplier trade
+    graph — the hub/authority counterpart to
+    pagerank_customer_supplier's random-walk ranking — in EXACT fixed
+    point: authority(s) = sum of hub scores over in-edges, hub(c) =
+    sum of authorities over out-edges, and each round's max-
+    normalization (score * 1e6 div max) is a truncating integer
+    division (nonnegative operands), so 1.5 mutual-reinforcement
+    rounds land bit-identical on both engines where float
+    normalization would drift.  Top-20 authorities with degrees; a
+    high-degree supplier serving LOW-hub customers ranks below a
+    lower-degree supplier serving high-hub ones — the signal HITS
+    adds over a plain degree count.
+
+    100 TB shape: the distinct edge list builds once (one shuffle);
+    each half-round is one edge->score equi-join plus one dst-keyed
+    partial-sum shuffle, max-normalization is a 1-row broadcast —
+    O(|E|) per round, the Pregel-on-DataFrames discipline; top-20 is
+    TakeOrderedAndProject.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B graph
+    analytics)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        # the edge list drives both half-rounds and the degree count
+        .persist()
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+
+    def normalize(scores: DataFrame, key: str, col: str) -> DataFrame:
+        m = scores.agg(F.max(col).alias("m"))
+        return scores.crossJoin(F.broadcast(m)).selectExpr(
+            key, f"({col} * 1000000) div m AS {col}"
+        )
+
+    a1 = e.groupBy("s").agg(
+        F.sum(d(F.lit(1_000_000))).alias("a")
+    )
+    a1n = normalize(a1, "s", "a")
+    h1 = (
+        e.join(a1n, "s")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    h1n = normalize(h1, "c", "h")
+    a2 = (
+        e.join(h1n, "c")
+        .groupBy("s")
+        .agg(F.sum("h").alias("a"))
+    )
+    a2n = normalize(a2, "s", "a")
+    deg = e.groupBy("s").agg(F.count("*").alias("degree"))
+    return (
+        a2n.join(deg, "s")
+        .orderBy(F.col("a").desc(), F.col("s"))
+        .limit(20)
+        .select(
+            F.col("s").cast("long").alias("s_suppkey"),
+            F.col("a").cast("long").alias("authority_x1e6"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+    )
+
+
+@query(
+    "cep_sequence_pattern_detect",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, ts FROM r
+      WHERE event_type = 'click' AND e1 = 'click' AND e2 = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(ts) AS TIMESTAMP) AS first_match_ts
+    FROM m GROUP BY user_id
+    """,
+)
+def cep_sequence_pattern_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Complex-event-processing pattern detection — the
+    MATCH_RECOGNIZE workload SQL engines bolt on — as a lead-chain
+    window: find every user whose event stream contains the
+    CONSECUTIVE pattern click -> click -> purchase (double-tap
+    purchase intent) in deterministic (ts, event_id) order, reporting
+    match counts and the first match time.  Overlapping occurrences
+    count (each position starts its own match) — the textbook NFA
+    semantics for unanchored patterns; funnel_conversion covers the
+    non-consecutive ordered variant, markov_event_transitions the
+    memoryless model; this pins strict adjacency.
+
+    100 TB shape: one user-keyed window shuffle, scan-stage lead
+    projections, then a per-user count — CEP without a stateful
+    engine; the streaming form is applyInPandasWithState
+    (stream_stateful_user_stats' shape) with this predicate inside.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B event analytics)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    m = r.filter(
+        (F.col("event_type") == "click")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+    )
+    return m.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )
+
+
+@query(
+    "simpson_diversity_by_source",
+    """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (
+      SELECT source, sum(n) AS total,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS same_pairs,
+             count(*) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT source,
+           CAST(total AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(same_pairs AS BIGINT) AS same_lang_pairs,
+           CAST(1000000 - (same_pairs * 1000000)
+                // (CAST(total AS HUGEINT) * (total - 1)) AS BIGINT)
+             AS simpson_diversity_x1e6
+    FROM t WHERE total > 1
+    """,
+)
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity index per corpus source — the probability
+    that two documents drawn without replacement differ in language,
+    1 - sum n_l(n_l-1) / (N(N-1)) — ENGINE-EXACT because unlike
+    Shannon entropy (logarithms) Simpson's index is a pure rational:
+    integer pair counts, one truncating division onto the 1e-6 grid.
+    The dataset-composition diagnostic a mixing pipeline reads before
+    setting per-source temperatures (temperature_mix_sample); the
+    language-ID entries supply the lang column upstream.
+
+    100 TB shape: one (source, lang) map-side-combinable count, one
+    source-level re-aggregation of the reduced table — nothing
+    corpus-scale moves twice.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B statistics)."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(d("n") * (F.col("n") - 1)).alias("same_pairs"),
+        F.count("*").alias("n_langs"),
+    )
+    return t.filter(F.col("total") > 1).selectExpr(
+        "source",
+        "CAST(total AS BIGINT) AS n_docs",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "CAST(same_pairs AS BIGINT) AS same_lang_pairs",
+        "CAST(1000000 - (same_pairs * 1000000)"
+        " div (CAST(total AS DECIMAL(38,0)) * (total - 1)) AS BIGINT)"
+        " AS simpson_diversity_x1e6",
+    )
