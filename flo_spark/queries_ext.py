@@ -17088,3 +17088,138 @@ def simpson_diversity_by_source(
         " div (CAST(total AS DECIMAL(38,0)) * (total - 1)) AS BIGINT)"
         " AS simpson_diversity_x1e6",
     )
+
+
+@query(
+    "stream_cep_pattern_monitor",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM r
+    WHERE event_type = 'click' AND e1 = 'click' AND e2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def stream_cep_pattern_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATEFUL streaming CEP: the click -> click -> purchase
+    strict-adjacency pattern of cep_sequence_pattern_detect detected
+    ACROSS micro-batch boundaries — the event stream replays as three
+    time-ordered waves against one checkpoint, and
+    applyInPandasWithState carries each user's last two event types
+    in keyed state, so a pattern whose three events straddle a wave
+    boundary still counts (drop the carried prefix and those matches
+    vanish — exactly what the batch oracle would catch).  Update-mode
+    emissions fold into per-batch shards; the final count per user is
+    the last writer (max batch id).  Within a user, event-time order
+    equals arrival order because the waves are time-range slices —
+    the in-order delivery contract flo's consume surface provides
+    (SURVEY §2 A6).
+
+    100 TB shape: state is O(2 event types + a counter) per user —
+    constant per key, the smallest possible NFA state for this
+    pattern; rows stream through one user-keyed shuffle per batch;
+    the shard store grows by changed keys per batch and compacts like
+    the sketch stores.  Reference scope: flo consume + Spark stateful
+    streaming (SURVEY §2 Part B applyInPandasWithState), the CEP form
+    of stream_stateful_user_stats."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flo_spark.queries import scratch_dir
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # single-row metadata collect: wave horizon anchors (documented —
+    # O(1), the stream_late_data_drop_audit discipline)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    cut1, cut2 = lo + span, lo + span * 2
+
+    tmp = scratch_dir("flo_cep_")
+    feed, ckpt, store = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/store"
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_matches", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("p2", T.StringType()),
+            T.StructField("p1", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def update_user(key, pdf_iter, state):
+        (user_id,) = key
+        p2, p1, cnt = state.get if state.exists else ("", "", 0)
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        seq = [p2, p1] + list(pdf["event_type"])
+        for i in range(len(seq) - 2):
+            if (
+                seq[i] == "click"
+                and seq[i + 1] == "click"
+                and seq[i + 2] == "purchase"
+            ):
+                cnt += 1
+        state.update((seq[-2], seq[-1], cnt))
+        yield pd.DataFrame({"user_id": [user_id], "n_matches": [cnt]})
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.write.mode("overwrite").parquet(
+            f"{store}/batch={batch_id}"
+        )
+
+    def drain() -> None:
+        src = spark.readStream.schema(ev.schema).parquet(feed)
+        stats = src.groupBy("user_id").applyInPandasWithState(
+            update_user,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            stats.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("CEP stream did not drain")
+
+    waves = [
+        F.col("ts") <= F.lit(cut1),
+        (F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2)),
+        F.col("ts") > F.lit(cut2),
+    ]
+    for i, w in enumerate(waves):
+        ev.filter(w).coalesce(1).write.parquet(f"{feed}/wave={i}")
+        drain()
+
+    final = spark.read.option("basePath", store).parquet(store)
+    wlast = Window.partitionBy("user_id").orderBy(F.col("batch").desc())
+    return (
+        final.withColumn("rn", F.row_number().over(wlast))
+        .filter((F.col("rn") == 1) & (F.col("n_matches") > 0))
+        .select("user_id", F.col("n_matches").cast("long").alias("n_matches"))
+    )
