@@ -17223,3 +17223,162 @@ def stream_cep_pattern_monitor(
         .filter((F.col("rn") == 1) & (F.col("n_matches") > 0))
         .select("user_id", F.col("n_matches").cast("long").alias("n_matches"))
     )
+
+
+@query(
+    "keyset_pagination_page",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderpriority
+      FROM orders
+    ),
+    pg1 AS (
+      SELECT * FROM p ORDER BY cents DESC, o_orderkey LIMIT 25
+    ),
+    cursor AS (
+      SELECT cents AS c_cents, o_orderkey AS c_key FROM pg1
+      ORDER BY cents, o_orderkey DESC LIMIT 1
+    ),
+    pg2 AS (
+      SELECT p.* FROM p, cursor
+      WHERE p.cents < c_cents
+         OR (p.cents = c_cents AND p.o_orderkey > c_key)
+      ORDER BY p.cents DESC, p.o_orderkey LIMIT 25
+    )
+    SELECT o_orderkey, cents, o_orderpriority FROM pg2
+    """,
+)
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek) pagination — page 2 of orders by (price DESC,
+    orderkey) fetched via the cursor predicate
+    (cents, key) `<` last-seen, NOT via OFFSET: the row-value
+    comparison keeps the predicate sargable, so every page is a
+    TakeOrderedAndProject over a filtered scan — O(page) work —
+    where OFFSET n forces the engine to materialize and discard n
+    rows (O(pages-so-far) per page, quadratic over a full sweep).
+    The composite tie-break column makes the cursor total, so pages
+    never skip or repeat rows under duplicate prices — the bug
+    naive last-price cursors have.  Prices ride the exact cents grid.
+
+    100 TB shape: the page-2 plan is filter (pushable to the scan) +
+    top-k (no global sort, plan-pinned); the page-1 cursor row is a
+    1-row frame.  This is THE pattern for paging an API over a
+    warehouse table.  Reference scope: flo's consume cursor (version
+    vector) IS keyset pagination over the event log (SURVEY §2 A3);
+    this entry is the relational form."""
+    p = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        "o_orderpriority",
+    )
+    pg1 = p.orderBy(F.col("cents").desc(), F.col("o_orderkey")).limit(25)
+    cursor = (
+        pg1.orderBy(F.col("cents"), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("cents").alias("c_cents"),
+            F.col("o_orderkey").alias("c_key"),
+        )
+    )
+    pg2 = (
+        p.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("cents") < F.col("c_cents"))
+            | (
+                (F.col("cents") == F.col("c_cents"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+    return pg2.select("o_orderkey", "cents", "o_orderpriority")
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             (epoch_us(p0) - epoch_us(c0)) // 1000000 AS sec
+      FROM f WHERE c0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= c0
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN sec END)
+                AS BIGINT) AS p50_seconds,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN sec END)
+                AS BIGINT) AS p90_seconds,
+           CAST(min(sec) AS BIGINT) AS min_seconds,
+           CAST(max(sec) AS BIGINT) AS max_seconds
+    FROM r
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the click -> purchase funnel:
+    per user the whole-second gap from FIRST click to FIRST purchase
+    (exact integer microseconds floored to seconds), then exact
+    lower-rank p50/p90 picks over the converter population — the
+    latency lens funnel_conversion (who converts) and
+    cohort_retention (when they return) don't give.  Rank indices
+    ceil(q*n) are pure integers, so the percentiles are exact order
+    statistics, deterministic under ties via the (sec, user_id)
+    order.
+
+    100 TB shape: one user-keyed conditional min aggregate (map-side
+    combinable), then ranks over the CONVERTER subset — single-
+    partition window on a population already cut by the funnel (swap
+    in the mergeable quantile sketch when converters alone outgrow a
+    task).  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B event analytics)."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("c0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p0"),
+    )
+    conv = f.filter(
+        F.col("c0").isNotNull()
+        & F.col("p0").isNotNull()
+        & (F.col("p0") >= F.col("c0"))
+    ).select(
+        "user_id",
+        F.expr(
+            "(unix_micros(p0) - unix_micros(c0)) div 1000000"
+        ).alias("sec"),
+    )
+    r = conv.select(
+        "sec",
+        F.row_number()
+        .over(Window.orderBy("sec", "user_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("sec")))
+        .cast("long")
+        .alias("p50_seconds"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("sec")))
+        .cast("long")
+        .alias("p90_seconds"),
+        F.min("sec").cast("long").alias("min_seconds"),
+        F.max("sec").cast("long").alias("max_seconds"),
+    )
