@@ -472,6 +472,10 @@ def decode_image(payload: bytes):
             from flo_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))
+        if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+            from flo_spark.operators.webp import decode_webp
+
+            return decode_webp(bytes(payload))
         if bytes(payload[:4]) == b"\x59\xa6\x6a\x95":
             return _decode_ras(bytes(payload))
         if payload[0] == 0x0A and payload[2] == 1 and payload[3] in (

@@ -1247,3 +1247,185 @@ def test_pcx_ras_property_random_images(seed):
             assert np.array_equal(
                 _decode_ras(encode_ras(img, rle=rle)), img
             )
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.webp import (
+    _BitWriter,
+    _canonical_codes,
+    decode_webp,
+    encode_webp_lossless,
+)
+
+
+def _vp8l_file(vp8l: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _emit_lengths(bw, lengths, alphabet_size):
+    """Write an arbitrary {symbol: 1} length set through the
+    code-length code — zero runs via symbol 18 — so tests can build
+    feature streams the literal-only encoder never emits."""
+    bw.write(0, 1)  # normal code
+    # CLC lengths: symbol 1 -> len 1, symbols 0 and 18 -> len 2
+    # _CLC_ORDER[:12] = 17,18,0,1,2,3,4,5,16,6,7,8
+    bw.write(12 - 4, 4)
+    clc_lens = {18: 2, 0: 2, 1: 1}
+    for sym in [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8]:
+        bw.write(clc_lens.get(sym, 0), 3)
+    codes = _canonical_codes(clc_lens)
+    bw.write(0, 1)  # no max_symbol shortcut
+    sym = 0
+    want = sorted(lengths)
+    for s in want:
+        while sym < s:
+            run = min(138, s - sym)
+            if run < 11:
+                for _ in range(run):
+                    c, ln = codes[0]
+                    bw.write_code(c, ln)
+                sym += run
+            else:
+                c, ln = codes[18]
+                bw.write_code(c, ln)
+                bw.write(run - 11, 7)
+                sym += run
+        c, ln = codes[1]
+        bw.write_code(c, ln)
+        sym += 1
+    while sym < alphabet_size:
+        run = min(138, alphabet_size - sym)
+        if run < 11:
+            for _ in range(run):
+                c, ln = codes[0]
+                bw.write_code(c, ln)
+            sym += run
+        else:
+            c, ln = codes[18]
+            bw.write_code(c, ln)
+            bw.write(run - 11, 7)
+            sym += run
+
+
+def _simple_single(bw, sym):
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    bw.write(sym, 8)
+
+
+def test_webp_roundtrip_simple_and_flat_codes():
+    rng = np.random.default_rng(9)
+    img = np.full((4, 5, 3), 200, np.uint8)  # single-symbol codes
+    dec = decode_webp(encode_webp_lossless(img))
+    assert (dec[..., :3] == img).all() and (dec[..., 3] == 255).all()
+    two = np.where(
+        rng.integers(0, 2, (6, 7, 3), dtype=np.uint8) > 0, 10, 250
+    ).astype(np.uint8)  # 2-symbol simple codes
+    assert (
+        decode_webp(encode_webp_lossless(two))[..., :3] == two
+    ).all()
+    rnd = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)  # flat codes
+    assert (decode_webp(encode_webp_lossless(rnd)) == rnd).all()
+    assert np.array_equal(
+        decode_image(encode_webp_lossless(rnd)), rnd
+    )  # decode_image dispatch
+
+
+def test_webp_hand_built_backref_stream():
+    # 2x1 image: literal green=0/r=7/b=9/a=255, then a length-1
+    # LZ77 backref at linear distance 1 (dist_code 121 = prefix 13
+    # + 5 extra bits of 24) copying it — exercises the decode path
+    # the literal-only encoder never emits
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(2 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _emit_lengths(bw, {0: 1, 256: 1}, 256 + 24)  # green: literal 0 | len-prefix 0
+    _simple_single(bw, 7)  # red
+    _simple_single(bw, 9)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 13)  # distance prefix 13 (+5 extra bits)
+    # pixel stream
+    bw.write_code(0, 1)  # green literal 0 (code 0)
+    bw.write_code(1, 1)  # green symbol 256 -> length prefix 0 (len 1)
+    bw.write(24, 5)  # distance extra: 97 + 24 = 121 -> dist 1
+    dec = decode_webp(_vp8l_file(bw.bytes()))
+    exp = np.array([[[7, 0, 9, 255], [7, 0, 9, 255]]], np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_webp_hand_built_color_cache_stream():
+    # 2x1 image via the color cache: literal pixel, then the cache
+    # symbol for its slot — hash (argb * 0x1e35a7bd) >> (32 - 1)
+    argb = (255 << 24) | (7 << 16) | (0 << 8) | 9
+    slot = ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> 31
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(1, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(1, 4)  # cache_bits = 1 (2 slots)
+    bw.write(0, 1)  # no meta
+    _emit_lengths(bw, {0: 1, 256 + 24 + slot: 1}, 256 + 24 + 2)
+    _simple_single(bw, 7)
+    _simple_single(bw, 9)
+    _simple_single(bw, 255)
+    _simple_single(bw, 0)  # distance (unused)
+    bw.write_code(0, 1)  # green literal 0
+    bw.write_code(1, 1)  # cache symbol for the planted slot
+    dec = decode_webp(_vp8l_file(bw.bytes()))
+    exp = np.array([[[7, 0, 9, 255], [7, 0, 9, 255]]], np.uint8)
+    assert np.array_equal(dec, exp)
+
+
+def test_webp_refusals():
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(0, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # subtract-green
+    with pytest.raises(NotImplementedError, match="subtract-green"):
+        decode_webp(_vp8l_file(bw.bytes()))
+    import struct
+
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_webp(lossy)
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_webp_property_random_images(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(6):
+        h = int(rng.integers(1, 14))
+        w = int(rng.integers(1, 14))
+        ch = int(rng.choice([3, 4]))
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        got = decode_webp(encode_webp_lossless(img))
+        if ch == 3:
+            assert (got[..., :3] == img).all() and (got[..., 3] == 255).all()
+        else:
+            assert (got == img).all()
