@@ -17459,3 +17459,96 @@ def multimodal_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_rgb long"
     )
+
+
+@query(
+    "kendall_tau_user_metrics",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS x,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS y
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END
+               AS disc
+      FROM u a JOIN u b ON a.user_id < b.user_id
+    ),
+    s AS (
+      SELECT sum(conc) AS c, sum(disc) AS d, count(*) AS n_pairs
+      FROM p
+    )
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN c >= d
+                THEN ((c - d) * 1000000) // n_pairs
+                ELSE -(((d - c) * 1000000) // n_pairs) END AS BIGINT)
+             AS tau_a_x1e6
+    FROM s
+    """,
+)
+def kendall_tau_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a rank correlation between per-user activity
+    (event count) and per-user spend (exact 1e4-grid value sum) —
+    ENGINE-EXACT because tau-a is a pure rational: concordant minus
+    discordant pairs over all pairs, one signed truncating division
+    onto the 1e-6 grid (Pearson and Spearman both need square roots;
+    Kendall is the correlation you can do in exact integers, and the
+    one whose interpretation — probability a random pair agrees in
+    order — survives any monotone transform of either metric).  Ties
+    count in n_pairs but neither C nor D (the tau-a convention,
+    stated so the oracle can't drift to tau-b).
+
+    100 TB shape: the corpus collapses to a per-user metrics table in
+    one map-side-combinable aggregate; the O(U^2) pair join runs on
+    that REDUCED relation (1.1M pairs at bench SF) — when U itself is
+    corpus-scale, Knight's O(n log n) merge-sort inversion count over
+    a range-partitioned sort is the documented upgrade path, same
+    answer.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(money_scaled(F.col("value"))).alias("y"),
+        )
+    )
+    a = u.select(
+        F.col("user_id").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = u.select(
+        F.col("user_id").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = a.join(b, F.col("ka") < F.col("kb")).select(
+        F.when(
+            (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb")) < 0, 1
+        )
+        .otherwise(0)
+        .alias("disc"),
+    )
+    s = p.agg(
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.count("*").alias("n_pairs"),
+    )
+    return s.selectExpr(
+        "CAST(c AS BIGINT) AS concordant",
+        "CAST(d AS BIGINT) AS discordant",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(CASE WHEN c >= d THEN ((c - d) * 1000000) div n_pairs"
+        " ELSE -(((d - c) * 1000000) div n_pairs) END AS BIGINT)"
+        " AS tau_a_x1e6",
+    )
