@@ -17552,3 +17552,197 @@ def kendall_tau_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE -(((d - c) * 1000000) div n_pairs) END AS BIGINT)"
         " AS tau_a_x1e6",
     )
+
+
+@query(
+    "roc_youden_threshold",
+    """
+    WITH labeled AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    n AS (SELECT sum(pos) AS np, sum(1 - pos) AS nn FROM labeled),
+    by_score AS (
+      SELECT score, sum(pos) AS p, sum(1 - pos) AS neg
+      FROM labeled GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             sum(p) OVER (ORDER BY score DESC) AS tp,
+             sum(neg) OVER (ORDER BY score DESC) AS fp
+      FROM by_score
+    ),
+    scored AS (
+      SELECT score AS threshold, tp, fp,
+             n.nn * tp - n.np * fp AS j_num, n.np, n.nn
+      FROM cum, n
+    ),
+    best AS (
+      SELECT * FROM scored ORDER BY j_num DESC, threshold LIMIT 1
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(np - tp AS BIGINT) AS fn,
+           CAST(j_num AS BIGINT) AS youden_num,
+           CAST((j_num * 1000000) // (CAST(np AS HUGEINT) * nn)
+                AS BIGINT) AS youden_x1e6,
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+             AS precision_x1e6,
+           CAST((tp * 1000000) // np AS BIGINT) AS recall_x1e6,
+           CAST((2 * tp * 1000000) // (2 * tp + fp + (np - tp))
+                AS BIGINT) AS f1_x1e6
+    FROM best
+    """,
+)
+def roc_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATING POINT for the length-predicts-English classifier:
+    the threshold maximizing Youden's J = TPR - FPR, chosen by the
+    exact integer criterion n_neg*TP - n_pos*FP (cross-multiplied so
+    no two candidate thresholds compare through floats; tie-break
+    lowest threshold), with exact 1e-6-grid precision / recall / F1
+    at that threshold — F1's 2TP/(2TP+FP+FN) is a pure rational, so
+    the whole confusion row is engine-exact.  Completes the evaluation
+    kit: AUC ranks, the calibration entries check levels, this picks
+    where to cut (predict positive when score >= threshold).
+
+    100 TB shape: one by-score aggregate collapses the corpus, one
+    descending cumulative window over distinct scores builds every
+    confusion matrix simultaneously (the same single-pass trick as
+    the exact AUC), one TakeOrderedAndProject picks the argmax.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B pipeline hygiene)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).persist()  # totals + by-score branches share one scan
+    n = docs.agg(
+        F.sum("pos").alias("np"), F.sum(1 - F.col("pos")).alias("nn")
+    )
+    by_score = docs.groupBy("score").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("neg")
+    )
+    w = Window.orderBy(F.col("score").desc())
+    cum = by_score.select(
+        "score",
+        F.sum("p").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    scored = cum.crossJoin(F.broadcast(n)).select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("nn") * F.col("tp") - F.col("np") * F.col("fp")).alias(
+            "j_num"
+        ),
+        "np",
+        "nn",
+    )
+    best = scored.orderBy(
+        F.col("j_num").desc(), F.col("threshold")
+    ).limit(1)
+    return best.selectExpr(
+        "CAST(threshold AS BIGINT) AS threshold",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(np - tp AS BIGINT) AS fn",
+        "CAST(j_num AS BIGINT) AS youden_num",
+        "CAST((j_num * 1000000) div (CAST(np AS DECIMAL(38,0)) * nn)"
+        " AS BIGINT) AS youden_x1e6",
+        "CAST((tp * 1000000) div (tp + fp) AS BIGINT)"
+        " AS precision_x1e6",
+        "CAST((tp * 1000000) div np AS BIGINT) AS recall_x1e6",
+        "CAST((2 * tp * 1000000) div (2 * tp + fp + (np - tp))"
+        " AS BIGINT) AS f1_x1e6",
+    )
+
+
+@query(
+    "cohens_kappa_langid",
+    """
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS agree,
+             sum(truth) AS t1, sum(pred) AS p1
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(t1 AS BIGINT) AS truth_pos,
+           CAST(p1 AS BIGINT) AS pred_pos,
+           CAST(CASE
+             WHEN CAST(n AS HUGEINT) * n
+                  = t1 * CAST(p1 AS HUGEINT)
+                    + (n - t1) * CAST(n - p1 AS HUGEINT) THEN 0
+             WHEN CAST(n AS HUGEINT) * agree
+                  >= t1 * CAST(p1 AS HUGEINT)
+                     + (n - t1) * CAST(n - p1 AS HUGEINT)
+             THEN ((CAST(n AS HUGEINT) * agree
+                    - (t1 * CAST(p1 AS HUGEINT)
+                       + (n - t1) * CAST(n - p1 AS HUGEINT)))
+                   * 1000000)
+                  // (CAST(n AS HUGEINT) * n
+                      - (t1 * CAST(p1 AS HUGEINT)
+                         + (n - t1) * CAST(n - p1 AS HUGEINT)))
+             ELSE -((((t1 * CAST(p1 AS HUGEINT)
+                       + (n - t1) * CAST(n - p1 AS HUGEINT))
+                      - CAST(n AS HUGEINT) * agree) * 1000000)
+                    // (CAST(n AS HUGEINT) * n
+                        - (t1 * CAST(p1 AS HUGEINT)
+                           + (n - t1) * CAST(n - p1 AS HUGEINT))))
+           END AS BIGINT) AS kappa_x1e6
+    FROM s
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between the lang
+    column and the cheapest possible English detector (contains
+    ' the ') — ENGINE-EXACT: kappa = (p_o - p_e)/(1 - p_e) clears its
+    denominators to (N*agree - E) / (N^2 - E) with
+    E = t1*p1 + t0*p0, all integers, one signed truncating division
+    onto the 1e-6 grid (accuracy alone overstates agreement when both
+    raters skew negative — kappa is the honest inter-annotator /
+    weak-labeler metric, and this is it without a single float).
+
+    100 TB shape: one map-side-combinable 4-counter aggregate over
+    the scan; the kappa arithmetic is a 1-row projection.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    r = load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        F.when(F.col("text").like("% the %"), 1)
+        .otherwise(0)
+        .alias("pred"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("truth") == F.col("pred"), 1).otherwise(0)
+        ).alias("agree"),
+        F.sum("truth").alias("t1"),
+        F.sum("pred").alias("p1"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    e = (
+        f"(t1 * {d.format('p1')} + (n - t1) * {d.format('(n - p1)')})"
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(agree AS BIGINT) AS n_agree",
+        "CAST(t1 AS BIGINT) AS truth_pos",
+        "CAST(p1 AS BIGINT) AS pred_pos",
+        f"CAST(CASE"
+        f" WHEN {d.format('n')} * n = {e} THEN 0"
+        f" WHEN {d.format('n')} * agree >= {e}"
+        f" THEN (({d.format('n')} * agree - {e}) * 1000000)"
+        f" div ({d.format('n')} * n - {e})"
+        f" ELSE -((({e} - {d.format('n')} * agree) * 1000000)"
+        f" div ({d.format('n')} * n - {e}))"
+        f" END AS BIGINT) AS kappa_x1e6",
+    )
