@@ -17746,3 +17746,137 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div ({d.format('n')} * n - {e}))"
         f" END AS BIGINT) AS kappa_x1e6",
     )
+
+
+@query(
+    "stream_drift_monitor",
+    """
+    WITH s AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vx,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    n AS (SELECT sum(i1) AS n1, sum(i2) AS n2 FROM s),
+    g AS (SELECT vx, sum(i1) AS c1, sum(i2) AS c2 FROM s GROUP BY vx),
+    cum AS (
+      SELECT vx,
+             sum(c1) OVER (ORDER BY vx) AS cc1,
+             sum(c2) OVER (ORDER BY vx) AS cc2
+      FROM g
+    ),
+    d AS (
+      SELECT vx, abs(cc1 * n.n2 - cc2 * n.n1) AS dn FROM cum, n
+    ),
+    best AS (SELECT vx, dn FROM d ORDER BY dn DESC, vx LIMIT 1)
+    SELECT CAST(n.n1 AS BIGINT) AS n_1,
+           CAST(n.n2 AS BIGINT) AS n_2,
+           CAST(best.dn AS BIGINT) AS ks_num,
+           CAST((best.dn * 1000000) // (n.n1 * n.n2) AS BIGINT)
+             AS ks_x1e6,
+           CAST(best.vx AS BIGINT) AS ks_at_vx
+    FROM best, n
+    """,
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING data-drift monitor: the exact two-sample KS statistic
+    between click and purchase value distributions, maintained from a
+    replay-safe shard store that NEVER rescans history — the event
+    stream arrives in three time waves against one checkpoint, each
+    micro-batch folds its (value-cents, side) counts into an
+    append-only per-batch parquet shard (idempotent on retry: the
+    batch id names the shard), and the KS evaluation re-aggregates
+    the reduced shards exactly as ks_drift_priority evaluates its
+    one-shot counts.  Counts are mergeable integers, so the folded
+    store provably equals the direct batch aggregate — the same
+    monitor discipline as the quantile/theta/Count-Min stores, here
+    powering a distribution-drift gate between dataset refreshes.
+
+    100 TB shape: per batch one map-side-combinable (bucket, side)
+    count of ONLY that batch's rows; store growth is
+    distinct-buckets-per-batch, compactable by re-aggregation; the
+    final ECDF walk runs on the distinct-bucket spine.  Reference
+    scope: flo consume + Spark streaming (SURVEY §2 Part B streaming
+    monitors)."""
+    from flo_spark.queries import scratch_dir
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    # single-row metadata collect: wave horizon anchors (documented)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    cut1, cut2 = lo + span, lo + span * 2
+
+    tmp = scratch_dir("flo_drift_")
+    feed, ckpt, store = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/store"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.filter(F.col("event_type").isin("click", "purchase"))
+            .select(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vx"),
+                F.when(F.col("event_type") == "click", 1)
+                .otherwise(0)
+                .alias("i1"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("i2"),
+            )
+            .groupBy("vx")
+            .agg(F.sum("i1").alias("c1"), F.sum("i2").alias("c2"))
+            .write.mode("overwrite")
+            .parquet(f"{store}/batch={batch_id}")
+        )
+
+    def drain() -> None:
+        src = spark.readStream.schema(ev.schema).parquet(feed)
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("drift stream did not drain")
+
+    waves = [
+        F.col("ts") <= F.lit(cut1),
+        (F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2)),
+        F.col("ts") > F.lit(cut2),
+    ]
+    for i, w in enumerate(waves):
+        ev.filter(w).coalesce(1).write.parquet(f"{feed}/wave={i}")
+        drain()
+
+    g = (
+        spark.read.option("basePath", store)
+        .parquet(store)
+        .groupBy("vx")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+        .persist()  # totals + ECDF walk share the folded store scan
+    )
+    n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wv = Window.orderBy("vx")
+    cum = g.select(
+        "vx",
+        F.sum("c1").over(wv).alias("cc1"),
+        F.sum("c2").over(wv).alias("cc2"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).select(
+        "vx",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1")
+        ).alias("dn"),
+    )
+    best = d.orderBy(F.col("dn").desc(), F.col("vx")).limit(1)
+    return best.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_1",
+        "CAST(n2 AS BIGINT) AS n_2",
+        "CAST(dn AS BIGINT) AS ks_num",
+        "CAST((dn * 1000000) div (n1 * n2) AS BIGINT) AS ks_x1e6",
+        "CAST(vx AS BIGINT) AS ks_at_vx",
+    )
