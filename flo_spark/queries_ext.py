@@ -17880,3 +17880,144 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((dn * 1000000) div (n1 * n2) AS BIGINT) AS ks_x1e6",
         "CAST(vx AS BIGINT) AS ks_at_vx",
     )
+
+
+@query(
+    "dtw_daily_profiles",
+    """
+    WITH hours AS (SELECT unnest(range(0, 24)) AS h),
+    a AS (
+      SELECT hours.h, count(e.ts) AS v
+      FROM hours LEFT JOIN events e
+        ON date_trunc('day', e.ts) = TIMESTAMP '2024-01-02'
+       AND CAST(extract(hour FROM e.ts) AS BIGINT) = hours.h
+      GROUP BY hours.h
+    ),
+    b AS (
+      SELECT hours.h, count(e.ts) AS v
+      FROM hours LEFT JOIN events e
+        ON date_trunc('day', e.ts) = TIMESTAMP '2024-01-29'
+       AND CAST(extract(hour FROM e.ts) AS BIGINT) = hours.h
+      GROUP BY hours.h
+    ),
+    c AS (
+      SELECT a.h + 1 AS i, b.h + 1 AS j, abs(a.v - b.v) AS cost
+      FROM a, b
+    ),
+    dp AS (
+      -- DTW as a WAVEFRONT RECURSION: the working set holds the
+      -- current anti-diagonal (is_new=1) and the one before
+      -- (is_new=0); each step emits diag d+1 cells as the grouped
+      -- min over orthogonal preds (from is_new=1 rows) and diagonal
+      -- preds (from is_new=0 rows), and re-emits diag d once.
+      WITH RECURSIVE t(i, j, acc, is_new) AS (
+        SELECT 1, 1, (SELECT cost FROM c WHERE i = 1 AND j = 1), 1
+        UNION ALL
+        SELECT tgt.i, tgt.j,
+               min(tgt.base + coalesce(c.cost, 0)),
+               max(tgt.flag)
+        FROM (
+          SELECT u.ti AS i, u.tj AS j, t.acc AS base, u.flag
+          FROM t, unnest(CASE WHEN t.is_new = 1 THEN [
+                   struct_pack(ti := t.i + 1, tj := t.j, flag := 1),
+                   struct_pack(ti := t.i, tj := t.j + 1, flag := 1),
+                   struct_pack(ti := t.i, tj := t.j, flag := 0)
+                 ] ELSE [
+                   struct_pack(ti := t.i + 1, tj := t.j + 1, flag := 1)
+                 ] END) AS x(u)
+          WHERE u.ti <= 24 AND u.tj <= 24
+        ) tgt
+        LEFT JOIN c ON c.i = tgt.i AND c.j = tgt.j AND tgt.flag = 1
+        GROUP BY tgt.i, tgt.j
+      )
+      SELECT min(acc) AS dtw FROM t WHERE i = 24 AND j = 24
+    )
+    SELECT CAST((SELECT sum(v) FROM a) AS BIGINT) AS n_events_a,
+           CAST((SELECT sum(v) FROM b) AS BIGINT) AS n_events_b,
+           CAST((SELECT sum(abs(a.v - b.v)) FROM a JOIN b
+                 ON b.h = a.h) AS BIGINT) AS l1_aligned,
+           CAST(dp.dtw AS BIGINT) AS dtw_cost
+    FROM dp
+    """,
+)
+def dtw_daily_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping between two daily activity profiles (the
+    24 hourly counts of Jan 2 vs Jan 29) — the shape-similarity
+    measure that tolerates phase shift where the aligned L1 distance
+    (also reported) cannot — in EXACT integer arithmetic: |a_i - b_j|
+    costs, the classic dp[i][j] = cost + min(left, up, diag)
+    recurrence, and a total warp cost that hash-matches across two
+    COMPLETELY DIFFERENT evaluations: Spark folds the DP in a
+    spine-sized applyInPandas (the holt_winters/sequence_packing
+    sequential-fold discipline), while the DuckDB oracle replays it
+    as a WAVEFRONT RECURSION — a recursive CTE whose working set is
+    one anti-diagonal plus its predecessor, advancing with a grouped
+    min per cell (aggregation inside recursion, which DuckDB permits
+    and Spark's recursive CTEs do not — the reason the two sides use
+    different formulations of the same exact algorithm).
+
+    100 TB shape: the corpus collapses to two 24-point profiles in
+    one map-side-combinable conditional aggregate; the O(24^2) DP is
+    driver-free spine work inside a single Arrow batch.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B time series)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hr = F.expr("CAST(extract(hour FROM ts) AS BIGINT)")
+    prof = (
+        ev.filter(
+            day.isin(
+                F.lit("2024-01-02").cast("timestamp"),
+                F.lit("2024-01-29").cast("timestamp"),
+            )
+        )
+        .select(
+            F.when(day == F.lit("2024-01-02").cast("timestamp"), "a")
+            .otherwise("b")
+            .alias("side"),
+            hr.alias("h"),
+        )
+        .groupBy("side", "h")
+        .agg(F.count("*").alias("v"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        va = [0] * 24
+        vb = [0] * 24
+        for _, row in pdf.iterrows():
+            (va if row["side"] == "a" else vb)[int(row["h"])] = int(
+                row["v"]
+            )
+        big = 1 << 60
+        dp = [[big] * 25 for _ in range(25)]
+        for i in range(1, 25):
+            for j in range(1, 25):
+                cost = abs(va[i - 1] - vb[j - 1])
+                if i == 1 and j == 1:
+                    dp[i][j] = cost
+                else:
+                    dp[i][j] = cost + min(
+                        dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                    )
+        return pd.DataFrame(
+            {
+                "n_events_a": [sum(va)],
+                "n_events_b": [sum(vb)],
+                "l1_aligned": [
+                    sum(abs(x - y) for x, y in zip(va, vb))
+                ],
+                "dtw_cost": [dp[24][24]],
+            }
+        )
+
+    return (
+        prof.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_events_a long, n_events_b long, l1_aligned long,"
+            " dtw_cost long",
+        )
+    )
