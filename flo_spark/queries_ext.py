@@ -18021,3 +18021,166 @@ def dtw_daily_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " dtw_cost long",
         )
     )
+
+
+@query(
+    "binaryfile_asset_scan",
+    """
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id < 20
+    ),
+    s AS (
+      SELECT doc_id, unnest(range(0, 64)) AS i FROM d
+    ),
+    px AS (
+      SELECT doc_id, (doc_id * 7 + i * 3) % 256 AS v FROM s
+    )
+    SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_gray
+    FROM px GROUP BY doc_id
+    """,
+)
+def binaryfile_asset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's ``binaryFile`` source as the multimodal ingestion path:
+    per low-id document an 8x8 grayscale TGA file (formula pixels)
+    lands on disk, the directory is scanned with
+    format('binaryFile') + pathGlobFilter — path, length, and raw
+    CONTENT columns, the canonical way image/audio corpora enter
+    Spark — and the content bytes decode back through the native TGA
+    codec in an Arrow-batched mapInPandas; per-file pixel sums must
+    reproduce the formula.  The asset id travels IN the filename and
+    is recovered by path parsing (regexp_extract), as real asset
+    lakes do.
+
+    100 TB shape: binaryFile scans parallelize per file and prune by
+    glob before any read; decode is scan-stage Python over Arrow
+    batches, no shuffle until the final aggregate; the one
+    anti-pattern (tiny files) is exactly what small_file_compaction
+    addresses upstream.  Reference scope: source extension (SURVEY §2
+    Part B sources/sinks + multimodal)."""
+    import os
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_tga
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_binfile_")
+    assets = f"{tmp}/assets"
+    os.makedirs(assets, exist_ok=True)
+    ids = [
+        r[0]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id")
+        .collect()  # O(20) metadata collect: the asset id list
+    ]
+    i = np.arange(64)
+    for d in ids:
+        img = ((d * 7 + i * 3) % 256).astype(np.uint8).reshape(8, 8)
+        with open(f"{assets}/doc_{d}.tga", "wb") as f:
+            f.write(encode_tga(img))
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tga")
+        .load(assets)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.tga", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "sum_gray": []}
+            for d, blob in zip(pdf.doc_id, pdf.content):
+                arr = decode_image(bytes(blob))
+                out["doc_id"].append(int(d))
+                out["sum_gray"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(_decode, "doc_id long, sum_gray long")
+
+
+@query(
+    "dynamic_partition_overwrite",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE o_orderpriority <> '1-URGENT' OR px > 2000000000
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(px) AS BIGINT) AS revenue_x1e4
+    FROM kept GROUP BY o_orderpriority
+    """,
+)
+def dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition overwrite — the lakehouse daily-refresh
+    primitive: orders land in a hive-partitioned table (partition =
+    priority), then ONE partition ('1-URGENT', rewritten to keep only
+    orders above $200k) is replaced via
+    partitionOverwriteMode=dynamic — the writer only touches
+    partitions present in the incoming frame, so the other four
+    survive byte-identical where STATIC overwrite mode would have
+    truncated the whole table (the classic data-loss footgun this
+    entry pins).  The final per-priority aggregate hash-matches the
+    oracle's expected combined state: four untouched partitions plus
+    the filtered fifth.
+
+    100 TB shape: the refresh writes O(changed partition), never
+    O(table); readers see partition pruning on the rewritten layout
+    (same hive layout as dpp_month_partition_prune).  Reference
+    scope: flo's segment-granular rewrite (A12 compaction) is the
+    event-log analog; this is the relational form (SURVEY §2 Part B
+    sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_dpo_")
+    tbl = f"{tmp}/orders_by_priority"
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        money_scaled(F.col("o_totalprice")).alias("px"),
+    )
+    base.write.partitionBy("prio").parquet(tbl)
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        (
+            base.filter(
+                (F.col("prio") == "1-URGENT")
+                & (F.col("px") > 2_000_000_000)
+            )
+            .write.mode("overwrite")
+            .partitionBy("prio")
+            .parquet(tbl)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("px").cast("long").alias("revenue_x1e4"),
+        )
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_orders",
+            "revenue_x1e4",
+        )
+    )
