@@ -1254,7 +1254,9 @@ def test_pcx_ras_property_random_images(seed):
 # ---------------------------------------------------------------------------
 
 from flo_spark.operators.webp import (
-    _BitWriter,
+    _BitWriter as _VP8LBitWriter,
+)
+from flo_spark.operators.webp import (
     _canonical_codes,
     decode_webp,
     encode_webp_lossless,
@@ -1346,7 +1348,7 @@ def test_webp_hand_built_backref_stream():
     # LZ77 backref at linear distance 1 (dist_code 121 = prefix 13
     # + 5 extra bits of 24) copying it — exercises the decode path
     # the literal-only encoder never emits
-    bw = _BitWriter()
+    bw = _VP8LBitWriter()
     bw.write(0x2F, 8)
     bw.write(2 - 1, 14)
     bw.write(1 - 1, 14)
@@ -1374,7 +1376,7 @@ def test_webp_hand_built_color_cache_stream():
     # symbol for its slot — hash (argb * 0x1e35a7bd) >> (32 - 1)
     argb = (255 << 24) | (7 << 16) | (0 << 8) | 9
     slot = ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> 31
-    bw = _BitWriter()
+    bw = _VP8LBitWriter()
     bw.write(0x2F, 8)
     bw.write(1, 14)
     bw.write(0, 14)
@@ -1397,7 +1399,7 @@ def test_webp_hand_built_color_cache_stream():
 
 
 def test_webp_refusals():
-    bw = _BitWriter()
+    bw = _VP8LBitWriter()
     bw.write(0x2F, 8)
     bw.write(0, 14)
     bw.write(0, 14)
