@@ -18184,3 +18184,195 @@ def dynamic_partition_overwrite(
             "revenue_x1e4",
         )
     )
+
+
+@query(
+    "anova_f_returnflag",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+             sum(CAST(y AS HUGEINT) * y) AS q
+      FROM v GROUP BY grp
+    ),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+             sum((s * s) // n) AS sb
+      FROM g
+    ),
+    parts AS (
+      -- n-scaled exact sums of squares: SSB and SSW both inherit the
+      -- per-group floor from (s^2 div n); SST = their recombination
+      SELECT k, nn,
+             sb - (ss * ss) // nn AS ssb,
+             qq - sb AS ssw
+      FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           CAST(ssb // 100000000 AS BIGINT) AS ssb_x1e8_units,
+           CAST(ssw // 100000000 AS BIGINT) AS ssw_x1e8_units,
+           CAST((ssb * (nn - k) * 1000000) // (ssw * (k - 1))
+                AS BIGINT) AS f_x1e6
+    FROM parts
+    """,
+)
+def anova_f_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic — does mean extended price differ
+    across the three return-flag groups? — ENGINE-EXACT: per-group
+    integer moments give the between-group sum of squares as
+    sum(S_g^2 div n_g) - S^2 div N and the within-group SS as
+    Q - sum(S_g^2 div n_g) (each term floored identically on both
+    engines, the welch_t2 discipline generalized from 2 groups to k),
+    and F = (SSB/(k-1)) / (SSW/(N-k)) cross-multiplies into one
+    truncating division on the 1e-6 grid — no float fold anywhere.
+    welch_t2_ab_test is the k=2 special case with unpooled variances;
+    this is the k-group screening test run before pairwise
+    comparisons.
+
+    100 TB shape: ONE map-side-combinable aggregate producing three
+    integer partials per group, a k-row combine, O(1) arithmetic —
+    q6's shape.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,0)")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        money_scaled(F.col("l_extendedprice")).alias("y"),
+    )
+    g = v.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("y"))).alias("s"),
+        F.sum(d(F.col("y")) * F.col("y")).alias("q"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        # Spark's div lowers to a LONG result and overflows on s^2/n;
+        # subtracting the remainder first makes the decimal division
+        # exact (floor for nonnegative operands, matching DuckDB //)
+        F.sum(
+            F.expr(
+                "CAST((s * s - (s * s) % n) / n AS DECIMAL(38,0))"
+            )
+        ).alias("sb"),
+    )
+    parts = t.selectExpr(
+        "k",
+        "nn",
+        "sb - CAST((ss * ss - (ss * ss) % nn) / nn AS DECIMAL(38,0))"
+        " AS ssb",
+        "qq - sb AS ssw",
+    )
+    return parts.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_rows",
+        "CAST(ssb div 100000000 AS BIGINT) AS ssb_x1e8_units",
+        "CAST(ssw div 100000000 AS BIGINT) AS ssw_x1e8_units",
+        "CAST((ssb * (nn - k) * 1000000) div (ssw * (k - 1))"
+        " AS BIGINT) AS f_x1e6",
+    )
+
+
+@query(
+    "friedman_rank_test",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    full_days AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily)
+    ),
+    ranked AS (
+      SELECT d.day, d.event_type,
+             row_number() OVER (PARTITION BY d.day
+                                ORDER BY d.cnt, d.event_type) AS r
+      FROM daily d JOIN full_days f ON f.day = d.day
+    ),
+    sums AS (
+      SELECT event_type, sum(r) AS rj, count(*) AS n
+      FROM ranked GROUP BY event_type
+    ),
+    agg AS (
+      SELECT count(*) AS k, max(n) AS n,
+             sum(CAST(rj AS HUGEINT) * rj) AS rj2
+      FROM sums
+    )
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(n AS BIGINT) AS n_blocks,
+           CAST(rj2 AS BIGINT) AS sum_rank_sq,
+           CAST((12 * rj2 * 1000000)
+                  // (CAST(n AS HUGEINT) * k * (k + 1))
+                - 3 * CAST(n AS HUGEINT) * (k + 1) * 1000000
+                AS BIGINT) AS chi2_x1e6
+    FROM agg
+    """,
+)
+def friedman_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test — do the event types keep the same
+    activity ORDERING day after day, or does some type systematically
+    dominate? — blocks are the complete days, treatments the event
+    types, each day ranking its types by count with a deterministic
+    (count, type) tie-break (documented: textbook Friedman uses
+    average ranks under ties; the deterministic variant keeps every
+    quantity an exact integer, and ties between daily counts are the
+    measure-zero case here).  chi^2_F = 12*sum(R_j^2)/(n*k*(k+1)) -
+    3n(k+1) evaluates as one truncating division on the 1e-6 grid —
+    the nonparametric repeated-measures ANOVA, exact end to end.
+
+    100 TB shape: one (day, type) map-side-combinable count collapses
+    the corpus to a calendar-bounded grid; per-day ranking windows
+    parallelize across days; the treatment reduce is k rows.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # full-day filter + ranking share the grid
+    )
+    n_types = daily.select("event_type").distinct().count()
+    full_days = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == n_types)
+        .select("day")
+    )
+    ranked = daily.join(full_days, "day").select(
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("day").orderBy("cnt", "event_type")
+        )
+        .alias("r"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"), F.count("*").alias("n")
+    )
+    d = lambda e: F.expr(e).cast("decimal(38,0)")
+    agg = sums.agg(
+        F.count("*").alias("k"),
+        F.max("n").alias("n"),
+        F.sum(d("rj") * F.col("rj")).alias("rj2"),
+    )
+    return agg.selectExpr(
+        "CAST(k AS BIGINT) AS k_treatments",
+        "CAST(n AS BIGINT) AS n_blocks",
+        "CAST(rj2 AS BIGINT) AS sum_rank_sq",
+        "CAST((12 * rj2 * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * k * (k + 1))"
+        " - 3 * CAST(n AS DECIMAL(38,0)) * (k + 1) * 1000000"
+        " AS BIGINT) AS chi2_x1e6",
+    )
