@@ -18376,3 +18376,118 @@ def friedman_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - 3 * CAST(n AS DECIMAL(38,0)) * (k + 1) * 1000000"
         " AS BIGINT) AS chi2_x1e6",
     )
+
+
+@query(
+    "forecast_eval_mase_pinball",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    lagd AS (
+      SELECT h, cnt,
+             lag(cnt, 24) OVER (ORDER BY h) AS snaive,
+             lag(cnt, 1) OVER (ORDER BY h) AS naive
+      FROM c
+    ),
+    err AS (
+      SELECT count(*) AS n,
+             sum(abs(cnt - snaive)) AS sae_seasonal,
+             sum(abs(cnt - naive)) AS sae_naive
+      FROM lagd WHERE snaive IS NOT NULL AND naive IS NOT NULL
+    ),
+    q AS (
+      SELECT cnt AS q90 FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt, h) AS rn,
+               count(*) OVER () AS n
+        FROM c) WHERE rn = (9 * n + 9) // 10
+    ),
+    pin AS (
+      SELECT sum(CASE WHEN cnt >= q.q90
+                 THEN 9 * (cnt - q.q90)
+                 ELSE 1 * (q.q90 - cnt) END) AS pinball10_x10,
+             count(*) AS n_hours
+      FROM c, q
+    )
+    SELECT CAST(err.n AS BIGINT) AS n_scored,
+           CAST(sae_seasonal AS BIGINT) AS sae_seasonal,
+           CAST(sae_naive AS BIGINT) AS sae_naive,
+           CAST((sae_seasonal * 1000000) // sae_naive AS BIGINT)
+             AS mase_x1e6,
+           CAST(q.q90 AS BIGINT) AS q90_forecast,
+           CAST(pin.pinball10_x10 AS BIGINT) AS pinball90_sum_x10
+    FROM err, q, pin
+    """,
+)
+def forecast_eval_mase_pinball(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast EVALUATION metrics for the time-series family
+    (EWMA/Holt/Holt-Winters/Theil-Sen produce forecasts; something
+    must score them) — ENGINE-EXACT: MASE's numerator and denominator
+    are integer sums of absolute errors (seasonal-naive lag-24
+    forecast vs the naive lag-1 scale), their ratio one truncating
+    division on the 1e-6 grid; the pinball (quantile) loss of the
+    constant p90 forecast — the metric that makes quantile forecasts
+    honest — is 10x-scaled so the 0.9/0.1 asymmetric weights stay
+    integers (9 and 1), with the p90 itself an exact rank pick.
+    MASE < 1e6 means the seasonal model beats the naive scale — the
+    standard scale-free verdict.
+
+    100 TB shape: one map-side-combinable hourly count collapses the
+    corpus to the calendar spine; lags are one ordered window over
+    it, the quantile an exact rank pick, both reducers single-row.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B time series)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        # lags, rank pick, and pinball scan share the spine
+        .persist()
+    )
+    w = Window.orderBy("h")
+    lagd = c.select(
+        "cnt",
+        F.lag("cnt", 24).over(w).alias("snaive"),
+        F.lag("cnt", 1).over(w).alias("naive"),
+    )
+    err = lagd.filter(
+        F.col("snaive").isNotNull() & F.col("naive").isNotNull()
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.abs(F.col("cnt") - F.col("snaive"))).alias(
+            "sae_seasonal"
+        ),
+        F.sum(F.abs(F.col("cnt") - F.col("naive"))).alias("sae_naive"),
+    )
+    ranked = c.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "h")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    q = ranked.filter(F.expr("rn = (9 * n + 9) div 10")).select(
+        F.col("cnt").alias("q90")
+    )
+    pin = c.crossJoin(F.broadcast(q)).agg(
+        F.sum(
+            F.when(
+                F.col("cnt") >= F.col("q90"),
+                9 * (F.col("cnt") - F.col("q90")),
+            ).otherwise(F.col("q90") - F.col("cnt"))
+        ).alias("pinball10_x10"),
+        F.max("q90").alias("q90"),
+    )
+    return (
+        err.crossJoin(F.broadcast(pin)).selectExpr(
+            "CAST(n AS BIGINT) AS n_scored",
+            "CAST(sae_seasonal AS BIGINT) AS sae_seasonal",
+            "CAST(sae_naive AS BIGINT) AS sae_naive",
+            "CAST((sae_seasonal * 1000000) div sae_naive AS BIGINT)"
+            " AS mase_x1e6",
+            "CAST(q90 AS BIGINT) AS q90_forecast",
+            "CAST(pinball10_x10 AS BIGINT) AS pinball90_sum_x10",
+        )
+    )
