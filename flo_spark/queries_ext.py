@@ -18491,3 +18491,74 @@ def forecast_eval_mase_pinball(
             "CAST(pinball10_x10 AS BIGINT) AS pinball90_sum_x10",
         )
     )
+
+
+@query(
+    "hodges_lehmann_location",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT a.cnt + b.cnt AS w2
+      FROM c a JOIN c b ON b.h >= a.h
+    ),
+    m AS (SELECT count(*) AS n_walsh FROM w),
+    r AS (SELECT w2, row_number() OVER (ORDER BY w2) AS rn FROM w)
+    SELECT CAST(m.n_walsh AS BIGINT) AS n_walsh,
+           CAST(r.w2 AS BIGINT) AS hl_x2,
+           CAST((SELECT min(w2) FROM w) AS BIGINT) AS min_x2,
+           CAST((SELECT max(w2) FROM w) AS BIGINT) AS max_x2
+    FROM r, m WHERE r.rn = (m.n_walsh + 1) // 2
+    """,
+)
+def hodges_lehmann_location(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann location estimate of the hourly event rate —
+    the median of all Walsh averages (x_i + x_j)/2 over pairs i <= j,
+    the estimator dual to the Wilcoxon signed-rank test: ~2x more
+    statistically efficient than the plain median under normality yet
+    still breakdown-robust at 0.29.  ENGINE-EXACT by carrying the
+    DOUBLED averages (x_i + x_j stays an integer; the /2 is the
+    caller's presentation), with the lower-median rank pick —
+    completing the robust-location toolkit next to theil_sen (robust
+    slope) and mad_robust_outliers (robust scale).
+
+    100 TB shape: one map-side-combinable hourly count collapses the
+    corpus to the calendar-bounded spine; the O(spine^2) Walsh pairs
+    and the rank pick run on spine-sized data — the Theil-Sen shape
+    applied to location.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B statistics)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        # both pair sides share the spine
+        .persist()
+    )
+    a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    w = a.join(b, F.col("hb") >= F.col("ha")).select(
+        (F.col("ca") + F.col("cb")).alias("w2")
+    ).persist()  # count, rank, and min/max share the pair table
+    m = w.agg(F.count("*").alias("n_walsh"))
+    mm = w.agg(
+        F.min("w2").alias("min_x2"), F.max("w2").alias("max_x2")
+    )
+    r = w.select(
+        "w2", F.row_number().over(Window.orderBy("w2")).alias("rn")
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.expr("rn = (n_walsh + 1) div 2"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("n_walsh").cast("long").alias("n_walsh"),
+            F.col("w2").cast("long").alias("hl_x2"),
+            F.col("min_x2").cast("long").alias("min_x2"),
+            F.col("max_x2").cast("long").alias("max_x2"),
+        )
+    )
