@@ -18562,3 +18562,214 @@ def hodges_lehmann_location(
             F.col("max_x2").cast("long").alias("max_x2"),
         )
     )
+
+
+@query(
+    "wilcoxon_signed_rank",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    h0 AS (SELECT min(h) AS h0 FROM c),
+    pair AS (
+      SELECT a.cnt - b.cnt AS d
+      FROM c a JOIN c b ON b.h = a.h + 168
+      JOIN h0 ON a.h - h0.h0 < 168
+      WHERE a.cnt <> b.cnt
+    ),
+    r AS (
+      SELECT d, row_number() OVER (ORDER BY abs(d), d) AS rnk
+      FROM pair
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN d > 0 THEN rnk ELSE 0 END) AS w_plus
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w_plus AS BIGINT) AS w_plus,
+           CAST(CAST(n AS HUGEINT) * (n + 1) // 2 - w_plus AS BIGINT)
+             AS w_minus,
+           CAST(CASE
+             WHEN 4 * w_plus >= CAST(n AS HUGEINT) * (n + 1)
+             THEN ((4 * w_plus - CAST(n AS HUGEINT) * (n + 1))
+                   * (4 * w_plus - CAST(n AS HUGEINT) * (n + 1))
+                   * 1000000)
+                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 8 // 3)
+             ELSE ((CAST(n AS HUGEINT) * (n + 1) - 4 * w_plus)
+                   * (CAST(n AS HUGEINT) * (n + 1) - 4 * w_plus)
+                   * 1000000)
+                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 8 // 3)
+           END AS BIGINT) AS z2_x1e6
+    FROM s
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — did hourly activity CHANGE between
+    the same hours one week apart? — the paired nonparametric
+    counterpart to welch_t2 (two independent samples) and
+    mcnemar (paired binary): zero differences drop per the textbook
+    procedure, |differences| rank with a deterministic (abs, signed)
+    tie-break (documented: average ranks under ties are the classical
+    variant; the deterministic variant keeps every quantity integer),
+    W+ sums positive-difference ranks, and
+    z^2 = (W+ - n(n+1)/4)^2 / (n(n+1)(2n+1)/24) clears denominators
+    to (4W+ - n(n+1))^2 * 1e6 // (n(n+1)(2n+1)*8//3) — the 16/24
+    factor reduced to 2/3, all integer (n(n+1)(2n+1) is divisible
+    by 3... floor-composed identically on both engines either way).
+
+    100 TB shape: hourly spine aggregate, one lag-168 self-join on
+    the spine, one single-partition rank over the surviving pairs,
+    1-row reduce.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # both join sides + the h0 anchor share the spine
+    )
+    h0 = c.agg(F.min("h").alias("h0"))
+    a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    pair = (
+        a.join(b, F.col("hb") == F.col("ha") + 168)
+        .crossJoin(F.broadcast(h0))
+        .filter(
+            (F.col("ha") - F.col("h0") < 168)
+            & (F.col("ca") != F.col("cb"))
+        )
+        .select((F.col("ca") - F.col("cb")).alias("d"))
+    )
+    r = pair.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("d")), F.col("d")))
+        .alias("rnk"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("rnk")).otherwise(0)).alias(
+            "w_plus"
+        ),
+    )
+    D = "CAST(n AS DECIMAL(38,0))"
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(w_plus AS BIGINT) AS w_plus",
+        f"CAST({D} * (n + 1) div 2 - w_plus AS BIGINT) AS w_minus",
+        f"CAST(CASE WHEN 4 * w_plus >= {D} * (n + 1)"
+        f" THEN ((4 * w_plus - {D} * (n + 1))"
+        f" * (4 * w_plus - {D} * (n + 1)) * 1000000)"
+        f" div ({D} * (n + 1) * (2 * n + 1) * 8 div 3)"
+        f" ELSE (({D} * (n + 1) - 4 * w_plus)"
+        f" * ({D} * (n + 1) - 4 * w_plus) * 1000000)"
+        f" div ({D} * (n + 1) * (2 * n + 1) * 8 div 3)"
+        " END AS BIGINT) AS z2_x1e6",
+    )
+
+
+@query(
+    "runs_test_daily",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT cnt AS m FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt, day) AS rn,
+               count(*) OVER () AS n
+        FROM d) WHERE rn = (n + 1) // 2
+    ),
+    lab AS (
+      SELECT day, CASE WHEN cnt > med.m THEN 1 ELSE 0 END AS above
+      FROM d, med WHERE cnt <> med.m
+    ),
+    seq AS (
+      SELECT above,
+             lag(above) OVER (ORDER BY day) AS prev
+      FROM lab
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(above) AS n1,
+             sum(1 - above) AS n2,
+             sum(CASE WHEN prev IS NULL OR above <> prev
+                 THEN 1 ELSE 0 END) AS runs
+      FROM seq
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           CAST(1000000 + (2 * CAST(n1 AS HUGEINT) * n2 * 1000000)
+                // (n1 + n2) AS BIGINT) AS expected_runs_x1e6
+    FROM s
+    """,
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test setup on the daily event counts: days
+    label above/below the exact lower-median (ties to the median drop,
+    textbook), maximal same-label runs count via one lag window, and
+    the null expectation E[R] = 1 + 2*n1*n2/(n1+n2) lands on the
+    1e-6 grid exactly — the randomness diagnostic that catches
+    autocorrelated or regime-switching series where per-point tests
+    can't (a trending month has FEWER runs than chance).  Observed
+    vs expected comparison is the caller's; both are exact.
+
+    100 TB shape: one day-keyed count collapses the corpus to a
+    calendar spine; the median is an exact rank pick and the run
+    count one ordered window over the spine.  Reference scope: flo
+    has no analytics surface — north-star extension (SURVEY §2
+    Part B statistics)."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # median pick + labeling share the spine
+    )
+    med = (
+        d.select(
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy("cnt", "day"))
+            .alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("cnt").alias("m"))
+    )
+    lab = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("cnt") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("cnt") > F.col("m"), 1).otherwise(0).alias(
+                "above"
+            ),
+        )
+    )
+    seq = lab.select(
+        "above", F.lag("above").over(Window.orderBy("day")).alias("prev")
+    )
+    s = seq.agg(
+        F.count("*").alias("n"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("above") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        ).alias("runs"),
+    )
+    return s.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_above",
+        "CAST(n2 AS BIGINT) AS n_below",
+        "CAST(runs AS BIGINT) AS n_runs",
+        "CAST(1000000 + (2 * CAST(n1 AS DECIMAL(38,0)) * n2 * 1000000)"
+        " div (n1 + n2) AS BIGINT) AS expected_runs_x1e6",
+    )
