@@ -472,6 +472,8 @@ def decode_image(payload: bytes):
             from flo_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))
+        if bytes(payload[:4]) == b"\x00\x00\x01\x00":
+            return _decode_ico(bytes(payload))
         if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
             from flo_spark.operators.webp import decode_webp
 
@@ -1842,3 +1844,126 @@ def _decode_ras(payload: bytes):
             return np.ascontiguousarray(arr[..., 0])
         return arr
     return np.ascontiguousarray(idx)
+
+
+# -- ICO (Windows icon container) -------------------------------------------
+#
+# Spec: the public ICONDIR/ICONDIRENTRY layout — each entry is either
+# a headerless DIB (BITMAPINFOHEADER with doubled biHeight: XOR pixels
+# + 1-bit AND transparency mask, rows bottom-up and 32-bit padded) or
+# a whole PNG file (Vista+), which routes through _decode_png.
+
+
+def encode_ico(img, as_png: bool = False) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W, 4) RGBA as a single-image ICO:
+    a 32-bit BGRA DIB entry with doubled-height header and an all-
+    opaque AND mask, or (``as_png=True``) a PNG-format entry."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    if h > 256 or w > 256:
+        raise ValueError("ICO images are at most 256x256")
+    if img.shape[2] == 3:
+        rgba = np.concatenate(
+            [img, np.full((h, w, 1), 255, np.uint8)], axis=2
+        )
+    else:
+        rgba = img
+    if as_png:
+
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+                )
+            )
+
+        raw = b"".join(
+            b"\x00" + rgba[y].tobytes() for y in range(h)
+        )
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    else:
+        bgra = rgba[..., [2, 1, 0, 3]]
+        xor_rows = bgra[::-1].tobytes()  # bottom-up, no padding at 32bpp
+        mask_stride = ((w + 31) // 32) * 4
+        and_rows = bytes(mask_stride * h)  # all opaque
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+            len(xor_rows) + len(and_rows), 0, 0, 0, 0,
+        )
+        data = hdr + xor_rows + and_rows
+    entry = struct.pack(
+        "<BBBBHHII",
+        w % 256, h % 256, 0, 0, 1, 32, len(data), 6 + 16,
+    )
+    return struct.pack("<HHH", 0, 1, 1) + entry + data
+
+
+def _decode_ico(payload: bytes):
+    """Decode the FIRST image of an ICO to (H, W, 4) uint8 RGBA:
+    PNG-format entries route through the native PNG decoder; DIB
+    entries parse the doubled-height BITMAPINFOHEADER, 24/32-bit
+    bottom-up XOR pixels, and apply the 1-bit AND mask as alpha=0."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    reserved, rtype, count = struct.unpack("<HHH", b[:6])
+    if reserved != 0 or rtype not in (1, 2) or count == 0:
+        raise ValueError("not an ICO file")
+    size, off = struct.unpack("<II", b[14:22])
+    data = b[off : off + size]
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = _decode_png(data)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3 + [np.full_like(arr, 255)], -1)
+        elif arr.shape[2] == 3:
+            arr = np.concatenate(
+                [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], -1
+            )
+        return arr
+    (biSize, w, h2) = struct.unpack("<Iii", data[:12])
+    bitcount = struct.unpack("<H", data[14:16])[0]
+    compression = struct.unpack("<I", data[16:20])[0]
+    if compression != 0:
+        raise NotImplementedError("compressed ICO DIB")
+    if bitcount not in (24, 32):
+        raise NotImplementedError(f"{bitcount}-bit ICO DIB")
+    h = h2 // 2
+    nb = bitcount // 8
+    stride = (w * nb + 3) & ~3
+    pos = biSize
+    rows = np.frombuffer(
+        data, np.uint8, count=stride * h, offset=pos
+    ).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)[::-1]
+    if nb == 3:
+        rgba = np.concatenate(
+            [px[..., ::-1], np.full((h, w, 1), 255, np.uint8)], -1
+        )
+    else:
+        rgba = px[..., [2, 1, 0, 3]]
+    pos += stride * h
+    mask_stride = ((w + 31) // 32) * 4
+    mask = np.frombuffer(
+        data, np.uint8, count=mask_stride * h, offset=pos
+    ).reshape(h, mask_stride)
+    bits = np.unpackbits(mask, axis=1)[:, :w][::-1]
+    rgba = rgba.copy()
+    rgba[bits == 1, 3] = 0  # AND mask bit set = transparent
+    return rgba

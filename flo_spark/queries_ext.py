@@ -18773,3 +18773,76 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000000 + (2 * CAST(n1 AS DECIMAL(38,0)) * n2 * 1000000)"
         " div (n1 + n2) AS BIGINT) AS expected_runs_x1e6",
     )
+
+
+@query(
+    "multimodal_ico_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 64)) AS i FROM documents
+    ),
+    rgba AS (
+      SELECT doc_id,
+             (doc_id * 37 + i * 5) % 256 AS r,
+             (i * 41 + 11) % 256 AS g,
+             (doc_id * 43 + i * 67) % 256 AS b,
+             CASE WHEN i % 8 = 7 THEN 0
+                  ELSE (doc_id + i * 13) % 256 END AS a
+      FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(r + g + b + a) AS BIGINT) AS sum_rgba
+    FROM rgba GROUP BY doc_id
+    """,
+)
+def multimodal_ico_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ICO round trip, hash-checked, alternating the container's
+    two entry formats: even doc_ids encode as headerless DIB entries
+    (doubled-height BITMAPINFOHEADER, bottom-up 32-bit BGRA XOR
+    pixels, 1-bit AND mask), odd doc_ids as PNG-format entries
+    (Vista+), both decoding through ``decode_image``'s ICONDIR
+    parser — the DIB path exercises the doubled-height/mask
+    arithmetic, the PNG path proves container COMPOSITION with the
+    native PNG decoder.  Per-doc RGBA sums (alpha carries real data,
+    with a planted transparent column) must reproduce the formula.
+    Mask-driven transparency and refusals are unit-tested in
+    tests/test_media_decode.py.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle, binary payloads
+    opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import decode_image, encode_ico
+
+    W, H = 8, 8
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        for pdf in it:
+            out = {"doc_id": [], "n_pixels": [], "sum_rgba": []}
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                r = (d * 37 + i * 5) % 256
+                g = (i * 41 + 11) % 256
+                b = (d * 43 + i * 67) % 256
+                a = np.where(i % 8 == 7, 0, (d + i * 13) % 256)
+                img = (
+                    np.stack([r, g, b, a], axis=1)
+                    .astype(np.uint8)
+                    .reshape(H, W, 4)
+                )
+                got = decode_image(encode_ico(img, as_png=bool(d % 2)))
+                out["doc_id"].append(d)
+                out["n_pixels"].append(int(got.shape[0] * got.shape[1]))
+                out["sum_rgba"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip, "doc_id long, n_pixels long, sum_rgba long"
+    )

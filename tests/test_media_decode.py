@@ -1431,3 +1431,65 @@ def test_webp_property_random_images(seed):
             assert (got[..., :3] == img).all() and (got[..., 3] == 255).all()
         else:
             assert (got == img).all()
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon container)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import _decode_ico, encode_ico
+
+
+def test_ico_dib_roundtrip_rgb_rgba():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (8, 6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ico(img)), img)
+    img3 = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    dec3 = decode_image(encode_ico(img3))
+    assert np.array_equal(dec3[..., :3], img3)
+    assert (dec3[..., 3] == 255).all()
+
+
+def test_ico_png_entry_routes_through_png_decoder():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    enc = encode_ico(img, as_png=True)
+    assert b"\x89PNG" in enc
+    assert np.array_equal(decode_image(enc), img)
+
+
+def test_ico_and_mask_sets_alpha_zero():
+    enc = bytearray(encode_ico(np.full((2, 2, 3), 9, np.uint8)))
+    mask_off = 22 + 40 + 2 * 2 * 4
+    enc[mask_off] = 0x80  # mask row 0 = image BOTTOM row, left pixel
+    dec = _decode_ico(bytes(enc))
+    assert dec[1, 0, 3] == 0
+    assert dec[0, 0, 3] == 255 and dec[1, 1, 3] == 255
+
+
+def test_ico_refusals():
+    import struct
+
+    with pytest.raises(ValueError, match="not an ICO"):
+        _decode_ico(struct.pack("<HHH", 1, 1, 1) + b"\x00" * 16)
+    enc = bytearray(encode_ico(np.zeros((2, 2, 3), np.uint8)))
+    enc[22 + 16 : 22 + 20] = struct.pack("<I", 1)  # biCompression
+    with pytest.raises(NotImplementedError, match="compressed"):
+        _decode_ico(bytes(enc))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_ico_property_random_images(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(6):
+        h = int(rng.integers(1, 16))
+        w = int(rng.integers(1, 16))
+        ch = int(rng.choice([3, 4]))
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        for as_png in (False, True):
+            got = _decode_ico(encode_ico(img, as_png=as_png))
+            if ch == 3:
+                assert np.array_equal(got[..., :3], img)
+                assert (got[..., 3] == 255).all()
+            else:
+                assert np.array_equal(got, img)
