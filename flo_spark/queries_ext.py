@@ -18846,3 +18846,226 @@ def multimodal_ico_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _roundtrip, "doc_id long, n_pixels long, sum_rgba long"
     )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> x <> ''))) AS token
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+      SELECT id_a, id_b, i, sa.n + sb.n - i AS u
+      FROM inter
+      JOIN sets sa ON sa.doc_id = id_a
+      JOIN sets sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b,
+           floor(CAST(i AS DOUBLE) / u * 10000 + 0.5) / 10000
+             AS jaccard
+    FROM j WHERE 2 * i >= u
+    """,
+)
+def prefix_filter_jaccard_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (PPJoin's candidate
+    rule): for Jaccard >= 0.5, two token sets MUST share a token
+    among each one's first |T| - ceil(0.5|T|) + 1 tokens in a global
+    rarity order (document frequency asc, token asc — rare tokens
+    first makes prefixes maximally selective), so candidates come
+    from a self-join restricted to PREFIX tokens only, then verify
+    with the exact integer predicate 2|A∩B| >= |A∪B| — lossless by
+    the prefix-filter theorem, which the oracle PROVES by computing
+    the unfiltered all-pairs join.  The third blocking family in the
+    catalog next to LSH banding (probabilistic) and sorted
+    neighborhood (order-based): prefix filtering is the exact one.
+
+    100 TB shape: the df table is one token-keyed count; prefix
+    selection is a per-doc window over rarity rank; the candidate
+    join moves ONLY prefix postings (the rarest slice of each
+    posting list) instead of whole documents; verification joins are
+    bounded by candidate count.  Reported jaccard is one IEEE
+    division of exact integers, identical on both engines.
+    Reference scope: flo has no similarity surface — north-star
+    extension (SURVEY §2 Part B dedup/blocking)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    r"filter(split(lower(text), '\\s+'), x -> x <> '')"
+                )
+            )
+        ).alias("token"),
+    ).persist()  # df, prefix ranking, and verify all reuse this
+    sets = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tbl = tok.groupBy("token").agg(F.count("*").alias("df"))
+    prefix = (
+        tok.join(df_tbl, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            )
+            .alias("rnk"),
+        )
+        .join(sets, "doc_id")
+        .filter(F.expr("rnk <= n - (n + 1) div 2 + 1"))
+        .select("doc_id", "token")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("token").alias("t")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("token").alias("t")
+    )
+    cand = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(
+        F.col("doc_id").alias("id_a"), F.col("token").alias("t")
+    )
+    tb = tok.select(
+        F.col("doc_id").alias("id_b"), F.col("token").alias("t")
+    )
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(
+            sets.select(
+                F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "i",
+            (F.col("na") + F.col("nb") - F.col("i")).alias("u"),
+        )
+    )
+    return j.filter(2 * F.col("i") >= F.col("u")).selectExpr(
+        "id_a",
+        "id_b",
+        "floor(CAST(i AS DOUBLE) / u * 10000 + 0.5) / 10000 AS jaccard",
+    )
+
+
+@query(
+    "cochrans_q_event_types",
+    """
+    WITH m AS (
+      SELECT user_id, event_type, 1 AS hit
+      FROM events GROUP BY user_id, event_type
+    ),
+    k AS (SELECT count(DISTINCT event_type) AS k FROM m),
+    rows_ AS (
+      SELECT user_id, count(*) AS r FROM m GROUP BY user_id
+    ),
+    keep AS (
+      SELECT rows_.user_id, rows_.r FROM rows_, k
+      WHERE rows_.r > 0 AND rows_.r < k.k
+    ),
+    cols AS (
+      SELECT m.event_type, count(*) AS c
+      FROM m JOIN keep ON keep.user_id = m.user_id
+      GROUP BY m.event_type
+    ),
+    s AS (
+      SELECT (SELECT max(k) FROM k) AS k,
+             (SELECT count(*) FROM keep) AS n_kept,
+             (SELECT sum(CAST(c AS HUGEINT) * c) FROM cols) AS c2,
+             (SELECT sum(c) FROM cols) AS cs,
+             (SELECT sum(r) FROM keep) AS rs,
+             (SELECT sum(CAST(r AS HUGEINT) * r) FROM keep) AS r2
+    )
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(n_kept AS BIGINT) AS n_informative_users,
+           CAST((k - 1) * (k * c2 - CAST(cs AS HUGEINT) * cs)
+                  * 1000000 // (k * CAST(rs AS HUGEINT) - r2)
+                AS BIGINT) AS q_x1e6
+    FROM s
+    """,
+)
+def cochrans_q_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q — do the event types differ in REACH (the fraction
+    of users who perform them at least once)? — the k-treatment
+    generalization of McNemar on matched binary outcomes,
+    ENGINE-EXACT: users are blocks, each type a binary treatment,
+    uninformative all-0/all-k rows drop per the textbook (they cannot
+    discriminate), and Q = (k-1)[k*sum(C_j^2) - (sum C_j)^2] /
+    [k*sum(R_i) - sum(R_i^2)] is a pure rational of integer row/
+    column sums — one truncating division onto the 1e-6 grid, no
+    float anywhere (compare against chi^2_{k-1}).
+
+    100 TB shape: one (user, type) distinct collapse, one row-sum and
+    one column-sum aggregate over the reduced matrix, a 1-row reduce
+    — nothing corpus-scale moves twice.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B
+    statistics)."""
+    m = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .persist()  # k, row sums, and column sums share the matrix
+    )
+    k = m.select("event_type").distinct().count()  # O(types) metadata
+    rows = m.groupBy("user_id").agg(F.count("*").alias("r"))
+    keep = rows.filter((F.col("r") > 0) & (F.col("r") < k)).persist()
+    cols = (
+        m.join(keep.select("user_id"), "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    cagg = cols.agg(
+        F.sum(d("c") * F.col("c")).alias("c2"),
+        F.sum("c").alias("cs"),
+    )
+    ragg = keep.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("r").alias("rs"),
+        F.sum(d("r") * F.col("r")).alias("r2"),
+    )
+    return (
+        cagg.crossJoin(ragg)
+        .selectExpr(
+            f"CAST({k} AS BIGINT) AS k_treatments",
+            "CAST(n_kept AS BIGINT) AS n_informative_users",
+            f"CAST(({k} - 1) * ({k} * c2 - CAST(cs AS DECIMAL(38,0))"
+            f" * cs) * 1000000 div ({k} * CAST(rs AS DECIMAL(38,0))"
+            " - r2) AS BIGINT) AS q_x1e6",
+        )
+    )
