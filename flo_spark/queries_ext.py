@@ -19069,3 +19069,257 @@ def cochrans_q_event_types(
             " - r2) AS BIGINT) AS q_x1e6",
         )
     )
+
+
+@query(
+    "dispersion_fano_by_type",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(cnt) AS sm,
+             sum(CAST(cnt AS HUGEINT) * cnt) AS q
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sm AS BIGINT) AS n_events,
+           CAST((n * q - CAST(sm AS HUGEINT) * sm) * 1000000
+                // ((n - 1) * CAST(sm AS HUGEINT)) AS BIGINT)
+             AS fano_x1e6,
+           CAST((n * q - CAST(sm AS HUGEINT) * sm) * 1000000
+                // (CAST(sm AS HUGEINT) * sm) AS BIGINT)
+             AS cv2_x1e6
+    FROM s
+    """,
+)
+def dispersion_fano_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burstiness diagnostics per event type, ENGINE-EXACT: the Fano
+    factor (index of dispersion, sample variance over mean =
+    (nQ - S^2)/((n-1)S)) and the squared coefficient of variation
+    ((nQ - S^2)/S^2, the n/(n-1) factor left to the caller) of the
+    hourly arrival counts — both pure rationals of integer moments,
+    one truncating division each onto the 1e-6 grid.  Fano = 1e6 is
+    the Poisson baseline: above means bursty arrivals (provision for
+    peaks, batch the ingestion), below means regular (smaller
+    buffers) — the capacity-planning statistic for an event store.
+
+    100 TB shape: one (type, hour) map-side-combinable count, one
+    per-type moment reduce of the spine — nothing corpus-scale moves
+    twice.  Reference scope: flo ingests exactly these arrival
+    streams; the diagnostic is the north-star analytics extension
+    (SURVEY §2 Part B statistics)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("sm"),
+        F.sum(d("cnt") * F.col("cnt")).alias("q"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_hours",
+        "CAST(sm AS BIGINT) AS n_events",
+        "CAST((n * q - CAST(sm AS DECIMAL(38,0)) * sm) * 1000000"
+        " div ((n - 1) * CAST(sm AS DECIMAL(38,0))) AS BIGINT)"
+        " AS fano_x1e6",
+        "CAST((n * q - CAST(sm AS DECIMAL(38,0)) * sm) * 1000000"
+        " div (CAST(sm AS DECIMAL(38,0)) * sm) AS BIGINT)"
+        " AS cv2_x1e6",
+    )
+
+
+@query(
+    "peak_detection_hourly",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    nb AS (
+      SELECT h, cnt,
+             lag(cnt) OVER (ORDER BY h) AS prv,
+             lead(cnt) OVER (ORDER BY h) AS nxt
+      FROM c
+    ),
+    peaks AS (
+      SELECT h, cnt FROM nb
+      WHERE prv IS NOT NULL AND nxt IS NOT NULL
+        AND cnt > prv AND cnt >= nxt
+    )
+    SELECT CAST(h AS BIGINT) AS epoch_hour,
+           CAST(cnt AS BIGINT) AS height
+    FROM peaks ORDER BY cnt DESC, h LIMIT 10
+    """,
+)
+def peak_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 local maxima of the hourly event rate — the
+    peak-detection primitive behind alerting and seasonality
+    eyeballing: an interior hour is a peak iff strictly above its
+    left neighbor and at-or-above its right (the deterministic
+    half-open plateau rule: a flat plateau yields exactly its FIRST
+    hour, no double counting), ranked by height with the epoch-hour
+    tie-break.  Pure integer comparisons; complements
+    cusum_changepoint (level shifts) and anomaly_zscore (global
+    outliers) with LOCAL structure.
+
+    100 TB shape: hourly spine aggregate, one ordered window for the
+    neighbor lags, TakeOrderedAndProject for the top-k — no global
+    sort.  Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B time series)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("h")
+    nb = c.select(
+        "h",
+        "cnt",
+        F.lag("cnt").over(w).alias("prv"),
+        F.lead("cnt").over(w).alias("nxt"),
+    )
+    peaks = nb.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cnt") > F.col("prv"))
+        & (F.col("cnt") >= F.col("nxt"))
+    )
+    return (
+        peaks.orderBy(F.col("cnt").desc(), F.col("h"))
+        .limit(10)
+        .select(
+            F.col("h").cast("long").alias("epoch_hour"),
+            F.col("cnt").cast("long").alias("height"),
+        )
+    )
+
+
+@query(
+    "durbin_watson_trend_residuals",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    x AS (
+      SELECT row_number() OVER (ORDER BY h) AS t, cnt,
+             count(*) OVER () AS n
+      FROM c
+    ),
+    s AS (
+      SELECT max(n) AS n, sum(t) AS sx, sum(cnt) AS sy,
+             sum(CAST(t AS HUGEINT) * t) AS sxx,
+             sum(CAST(t AS HUGEINT) * cnt) AS sxy
+      FROM x
+    ),
+    fit AS (
+      SELECT n, sx, sy,
+             n * sxx - CAST(sx AS HUGEINT) * sx AS det,
+             n * sxy - CAST(sx AS HUGEINT) * sy AS bnum
+      FROM s
+    ),
+    e AS (
+      -- det-scaled residual: e'_t = det*y_t - bnum*t - anum, with
+      -- anum = (det*Sy - bnum*Sx)/n folded in as n*e'_t to stay
+      -- integer: en_t = n*det*y_t - n*bnum*t - (det*Sy - bnum*Sx)
+      SELECT x.t,
+             fit.n * fit.det * x.cnt - fit.n * fit.bnum * x.t
+               - (fit.det * fit.sy - fit.bnum * fit.sx) AS en
+      FROM x, fit
+    ),
+    dw AS (
+      SELECT sum(en * en) AS sse,
+             sum(CASE WHEN prev IS NULL THEN 0
+                 ELSE (en - prev) * (en - prev) END) AS sdd
+      FROM (SELECT en, lag(en) OVER (ORDER BY t) AS prev FROM e)
+    )
+    SELECT CAST((SELECT max(n) FROM s) AS BIGINT) AS n_hours,
+           CAST((sdd * 1000000) // sse AS BIGINT) AS dw_x1e6
+    FROM dw
+    """,
+)
+def durbin_watson_trend_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic of the residuals from
+    the OLS hourly trend — the regression DIAGNOSTIC that says
+    whether the trend entries' error terms are independent (DW ~ 2)
+    or positively autocorrelated (DW -> 0, the usual traffic case
+    that invalidates naive confidence intervals) — ENGINE-EXACT: the
+    residuals are scaled by n*det (det = n*Sxx - Sx^2), making
+    en_t = n*det*y_t - n*bnum*t - (det*Sy - bnum*Sx) an exact
+    integer, and DW = sum(diff^2)/sum(e^2) is scale-invariant so the
+    n*det factor cancels — one truncating division onto the 1e-6
+    grid, decimal(38,0)/HUGEINT throughout.
+
+    100 TB shape: hourly spine aggregate, one single-row moment
+    reduce, one broadcast of the fit back over the spine, one lag
+    window — all spine-sized after the first aggregate.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics, the diagnostic for
+    regression_price_quantity / holt_linear_trend)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    x = c.select(
+        F.row_number().over(Window.orderBy("h")).alias("t"),
+        "cnt",
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    ).persist()  # moment reduce + residual pass share the spine
+    d = lambda col: F.col(col).cast("decimal(38,0)")
+    s = x.agg(
+        F.max("n").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(d("t") * F.col("t")).alias("sxx"),
+        F.sum(d("t") * F.col("cnt")).alias("sxy"),
+    )
+    fit = s.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS det",
+        "n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS bnum",
+    )
+    e = (
+        x.select("t", "cnt")
+        .crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "t",
+            "n * det * cnt - n * bnum * t - (det * sy - bnum * sx)"
+            " AS en",
+        )
+    )
+    lagw = Window.orderBy("t")
+    dw = e.select(
+        "en", F.lag("en").over(lagw).alias("prev")
+    ).agg(
+        F.sum(F.col("en") * F.col("en")).alias("sse"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(0).cast("decimal(38,0)"))
+            .otherwise((F.col("en") - F.col("prev")) * (F.col("en") - F.col("prev")))
+        ).alias("sdd"),
+    )
+    n_row = x.agg(F.max("n").alias("n_hours"))
+    return dw.crossJoin(F.broadcast(n_row)).selectExpr(
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        "CAST((sdd * 1000000) div sse AS BIGINT) AS dw_x1e6",
+    )
