@@ -1967,3 +1967,218 @@ def _decode_ico(payload: bytes):
     rgba = rgba.copy()
     rgba[bits == 1, 3] = 0  # AND mask bit set = transparent
     return rgba
+
+
+# -- Animated GIF (GIF89a GCE + NETSCAPE loop) -------------------------------
+
+
+def _gif_lzw_encode(indices, depth: int) -> bytes:
+    """Greedy longest-match GIF LZW for a flat index iterable —
+    the same algorithm encode_gif inlines, exposed for multi-frame
+    assembly (CLEAR on 12-bit table overflow per the spec)."""
+    clear, end = 1 << depth, (1 << depth) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, depth + 1
+    acc = nbits = 0
+    data = bytearray()
+
+    def put(code, sz):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += sz
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, size)
+    buf = ()
+    for px in (int(v) for v in indices):
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size):
+            if size < 12:
+                size += 1
+            else:
+                put(clear, size)
+                table = {(i,): i for i in range(clear)}
+                next_code, size = end + 1, depth + 1
+        buf = (px,)
+    if buf:
+        put(table[buf], size)
+    put(end, size)
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def encode_gif_animation(
+    frames, palette, delays_cs=None, transparent_index=None, loops=0
+) -> bytes:
+    """Assemble an ANIMATED GIF89a: global color table, NETSCAPE2.0
+    loop extension, and per-frame Graphics Control Extension (delay
+    in centiseconds; optional transparent index with disposal-method
+    1 = leave the previous frame in place, the compositing rule
+    decode_gif_frames implements) followed by an LZW-coded full-frame
+    image block."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    delays = delays_cs or [10] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    full = list(palette) + [(0, 0, 0)] * ((1 << depth) - n)
+    for rgb in full:
+        out += bytes(rgb)
+    # NETSCAPE2.0 application extension: loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack(
+        "<H", loops
+    ) + b"\x00"
+    for k, (f, delay) in enumerate(zip(frames, delays)):
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        flags = 1 << 2  # disposal 1: do not dispose
+        tidx = 0
+        if transparent_index is not None and k > 0:
+            flags |= 1  # transparency on
+            tidx = transparent_index
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack(
+            "<H", delay
+        ) + bytes([tidx, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([depth])
+        data = _gif_lzw_encode(f.reshape(-1), depth)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode ALL frames of a GIF into (frames, meta): frames are
+    composed (H, W, 3) RGB canvases per the GIF89a rendering model —
+    disposal 0/1 leave the canvas for the next frame, disposal 2
+    restores it to the global background color, transparency keeps
+    the underlying canvas pixel; disposal 3 (restore previous)
+    refuses loudly.  meta carries per-frame delays (centiseconds) and
+    the NETSCAPE loop count.  Sub-frame rectangles composite at
+    their (left, top) offsets; interlaced frames reorder rows."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = np.frombuffer(b, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    canvas = np.zeros((sh, sw), np.int64)
+    if gct is not None:
+        canvas[:] = bg
+    frames = []
+    delays = []
+    loops = None
+    delay = 0
+    transparent = None
+    disposal = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x21:
+            label = b[pos]
+            pos += 1
+            subs = []
+            while b[pos]:
+                ln = b[pos]
+                subs.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:
+                gflags = subs[0][0]
+                delay = struct.unpack("<H", subs[0][1:3])[0]
+                disposal = (gflags >> 2) & 0x07
+                transparent = subs[0][3] if gflags & 1 else None
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal 3 (restore previous) not"
+                        " implemented"
+                    )
+            elif label == 0xFF and subs and subs[0][:11] == b"NETSCAPE2.0":
+                if len(subs) > 1 and len(subs[1]) >= 3:
+                    loops = struct.unpack("<H", subs[1][1:3])[0]
+        elif block == 0x2C:
+            lx, ty, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 0x07))
+                table = np.frombuffer(b, np.uint8, n, pos).reshape(-1, 3)
+                pos += n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(
+                    f"invalid GIF LZW code size {min_code}"
+                )
+            chunks = []
+            while b[pos]:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if iflags & 0x40:
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(arr)
+                deinter[order] = arr
+                arr = deinter
+            region = canvas[ty : ty + h, lx : lx + w]
+            if transparent is not None:
+                region[:] = np.where(arr == transparent, region, arr)
+            else:
+                region[:] = arr
+            frames.append(table[canvas].astype(np.uint8))
+            delays.append(delay)
+            if disposal == 2:
+                canvas[ty : ty + h, lx : lx + w] = bg
+            delay, transparent, disposal = 0, None, 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames, {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_cs": delays,
+        "loops": loops,
+    }

@@ -19323,3 +19323,97 @@ def durbin_watson_trend_residuals(
         "CAST(n_hours AS BIGINT) AS n_hours",
         "CAST((sdd * 1000000) div sse AS BIGINT) AS dw_x1e6",
     )
+
+
+@query(
+    "multimodal_gif_anim_roundtrip",
+    """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 48)) AS i FROM documents
+    ),
+    f0 AS (SELECT doc_id, i, (doc_id + i) % 4 AS v FROM s),
+    f1r AS (SELECT doc_id, i, (doc_id * 2 + i * 3) % 4 AS v FROM s),
+    f2r AS (SELECT doc_id, i, (doc_id * 5 + i * 7) % 4 AS v FROM s),
+    f1 AS (
+      SELECT f1r.doc_id, f1r.i,
+             CASE WHEN f1r.v = 3 THEN f0.v ELSE f1r.v END AS v
+      FROM f1r JOIN f0 ON f0.doc_id = f1r.doc_id AND f0.i = f1r.i
+    ),
+    f2 AS (
+      SELECT f2r.doc_id, f2r.i,
+             CASE WHEN f2r.v = 3 THEN f1.v ELSE f2r.v END AS v
+      FROM f2r JOIN f1 ON f1.doc_id = f2r.doc_id AND f1.i = f2r.i
+    ),
+    allf AS (
+      SELECT doc_id, 0 AS frame_idx, v FROM f0
+      UNION ALL SELECT doc_id, 1, v FROM f1
+      UNION ALL SELECT doc_id, 2, v FROM f2
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(sum(CASE v WHEN 0 THEN 10 WHEN 1 THEN 20
+                    WHEN 2 THEN 30 ELSE 120 END) AS BIGINT) AS sum_rgb
+    FROM allf GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_gif_anim_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED GIF round trip, hash-checked through the GIF89a
+    rendering model: per document three 8x6 indexed frames encode
+    with per-frame Graphics Control Extensions (delays 10/20/30 cs,
+    transparent index 3 on frames 1-2, disposal 1) and a NETSCAPE2.0
+    loop block; ``decode_gif_frames`` COMPOSES each frame onto the
+    canvas — a transparent pixel must show the prior frame — and the
+    oracle replays the same compositing as chained CTEs (frame k's
+    value = previous frame's where the raw index is 3).  A defect in
+    GCE parsing, transparency masking, or canvas carry breaks the
+    hash; the third moving-picture format after Y4M and AVI, and the
+    only one with inter-frame state.
+
+    100 TB shape: identical to the other media round trips — one
+    Arrow-batched mapInPandas stage, no shuffle, binary payloads
+    opaque to the scan."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flo_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    W, H = 8, 6
+    PAL = [(1, 2, 7), (4, 6, 10), (9, 10, 11), (40, 40, 40)]
+    CH = [10, 20, 30, 120]  # channel sums per palette entry
+
+    def _roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(W * H)
+        pal_sum = {tuple(PAL[k]): CH[k] for k in range(4)}
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "sum_rgb": []}
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                f0 = ((d + i) % 4).reshape(H, W)
+                f1 = ((d * 2 + i * 3) % 4).reshape(H, W)
+                f2 = ((d * 5 + i * 7) % 4).reshape(H, W)
+                enc = encode_gif_animation(
+                    [f0, f1, f2],
+                    PAL,
+                    delays_cs=[10, 20, 30],
+                    transparent_index=3,
+                )
+                frames, meta = decode_gif_frames(enc)
+                assert meta["delays_cs"] == [10, 20, 30]
+                for k, fr in enumerate(frames):
+                    total = int(fr.astype(np.int64).sum())
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(k)
+                    out["sum_rgb"].append(total)
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _roundtrip, "doc_id long, frame_idx int, sum_rgb long"
+    )

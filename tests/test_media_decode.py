@@ -1493,3 +1493,80 @@ def test_ico_property_random_images(seed):
                 assert (got[..., 3] == 255).all()
             else:
                 assert np.array_equal(got, img)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a GCE + NETSCAPE loop)
+# ---------------------------------------------------------------------------
+
+from flo_spark.operators.multimodal import (
+    decode_gif_frames,
+    encode_gif_animation,
+)
+
+
+def test_gif_animation_composites_transparency_over_prior_frames():
+    pal = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)]
+    rng = np.random.default_rng(2)
+    f0, f1, f2 = (
+        rng.integers(0, 4, (6, 8), dtype=np.int64) for _ in range(3)
+    )
+    enc = encode_gif_animation(
+        [f0, f1, f2], pal, delays_cs=[10, 20, 30],
+        transparent_index=3, loops=2,
+    )
+    frames, meta = decode_gif_frames(enc)
+    assert meta["n_frames"] == 3
+    assert meta["delays_cs"] == [10, 20, 30]
+    assert meta["loops"] == 2
+    pal_arr = np.array(pal, np.uint8)
+    assert np.array_equal(frames[0], pal_arr[f0])
+    c1 = np.where(f1 == 3, f0, f1)
+    assert np.array_equal(frames[1], pal_arr[c1])
+    c2 = np.where(f2 == 3, c1, f2)
+    assert np.array_equal(frames[2], pal_arr[c2])
+
+
+def test_gif_animation_opaque_frames_and_single_frame_consistency():
+    from flo_spark.operators.multimodal import _decode_gif
+
+    pal = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (200, 100, 50)]
+    rng = np.random.default_rng(3)
+    f0 = rng.integers(0, 4, (5, 5), dtype=np.int64)
+    f1 = rng.integers(0, 4, (5, 5), dtype=np.int64)
+    enc = encode_gif_animation([f0, f1], pal)  # no transparency
+    frames, meta = decode_gif_frames(enc)
+    pal_arr = np.array(pal, np.uint8)
+    assert np.array_equal(frames[1], pal_arr[f1])  # full overwrite
+    # the single-frame decoder must agree on frame 0 of an animation
+    assert np.array_equal(_decode_gif(enc), pal_arr[f0])
+
+
+def test_gif_animation_disposal_3_refuses():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    enc = bytearray(
+        encode_gif_animation(
+            [np.zeros((2, 2), np.int64)] * 2, pal, transparent_index=1
+        )
+    )
+    i = enc.index(b"\x21\xf9\x04", enc.index(b"\x21\xf9\x04") + 1)
+    enc[i + 3] = (enc[i + 3] & ~0x1C) | (3 << 2)  # disposal 3
+    with pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif_frames(bytes(enc))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_gif_animation_property_random(seed):
+    rng = np.random.default_rng(seed)
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(8)]
+    h, w = int(rng.integers(2, 10)), int(rng.integers(2, 10))
+    frames = [
+        rng.integers(0, 8, (h, w), dtype=np.int64) for _ in range(4)
+    ]
+    got, meta = decode_gif_frames(
+        encode_gif_animation(frames, pal)
+    )
+    pal_arr = np.array(pal, np.uint8)
+    assert meta["n_frames"] == 4
+    for f, g in zip(frames, got):  # opaque frames = plain lookups
+        assert np.array_equal(g, pal_arr[f])
