@@ -19417,3 +19417,148 @@ def multimodal_gif_anim_roundtrip(
     return docs.mapInPandas(
         _roundtrip, "doc_id long, frame_idx int, sum_rgb long"
     )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             1 + CAST(o_orderkey % 5 AS BIGINT) AS wt
+      FROM orders
+    ),
+    cum AS (
+      SELECT prio, cents, wt,
+             sum(wt) OVER (PARTITION BY prio
+                           ORDER BY cents, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY prio) AS tw
+      FROM v
+    ),
+    pick AS (
+      SELECT prio, cents, tw,
+             row_number() OVER (PARTITION BY prio
+                                ORDER BY cents, wt) AS rn
+      FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(tw AS BIGINT) AS total_weight,
+           CAST(cents AS BIGINT) AS weighted_median_cents
+    FROM pick WHERE rn = 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median order price per priority (weights = a
+    deterministic 1..5 units-per-order proxy): the lower weighted
+    median is the first value, in (cents, weight) order, whose
+    cumulative weight reaches half the total — the exact integer
+    predicate 2*cumw >= totw needs no division at all, and the
+    deterministic secondary sort makes the pick reproducible through
+    ties.  Plain medians (exact_percentile_suite) treat every row
+    equally; revenue-weighted cuts are what pricing dashboards
+    actually want, and the same cumsum shape generalizes to any
+    weighted quantile.
+
+    100 TB shape: one per-group ordered window over the fact (the
+    quantile_discretizer shape with a weight column); swap in a
+    weighted variant of the mergeable quantile sketch when one group
+    outgrows a task.  Reference scope: flo has no analytics surface
+    — north-star extension (SURVEY §2 Part B statistics)."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        (1 + (F.col("o_orderkey") % 5)).cast("long").alias("wt"),
+    )
+    wo = (
+        Window.partitionBy("prio")
+        .orderBy("cents", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("prio")
+    cum = v.select(
+        "prio",
+        "cents",
+        "wt",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    pick = cum.filter(2 * F.col("cw") >= F.col("tw")).select(
+        "prio",
+        "cents",
+        "tw",
+        F.row_number()
+        .over(Window.partitionBy("prio").orderBy("cents", "wt"))
+        .alias("rn"),
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("tw").cast("long").alias("total_weight"),
+        F.col("cents").cast("long").alias("weighted_median_cents"),
+    )
+
+
+@query(
+    "srm_guardrail_check",
+    """
+    WITH assign AS (
+      SELECT CASE WHEN (o_orderkey * 2654435761) % 4294967296
+                       % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+      FROM orders
+    ),
+    s AS (
+      SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+      FROM assign
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(((na - nb) * (na - nb) * 1000000) // (na + nb)
+                AS BIGINT) AS chi2_x1e6,
+           (na - nb) * (na - nb) * 1000000
+             > 3841459 * (na + nb) AS srm_alarm_005
+    FROM s
+    """,
+)
+def srm_guardrail_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch guardrail — the first thing every A/B
+    platform checks before reading any metric: orders assign to arms
+    A/B by the deterministic multiplicative (Knuth/Fibonacci) hash at
+    a 50/50 target, and the one-degree chi-square against the target
+    split, chi^2 = (n_a - n_b)^2 / (n_a + n_b), evaluates as exact
+    integers with the alpha=0.05 alarm cross-multiplied against
+    1.96^2 — an alarm here means the assignment or logging pipeline
+    is broken and every downstream test (welch_t2, diff_in_diff,
+    mcnemar) is void.  The same deterministic-hash discipline as
+    train_val_test_split, here with its statistical acceptance test
+    attached.
+
+    100 TB shape: one map-side-combinable 2-counter aggregate over
+    the scan; the verdict is a 1-row projection.  Reference scope:
+    flo has no analytics surface — north-star extension (SURVEY §2
+    Part B pipeline hygiene)."""
+    assign = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.expr(
+                "(o_orderkey * 2654435761) % 4294967296 % 100 < 50"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm")
+    )
+    s = assign.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    return s.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(((na - nb) * (na - nb) * 1000000) div (na + nb)"
+        " AS BIGINT) AS chi2_x1e6",
+        "(na - nb) * (na - nb) * 1000000 > 3841459 * (na + nb)"
+        " AS srm_alarm_005",
+    )
