@@ -124,7 +124,13 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixDecoder:
         s0 = br.bits(8 if first_8 else 1)
         if num_symbols == 2:
             s1 = br.bits(8)
-            return _PrefixDecoder({s0: 1, s1: 1})
+            # spec: bit 0 is the FIRST symbol in stream order, not the
+            # numerically smaller one — bypass canonical assignment.
+            dec = _PrefixDecoder({s0: 1})
+            dec.single = None
+            dec.table = {(1, 0): s0, (1, 1): s1}
+            dec.max_len = 1
+            return dec
         return _PrefixDecoder({s0: 1})  # zero bits per symbol
     # normal: code lengths coded by the code-length code
     num_clc = 4 + br.bits(4)

@@ -1827,65 +1827,68 @@ from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
 # The driver's correctness gate has checked exactly the FIRST 50 keys
 # of queries() in insertion order every round (the window is positional
 # and capped at 50 — see DRIVER_COVERAGE.md).  Rounds 1-6 cumulatively
-# driver-verified all 138 entries registered through the round-6
-# window; the round-7 window is the next ROTATION: the 42 entries
-# registered after the round-6 freeze (zero driver-green history), the
-# 2 entries rewritten by the exact-arithmetic migrations after their
-# last certification (q14_promo_revenue, stats_by_linestatus), the 3
-# rows-only companion contracts, 2 flo-surface canaries, and the q7
-# exact-money class-bug canary.  Every entry displaced from the window
-# has at least one prior round of driver-green history AND stays
-# hash-checked by the local replica gate (tests/test_oracle.py); the
-# rotation history and displaced list are audited in DRIVER_COVERAGE.md
-# and pinned by tests/test_driver_window.py.
+# the round-8 window is the first of the three rotations (r8/r9/r10)
+# that burn down the 135 round-7 post-window entries with zero
+# driver-green history (DRIVER_COVERAGE.md round-8 plan): the 25
+# novel-mechanism representatives first (one per new mechanism so a
+# mechanism bug surfaces in ONE round), then wilcoxon_signed_rank
+# (its z^2 denominator was FIXED this round — ADVICE r7 — so it must
+# be driver-certified on the corrected code), then the remaining
+# exact-stats singles in catalog order, then the standing canaries.
+# Every entry displaced from the window has at least one prior round
+# of driver-green history AND stays hash-checked by the local replica
+# gate (tests/test_oracle.py); the rotation history and displaced list
+# are audited in DRIVER_COVERAGE.md and pinned by
+# tests/test_driver_window.py.
 DRIVER_CHECK_ORDER = [
-    # -- the 42 round-6 post-window entries: zero driver-green history --
-    "flo_tcp_roundtrip",
-    "text_normalize_nfc",
-    "stream_dedup_ingest",
-    "zorder_morton_key",
-    "freq_items_heavy_hitters",
-    "flo_consume_snapshot",
-    "interval_join_binned",
-    "boilerplate_chunk_strip",
-    "quality_classifier_score",
-    "pagerank_customer_supplier",
-    "cdc_chunk_dedup_stats",
-    "neardup_ingest_verdicts",
-    "funnel_conversion",
-    "cohort_retention",
-    "bpe_merge_steps",
-    "bpe_encode_tokens",
-    "langid_trigram_confusion",
-    "doc_length_log2_histogram",
-    "federated_trimodal_join",
-    "hll_sketch_union_bounded",
-    "constraint_audit",
-    "triangle_count_copurchase",
-    "variant_props_extract",
-    "regression_price_quantity",
-    "multimodal_tiff_roundtrip",
-    "multimodal_au_roundtrip",
-    "copurchase_lift_topk",
-    "quantile_sketch_mergeable",
-    "stream_quantile_monitor",
-    "embedding_pq_adc",
-    "anomaly_zscore_hourly",
-    "ewma_hourly_trend",
-    "theta_sketch_audience_overlap",
-    "multimodal_gif_roundtrip",
-    "gini_revenue_concentration",
-    "herfindahl_supplier_share",
-    "winsorized_price_stats",
-    "lorenz_revenue_deciles",
-    "dup_cluster_size_histogram",
-    "markov_event_transitions",
-    "cusum_changepoint_hourly",
-    "stream_theta_audience_monitor",
-    # -- rewritten AFTER their r5 driver-green (exact-arithmetic
-    #    migrations), so their certification predates the code --
-    "q14_promo_revenue",
-    "stats_by_linestatus",
+    # -- novel-mechanism representatives (zero driver history) --
+    "kmeans_lloyd_rounds",
+    "isotonic_calibration_minimax",
+    "dtw_daily_profiles",
+    "ols_two_feature_cramer",
+    "theil_sen_hourly_trend",
+    "mann_kendall_trend_test",
+    "ks_drift_priority",
+    "stream_drift_monitor",
+    "stream_cep_pattern_monitor",
+    "stream_chained_window_rollup",
+    "stream_stream_full_outer_attribution",
+    "prefix_filter_jaccard_pairs",
+    "multimodal_webp_roundtrip",
+    "multimodal_avi_roundtrip",
+    "multimodal_ico_roundtrip",
+    "multimodal_tga_roundtrip",
+    "multimodal_pcx_roundtrip",
+    "multimodal_ras_roundtrip",
+    "binaryfile_asset_scan",
+    "dynamic_partition_overwrite",
+    "flo_fixedwidth_roundtrip",
+    "sql_pipe_syntax_report",
+    "recursive_cte_order_chains",
+    "hits_hubs_authorities",
+    "degree_assortativity_copurchase",
+    # -- fixed this round (ADVICE r7 high: z^2 denominator), so its
+    #    driver certification must land on the corrected code --
+    "wilcoxon_signed_rank",
+    # -- remaining exact-stats singles, catalog order --
+    "welch_t2_ab_test",
+    "ams_f2_selfjoin_size",
+    "calibration_curve_quality",
+    "session_path_topk",
+    "stratified_kfold_assignment",
+    "time_weighted_value_per_user",
+    "diff_in_diff_revenue",
+    "mad_robust_outliers",
+    "mcnemar_paired_proportions",
+    "discrete_hazard_lifetable",
+    "cep_sequence_pattern_detect",
+    "simpson_diversity_by_source",
+    "keyset_pagination_page",
+    "funnel_time_to_convert",
+    "kendall_tau_user_metrics",
+    "roc_youden_threshold",
+    "cohens_kappa_langid",
+    "anova_f_returnflag",
     # -- rows-only companion contracts (stay pinned in every window) --
     "approx_distinct_bounded",
     "dedup_simhash_pairs",

@@ -18596,11 +18596,11 @@ def hodges_lehmann_location(
              THEN ((4 * w_plus - CAST(n AS HUGEINT) * (n + 1))
                    * (4 * w_plus - CAST(n AS HUGEINT) * (n + 1))
                    * 1000000)
-                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 8 // 3)
+                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 2 // 3)
              ELSE ((CAST(n AS HUGEINT) * (n + 1) - 4 * w_plus)
                    * (CAST(n AS HUGEINT) * (n + 1) - 4 * w_plus)
                    * 1000000)
-                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 8 // 3)
+                  // (CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) * 2 // 3)
            END AS BIGINT) AS z2_x1e6
     FROM s
     """,
@@ -18615,7 +18615,7 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant; the deterministic variant keeps every quantity integer),
     W+ sums positive-difference ranks, and
     z^2 = (W+ - n(n+1)/4)^2 / (n(n+1)(2n+1)/24) clears denominators
-    to (4W+ - n(n+1))^2 * 1e6 // (n(n+1)(2n+1)*8//3) — the 16/24
+    to (4W+ - n(n+1))^2 * 1e6 // (n(n+1)(2n+1)*2//3) — the 16/24
     factor reduced to 2/3, all integer (n(n+1)(2n+1) is divisible
     by 3... floor-composed identically on both engines either way).
 
@@ -18662,10 +18662,10 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CASE WHEN 4 * w_plus >= {D} * (n + 1)"
         f" THEN ((4 * w_plus - {D} * (n + 1))"
         f" * (4 * w_plus - {D} * (n + 1)) * 1000000)"
-        f" div ({D} * (n + 1) * (2 * n + 1) * 8 div 3)"
+        f" div ({D} * (n + 1) * (2 * n + 1) * 2 div 3)"
         f" ELSE (({D} * (n + 1) - 4 * w_plus)"
         f" * ({D} * (n + 1) - 4 * w_plus) * 1000000)"
-        f" div ({D} * (n + 1) * (2 * n + 1) * 8 div 3)"
+        f" div ({D} * (n + 1) * (2 * n + 1) * 2 div 3)"
         " END AS BIGINT) AS z2_x1e6",
     )
 

@@ -140,8 +140,17 @@ class ManifestTable:
         is rewritten without them; untouched fragments carry over by
         reference (the Iceberg/Delta COW rule — at 100 TB only the
         affected fragments rewrite, driven by file-level stats)."""
+        # commit() re-runs build on CommitConflict; fragment names must be
+        # unique PER ATTEMPT or the errorifexists write of attempt 2 hits
+        # attempt 1's path and raises instead of retrying.  Attempt 0 keeps
+        # the bare suffix; orphans from losing attempts are unreferenced by
+        # any manifest and reclaimable by vacuum.
+        attempt = 0
 
         def build(files: list[str]) -> tuple[list[str], str]:
+            nonlocal attempt
+            tag = name_suffix if attempt == 0 else f"{name_suffix}.r{attempt}"
+            attempt += 1
             kept: list[str] = []
             for rel in files:
                 frag = spark.read.parquet(os.path.join(self.root, rel))
@@ -151,7 +160,7 @@ class ManifestTable:
                     continue
                 base = os.path.basename(rel.rstrip("/"))
                 new_rel = self.write_fragment(
-                    frag.filter(f"NOT ({predicate})"), f"{base}_{name_suffix}"
+                    frag.filter(f"NOT ({predicate})"), f"{base}_{tag}"
                 )
                 kept.append(new_rel)
             return kept, "delete"

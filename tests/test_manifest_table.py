@@ -72,6 +72,38 @@ def test_commit_claim_is_put_if_absent(spark, table):
     ]
 
 
+def test_contended_delete_where_retries(spark, table):
+    # A racer lands version 2 between delete_where's snapshot read and
+    # its publish; the retry must rewrite under a FRESH fragment name
+    # (attempt 1's errorifexists path) instead of raising.
+    t = table
+    racer_done = {"flag": False}
+    orig_manifest = t.manifest
+
+    def manifest_with_race(version=None):
+        head = orig_manifest(version)
+        if version is None and not racer_done["flag"]:
+            racer_done["flag"] = True
+            ManifestTable(t.root).append(
+                spark.range(100, 103).withColumnRenamed("id", "k"), "racer"
+            )
+        return head
+
+    t.manifest = manifest_with_race
+    v = t.delete_where(spark, "k % 2 = 0")
+    assert v == 3
+    ks = sorted(r.k for r in t.read(spark, 3).collect())
+    assert ks == [1, 3, 5, 7, 9, 101]
+    # the winning rewrite carries the attempt-1 tag; attempt 0's orphan
+    # fragment is unreferenced by any manifest.
+    files = t.manifest(3)["files"]
+    assert any(f.endswith("_cow.r1") for f in files)
+    for ver in (1, 2, 3):
+        assert not any(
+            f.endswith("_cow") for f in t.manifest(ver)["files"]
+        )
+
+
 def test_empty_read_raises(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError):

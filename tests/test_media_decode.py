@@ -1343,6 +1343,37 @@ def test_webp_roundtrip_simple_and_flat_codes():
     )  # decode_image dispatch
 
 
+def test_webp_simple_code_stream_order_not_canonical():
+    # spec: in a 2-symbol simple code bit 0 maps to the FIRST symbol
+    # in stream order even when it is numerically LARGER (the in-repo
+    # encoder always sorts, so round trips cannot catch a canonical
+    # remap that swaps the two symbols)
+    bw = _VP8LBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(2 - 1, 14)
+    bw.write(1 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green: simple 2-symbol code, larger symbol FIRST: s0=9, s1=3
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # num_symbols = 2
+    bw.write(1, 1)  # 8-bit first symbol
+    bw.write(9, 8)
+    bw.write(3, 8)
+    _simple_single(bw, 0)  # red
+    _simple_single(bw, 0)  # blue
+    _simple_single(bw, 255)  # alpha
+    _simple_single(bw, 0)  # distance (unused)
+    bw.write_code(0, 1)  # green code 0 -> s0 = 9
+    bw.write_code(1, 1)  # green code 1 -> s1 = 3
+    dec = decode_webp(_vp8l_file(bw.bytes()))
+    exp = np.array([[[0, 9, 0, 255], [0, 3, 0, 255]]], np.uint8)
+    assert np.array_equal(dec, exp)
+
+
 def test_webp_hand_built_backref_stream():
     # 2x1 image: literal green=0/r=7/b=9/a=255, then a length-1
     # LZ77 backref at linear distance 1 (dist_code 121 = prefix 13

@@ -128,3 +128,31 @@ def test_ks_rejection_cross_multiplication_matches_float():
         crit = np.sqrt(1.844164 * (n1 + n2) / (n1 * n2))
         if abs(D - crit) > 1e-9:
             assert exact == (D > crit)
+
+
+def test_wilcoxon_z2_clearing_matches_textbook():
+    """(4W+ - n(n+1))^2 * 1e6 // (n(n+1)(2n+1)*2//3) must floor-match
+    z^2 = (W+ - n(n+1)/4)^2 / (n(n+1)(2n+1)/24) — the ADVICE-r7 class
+    bug (an 8//3 denominator, z^2 4x too small) was invisible to the
+    oracle gate because both engines shared the formula, so pin the
+    value against an independent rational computation here."""
+    # the advisor's concrete counterexample first
+    n, w = 3, 6
+    num = (4 * w - n * (n + 1)) ** 2 * 1_000_000
+    den = n * (n + 1) * (2 * n + 1) * 2 // 3
+    assert num // den == 2_571_428  # true z^2 = 2.5714…, NOT 0.6428…
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(1, 500))
+        w = int(rng.integers(0, n * (n + 1) // 2 + 1))
+        num = (4 * w - n * (n + 1)) ** 2 * 1_000_000
+        den = n * (n + 1) * (2 * n + 1) * 2 // 3
+        # n(n+1)(2n+1) is divisible by 3, so den is exact (no floor
+        # loss) and the quotient is floor(true z^2 * 1e6) exactly
+        assert n * (n + 1) * (2 * n + 1) % 3 == 0
+        true = Fraction((4 * w - n * (n + 1)) ** 2 * 1_000_000 * 3,
+                        n * (n + 1) * (2 * n + 1) * 2)
+        assert num // den == true.numerator // true.denominator
+        z2 = Fraction(w) - Fraction(n * (n + 1), 4)
+        z2 = z2 * z2 / Fraction(n * (n + 1) * (2 * n + 1), 24)
+        assert num // den == (z2.numerator * 1_000_000) // z2.denominator
