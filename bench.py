@@ -2,7 +2,8 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "spread": {name: [min, max] of the timed samples}, "sf": ...}
 
 value = total wall seconds across the headline query set (lower=better).
 Each query is executed to completion (count + head collect) so the full
@@ -88,6 +89,7 @@ def main() -> None:
     # also supplies the sanity row count.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qmap[name]
         # untimed warmup: full plan through the noop sink (count()
@@ -107,6 +109,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # per-query [min, max] of the samples: the medians are now
+        # dominated by ±100 ms host-load noise, and the spread lets a
+        # reader separate a real regression (min moved) from load (max
+        # moved) — BASELINE.md §3 methodology
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         detail = "/".join(f"{s:.2f}" for s in sorted(samples))
         print(
             f"# {name}: {timings[name]:.3f}s median of [{detail}] ({n} rows)",
@@ -121,6 +128,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -526,6 +526,97 @@ def ann_topk_ivf_indexed(
     )
 
 
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> dict:
+    """Persisted hyperplane-LSH index — the LSH twin of
+    :func:`write_ivf_index` (VERDICT r7 item 5): bucket signatures are
+    computed ONCE at ingest and written with ``bucket`` as a physical
+    PARTITION COLUMN, so a query-time scan with ``bucket IN (probes)``
+    prunes unprobed buckets at the FILE level instead of re-bucketing
+    the whole corpus per call (what :func:`ann_topk_lsh` does).  The
+    hyperplane family is fully determined by ``(dim, num_planes,
+    seed)``; those persist to ``_lsh_meta.json`` so queries always
+    hash with the index's own planes.  Returns the metadata dict."""
+    import json
+    import os
+
+    bucket_fn = lsh_bucket_np(dim, num_planes, seed)
+    (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_emb"),
+            bucket_fn(F.col(vec_col)).alias("bucket"),
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    meta = {"dim": dim, "num_planes": num_planes, "seed": seed}
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """LSH top-k over a PERSISTED index (:func:`write_lsh_index`):
+    query signatures are computed driver-side from the stored plane
+    parameters (O(|queries|·dim·P) — queries are the SMALL side by
+    contract), and ``bucket IN (query buckets)`` lands in the scan's
+    PartitionFilters, so only matching buckets' files are opened.
+    Scoring and ranking are identical to :func:`ann_topk_lsh`, so
+    results match the per-call re-bucketing form exactly for the same
+    ``(dim, num_planes, seed)``."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    planes = _hyperplanes(meta["dim"], meta["num_planes"], meta["seed"]).T
+    weights = (1 << np.arange(meta["num_planes"])).astype(np.int64)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qbuckets = ((qm @ planes) > 0) @ weights
+    qb = spark.createDataFrame(
+        [
+            (int(r[0]), [float(x) for x in r[1]], int(b))
+            for r, b in zip(qrows, qbuckets)
+        ],
+        "q_id long, q_emb array<float>, bucket long",
+    )
+    probed = sorted({int(b) for b in qbuckets})
+
+    scored = (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(probed))  # -> PartitionFilters
+        .join(F.broadcast(qb), "bucket")
+        .withColumn("cos_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("c_id")
+    )
+    return (
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("cos_raw", 4).alias("cos_sim"), "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (round 6) — the ANN serving compression standard
 # ---------------------------------------------------------------------------

@@ -342,6 +342,24 @@ class _Handler(socketserver.BaseRequestHandler):
             if ctl == "stop":
                 return
 
+    def _produce_inline(self, msg: wire.ProduceEvent) -> None:
+        """Produce + ack while a cursor is active — the protocol is
+        fully pipelined (op_id correlation, client.rs:102-109), so a
+        client may interleave produces with an open consume on one
+        socket (the reference's async connection does exactly this,
+        flo-client-lib/src/async/mod.rs)."""
+        try:
+            eid = self.stream.produce(
+                msg.partition, msg.namespace, msg.data, msg.parent_id
+            )
+            self._send(wire.AckEvent(msg.op_id, eid))
+        except OSError as err:
+            self._send(
+                wire.ErrorMessage(
+                    msg.op_id, wire.ERROR_STORAGE_ENGINE_IO, str(err)
+                )
+            )
+
     def _drain_control(self, op_id: int) -> str | None:
         """Non-blocking: process control messages that may arrive while
         a cursor is active."""
@@ -352,7 +370,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 return None
             if msg is None or isinstance(msg, wire.StopConsuming):
                 return "stop"
-            if isinstance(msg, wire.SetBatchSize):
+            if isinstance(msg, wire.ProduceEvent):
+                self._produce_inline(msg)
+            elif isinstance(msg, wire.SetBatchSize):
                 self._send(
                     wire.ErrorMessage(
                         op_id,
@@ -372,6 +392,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 return True
             if isinstance(msg, wire.StopConsuming):
                 return False
+            if isinstance(msg, wire.ProduceEvent):
+                self._produce_inline(msg)
+                continue
             if isinstance(msg, wire.SetBatchSize):
                 self._send(
                     wire.ErrorMessage(

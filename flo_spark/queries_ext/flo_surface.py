@@ -1,0 +1,525 @@
+"""flo event-stream surface entries: native datasource scans,
+TCP round trip, retention, interchange formats (ORC/XML/fixed-width),
+ordered tail consume.
+
+Split out of the former monolithic ``queries_ext`` module (round 8);
+registration conventions and the 100 TB scale notes live in the package
+``__init__``.  Catalog order is canonical in ``_order.py`` — adding an
+entry here does NOT perturb existing ``queries()`` positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flo_spark.queries import (
+    load,
+    query,
+)
+
+__all__ = [
+    "flo_tail_consume_ordered",
+    "flo_orc_roundtrip",
+    "flo_datasource_scan",
+    "flo_native_retention",
+    "flo_tcp_roundtrip",
+    "flo_xml_roundtrip",
+    "flo_fixedwidth_roundtrip",
+]
+
+
+@query(
+    "flo_tail_consume_ordered",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             '/tail/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (
+      SELECT partition, count(*) AS n FROM b GROUP BY partition
+    ),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    )
+    SELECT off.off
+             + row_number() OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+             AS event_counter,
+           b.partition AS actor,
+           b.namespace
+    FROM b JOIN off USING (partition)
+    """,
+)
+def flo_tail_consume_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tail delivery, driver-verified (A9 + A6's merge order):
+    produce 300 events into a fresh stream, then drain it through the
+    STREAMING path — ``consume_tail_ordered`` (foreachBatch sink,
+    Trigger.AvailableNow), which k-way-merges each micro-batch by
+    (event_counter, actor) like the reference's live consumer
+    (multi_partition_reader.rs:8-48).  The oracle reproduces the
+    deterministic id assignment; within-batch ordering is additionally
+    asserted here (the oracle's value compare is order-insensitive)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.streaming.consume_stream import consume_tail_ordered
+
+    path = scratch_dir("flo_tail_") + "/stream"
+    s = EventStream.create(spark, path, num_partitions=3)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/tail/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    tail = consume_tail_ordered(spark, path, await_new=False, timeout_sec=120)
+    rows = []
+    for delivered in tail.batches():
+        ids = [(r.event_counter, r.actor) for r in delivered]
+        assert ids == sorted(ids), "micro-batch not in merge order"
+        rows.extend(
+            (r.event_counter, r.actor, r.namespace) for r in delivered
+        )
+    # bounded by the produce size (300) — evidence query, not a data path
+    return spark.createDataFrame(
+        rows, "event_counter long, actor int, namespace string"
+    )
+
+
+@query(
+    "flo_orc_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             '/docs/' || source AS namespace,
+             CAST(doc_id % 3 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.namespace,
+             off.off + row_number()
+               OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+               AS event_counter,
+             octet_length(encode(b.text)) AS nbytes
+      FROM b JOIN off USING (partition)
+    )
+    SELECT namespace,
+           count(*) AS n_events,
+           CAST(sum(event_counter) AS BIGINT) AS sum_counters,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+    FROM env GROUP BY namespace
+    """,
+)
+def flo_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange: produce a 3-partition event stream, export it
+    as ORC (Spark's second native columnar format; BINARY payloads
+    carried natively, no text encoding), read it back through the
+    schema-explicit scan path, and aggregate — counters, counts, and
+    exact payload byte lengths must survive, hash-checked against SQL
+    computing the same from the source table.  Complements the CSV+JSON
+    text round trip (`flo_interchange_roundtrip`) so every interchange
+    format the engine exposes (parquet/orc/csv/json + the native
+    .events codec) has round-trip evidence."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+
+    tmp = scratch_dir("flo_orc_")
+    s = EventStream.create(spark, f"{tmp}/stream", num_partitions=3)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/docs/"), F.col("source")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    s.export(f"{tmp}/orc", fmt="orc")
+    o = EventStream.read_events(spark, f"{tmp}/orc", fmt="orc")
+    return o.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+    )
+
+
+@query(
+    "flo_datasource_scan",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, props,
+             CAST(event_id % 3 + 1 AS INT) AS part
+      FROM events ORDER BY event_id LIMIT 400
+    )
+    SELECT '/events/' || event_type AS namespace,
+           count(*) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_counters,
+           CAST(sum(octet_length(encode(coalesce(props, ''))))
+                AS BIGINT) AS sum_bytes
+    FROM b
+    WHERE substr(event_type, 1, 1) IN ('c', 'p', 'v')
+      AND ((part = 1 AND event_id > 100) OR (part = 2 AND event_id > 0))
+    GROUP BY namespace
+    """,
+)
+def flo_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("flo")`` end-to-end: encode 400 events into native
+    ``.events`` segments (3 partition dirs, forced rotation), register
+    the Spark 4 Python Data Source, and scan them back THROUGH the
+    format with both reader options engaged — a namespace glob with a
+    character class (``/events/[cpv]*``) and a version-vector
+    ``startpositions`` cursor ({1: 100, 2: 0} — partition 3 absent, so
+    never read; exclusive bounds).  The aggregate hash-checks that the
+    DS-API scan path (one InputPartition per segment file) plus the
+    Python-side option filters reproduce exactly the SQL formula on
+    the source table.  The STREAMING half of the source — the
+    per-event version-vector offset cursor — is exercised by
+    tests/test_flo_datasource.py (mid-segment restart, torn-tail
+    parking), which a SQL oracle cannot express."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_datasource import register
+    from flo_spark.sources.flo_segment import write_flo_segments
+
+    ev = load(spark, sf_dir, "events").orderBy("event_id").limit(400)
+    batch = ev.select(
+        F.col("event_id").alias("event_counter"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("actor"),
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("namespace"),
+        F.encode(F.coalesce("props", F.lit("")), "utf-8").alias("data"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    path = scratch_dir("flo_ds_") + "/native"
+    write_flo_segments(batch, path, max_events_per_segment=60)
+    register(spark)
+    import json as _json
+
+    df = (
+        spark.read.format("flo")
+        .option("namespace", "/events/[cpv]*")
+        .option("startpositions", _json.dumps({1: 100, 2: 0}))
+        .load(path)
+    )
+    return df.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+    )
+
+
+@query(
+    "flo_native_retention",
+    """
+    WITH b AS (
+      SELECT event_id, CAST(event_id % 3 + 1 AS INT) AS part
+      FROM events ORDER BY event_id LIMIT 300
+    ),
+    r AS (
+      SELECT event_id, part,
+             CAST((row_number() OVER (PARTITION BY part ORDER BY event_id)
+                   - 1) // 40 AS INT) + 1 AS seg
+      FROM b
+    ),
+    s AS (
+      SELECT part, seg, max(event_id * 1000) AS seg_end FROM r
+      GROUP BY part, seg
+    ),
+    lim AS (
+      SELECT CAST(min(event_id) * 1000
+                  + 3 * (max(event_id) - min(event_id)) * 1000 // 5
+                  AS BIGINT) AS cut
+      FROM b
+    ),
+    s2 AS (
+      SELECT part, seg,
+             max(seg_end) OVER (PARTITION BY part ORDER BY seg
+                                ROWS UNBOUNDED PRECEDING) AS cm,
+             max(seg) OVER (PARTITION BY part) AS maxseg
+      FROM s
+    ),
+    keep AS (
+      SELECT part, seg FROM s2 CROSS JOIN lim
+      WHERE NOT (cm < lim.cut AND seg < maxseg)
+    )
+    SELECT r.part AS partition,
+           count(*) AS n_events,
+           CAST(sum(r.event_id) AS BIGINT) AS sum_counters,
+           CAST(max(r.event_id) AS BIGINT) AS head_counter,
+           TRUE AS primary_flag
+    FROM r JOIN keep USING (part, seg)
+    GROUP BY r.part
+    """,
+)
+def flo_native_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-dir TTL + head snapshot end to end (A11 + A13 on flo's
+    own storage format): encode 300 events into 3 partition dirs
+    (id-derived monotone timestamps, 40-event segments), run
+    ``expire_native_segments`` at a cutoff 60% into the time range,
+    then scan the SURVIVING segments and join the per-partition head
+    from ``native_head_status``.  The oracle reproduces the whole
+    pipeline in SQL — segment membership (rank // 40), content-derived
+    header end-times (max id-ms per segment), the take_while
+    drop-prefix rule via a running cummax, the never-expire-active
+    rule, and the head (which expiry must NOT move).  A defect in
+    segment assignment, header times, prefix-stop, active protection,
+    or head recovery changes a count/sum and breaks the hash.
+
+    The two driver-side pieces are O(1)/O(partitions) by construction
+    (documented): the min/max collect that derives the cutoff, and
+    the head-status list."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_segment import (
+        expire_native_segments,
+        native_head_status,
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    ev = load(spark, sf_dir, "events").orderBy("event_id").limit(300)
+    batch = ev.select(
+        F.col("event_id").alias("event_counter"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("actor"),
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        F.timestamp_seconds(F.col("event_id")).alias("timestamp"),
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("namespace"),
+        F.encode(F.coalesce("props", F.lit("")), "utf-8").alias("data"),
+        (F.col("event_id") % 3 + 1).cast("int").alias("partition"),
+    )
+    path = scratch_dir("flo_native_ttl_") + "/native"
+    write_flo_segments(batch, path, max_events_per_segment=40)
+    # O(1) driver collect: the cutoff bounds (min/max id of the subset)
+    row = ev.agg(
+        F.min("event_id").alias("mn"), F.max("event_id").alias("mx")
+    ).collect()[0]
+    cut = row["mn"] * 1000 + 3 * (row["mx"] - row["mn"]) * 1000 // 5
+    expire_native_segments(path, retention_millis=0, now_millis=cut)
+    heads = spark.createDataFrame(
+        native_head_status(path),
+        "partition int, head_counter long, primary_flag boolean",
+    )
+    back = read_flo_segments(spark, path)
+    return (
+        back.groupBy("partition")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_counter").alias("sum_counters"),
+        )
+        .join(F.broadcast(heads), "partition")
+        .select(
+            "partition",
+            "n_events",
+            "sum_counters",
+            "head_counter",
+            "primary_flag",
+        )
+    )
+
+
+@query(
+    "flo_tcp_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, lang, text FROM documents
+               ORDER BY doc_id LIMIT 20)
+    SELECT CAST(row_number() OVER (PARTITION BY doc_id % 2
+                                   ORDER BY doc_id) AS BIGINT)
+               AS event_counter,
+           CAST(doc_id % 2 + 1 AS INT) AS actor,
+           '/docs/' || lang AS namespace,
+           substr(text, 1, 40) AS payload
+    FROM d
+    """,
+)
+def flo_tcp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The network surface end-to-end: a remote client produces the
+    first 20 documents over the flo TCP WIRE PROTOCOL (announce
+    handshake, ProduceEvent/AckEvent — flo-protocol/src/client.rs) to
+    an embedded server persisting native ``.events`` segments; the
+    engine then scans the server's data dir with
+    ``spark.read.format("flo")``.  The oracle reconstructs the
+    expected events from the documents table alone: the server's
+    per-partition contiguous counter assignment over doc_id-ordered
+    produces IS row_number() partitioned by doc_id % 2 — so the hash
+    match proves id assignment, payload integrity, and the shared
+    storage format across the TCP and Spark access paths.
+
+    Driver-side work is the 20-row produce loop (bounded, documented);
+    the read-back is the distributed flo scan.  Timestamps are
+    server-assigned wall clock, hence excluded from the contract."""
+    from flo_spark.protocol.client import FloClient
+    from flo_spark.protocol.server import FloTcpServer
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_datasource import register
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    root = scratch_dir("flo_tcp_")
+    with FloTcpServer(root) as srv:
+        with FloClient(srv.host, srv.port, client_name="roundtrip") as c:
+            for r in docs:
+                c.produce(
+                    int(r["doc_id"]) % 2 + 1,
+                    f"/docs/{r['lang']}",
+                    r["text"][:40].encode("utf-8"),
+                )
+    register(spark)
+    ev = spark.read.format("flo").load(f"{root}/default")
+    return ev.select(
+        "event_counter",
+        "actor",
+        "namespace",
+        F.decode(F.col("data"), "UTF-8").alias("payload"),
+    )
+
+
+@query(
+    "flo_xml_roundtrip",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             '/xml/' || lang AS namespace,
+             CAST(doc_id % 4 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 250
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.namespace,
+             off.off + row_number()
+               OVER (PARTITION BY b.partition ORDER BY b.doc_id)
+               AS event_counter,
+             octet_length(encode(b.text)) AS nbytes
+      FROM b JOIN off USING (partition)
+    )
+    SELECT namespace,
+           count(*) AS n_events,
+           CAST(sum(event_counter) AS BIGINT) AS sum_counters,
+           CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
+           count(*) AS n_null_parents
+    FROM env GROUP BY namespace
+    """,
+)
+def flo_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange: produce a 4-partition event stream, export it
+    through Spark 4's NATIVE XML source (the spark-xml package folded
+    into core — new public surface in this Spark generation), read it
+    back with the explicit envelope schema, and aggregate.  Payloads
+    travel base64 (XML is text, same rule as CSV/JSON); null parent
+    ids become OMITTED elements on write and must come back as real
+    NULLs under the explicit read schema — ``n_null_parents`` pins
+    exactly that omitted-element round trip (every produced event has
+    no parent, so the count must equal ``n_events``).
+
+    Completes the interchange matrix: parquet / orc / csv / json /
+    gzip-jsonl / xml / native ``.events`` all have hash-checked
+    round-trip evidence.
+
+    100 TB shape: XML records span physical lines, so a shard is
+    parallel at FILE granularity only (like the gzip JSONL shards) —
+    export partitioning decides scan parallelism; the aggregation is
+    one map-side-combinable shuffle of per-namespace partials.
+    Reference: flo's wire form is length-prefixed bytes
+    (flo-protocol/src/client.rs:106-122); base64 is the text-safe
+    analog, identical to the CSV/JSON rule."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+
+    tmp = scratch_dir("flo_xml_")
+    s = EventStream.create(spark, f"{tmp}/stream", num_partitions=4)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(250)
+    batch = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("/xml/"), F.col("lang")).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("doc_id") % 4 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    s.export(f"{tmp}/xml", fmt="xml")
+    x = EventStream.read_events(spark, f"{tmp}/xml", fmt="xml")
+    return x.groupBy("namespace").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_counter").alias("sum_counters"),
+        F.sum(F.octet_length("data")).alias("sum_bytes"),
+        F.count(F.when(F.col("parent_counter").isNull(), 1)).alias(
+            "n_null_parents"
+        ),
+    )
+
+
+@query(
+    "flo_fixedwidth_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def flo_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text interchange — the mainframe/feed format every
+    real ETL stack still meets: documents serialize to 37-byte records
+    (doc_id right-aligned in 12, lang left-padded to 5, n_chars in 8,
+    source in 12 — lpad/rpad, pure JVM), write through the text sink,
+    read back as raw lines, and parse by SUBSTRING offsets (no
+    delimiter anywhere); per-language aggregates of the PARSED columns
+    must hash-match SQL over the source table, so a one-byte offset
+    error in either direction breaks the round trip.  Completes the
+    interchange matrix (parquet/orc/csv/json/jsonl.gz/xml/native
+    .events) with the only format defined purely by column positions.
+
+    100 TB shape: scan-stage string formatting, a parallel text write
+    (one file per partition), a parallel text scan, scan-stage
+    substring parsing — no shuffle until the final aggregate;
+    fixed-width is the cheapest possible parse (constant offsets, no
+    quoting state machine).  Reference scope: interchange extension
+    of SURVEY §2 Part B sources/sinks."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_fixedwidth_")
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, " "),
+            F.rpad(F.col("lang"), 5, " "),
+            F.lpad(F.col("n_chars").cast("string"), 8, " "),
+            F.rpad(F.col("source"), 12, " "),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{tmp}/fw")
+    back = spark.read.text(f"{tmp}/fw").select(
+        F.expr("CAST(trim(substring(value, 1, 12)) AS BIGINT)").alias(
+            "doc_id"
+        ),
+        F.expr("trim(substring(value, 13, 5))").alias("lang"),
+        F.expr("CAST(trim(substring(value, 18, 8)) AS BIGINT)").alias(
+            "n_chars"
+        ),
+        F.expr("trim(substring(value, 26, 12))").alias("source"),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )

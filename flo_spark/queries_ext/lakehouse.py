@@ -1,0 +1,785 @@
+"""Lakehouse table-format operators: SCD2, time travel, schema
+evolution, copy-on-write delete/compaction, GDPR erasure, Z-order,
+dynamic partition overwrite, partition pruning.
+
+Split out of the former monolithic ``queries_ext`` module (round 8);
+registration conventions and the 100 TB scale notes live in the package
+``__init__``.  Catalog order is canonical in ``_order.py`` — adding an
+entry here does NOT perturb existing ``queries()`` positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flo_spark.queries import (
+    load,
+    money_scaled,
+    money_sum,
+    query,
+)
+
+__all__ = [
+    "merge_upsert_customers",
+    "zorder_morton_key",
+    "scd2_customer_versions",
+    "scd2_point_in_time_join",
+    "dpp_month_partition_prune",
+    "gdpr_forget_compaction",
+    "schema_evolution_merge_read",
+    "small_file_compaction",
+    "lakehouse_time_travel",
+    "dynamic_partition_overwrite",
+]
+
+
+@query(
+    "merge_upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey AS key, round(c_acctbal + 100, 2) AS acctbal,
+             c_name AS name
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS key, 0.0 AS acctbal,
+             'NEW-' || c_name AS name
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT coalesce(u.key, c.c_custkey) AS c_custkey,
+           coalesce(u.acctbal, round(c.c_acctbal, 2)) AS c_acctbal,
+           coalesce(u.name, c.c_name) AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN u.key IS NULL THEN 'keep' ELSE 'update' END AS merge_op
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.key
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert: apply an updates batch to a base table —
+    matched rows take the update, unmatched updates insert, untouched
+    base rows pass through — expressed as a full-outer join + coalesce
+    (the engine-level shape of ``MERGE INTO ... WHEN MATCHED``).  The
+    updates here are derived deterministically from the base so the
+    oracle states the identical transformation.
+
+    Scale note: both sides shuffle on the merge key once; with a
+    transactional table format the same plan narrows to the touched
+    files via data skipping on key ranges.  The updates side is usually
+    small — AQE converts the join to broadcast at runtime."""
+    c = load(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+            F.col("c_name").alias("name"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("key"),
+                F.lit(0.0).alias("acctbal"),
+                F.concat(F.lit("NEW-"), F.col("c_name")).alias("name"),
+            )
+        )
+    )
+    merged = c.join(updates, c["c_custkey"] == updates["key"], "full_outer")
+    return merged.select(
+        F.coalesce("key", "c_custkey").alias("c_custkey"),
+        F.coalesce("acctbal", F.round("c_acctbal", 2)).alias("c_acctbal"),
+        F.coalesce("name", "c_name").alias("c_name"),
+        F.when(c["c_custkey"].isNull(), "insert")
+        .when(updates["key"].isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_op"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from flo_spark.operators.zorder import zorder_value_sql
+
+    z = zorder_value_sql(
+        [("o_custkey", 0.0, 100000.0), ("o_totalprice", 0.0, 600000.0)]
+    )
+    return f"""
+    SELECT o_orderkey, {z} AS zvalue
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """
+
+
+@query("zorder_morton_key", _zorder_oracle_sql())
+def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key computation — the layout primitive behind
+    multi-dimensional file skipping (operators/zorder.py): quantize
+    each dimension onto a FIXED grid (layout constants, not batch
+    statistics) and interleave the bits so a sort by the key keeps
+    every participating column locally dense.  The oracle evaluates
+    the bit-for-bit identical interleave in DuckDB, pinning the
+    quantization arithmetic and bit layout across engines.  The
+    actual skipping effect — a totalprice-only range predicate prunes
+    files under the Z-order layout but cannot prune a
+    custkey-sorted one — is measured from real parquet footers in
+    tests/test_zorder.py.
+
+    100 TB shape: pure JVM bit arithmetic in the scan stage; writing
+    the layout costs one range shuffle, identical to any sorted
+    write."""
+    from flo_spark.operators.zorder import zorder_value
+
+    o = load(spark, sf_dir, "orders")
+    z = zorder_value(
+        [
+            (F.col("o_custkey"), 0.0, 100000.0),
+            (F.col("o_totalprice"), 0.0, 600000.0),
+        ]
+    )
+    return (
+        o.select("o_orderkey", z.alias("zvalue"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "scd2_customer_versions",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS eff_date,
+             max(o_totalprice) AS attr_value
+      FROM orders GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT custkey, eff_date, attr_value,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY eff_date) AS version,
+             lead(eff_date) OVER (PARTITION BY custkey
+                                  ORDER BY eff_date) AS valid_to
+      FROM upd
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(version AS BIGINT) AS version,
+           eff_date AS valid_from, valid_to,
+           valid_to IS NULL AS is_current,
+           floor(attr_value * 1e2 + 0.5) / 1e2 AS attr_value
+    FROM v
+    """,
+)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history build — the versioned
+    dimension every warehouse keeps and flo's event log naturally
+    feeds: each (customer, day) change event (here: per-day max order
+    value as the tracked attribute, deduplicated to one update per
+    effective date) becomes a dimension VERSION with
+    [valid_from, valid_to) effectivity derived by ``lead`` over the
+    customer's change sequence; the open-ended current row carries
+    NULL valid_to and is_current.  This is the half-open-interval
+    construction a point-in-time join consumes
+    (``scd2_point_in_time_join``).
+
+    100 TB shape: one key shuffle for the per-day change dedup, one
+    customer-partitioned window for versioning (state bounded by a
+    customer's change count); no joins, no driver data."""
+    upd = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("day", "o_orderdate").alias("eff_date"),
+        )
+        .agg(F.max("o_totalprice").alias("attr_value"))
+    )
+    w = Window.partitionBy("custkey").orderBy("eff_date")
+    return upd.select(
+        "custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("eff_date").alias("valid_from"),
+        F.lead("eff_date").over(w).alias("valid_to"),
+        "attr_value",
+    ).select(
+        "custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        (F.floor(F.col("attr_value") * 1e2 + F.lit(0.5)) / 1e2).alias(
+            "attr_value"
+        ),
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH upd AS (
+      SELECT o_custkey AS custkey,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS eff_date,
+             max(o_totalprice) AS attr_value
+      FROM orders GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT custkey, eff_date AS valid_from, attr_value,
+             lead(eff_date) OVER (PARTITION BY custkey
+                                  ORDER BY eff_date) AS valid_to
+      FROM upd
+    ),
+    j AS (
+      SELECT o.o_orderkey, v.custkey, v.valid_from, v.attr_value
+      FROM orders o JOIN v
+        ON v.custkey = o.o_custkey
+       AND o.o_orderdate >= v.valid_from
+       AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_matched,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           count(*) = (SELECT count(*) FROM orders) AS exactly_one_version
+    FROM j
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: every
+    order joins the customer version VALID AT its order date — the
+    lookup that makes Type-2 history useful and the classic
+    training-data leak guard ("join features as of the label's
+    timestamp, never the current row").  The half-open intervals from
+    ``scd2_customer_versions`` guarantee each order matches EXACTLY
+    one version (its own day's update at minimum); the entry proves it
+    corpus-wide: matched count == order count == distinct matched
+    orders, as a hashed boolean.
+
+    100 TB shape: the interval predicate rides a customer-keyed
+    equi-join (the non-equi part filters within the key group — never
+    a BroadcastNestedLoopJoin, plan-pinned in tests/test_plans.py);
+    versions-per-customer is domain-bounded, so the within-key scan is
+    bounded.  At extreme version counts the bin-id rewrite
+    (interval_join_binned) applies unchanged."""
+    o = load(spark, sf_dir, "orders")
+    upd = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("day", "o_orderdate").alias("eff_date"),
+    ).agg(F.max("o_totalprice").alias("attr_value"))
+    w = Window.partitionBy("custkey").orderBy("eff_date")
+    v = upd.select(
+        "custkey",
+        F.col("eff_date").alias("valid_from"),
+        F.lead("eff_date").over(w).alias("valid_to"),
+    )
+    j = o.join(
+        v,
+        (v["custkey"] == o["o_custkey"])
+        & (o["o_orderdate"] >= v["valid_from"])
+        & (v["valid_to"].isNull() | (o["o_orderdate"] < v["valid_to"])),
+    )
+    total = o.agg(F.count("*").alias("n_orders"))
+    return (
+        j.agg(
+            F.count("*").alias("n_orders_matched"),
+            F.countDistinct("o_orderkey").alias("n_distinct"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "n_orders_matched",
+            "n_orders",
+            "n_distinct",
+            (F.col("n_orders_matched") == F.col("n_orders")).alias(
+                "exactly_one_version"
+            ),
+        )
+    )
+
+
+@query(
+    "dpp_month_partition_prune",
+    """
+    WITH m AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+    )
+    SELECT l.ship_month,
+           count(*) AS n_items,
+           floor((sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount))
+                                 * 10000 + 0.5) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
+    FROM (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             l_extendedprice, l_discount
+      FROM lineitem
+    ) l JOIN m USING (ship_month)
+    GROUP BY l.ship_month
+    """,
+)
+def dpp_month_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end to end: the fact table is laid out
+    hive-partitioned by ship month (``ship_month=YYYY-MM/`` dirs — the
+    canonical 100 TB fact layout), the dim side is the set of months
+    that saw an URGENT order in 1996, and Catalyst injects the dim's
+    month set into the fact scan's PartitionFilters AT RUNTIME
+    (``dynamicpruning#`` subquery, reusing the join's broadcast) — so
+    the ~12 matching month directories are the only ones whose files
+    open, out of the full date range.  Static pruning can't do this:
+    the month list is data, known only after the dim filter runs.
+    tests/test_plans.py pins the ``dynamicpruning`` PartitionFilter
+    and the broadcast reuse in the physical plan.
+
+    100 TB shape: THE mechanism that makes date-partitioned fact joins
+    affordable — scan cost scales with the dim's selectivity, not the
+    fact's history length.  The scratch layout writes one file per
+    month (repartition by the partition column before partitionBy) —
+    the small-files discipline a real table needs.
+
+    Correctness: revenue per selected month hash-matches the oracle
+    computed from the unpartitioned parquet; the scaled-long money sum
+    keeps both engines exact."""
+    from flo_spark.queries import money_sum, scratch_dir
+
+    tmp = scratch_dir("flo_dpp_")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    (
+        li.repartition("ship_month")
+        .write.partitionBy("ship_month")
+        .mode("overwrite")
+        .parquet(f"{tmp}/fact")
+    )
+    fact = spark.read.parquet(f"{tmp}/fact")
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "gdpr_forget_compaction",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 20 AS BIGINT) AS uid,
+             CAST(doc_id % 2 + 1 AS INT) AS partition
+      FROM documents ORDER BY doc_id LIMIT 300
+    ),
+    cnt AS (SELECT partition, count(*) AS n FROM b GROUP BY partition),
+    off AS (
+      SELECT partition,
+             CAST(sum(n) OVER (ORDER BY partition) - n AS BIGINT) AS off
+      FROM cnt
+    ),
+    env AS (
+      SELECT b.uid, b.text,
+             off.off + row_number() OVER (PARTITION BY b.partition
+                                          ORDER BY b.doc_id) AS counter
+      FROM b JOIN off USING (partition)
+    )
+    SELECT uid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(min(counter) AS BIGINT) AS min_counter,
+           CAST(max(counter) AS BIGINT) AS max_counter
+    FROM env WHERE uid % 7 <> 3
+    GROUP BY uid
+    """,
+)
+def gdpr_forget_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the append-only native segment store —
+    the deletion primitive an immutable log needs: subjects are
+    forgotten by appending TOMBSTONE events
+    (``/system/tombstones/<uid>``, the log's own mechanism — flo has
+    no in-place mutation, segment/mod.rs append-only contract), and a
+    COMPACTION pass rewrites the segment files dropping both the
+    subject's events and the applied tombstones — physical erasure,
+    not a read-side mask.  Retained events keep their ORIGINAL ids
+    (erasure leaves counter gaps; ids are immutable, so gaps are the
+    correct observable).  The entry round-trips documents -> native
+    ``.events`` segments (+ trailing tombstone batch) -> compaction ->
+    native segments -> scan, and aggregates per subject; the oracle
+    reproduces the id assignment arithmetic and the forget-set filter
+    from the raw table.  Physical erasure (no forgotten payload bytes
+    anywhere in the compacted files) is pinned in
+    tests/test_flo_segment.py.
+
+    100 TB shape: compaction is read-filter-write over sealed
+    segments — distributed at segment granularity by
+    write_flo_segments' range-partitioned id ranking (no
+    whole-partition task); the tombstone set is an anti-join key
+    frame that scales with the forget batch, not the corpus."""
+    from flo_spark.operators.produce import assign_event_ids
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_segment import (
+        read_flo_segments,
+        write_flo_segments,
+    )
+
+    tmp = scratch_dir("flo_gdpr_")
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(300)
+    users = docs.select(
+        F.col("doc_id").alias("ord"),
+        (F.col("doc_id") % 20).alias("uid"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("partition"),
+        F.concat(
+            F.lit("/users/"), (F.col("doc_id") % 20), F.lit("/docs")
+        ).alias("namespace"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    tombs = (
+        users.filter(F.col("uid") % 7 == 3)
+        .select("uid")
+        .distinct()
+        .select(
+            (F.col("uid") + 100000).alias("ord"),
+            "uid",
+            F.lit(2).cast("int").alias("partition"),
+            F.concat(F.lit("/system/tombstones/"), F.col("uid")).alias(
+                "namespace"
+            ),
+            F.lit(None).cast("binary").alias("data"),
+        )
+    )
+    batch = users.unionByName(tombs).select(
+        "ord",
+        "partition",
+        "namespace",
+        "data",
+        F.lit(None).cast("long").alias("parent_counter"),
+        F.lit(None).cast("int").alias("parent_actor"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("ord"))
+        ).alias("timestamp"),
+    )
+    env = assign_event_ids(batch, 0, order_by="ord").drop("ord")
+    write_flo_segments(env, f"{tmp}/raw", max_events_per_segment=40)
+
+    ev = read_flo_segments(spark, f"{tmp}/raw")
+    forgotten = (
+        ev.filter(F.col("namespace").startswith("/system/tombstones/"))
+        .select(
+            F.element_at(F.split("namespace", "/"), 4).alias("uid")
+        )
+        .distinct()
+    )
+    keep = (
+        ev.filter(~F.col("namespace").startswith("/system/tombstones/"))
+        .withColumn("uid", F.element_at(F.split("namespace", "/"), 3))
+        .join(forgotten, "uid", "left_anti")
+    )
+    write_flo_segments(
+        keep.drop("uid"), f"{tmp}/compacted", max_events_per_segment=40
+    )
+    out = read_flo_segments(spark, f"{tmp}/compacted")
+    return (
+        out.withColumn(
+            "uid", F.element_at(F.split("namespace", "/"), 3).cast("long")
+        )
+        .groupBy("uid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(F.decode("data", "utf-8"))).alias("n_chars"),
+            F.min("event_counter").alias("min_counter"),
+            F.max("event_counter").alias("max_counter"),
+        )
+    )
+
+
+@query(
+    "schema_evolution_merge_read",
+    """
+    WITH b AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents ORDER BY doc_id LIMIT 400
+    ),
+    g AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN lang END AS lang,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars END AS nc
+      FROM b
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(nc) AS BIGINT) AS sum_chars_meta
+    FROM g GROUP BY lang
+    """,
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table generations — the lake-format
+    reality that columns ARRIVE over time: generation 1 files carry
+    (doc_id, text), generation 2 adds (lang, n_chars), and ONE
+    ``mergeSchema`` scan reads both — old files surface the new
+    columns as NULL, no rewrite of historical data.  The aggregate
+    groups by the evolved column, so the NULL group IS the
+    pre-evolution history — visible, not silently dropped.  The
+    oracle reproduces the generation split from the raw table.
+
+    100 TB shape: mergeSchema reconciles STRUCTURE from file footers
+    (schema union at planning time, not a data pass); per-file reads
+    project only the columns that exist — old files pay nothing for
+    new columns.  The footer-schema union does scale with file count,
+    which is why production tables checkpoint the merged schema in a
+    catalog/metastore rather than re-deriving it per query
+    (documented trade; the scan itself is unchanged)."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_schemaevo_")
+    b = load(spark, sf_dir, "documents").orderBy("doc_id").limit(400)
+    gen1 = b.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    gen2 = b.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    gen1.write.mode("overwrite").parquet(f"{tmp}/tbl/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{tmp}/tbl/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/tbl")
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("n_chars").alias("sum_chars_meta"),
+    )
+
+
+@query(
+    "small_file_compaction",
+    """
+    WITH b AS (
+      SELECT doc_id, text, source FROM documents ORDER BY doc_id LIMIT 300
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(64 AS INT) AS files_before,
+           CAST(4 AS INT) AS files_after
+    FROM b GROUP BY source
+    """,
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance op that keeps
+    a streaming-ingested table scannable: a deliberately fragmented
+    layout (64 round-robin files for 300 docs — the many-tiny-files
+    state every micro-batch sink converges to) is rewritten into
+    size-targeted files (4 here; production derives the count as
+    ceil(total_bytes / target_file_size) from the source listing),
+    and the contract is CONTENT IDENTITY — the per-source aggregate
+    over the compacted table hash-matches the source rows, with the
+    before/after file counts pinned.  File counts come from a
+    filesystem listing (O(files) driver metadata — documented).
+
+    100 TB shape: compaction is one round-robin repartition (pure
+    width change, no key shuffle) executed per partition-directory in
+    production so rewrite units stay independent and incremental;
+    pairs with flo segment compaction (A12) which does the same for
+    the native event log, and with gdpr_forget_compaction which
+    rewrites for deletion rather than size.  Reference:
+    segment/mod.rs rotation bounds file count at write time; parquet
+    sinks need it as a separate maintenance pass."""
+    import glob as _glob
+
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_compact_")
+    b = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(300)
+        .select("doc_id", "text", "source")
+    )
+    b.repartition(64).write.mode("overwrite").parquet(f"{tmp}/small")
+    small = spark.read.parquet(f"{tmp}/small")
+    files_before = len(_glob.glob(f"{tmp}/small/part-*.parquet"))
+    small.repartition(4).write.mode("overwrite").parquet(f"{tmp}/compact")
+    files_after = len(_glob.glob(f"{tmp}/compact/part-*.parquet"))
+    assert files_before == 64 and files_after == 4, (
+        files_before,
+        files_after,
+    )
+    return (
+        spark.read.parquet(f"{tmp}/compact")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        )
+        .withColumn("files_before", F.lit(files_before).cast("int"))
+        .withColumn("files_after", F.lit(files_after).cast("int"))
+        .select(
+            "source",
+            "n_docs",
+            "sum_doc_id",
+            "sum_chars",
+            "files_before",
+            "files_after",
+        )
+    )
+
+
+@query(
+    "lakehouse_time_travel",
+    """
+    WITH v AS (SELECT unnest([1, 2, 3]) AS version),
+    snap AS (
+      SELECT v.version, d.doc_id, d.n_chars, d.lang
+      FROM v JOIN documents d ON
+           (v.version = 1 AND d.doc_id % 4 IN (0, 1))
+        OR (v.version = 2 AND d.doc_id % 4 IN (0, 1, 2))
+        OR (v.version = 3 AND d.doc_id % 4 IN (0, 1, 2)
+            AND d.doc_id % 8 <> 0)
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM snap GROUP BY version
+    """,
+)
+def lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on a manifest-versioned
+    parquet table (``sources/manifest_table.py`` — the minimal
+    correct core of the Iceberg/Delta commit protocol): commit 1
+    writes a base fragment (doc_id % 4 in (0,1)), commit 2 APPENDS a
+    fragment (% 4 = 2) by manifest reference, commit 3 is a
+    COPY-ON-WRITE DELETE (doc_id % 8 = 0) that rewrites only the one
+    fragment containing matches — the appended fragment carries over
+    untouched by reference.  The query then reads ALL THREE versions
+    AFTER the final commit and aggregates each snapshot: matching the
+    oracle's per-version reconstruction from the raw table proves
+    that v1 and v2 still read their exact original snapshots after
+    v3's rewrite (time travel), and that the delete physically
+    removed its rows from v3 (copy-on-write correctness).
+
+    Commits are atomic put-if-absent (hard-link claim) with
+    optimistic retry — no reader ever sees a partial manifest; the
+    conflict path is unit-tested in tests/test_manifest_table.py.
+
+    100 TB shape: manifests are O(fragments) driver-side metadata
+    (exactly what table formats ship); data fragments scan fully
+    distributed, the COW delete rewrites only fragments with matches
+    (here 1 of 2; at scale, file-level stats prune the rewrite set).
+    Reference scope: flo's append-only segment store
+    (flo-server persistent_event.rs) has no snapshots — north-star
+    extension (SURVEY §2 Part B sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    t = ManifestTable(scratch_dir("lakehouse_tt_"))
+    t.append(docs.filter(F.col("doc_id") % 4 < 2).coalesce(4), "base")
+    t.append(docs.filter(F.col("doc_id") % 4 == 2).coalesce(4), "more")
+    t.delete_where(spark, "doc_id % 8 = 0")
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            t.read(spark, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+                F.max("doc_id").cast("long").alias("max_doc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+@query(
+    "dynamic_partition_overwrite",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE o_orderpriority <> '1-URGENT' OR px > 2000000000
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(px) AS BIGINT) AS revenue_x1e4
+    FROM kept GROUP BY o_orderpriority
+    """,
+)
+def dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition overwrite — the lakehouse daily-refresh
+    primitive: orders land in a hive-partitioned table (partition =
+    priority), then ONE partition ('1-URGENT', rewritten to keep only
+    orders above $200k) is replaced via
+    partitionOverwriteMode=dynamic — the writer only touches
+    partitions present in the incoming frame, so the other four
+    survive byte-identical where STATIC overwrite mode would have
+    truncated the whole table (the classic data-loss footgun this
+    entry pins).  The final per-priority aggregate hash-matches the
+    oracle's expected combined state: four untouched partitions plus
+    the filtered fifth.
+
+    100 TB shape: the refresh writes O(changed partition), never
+    O(table); readers see partition pruning on the rewritten layout
+    (same hive layout as dpp_month_partition_prune).  Reference
+    scope: flo's segment-granular rewrite (A12 compaction) is the
+    event-log analog; this is the relational form (SURVEY §2 Part B
+    sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+
+    tmp = scratch_dir("flo_dpo_")
+    tbl = f"{tmp}/orders_by_priority"
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        money_scaled(F.col("o_totalprice")).alias("px"),
+    )
+    base.write.partitionBy("prio").parquet(tbl)
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        (
+            base.filter(
+                (F.col("prio") == "1-URGENT")
+                & (F.col("px") > 2_000_000_000)
+            )
+            .write.mode("overwrite")
+            .partitionBy("prio")
+            .parquet(tbl)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("px").cast("long").alias("revenue_x1e4"),
+        )
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_orders",
+            "revenue_x1e4",
+        )
+    )

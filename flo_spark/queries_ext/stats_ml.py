@@ -1,0 +1,3357 @@
+"""Descriptive statistics, time-series and classic ML on an exact
+integer grid: trends, decompositions, changepoints, clustering,
+calibration, feature encoders, event analytics.
+
+Split out of the former monolithic ``queries_ext`` module (round 8);
+registration conventions and the 100 TB scale notes live in the package
+``__init__``.  Catalog order is canonical in ``_order.py`` — adding an
+entry here does NOT perturb existing ``queries()`` positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flo_spark.queries import (
+    load,
+    money_scaled,
+    query,
+)
+
+__all__ = [
+    "funnel_conversion",
+    "cohort_retention",
+    "regression_price_quantity",
+    "copurchase_lift_topk",
+    "anomaly_zscore_hourly",
+    "ewma_hourly_trend",
+    "gini_revenue_concentration",
+    "herfindahl_supplier_share",
+    "winsorized_price_stats",
+    "lorenz_revenue_deciles",
+    "markov_event_transitions",
+    "cusum_changepoint_hourly",
+    "holt_linear_trend",
+    "robust_scaler_features",
+    "target_encoding_loo_nation",
+    "holt_winters_seasonal",
+    "gapfill_locf_interpolate",
+    "seasonal_decompose_hourly",
+    "grid_density_outliers",
+    "acf_hourly_lags",
+    "exact_percentile_suite",
+    "quantile_discretizer_encode",
+    "theil_sen_hourly_trend",
+    "decision_stump_status",
+    "ols_two_feature_cramer",
+    "kmeans_lloyd_rounds",
+    "session_path_topk",
+    "stratified_kfold_assignment",
+    "time_weighted_value_per_user",
+    "mad_robust_outliers",
+    "discrete_hazard_lifetable",
+    "cep_sequence_pattern_detect",
+    "funnel_time_to_convert",
+    "dtw_daily_profiles",
+    "peak_detection_hourly",
+    "weighted_median_price",
+]
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage, (SELECT count(*) FROM t1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+    ) ORDER BY ord
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's completion time — the classic product-analytics query,
+    here as three chained filtered aggregations (each stage = one
+    pre-filtered scan + one user_id-keyed join + min-agg).
+
+    100 TB shape: each stage's scan is filtered to ONE event type
+    before any shuffle (predicate reaches the parquet scan); joins are
+    user_id-keyed against already-reduced per-user frames that shrink
+    monotonically down the funnel.  No windows over the raw event
+    stream, no driver-side state."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    counts = [
+        (1, "view", t1),
+        (2, "click", t2),
+        (3, "purchase", t3),
+    ]
+    parts = [
+        t.agg(F.count("*").alias("n_users")).select(
+            F.lit(ordn).alias("ord"), F.lit(stage).alias("stage"), "n_users"
+        )
+        for ordn, stage, t in counts
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.orderBy("ord").select("stage", "n_users")
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH w AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                 AS week
+      FROM events
+    ),
+    first_w AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM w)
+    SELECT f.cohort_week AS cohort_week,
+           a.week - f.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first_w f USING (user_id)
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each cohort and week offset, how many are still
+    active — the standard retention triangle, all integer-week
+    arithmetic so the contract is exact.
+
+    100 TB shape: one user_id shuffle for first-week, one distinct on
+    the already-narrow (user, week) projection, one keyed join of two
+    reduced frames, one final small-key aggregate.  The raw event
+    stream is scanned once, two columns wide."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    w = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), date '2024-01-01') div 7"
+        ).alias("week"),
+    )
+    first_w = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = w.distinct()
+    return (
+        active.join(first_w, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "regression_price_quantity",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS BIGINT)) AS sx,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS sy,
+             sum(CAST(l_quantity AS BIGINT)
+                 * CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                 AS sxy,
+             sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                 AS sxx,
+             sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                 * CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                 AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) + 0.5) / 10000.0
+               AS slope,
+           floor(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 + 0.5) / 10.0
+               AS intercept,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1e4 + 0.5) / 1e4
+               AS r2
+    FROM s
+    """,
+)
+def regression_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares regression of extended price on
+    quantity per return flag — the ``regr_slope``/``regr_intercept``/
+    ``regr_r2`` family, made ENGINE-EXACT: the builtins fold doubles
+    in partition order (the q7 flip class applied to statistics), so
+    instead every moment (n, Sx, Sy, Sxy, Sxx, Syy) accumulates as an
+    exact integer (prices on the 1e4 money grid), the five moments
+    combine by the textbook formulas in exact integer arithmetic, and
+    the ONLY float steps are final IEEE divisions of exact integers —
+    bit-identical on any engine — rounded on the fixed grid (slope
+    4dp, intercept 1dp, r2 4dp).
+
+    100 TB shape: one map-side-combinable aggregate, six integer
+    partials per group, no second pass — the same single-shuffle shape
+    as q1.  Spark sums in decimal(38,0) (the cross-products exceed
+    long range at scale; ANSI raises rather than wraps), DuckDB in
+    HUGEINT."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = money_scaled(F.col("l_extendedprice"))
+    d = lambda c: c.cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d(x)).alias("sx"),
+        F.sum(d(y)).alias("sy"),
+        F.sum(d(x * y)).alias("sxy"),
+        F.sum(d(x * x)).alias("sxx"),
+        F.sum(d(y * y)).alias("syy"),
+    )
+    n, sx, sy = d(F.col("n")), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = (n * sxx - sx * sx).cast("double")
+    inum = (sy * sxx - sx * sxy).cast("double")
+    deny = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(num / den + F.lit(0.5)) / 10000.0).alias("slope"),
+        (F.floor(inum / den / 1000.0 + F.lit(0.5)) / 10.0).alias("intercept"),
+        (F.floor(num * num / (den * deny) * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "r2"
+        ),
+    )
+
+
+@query(
+    "copurchase_lift_topk",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+    freq AS (SELECT l_partkey, count(*) AS c FROM lp GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+           floor(CAST(n.n_orders * p.c_ab AS DOUBLE)
+                 / CAST(fa.c * fb.c AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift scoring on co-purchased parts (the
+    'customers also bought' primitive): for part pairs sharing >= 2
+    orders, lift = P(a,b) / (P(a) P(b)) computed as the exact integer
+    ratio n_orders*c_ab / (c_a*c_b), IEEE-divided and rounded on the
+    4dp grid — top-50 by lift with deterministic tie-breaks.
+
+    100 TB shape: the pair generation is the market-basket self-join
+    keyed by order (baskets are small, so the blow-up is sum of
+    basket^2, not corpus^2); support >= 2 prunes the pair tail before
+    the frequency joins; the scalar order count is a 1-row broadcast;
+    top-50 compiles to TakeOrderedAndProject."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            (
+                F.floor(
+                    (F.col("n_orders") * F.col("c_ab")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "anomaly_zscore_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    w AS (
+      SELECT hour, cnt,
+             count(*) OVER tw AS n_prev,
+             sum(cnt) OVER tw AS s1,
+             sum(cnt * cnt) OVER tw AS s2
+      FROM c
+      WINDOW tw AS (ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           floor((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24)
+                 / sqrt((24 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE)) / (24.0 * 24.0))
+                 * 1e4 + 0.5) / 1e4 AS z,
+           abs(floor((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24)
+                 / sqrt((24 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE)) / (24.0 * 24.0))
+                 * 1e4 + 0.5) / 1e4) >= 2.0 AS is_anomaly
+    FROM w
+    WHERE n_prev = 24
+      AND 24 * s2 - s1 * s1 > 0
+    """,
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event rate —
+    the standard ops-monitoring primitive: each hour scores against
+    the TRAILING 24 hours (current excluded), z = (x - mean)/stddev,
+    flagged at |z| >= 2.  The spine densifies missing hours to zero so
+    the trailing window is 24 real HOURS, not 24 non-empty rows.
+
+    Exactness: the rolling mean/variance come from integer window
+    sums (s1, s2) combined by the population-variance identity; the
+    only float steps are IEEE divisions/sqrt of exact integers,
+    rounded 4dp — cross-engine identical, unlike a windowed
+    stddev_samp fold of doubles.
+
+    100 TB shape: the hourly pre-aggregation is the only corpus-scale
+    shuffle; the window runs over the tiny dense spine.  (A single
+    unpartitioned time-ordered window is spine-sized here; at
+    century-scale spines, partition by coarse time and overlap 24
+    rows.)"""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tw = Window.orderBy("hour").rowsBetween(-24, -1)
+    w = (
+        c.withColumn("n_prev", F.count("*").over(tw))
+        .withColumn("s1", F.sum("cnt").over(tw))
+        .withColumn("s2", F.sum(F.col("cnt") * F.col("cnt")).over(tw))
+        .filter(
+            (F.col("n_prev") == 24)
+            & (24 * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+    )
+    zraw = (
+        F.col("cnt").cast("double") - F.col("s1").cast("double") / 24
+    ) / F.sqrt(
+        (
+            24 * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (24.0 * 24.0)
+    )
+    z = F.floor(zraw * 1e4 + F.lit(0.5)) / 1e4
+    return w.select(
+        "hour",
+        F.col("cnt").cast("long").alias("cnt"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
+
+
+@query(
+    "ewma_hourly_trend",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt, CAST(cnt * 16 AS BIGINT) AS s
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+             CAST(r.s + (c.cnt * 16 - r.s) // 4 AS BIGINT)
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           s AS ewma_x16,
+           CAST(cnt * 16 - s AS BIGINT) AS residual_x16
+    FROM r
+    """,
+)
+def ewma_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the hourly event rate
+    (alpha = 1/4) in EXACT FIXED POINT: the recurrence
+    s_t = s_{t-1} + (16*x_t - s_{t-1}) div 4 runs in scale-16
+    integers with floor division, so every engine that replays it —
+    here DuckDB via a RECURSIVE CTE stepping the same integers — lands
+    bit-identical, where a float EWMA would drift by an ulp per step.
+    The residual column is the trend-adjusted deviation the smoothing
+    exists to expose.
+
+    100 TB shape: the corpus-scale work is the hourly pre-aggregation
+    (one shuffle); the recurrence itself runs over the tiny dense
+    spine in a single applyInPandas task.  An exact integer EWMA is
+    inherently sequential (truncating division breaks the linearity that
+    would admit a parallel prefix scan); the float variant composes
+    associatively and could segment-scan — the entry trades that for
+    cross-engine exactness, and says so."""
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        s, out = None, []
+        for cnt in pdf["cnt"]:
+            x = int(cnt) * 16
+            if s is None:
+                s = x
+            else:
+                d = x - s
+                # truncate toward zero, matching SQL integer division
+                s = s + (d // 4 if d >= 0 else -((-d) // 4))
+            out.append(s)
+        pdf["ewma_x16"] = out
+        pdf["residual_x16"] = pdf["cnt"] * 16 - pdf["ewma_x16"]
+        return pdf[["hour", "cnt", "ewma_x16", "residual_x16"]]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold, "hour timestamp, cnt long, ewma_x16 long, residual_x16 long"
+        )
+    )
+
+
+@query(
+    "gini_revenue_concentration",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)) AS s
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nationkey, s,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY s, o_custkey) AS i,
+             count(*) OVER (PARTITION BY nationkey) AS n
+      FROM spend
+    )
+    SELECT n2.n_name AS nation,
+           CAST(max(r.n) AS BIGINT) AS n_customers,
+           floor(CAST(sum((2 * r.i - r.n - 1) * r.s) AS DOUBLE)
+                 / CAST(max(r.n) * sum(r.s) AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS gini
+    FROM ranked r JOIN nation n2 ON n2.n_nationkey = r.nationkey
+    GROUP BY n2.n_name
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) per nation over customer spend —
+    the inequality metric every marketplace dashboard carries, exact:
+    spend accumulates as 1e4-scaled integers, the Gini numerator
+    sum((2i - n - 1) * s_i) over the (spend, custkey)-ordered ranking
+    is pure integer arithmetic (the tie-break makes the ranking — and
+    thus the statistic — deterministic on any engine), and the only
+    float step is one final IEEE division of exact integers, rounded
+    4dp.
+
+    100 TB shape: one fact shuffle to per-customer spend, one
+    nation-partitioned window (state bounded per nation), one reduced
+    aggregate; the dim join broadcasts (nation = 25 rows, hinted per
+    the fixed-cardinality rule)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
+        )
+        .agg(F.sum(money_scaled(F.col("o_totalprice"))).alias("s"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("s", "o_custkey")
+    wn = Window.partitionBy("nationkey")
+    ranked = spend.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.join(F.broadcast(n), ranked["nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (
+                F.floor(
+                    F.sum(
+                        (2 * F.col("i") - F.col("n") - 1) * F.col("s")
+                    ).cast("double")
+                    / (F.max("n") * F.sum("s")).cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("gini"),
+        )
+    )
+
+
+@query(
+    "herfindahl_supplier_share",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, s.s_suppkey,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                            + 0.5) AS BIGINT)) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           floor(CAST(sum(v * v) AS DOUBLE)
+                 / (CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS hhi
+    FROM rev GROUP BY region
+    """,
+)
+def herfindahl_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per region over
+    supplier revenue shares — the antitrust-dashboard companion to the
+    Gini entry: HHI = sum(share_i^2) computed as
+    sum(v_i^2) / (sum v_i)^2 over exact 1e4-scaled revenue integers,
+    so both sums are exact (decimal(38,0)/HUGEINT — squares of
+    per-supplier revenue exceed long range at scale) and the single
+    IEEE division of exact integers rounds on the 6dp grid.
+
+    100 TB shape: one fact shuffle to (region, supplier) partials
+    (dims broadcast: region/nation fixed-cardinality, supplier rides
+    AQE), then a 5-row aggregate of reduced rows."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    v = F.sum(
+        money_scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("s_suppkey"))
+        .agg(v.alias("v"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    return rev.groupBy("region").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        (
+            F.floor(
+                F.sum(d(F.col("v")) * d(F.col("v"))).cast("double")
+                / (
+                    F.sum(d(F.col("v"))).cast("double")
+                    * F.sum(d(F.col("v"))).cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("hhi"),
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    rk AS (
+      SELECT l_returnflag, p,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY p) AS i,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ),
+    cuts AS (
+      SELECT l_returnflag,
+             max(CASE WHEN i = CAST(ceil(0.05 * n) AS BIGINT) THEN p END) AS lo,
+             max(CASE WHEN i = CAST(ceil(0.95 * n) AS BIGINT) THEN p END) AS hi,
+             max(n) AS n
+      FROM rk GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(c.n AS BIGINT) AS n_rows,
+           c.lo / 10000.0 AS p05,
+           c.hi / 10000.0 AS p95,
+           floor(CAST(sum(least(greatest(r.p, c.lo), c.hi)) AS DOUBLE)
+                 / c.n + 0.5) / 10000.0 AS winsorized_avg
+    FROM rk r JOIN cuts c USING (l_returnflag)
+    GROUP BY r.l_returnflag, c.n, c.lo, c.hi
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) price statistics per return flag —
+    the robust-mean recipe feature pipelines apply before
+    normalization: clamp every value to the EXACT 5th/95th order
+    statistics (rank ceil(q*n) over the 1e4-scaled integers — a
+    well-defined order statistic regardless of tie order) and average
+    the clamped integers on the money grid.  Everything is integer
+    arithmetic until the final exact division.
+
+    100 TB shape: one group-partitioned rank window (state bounded per
+    group), the 3-row cuts frame broadcasts back, and the clamped
+    aggregate is map-side combinable.  At extreme group cardinality
+    swap the rank window for approx_percentile bounds — the clamp
+    stays exact either way."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag", money_scaled(F.col("l_extendedprice")).alias("p")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("p")
+    wn = Window.partitionBy("l_returnflag")
+    rk = v.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    cuts = rk.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("i") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("p"),
+            )
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    return (
+        rk.drop("n", "i")
+        .join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag", "n", "lo", "hi")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+                ).cast("double")
+                / F.col("n")
+                + F.lit(0.5)
+            ).alias("wsum")
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("lo") / 10000.0).alias("p05"),
+            (F.col("hi") / 10000.0).alias("p95"),
+            (F.col("wsum") / 10000.0).alias("winsorized_avg"),
+        )
+    )
+
+
+@query(
+    "lorenz_revenue_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT s, ntile(10) OVER (ORDER BY s, o_custkey) AS decile
+      FROM spend
+    ),
+    d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(s) AS ds
+      FROM rk GROUP BY decile
+    ),
+    t AS (SELECT sum(ds) AS total FROM d)
+    SELECT decile, n_customers,
+           floor(CAST(sum(ds) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS cum_revenue_share
+    FROM d, t
+    """,
+)
+def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue by decile — the 'bottom 50%
+    hold X% of revenue' chart behind the Gini entry: customers rank by
+    exact scaled-integer spend (custkey tie-break, so ntile boundaries
+    are deterministic), each decile's revenue sums exactly, and the
+    cumulative share is one IEEE division of exact integers per row,
+    4dp.
+
+    100 TB shape: one fact shuffle to per-customer spend; the global
+    ntile is the one unpartitioned window (customer-count sized, the
+    smallest frame in the query — at extreme cardinality switch to
+    range-partitioned rank + broadcast boundaries); the decile rollup
+    and cumulative window run over 10 rows."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(money_scaled(F.col("o_totalprice"))).alias("s")
+    )
+    rk = spend.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("s", "o_custkey"))
+    )
+    d = rk.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("s").alias("ds"),
+    )
+    t = d.agg(F.sum("ds").alias("total"))
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cs", F.sum("ds").over(cum))
+        .select(
+            "decile",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("cs").cast("double")
+                    / F.col("total").cast("double")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("cum_revenue_share"),
+        )
+    )
+
+
+@query(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT cur, sum(n) AS total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n_transitions,
+           floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) * 1e4 + 0.5)
+               / 1e4 AS p
+    FROM c JOIN t USING (cur)
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next | current) for every event-type pair, the
+    product-analytics 'what do users do after X' primitive: order each
+    user's events by (ts, event_id) (the id tie-break makes
+    simultaneous events deterministic), pair each with its successor
+    via lead(), count transitions, and normalize per source state.
+    Counts are exact integers; probabilities are exact int/int
+    quotients on the 4dp grid.
+
+    100 TB shape: one user_id-partitioned window (state bounded per
+    user), then two aggregates over reduced (cur, nxt) rows — 25 pairs
+    here, event-type-squared in general."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy(
+        F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
+    ).agg(F.count("*").alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("total"))
+    return c.join(t, "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("long").alias("n_transitions"),
+        (
+            F.floor(
+                F.col("n").cast("double") / F.col("total").cast("double") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("p"),
+    )
+
+
+@query(
+    "cusum_changepoint_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    b AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    s AS (
+      SELECT hour, cnt,
+             row_number() OVER (ORDER BY hour) AS k,
+             sum(cnt) OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING)
+                 AS prefix,
+             (SELECT count(*) FROM c) AS n,
+             (SELECT sum(cnt) FROM c) AS total
+      FROM c
+    ),
+    scored AS (
+      SELECT hour, k, CAST(n * prefix - k * total AS BIGINT) AS cusum
+      FROM s WHERE k < n
+    )
+    SELECT hour AS changepoint_hour,
+           CAST(k AS BIGINT) AS k,
+           cusum AS cusum_scaled
+    FROM scored
+    ORDER BY abs(cusum) DESC, hour LIMIT 1
+    """,
+)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the hourly event rate, EXACT:
+    the classic statistic max_k |sum_{i<=k}(x_i - mean)| needs the
+    fractional mean — multiplying through by n turns it into
+    S_k = n*prefix_k - k*total, PURE INTEGER arithmetic with the same
+    argmax, so the detected split point is bit-identical on every
+    engine (no running float drift).  Reports the hour k maximizing
+    |S_k| — the boundary where the rate regime most plausibly changed
+    — with deterministic tie-breaks.
+
+    100 TB shape: the corpus-scale work is the hourly
+    pre-aggregation; the prefix window and argmax run over the tiny
+    dense spine; top-1 is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tot = c.agg(
+        F.count("*").alias("n"), F.sum("cnt").alias("total")
+    )
+    wp = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        c.withColumn("k", F.row_number().over(Window.orderBy("hour")))
+        .withColumn("prefix", F.sum("cnt").over(wp))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            F.col("hour").alias("changepoint_hour"),
+            F.col("k").cast("long").alias("k"),
+            (F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+            .cast("long")
+            .alias("cusum_scaled"),
+        )
+    )
+    return s.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "changepoint_hour"
+    ).limit(1)
+
+
+@query(
+    "holt_linear_trend",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt,
+             CAST(cnt * 16 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+             CAST(r.l + r.b + (c.cnt * 16 - (r.l + r.b)) // 4 AS BIGINT),
+             CAST(r.b + ((r.l + r.b + (c.cnt * 16 - (r.l + r.b)) // 4
+                          - r.l) - r.b) // 8 AS BIGINT)
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           l AS level_x16, b AS trend_x16,
+           CAST(l + b AS BIGINT) AS forecast_x16
+    FROM r
+    """,
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR (double-exponential) smoothing of the hourly event
+    rate — the trend-aware sibling of ``ewma_hourly_trend`` — in EXACT
+    scale-16 fixed point (alpha = 1/4, beta = 1/8, truncating integer
+    division):
+
+        l_t = l' + b' + (16*y_t - (l' + b')) div 4
+        b_t = b' + ((l_t - l') - b') div 8
+
+    seeded l_1 = 16*y_1, b_1 = 0; forecast_x16 = l_t + b_t is the
+    one-step-ahead prediction a float Holt drifts away from by an ulp
+    per step.  The oracle replays the identical integer recurrence
+    with a two-state RECURSIVE CTE, so every level/trend/forecast is
+    bit-identical across engines.
+
+    100 TB shape: corpus-scale work is the hourly pre-aggregation (one
+    shuffle); the two-state recurrence is inherently sequential
+    (truncating division breaks linearity, the documented trade for
+    exactness) and runs over the tiny dense spine in one applyInPandas
+    task."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero, matching SQL integer division
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        level = trend = None
+        ls, bs = [], []
+        for cnt in pdf["cnt"]:
+            y = int(cnt) * 16
+            if level is None:
+                level, trend = y, 0
+            else:
+                prior = level + trend
+                new_level = prior + tdiv(y - prior, 4)
+                trend = trend + tdiv((new_level - level) - trend, 8)
+                level = new_level
+            ls.append(level)
+            bs.append(trend)
+        pdf["level_x16"] = ls
+        pdf["trend_x16"] = bs
+        pdf["forecast_x16"] = pdf["level_x16"] + pdf["trend_x16"]
+        return pdf[["hour", "cnt", "level_x16", "trend_x16", "forecast_x16"]]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "hour timestamp, cnt long, level_x16 long, trend_x16 long, "
+            "forecast_x16 long",
+        )
+    )
+
+
+@query(
+    "robust_scaler_features",
+    """
+    WITH rk AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             max(CASE WHEN i = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN n_chars END) AS q1,
+             max(CASE WHEN i = CAST(ceil(0.50 * n) AS BIGINT)
+                      THEN n_chars END) AS med,
+             max(CASE WHEN i = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN n_chars END) AS q3
+      FROM rk GROUP BY source
+    )
+    SELECT r.doc_id AS doc_id, r.source AS source,
+           CAST(r.n_chars AS BIGINT) AS n_chars,
+           c.med AS median_chars,
+           c.q3 - c.q1 AS iqr_chars,
+           CASE WHEN c.q3 = c.q1 THEN 0.0
+                ELSE floor(CAST(r.n_chars - c.med AS DOUBLE)
+                           / (c.q3 - c.q1) * 1e4 + 0.5) / 1e4
+           END AS scaled
+    FROM rk r JOIN cuts c USING (source)
+    """,
+)
+def robust_scaler_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of document lengths per
+    source — sklearn's RobustScaler as a DataFrame program, the
+    normalization step quality classifiers apply before thresholding:
+    center on the EXACT median and scale by the EXACT interquartile
+    range, both as rank-ceil(q*n) order statistics over integers (the
+    winsorized_price_stats recipe), so outliers cannot drag the scale
+    the way mean/stddev scaling allows.  The only float operation is
+    one final IEEE division of exact integers, half-up on the 4dp grid
+    on both engines; a zero IQR falls back to 0 by contract.
+
+    100 TB shape: one source-partitioned rank window (state bounded
+    per group), a groups-sized cuts frame broadcast back, and a
+    scan-stage projection for the scaling itself."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    wn = Window.partitionBy("source")
+    rk = d.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def at(q):
+        return F.max(
+            F.when(
+                F.col("i") == F.ceil(q * F.col("n")).cast("long"),
+                F.col("n_chars"),
+            )
+        )
+
+    cuts = rk.groupBy("source").agg(
+        at(0.25).alias("q1"), at(0.50).alias("med"), at(0.75).alias("q3")
+    )
+    return (
+        rk.drop("i", "n")
+        .join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("med").alias("median_chars"),
+            (F.col("q3") - F.col("q1")).alias("iqr_chars"),
+            F.when(F.col("q3") == F.col("q1"), F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    (F.col("n_chars") - F.col("med")).cast("double")
+                    / (F.col("q3") - F.col("q1"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            )
+            .alias("scaled"),
+        )
+    )
+
+
+@query(
+    "target_encoding_loo_nation",
+    """
+    WITH oc AS (
+      SELECT o.o_orderkey, c.c_nationkey AS nation,
+             CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    w AS (
+      SELECT o_orderkey, nation, x,
+             sum(x) OVER (PARTITION BY nation) AS s,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM oc
+    )
+    SELECT o_orderkey, CAST(nation AS INT) AS nation,
+           CASE WHEN n > 1
+                THEN floor(CAST(s - x AS DOUBLE) / (n - 1) + 0.5) / 10000.0
+           END AS loo_enc
+    FROM w
+    """,
+)
+def target_encoding_loo_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of the customer nation by order
+    value — the categorical-feature encoder that does NOT leak the
+    row's own label: each order's encoding is the mean o_totalprice
+    of every OTHER order in its nation, (S_nation - x_i)/(n-1).
+    Computed on the exact scaled-long grid (the ``money_avg``
+    discipline): integer window sums, one IEEE division of exact
+    integers per row, half-up to 4dp — identical on both engines
+    where a double-sum fold would drift.  Single-member groups encode
+    NULL (no peers, no estimate) rather than a leaked self-mean.
+
+    100 TB shape: one keyed join (orders x customer on custkey — both
+    scale with SF, so NO broadcast hint; AQE picks the strategy) and
+    one window shuffle on the 25-value nation key; nothing collects.
+    At real scale the nation window is skew-prone (25 groups), so the
+    production variant would compute (S, n) per nation with a
+    groupBy (map-side combinable, 25-row result) and broadcast-join
+    it back — same integers, same result; the window form is used
+    here because the per-row subtraction IS the LOO point.
+    Reference scope: flo has no relational surface — north-star
+    extension (SURVEY §2 Part B)."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_nationkey").cast("int").alias("nation"),
+            money_scaled(F.col("o_totalprice")).alias("x"),
+        )
+    )
+    w = Window.partitionBy("nation")
+    s = F.sum("x").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return oc.select(
+        "o_orderkey",
+        "nation",
+        F.when(
+            n > 1,
+            F.floor((s - F.col("x")).cast("double") / (n - 1) + F.lit(0.5))
+            / F.lit(10000.0),
+        ).alias("loo_enc"),
+    )
+
+
+@query(
+    "holt_winters_seasonal",
+    """
+    WITH RECURSIVE e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt,
+             row_number() OVER (ORDER BY h.hour) AS rn
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    r AS (
+      SELECT rn, hour, cnt,
+             CAST(cnt * 16 AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             [CAST(0 AS BIGINT)] AS seas
+      FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.rn, c.hour, c.cnt,
+        CASE WHEN r.rn < 24 THEN CAST(c.cnt * 16 AS BIGINT)
+             ELSE CAST(r.l + r.b
+                       + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4
+                  AS BIGINT) END,
+        CASE WHEN r.rn < 24 THEN CAST(0 AS BIGINT)
+             ELSE CAST(r.b + ((r.l + r.b
+                       + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4
+                       - r.l) - r.b) // 8 AS BIGINT) END,
+        CASE WHEN r.rn < 24 THEN list_append(r.seas, CAST(0 AS BIGINT))
+             ELSE list_append(list_slice(r.seas, 2, 24),
+                  CAST(r.seas[1]
+                       + (c.cnt * 16
+                          - (r.l + r.b
+                             + (c.cnt * 16 - r.seas[1] - (r.l + r.b)) // 4)
+                          - r.seas[1]) // 16 AS BIGINT)) END
+      FROM r JOIN c ON c.rn = r.rn + 1
+    )
+    SELECT hour, CAST(cnt AS BIGINT) AS cnt,
+           l AS level_x16, b AS trend_x16,
+           seas[len(seas)] AS season_x16,
+           CASE WHEN len(seas) = 24
+                THEN CAST(l + b + seas[1] AS BIGINT) END AS forecast_x16
+    FROM r
+    """,
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE Holt-Winters (triple-exponential) smoothing of the
+    hourly event rate with a 24-hour season — the seasonal completion
+    of ``holt_linear_trend`` — in EXACT scale-16 fixed point
+    (alpha = 1/4, beta = 1/8, gamma = 1/16, truncating division):
+
+        l_t = l' + b' + (16*y_t - s_{t-24} - (l' + b')) div 4
+        b_t = b' + ((l_t - l') - b') div 8
+        s_t = s_{t-24} + (16*y_t - l_t - s_{t-24}) div 16
+
+    seeded for t <= 24 with l_t = 16*y_t, b_t = 0, s_t = 0; the
+    one-step forecast l_t + b_t + s_{t+1-24} exists once a full
+    season is buffered.  The oracle replays the identical integers
+    with a RECURSIVE CTE whose state carries the 24-slot seasonal
+    ring as a LIST column — bit-identical across engines where a
+    float Holt-Winters drifts per step.
+
+    100 TB shape: as holt_linear_trend — corpus-scale work is the
+    hourly pre-aggregation (one shuffle); the recurrence is
+    inherently sequential (truncating division breaks linearity, the
+    documented trade for exactness) and folds the tiny dense spine
+    in one applyInPandas task."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero, matching SQL integer division
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        level = trend = 0
+        seas: deque[int] = deque()
+        ls, bs, ss, fs = [], [], [], []
+        for t, cnt in enumerate(pdf["cnt"], 1):
+            y = int(cnt) * 16
+            if t <= 24:
+                level, trend, s = y, 0, 0
+                seas.append(0)
+            else:
+                sa = seas[0]
+                prior = level + trend
+                new_level = prior + tdiv(y - sa - prior, 4)
+                trend = trend + tdiv((new_level - level) - trend, 8)
+                s = sa + tdiv(y - new_level - sa, 16)
+                level = new_level
+                seas.popleft()
+                seas.append(s)
+            ls.append(level)
+            bs.append(trend)
+            ss.append(s)
+            fs.append(level + trend + seas[0] if len(seas) == 24 else None)
+        pdf["level_x16"] = ls
+        pdf["trend_x16"] = bs
+        pdf["season_x16"] = ss
+        pdf["forecast_x16"] = pd.array(fs, dtype="Int64")
+        return pdf[
+            ["hour", "cnt", "level_x16", "trend_x16", "season_x16",
+             "forecast_x16"]
+        ]
+
+    return (
+        c.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "hour timestamp, cnt long, level_x16 long, trend_x16 long, "
+            "season_x16 long, forecast_x16 long",
+        )
+    )
+
+
+@query(
+    "gapfill_locf_interpolate",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (SELECT hour, sum(cents) AS v FROM e GROUP BY hour),
+    bnd AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM obs),
+    spine AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bnd),
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    j AS (
+      SELECT s.hour, obs.v,
+             row_number() OVER (ORDER BY s.hour) AS rn
+      FROM spine s LEFT JOIN obs ON obs.hour = s.hour
+    ),
+    w AS (
+      SELECT hour, v, rn,
+             last_value(v IGNORE NULLS) OVER
+               (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS locf,
+             last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prn,
+             first_value(v IGNORE NULLS) OVER
+               (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS nrn
+      FROM j
+    )
+    SELECT hour,
+           CAST(v AS BIGINT) AS observed_cents,
+           CAST(locf AS BIGINT) AS locf_cents,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v * 10000
+             WHEN locf IS NULL OR nv IS NULL THEN NULL
+             ELSE locf * 10000
+                  + ((nv - locf) * 10000 * (rn - prn)) // (nrn - prn)
+           END AS BIGINT) AS interp_x1e4
+    FROM w
+    """,
+)
+def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filling of a SPARSE hourly series (hours
+    with no purchases are MISSING, not zero) with both standard
+    policies: LOCF (last observation carried forward) and LINEAR
+    interpolation between the surrounding observations — TimescaleDB
+    time_bucket_gapfill + locf()/interpolate() semantics.  All
+    arithmetic exact: the metric rides the scaled-long cents grid,
+    the interpolation is integer ((v2-v1)*1e4*dt) div span on the
+    hour-rank axis, and leading/trailing unbounded regions are NULL
+    (no invented data).  IGNORE-NULLS window frames find the
+    surrounding observations — no self-join against the observed
+    set.
+
+    100 TB shape: corpus-scale work is one hourly pre-aggregation
+    shuffle; the spine is bounded by the time range, and all four
+    IGNORE-NULLS lookups share one ordered pass.  The global-ordered
+    window is the documented trade at the spine's (tiny) scale; a
+    sharded deployment would partition the spine by coarse time
+    range and stitch boundaries."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            money_scaled(F.col("value")).alias("cents"),
+        )
+    )
+    obs = e.groupBy("hour").agg(F.sum("cents").alias("v"))
+    bnd = obs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = bnd.select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour")
+    )
+    j = (
+        spine.join(obs, "hour", "left")
+        .withColumn("rn", F.row_number().over(Window.orderBy("hour")))
+    )
+    wo = Window.orderBy("rn")
+    pre = wo.rowsBetween(Window.unboundedPreceding, 0)
+    fol = wo.rowsBetween(0, Window.unboundedFollowing)
+    vrn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    w = j.select(
+        "hour",
+        "v",
+        "rn",
+        F.last("v", ignorenulls=True).over(pre).alias("locf"),
+        F.last(vrn, ignorenulls=True).over(pre).alias("prn"),
+        F.first("v", ignorenulls=True).over(fol).alias("nv"),
+        F.first(vrn, ignorenulls=True).over(fol).alias("nrn"),
+    )
+    return w.select(
+        "hour",
+        F.col("v").cast("long").alias("observed_cents"),
+        F.col("locf").cast("long").alias("locf_cents"),
+        F.when(F.col("v").isNotNull(), F.col("v") * 10000)
+        .when(F.col("locf").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("locf") * 10000
+            + F.expr(
+                "((nv - locf) * 10000 * (rn - prn)) DIV (nrn - prn)"
+            )
+        )
+        .cast("long")
+        .alias("interp_x1e4"),
+    )
+
+
+@query(
+    "seasonal_decompose_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour FROM events
+    ),
+    bnd AS (SELECT max(hour) AS h1 FROM e),
+    hours AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    (SELECT h1 FROM bnd),
+                                    INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    t AS (
+      SELECT hour, cnt,
+             CASE WHEN count(*) OVER w1 = 24 AND count(*) OVER w2 = 24
+                  THEN sum(cnt) OVER w1 + sum(cnt) OVER w2 END AS trend_x48
+      FROM c
+      WINDOW w1 AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING
+                    AND 11 FOLLOWING),
+             w2 AS (ORDER BY hour ROWS BETWEEN 11 PRECEDING
+                    AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT hour, cnt, trend_x48,
+             CASE WHEN trend_x48 IS NOT NULL
+                  THEN 48 * cnt - trend_x48 END AS detr_x48,
+             hour(hour) AS hod
+      FROM t
+    ),
+    s AS (
+      SELECT hod, sum(detr_x48) // count(detr_x48) AS seas_x48
+      FROM d WHERE detr_x48 IS NOT NULL GROUP BY hod
+    )
+    SELECT d.hour, CAST(d.cnt AS BIGINT) AS cnt,
+           CAST(d.trend_x48 AS BIGINT) AS trend_x48,
+           CAST(s.seas_x48 AS BIGINT) AS seasonal_x48,
+           CAST(d.detr_x48 - s.seas_x48 AS BIGINT) AS remainder_x48
+    FROM d LEFT JOIN s ON s.hod = d.hod AND d.detr_x48 IS NOT NULL
+    """,
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL additive seasonal decomposition of the hourly event
+    rate (trend + seasonal + remainder, period 24) in EXACT x48 fixed
+    point: the even-period centered moving average is the sum of the
+    two straddling 24-hour window sums (the [1,2,...,2,1]/48 kernel
+    with the /48 NEVER performed — the x48 numerator is the exact
+    integer), detrended values are 48*y - trend, the seasonal index
+    is the truncating per-hour-of-day mean of detrended values, and
+    the remainder closes the identity detr = seasonal + remainder
+    exactly.  Hours whose +-12 neighborhood leaves the observed range
+    have NULL trend/seasonal/remainder — no invented edge data.
+
+    100 TB shape: one hourly pre-aggregation shuffle; the two sliding
+    sums share one ordered pass over the (tiny, time-bounded) spine;
+    the seasonal index is a 24-row aggregate joined back broadcast.
+    The spine window is globally ordered — the documented trade at
+    spine scale (cf. gapfill_locf_interpolate)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    w1 = Window.orderBy("hour").rowsBetween(-12, 11)
+    w2 = Window.orderBy("hour").rowsBetween(-11, 12)
+    t = c.select(
+        "hour",
+        "cnt",
+        F.when(
+            (F.count("*").over(w1) == 24) & (F.count("*").over(w2) == 24),
+            F.sum("cnt").over(w1) + F.sum("cnt").over(w2),
+        ).alias("trend_x48"),
+    )
+    d = t.select(
+        "hour",
+        "cnt",
+        "trend_x48",
+        F.when(
+            F.col("trend_x48").isNotNull(),
+            48 * F.col("cnt") - F.col("trend_x48"),
+        ).alias("detr_x48"),
+        F.hour("hour").alias("hod"),
+    )
+    s = (
+        d.filter(F.col("detr_x48").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.expr("sum(detr_x48) DIV count(detr_x48)").alias("seas_x48")
+        )
+    )
+    return (
+        d.join(
+            F.broadcast(s),
+            (d["hod"] == s["hod"]) & d["detr_x48"].isNotNull(),
+            "left",
+        )
+        .select(
+            "hour",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("trend_x48").cast("long").alias("trend_x48"),
+            F.col("seas_x48").cast("long").alias("seasonal_x48"),
+            (F.col("detr_x48") - F.col("seas_x48"))
+            .cast("long")
+            .alias("remainder_x48"),
+        )
+    )
+
+
+@query(
+    "grid_density_outliers",
+    """
+    WITH p AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 7200000000 AS tc,
+             CAST(floor(value / 20.0) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (SELECT tc, vc, count(*) AS n FROM p GROUP BY tc, vc),
+    nb AS (
+      SELECT c.tc, c.vc, sum(o.n) AS neigh
+      FROM cells c JOIN cells o
+        ON o.tc BETWEEN c.tc - 1 AND c.tc + 1
+       AND o.vc BETWEEN c.vc - 1 AND c.vc + 1
+      GROUP BY c.tc, c.vc
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(nb.neigh AS BIGINT) AS neighborhood_n,
+           nb.neigh < 3 AS is_outlier
+    FROM p JOIN nb ON nb.tc = p.tc AND nb.vc = p.vc
+    """,
+)
+def grid_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based outlier detection on the (time x value) plane —
+    DBSCAN's core-point rule without the clustering: a purchase is an
+    outlier when its 3x3 grid neighborhood (cell = the epsilon box:
+    2 h x 20.0, the proximity_join_grid_2d geometry) holds fewer than
+    minPts = 3 points.  The neighborhood count aggregates CELLS first
+    (|cells| << |points|), so the 9-cell stencil join runs on the
+    cell table and points just look their cell up — density per point
+    without any point-point join.  Grid counts approximate the true
+    epsilon-ball (standard grid-DBSCAN bound: the 3x3 stencil covers
+    every true epsilon neighbor); the rule as stated IS the contract,
+    reproduced exactly by the oracle.
+
+    100 TB shape: one cell-count shuffle, one |cells|-sized stencil
+    self-join (9x fanout on cell keys, never on points), one keyed
+    lookup join for points; identical integer cell arithmetic to the
+    proximity join (epoch_us, floor-division value buckets)."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 7200000000").alias("tc"),
+            F.floor(F.col("value") / 20.0).cast("long").alias("vc"),
+        )
+    )
+    cells = p.groupBy("tc", "vc").agg(F.count("*").alias("n"))
+    # scatter each cell's count to its 9 neighbors IN THE SCAN STAGE
+    # (explode of a literal stencil — no join at all), then gather
+    # per target cell; the stencil never becomes a nested loop over
+    # cells the way a BETWEEN-condition join would
+    stencil = ", ".join(
+        f"struct(tc + {dt} AS tc, vc + {dv} AS vc)"
+        for dt in (-1, 0, 1)
+        for dv in (-1, 0, 1)
+    )
+    nb = (
+        cells.select(
+            F.explode(F.expr(f"array({stencil})")).alias("s"), "n"
+        )
+        .select(F.col("s.tc").alias("tc"), F.col("s.vc").alias("vc"), "n")
+        .groupBy("tc", "vc")
+        .agg(F.sum("n").alias("neigh"))
+        .join(cells.select("tc", "vc"), ["tc", "vc"])
+    )
+    return p.join(nb, ["tc", "vc"]).select(
+        "event_id",
+        "user_id",
+        F.col("neigh").cast("long").alias("neighborhood_n"),
+        (F.col("neigh") < 3).alias("is_outlier"),
+    )
+
+
+@query(
+    "acf_hourly_lags",
+    """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS hour FROM events
+    ),
+    h1 AS (SELECT max(hour) AS h1 FROM ev),
+    hours AS (
+      SELECT unnest(generate_series(
+        TIMESTAMP '2024-01-01 00:00:00', (SELECT h1 FROM h1),
+        INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN ev e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    tot AS (SELECT count(*) AS n, sum(cnt) AS s FROM c),
+    dev AS (
+      SELECT hour, CAST(n * cnt - s AS HUGEINT) AS dev
+      FROM c, tot
+    ),
+    den AS (SELECT sum(dev * dev) AS den FROM dev),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    num AS (
+      SELECT l.lag, sum(a.dev * b.dev) AS num, count(*) AS n_pairs
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.hour = a.hour + INTERVAL 1 HOUR * l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN num >= 0 THEN (num * 10000) // den
+                     ELSE -((-num * 10000) // den) END AS BIGINT)
+             AS acf_x1e4
+    FROM num, den
+    """,
+)
+def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event rate at lags
+    1..24, in EXACT integer arithmetic: deviations are scaled by the
+    series length (dev_t = n*x_t - S, so the /n mean is never
+    performed), the lag-k numerator is sum(dev_t * dev_{t+k}) over
+    observed pairs, the denominator is sum(dev^2), and the reported
+    coefficient is the toward-zero-truncated 1e4-scaled quotient —
+    the n^2 factors cancel, so this IS the textbook ACF on a 1e-4
+    grid, bit-identical on both engines (doubles would drift in the
+    sum fold).  Accumulation runs in decimal(38,0)/HUGEINT; ANSI mode
+    raises on overflow rather than wrapping.
+
+    100 TB shape: one hourly pre-aggregation shuffle collapses the
+    corpus to a time-bounded spine; the 24 lags are a single explode
+    (24x fanout on the SPINE, never on events) + one keyed self-join
+    on hour; the denominator is a 1-row broadcast.  Completes the
+    time-series family (EWMA/Holt/Holt-Winters/CUSUM/seasonal
+    decomposition) with the diagnostic that picks their lag/period
+    parameters.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tot = c.agg(
+        F.count("*").alias("n"), F.sum("cnt").alias("s")
+    )
+    dev = c.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        (F.col("n") * F.col("cnt") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    pairs = dev.select(
+        "hour", F.col("dev").alias("dev_a"), F.explode(F.expr("sequence(1, 24)")).alias("lag")
+    ).withColumn("hour", F.expr("hour + make_interval(0, 0, 0, 0, lag)"))
+    num = (
+        pairs.join(
+            dev.select(F.col("hour").alias("hour"), F.col("dev").alias("dev_b")),
+            "hour",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(
+            F.col("num") >= 0,
+            F.expr("(num * 10000) div den"),
+        )
+        .otherwise(-F.expr("((-num) * 10000) div den"))
+        .cast("long")
+        .alias("acf_x1e4"),
+    )
+
+
+@query(
+    "exact_percentile_suite",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           median(CAST(l_quantity AS BIGINT)) AS median_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25_qty,
+           quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75_qty,
+           max_by(l_orderkey,
+                  CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                    * 100000000 + l_orderkey) AS top_price_order,
+           min_by(l_orderkey,
+                  CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
+                    * 100000000 + l_orderkey) AS bottom_price_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ordered-set aggregates (vs the approx_percentile/KLL
+    sketch family): ``median`` and ``percentile`` (R-7 linear
+    interpolation) over integer quantities — every interpolated value
+    is dyadic (k + {0,.25,.5,.75}), so the doubles are exact and
+    engine-identical with no rounding step — plus ``max_by``/``min_by``
+    with a COMPOSITE scaled (price, key) ordering scalar
+    (price_x1e4 * 1e8 + orderkey — exact for orderkeys < 1e8, every
+    driver SF; wider keys move the composite to decimal(38,0)), which
+    makes the argmax deterministic under price ties (bare max_by on a
+    tied ordering column is nondeterministic — the composite is the
+    documented discipline).  DuckDB's quantile_cont/max_by implement
+    the same interpolation and ordering — two engines, one exact
+    answer.
+
+    100 TB shape: exact percentiles are rank-based and need a sort of
+    each group (Spark plans a single shuffle + per-group sort here —
+    the honest cost of EXACT order statistics; the mergeable-sketch
+    path for cluster-scale monitoring is quantile_sketch_mergeable /
+    approx_quantile_bounded); max_by/min_by stay map-side-combinable.
+    Six groups bound the output.  Reference scope: flo has no
+    aggregate surface — north-star extension (SURVEY §2 Part B)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        money_scaled(F.col("l_extendedprice")).alias("price_x1e4"),
+    )
+    ordkey = F.col("price_x1e4") * 100000000 + F.col("l_orderkey")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.median("qty").alias("median_qty"),
+        F.percentile("qty", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("qty", F.lit(0.75)).alias("p75_qty"),
+        F.max_by(F.col("l_orderkey"), ordkey).alias("top_price_order"),
+        F.min_by(F.col("l_orderkey"), ordkey).alias("bottom_price_order"),
+    )
+
+
+@query(
+    "quantile_discretizer_encode",
+    """
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    r AS (
+      SELECT px, row_number() OVER (ORDER BY px, o_orderkey) AS rn FROM p
+    ),
+    n AS (SELECT count(*) AS n FROM p),
+    b AS (
+      SELECT
+        max(CASE WHEN rn = CAST(ceil(0.25 * n.n) AS BIGINT)
+            THEN px END) AS b1,
+        max(CASE WHEN rn = CAST(ceil(0.50 * n.n) AS BIGINT)
+            THEN px END) AS b2,
+        max(CASE WHEN rn = CAST(ceil(0.75 * n.n) AS BIGINT)
+            THEN px END) AS b3
+      FROM r, n
+    )
+    SELECT CAST(CASE WHEN px > b3 THEN 3 WHEN px > b2 THEN 2
+                     WHEN px > b1 THEN 1 ELSE 0 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(px) AS BIGINT) AS min_px,
+           CAST(max(px) AS BIGINT) AS max_px
+    FROM p, b
+    GROUP BY 1
+    """,
+)
+def quantile_discretizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ``QuantileDiscretizer`` semantics as a deterministic
+    DataFrame program (the feature-engineering sibling of
+    vocab_index_encode's StringIndexer and robust_scaler_features'
+    RobustScaler): 4 equal-frequency buckets of order totals with
+    split points taken as EXACT rank order statistics
+    (ceil(q*n), the winsorized discipline) on the 1e4 money grid —
+    where MLlib would call approxQuantile with a relativeError, this
+    pins the exact-rank contract so both engines agree bit-for-bit;
+    bucket(x) = number of splits strictly below x (half-open
+    [s_i, s_{i+1}) intervals, MLlib's rule).  Output: per-bucket
+    cardinality and the realized [min, max] scaled-price range —
+    near-equal counts by construction (ties land left).
+
+    100 TB shape: the split points come from one ranked pass (swap in
+    quantile_sketch_mergeable at a stated rank error to avoid the
+    sort, same trade as shuffle_skew_profile documents); the splits
+    broadcast as ONE row and encoding is a scan-stage CASE — the
+    encode path adds zero shuffles.  Reference scope: flo has no ML
+    surface — north-star extension (SURVEY §2 Part B pipeline
+    hygiene)."""
+    p = load(spark, sf_dir, "orders").select(
+        "o_orderkey", money_scaled(F.col("o_totalprice")).alias("px")
+    )
+    r = p.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("px").asc(), F.col("o_orderkey").asc())
+        ),
+    )
+    n = p.agg(F.count("*").alias("n"))
+    b = r.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.25 * F.col("n")), F.col("px"))
+        ).alias("b1"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.50 * F.col("n")), F.col("px"))
+        ).alias("b2"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.75 * F.col("n")), F.col("px"))
+        ).alias("b3"),
+    )
+    return (
+        p.crossJoin(F.broadcast(b))
+        .withColumn(
+            "bucket",
+            F.when(F.col("px") > F.col("b3"), 3)
+            .when(F.col("px") > F.col("b2"), 2)
+            .when(F.col("px") > F.col("b1"), 1)
+            .otherwise(0)
+            .cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("px").cast("long").alias("min_px"),
+            F.max("px").cast("long").alias("max_px"),
+        )
+    )
+
+
+@query(
+    "theil_sen_hourly_trend",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    h0 AS (SELECT min(h) AS h0 FROM c),
+    p AS (
+      SELECT ((b.cnt - a.cnt) * 1000000
+              + 1000000000000 * (b.h - a.h)) // (b.h - a.h)
+             - 1000000000000 AS s
+      FROM c a JOIN c b ON b.h > a.h
+    ),
+    m AS (SELECT count(*) AS n_pairs FROM p),
+    r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM p),
+    sen AS (
+      SELECT r.s AS sen FROM r, m WHERE r.rn = (m.n_pairs + 1) // 2
+    ),
+    ic AS (
+      SELECT c.cnt * 1000000 - sen.sen * (c.h - h0.h0) AS b
+      FROM c, sen, h0
+    ),
+    icn AS (SELECT count(*) AS n_hours FROM ic),
+    ir AS (SELECT b, row_number() OVER (ORDER BY b) AS rn FROM ic),
+    icb AS (
+      SELECT ir.b AS icpt FROM ir, icn WHERE ir.rn = (icn.n_hours + 1) // 2
+    )
+    SELECT CAST(icn.n_hours AS BIGINT) AS n_hours,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(sen.sen AS BIGINT) AS sen_slope_x1e6,
+           CAST(icb.icpt AS BIGINT) AS intercept_x1e6
+    FROM icn, m, sen, icb
+    """,
+)
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the hourly event rate: the (lower)
+    median of all pairwise slopes (c_j - c_i)/(h_j - h_i) over the
+    hourly-count series, ENGINE-EXACT on the 1e-6 grid.  Each slope is
+    floored onto the grid by a nonnegative-operand division — the
+    numerator is offset by 1e12*(h_j - h_i) so DuckDB's floor ``//``
+    and Spark's truncating ``div`` agree (valid while hourly counts
+    stay below 1e6; see welch_t2_ab_test for the discipline) — and the
+    median of the gridded integers is an exact rank pick, so the
+    breakdown-point-0.29 estimator that outlier hours cannot drag
+    (unlike the OLS slope) hash-matches across engines.  The intercept
+    is the lower median of cnt_i*1e6 - sen*(h_i - h0): the robust
+    level at the window start on the same grid.
+
+    100 TB shape: one map-side-combinable hourly count collapses the
+    corpus to a calendar-bounded spine (720 rows/month at ANY SF); the
+    O(spine^2) pair join and the rank medians run on that spine —
+    ~260k pairs, one broadcast nested loop + one single-partition
+    sort, all driver-free.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B statistics,
+    robust counterpart to holt_linear_trend's least-squares fit)."""
+    OFF = 1_000_000_000_000
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        # the spine feeds FOUR branches (pair sides, h0, intercepts);
+        # without a persist each branch re-scans the corpus —
+        # plan-pinned in tests/test_plans.py
+        .persist()
+    )
+    h0 = c.agg(F.min("h").alias("h0"))
+    a = c.select(F.col("h").alias("ha"), F.col("cnt").alias("ca"))
+    b = c.select(F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    p = a.join(b, F.col("hb") > F.col("ha")).select(
+        (
+            F.expr(
+                f"((cb - ca) * 1000000 + {OFF} * (hb - ha))"
+                " div (hb - ha)"
+            )
+            - F.lit(OFF)
+        ).alias("s")
+    )
+    m = p.agg(F.count("*").alias("n_pairs"))
+    r = p.select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("rn")
+    )
+    sen = (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.expr("rn = (n_pairs + 1) div 2"))
+        .select(F.col("s").alias("sen"), "n_pairs")
+    )
+    ic = c.crossJoin(F.broadcast(sen)).crossJoin(F.broadcast(h0)).select(
+        (F.col("cnt") * 1_000_000 - F.col("sen") * (F.col("h") - F.col("h0"))).alias("b"),
+        "sen",
+        "n_pairs",
+    )
+    icn = ic.groupBy("sen", "n_pairs").agg(F.count("*").alias("n_hours"))
+    ir = ic.select(
+        "b", "sen", "n_pairs",
+        F.row_number().over(Window.orderBy("b")).alias("rn"),
+    )
+    return (
+        ir.crossJoin(F.broadcast(icn.select("n_hours")))
+        .filter(F.expr("rn = (n_hours + 1) div 2"))
+        .select(
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("sen").cast("long").alias("sen_slope_x1e6"),
+            F.col("b").cast("long").alias("intercept_x1e6"),
+        )
+    )
+
+
+@query(
+    "decision_stump_status",
+    """
+    WITH o AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 1000000
+               AS t,
+             o_orderstatus AS s
+      FROM orders
+    ),
+    cls AS (SELECT t, s, count(*) AS c FROM o GROUP BY t, s),
+    ts AS (SELECT DISTINCT t FROM o),
+    ss AS (SELECT DISTINCT s FROM o),
+    grid AS (SELECT ts.t, ss.s FROM ts, ss),
+    cum AS (
+      SELECT g.t, g.s,
+             sum(coalesce(cls.c, 0))
+               OVER (PARTITION BY g.s ORDER BY g.t) AS lc
+      FROM grid g LEFT JOIN cls ON cls.t = g.t AND cls.s = g.s
+    ),
+    tot AS (SELECT s, count(*) AS tc FROM o GROUP BY s),
+    per AS (
+      SELECT cum.t,
+             sum(lc) AS nl, max(lc) AS maxl,
+             sum(tc - lc) AS nr, max(tc - lc) AS maxr
+      FROM cum JOIN tot ON tot.s = cum.s
+      GROUP BY cum.t
+    ),
+    scored AS (
+      SELECT t, nl, nr, maxl, maxr,
+             (nl - maxl) + (nr - maxr) AS mis
+      FROM per WHERE nr > 0
+    ),
+    best AS (SELECT * FROM scored ORDER BY mis, t LIMIT 1),
+    base AS (
+      SELECT (SELECT count(*) FROM o) - max(tc) AS base_mis FROM tot
+    )
+    SELECT CAST((best.t + 1) * 10000 AS BIGINT) AS threshold_usd,
+           CAST(best.nl AS BIGINT) AS n_left,
+           CAST(best.nr AS BIGINT) AS n_right,
+           (SELECT min(cum.s) FROM cum, best b2
+             WHERE cum.t = b2.t AND cum.lc = b2.maxl) AS left_label,
+           (SELECT min(cum.s) FROM cum JOIN tot ON tot.s = cum.s, best b3
+             WHERE cum.t = b3.t AND tot.tc - cum.lc = b3.maxr)
+             AS right_label,
+           CAST(best.mis AS BIGINT) AS misclass,
+           CAST(base.base_mis AS BIGINT) AS baseline_misclass
+    FROM best, base
+    """,
+)
+def decision_stump_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-split decision stump predicting o_orderstatus from
+    o_totalprice, ENGINE-EXACT: candidate thresholds are the $10,000
+    bucket boundaries, the split criterion is the MISCLASSIFICATION
+    impurity sum_{side}(n_side - max_c n_{c,side}) — a pure integer, so
+    the exact argmin (tie-break: lowest threshold) and the majority
+    labels (tie-break: lexicographically smallest among argmax classes)
+    hash-match across engines where a Gini/entropy stump's per-split
+    rational denominators could not be totally ordered in SQL without
+    floats.  The full CART recursion is this primitive applied per
+    node; one level is what a feature-importance triage needs.
+
+    100 TB shape: one map-side-combinable (bucket, class) count
+    collapses the corpus to a |buckets| x |classes| grid (~150 rows at
+    ANY SF); cumulative left-counts, per-threshold scoring, and the
+    argmin all run on that grid — the same aggregate-then-spine shape
+    as the histogram entries; nothing corpus-scale moves twice.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B, the supervised counterpart to
+    quantile_discretizer_encode's unsupervised binning)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " div 1000000"
+        ).alias("t"),
+        F.col("o_orderstatus").alias("s"),
+        # the bucket/class/total/label branches all re-derive this
+        # projection; persist or the fact re-scans 20x (plan-pinned)
+    ).persist()
+    cls = o.groupBy("t", "s").agg(F.count("*").alias("c")).persist()
+    ts = o.select("t").distinct()
+    ss = o.select("s").distinct()
+    grid = ts.crossJoin(ss)
+    cum = grid.join(cls, ["t", "s"], "left").select(
+        "t",
+        "s",
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .over(Window.partitionBy("s").orderBy("t"))
+        .alias("lc"),
+    )
+    tot = o.groupBy("s").agg(F.count("*").alias("tc"))
+    joined = cum.join(tot, "s")
+    per = joined.groupBy("t").agg(
+        F.sum("lc").alias("nl"),
+        F.max("lc").alias("maxl"),
+        F.sum(F.col("tc") - F.col("lc")).alias("nr"),
+        F.max(F.col("tc") - F.col("lc")).alias("maxr"),
+    )
+    scored = per.filter(F.col("nr") > 0).select(
+        "t", "nl", "nr", "maxl", "maxr",
+        ((F.col("nl") - F.col("maxl")) + (F.col("nr") - F.col("maxr"))).alias("mis"),
+    )
+    best = scored.orderBy("mis", "t").limit(1)
+    left_lab = (
+        best.select("t", "maxl")
+        .join(cum, ["t"])
+        .filter(F.col("lc") == F.col("maxl"))
+        .agg(F.min("s").alias("left_label"))
+    )
+    right_lab = (
+        best.select("t", "maxr")
+        .join(joined, ["t"])
+        .filter(F.col("tc") - F.col("lc") == F.col("maxr"))
+        .agg(F.min("s").alias("right_label"))
+    )
+    base = (
+        tot.agg(
+            F.sum("tc").alias("n_all"), F.max("tc").alias("max_tc")
+        ).select((F.col("n_all") - F.col("max_tc")).alias("base_mis"))
+    )
+    return (
+        best.crossJoin(F.broadcast(left_lab))
+        .crossJoin(F.broadcast(right_lab))
+        .crossJoin(F.broadcast(base))
+        .select(
+            ((F.col("t") + 1) * 10000).cast("long").alias("threshold_usd"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            "left_label",
+            "right_label",
+            F.col("mis").cast("long").alias("misclass"),
+            F.col("base_mis").cast("long").alias("baseline_misclass"),
+        )
+    )
+
+
+@query(
+    "ols_two_feature_cramer",
+    """
+    WITH v AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM v
+    ),
+    det AS (
+      SELECT n, s1, s2,
+        n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2) AS dm,
+        sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y) AS d0,
+        n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS d1,
+        n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2) AS d2
+      FROM s
+    ),
+    c AS (
+      SELECT n, dm,
+        (d0 + 1000000000000 * dm) // dm AS q0,
+        (d0 + 1000000000000 * dm) % dm AS r0,
+        (d1 + 1000000000000 * dm) // dm AS q1,
+        (d1 + 1000000000000 * dm) % dm AS r1,
+        (d2 + 1000000000000 * dm) // dm AS q2,
+        (d2 + 1000000000000 * dm) % dm AS r2
+      FROM det
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(q0 * 1000000 + (r0 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b0_x1e6,
+           CAST(q1 * 1000000 + (r1 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b1_x1e6,
+           CAST(q2 * 1000000 + (r2 * 1000000) // dm
+                - 1000000000000000000 AS BIGINT) AS b2_x1e6
+    FROM c
+    """,
+)
+def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression — extended price (1e4 money grid) on
+    quantity and discount-percent — solved in closed form by CRAMER'S
+    RULE over the 3x3 normal equations, ENGINE-EXACT: the nine power
+    sums accumulate as exact integers in decimal(38,0)/HUGEINT, the
+    four determinants are integer polynomials of those sums, and each
+    coefficient det_k/det(M) lands on the 1e-6 grid through a
+    nonnegative-operand floor-division chain (offset by 1e12*det(M),
+    i.e. coefficients must stay within ±1e12 grid units — they are
+    ~1e9 here; two-step q*1e6 + (r*1e6)//dm keeps every intermediate
+    under 38 digits where the naive det*1e6 would overflow).  Extends
+    regression_price_quantity (one regressor) to the genuinely
+    multivariate case where collinearity between regressors matters;
+    det(M) > 0 is Gram positive-definiteness.
+
+    100 TB shape: identical to q6 — ONE map-side-combinable aggregate
+    over the fact scan producing nine integer partials, a single-row
+    combine, then O(1) driver-free arithmetic; adding regressors grows
+    the partial vector quadratically but never adds a pass or a
+    shuffle.  This is the textbook reason normal-equation OLS beats
+    gradient descent on Spark for small feature counts.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,0)")
+    v = li.select(
+        d(F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).alias("x1"),
+        d(F.expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")).alias("x2"),
+        d(money_scaled(F.col("l_extendedprice"))).alias("y"),
+    )
+    s = v.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det = s.selectExpr(
+        "n",
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2) AS dm",
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y) AS d0",
+        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2) AS d1",
+        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2) AS d2",
+    )
+    c = det.selectExpr(
+        "n",
+        "dm",
+        "(d0 + 1000000000000 * dm) div dm AS q0",
+        "(d0 + 1000000000000 * dm) % dm AS r0",
+        "(d1 + 1000000000000 * dm) div dm AS q1",
+        "(d1 + 1000000000000 * dm) % dm AS r1",
+        "(d2 + 1000000000000 * dm) div dm AS q2",
+        "(d2 + 1000000000000 * dm) % dm AS r2",
+    )
+    return c.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(q0 * 1000000 + (r0 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b0_x1e6",
+        "CAST(q1 * 1000000 + (r1 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b1_x1e6",
+        "CAST(q2 * 1000000 + (r2 * 1000000) div dm"
+        " - 1000000000000000000 AS BIGINT) AS b2_x1e6",
+    )
+
+
+@query(
+    "kmeans_lloyd_rounds",
+    """
+    WITH p AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    seed AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    c0 AS (
+      SELECT s.cid, p.dim, p.x AS c
+      FROM seed s JOIN p ON p.vec_id = s.vec_id
+    ),
+    d1 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c0 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cid, p.dim,
+             (sum(p.x) + 100000 * count(*)) // count(*) - 100000 AS c
+      FROM a1 a JOIN p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    ),
+    d2 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c1 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cid, p.dim,
+             (sum(p.x) + 100000 * count(*)) // count(*) - 100000 AS c
+      FROM a2 a JOIN p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    ),
+    d3 AS (
+      SELECT p.vec_id, c.cid,
+             sum((p.x - c.c) * (p.x - c.c)) AS dist
+      FROM p JOIN c2 c ON c.dim = p.dim
+      GROUP BY p.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d3) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT cid, count(*) AS n_members, sum(vec_id) AS sum_vec_ids,
+             sum(dist) AS wcss
+      FROM a3 GROUP BY cid
+    ),
+    cstat AS (
+      SELECT cid, sum(c * c) AS sumsq,
+             max(CASE WHEN dim = 0 THEN c END) AS c_dim0
+      FROM c2 GROUP BY cid
+    )
+    SELECT CAST(stats.cid AS INT) AS cid,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(sum_vec_ids AS BIGINT) AS sum_vec_ids,
+           CAST(wcss AS BIGINT) AS wcss,
+           CAST(sumsq AS BIGINT) AS centroid_sumsq,
+           CAST(c_dim0 AS BIGINT) AS centroid_dim0_x1e4
+    FROM stats JOIN cstat ON cstat.cid = stats.cid
+    """,
+)
+def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 rounds) over the embeddings table in
+    EXACT fixed point — the canonical iterative-ML loop made
+    engine-exact: components quantize to the 1e4 grid, squared
+    distances are exact BIGINT sums, argmin assignment tie-breaks
+    (dist, cid) deterministically, and re-centering is the truncated
+    integer mean on the same grid ((S + 1e5*n) div n - 1e5, operands
+    kept nonnegative so floor and truncating division agree).  Seeds
+    are the 4 smallest vec_ids; a fixed round count makes the result
+    a deterministic relation (data-dependent convergence isn't).  The
+    oracle unrolls the identical assign/recenter/assign chain as CTEs
+    — two independent evaluations of one exact algorithm.  Output per
+    cluster: size, member checksum, within-cluster sum of squares,
+    and the round-2 centroid's exact norm/first component.
+
+    100 TB shape: per round ONE broadcast of the k x dim centroid
+    table against the scanned corpus (distances via zip_with/aggregate
+    JVM HOFs — no explode on the corpus side, no shuffle for scoring),
+    one keyed (cid, dim) partial-sum shuffle to re-center (posexplode
+    of ASSIGNED rows ships dim-level partials, combiner-friendly);
+    rounds scale linearly and nothing corpus-sized ever sits in
+    driver memory — the same Pregel-on-DataFrames discipline as
+    pagerank_customer_supplier.  The semantic-dedup IVF quantizer
+    (operators/similarity.py) uses a bounded SAMPLE for speed; this
+    entry is the full-corpus exact form.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("qv"),
+        # three assignment passes + per-round recenter explodes all
+        # reuse the quantized corpus; persist or each branch re-scans
+        # it (7 scans unpersisted — plan-pinned)
+    ).persist()
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cid"
+            ),
+            F.col("qv").alias("cv"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        j = q.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qv", "cid", "dist")
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select(
+            "cid", F.posexplode("qv").alias("dim", "x")
+        )
+        cd = (
+            ex.groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .selectExpr(
+                "cid", "dim", "(s + 100000 * n) div n - 100000 AS c"
+            )
+        )
+        return cd.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))),"
+                " t -> t.c)"
+            ).alias("cv")
+        )
+
+    c1 = recenter(assign(seeds))
+    c2 = recenter(assign(c1))
+    a3 = assign(c2)
+    stats = a3.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+        F.sum("dist").alias("wcss"),
+    )
+    cstat = c2.select(
+        "cid",
+        F.expr("aggregate(cv, 0L, (acc, x) -> acc + x * x)").alias(
+            "sumsq"
+        ),
+        F.element_at("cv", 1).alias("c_dim0"),
+    )
+    return stats.join(cstat, "cid").select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("sum_vec_ids").cast("long").alias("sum_vec_ids"),
+        F.col("wcss").cast("long").alias("wcss"),
+        F.col("sumsq").cast("long").alias("centroid_sumsq"),
+        F.col("c_dim0").cast("long").alias("centroid_dim0_x1e4"),
+    )
+
+
+@query(
+    "session_path_topk",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             concat_ws('>',
+               max(CASE WHEN rn = 1 THEN event_type END),
+               max(CASE WHEN rn = 2 THEN event_type END),
+               max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening event paths — each user's first three events in
+    deterministic (ts, event_id) order joined into an 'a>b>c' journey
+    string, counted across users (concat_ws drops the NULL slots of
+    short histories identically on both engines, so 1- and 2-event
+    users fold into their natural prefixes).  The product-analytics
+    path query next to funnel_conversion (fixed target sequence) and
+    markov_event_transitions (memoryless step model): this one ranks
+    the actual observed journeys.
+
+    100 TB shape: one user-keyed shuffle for the per-user window, a
+    conditional-aggregate collapse to one row per user (no arrays
+    shipped), one path-keyed count, TakeOrderedAndProject for the
+    top-k — no global sort.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(10)
+        .select("path", F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "stratified_kfold_assignment",
+    """
+    WITH r AS (
+      SELECT lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ),
+    f AS (SELECT lang, (rn - 1) % 5 AS fold FROM r),
+    c AS (
+      SELECT lang, fold, count(*) AS n_docs
+      FROM f GROUP BY lang, fold
+    )
+    SELECT lang, CAST(fold AS INT) AS fold,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           max(n_docs) OVER (PARTITION BY lang)
+             - min(n_docs) OVER (PARTITION BY lang) <= 1 AS balanced
+    FROM c
+    """,
+)
+def stratified_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (k=5, strata =
+    language): within each stratum documents take a deterministic
+    rank order (doc_id) and fold = (rank-1) mod 5, so every stratum
+    splits as evenly as arithmetic allows — the audit column PROVES
+    it in-query (max-min fold size <= 1 per stratum), the
+    group_leakage_safe_split discipline applied to CV.  Unlike the
+    hash-based train/val/test split (whose fold sizes are only
+    binomially balanced), rank-mod assignment is exactly balanced —
+    the right tool when strata are small and a 60/40 wobble would
+    bias the validation score.
+
+    100 TB shape: one stratum-keyed window rank (per-stratum sort,
+    parallel across strata) + one (stratum, fold) count; the audit
+    window runs on the k*|strata| spine.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B
+    pipeline hygiene)."""
+    docs = load(spark, sf_dir, "documents")
+    r = docs.select(
+        "lang",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    c = (
+        r.selectExpr("lang", "(rn - 1) % 5 AS fold")
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.max("n_docs").over(w) - F.min("n_docs").over(w) <= 1
+        ).alias("balanced"),
+    )
+
+
+@query(
+    "time_weighted_value_per_user",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v, nxt - us AS dt
+      FROM s WHERE nxt IS NOT NULL AND nxt > us
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_segments,
+             sum(dt) AS total_us,
+             sum(CAST(v AS HUGEINT) * dt) AS wsum
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(total_us AS BIGINT) AS total_us,
+           CAST(wsum // total_us AS BIGINT) AS twap_x1e4
+    FROM agg
+    """,
+)
+def time_weighted_value_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/ops-metrics
+    primitive): each event's value holds from its timestamp until the
+    user's next event (lead over a deterministic (ts, event_id)
+    order), segments weight by their exact microsecond duration, and
+    the average is one truncating division of exact integer sums —
+    Σ(v_1e4 · Δt_us) accumulates in decimal(38,0)/HUGEINT because a
+    month of microseconds times a 1e4-scaled value overflows BIGINT.
+    Arithmetic-mean aggregates overweight bursts; TWAP is what a
+    billing/utilization pipeline actually wants.  Zero-length
+    segments (same-timestamp events) and each user's open last
+    segment are excluded by construction on both engines.
+
+    100 TB shape: one user-keyed shuffle for the lead window, then a
+    map-side-combinable per-user aggregate — the asof/gap-fill plan
+    shape with an integer-exact reduction.  Reference scope: flo has
+    no analytics surface — north-star extension (SURVEY §2 Part B)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lead(F.expr("unix_micros(ts)")).over(w).alias("nxt"),
+    )
+    seg = s.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("us"))
+    ).select("user_id", "v", (F.col("nxt") - F.col("us")).alias("dt"))
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("dt").alias("total_us"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("dt")).alias(
+            "wsum"
+        ),
+    )
+    return agg.selectExpr(
+        "user_id",
+        "CAST(n_segments AS BIGINT) AS n_segments",
+        "CAST(total_us AS BIGINT) AS total_us",
+        "CAST(wsum div total_us AS BIGINT) AS twap_x1e4",
+    )
+
+
+@query(
+    "mad_robust_outliers",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS x
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, x AS med FROM (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, abs(v.x - med.med) AS d, med.med
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, med, d AS mad FROM (
+        SELECT event_type, med, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(mad.med) AS BIGINT) AS median_x1e4,
+           CAST(max(mad.mad) AS BIGINT) AS mad_x1e4,
+           CAST(sum(CASE WHEN dev.d * 6745 > mad.mad * 30000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type —
+    the robust counterpart to anomaly_zscore_hourly's moment-based
+    z-score (one wild value corrupts a mean/stddev; the median and
+    MAD have breakdown point 0.5) — ENGINE-EXACT: values on the 1e4
+    grid, the (lower) median and MAD are exact rank picks, and the
+    '|x - med| > 3 sigma-hat' rule cross-multiplies the 0.6745
+    normal-consistency constant into integers
+    (d * 6745 > mad * 30000, i.e. d * 0.6745 > 3 * mad), so the
+    outlier count needs no division at all.
+
+    100 TB shape: two rank picks per group (per-type window sorts,
+    parallel across types — swap in the mergeable quantile sketch
+    when a single type outgrows one task) + one broadcast-sized
+    (type, med, mad) table joined back for the counting pass.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("x"),
+        # median pick + deviation join both consume this; persist or
+        # the fact re-scans per branch (plan-pinned)
+    ).persist()
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x")
+    med = (
+        v.select(
+            "event_type",
+            "x",
+            F.row_number().over(wo).alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("x").alias("med"))
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("x") - F.col("med")).alias("d"), "med"
+    ).persist()
+    wd = Window.partitionBy("event_type").orderBy("d")
+    mad = (
+        dev.select(
+            "event_type",
+            "med",
+            "d",
+            F.row_number().over(wd).alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("med").cast("long").alias("median_x1e4"),
+            F.max("mad").cast("long").alias("mad_x1e4"),
+            F.sum(
+                F.when(
+                    F.col("d") * 6745 > F.col("mad") * 30000, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "discrete_hazard_lifetable",
+    """
+    WITH life AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))
+               // 604800000000 AS wk
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_users FROM life),
+    ev AS (SELECT wk, count(*) AS events FROM life GROUP BY wk),
+    tab AS (
+      SELECT ev.wk, ev.events,
+             n.n_users
+               - coalesce(sum(ev2.events), 0) AS at_risk
+      FROM ev
+      LEFT JOIN ev ev2 ON ev2.wk < ev.wk
+      CROSS JOIN n
+      GROUP BY ev.wk, ev.events, n.n_users
+    )
+    SELECT CAST(wk AS INT) AS week,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(events AS BIGINT) AS events,
+           CAST((events * 1000000) // at_risk AS BIGINT)
+             AS hazard_x1e6
+    FROM tab
+    """,
+)
+def discrete_hazard_lifetable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-time life table of user activity spans — the
+    churn-analytics primitive: each user's observed lifetime (first
+    to last event) buckets into whole weeks, and for every week k the
+    risk set (users whose lifetime reached week k), the exits, and
+    the exact 1e-6-grid hazard h_k = exits_k / at_risk_k are reported
+    — all integers until the one truncating division per row.  The
+    Kaplan-Meier survival curve is the running product of (1 - h_k);
+    products of rationals leave any fixed grid, so the entry pins the
+    hazard table (the estimator's sufficient statistic) and leaves
+    the product to the caller's presentation layer.
+
+    100 TB shape: one user-keyed span aggregate (map-side
+    combinable), then everything runs on the |weeks| spine; the
+    at-risk set is a spine-sized cumulative complement, not a rescan.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B event analytics, next to
+    cohort_retention's calendar triangle)."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts)))"
+            " div 604800000000"
+        ).alias("wk")
+    )
+    n = life.agg(F.count("*").alias("n_users"))
+    evt = life.groupBy("wk").agg(F.count("*").alias("events"))
+    w = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tab = evt.crossJoin(F.broadcast(n)).select(
+        "wk",
+        "events",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("events").over(w), F.lit(0))
+        ).alias("at_risk"),
+    )
+    return tab.selectExpr(
+        "CAST(wk AS INT) AS week",
+        "CAST(at_risk AS BIGINT) AS at_risk",
+        "CAST(events AS BIGINT) AS events",
+        "CAST((events * 1000000) div at_risk AS BIGINT)"
+        " AS hazard_x1e6",
+    )
+
+
+@query(
+    "cep_sequence_pattern_detect",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, ts FROM r
+      WHERE event_type = 'click' AND e1 = 'click' AND e2 = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(ts) AS TIMESTAMP) AS first_match_ts
+    FROM m GROUP BY user_id
+    """,
+)
+def cep_sequence_pattern_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Complex-event-processing pattern detection — the
+    MATCH_RECOGNIZE workload SQL engines bolt on — as a lead-chain
+    window: find every user whose event stream contains the
+    CONSECUTIVE pattern click -> click -> purchase (double-tap
+    purchase intent) in deterministic (ts, event_id) order, reporting
+    match counts and the first match time.  Overlapping occurrences
+    count (each position starts its own match) — the textbook NFA
+    semantics for unanchored patterns; funnel_conversion covers the
+    non-consecutive ordered variant, markov_event_transitions the
+    memoryless model; this pins strict adjacency.
+
+    100 TB shape: one user-keyed window shuffle, scan-stage lead
+    projections, then a per-user count — CEP without a stateful
+    engine; the streaming form is applyInPandasWithState
+    (stream_stateful_user_stats' shape) with this predicate inside.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B event analytics)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    m = r.filter(
+        (F.col("event_type") == "click")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+    )
+    return m.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             (epoch_us(p0) - epoch_us(c0)) // 1000000 AS sec
+      FROM f WHERE c0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= c0
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN sec END)
+                AS BIGINT) AS p50_seconds,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN sec END)
+                AS BIGINT) AS p90_seconds,
+           CAST(min(sec) AS BIGINT) AS min_seconds,
+           CAST(max(sec) AS BIGINT) AS max_seconds
+    FROM r
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the click -> purchase funnel:
+    per user the whole-second gap from FIRST click to FIRST purchase
+    (exact integer microseconds floored to seconds), then exact
+    lower-rank p50/p90 picks over the converter population — the
+    latency lens funnel_conversion (who converts) and
+    cohort_retention (when they return) don't give.  Rank indices
+    ceil(q*n) are pure integers, so the percentiles are exact order
+    statistics, deterministic under ties via the (sec, user_id)
+    order.
+
+    100 TB shape: one user-keyed conditional min aggregate (map-side
+    combinable), then ranks over the CONVERTER subset — single-
+    partition window on a population already cut by the funnel (swap
+    in the mergeable quantile sketch when converters alone outgrow a
+    task).  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B event analytics)."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("c0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p0"),
+    )
+    conv = f.filter(
+        F.col("c0").isNotNull()
+        & F.col("p0").isNotNull()
+        & (F.col("p0") >= F.col("c0"))
+    ).select(
+        "user_id",
+        F.expr(
+            "(unix_micros(p0) - unix_micros(c0)) div 1000000"
+        ).alias("sec"),
+    )
+    r = conv.select(
+        "sec",
+        F.row_number()
+        .over(Window.orderBy("sec", "user_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("sec")))
+        .cast("long")
+        .alias("p50_seconds"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("sec")))
+        .cast("long")
+        .alias("p90_seconds"),
+        F.min("sec").cast("long").alias("min_seconds"),
+        F.max("sec").cast("long").alias("max_seconds"),
+    )
+
+
+@query(
+    "dtw_daily_profiles",
+    """
+    WITH hours AS (SELECT unnest(range(0, 24)) AS h),
+    a AS (
+      SELECT hours.h, count(e.ts) AS v
+      FROM hours LEFT JOIN events e
+        ON date_trunc('day', e.ts) = TIMESTAMP '2024-01-02'
+       AND CAST(extract(hour FROM e.ts) AS BIGINT) = hours.h
+      GROUP BY hours.h
+    ),
+    b AS (
+      SELECT hours.h, count(e.ts) AS v
+      FROM hours LEFT JOIN events e
+        ON date_trunc('day', e.ts) = TIMESTAMP '2024-01-29'
+       AND CAST(extract(hour FROM e.ts) AS BIGINT) = hours.h
+      GROUP BY hours.h
+    ),
+    c AS (
+      SELECT a.h + 1 AS i, b.h + 1 AS j, abs(a.v - b.v) AS cost
+      FROM a, b
+    ),
+    dp AS (
+      -- DTW as a WAVEFRONT RECURSION: the working set holds the
+      -- current anti-diagonal (is_new=1) and the one before
+      -- (is_new=0); each step emits diag d+1 cells as the grouped
+      -- min over orthogonal preds (from is_new=1 rows) and diagonal
+      -- preds (from is_new=0 rows), and re-emits diag d once.
+      WITH RECURSIVE t(i, j, acc, is_new) AS (
+        SELECT 1, 1, (SELECT cost FROM c WHERE i = 1 AND j = 1), 1
+        UNION ALL
+        SELECT tgt.i, tgt.j,
+               min(tgt.base + coalesce(c.cost, 0)),
+               max(tgt.flag)
+        FROM (
+          SELECT u.ti AS i, u.tj AS j, t.acc AS base, u.flag
+          FROM t, unnest(CASE WHEN t.is_new = 1 THEN [
+                   struct_pack(ti := t.i + 1, tj := t.j, flag := 1),
+                   struct_pack(ti := t.i, tj := t.j + 1, flag := 1),
+                   struct_pack(ti := t.i, tj := t.j, flag := 0)
+                 ] ELSE [
+                   struct_pack(ti := t.i + 1, tj := t.j + 1, flag := 1)
+                 ] END) AS x(u)
+          WHERE u.ti <= 24 AND u.tj <= 24
+        ) tgt
+        LEFT JOIN c ON c.i = tgt.i AND c.j = tgt.j AND tgt.flag = 1
+        GROUP BY tgt.i, tgt.j
+      )
+      SELECT min(acc) AS dtw FROM t WHERE i = 24 AND j = 24
+    )
+    SELECT CAST((SELECT sum(v) FROM a) AS BIGINT) AS n_events_a,
+           CAST((SELECT sum(v) FROM b) AS BIGINT) AS n_events_b,
+           CAST((SELECT sum(abs(a.v - b.v)) FROM a JOIN b
+                 ON b.h = a.h) AS BIGINT) AS l1_aligned,
+           CAST(dp.dtw AS BIGINT) AS dtw_cost
+    FROM dp
+    """,
+)
+def dtw_daily_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping between two daily activity profiles (the
+    24 hourly counts of Jan 2 vs Jan 29) — the shape-similarity
+    measure that tolerates phase shift where the aligned L1 distance
+    (also reported) cannot — in EXACT integer arithmetic: |a_i - b_j|
+    costs, the classic dp[i][j] = cost + min(left, up, diag)
+    recurrence, and a total warp cost that hash-matches across two
+    COMPLETELY DIFFERENT evaluations: Spark folds the DP in a
+    spine-sized applyInPandas (the holt_winters/sequence_packing
+    sequential-fold discipline), while the DuckDB oracle replays it
+    as a WAVEFRONT RECURSION — a recursive CTE whose working set is
+    one anti-diagonal plus its predecessor, advancing with a grouped
+    min per cell (aggregation inside recursion, which DuckDB permits
+    and Spark's recursive CTEs do not — the reason the two sides use
+    different formulations of the same exact algorithm).
+
+    100 TB shape: the corpus collapses to two 24-point profiles in
+    one map-side-combinable conditional aggregate; the O(24^2) DP is
+    driver-free spine work inside a single Arrow batch.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B time series)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hr = F.expr("CAST(extract(hour FROM ts) AS BIGINT)")
+    prof = (
+        ev.filter(
+            day.isin(
+                F.lit("2024-01-02").cast("timestamp"),
+                F.lit("2024-01-29").cast("timestamp"),
+            )
+        )
+        .select(
+            F.when(day == F.lit("2024-01-02").cast("timestamp"), "a")
+            .otherwise("b")
+            .alias("side"),
+            hr.alias("h"),
+        )
+        .groupBy("side", "h")
+        .agg(F.count("*").alias("v"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        va = [0] * 24
+        vb = [0] * 24
+        for _, row in pdf.iterrows():
+            (va if row["side"] == "a" else vb)[int(row["h"])] = int(
+                row["v"]
+            )
+        big = 1 << 60
+        dp = [[big] * 25 for _ in range(25)]
+        for i in range(1, 25):
+            for j in range(1, 25):
+                cost = abs(va[i - 1] - vb[j - 1])
+                if i == 1 and j == 1:
+                    dp[i][j] = cost
+                else:
+                    dp[i][j] = cost + min(
+                        dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                    )
+        return pd.DataFrame(
+            {
+                "n_events_a": [sum(va)],
+                "n_events_b": [sum(vb)],
+                "l1_aligned": [
+                    sum(abs(x - y) for x, y in zip(va, vb))
+                ],
+                "dtw_cost": [dp[24][24]],
+            }
+        )
+
+    return (
+        prof.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            fold,
+            "n_events_a long, n_events_b long, l1_aligned long,"
+            " dtw_cost long",
+        )
+    )
+
+
+@query(
+    "peak_detection_hourly",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    nb AS (
+      SELECT h, cnt,
+             lag(cnt) OVER (ORDER BY h) AS prv,
+             lead(cnt) OVER (ORDER BY h) AS nxt
+      FROM c
+    ),
+    peaks AS (
+      SELECT h, cnt FROM nb
+      WHERE prv IS NOT NULL AND nxt IS NOT NULL
+        AND cnt > prv AND cnt >= nxt
+    )
+    SELECT CAST(h AS BIGINT) AS epoch_hour,
+           CAST(cnt AS BIGINT) AS height
+    FROM peaks ORDER BY cnt DESC, h LIMIT 10
+    """,
+)
+def peak_detection_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 local maxima of the hourly event rate — the
+    peak-detection primitive behind alerting and seasonality
+    eyeballing: an interior hour is a peak iff strictly above its
+    left neighbor and at-or-above its right (the deterministic
+    half-open plateau rule: a flat plateau yields exactly its FIRST
+    hour, no double counting), ranked by height with the epoch-hour
+    tie-break.  Pure integer comparisons; complements
+    cusum_changepoint (level shifts) and anomaly_zscore (global
+    outliers) with LOCAL structure.
+
+    100 TB shape: hourly spine aggregate, one ordered window for the
+    neighbor lags, TakeOrderedAndProject for the top-k — no global
+    sort.  Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B time series)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("h")
+    nb = c.select(
+        "h",
+        "cnt",
+        F.lag("cnt").over(w).alias("prv"),
+        F.lead("cnt").over(w).alias("nxt"),
+    )
+    peaks = nb.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("cnt") > F.col("prv"))
+        & (F.col("cnt") >= F.col("nxt"))
+    )
+    return (
+        peaks.orderBy(F.col("cnt").desc(), F.col("h"))
+        .limit(10)
+        .select(
+            F.col("h").cast("long").alias("epoch_hour"),
+            F.col("cnt").cast("long").alias("height"),
+        )
+    )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             1 + CAST(o_orderkey % 5 AS BIGINT) AS wt
+      FROM orders
+    ),
+    cum AS (
+      SELECT prio, cents, wt,
+             sum(wt) OVER (PARTITION BY prio
+                           ORDER BY cents, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY prio) AS tw
+      FROM v
+    ),
+    pick AS (
+      SELECT prio, cents, tw,
+             row_number() OVER (PARTITION BY prio
+                                ORDER BY cents, wt) AS rn
+      FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(tw AS BIGINT) AS total_weight,
+           CAST(cents AS BIGINT) AS weighted_median_cents
+    FROM pick WHERE rn = 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median order price per priority (weights = a
+    deterministic 1..5 units-per-order proxy): the lower weighted
+    median is the first value, in (cents, weight) order, whose
+    cumulative weight reaches half the total — the exact integer
+    predicate 2*cumw >= totw needs no division at all, and the
+    deterministic secondary sort makes the pick reproducible through
+    ties.  Plain medians (exact_percentile_suite) treat every row
+    equally; revenue-weighted cuts are what pricing dashboards
+    actually want, and the same cumsum shape generalizes to any
+    weighted quantile.
+
+    100 TB shape: one per-group ordered window over the fact (the
+    quantile_discretizer shape with a weight column); swap in a
+    weighted variant of the mergeable quantile sketch when one group
+    outgrows a task.  Reference scope: flo has no analytics surface
+    — north-star extension (SURVEY §2 Part B statistics)."""
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+        (1 + (F.col("o_orderkey") % 5)).cast("long").alias("wt"),
+    )
+    wo = (
+        Window.partitionBy("prio")
+        .orderBy("cents", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("prio")
+    cum = v.select(
+        "prio",
+        "cents",
+        "wt",
+        F.sum("wt").over(wo).alias("cw"),
+        F.sum("wt").over(wp).alias("tw"),
+    )
+    pick = cum.filter(2 * F.col("cw") >= F.col("tw")).select(
+        "prio",
+        "cents",
+        "tw",
+        F.row_number()
+        .over(Window.partitionBy("prio").orderBy("cents", "wt"))
+        .alias("rn"),
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("tw").cast("long").alias("total_weight"),
+        F.col("cents").cast("long").alias("weighted_median_cents"),
+    )

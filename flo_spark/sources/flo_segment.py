@@ -462,6 +462,14 @@ class NativeDirTailer:
 
     ``stop(drain_active=True)`` reads the active segments too — correct
     once the server has stopped or when a final snapshot is acceptable.
+
+    A sweep is capped at ``max_segments_per_sweep`` files (delivered in
+    (partition dir, segment number) order; the remainder carries to the
+    next sweep, ``backlog`` reports it): a cold start over a large dir
+    would otherwise scan AND ``collect()`` every historical segment in
+    one batch and spike the driver.  The thread loop and
+    ``drain_active`` both keep sweeping back-to-back while a backlog
+    remains, so the cap bounds memory, not throughput.
     """
 
     def __init__(
@@ -472,6 +480,7 @@ class NativeDirTailer:
         namespace: str | None = None,
         version_vector=None,
         checkpoint_file: str | None = None,
+        max_segments_per_sweep: int = 64,
     ):
         self.spark = spark
         self.path = path
@@ -479,6 +488,8 @@ class NativeDirTailer:
         self.namespace = namespace
         self.version_vector = version_vector
         self.checkpoint_file = checkpoint_file
+        self.max_segments_per_sweep = max_segments_per_sweep
+        self.backlog = 0
         self._processed: set[str] = set()
         self._thread = None
         self._stop_evt = None
@@ -506,7 +517,18 @@ class NativeDirTailer:
         if include_active:
             todo += [p for p in active if p not in self._processed]
         if not todo:
+            self.backlog = 0
             return 0
+        # bounded sweep in (dir, segment number) order; remainder
+        # carries to the next sweep
+        todo.sort(
+            key=lambda p: (
+                os.path.dirname(p),
+                int(os.path.basename(p)[: -len(".events")]),
+            )
+        )
+        self.backlog = max(0, len(todo) - self.max_segments_per_sweep)
+        todo = todo[: self.max_segments_per_sweep]
         df = (
             self.spark.read.format("binaryFile")
             .load(todo)
@@ -539,6 +561,8 @@ class NativeDirTailer:
         def _loop():
             while not self._stop_evt.is_set():
                 self.poll_once()
+                while self.backlog and not self._stop_evt.is_set():
+                    self.poll_once()  # drain the capped-sweep remainder
                 self._stop_evt.wait(poll_interval)
 
         self._thread = threading.Thread(target=_loop, daemon=True)
@@ -551,6 +575,8 @@ class NativeDirTailer:
             self._thread.join()
         if drain_active:
             self.poll_once(include_active=True)
+            while self.backlog:
+                self.poll_once(include_active=True)
 
 
 def expire_native_segments(

@@ -250,6 +250,41 @@ def test_semantic_dedup_n_cells_autoscales_with_corpus(spark):
         assert max(r["count"] for r in sizes) <= 8 * target
 
 
+def test_lsh_indexed_matches_inmemory_and_prunes_partitions(spark, tmp_path):
+    """VERDICT r7 item 5: the persisted LSH index must (a) return
+    exactly what the per-call re-bucketing ann_topk_lsh returns for
+    the same (dim, num_planes, seed), and (b) push
+    `bucket IN (query buckets)` into the scan's PartitionFilters so
+    non-matching buckets' files are never opened — the same contract
+    write_ivf_index already carries."""
+    from flo_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_indexed,
+        write_lsh_index,
+    )
+    from flo_spark.plans import explain_str
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = e.filter(e.vec_id >= 5)
+    queries = e.filter(e.vec_id < 5)
+
+    idx = str(tmp_path / "lsh_index")
+    write_lsh_index(corpus, idx, dim=64, num_planes=6)
+    got = ann_topk_lsh_indexed(spark, idx, queries, k=5)
+    want = ann_topk_lsh(corpus, queries, dim=64, k=5, num_planes=6)
+    key = lambda r: (r.q_id, r.rn)  # noqa: E731
+    got_rows = {key(r): (r.c_id, r.cos_sim) for r in got.collect()}
+    want_rows = {key(r): (r.c_id, r.cos_sim) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+
+    plan = explain_str(got)
+    assert "PartitionFilters" in plan, plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert m, plan
+
+
 def test_ivf_indexed_matches_inmemory_and_prunes_partitions(spark, tmp_path):
     """The persisted IVF index must (a) return exactly what the
     in-memory ann_topk_ivf returns for the same quantizer, and (b)

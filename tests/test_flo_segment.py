@@ -481,6 +481,49 @@ def test_native_dir_tailer_thread_loop(spark, tmp_path):
     assert [r.event_counter for r in got] == [1, 2]
 
 
+def test_native_dir_tailer_bounded_sweep(spark, tmp_path):
+    """VERDICT r7 item 7: a cold start over a dir with many pending
+    sealed segments must NOT collect them all in one sweep — each
+    poll_once processes at most max_segments_per_sweep files in
+    (dir, segment number) order and carries the remainder as backlog;
+    drain_active keeps sweeping until the backlog clears."""
+    from flo_spark.sources.flo_segment import NativeDirTailer
+
+    pdir = tmp_path / "live" / "partition=1"
+    pdir.mkdir(parents=True)
+    c = 1
+    for num in range(1, 10):  # 8 sealed (1..8) + active (9)
+        blob = encode_segment(
+            iter((cc, 1, None, None, 0, "/b", b"") for cc in (c, c + 1)),
+            0,
+            0,
+        )
+        (pdir / f"{num}.events").write_bytes(blob)
+        c += 2
+
+    batches = []
+    t = NativeDirTailer(
+        spark,
+        str(tmp_path / "live"),
+        callback=lambda rows: batches.append(
+            [r.event_counter for r in rows]
+        ),
+        max_segments_per_sweep=3,
+    )
+    assert t.poll_once() == 6  # 3 segments x 2 events, NOT all 16
+    assert t.backlog == 5
+    assert batches == [[1, 2, 3, 4, 5, 6]]  # segment-id order
+    assert t.poll_once() == 6
+    assert t.backlog == 2
+    assert t.poll_once() == 4
+    assert t.backlog == 0
+    assert t.poll_once() == 0  # active segment still held back
+    # drain_active sweeps repeatedly: the final sweep picks up the
+    # active segment even though the cap was hit on earlier sweeps
+    t.stop(drain_active=True)
+    assert [e for b in batches for e in b] == list(range(1, 19))
+
+
 def test_import_native_widens_partition_count(spark, tmp_path):
     """Importing data with more actors than the stream was created
     with must widen num_partitions — otherwise consume()'s default
