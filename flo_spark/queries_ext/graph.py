@@ -27,6 +27,7 @@ __all__ = [
     "linkpred_resource_allocation",
     "degree_assortativity_copurchase",
     "hits_hubs_authorities",
+    "linkpred_jaccard_neighbors",
 ]
 
 
@@ -880,4 +881,144 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").cast("long").alias("authority_x1e6"),
             F.col("degree").cast("long").alias("degree"),
         )
+    )
+
+
+@query(
+    "linkpred_jaccard_neighbors",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, dst FROM (
+        SELECT lo, hi AS dst FROM e
+        UNION ALL
+        SELECT hi AS lo, lo AS dst FROM e
+      )
+    ),
+    deg AS (
+      SELECT src AS z, count(*) AS d FROM sym GROUP BY src
+    ),
+    zok AS (SELECT z FROM deg WHERE d <= 32),
+    wedge AS (
+      SELECT s1.dst AS a, s2.dst AS b
+      FROM sym s1
+      JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+      JOIN zok k ON k.z = s1.src
+    ),
+    cand AS (
+      SELECT a, b, count(*) AS cn
+      FROM wedge
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.lo = a AND e.hi = b)
+      GROUP BY a, b
+    ),
+    scored AS (
+      SELECT c.a, c.b, c.cn,
+             (c.cn * 1000000) // (da.d + db.d - c.cn) AS jac
+      FROM cand c
+      JOIN deg da ON da.z = c.a
+      JOIN deg db ON db.z = c.b
+    )
+    SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(jac AS BIGINT) AS jaccard_x1e6
+    FROM scored
+    ORDER BY jaccard_x1e6 DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def linkpred_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by NEIGHBORHOOD JACCARD (r8) — the normalized
+    counterpart to linkpred_resource_allocation on the same part
+    co-purchase graph: J(a,b) = |N(a) & N(b)| / |N(a) | N(b)|
+    = cn / (deg(a) + deg(b) - cn), integer-exact as
+    cn*1e6 // (deg(a)+deg(b)-cn) (every operand a nonnegative count,
+    so floor == trunc on both engines).  Where RA weights each common
+    neighbor by 1/deg(z) (rare-neighbor signal), Jaccard normalizes
+    by the pair's combined neighborhood size (degree-bias control) —
+    the two ranks disagree exactly where hub effects matter, which is
+    why link-prediction suites report both.
+
+    Candidate generation is IDENTICAL to RA (wedges through deg<=32
+    intermediates, anti-join on existing edges — the documented
+    hub-suppression contract); the full degrees in the denominator
+    are NOT capped.
+
+    100 TB shape: same as RA — persisted edge list, one z-keyed wedge
+    shuffle, keyed anti join, hash aggregate on (a,b), two keyed
+    degree joins on the already-reduced candidate set, top-50 as
+    TakeOrderedAndProject.  Reference scope: flo has no graph surface
+    — north-star extension (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("lo", "hi")
+        .persist()
+    )
+    sym = e.selectExpr("lo AS src", "hi AS dst").unionAll(
+        e.selectExpr("hi AS src", "lo AS dst")
+    )
+    deg = sym.groupBy(F.col("src").alias("z")).agg(
+        F.count("*").alias("d")
+    )
+    zok = deg.filter(F.col("d") <= 32).select("z")
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .join(zok, F.col("s1.src") == F.col("z"))
+        .select(F.col("s1.dst").alias("wa"), F.col("s2.dst").alias("wb"))
+    )
+    cand = (
+        wedge.join(
+            e,
+            (F.col("wa") == F.col("lo")) & (F.col("wb") == F.col("hi")),
+            "left_anti",
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cn"))
+    )
+    da = deg.selectExpr("z AS za", "d AS dda")
+    db = deg.selectExpr("z AS zb", "d AS ddb")
+    scored = (
+        cand.join(da, F.col("wa") == F.col("za"))
+        .join(db, F.col("wb") == F.col("zb"))
+        .selectExpr(
+            "wa",
+            "wb",
+            "cn",
+            "(cn * 1000000) div (dda + ddb - cn) AS jac",
+        )
+    )
+    return (
+        scored.select(
+            F.col("wa").cast("long").alias("part_a"),
+            F.col("wb").cast("long").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("jac").cast("long").alias("jaccard_x1e6"),
+        )
+        .orderBy(F.col("jaccard_x1e6").desc(), "part_a", "part_b")
+        .limit(50)
     )

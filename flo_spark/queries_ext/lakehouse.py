@@ -31,6 +31,7 @@ __all__ = [
     "small_file_compaction",
     "lakehouse_time_travel",
     "dynamic_partition_overwrite",
+    "lakehouse_vacuum_orphans",
 ]
 
 
@@ -783,3 +784,71 @@ def dynamic_partition_overwrite(
             "revenue_x1e4",
         )
     )
+
+
+@query(
+    "lakehouse_vacuum_orphans",
+    """
+    WITH snap AS (
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id % 4 IN (0, 1, 2) AND doc_id % 8 <> 0
+    )
+    SELECT CAST(2 AS BIGINT) AS fragments_deleted,
+           CAST(2 AS BIGINT) AS fragments_kept,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM snap
+    """,
+)
+def lakehouse_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention + orphan-file vacuum on the manifest table
+    (r8; ``ManifestTable.expire_versions``/``vacuum`` — the Delta
+    VACUUM / Iceberg remove_orphan_files shape): build the same 3
+    commits as ``lakehouse_time_travel`` (base %4 in (0,1); append
+    %4 = 2; COW-delete %8 = 0, which rewrites only the base fragment),
+    then plant an abandoned UNCOMMITTED fragment (a crashed writer's
+    leftover), expire every snapshot but the head, and vacuum.
+
+    The structural counts are decidable from the plant: after
+    expiry the head references {base_cow, more}, so exactly TWO
+    fragments are unreachable (the superseded original base + the
+    abandoned junk) and exactly TWO survive — the oracle states them
+    as literals, and states the head snapshot's aggregate from the raw
+    table.  Matching proves (a) vacuum deleted ALL orphans (the
+    deleted-count), (b) vacuum deleted ONLY orphans (the head still
+    reads completely and correctly AFTER the sweep — a vacuum that
+    eats a referenced file breaks n_docs/chars_total), and (c) the
+    losing-attempt orphans the optimistic-retry protocol can leave
+    behind are reclaimable.
+
+    100 TB shape: expire+vacuum are O(fragments) driver-side METADATA
+    ops (one manifest-dir listing + one data-dir listing); no
+    distributed work, no data read.  Reference scope: flo's segment
+    TTL expiry (controller/mod.rs:158-178) is the append-only cousin;
+    snapshot retention is a north-star extension (SURVEY §2 Part B
+    sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = ManifestTable(scratch_dir("lakehouse_vac_"))
+    t.append(docs.filter(F.col("doc_id") % 4 < 2).coalesce(4), "base")
+    t.append(docs.filter(F.col("doc_id") % 4 == 2).coalesce(4), "more")
+    t.delete_where(spark, "doc_id % 8 = 0")
+    # a crashed writer's abandoned fragment: written, never committed
+    t.write_fragment(docs.limit(3).coalesce(1), "junk")
+    t.expire_versions(keep_last=1)
+    rep = t.vacuum()
+    agg = t.read(spark).agg(
+        F.lit(rep["fragments_deleted"]).cast("long").alias(
+            "fragments_deleted"
+        ),
+        F.lit(rep["fragments_kept"]).cast("long").alias("fragments_kept"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    return agg

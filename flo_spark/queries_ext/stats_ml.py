@@ -56,6 +56,7 @@ __all__ = [
     "dtw_daily_profiles",
     "peak_detection_hourly",
     "weighted_median_price",
+    "ljung_box_hourly",
 ]
 
 
@@ -3354,4 +3355,140 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prio").alias("o_orderpriority"),
         F.col("tw").cast("long").alias("total_weight"),
         F.col("cents").cast("long").alias("weighted_median_cents"),
+    )
+
+
+@query(
+    "ljung_box_hourly",
+    """
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS hour FROM events
+    ),
+    h1 AS (SELECT max(hour) AS h1 FROM ev),
+    hours AS (
+      SELECT unnest(generate_series(
+        TIMESTAMP '2024-01-01 00:00:00', (SELECT h1 FROM h1),
+        INTERVAL 1 HOUR)) AS hour
+    ),
+    c AS (
+      SELECT h.hour, count(e.hour) AS cnt
+      FROM hours h LEFT JOIN ev e ON e.hour = h.hour
+      GROUP BY h.hour
+    ),
+    tot AS (SELECT count(*) AS n, sum(cnt) AS s FROM c),
+    dev AS (
+      SELECT hour, CAST(n * cnt - s AS HUGEINT) AS dev
+      FROM c, tot
+    ),
+    den AS (SELECT sum(dev * dev) AS den FROM dev),
+    lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    num AS (
+      SELECT l.lag, sum(a.dev * b.dev) AS num
+      FROM dev a
+      JOIN lags l ON TRUE
+      JOIN dev b ON b.hour = a.hour + INTERVAL 1 HOUR * l.lag
+      GROUP BY l.lag
+    ),
+    rho AS (
+      SELECT lag,
+             CASE WHEN num >= 0 THEN (num * 1000000) // den
+                  ELSE -((-num * 1000000) // den) END AS rho6
+      FROM num, den
+    ),
+    q AS (
+      SELECT (SELECT n FROM tot) AS n,
+             sum((rho6 * rho6 * (SELECT n FROM tot)
+                  * ((SELECT n FROM tot) + 2))
+                 // ((SELECT n FROM tot) - lag)) AS q12
+      FROM rho
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(24 AS INT) AS h_lags,
+           CAST(q12 // 1000000 AS BIGINT) AS q_x1e6,
+           CAST(CASE WHEN q12 // 1000000 > 36415000 THEN 1 ELSE 0
+                END AS INT) AS reject_h0
+    FROM q
+    """,
+)
+def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (r8) — is the hourly event rate
+    white noise, or does ANY of the first 24 autocorrelations carry
+    signal?  The joint diagnostic that closes the time-series family:
+    acf_hourly_lags reports each rho_k, this pools them into
+    Q = n(n+2) * sum_k rho_k^2 / (n-k) and compares against the
+    chi-square(24) critical value (36.415 at alpha=0.05, embedded as
+    the exact integer 36415000 on the 1e6 grid so the transcendental
+    quantile never runs inside either engine — the DCG/KS discipline).
+    Deterministic grid variant (documented): rho_k truncates
+    toward zero on the 1e6 grid first (exactly acf_hourly_lags'
+    coefficient at 1e6 instead of 1e4), each term floors once more on
+    the grid, and the floors compose IDENTICALLY on both engines —
+    every operand integer, accumulation in DECIMAL(38,0)/HUGEINT
+    (rho6^2 * n(n+2) sums past 2^63; ANSI raises rather than wraps).
+
+    100 TB shape: identical to acf_hourly_lags — one hourly
+    pre-aggregation collapses events to a bounded spine, a 24-way
+    spine-only explode + keyed self-join, 1-row reduce.  Reference
+    scope: flo has no analytics surface — north-star extension
+    (SURVEY §2 Part B statistics)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour")
+    )
+    h1 = ev.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    c = (
+        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
+        .groupBy("hour")
+        .agg(F.count("one").alias("cnt"))
+    )
+    tot = c.agg(F.count("*").alias("n"), F.sum("cnt").alias("s"))
+    dev = c.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        "n",
+        (F.col("n") * F.col("cnt") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    pairs = dev.select(
+        "hour",
+        "n",
+        F.col("dev").alias("dev_a"),
+        F.explode(F.expr("sequence(1, 24)")).alias("lag"),
+    ).withColumn("hour", F.expr("hour + make_interval(0, 0, 0, 0, lag)"))
+    num = (
+        pairs.join(
+            dev.select(F.col("hour").alias("hour"), F.col("dev").alias("dev_b")),
+            "hour",
+        )
+        .groupBy("lag", "n")
+        .agg(F.sum(F.col("dev_a") * F.col("dev_b")).alias("num"))
+    )
+    rho = num.crossJoin(F.broadcast(den)).selectExpr(
+        "lag",
+        "n",
+        "CASE WHEN num >= 0 THEN (num * 1000000) div den"
+        " ELSE -((-num) * 1000000 div den) END AS rho6",
+    )
+    q = rho.groupBy("n").agg(
+        F.sum(
+            F.expr(
+                "(CAST(rho6 AS DECIMAL(38,0)) * rho6 * n * (n + 2))"
+                " div (n - lag)"
+            ).cast("decimal(38,0)")
+        ).alias("q12")
+    )
+    return q.selectExpr(
+        "CAST(n AS BIGINT) AS n_hours",
+        "CAST(24 AS INT) AS h_lags",
+        "CAST(q12 div 1000000 AS BIGINT) AS q_x1e6",
+        "CAST(CASE WHEN q12 div 1000000 > 36415000 THEN 1 ELSE 0"
+        " END AS INT) AS reject_h0",
     )

@@ -45,6 +45,9 @@ __all__ = [
     "dispersion_fano_by_type",
     "durbin_watson_trend_residuals",
     "srm_guardrail_check",
+    "mann_whitney_u_sources",
+    "cramer_von_mises_two_sample",
+    "brown_forsythe_variance",
 ]
 
 
@@ -2252,4 +2255,351 @@ def srm_guardrail_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS chi2_x1e6",
         "(na - nb) * (na - nb) * 1000000 > 3841459 * (na + nb)"
         " AS srm_alarm_005",
+    )
+
+
+@query(
+    "mann_whitney_u_sources",
+    """
+    WITH pool AS (
+      SELECT source, n_chars, doc_id FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    r AS (
+      SELECT source,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+      FROM pool
+    ),
+    s AS (
+      SELECT count(*) FILTER (WHERE source = 'src0') AS n1,
+             count(*) FILTER (WHERE source = 'src1') AS n2,
+             sum(CASE WHEN source = 'src0' THEN rnk ELSE 0 END) AS r1
+      FROM r
+    ),
+    u AS (
+      SELECT n1, n2,
+             CAST(r1 - CAST(n1 AS HUGEINT) * (n1 + 1) // 2 AS HUGEINT)
+               AS u1
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_1,
+           CAST(n2 AS BIGINT) AS n_2,
+           CAST(u1 AS BIGINT) AS u_1,
+           CAST(CAST(n1 AS HUGEINT) * n2 - u1 AS BIGINT) AS u_2,
+           CAST(((2 * u1 - CAST(n1 AS HUGEINT) * n2)
+                 * (2 * u1 - CAST(n1 AS HUGEINT) * n2) * 3000000)
+                // (CAST(n1 AS HUGEINT) * n2 * (n1 + n2 + 1))
+                AS BIGINT) AS z2_x1e6
+    FROM u
+    """,
+)
+def mann_whitney_u_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — do two corpus sources draw
+    document lengths from the same distribution? — the INDEPENDENT-
+    samples nonparametric counterpart to wilcoxon_signed_rank (paired)
+    and welch_t2 (parametric, r8): pooled ranks with the deterministic
+    (value, doc_id) tie-break (documented: midranks under ties are the
+    classical variant; the deterministic variant keeps every quantity
+    integer), R1 sums src0's ranks, U1 = R1 - n1(n1+1)/2,
+    U2 = n1*n2 - U1 (the identity is asserted by construction), and
+    the normal approximation clears to integers:
+    z^2 = (U1 - n1*n2/2)^2 / (n1*n2*(N+1)/12)
+        = (2*U1 - n1*n2)^2 * 3 // (n1*n2*(N+1))
+    on the 1e6 grid — numerator is a square (nonnegative) and the
+    denominator positive, so DuckDB's floor // and Spark's truncating
+    div agree; premise pinned in tests/test_stats_exact.py.  Squares
+    run in DECIMAL(38,0)/HUGEINT ((n1*n2)^2*3e6 passes 2^63 well
+    below bench SF; ANSI raises rather than wraps).
+
+    100 TB shape: selective two-source filter pushed to the scan, one
+    single-partition rank over the surviving pool (two sources out of
+    the corpus — bounded; the same documented caveat as the other
+    rank-statistic entries), 1-row reduce.  Reference scope: flo has
+    no analytics surface — north-star extension (SURVEY §2 Part B
+    statistics)."""
+    pool = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", "n_chars", "doc_id")
+    )
+    r = pool.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+    )
+    s = r.agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("n1"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("n2"),
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("rnk")).otherwise(0)
+        ).alias("r1"),
+    )
+    D = "CAST(n1 AS DECIMAL(38,0))"
+    u = s.selectExpr(
+        "n1",
+        "n2",
+        f"CAST(r1 - {D} * (n1 + 1) div 2 AS DECIMAL(38,0)) AS u1",
+    )
+    return u.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_1",
+        "CAST(n2 AS BIGINT) AS n_2",
+        "CAST(u1 AS BIGINT) AS u_1",
+        f"CAST({D} * n2 - u1 AS BIGINT) AS u_2",
+        f"CAST(((2 * u1 - {D} * n2) * (2 * u1 - {D} * n2) * 3000000)"
+        f" div ({D} * n2 * (n1 + n2 + 1)) AS BIGINT) AS z2_x1e6",
+    )
+
+
+@query(
+    "cramer_von_mises_two_sample",
+    """
+    WITH pool AS (
+      SELECT source, n_chars, doc_id FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    r AS (
+      SELECT source,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS wrk
+      FROM pool
+    ),
+    s AS (
+      SELECT count(*) FILTER (WHERE source = 'src0') AS n,
+             count(*) FILTER (WHERE source = 'src1') AS m,
+             sum(CASE WHEN source = 'src0'
+                 THEN CAST(rnk - wrk AS HUGEINT) * (rnk - wrk)
+                 ELSE 0 END) AS sx,
+             sum(CASE WHEN source = 'src1'
+                 THEN CAST(rnk - wrk AS HUGEINT) * (rnk - wrk)
+                 ELSE 0 END) AS sy
+      FROM r
+    ),
+    u AS (
+      SELECT n, m,
+             CAST(n AS HUGEINT) * sx + CAST(m AS HUGEINT) * sy AS uu
+      FROM s
+    ),
+    t AS (
+      SELECT n, m, uu,
+             6 * uu - CAST(n AS HUGEINT) * m
+                      * (4 * CAST(n AS HUGEINT) * m - 1) AS num,
+             6 * CAST(n AS HUGEINT) * m * (n + m) AS den
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_x,
+           CAST(m AS BIGINT) AS n_y,
+           CAST(uu AS BIGINT) AS u_stat,
+           CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
+                ELSE -((-num) * 1000000 // den) END AS BIGINT) AS t_x1e6
+    FROM t
+    """,
+)
+def cramer_von_mises_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample test (r8) — do two corpus sources
+    draw document lengths from the same distribution, weighting the
+    WHOLE CDF gap rather than its max (KS, ks_drift_priority) or its
+    location shift (Mann-Whitney)?  Anderson's rank form keeps it
+    integer-exact: with pooled ranks r_i of sample X and s_j of Y
+    (deterministic (value, doc_id) tie-break, same documented variant
+    as the other rank entries) and within-sample ranks i, j,
+    U = n*Σ(r_i - i)^2 + m*Σ(s_j - j)^2 and
+    T = U/(nmN) - (4nm - 1)/(6N) = (6U - nm(4nm-1)) / (6nmN),
+    emitted on the 1e6 grid with an explicit truncate-toward-zero
+    CASE so DuckDB's floor-div and Spark's trunc-div agree on the
+    (tiny-negative-possible) numerator; the rank form's equality with
+    the Σ(F_n - G_m)^2 ECDF definition is premise-pinned in
+    tests/test_stats_exact.py.  Products run in DECIMAL(38,0)/
+    HUGEINT (6U*1e6 passes 2^63 at corpus scale; ANSI raises rather
+    than wraps).
+
+    100 TB shape: selective two-source filter pushed to the scan, one
+    single-partition rank over the bounded pool plus one per-source
+    partitioned rank, 1-row reduce.  Reference scope: flo has no
+    analytics surface — north-star extension (SURVEY §2 Part B
+    statistics)."""
+    pool = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", "n_chars", "doc_id")
+    )
+    r = pool.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("wrk"),
+    )
+    D38 = "DECIMAL(38,0)"
+    s = r.selectExpr(
+        "source",
+        f"CAST(rnk - wrk AS {D38}) * (rnk - wrk) AS d2",
+    ).agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("n"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("m"),
+        F.sum(F.when(F.col("source") == "src0", F.col("d2")).otherwise(0)).alias("sx"),
+        F.sum(F.when(F.col("source") == "src1", F.col("d2")).otherwise(0)).alias("sy"),
+    )
+    u = s.selectExpr(
+        "n",
+        "m",
+        f"CAST(n AS {D38}) * sx + CAST(m AS {D38}) * sy AS uu",
+    )
+    t = u.selectExpr(
+        "n",
+        "m",
+        "uu",
+        f"6 * uu - CAST(n AS {D38}) * m * (4 * CAST(n AS {D38}) * m - 1) AS num",
+        f"6 * CAST(n AS {D38}) * m * (n + m) AS den",
+    )
+    return t.selectExpr(
+        "CAST(n AS BIGINT) AS n_x",
+        "CAST(m AS BIGINT) AS n_y",
+        "CAST(uu AS BIGINT) AS u_stat",
+        "CAST(CASE WHEN num >= 0 THEN num * 1000000 div den"
+        " ELSE -((-num) * 1000000 div den) END AS BIGINT) AS t_x1e6",
+    )
+
+
+@query(
+    "brown_forsythe_variance",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS y,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    r AS (
+      SELECT grp, y,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY y, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT grp,
+             sum(y * CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END) AS m2
+      FROM r
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY grp
+    ),
+    z AS (
+      SELECT v.grp, abs(2 * v.y - med.m2) AS z
+      FROM v JOIN med ON v.grp = med.grp
+    ),
+    g AS (
+      SELECT grp, count(*) AS n,
+             sum(CAST(z AS HUGEINT)) AS s,
+             sum(CAST(z AS HUGEINT) * z) AS q
+      FROM z GROUP BY grp
+    ),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nn,
+             sum(s) AS st, sum(q) AS qt,
+             sum(s * s // n) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           CAST((sb - st * st // nn) // 1000000000000 AS BIGINT)
+             AS ssb_div1e12,
+           CAST((qt - sb) // 1000000000000 AS BIGINT) AS ssw_div1e12,
+           CAST(((sb - st * st // nn) * (nn - k) * 1000000)
+                // ((k - 1) * (qt - sb)) AS BIGINT) AS f_x1e6
+    FROM t
+    """,
+)
+def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (r8) — do the return-flag groups have EQUAL
+    SPREAD of extended price? — the robust (median-centered) Levene
+    variant, completing the anova family: anova_f_returnflag compares
+    group MEANS, this compares group dispersions, and both fold with
+    the same engine-exact k-group discipline.  Each group's exact
+    median is taken on the doubled grid (m2 = the sum of the two
+    middle order statistics, or twice the single middle — so no .5
+    ever appears and |2y - m2| stays integer; F is scale-invariant so
+    the doubling cancels), then the one-way ANOVA F of z = |2y - m2|:
+    SSB = sum(S_g^2 div n_g) - S^2 div N, SSW = Q - sum(S_g^2 div
+    n_g) (floored identically on both engines, the anova_f
+    discipline), F = (SSB/(k-1))/(SSW/(N-k)) cross-multiplied into
+    one truncating division on the 1e-6 grid.  z^2 passes 2^63 on the
+    money grid, so Q accumulates in DECIMAL(38,0)/HUGEINT (ANSI
+    raises rather than wraps).
+
+    100 TB shape: the exact per-group median costs one rank window
+    partitioned by the k=3 group key (the documented exact-order-
+    statistic caveat, same as exact_percentile_suite: k partitions of
+    N/k rows each; at cluster scale swap in percentile_approx or a
+    two-pass histogram median and keep the fold); after that, ONE
+    map-side-combinable aggregate and a k-row combine — q6's shape.
+    Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        money_scaled(F.col("l_extendedprice")).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("grp").orderBy("y", "l_orderkey", "l_linenumber")
+    r = v.select(
+        "grp",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    med = (
+        r.filter(F.expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("y")
+                * F.when(F.col("n") % 2 == 1, 2).otherwise(1)
+            ).alias("m2")
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    z = v.join(med, "grp").select(
+        "grp", F.abs(2 * F.col("y") - F.col("m2")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(d(F.col("z"))).alias("s"),
+        F.sum(d(F.col("z")) * F.col("z")).alias("q"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        # Spark's div lowers to a LONG result and overflows on s^2/n;
+        # subtracting the remainder first makes the decimal division
+        # exact (floor for nonnegative operands, matching DuckDB //) —
+        # the anova_f discipline
+        F.sum(
+            F.expr("CAST((s * s - (s * s) % n) / n AS DECIMAL(38,0))")
+        ).alias("sb"),
+    )
+    parts = t.selectExpr(
+        "k",
+        "nn",
+        "sb - CAST((st * st - (st * st) % nn) / nn AS DECIMAL(38,0))"
+        " AS ssb",
+        "qt - sb AS ssw",
+    )
+    return parts.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(nn AS BIGINT) AS n_total",
+        # SSB/SSW live on the (2x money-grid)^2 scale and pass 2^63 at
+        # bench SF already — report them div 1e12 (floor-composed
+        # identically on both engines); F uses the full values
+        "CAST(ssb div 1000000000000 AS BIGINT) AS ssb_div1e12",
+        "CAST(ssw div 1000000000000 AS BIGINT) AS ssw_div1e12",
+        "CAST((ssb * (nn - k) * 1000000) div (ssw * (k - 1))"
+        " AS BIGINT) AS f_x1e6",
     )

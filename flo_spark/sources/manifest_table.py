@@ -167,6 +167,58 @@ class ManifestTable:
 
         return self.commit(build)
 
+    # -- maintenance -------------------------------------------------------
+
+    def expire_versions(self, keep_last: int = 1) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` versions
+        (the snapshot-retention sweep every table format runs); returns
+        the expired version numbers.  Time travel to an expired version
+        is gone; fragments exclusive to expired versions become
+        :meth:`vacuum`-eligible orphans.  Metadata-only — no data file
+        is touched here."""
+        head = self.current_version()
+        expired = []
+        for name in os.listdir(self._manifests):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = int(name[1:-5])
+                except ValueError:
+                    continue
+                if v <= head - keep_last:
+                    os.remove(os.path.join(self._manifests, name))
+                    expired.append(v)
+        return sorted(expired)
+
+    def vacuum(self) -> dict:
+        """Delete data fragments referenced by NO remaining manifest:
+        losing-attempt orphans from optimistic retries (see
+        :meth:`delete_where`), abandoned uncommitted writes, and
+        fragments exclusive to :meth:`expire_versions`-dropped
+        snapshots.  Returns ``{"fragments_deleted": n,
+        "fragments_kept": m}``.
+
+        Safety: the reference set is recomputed from the manifests at
+        call time, so a fragment is removed only when no committed
+        version can reach it.  Driver work is O(fragments) metadata —
+        the same shape as Delta VACUUM / Iceberg remove_orphan_files."""
+        import shutil
+
+        referenced: set[str] = set()
+        for name in os.listdir(self._manifests):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(self._manifests, name)) as fh:
+                    referenced.update(json.load(fh)["files"])
+        report = {"fragments_deleted": 0, "fragments_kept": 0}
+        for frag in sorted(os.listdir(self._data)):
+            if os.path.join("data", frag) in referenced:
+                report["fragments_kept"] += 1
+            else:
+                shutil.rmtree(
+                    os.path.join(self._data, frag), ignore_errors=True
+                )
+                report["fragments_deleted"] += 1
+        return report
+
     # -- read path ---------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

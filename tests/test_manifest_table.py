@@ -104,6 +104,27 @@ def test_contended_delete_where_retries(spark, table):
         )
 
 
+def test_expire_and_vacuum_reclaim_only_unreachable(spark, table):
+    t = table
+    t.append(spark.range(100, 105).withColumnRenamed("id", "k"), "more")
+    t.delete_where(spark, "k % 2 = 0")  # rewrites both fragments
+    # plant an abandoned uncommitted write (e.g. a crashed writer)
+    t.write_fragment(spark.range(0, 3).withColumnRenamed("id", "k"), "junk")
+    # everything still referenced -> vacuum deletes only the junk
+    rep = t.vacuum()
+    assert rep == {"fragments_deleted": 1, "fragments_kept": 4}
+    # retention: keep only the head snapshot, then vacuum its orphans
+    assert t.expire_versions(keep_last=1) == [1, 2]
+    rep = t.vacuum()
+    assert rep == {"fragments_deleted": 2, "fragments_kept": 2}
+    # the surviving snapshot is intact after the sweep...
+    ks = sorted(r.k for r in t.read(spark, 3).collect())
+    assert ks == [1, 3, 5, 7, 9, 101, 103]
+    # ...and expired versions are gone
+    with pytest.raises(ValueError):
+        t.read(spark, 1)
+
+
 def test_empty_read_raises(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError):

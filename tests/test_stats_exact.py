@@ -156,3 +156,59 @@ def test_wilcoxon_z2_clearing_matches_textbook():
         z2 = Fraction(w) - Fraction(n * (n + 1), 4)
         z2 = z2 * z2 / Fraction(n * (n + 1) * (2 * n + 1), 24)
         assert num // den == (z2.numerator * 1_000_000) // z2.denominator
+
+
+def test_mann_whitney_z2_clearing_matches_textbook():
+    """(2U1 - n1n2)^2 * 3e6 // (n1*n2*(N+1)) must floor-match
+    z^2 = (U1 - n1n2/2)^2 / (n1n2(N+1)/12) exactly (the denominator
+    clears with no residue, so the quotient is floor(z^2 * 1e6))."""
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        n1 = int(rng.integers(1, 400))
+        n2 = int(rng.integers(1, 400))
+        u1 = int(rng.integers(0, n1 * n2 + 1))
+        num = (2 * u1 - n1 * n2) ** 2 * 3_000_000
+        den = n1 * n2 * (n1 + n2 + 1)
+        z2 = (Fraction(u1) - Fraction(n1 * n2, 2)) ** 2 / Fraction(
+            n1 * n2 * (n1 + n2 + 1), 12
+        )
+        assert num // den == (z2.numerator * 1_000_000) // z2.denominator
+
+
+def test_cramer_von_mises_rank_form_matches_ecdf_definition():
+    """Anderson's rank form T = U/(nmN) - (4nm-1)/(6N), with
+    U = n*sum((r_i - i)^2) + m*sum((s_j - j)^2), must equal the ECDF
+    definition T = (nm/N^2) * sum over ALL pooled points of
+    (F_n - G_m)^2 — on exact rationals, distinct samples."""
+    rng = np.random.default_rng(13)
+    for _ in range(50):
+        n = int(rng.integers(2, 40))
+        m = int(rng.integers(2, 40))
+        vals = rng.choice(10_000, size=n + m, replace=False)
+        x = np.sort(vals[:n])
+        y = np.sort(vals[n:])
+        pooled = np.sort(vals)
+        pos = {v: k + 1 for k, v in enumerate(pooled)}
+        r = [pos[v] for v in x]
+        s = [pos[v] for v in y]
+        U = n * sum((ri - (i + 1)) ** 2 for i, ri in enumerate(r)) + m * sum(
+            (sj - (j + 1)) ** 2 for j, sj in enumerate(s)
+        )
+        T_rank = Fraction(U, n * m * (n + m)) - Fraction(
+            4 * n * m - 1, 6 * (n + m)
+        )
+        xs, ys = set(x.tolist()), set(y.tolist())
+        acc = Fraction(0)
+        fn = gm = 0
+        for v in pooled:
+            if v in xs:
+                fn += 1
+            if v in ys:
+                gm += 1
+            acc += (Fraction(fn, n) - Fraction(gm, m)) ** 2
+        T_ecdf = Fraction(n * m, (n + m) ** 2) * acc
+        assert T_rank == T_ecdf
+        # and the cleared single-fraction form used by both engines
+        num = 6 * U - n * m * (4 * n * m - 1)
+        den = 6 * n * m * (n + m)
+        assert Fraction(num, den) == T_rank
