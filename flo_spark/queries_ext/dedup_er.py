@@ -45,6 +45,7 @@ __all__ = [
     "golden_record_survivorship",
     "embedding_jl_projection",
     "prefix_filter_jaccard_pairs",
+    "blocking_quality_metrics",
 ]
 
 
@@ -1975,4 +1976,146 @@ def prefix_filter_jaccard_pairs(
         "id_a",
         "id_b",
         "floor(CAST(i AS DOUBLE) / u * 10000 + 0.5) / 10000 AS jaccard",
+    )
+
+
+@query(
+    "blocking_quality_metrics",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    aug AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM base
+      UNION ALL
+      SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+      FROM base WHERE c_custkey % 10 = 0
+    ),
+    r AS (
+      SELECT c_custkey,
+             c_mktsegment || '|' ||
+               lpad(CAST(CAST(floor(c_acctbal) AS BIGINT) + 100000
+                         AS VARCHAR), 7, '0') AS sort_key
+      FROM aug
+    ),
+    o AS (
+      SELECT c_custkey,
+             row_number() OVER (ORDER BY sort_key, c_custkey) AS rn
+      FROM r
+    ),
+    cand AS (
+      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+      FROM o a JOIN o b ON b.rn - a.rn BETWEEN 1 AND 2
+    ),
+    truth AS (
+      SELECT c_custkey AS a_key, c_custkey + 10000000 AS b_key
+      FROM base WHERE c_custkey % 10 = 0
+    ),
+    found AS (
+      SELECT count(*) AS n_found FROM truth t
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE (c.a_key = t.a_key AND c.b_key = t.b_key)
+                       OR (c.a_key = t.b_key AND c.b_key = t.a_key))
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM aug) AS n,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT n_found FROM found) AS n_found
+    )
+    SELECT CAST(n AS BIGINT) AS n_records,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_planted,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST((CAST(n AS HUGEINT) * (n - 1) // 2 - n_cand) * 1000000
+                // (CAST(n AS HUGEINT) * (n - 1) // 2) AS BIGINT)
+             AS reduction_ratio_x1e6,
+           CAST(CAST(n_found AS HUGEINT) * 1000000 // n_truth AS BIGINT)
+             AS pair_completeness_x1e6
+    FROM tot
+    """,
+)
+def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (r8) — the two numbers every
+    entity-resolution paper reports for a candidate generator,
+    measured on sorted-neighborhood blocking with PLANTED ground
+    truth: REDUCTION RATIO = 1 - |candidates| / (n(n-1)/2) (how much
+    of the quadratic all-pairs space the blocker avoids) and PAIR
+    COMPLETENESS = found / planted (how many true duplicate pairs
+    survive blocking).  Every 10th customer is planted as an exact
+    duplicate under key+1e7; the copy shares the original's sort key,
+    but records BETWEEN them with the same (segment, $bucket) key can
+    push the pair outside the w=3 window — so pair completeness is a
+    genuine MEASUREMENT of the blocker on this data (not 1 by
+    construction), and both engines measure it by replaying the
+    identical window rule.  Both metrics emit on the exact 1e6 grid
+    (all operands nonnegative counts; floor == trunc).
+
+    100 TB shape: one global KEY sort (range partition) + shuffle-free
+    window pairing (the sorted_neighborhood_pairs plan), a broadcast-
+    sized planted-pair semi join, O(1) metric arithmetic.  The n(n-1)/2
+    denominator is arithmetic, never materialized.  Reference scope:
+    flo has no ER surface — north-star extension (SURVEY §2 Part B,
+    dedup family)."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    plant = base.filter(F.col("c_custkey") % 10 == 0)
+    aug = base.unionAll(
+        plant.select(
+            (F.col("c_custkey") + 10000000).alias("c_custkey"),
+            "c_mktsegment",
+            "c_acctbal",
+        )
+    )
+    r = aug.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit("|"),
+            F.lpad(
+                (F.floor("c_acctbal").cast("long") + 100000).cast("string"),
+                7,
+                "0",
+            ),
+        ).alias("sort_key"),
+    )
+    w = Window.orderBy("sort_key", "c_custkey")
+    o = r.select(
+        "c_custkey",
+        *[F.lead("c_custkey", k).over(w).alias(f"k{k}") for k in (1, 2)],
+    )
+    cand = None
+    for k in (1, 2):
+        p = o.filter(F.col(f"k{k}").isNotNull()).select(
+            F.col("c_custkey").alias("a_key"), F.col(f"k{k}").alias("b_key")
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.persist()
+    truth = plant.select(
+        F.col("c_custkey").alias("a_key"),
+        (F.col("c_custkey") + 10000000).alias("b_key"),
+    )
+    both = cand.unionAll(
+        cand.select(F.col("b_key").alias("a_key"), F.col("a_key").alias("b_key"))
+    )
+    found = truth.join(both, ["a_key", "b_key"], "left_semi").agg(
+        F.count("*").alias("n_found")
+    )
+    tot = (
+        aug.agg(F.count("*").alias("n"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .crossJoin(found)
+    )
+    D = "CAST(n AS DECIMAL(38,0))"
+    return tot.selectExpr(
+        "CAST(n AS BIGINT) AS n_records",
+        "CAST(n_cand AS BIGINT) AS n_candidates",
+        "CAST(n_truth AS BIGINT) AS n_planted",
+        "CAST(n_found AS BIGINT) AS n_found",
+        f"CAST(({D} * (n - 1) div 2 - n_cand) * 1000000"
+        f" div ({D} * (n - 1) div 2) AS BIGINT) AS reduction_ratio_x1e6",
+        "CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000 div n_truth"
+        " AS BIGINT) AS pair_completeness_x1e6",
     )

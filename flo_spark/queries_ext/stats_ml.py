@@ -57,6 +57,7 @@ __all__ = [
     "peak_detection_hourly",
     "weighted_median_price",
     "ljung_box_hourly",
+    "motif_discovery_daily_ssd",
 ]
 
 
@@ -3491,4 +3492,104 @@ def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(q12 div 1000000 AS BIGINT) AS q_x1e6",
         "CAST(CASE WHEN q12 div 1000000 > 36415000 THEN 1 ELSE 0"
         " END AS INT) AS reject_h0",
+    )
+
+
+@query(
+    "motif_discovery_daily_ssd",
+    """
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(extract(hour FROM ts) AS BIGINT) AS h
+      FROM events
+    ),
+    span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    grid AS (
+      SELECT d.day, h.h
+      FROM (SELECT unnest(generate_series(
+              (SELECT d0 FROM span), (SELECT d1 FROM span),
+              INTERVAL 1 DAY)) AS day) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) h
+    ),
+    prof AS (
+      SELECT g.day, g.h, count(e.day) AS v
+      FROM grid g LEFT JOIN ev e ON e.day = g.day AND e.h = g.h
+      GROUP BY g.day, g.h
+    ),
+    pair AS (
+      SELECT a.day AS day_a, b.day AS day_b,
+             sum(CAST(a.v - b.v AS HUGEINT) * (a.v - b.v)) AS ssd
+      FROM prof a JOIN prof b ON a.h = b.h AND a.day < b.day
+      GROUP BY 1, 2
+    )
+    SELECT strftime(CAST(day_a AS DATE), '%Y-%m-%d') AS day_a,
+           strftime(CAST(day_b AS DATE), '%Y-%m-%d') AS day_b,
+           CAST(ssd AS BIGINT) AS ssd
+    FROM pair
+    ORDER BY ssd, day_a, day_b
+    LIMIT 5
+    """,
+)
+def motif_discovery_daily_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif discovery over daily activity profiles (r8) — which two
+    days have the MOST SIMILAR hourly shape?  The matrix-profile idea
+    (all-pairs nearest-neighbor over subsequences) restricted to
+    calendar-aligned day windows, which keeps it EXACT: the distance
+    is the plain integer SSD sum((a_h - b_h)^2) over the dense 24-hour
+    grid (missing hours count 0 — the acf spine discipline), no
+    z-normalization so no square root ever appears, and the top-5
+    closest pairs order deterministically by (ssd, day_a, day_b).
+    Complements dtw_daily_profiles: DTW compares TWO chosen days
+    tolerating phase shift; this scans ALL day pairs rigidly aligned.
+
+    100 TB shape: the corpus collapses to a days x 24 spine in one
+    map-side-combinable aggregate; the all-pairs join is spine-only
+    (O(days^2) on ~30 rows/day of 24 values, never on events), hour-
+    keyed, and top-5 compiles to TakeOrderedAndProject.  Squares
+    accumulate in DECIMAL(38,0)/HUGEINT (hourly counts pass 1e9 at
+    cluster scale; ANSI raises rather than wraps).  Reference scope:
+    flo has no analytics surface — north-star extension (SURVEY §2
+    Part B time series)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("CAST(extract(hour FROM ts) AS BIGINT)").alias("h"),
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 day)")
+        ).alias("day")
+    ).crossJoin(
+        spark.range(24).select(F.col("id").alias("h"))
+    )
+    prof = (
+        grid.join(ev.withColumn("one", F.lit(1)), ["day", "h"], "left")
+        .groupBy("day", "h")
+        .agg(F.count("one").alias("v"))
+    )
+    a = prof.selectExpr("day AS day_a", "h", "v AS va")
+    b = prof.selectExpr("day AS day_b", "h AS hb", "v AS vb")
+    pair = (
+        a.join(
+            b,
+            (F.col("h") == F.col("hb")) & (F.col("day_a") < F.col("day_b")),
+        )
+        .groupBy("day_a", "day_b")
+        .agg(
+            F.sum(
+                (F.col("va") - F.col("vb")).cast("decimal(38,0)")
+                * (F.col("va") - F.col("vb"))
+            ).alias("ssd")
+        )
+    )
+    return (
+        pair.select(
+            # ISO strings, not DATE: DuckDB DATE degrades to datetime64
+            # through pandas .df() and would hash-mismatch Spark's date
+            F.date_format("day_a", "yyyy-MM-dd").alias("day_a"),
+            F.date_format("day_b", "yyyy-MM-dd").alias("day_b"),
+            F.col("ssd").cast("long").alias("ssd"),
+        )
+        .orderBy("ssd", "day_a", "day_b")
+        .limit(5)
     )

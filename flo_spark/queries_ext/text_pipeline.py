@@ -56,6 +56,7 @@ __all__ = [
     "inverted_index_build",
     "context_window_pairs",
     "source_overlap_matrix",
+    "zipf_rank_frequency_audit",
 ]
 
 
@@ -2660,4 +2661,91 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_inter * 10000 div (na + nb - n_inter) AS BIGINT)"
             " AS jaccard_x1e4",
         )
+    )
+
+
+@query(
+    "zipf_rank_frequency_audit",
+    r"""
+    WITH w AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+             AS word
+      FROM documents
+    ),
+    f AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    r AS (
+      SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM f
+    ),
+    b AS (
+      SELECT length(bin(CAST(rnk AS BIGINT))) - 1 AS bucket, freq
+      FROM r
+    )
+    SELECT CAST(bucket AS INT) AS log2_rank_bucket,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS freq_mass,
+           CAST(max(freq) AS BIGINT) AS freq_max,
+           CAST(min(freq) AS BIGINT) AS freq_min
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary (r8) — the
+    rank-frequency diagnostic every tokenizer/quality pipeline runs
+    before choosing vocab size and frequency cutoffs: words rank by
+    (frequency DESC, word ASC) — the vocab_index_encode deterministic
+    tie-break — and aggregate into EXACT log2 rank octaves computed as
+    binary-digit-count(rank) - 1 (a string-length operation, so the
+    transcendental log never runs and octave boundaries are
+    bit-exact; the floor-log2 discipline doc_length_log2_histogram
+    uses for lengths, applied to ranks).  Under Zipf s=1 each octave
+    carries roughly constant total mass — a reader checks freq_mass
+    flatness across buckets and spots the head/tail deviations that
+    drive stopword and rare-word cutoff choices.
+
+    100 TB shape: one explode+count shuffles the corpus to a
+    vocab-sized frame; the rank window runs on the VOCAB (bounded by
+    distinct words, not corpus rows; at cluster scale the single-
+    partition rank swaps for a two-pass count-bucketed rank, the
+    documented rank-entry caveat); the octave aggregate is
+    map-side-combinable.  Reference scope: flo has no text surface —
+    north-star extension (SURVEY §2 Part B LLM pipeline)."""
+    w = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    f = w.groupBy("word").agg(F.count("*").alias("freq"))
+    r = f.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("word")))
+        .alias("rnk"),
+    )
+    b = r.select(
+        (F.length(F.conv(F.col("rnk"), 10, 2)) - 1).alias("bucket"),
+        "freq",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("freq_mass"),
+            F.max("freq").cast("long").alias("freq_max"),
+            F.min("freq").cast("long").alias("freq_min"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("log2_rank_bucket"),
+            "n_words",
+            "freq_mass",
+            "freq_max",
+            "freq_min",
+        )
+        .orderBy("log2_rank_bucket")
     )
