@@ -58,6 +58,7 @@ __all__ = [
     "weighted_median_price",
     "ljung_box_hourly",
     "motif_discovery_daily_ssd",
+    "jackknife_block_variance",
 ]
 
 
@@ -3592,4 +3593,83 @@ def motif_discovery_daily_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ssd", "day_a", "day_b")
         .limit(5)
+    )
+
+
+@query(
+    "jackknife_block_variance",
+    """
+    WITH g AS (
+      SELECT source, count(*) AS n,
+             sum(n_chars) AS s
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS gk, sum(n) AS nn, sum(s) AS ss FROM g),
+    t AS (
+      SELECT (CAST(ss - s AS HUGEINT) * 10000) // (nn - n) AS ti
+      FROM g, tot
+    ),
+    agg AS (
+      SELECT count(*) AS gk, sum(ti) AS st,
+             sum(CAST(ti AS HUGEINT) * ti) AS qt
+      FROM t
+    )
+    SELECT CAST(gk AS BIGINT) AS g_blocks,
+           CAST((SELECT CAST(ss AS HUGEINT) * 10000 // nn FROM tot)
+                AS BIGINT) AS theta_x1e4,
+           CAST(st // gk AS BIGINT) AS leave1out_mean_x1e4,
+           CAST(((gk * qt - st * st) // gk) * (gk - 1)
+                // (CAST(gk AS HUGEINT) * gk) AS BIGINT)
+             AS jack_var_x1e8
+    FROM agg
+    """,
+)
+def jackknife_block_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife (r8) — a standard error for the
+    corpus mean document length WITHOUT any distributional assumption,
+    the resampling-inference mechanism the catalog lacked (Quenouille/
+    Tukey; the grouped form is the delete-a-group jackknife used when
+    rows cluster by origin): drop each of the g source blocks in turn,
+    recompute the mean from the EXACT complement sums
+    t_i = (S - s_i)*1e4 div (N - n_i) on the 1e4 grid, and fold the
+    spread of the g leave-one-out means into
+    var_jack = (g-1)/g * sum((t_i - tbar)^2), cleared to integers as
+    ((g*Q - T^2) div g) * (g-1) div g^2 on the composed grid (every
+    floor identical on both engines; all operands nonnegative by
+    Cauchy-Schwarz).  Block-level deletion respects within-source
+    correlation that a row-level jackknife would ignore — the honest
+    SE for a clustered corpus.
+
+    100 TB shape: ONE map-side-combinable aggregate collapses the
+    corpus to g=20 block moments; every leave-one-out mean is O(1)
+    arithmetic on the complement sums (the corpus is never rescanned
+    g times — the algebraic identity IS the optimization), then a
+    g-row reduce.  Reference scope: flo has no analytics surface —
+    north-star extension (SURVEY §2 Part B statistics)."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+    )
+    tot = g.agg(
+        F.count("*").alias("gk"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+    )
+    t = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "(CAST(ss - s AS DECIMAL(38,0)) * 10000) div (nn - n) AS ti",
+        "CAST(ss AS DECIMAL(38,0)) * 10000 div nn AS theta",
+    )
+    agg = t.groupBy("theta").agg(
+        F.count("*").alias("gk"),
+        F.sum("ti").alias("st"),
+        F.sum(F.expr("CAST(ti AS DECIMAL(38,0)) * ti")).alias("qt"),
+    )
+    return agg.selectExpr(
+        "CAST(gk AS BIGINT) AS g_blocks",
+        "CAST(theta AS BIGINT) AS theta_x1e4",
+        "CAST(st div gk AS BIGINT) AS leave1out_mean_x1e4",
+        "CAST(((gk * qt - st * st) div gk) * (gk - 1)"
+        " div (CAST(gk AS DECIMAL(38,0)) * gk) AS BIGINT)"
+        " AS jack_var_x1e8",
     )

@@ -39,6 +39,7 @@ __all__ = [
     "stream_chained_window_rollup",
     "stream_cep_pattern_monitor",
     "stream_drift_monitor",
+    "watermark_disorder_audit",
 ]
 
 
@@ -1617,4 +1618,117 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(dn AS BIGINT) AS ks_num",
         "CAST((dn * 1000000) div (n1 * n2) AS BIGINT) AS ks_x1e6",
         "CAST(vx AS BIGINT) AS ks_at_vx",
+    )
+
+
+@query(
+    "watermark_disorder_audit",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+    ),
+    inv AS (
+      SELECT a.user_id,
+             count(*) AS n_inv,
+             max(a.tus - b.tus) AS max_late_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND a.tus > b.tus
+      GROUP BY a.user_id
+    ),
+    per_user AS (
+      SELECT user_id, count(*) AS n FROM e GROUP BY user_id
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM e) AS n_events,
+             (SELECT count(*) FROM per_user) AS n_users,
+             (SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2)
+              FROM per_user) AS n_pairs,
+             coalesce((SELECT sum(n_inv) FROM inv), 0) AS n_inversions,
+             coalesce((SELECT max(n_inv) FROM inv), 0) AS max_user_inv,
+             coalesce((SELECT max(max_late_us) FROM inv), 0)
+               AS max_late_us
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_inversions AS BIGINT) AS n_inversions,
+           CAST(CAST(n_inversions AS HUGEINT) * 1000000 // n_pairs
+                AS BIGINT) AS disorder_x1e6,
+           CAST(max_user_inv AS BIGINT) AS max_user_inversions,
+           CAST(max_late_us // 1000 AS BIGINT) AS max_lateness_ms
+    FROM tot
+    """,
+)
+def watermark_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning disorder audit (r8) — BEFORE picking a
+    `withWatermark` delay, measure how out-of-order the stream
+    actually is: within each user's stream, an INVERSION is a pair
+    arriving in one order (event_id) but timestamped in the other
+    (ts), the exact quantity the streaming entries' watermark
+    assumptions rest on.  Emits the Kendall-style disorder rate
+    (inversions / same-user pairs, exact 1e6 grid), the worst single
+    user, and MAX LATENESS — the largest (earlier-arrival ts − later-
+    arrival ts) gap, i.e. the smallest watermark delay that would
+    have admitted every late event (stream_late_data_drop_audit shows
+    what happens to events beyond it).  All integer microsecond
+    arithmetic; counts in HUGEINT/DECIMAL(38,0).
+
+    100 TB shape: the pair join is PER-USER (keyed equi-join on
+    user_id with the inequality as residual) — fanout is bounded by
+    per-user event counts, never a global self-join; the rollups are
+    map-side-combinable.  A skewed power user bounds one task —
+    the documented salting escape hatch applies past that.
+    Reference scope: flo delivers per-partition in id order
+    (consumer ordering guarantee, flo-client-lib consumer docs); this
+    audit quantifies cross-source timestamp disorder that guarantee
+    cannot remove — north-star extension (SURVEY §2 Part B
+    streaming)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(ts)").alias("tus")
+    )
+    a = e.selectExpr("user_id", "event_id AS ida", "tus AS ta")
+    b = e.selectExpr("user_id AS ub", "event_id AS idb", "tus AS tb")
+    inv = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("ida") < F.col("idb"))
+            & (F.col("ta") > F.col("tb")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_inv"),
+            F.max(F.col("ta") - F.col("tb")).alias("max_late_us"),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = (
+        e.agg(F.count("*").alias("n_events"))
+        .crossJoin(
+            per_user.agg(
+                F.count("*").alias("n_users"),
+                F.sum(
+                    F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
+                ).alias("n_pairs"),
+            )
+        )
+        .crossJoin(
+            inv.agg(
+                F.coalesce(F.sum("n_inv"), F.lit(0)).alias("n_inversions"),
+                F.coalesce(F.max("n_inv"), F.lit(0)).alias("max_user_inv"),
+                F.coalesce(F.max("max_late_us"), F.lit(0)).alias(
+                    "max_late_us"
+                ),
+            )
+        )
+    )
+    return tot.selectExpr(
+        "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(n_users AS BIGINT) AS n_users",
+        "CAST(n_inversions AS BIGINT) AS n_inversions",
+        "CAST(CAST(n_inversions AS DECIMAL(38,0)) * 1000000 div n_pairs"
+        " AS BIGINT) AS disorder_x1e6",
+        "CAST(max_user_inv AS BIGINT) AS max_user_inversions",
+        "CAST(max_late_us div 1000 AS BIGINT) AS max_lateness_ms",
     )

@@ -70,3 +70,21 @@ def test_governed_lake_tour_example_runs(tmp_path):
     assert "user 2 fully retracted" in out.stdout
     assert "physically erased" in out.stdout
     assert "governed-lake tour complete" in out.stdout
+
+
+def test_remote_client_tour_example_runs(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "examples/remote_client_tour.py",
+            str(tmp_path / "tour"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "pipelined batch acked 4 ids" in out.stdout
+    assert "produced MID-CONSUME" in out.stdout
+    assert "scan sees 9 events" in out.stdout

@@ -949,3 +949,42 @@ def test_mad_outliers_broadcasts_per_type_stats(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan[:2000]
     assert_no_cartesian(df)
     assert plan.count("events.parquet") == 1, plan[:2000]
+
+
+def test_r8_linkpred_jaccard_topk_and_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.linkpred_jaccard_neighbors(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_r8_motif_topk_and_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.motif_discovery_daily_ssd(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the hour-keyed day-pair self-join must be a real equi-join (the
+    # only cartesian is the 1-row span crossJoin building the spine)
+    assert plan.count("CartesianProduct") == 0, plan
+
+
+def test_r8_mann_whitney_filter_pushed(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.mann_whitney_u_sources(spark, sf_dir)
+    pf = pushed_filters(df)
+    # the two-source filter reaches the parquet scan
+    assert any("source" in f for f in pf), pf
+
+
+def test_r8_blocking_metrics_no_allpairs_join(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.blocking_quality_metrics(spark, sf_dir)
+    plan = explain_str(df)
+    # the n(n-1)/2 denominator is arithmetic: no cartesian/NL join of
+    # the record set against itself anywhere in the plan
+    assert "CartesianProduct" not in plan, plan
