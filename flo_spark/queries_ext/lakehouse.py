@@ -32,6 +32,7 @@ __all__ = [
     "lakehouse_time_travel",
     "dynamic_partition_overwrite",
     "lakehouse_vacuum_orphans",
+    "lakehouse_stats_skipping",
 ]
 
 
@@ -846,6 +847,82 @@ def lakehouse_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fragments_deleted"
         ),
         F.lit(rep["fragments_kept"]).cast("long").alias("fragments_kept"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    return agg
+
+
+@query(
+    "lakehouse_stats_skipping",
+    """
+    WITH b AS (
+      SELECT (max(doc_id) + 1) // 4 AS t FROM documents
+    ),
+    hit AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d, b WHERE d.doc_id < b.t
+    )
+    SELECT CAST(4 AS BIGINT) AS fragments_total,
+           CAST(1 AS BIGINT) AS fragments_read,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hit
+    """,
+)
+def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping from manifest-recorded stats (r8;
+    ``ManifestTable.write_fragment(stats_cols=...)`` +
+    ``read_where`` — the min/max pruning every table format drives
+    from its manifest): documents load into FOUR doc_id-range
+    fragments with per-fragment [min, max] sidecars, then a range
+    scan over the first quartile lists exactly ONE fragment — the
+    other three are skipped DRIVER-SIDE from O(fragments) metadata,
+    no parquet footer opened, no task launched.  The structural
+    skip counts (4 total / 1 read) are stated as oracle literals;
+    the aggregate over the pruned scan must still equal the raw
+    table's answer for the same predicate, proving the prune is
+    LOSSLESS (a skip that drops a matching fragment breaks
+    n_docs/chars_total; a prune that reads extra fragments breaks
+    the residual-filter contract instead of the counts).
+
+    100 TB shape: the prune cost is one tiny JSON per fragment on
+    the driver; the scan cost is |matching fragments| — the
+    difference between scanning the fleet and scanning one file.
+    Complements zorder_morton_key (which ORDERS data so ranges
+    cluster) and dpp_month_partition_prune (partition-value pruning;
+    this is finer — min/max on any stats column without partitioning
+    by it).  Reference scope: flo scans segments by counter-range
+    headers (flo_segment index-seek analog, A5); this is the
+    columnar-table generalization — north-star extension (SURVEY §2
+    Part B sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t_val = docs.agg(
+        ((F.max("doc_id") + 1) / 4).cast("long").alias("t")
+    ).collect()[0]["t"]  # O(1) driver metadata: the quartile boundary
+    t = ManifestTable(scratch_dir("lakehouse_skip_"))
+    for i in range(4):
+        t.append(
+            docs.filter(
+                (F.col("doc_id") >= i * t_val)
+                & (F.col("doc_id") < (i + 1) * t_val)
+                if i < 3
+                else F.col("doc_id") >= i * t_val
+            ).coalesce(2),
+            f"q{i}",
+            stats_cols=["doc_id"],
+        )
+    df, rep = t.read_where(spark, "doc_id", 0, t_val - 1)
+    agg = df.agg(
+        F.lit(rep["fragments_total"]).cast("long").alias("fragments_total"),
+        F.lit(rep["fragments_read"]).cast("long").alias("fragments_read"),
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),
         F.min("doc_id").cast("long").alias("min_doc"),

@@ -84,13 +84,48 @@ class ManifestTable:
 
     # -- write path --------------------------------------------------------
 
-    def write_fragment(self, df: DataFrame, name: str) -> str:
+    def write_fragment(
+        self, df: DataFrame, name: str, stats_cols: list[str] | None = None
+    ) -> str:
         """Materialize one immutable data fragment; returns its relative
         path.  Fragments are directories (one Spark parquet write), the
-        same unit table formats track per commit."""
+        same unit table formats track per commit.
+
+        With ``stats_cols``, per-column min/max land in a ``_stats.json``
+        sidecar INSIDE the fragment dir — immutable with the fragment, so
+        the manifest format stays a plain path list and losing-attempt
+        orphans carry their stats to the vacuum.  Readers prune at
+        FRAGMENT granularity from one tiny JSON per fragment
+        (:meth:`read_where`) — the file-level data skipping every table
+        format keys scans on, without opening parquet footers
+        driver-side."""
         rel = os.path.join("data", name)
         df.write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        if stats_cols:
+            from pyspark.sql import functions as _F
+
+            aggs = []
+            for c in stats_cols:
+                aggs.append(_F.min(c).alias(f"min_{c}"))
+                aggs.append(_F.max(c).alias(f"max_{c}"))
+            row = df.agg(*aggs).collect()[0]  # O(1) driver metadata
+            stats = {
+                c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
+            }
+            with open(
+                os.path.join(self.root, rel, "_stats.json"), "w"
+            ) as fh:
+                json.dump(stats, fh, default=str)
         return rel
+
+    def fragment_stats(self, rel: str) -> dict | None:
+        """Per-column [min, max] recorded at write time, None if the
+        fragment was written without ``stats_cols``."""
+        path = os.path.join(self.root, rel, "_stats.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
 
     def _publish(self, version: int, files: list[str], op: str) -> int:
         body = {
@@ -129,8 +164,10 @@ class ManifestTable:
                 continue
         raise CommitConflict(f"gave up after {retries} retries")
 
-    def append(self, df: DataFrame, name: str) -> int:
-        rel = self.write_fragment(df, name)
+    def append(
+        self, df: DataFrame, name: str, stats_cols: list[str] | None = None
+    ) -> int:
+        rel = self.write_fragment(df, name, stats_cols)
         return self.commit(lambda files: (files + [rel], "append"))
 
     def delete_where(
@@ -228,3 +265,48 @@ class ManifestTable:
             raise ValueError(f"version {m['version']} is empty")
         paths = [os.path.join(self.root, rel) for rel in m["files"]]
         return spark.read.parquet(*paths)
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Stats-pruned snapshot scan: only fragments whose recorded
+        [min, max] for ``col`` OVERLAPS [lo, hi] are listed at all —
+        the file-level data skipping every table format drives from its
+        manifest stats, here from the ``_stats.json`` sidecars.  A
+        fragment written without stats can never be skipped (must-read,
+        the conservative rule).  Returns ``(df, report)`` where df
+        still carries the exact residual ``lo <= col <= hi`` filter
+        (pruning is a superset guarantee, not the predicate) and report
+        counts ``{"fragments_total", "fragments_read"}``.
+
+        100 TB shape: the prune is O(fragments) driver-side metadata —
+        one small JSON per fragment, no parquet footer opened, no task
+        launched for a skipped fragment.  At cluster scale this is the
+        difference between scanning the fleet and scanning one file."""
+        from pyspark.sql import functions as _F
+
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError(f"version {m['version']} is empty")
+        keep: list[str] = []
+        for rel in m["files"]:
+            st = self.fragment_stats(rel)
+            rng = None if st is None else st.get(col)
+            if rng is None or not (rng[1] < lo or rng[0] > hi):
+                keep.append(rel)
+        report = {
+            "fragments_total": len(m["files"]),
+            "fragments_read": len(keep),
+        }
+        if not keep:
+            base = self.read(spark, version).filter(_F.lit(False))
+            return base, report
+        df = spark.read.parquet(
+            *[os.path.join(self.root, rel) for rel in keep]
+        )
+        return df.filter(_F.col(col).between(lo, hi)), report

@@ -125,6 +125,33 @@ def test_expire_and_vacuum_reclaim_only_unreachable(spark, table):
         t.read(spark, 1)
 
 
+def test_stats_sidecar_prunes_fragments(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k"),
+            f"part{i}",
+            stats_cols=["k"],
+        )
+    # a range inside fragment 2 lists exactly ONE fragment
+    df, rep = t.read_where(spark, "k", 210, 230)
+    assert rep == {"fragments_total": 4, "fragments_read": 1}
+    ks = sorted(r.k for r in df.collect())
+    assert ks == list(range(210, 231))
+    # straddling two fragments reads exactly those two
+    df, rep = t.read_where(spark, "k", 95, 105)
+    assert rep["fragments_read"] == 2
+    assert sorted(r.k for r in df.collect()) == list(range(95, 106))
+    # a fully disjoint range launches NO scan and returns empty
+    df, rep = t.read_where(spark, "k", 5000, 6000)
+    assert rep["fragments_read"] == 0 and df.count() == 0
+    # a stats-less fragment is must-read (conservative rule)
+    t.append(spark.range(900, 910).withColumnRenamed("id", "k"), "nostats")
+    df, rep = t.read_where(spark, "k", 210, 230)
+    assert rep == {"fragments_total": 5, "fragments_read": 2}
+    assert sorted(r.k for r in df.collect()) == list(range(210, 231))
+
+
 def test_empty_read_raises(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError):
