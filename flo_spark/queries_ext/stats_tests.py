@@ -48,6 +48,7 @@ __all__ = [
     "mann_whitney_u_sources",
     "cramer_von_mises_two_sample",
     "brown_forsythe_variance",
+    "permutation_test_sources",
 ]
 
 
@@ -2602,4 +2603,136 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ssw div 1000000000000 AS BIGINT) AS ssw_div1e12",
         "CAST((ssb * (nn - k) * 1000000) div (ssw * (k - 1))"
         " AS BIGINT) AS f_x1e6",
+    )
+
+
+@query(
+    "permutation_test_sources",
+    """
+    WITH pool AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    obs AS (
+      SELECT sum(is_a) AS n_a, sum(n_chars) AS s_tot,
+             abs(2 * sum(CASE WHEN is_a = 1 THEN n_chars ELSE 0 END)
+                 - sum(n_chars)) AS t_obs
+      FROM pool
+    ),
+    reps AS (SELECT unnest(generate_series(1, 19)) AS r),
+    h AS (
+      SELECT r, doc_id, n_chars,
+             ((48271 + 1009 * r) * doc_id + 7919 * r) % 1000003 AS hv
+      FROM pool, reps
+    ),
+    ranked AS (
+      SELECT r, n_chars,
+             row_number() OVER (PARTITION BY r ORDER BY hv, doc_id)
+               AS rn
+      FROM h
+    ),
+    tr AS (
+      SELECT r,
+             abs(2 * sum(CASE WHEN rn <= (SELECT n_a FROM obs)
+                         THEN n_chars ELSE 0 END)
+                 - (SELECT s_tot FROM obs)) AS t_r
+      FROM ranked GROUP BY r
+    ),
+    cnt AS (
+      SELECT count(*) AS b,
+             sum(CASE WHEN t_r >= (SELECT t_obs FROM obs)
+                 THEN 1 ELSE 0 END) AS n_ge
+      FROM tr
+    )
+    SELECT CAST((SELECT t_obs FROM obs) AS BIGINT) AS t_obs,
+           CAST(b AS BIGINT) AS n_replicates,
+           CAST(n_ge AS BIGINT) AS n_ge,
+           CAST((1 + n_ge) * 1000000 // (b + 1) AS BIGINT) AS p_x1e6
+    FROM cnt
+    """,
+)
+def permutation_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced permutation test (r8) — is the src0-vs-src1 length
+    difference larger than chance relabelings produce?  The
+    distribution-free EXACT-inference sibling of
+    jackknife_block_variance, closing the resampling family; where
+    Mann-Whitney ranks and Welch assumes moments, the permutation test
+    re-labels the ACTUAL pool.  Randomness is replaced by a
+    DETERMINISTIC permutation family both engines replay bit-for-bit:
+    replicate r orders the pool by h_r(doc) = ((48271 + 1009r)·doc_id
+    + 7919r) mod 1000003 (tie-break doc_id) and labels the first n_a
+    as group A — exactly balanced by construction, so the statistic
+    |S_A - S_B| = |2·S_A - S_tot| compares cleanly across replicates.
+    Monte-Carlo p-value with the observed labeling included:
+    p = (1 + #{T_r >= T_obs}) / (B+1), B = 19, emitted on the 1e6
+    grid (all counts; floor == trunc).
+
+    100 TB shape: the pool is the selective two-source slice; the 19
+    replicates explode the POOL (19x on the slice, never the corpus),
+    each ranked within its own partition (bounded, same documented
+    rank caveat as the other rank entries), then map-side-combinable
+    sums.  Reference scope: flo has no analytics surface — north-star
+    extension (SURVEY §2 Part B statistics)."""
+    pool = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    obs = pool.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum("n_chars").alias("s_tot"),
+        F.abs(
+            2 * F.sum(F.when(F.col("is_a") == 1, F.col("n_chars")).otherwise(0))
+            - F.sum("n_chars")
+        ).alias("t_obs"),
+    )
+    h = pool.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr("sequence(1, 19)")).alias("r"),
+    ).selectExpr(
+        "r",
+        "n_chars",
+        "doc_id",
+        "((48271 + 1009 * r) * doc_id + 7919 * r) % 1000003 AS hv",
+    )
+    ranked = h.select(
+        "r",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("r").orderBy("hv", "doc_id"))
+        .alias("rn"),
+    )
+    tr = (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("r")
+        .agg(
+            F.abs(
+                2
+                * F.sum(
+                    F.when(F.col("rn") <= F.col("n_a"), F.col("n_chars"))
+                    .otherwise(0)
+                )
+                - F.max("s_tot")
+            ).alias("t_r"),
+            F.max("t_obs").alias("t_obs"),
+        )
+    )
+    cnt = tr.agg(
+        F.max("t_obs").alias("t_obs"),
+        F.count("*").alias("b"),
+        F.sum(
+            (F.col("t_r") >= F.col("t_obs")).cast("long")
+        ).alias("n_ge"),
+    )
+    return cnt.selectExpr(
+        "CAST(t_obs AS BIGINT) AS t_obs",
+        "CAST(b AS BIGINT) AS n_replicates",
+        "CAST(n_ge AS BIGINT) AS n_ge",
+        "CAST((1 + n_ge) * 1000000 div (b + 1) AS BIGINT) AS p_x1e6",
     )

@@ -171,12 +171,23 @@ class ManifestTable:
         return self.commit(lambda files: (files + [rel], "append"))
 
     def delete_where(
-        self, spark: SparkSession, predicate: str, name_suffix: str = "cow"
+        self,
+        spark: SparkSession,
+        predicate: str,
+        name_suffix: str = "cow",
+        prune: tuple[str, object, object] | None = None,
     ) -> int:
         """Copy-on-write delete: every fragment containing matching rows
         is rewritten without them; untouched fragments carry over by
         reference (the Iceberg/Delta COW rule — at 100 TB only the
-        affected fragments rewrite, driven by file-level stats)."""
+        affected fragments rewrite, driven by file-level stats).
+
+        ``prune=(col, lo, hi)`` declares that the predicate can only
+        match rows with ``lo <= col <= hi`` (caller's contract):
+        fragments whose recorded stats miss that range carry over by
+        reference WITHOUT even the match-probe scan — the stats-driven
+        rewrite-set pruning named above, now actual.  Stats-less
+        fragments still probe (conservative rule)."""
         # commit() re-runs build on CommitConflict; fragment names must be
         # unique PER ATTEMPT or the errorifexists write of attempt 2 hits
         # attempt 1's path and raises instead of retrying.  Attempt 0 keeps
@@ -190,6 +201,14 @@ class ManifestTable:
             attempt += 1
             kept: list[str] = []
             for rel in files:
+                if prune is not None:
+                    st = self.fragment_stats(rel)
+                    rng = None if st is None else st.get(prune[0])
+                    if rng is not None and (
+                        rng[1] < prune[1] or rng[0] > prune[2]
+                    ):
+                        kept.append(rel)  # stats prove no match: no scan
+                        continue
                 frag = spark.read.parquet(os.path.join(self.root, rel))
                 n_match = frag.filter(predicate).limit(1).count()
                 if n_match == 0:

@@ -152,6 +152,25 @@ def test_stats_sidecar_prunes_fragments(spark, tmp_path):
     assert sorted(r.k for r in df.collect()) == list(range(210, 231))
 
 
+def test_delete_where_stats_prune_skips_probe(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(3):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k"),
+            f"part{i}",
+            stats_cols=["k"],
+        )
+    before = t.manifest()["files"]
+    t.delete_where(spark, "k BETWEEN 150 AND 160", prune=("k", 150, 160))
+    after = t.manifest()["files"]
+    # fragments 0 and 2 carried over BY REFERENCE (stats-pruned, no
+    # probe); only fragment 1 was rewritten
+    assert sum(1 for f in before if f in after) == 2
+    assert sum(1 for f in after if f.endswith("_cow")) == 1
+    ks = sorted(r.k for r in t.read(spark).collect())
+    assert ks == [k for k in range(300) if not (150 <= k <= 160)]
+
+
 def test_empty_read_raises(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError):
