@@ -26,6 +26,8 @@ __all__ = [
     "flo_tcp_roundtrip",
     "flo_xml_roundtrip",
     "flo_fixedwidth_roundtrip",
+    "flo_async_pipelined_roundtrip",
+    "flo_tailer_bounded_sweep",
 ]
 
 
@@ -523,3 +525,180 @@ def flo_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@query(
+    "flo_async_pipelined_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, lang, text FROM documents
+               ORDER BY doc_id LIMIT 24)
+    SELECT CAST(row_number() OVER (PARTITION BY doc_id % 2
+                                   ORDER BY doc_id) AS BIGINT)
+               AS event_counter,
+           CAST(doc_id % 2 + 1 AS INT) AS actor,
+           '/adocs/' || lang AS namespace,
+           substr(text, 1, 40) AS payload,
+           CAST(24 AS BIGINT) AS n_consumed_live
+    FROM d
+    """,
+)
+def flo_async_pipelined_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 ASYNC network surface end-to-end
+    (protocol/async_client.py — the reference's pipelined
+    op-id state machines, flo-client-lib/src/async/ops/*): one
+    asyncio client on one socket (a) pipelines the first 16 documents
+    through produce_all (all sends, then gathered acks), (b) opens a
+    LIVE consume cursor, and (c) after 8 consumed events produces the
+    remaining 8 documents MID-CONSUME — their acks resolve while the
+    cursor drains and the events flow back through it (the interleaved
+    state machine the sync client cannot express).  The client
+    consumes exactly 24 events live (pinned as the constant
+    n_consumed_live column: fewer means the mid-consume produces were
+    dropped; the iterator would hang, not pad).  The engine then scans
+    the server's native segments with ``format("flo")`` — the oracle
+    reconstructs counters/payloads from the documents table alone, so
+    the hash proves the PIPELINED path assigns the same contiguous
+    per-partition ids as the sync path (flo_tcp_roundtrip's contract,
+    now under concurrency).
+
+    Driver-side work is the bounded 24-event protocol exchange
+    (documented); the read-back is the distributed flo scan."""
+    import asyncio
+
+    from flo_spark.protocol.async_client import AsyncFloClient
+    from flo_spark.protocol.server import FloTcpServer
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.flo_datasource import register
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+        .limit(24)
+        .collect()
+    )
+    events = [
+        (
+            int(r["doc_id"]) % 2 + 1,
+            f"/adocs/{r['lang']}",
+            r["text"][:40].encode("utf-8"),
+        )
+        for r in docs
+    ]
+
+    async def drive(host: str, port: int) -> int:
+        c = await AsyncFloClient.connect(
+            host, port, client_name="async-roundtrip"
+        )
+        await c.produce_all(events[:16])
+        got, pending = 0, []
+        async for _ev in c.consume(
+            version_vector={1: 0, 2: 0}, await_new=True
+        ):
+            got += 1
+            if got == 8:
+                pending = [c.produce_nowait(*e) for e in events[16:]]
+            if got == 24:
+                break
+        for f in pending:
+            await f  # every mid-consume ack must resolve
+        await c.stop_consuming()
+        await c.close()
+        return got
+
+    root = scratch_dir("flo_async_")
+    with FloTcpServer(root) as srv:
+        n_live = asyncio.run(drive(srv.host, srv.port))
+    register(spark)
+    ev = spark.read.format("flo").load(f"{root}/default")
+    return ev.select(
+        "event_counter",
+        "actor",
+        "namespace",
+        F.decode(F.col("data"), "UTF-8").alias("payload"),
+        F.lit(n_live).cast("long").alias("n_consumed_live"),
+    )
+
+
+@query(
+    "flo_tailer_bounded_sweep",
+    """
+    WITH c AS (SELECT unnest(generate_series(1, 20)) AS k),
+    p AS (SELECT unnest(generate_series(1, 2)) AS part),
+    e AS (
+      -- contiguous GLOBAL ids: partitions take cumulative sub-ranges
+      -- (highest_counter.rs semantics), so partition 2 holds 21..40
+      SELECT part, (part - 1) * 20 + k AS counter,
+             (k - 1) // 4 + 1 AS seg
+      FROM c, p
+    ),
+    s AS (
+      SELECT part, counter,
+             CASE WHEN seg = 5 THEN 4
+                  ELSE ((part - 1) * 4 + seg + 2) // 3 END AS sweep
+      FROM e
+    )
+    SELECT CAST(sweep AS INT) AS sweep,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(counter) AS BIGINT) AS sum_counters
+    FROM s GROUP BY sweep ORDER BY sweep
+    """,
+)
+def flo_tailer_bounded_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 bounded cold-start tail (``NativeDirTailer.
+    max_segments_per_sweep`` — VERDICT r7 item 7): 40 events export to
+    native segments at 4 events/segment (5 segments per partition dir,
+    A12 rotation), and a tailer capped at 3 segments/sweep cold-starts
+    over the dir.  The BATCH BOUNDARIES are the contract: sealed
+    segments deliver in (partition dir, segment number) order as
+    sweeps [12, 12, 8] events (never all 32 at once — the driver-spike
+    guard), the remainder carries as backlog between sweeps, and the
+    final drain delivers both ACTIVE segments [8].  The oracle derives
+    every sweep's membership from pure arithmetic (segment k of
+    partition p holds counters (k-1)*4+1..k*4; sealed global index
+    (p-1)*4+s buckets by ceil(idx/3); actives drain last), so the hash
+    pins batch sizes, ordering, AND per-sweep counter sums.
+
+    Driver-side work: the swept rows themselves (40, bounded,
+    documented — the tailer's callback contract is driver-side
+    delivery).  Reference scope: sealed-segment granularity is flo's
+    own storage rule (segment/mod.rs:65-74 — rotated segments are
+    never written again); the sweep cap is the Spark-side cold-start
+    bound."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.event_table import EventStream
+    from flo_spark.sources.flo_segment import NativeDirTailer
+
+    path = scratch_dir("flo_tailsweep_")
+    s = EventStream.create(spark, path + "/stream", num_partitions=2)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    batch = docs.select(
+        "doc_id",
+        F.lit("/t").alias("namespace"),
+        F.encode(F.substring("text", 1, 8), "utf-8").alias("data"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("partition"),
+    )
+    s.produce(batch, order_by="doc_id")
+    native = path + "/native"
+    s.export_native(native, max_events_per_segment=4)
+    sweeps: list[list] = []
+    t = NativeDirTailer(
+        spark,
+        native,
+        callback=lambda rows: sweeps.append(list(rows)),
+        max_segments_per_sweep=3,
+    )
+    while True:
+        n = t.poll_once()
+        if n == 0 and t.backlog == 0:
+            break
+    t.poll_once(include_active=True)
+    while t.backlog:
+        t.poll_once(include_active=True)
+    out = [
+        (i + 1, len(b), sum(int(r.event_counter) for r in b))
+        for i, b in enumerate(sweeps)
+    ]
+    return spark.createDataFrame(
+        out, "sweep int, n_events long, sum_counters long"
+    ).orderBy("sweep")
