@@ -46,6 +46,7 @@ __all__ = [
     "embedding_jl_projection",
     "prefix_filter_jaccard_pairs",
     "blocking_quality_metrics",
+    "tfidf_candidate_stats",
 ]
 
 
@@ -2118,4 +2119,98 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" div ({D} * (n - 1) div 2) AS BIGINT) AS reduction_ratio_x1e6",
         "CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000 div n_truth"
         " AS BIGINT) AS pair_completeness_x1e6",
+    )
+
+
+@query(
+    "tfidf_candidate_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    rare AS (SELECT w FROM df WHERE df BETWEEN 2 AND 10),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM tf a JOIN tf b ON a.w = b.w AND a.doc_id < b.doc_id
+      JOIN rare r ON r.w = a.w
+    )
+    SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM df) AS BIGINT) AS vocab_size,
+           CAST((SELECT count(*) FROM df WHERE df = 1) AS BIGINT)
+             AS n_hapax,
+           CAST((SELECT count(*) FROM rare) AS BIGINT) AS n_rare_words,
+           CAST((SELECT count(*) FROM df WHERE df > 10) AS BIGINT)
+             AS n_frequent_words,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidate_pairs
+    """,
+)
+def tfidf_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator census for the TF-IDF pair search (r8) —
+    the SCALE-ROBUST companion to ``tfidf_cosine_pairs_topk``: that
+    entry returns the verified pairs, which is legitimately EMPTY at
+    sf0.1 (the 2<=df<=10 rare-word band thins as the corpus grows —
+    observed in the r8 sf0.1 sweep), and an empty result is a weak
+    check.  This entry hash-checks the PIPELINE'S STAGES instead:
+    corpus size, vocabulary size, hapax count, the rare-word band
+    population, the frequent tail, and the DISTINCT candidate-pair
+    count the band generates — one guaranteed-non-empty row at every
+    scale, certifying tokenization, df computation, band selection,
+    and candidate dedup even when the final ranking is empty.  It is
+    also the tuning readout: a reader picks the df band by watching
+    n_rare_words/n_candidate_pairs move across scales.
+
+    100 TB shape: same as the parent entry through the candidate
+    stage (map-side-combinable tf/df, df-bounded fanout on rare
+    words), then O(1) scalar aggregates.  Reference scope: flo has no
+    text surface — north-star extension (SURVEY §2 Part B dedup
+    family)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df")).persist()
+    rare = df.filter(F.col("df").between(2, 10)).select("w")
+    a = tf.selectExpr("doc_id AS da", "w")
+    b = tf.selectExpr("doc_id AS db", "w AS wb")
+    cand = (
+        a.join(rare, "w")
+        .join(b, (F.col("w") == F.col("wb")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    return (
+        toks.agg(F.count("*").alias("n_docs"))
+        .crossJoin(
+            df.agg(
+                F.count("*").alias("vocab_size"),
+                F.sum((F.col("df") == 1).cast("long")).alias("n_hapax"),
+                F.sum(F.col("df").between(2, 10).cast("long")).alias(
+                    "n_rare_words"
+                ),
+                F.sum((F.col("df") > 10).cast("long")).alias(
+                    "n_frequent_words"
+                ),
+            )
+        )
+        .crossJoin(cand.agg(F.count("*").alias("n_candidate_pairs")))
+        .selectExpr(
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(vocab_size AS BIGINT) AS vocab_size",
+            "CAST(n_hapax AS BIGINT) AS n_hapax",
+            "CAST(n_rare_words AS BIGINT) AS n_rare_words",
+            "CAST(n_frequent_words AS BIGINT) AS n_frequent_words",
+            "CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs",
+        )
     )

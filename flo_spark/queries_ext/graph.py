@@ -28,6 +28,7 @@ __all__ = [
     "degree_assortativity_copurchase",
     "hits_hubs_authorities",
     "linkpred_jaccard_neighbors",
+    "kcore_peel_census",
 ]
 
 
@@ -1022,3 +1023,124 @@ def linkpred_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_x1e6").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "kcore_peel_census",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT lo AS src, hi AS dst FROM e
+      UNION ALL
+      SELECT hi AS src, lo AS dst FROM e
+    ),
+    d1 AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY src),
+    a1 AS (SELECT n FROM d1 WHERE deg >= 3),
+    d2 AS (
+      SELECT s.src AS n, count(*) AS deg FROM sym s
+      JOIN a1 x ON x.n = s.src JOIN a1 y ON y.n = s.dst
+      GROUP BY s.src
+    ),
+    a2 AS (SELECT n FROM d2 WHERE deg >= 3),
+    d3 AS (
+      SELECT s.src AS n, count(*) AS deg FROM sym s
+      JOIN a2 x ON x.n = s.src JOIN a2 y ON y.n = s.dst
+      GROUP BY s.src
+    )
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_evaluated AS BIGINT) AS n_evaluated,
+           CAST(n_alive AS BIGINT) AS n_alive,
+           CAST(sum_deg_alive AS BIGINT) AS sum_deg_alive
+    FROM (
+      SELECT 1 AS round, (SELECT count(*) FROM d1) AS n_evaluated,
+             (SELECT count(*) FROM d1 WHERE deg >= 3) AS n_alive,
+             coalesce((SELECT sum(deg) FROM d1 WHERE deg >= 3), 0)
+               AS sum_deg_alive
+      UNION ALL
+      SELECT 2, (SELECT count(*) FROM d2),
+             (SELECT count(*) FROM d2 WHERE deg >= 3),
+             coalesce((SELECT sum(deg) FROM d2 WHERE deg >= 3), 0)
+      UNION ALL
+      SELECT 3, (SELECT count(*) FROM d3),
+             (SELECT count(*) FROM d3 WHERE deg >= 3),
+             coalesce((SELECT sum(deg) FROM d3 WHERE deg >= 3), 0)
+    ) ORDER BY round
+    """,
+)
+def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round census of the 3-core peel (r8) — the SCALE-ROBUST
+    companion to ``kcore_copurchase_peel``: that entry returns the
+    surviving nodes, which is legitimately EMPTY at sf0.1 (the
+    co-purchase graph sparsifies as the part space grows — observed in
+    the r8 sf0.1 sweep), and an empty result is a weak check.  This
+    entry emits one row PER PEEL ROUND — nodes evaluated, nodes
+    surviving the k>=3 cut, and their degree mass — so the peel's
+    convergence trajectory stays hash-checked at every scale even
+    when the final core is empty (counts of 0 are real values, not
+    missing rows; a census row per round is guaranteed by
+    construction).
+
+    100 TB shape: identical to the peel entry (persisted symmetric
+    edges, two keyed semi-join-shaped joins + one degree count per
+    round) plus three 1-row aggregates.  Reference scope: flo has no
+    graph surface — north-star extension (SURVEY §2 Part B)."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("lo", "hi")
+    )
+    sym = (
+        e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("deg"))
+    rows = []
+    for rnd in (1, 2, 3):
+        census = deg.agg(
+            F.lit(rnd).cast("int").alias("round"),
+            F.count("*").cast("long").alias("n_evaluated"),
+            F.coalesce(
+                F.sum((F.col("deg") >= 3).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_alive"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") >= 3, F.col("deg"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("sum_deg_alive"),
+        )
+        rows.append(census)
+        if rnd < 3:
+            alive = deg.filter(F.col("deg") >= 3).select("n")
+            deg = (
+                sym.join(alive.withColumnRenamed("n", "src"), "src")
+                .join(alive.withColumnRenamed("n", "dst"), "dst")
+                .groupBy(F.col("src").alias("n"))
+                .agg(F.count("*").alias("deg"))
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")

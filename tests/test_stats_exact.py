@@ -212,3 +212,60 @@ def test_cramer_von_mises_rank_form_matches_ecdf_definition():
         num = 6 * U - n * m * (4 * n * m - 1)
         den = 6 * n * m * (n + m)
         assert Fraction(num, den) == T_rank
+
+
+def test_brown_forsythe_doubled_median_scale_invariance():
+    """brown_forsythe_variance's premise: F computed from
+    z' = |2y - m2| (m2 = sum of the two middle order statistics, or
+    2x the single middle) equals F computed from the textbook
+    z = |y - median| exactly — because z' = 2z elementwise and the
+    F ratio is scale-invariant.  Verified on exact rationals."""
+    rng = np.random.default_rng(17)
+    for _ in range(50):
+        k = int(rng.integers(2, 5))
+        groups = [
+            sorted(int(v) for v in rng.integers(0, 10_000, size=rng.integers(2, 30)))
+            for _ in range(k)
+        ]
+
+        def f_stat(zs):
+            n_tot = sum(len(z) for z in zs)
+            s = [sum(z) for z in zs]
+            q = [sum(v * v for v in z) for z in zs]
+            sb = sum(Fraction(si * si, len(z)) for si, z in zip(s, zs))
+            ssb = sb - Fraction(sum(s) ** 2, n_tot)
+            ssw = sum(q) - sb
+            if ssw == 0:
+                return None
+            return (ssb * (n_tot - k)) / (ssw * (k - 1))
+
+        z_half, z_double = [], []
+        for g in groups:
+            n = len(g)
+            lo, hi = g[(n + 1) // 2 - 1], g[(n + 2) // 2 - 1]
+            m2 = lo + hi if n % 2 == 0 else 2 * g[n // 2]
+            assert Fraction(m2, 2) == (
+                Fraction(g[n // 2 - 1] + g[n // 2], 2)
+                if n % 2 == 0
+                else Fraction(g[n // 2])
+            )
+            z_half.append([abs(Fraction(2 * v - m2, 2)) for v in g])
+            z_double.append([abs(2 * v - m2) for v in g])
+        f1, f2 = f_stat(z_half), f_stat(z_double)
+        assert f1 == f2  # scale invariance: the doubling cancels
+
+
+def test_jackknife_variance_clearing_identity():
+    """jackknife_block_variance's premise: for integer grid means t_i,
+    (g-1)/g * sum((t_i - tbar)^2) == ((g*Q - T^2) * (g-1)) / g^2
+    exactly (Q = sum t^2, T = sum t) — the moment identity the entry
+    floors once on each side of."""
+    rng = np.random.default_rng(19)
+    for _ in range(100):
+        g = int(rng.integers(2, 40))
+        t = [int(v) for v in rng.integers(0, 10**9, size=g)]
+        T, Q = sum(t), sum(v * v for v in t)
+        tbar = Fraction(T, g)
+        lhs = Fraction(g - 1, g) * sum((Fraction(v) - tbar) ** 2 for v in t)
+        rhs = Fraction((g * Q - T * T) * (g - 1), g * g)
+        assert lhs == rhs
