@@ -114,3 +114,67 @@ def test_async_consume_max_events_and_namespace(server):
             assert got == ["/keep/a", "/keep/c"]
 
     asyncio.run(scenario())
+
+
+# ---------------------------------------------------------------------------
+# property test: op-id dispatch — matching futures resolve, everything
+# else buffers (the reference AwaitResponse rule) in arrival order
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flo_spark.protocol import wire
+
+
+@st.composite
+def _msg_stream(draw):
+    """A shuffled mix of op-correlated and uncorrelated messages plus
+    the set of op ids a client is actually waiting on."""
+    ops = draw(st.lists(st.integers(1, 40), min_size=0, max_size=8,
+                        unique=True))
+    msgs = []
+    for op in draw(st.lists(st.integers(1, 50), max_size=12)):
+        msgs.append(wire.AckEvent(op, wire.EventId(op, 1)))
+    for _ in range(draw(st.integers(0, 6))):
+        msgs.append(wire.EndOfBatch())
+        msgs.append(wire.AwaitingEvents())
+    draw(st.randoms()).shuffle(msgs)
+    return ops, msgs
+
+
+@given(_msg_stream())
+@settings(max_examples=200, deadline=None)
+def test_dispatch_routes_by_op_id_and_buffers_rest(case):
+    ops, msgs = case
+
+    async def run():
+        c = AsyncFloClient(reader=None, writer=None)
+        futs = {op: c._register(op) for op in ops}
+        for m in msgs:
+            c._dispatch(m)
+        resolved = {op for op, f in futs.items() if f.done()}
+        first_ack = {}
+        for m in msgs:
+            op = getattr(m, "op_id", None)
+            if op in futs and op not in first_ack:
+                first_ack[op] = m
+        # every op with a matching message resolved with its FIRST match
+        assert resolved == set(first_ack)
+        for op, m in first_ack.items():
+            assert futs[op].result() is m
+        # everything else buffered, in arrival order
+        expected_buffer = []
+        seen = set()
+        for m in msgs:
+            op = getattr(m, "op_id", None)
+            if op in futs and op not in seen:
+                seen.add(op)
+                continue
+            expected_buffer.append(m)
+        assert c._buffer == expected_buffer
+        for f in futs.values():
+            if not f.done():
+                f.cancel()
+
+    asyncio.run(run())
