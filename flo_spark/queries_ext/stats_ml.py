@@ -59,6 +59,7 @@ __all__ = [
     "ljung_box_hourly",
     "motif_discovery_daily_ssd",
     "jackknife_block_variance",
+    "kaplan_meier_survival",
 ]
 
 
@@ -3673,3 +3674,108 @@ def jackknife_block_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div (CAST(gk AS DECIMAL(38,0)) * gk) AS BIGINT)"
         " AS jack_var_x1e8",
     )
+
+
+@query(
+    "kaplan_meier_survival",
+    """
+    WITH life AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts)))
+               // 604800000000 AS wk
+      FROM events GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_users FROM life),
+    ev AS (SELECT wk, count(*) AS events FROM life GROUP BY wk),
+    tab AS (
+      SELECT ev.wk, ev.events,
+             n.n_users - coalesce(sum(ev2.events), 0) AS at_risk
+      FROM ev
+      LEFT JOIN ev ev2 ON ev2.wk < ev.wk
+      CROSS JOIN n
+      GROUP BY ev.wk, ev.events, n.n_users
+    ),
+    enc AS (
+      SELECT wk, events, at_risk,
+             list((at_risk - events) * 1000000000 + at_risk)
+               OVER (ORDER BY wk
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS fs
+      FROM tab
+    )
+    SELECT CAST(wk AS INT) AS week,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(events AS BIGINT) AS events,
+           CAST(list_reduce(
+                  list_prepend(CAST(1000000 AS BIGINT), fs),
+                  (a, b) -> (a * (b // 1000000000)) // (b % 1000000000)
+                ) AS BIGINT) AS surv_x1e6
+    FROM enc ORDER BY week
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (r8) — the cumulative
+    product discrete_hazard_lifetable's docstring explicitly left to
+    the caller, now IN-ENGINE and exact: S_k = prod_{i<=k}
+    (n_i - d_i) / n_i folds left-to-right on the 1e6 grid as
+    s <- (s * (n_i - d_i)) div n_i, a SPECIFIED floor composition
+    identical on both engines because both run the SAME fold — Spark
+    as F.aggregate over the week-ordered factor prefix (collect_list
+    over an UNBOUNDED PRECEDING window), DuckDB as list_reduce over
+    the same windowed list, each factor packed num*1e9 + den into one
+    BIGINT so the fold is type-stable.  Every quantity stays integer:
+    acc <= 1e6, acc * num <= 1e6 * |users| << 2^63.
+
+    100 TB shape: everything after the one user-keyed span aggregate
+    runs on the |weeks| SPINE (the lifetable's shape); the prefix
+    lists are spine-sized (O(weeks^2) total elements on ~tens of
+    rows), never per-user.  Reference scope: flo has no analytics
+    surface — north-star extension (SURVEY §2 Part B event
+    analytics, completing the lifetable/cohort/funnel family)."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.expr(
+            "(unix_micros(max(ts)) - unix_micros(min(ts)))"
+            " div 604800000000"
+        ).alias("wk")
+    )
+    n = life.agg(F.count("*").alias("n_users"))
+    evt = life.groupBy("wk").agg(F.count("*").alias("events"))
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    tab = evt.crossJoin(F.broadcast(n)).select(
+        "wk",
+        "events",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("events").over(w), F.lit(0))
+        ).alias("at_risk"),
+    )
+    wcur = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    enc = tab.withColumn(
+        "fs",
+        F.collect_list(
+            (F.col("at_risk") - F.col("events")) * F.lit(1000000000)
+            + F.col("at_risk")
+        ).over(wcur),
+    )
+    def _step(acc, b):
+        # decode num/den from the packed factor; every intermediate is
+        # an exact integer (< 2^53), so the double divisions are exact
+        # and the casts back to long are safe
+        den = b % 1000000000
+        num = ((b - den) / 1000000000).cast("long")
+        prod = acc * num
+        return ((prod - prod % den) / den).cast("long")
+
+    surv = F.aggregate(
+        F.col("fs"), F.lit(1000000).cast("long"), _step
+    )
+    enc = enc.withColumn("surv", surv)
+    return enc.selectExpr(
+        "CAST(wk AS INT) AS week",
+        "CAST(at_risk AS BIGINT) AS at_risk",
+        "CAST(events AS BIGINT) AS events",
+        "CAST(surv AS BIGINT) AS surv_x1e6",
+    ).orderBy("week")
