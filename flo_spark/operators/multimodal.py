@@ -2182,3 +2182,107 @@ def decode_gif_frames(payload: bytes):
         "delays_cs": delays,
         "loops": loops,
     }
+
+
+# ---------------------------------------------------------------------------
+# EXIF (r8): typed metadata for opaque image columns — APP1 "Exif\0\0"
+# carrying a TIFF IFD (CIPA DC-008 / ITU-T T.81 marker rules).  The
+# multimodal mandate is binary payloads WITH typed metadata; this is
+# the interchange form cameras actually write.
+# ---------------------------------------------------------------------------
+
+_EXIF_ASCII, _EXIF_SHORT = 2, 3
+_EXIF_TAGS = {
+    0x010F: ("make", _EXIF_ASCII),
+    0x0110: ("model", _EXIF_ASCII),
+    0x0112: ("orientation", _EXIF_SHORT),
+    0x0131: ("software", _EXIF_ASCII),
+    0x0132: ("datetime", _EXIF_ASCII),
+}
+_EXIF_BY_NAME = {n: (tag, typ) for tag, (n, typ) in _EXIF_TAGS.items()}
+
+
+def build_exif_app1(tags: dict) -> bytes:
+    """Serialize ``{name: value}`` (names from _EXIF_TAGS) into an
+    APP1 segment: marker, length, "Exif\\0\\0", little-endian TIFF
+    header, one IFD0.  ASCII values NUL-terminate; values over 4
+    bytes go to the value area after the IFD (offset-addressed from
+    the TIFF header, per spec)."""
+    import struct
+
+    entries = []
+    tail = b""
+    items = sorted(
+        (_EXIF_BY_NAME[n][0], _EXIF_BY_NAME[n][1], n) for n in tags
+    )  # IFD entries must be tag-ascending per spec
+    ifd_size = 2 + 12 * len(items) + 4
+    tail_base = 8 + ifd_size
+    for tag, typ, name in items:
+        if typ == _EXIF_SHORT:
+            cnt, raw = 1, struct.pack("<H", int(tags[name])) + b"\x00\x00"
+        else:
+            val = str(tags[name]).encode("ascii") + b"\x00"
+            cnt = len(val)
+            if cnt <= 4:
+                raw = val.ljust(4, b"\x00")
+            else:
+                raw = struct.pack("<I", tail_base + len(tail))
+                tail += val
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + raw)
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", len(items)) + b"".join(entries)
+        + struct.pack("<I", 0) + tail
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def inject_exif(jpeg: bytes, tags: dict) -> bytes:
+    """Insert an APP1 EXIF segment right after SOI (the spec slot)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    return jpeg[:2] + build_exif_app1(tags) + jpeg[2:]
+
+
+def extract_exif(jpeg: bytes) -> dict:
+    """Walk the marker stream for APP1 "Exif", parse its IFD0, return
+    ``{name: value}`` for the known tags (unknown tags skip; both TIFF
+    byte orders accepted).  Returns {} when no EXIF is present —
+    absence of metadata is data, not an error."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker, seglen = jpeg[pos + 1], struct.unpack(
+            ">H", jpeg[pos + 2 : pos + 4]
+        )[0]
+        if marker == 0xDA:  # SOS: entropy data follows, no more APP
+            break
+        seg = jpeg[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            bo = "<" if tiff[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack(bo + "I", tiff[4:8])
+            (n,) = struct.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])
+            out = {}
+            for i in range(n):
+                ep = ifd_off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack(bo + "HHI", tiff[ep : ep + 8])
+                if tag not in _EXIF_TAGS:
+                    continue
+                name, want = _EXIF_TAGS[tag]
+                if typ != want:
+                    continue
+                if typ == _EXIF_SHORT:
+                    out[name] = struct.unpack(bo + "H", tiff[ep + 8 : ep + 10])[0]
+                else:
+                    if cnt <= 4:
+                        raw = tiff[ep + 8 : ep + 8 + cnt]
+                    else:
+                        (off,) = struct.unpack(bo + "I", tiff[ep + 8 : ep + 12])
+                        raw = tiff[off : off + cnt]
+                    out[name] = raw.split(b"\x00", 1)[0].decode("ascii")
+            return out
+        pos += 2 + seglen
+    return {}

@@ -39,6 +39,7 @@ __all__ = [
     "binaryfile_asset_scan",
     "multimodal_ico_roundtrip",
     "multimodal_gif_anim_roundtrip",
+    "multimodal_exif_metadata",
 ]
 
 
@@ -1536,4 +1537,88 @@ def multimodal_gif_anim_roundtrip(
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(
         _roundtrip, "doc_id long, frame_idx int, sum_rgb long"
+    )
+
+
+@query(
+    "multimodal_exif_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_exif,
+           CASE WHEN doc_id % 2 = 0 THEN 'cam' || CAST(doc_id % 5 AS VARCHAR)
+                ELSE NULL END AS make,
+           CASE WHEN doc_id % 2 = 0 THEN 'm' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE NULL END AS model,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 1 AS INT)
+                ELSE NULL END AS orientation,
+           CASE WHEN doc_id % 2 = 0
+                THEN '2024:01:02 03:04:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                ELSE NULL END AS taken_at
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def multimodal_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata for opaque image columns (r8): EXIF — the APP1
+    "Exif\\0\\0" TIFF-IFD segment cameras actually write (CIPA
+    DC-008) — injected and extracted by the native marker-walking
+    parser (operators/multimodal.py build_exif_app1/inject_exif/
+    extract_exif, offset-addressed ASCII values, both TIFF byte
+    orders).  Per even doc a real baseline JPEG gets an EXIF block
+    derived from doc_id (make/model/orientation/timestamp); odd docs
+    carry the BARE jpeg — absence of metadata must surface as NULLs,
+    not errors (the negative control).  The oracle restates the
+    injection formulas, so the hash proves segment placement, IFD
+    layout, offset-area addressing, and the extraction walk.
+
+    100 TB shape: one partition-preserving Arrow-batched mapInPandas
+    pass (the multimodal codec discipline); the base 8x8 JPEG encodes
+    once per batch, only metadata varies per row.  Reference scope:
+    flo stores payloads opaquely; typed media metadata is the
+    north-star multimodal extension (SURVEY §2 Part B)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flo_spark.operators.jpeg import encode_jpeg_baseline
+        from flo_spark.operators.multimodal import extract_exif, inject_exif
+
+        base = encode_jpeg_baseline(np.full((8, 8), 128, np.uint8))
+        for pdf in it:
+            out = {
+                "doc_id": [], "has_exif": [], "make": [],
+                "model": [], "orientation": [], "taken_at": [],
+            }
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = inject_exif(
+                        base,
+                        {
+                            "make": f"cam{d % 5}",
+                            "model": f"m{d % 3}",
+                            "orientation": d % 8 + 1,
+                            "datetime": f"2024:01:02 03:04:{d % 60:02d}",
+                        },
+                    )
+                else:
+                    payload = base
+                tags = extract_exif(payload)
+                out["doc_id"].append(d)
+                out["has_exif"].append(1 if tags else 0)
+                out["make"].append(tags.get("make"))
+                out["model"].append(tags.get("model"))
+                out["orientation"].append(tags.get("orientation"))
+                out["taken_at"].append(tags.get("datetime"))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    return d.mapInPandas(
+        _meta,
+        "doc_id long, has_exif int, make string, model string,"
+        " orientation int, taken_at string",
     )

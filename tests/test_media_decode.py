@@ -1601,3 +1601,42 @@ def test_gif_animation_property_random(seed):
     assert meta["n_frames"] == 4
     for f, g in zip(frames, got):  # opaque frames = plain lookups
         assert np.array_equal(g, pal_arr[f])
+
+
+def test_exif_inject_extract_roundtrip_and_absence():
+    from flo_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+    from flo_spark.operators.multimodal import (
+        build_exif_app1,
+        extract_exif,
+        inject_exif,
+    )
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    j = encode_jpeg_baseline(img)
+    tags = {
+        "make": "cam3",
+        "model": "flo-spark-m1",
+        "orientation": 6,
+        "datetime": "2024:01:02 03:04:05",
+        "software": "flo_spark",
+    }
+    j2 = inject_exif(j, tags)
+    assert extract_exif(j2) == tags
+    assert extract_exif(j) == {}  # absence is data, not an error
+    # APP1 presence must not perturb pixel decode
+    assert np.array_equal(decode_jpeg(j2), decode_jpeg(j))
+    # big-endian TIFF bodies parse too (spec allows MM)
+    app1 = build_exif_app1({"orientation": 3})
+    body = app1[4:]
+    import struct as _struct
+
+    tiff = body[6:]
+    assert tiff[:2] == b"II"
+    # short inline tag: flip to MM by rebuilding by hand
+    mm = (b"MM\x00*" + _struct.pack(">I", 8) + _struct.pack(">H", 1)
+          + _struct.pack(">HHI", 0x0112, 3, 1)
+          + _struct.pack(">H", 3) + b"\x00\x00" + _struct.pack(">I", 0))
+    seg = b"Exif\x00\x00" + mm
+    jpeg_mm = (b"\xff\xd8" + b"\xff\xe1"
+               + _struct.pack(">H", len(seg) + 2) + seg + j[2:])
+    assert extract_exif(jpeg_mm) == {"orientation": 3}
