@@ -47,6 +47,7 @@ __all__ = [
     "prefix_filter_jaccard_pairs",
     "blocking_quality_metrics",
     "tfidf_candidate_stats",
+    "fellegi_sunter_linkage",
 ]
 
 
@@ -2213,4 +2214,192 @@ def tfidf_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_frequent_words AS BIGINT) AS n_frequent_words",
             "CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs",
         )
+    )
+
+
+@query(
+    "fellegi_sunter_linkage",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    seeds AS (SELECT * FROM base WHERE c_custkey % 10 = 0),
+    copies AS (
+      SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment,
+             c_nationkey,
+             bal_c + CASE WHEN c_custkey % 20 = 0 THEN 100
+                     ELSE 700 END AS bal_c
+      FROM seeds
+    ),
+    pairs AS (
+      SELECT 'match' AS pair_type, s.c_custkey AS a_key,
+             s.c_mktsegment = c.c_mktsegment AS f_seg,
+             s.c_nationkey = c.c_nationkey AS f_nat,
+             abs(s.bal_c - c.bal_c) <= 500 AS f_bal
+      FROM seeds s JOIN copies c ON c.c_custkey = s.c_custkey + 10000000
+      UNION ALL
+      SELECT 'nonmatch', s.c_custkey,
+             s.c_mktsegment = b.c_mktsegment,
+             s.c_nationkey = b.c_nationkey,
+             abs(s.bal_c - b.bal_c) <= 500
+      FROM seeds s JOIN base b ON b.c_custkey = s.c_custkey + 1
+    ),
+    mu AS (
+      SELECT
+        (SELECT count(*) FROM pairs WHERE pair_type = 'match') AS nm,
+        (SELECT count(*) FROM pairs WHERE pair_type = 'nonmatch') AS nu,
+        (SELECT sum(CASE WHEN f_seg THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'match') AS m_seg_c,
+        (SELECT sum(CASE WHEN f_nat THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'match') AS m_nat_c,
+        (SELECT sum(CASE WHEN f_bal THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'match') AS m_bal_c,
+        (SELECT sum(CASE WHEN f_seg THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'nonmatch') AS u_seg_c,
+        (SELECT sum(CASE WHEN f_nat THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'nonmatch') AS u_nat_c,
+        (SELECT sum(CASE WHEN f_bal THEN 1 ELSE 0 END) FROM pairs
+         WHERE pair_type = 'nonmatch') AS u_bal_c
+    ),
+    grid AS (
+      SELECT greatest(m_seg_c * 1000000 // nm, 1) AS m_seg,
+             greatest(m_nat_c * 1000000 // nm, 1) AS m_nat,
+             greatest(m_bal_c * 1000000 // nm, 1) AS m_bal,
+             greatest(u_seg_c * 1000000 // nu, 1) AS u_seg,
+             greatest(u_nat_c * 1000000 // nu, 1) AS u_nat,
+             greatest(u_bal_c * 1000000 // nu, 1) AS u_bal
+      FROM mu
+    ),
+    scored AS (
+      SELECT p.pair_type,
+             CAST(CASE WHEN f_seg THEN 4 ELSE 0 END
+                  + CASE WHEN f_nat THEN 2 ELSE 0 END
+                  + CASE WHEN f_bal THEN 1 ELSE 0 END AS INT) AS pattern,
+             CAST((CAST(CASE WHEN f_seg THEN m_seg
+                        ELSE 1000000 - m_seg END AS HUGEINT)
+                   * (CASE WHEN f_nat THEN m_nat
+                      ELSE 1000000 - m_nat END)
+                   * (CASE WHEN f_bal THEN m_bal
+                      ELSE 1000000 - m_bal END) * 1000000)
+                  // (CAST(CASE WHEN f_seg THEN u_seg
+                           ELSE 1000000 - u_seg END AS HUGEINT)
+                      * (CASE WHEN f_nat THEN u_nat
+                         ELSE 1000000 - u_nat END)
+                      * (CASE WHEN f_bal THEN u_bal
+                         ELSE 1000000 - u_bal END))
+                  AS BIGINT) AS weight_x1e6
+      FROM pairs p CROSS JOIN grid
+    )
+    SELECT pair_type, pattern, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(weight_x1e6) AS BIGINT) AS weight_x1e6
+    FROM scored GROUP BY pair_type, pattern
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (r8) — the
+    decision-theoretic ER scorer the dedup family lacked (1969 JASA;
+    the model behind Splink/RecordLinkage): per comparison field the
+    m-probability (agreement given match) and u-probability
+    (agreement given non-match) are ESTIMATED from labeled pairs —
+    planted fuzzy duplicates (same segment/nation, balance jittered
+    $1 or $7 so the <=$5 band agrees for half) as matches, each seed
+    paired with its next customer as non-matches — and every pair's
+    match weight is the likelihood ratio product
+    prod_i (agree ? m_i/u_i : (1-m_i)/(1-u_i)), kept integer on the
+    1e6 grid (three packed ratio factors multiply in HUGEINT/
+    DECIMAL(38,0) before ONE division; probabilities clamp to >=1
+    grid unit so no ratio degenerates).  Output: per (pair_type,
+    3-bit agreement pattern) the pair count and the pattern's weight
+    — matches concentrate in high-weight patterns, non-matches in
+    low, which IS the Fellegi-Sunter decision rule made visible.
+
+    100 TB shape: seeds/copies/next-pairs are keyed equi-joins; m/u
+    estimation is a 1-row conditional aggregate; scoring broadcasts
+    the 1-row m/u grid and runs one map-side-combinable pattern
+    aggregate.  At scale the labeled pairs come from clerical review
+    or EM — the scorer is unchanged.  Reference scope: flo has no ER
+    surface — north-star extension (SURVEY §2 Part B dedup family)."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+        ).alias("bal_c"),
+    )
+    seeds = base.filter(F.col("c_custkey") % 10 == 0)
+    copies = seeds.select(
+        (F.col("c_custkey") + 10000000).alias("ck"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("c_nationkey").alias("nat2"),
+        (
+            F.col("bal_c")
+            + F.when(F.col("c_custkey") % 20 == 0, 100).otherwise(700)
+        ).alias("bal2"),
+    )
+    nxt = base.select(
+        F.col("c_custkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("c_nationkey").alias("nat2"),
+        F.col("bal_c").alias("bal2"),
+    )
+    m_pairs = seeds.join(
+        copies, F.col("ck") == F.col("c_custkey") + 10000000
+    ).select(
+        F.lit("match").alias("pair_type"),
+        (F.col("c_mktsegment") == F.col("seg2")).alias("f_seg"),
+        (F.col("c_nationkey") == F.col("nat2")).alias("f_nat"),
+        (F.abs(F.col("bal_c") - F.col("bal2")) <= 500).alias("f_bal"),
+    )
+    u_pairs = seeds.join(
+        nxt, F.col("nk") == F.col("c_custkey") + 1
+    ).select(
+        F.lit("nonmatch").alias("pair_type"),
+        (F.col("c_mktsegment") == F.col("seg2")).alias("f_seg"),
+        (F.col("c_nationkey") == F.col("nat2")).alias("f_nat"),
+        (F.abs(F.col("bal_c") - F.col("bal2")) <= 500).alias("f_bal"),
+    )
+    pairs = m_pairs.unionAll(u_pairs).persist()
+    agg = pairs.groupBy().agg(
+        F.sum((F.col("pair_type") == "match").cast("long")).alias("nm"),
+        F.sum((F.col("pair_type") == "nonmatch").cast("long")).alias("nu"),
+        *[
+            F.sum(
+                (
+                    (F.col("pair_type") == t) & F.col(f)
+                ).cast("long")
+            ).alias(f"{p}_{f[2:]}_c")
+            for t, p in (("match", "m"), ("nonmatch", "u"))
+            for f in ("f_seg", "f_nat", "f_bal")
+        ],
+    )
+    grid = agg.selectExpr(
+        *[
+            f"greatest({p}_{f}_c * 1000000 div {n}, 1) AS {p}_{f}"
+            for p, n in (("m", "nm"), ("u", "nu"))
+            for f in ("seg", "nat", "bal")
+        ]
+    )
+    D = "DECIMAL(38,0)"
+    scored = pairs.crossJoin(F.broadcast(grid)).selectExpr(
+        "pair_type",
+        "CAST(CASE WHEN f_seg THEN 4 ELSE 0 END"
+        " + CASE WHEN f_nat THEN 2 ELSE 0 END"
+        " + CASE WHEN f_bal THEN 1 ELSE 0 END AS INT) AS pattern",
+        f"CAST((CAST(CASE WHEN f_seg THEN m_seg"
+        f" ELSE 1000000 - m_seg END AS {D})"
+        " * (CASE WHEN f_nat THEN m_nat ELSE 1000000 - m_nat END)"
+        " * (CASE WHEN f_bal THEN m_bal ELSE 1000000 - m_bal END)"
+        " * 1000000)"
+        f" div (CAST(CASE WHEN f_seg THEN u_seg"
+        f" ELSE 1000000 - u_seg END AS {D})"
+        " * (CASE WHEN f_nat THEN u_nat ELSE 1000000 - u_nat END)"
+        " * (CASE WHEN f_bal THEN u_bal ELSE 1000000 - u_bal END))"
+        " AS BIGINT) AS weight_x1e6",
+    )
+    return scored.groupBy("pair_type", "pattern").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("weight_x1e6").cast("long").alias("weight_x1e6"),
     )
