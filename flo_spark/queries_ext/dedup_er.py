@@ -48,6 +48,7 @@ __all__ = [
     "blocking_quality_metrics",
     "tfidf_candidate_stats",
     "fellegi_sunter_linkage",
+    "fellegi_sunter_em_round",
 ]
 
 
@@ -2403,3 +2404,220 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.min("weight_x1e6").cast("long").alias("weight_x1e6"),
     )
+
+
+@query(
+    "fellegi_sunter_em_round",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    seeds AS (SELECT * FROM base WHERE c_custkey % 10 = 0),
+    copies AS (
+      SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment,
+             c_nationkey,
+             bal_c + CASE WHEN c_custkey % 20 = 0 THEN 100
+                     ELSE 700 END AS bal_c
+      FROM seeds
+    ),
+    pairs AS (
+      SELECT s.c_mktsegment = c.c_mktsegment AS f_seg,
+             s.c_nationkey = c.c_nationkey AS f_nat,
+             abs(s.bal_c - c.bal_c) <= 500 AS f_bal
+      FROM seeds s JOIN copies c ON c.c_custkey = s.c_custkey + 10000000
+      UNION ALL
+      SELECT s.c_mktsegment = b.c_mktsegment,
+             s.c_nationkey = b.c_nationkey,
+             abs(s.bal_c - b.bal_c) <= 500
+      FROM seeds s JOIN base b ON b.c_custkey = s.c_custkey + 1
+    ),
+    pat AS (
+      SELECT f_seg, f_nat, f_bal, count(*) AS cnt
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    e AS (
+      -- E-step at m0=0.9, u0=0.1, p0=0.5 (grid 1e6): because the
+      -- initial m/u are shared across fields, the likelihoods depend
+      -- only on the number of agreeing fields
+      SELECT f_seg, f_nat, f_bal, cnt,
+             CAST(900000 AS HUGEINT)
+               * (CASE WHEN f_seg THEN 900000 ELSE 100000 END)
+               // 900000 * (CASE WHEN f_nat THEN 900000 ELSE 100000 END)
+               // 900000 * (CASE WHEN f_bal THEN 900000 ELSE 100000 END)
+               AS lm_scaled,
+             CAST(100000 AS HUGEINT)
+               * (CASE WHEN f_seg THEN 100000 ELSE 900000 END)
+               // 100000 * (CASE WHEN f_nat THEN 100000 ELSE 900000 END)
+               // 100000 * (CASE WHEN f_bal THEN 100000 ELSE 900000 END)
+               AS lu_scaled
+      FROM pat
+    ),
+    r AS (
+      SELECT f_seg, f_nat, f_bal, cnt,
+             (lm_scaled * 1000000) // (lm_scaled + lu_scaled) AS resp
+      FROM e
+    ),
+    m AS (
+      SELECT sum(cnt * resp) AS wm, sum(cnt * (1000000 - resp)) AS wu,
+             sum(CASE WHEN f_seg THEN cnt * resp ELSE 0 END) AS wm_seg,
+             sum(CASE WHEN f_nat THEN cnt * resp ELSE 0 END) AS wm_nat,
+             sum(CASE WHEN f_bal THEN cnt * resp ELSE 0 END) AS wm_bal,
+             sum(CASE WHEN f_seg THEN cnt * (1000000 - resp)
+                 ELSE 0 END) AS wu_seg,
+             sum(CASE WHEN f_nat THEN cnt * (1000000 - resp)
+                 ELSE 0 END) AS wu_nat,
+             sum(CASE WHEN f_bal THEN cnt * (1000000 - resp)
+                 ELSE 0 END) AS wu_bal,
+             sum(cnt) AS n_pairs
+      FROM r
+    )
+    SELECT field,
+           CAST(m1 AS BIGINT) AS m_x1e6,
+           CAST(u1 AS BIGINT) AS u_x1e6,
+           CAST(p1 AS BIGINT) AS prior_x1e6,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM (
+      SELECT 'seg' AS field, wm_seg * 1000000 // wm AS m1,
+             wu_seg * 1000000 // wu AS u1,
+             wm // n_pairs AS p1, n_pairs FROM m
+      UNION ALL
+      SELECT 'nat', wm_nat * 1000000 // wm, wu_nat * 1000000 // wu,
+             wm // n_pairs, n_pairs FROM m
+      UNION ALL
+      SELECT 'bal', wm_bal * 1000000 // wm, wu_bal * 1000000 // wu,
+             wm // n_pairs, n_pairs FROM m
+    )
+    """,
+)
+def fellegi_sunter_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round for Fellegi-Sunter WITHOUT labels (r8) — how the
+    m/u probabilities are actually fit when no clerical truth exists
+    (Winkler's EM for record linkage; what Splink automates): over
+    the UNLABELED pair pool (the same planted mixture as
+    fellegi_sunter_linkage, labels discarded), (1) collapse pairs to
+    the 8 agreement-pattern counts, (2) E-step: each pattern's match
+    responsibility P(M|g) from the symmetric init m0=0.9, u0=0.1,
+    p0=0.5 — the likelihood products stay on the 1e6 grid with
+    alternating multiply-divide steps so every intermediate is an
+    exact integer below 38 digits, (3) M-step: responsibility-
+    weighted agreement rates give the updated m/u per field and the
+    match prior.  Every division is a specified floor on the 1e6
+    grid, identical on both engines.  One round is the contract
+    (like pagerank/kmeans/bpe: each further round is the same plan);
+    the planted mixture separates in ONE step — updated m pulls
+    toward 1 for seg/nat, u toward the random-agreement rates.
+
+    100 TB shape: pairs collapse to <=8 pattern counts in one
+    map-side-combinable aggregate; E and M steps are spine-side
+    arithmetic on those 8 rows.  EM over billions of pairs IS this
+    shape — the sufficient statistics are the pattern counts.
+    Reference scope: flo has no ER surface — north-star extension
+    (SURVEY §2 Part B dedup family)."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").alias(
+            "bal_c"
+        ),
+    )
+    seeds = base.filter(F.col("c_custkey") % 10 == 0)
+    copies = seeds.select(
+        (F.col("c_custkey") + 10000000).alias("ck"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("c_nationkey").alias("nat2"),
+        (
+            F.col("bal_c")
+            + F.when(F.col("c_custkey") % 20 == 0, 100).otherwise(700)
+        ).alias("bal2"),
+    )
+    nxt = base.select(
+        F.col("c_custkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("c_nationkey").alias("nat2"),
+        F.col("bal_c").alias("bal2"),
+    )
+    pairs = (
+        seeds.join(copies, F.col("ck") == F.col("c_custkey") + 10000000)
+        .select(
+            (F.col("c_mktsegment") == F.col("seg2")).alias("f_seg"),
+            (F.col("c_nationkey") == F.col("nat2")).alias("f_nat"),
+            (F.abs(F.col("bal_c") - F.col("bal2")) <= 500).alias("f_bal"),
+        )
+        .unionAll(
+            seeds.join(nxt, F.col("nk") == F.col("c_custkey") + 1).select(
+                (F.col("c_mktsegment") == F.col("seg2")).alias("f_seg"),
+                (F.col("c_nationkey") == F.col("nat2")).alias("f_nat"),
+                (F.abs(F.col("bal_c") - F.col("bal2")) <= 500).alias(
+                    "f_bal"
+                ),
+            )
+        )
+    )
+    pat = pairs.groupBy("f_seg", "f_nat", "f_bal").agg(
+        F.count("*").alias("cnt")
+    )
+    D = "DECIMAL(38,0)"
+    e = pat.selectExpr(
+        "f_seg",
+        "f_nat",
+        "f_bal",
+        "cnt",
+        f"CAST(900000 AS {D})"
+        " * (CASE WHEN f_seg THEN 900000 ELSE 100000 END)"
+        " div 900000 * (CASE WHEN f_nat THEN 900000 ELSE 100000 END)"
+        " div 900000 * (CASE WHEN f_bal THEN 900000 ELSE 100000 END)"
+        " AS lm_scaled",
+        f"CAST(100000 AS {D})"
+        " * (CASE WHEN f_seg THEN 100000 ELSE 900000 END)"
+        " div 100000 * (CASE WHEN f_nat THEN 100000 ELSE 900000 END)"
+        " div 100000 * (CASE WHEN f_bal THEN 100000 ELSE 900000 END)"
+        " AS lu_scaled",
+    )
+    r = e.selectExpr(
+        "f_seg",
+        "f_nat",
+        "f_bal",
+        "cnt",
+        "(lm_scaled * 1000000) div (lm_scaled + lu_scaled) AS resp",
+    )
+    m = r.agg(
+        F.sum(F.expr(f"CAST(cnt AS {D}) * resp")).alias("wm"),
+        F.sum(F.expr(f"CAST(cnt AS {D}) * (1000000 - resp)")).alias("wu"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN f_{f} THEN CAST(cnt AS {D}) * resp"
+                    " ELSE 0 END"
+                )
+            ).alias(f"wm_{f}")
+            for f in ("seg", "nat", "bal")
+        ],
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN f_{f} THEN CAST(cnt AS {D})"
+                    " * (1000000 - resp) ELSE 0 END"
+                )
+            ).alias(f"wu_{f}")
+            for f in ("seg", "nat", "bal")
+        ],
+        F.sum("cnt").alias("n_pairs"),
+    )
+    rows = []
+    for f in ("seg", "nat", "bal"):
+        rows.append(
+            m.selectExpr(
+                f"'{f}' AS field",
+                f"CAST(wm_{f} * 1000000 div wm AS BIGINT) AS m_x1e6",
+                f"CAST(wu_{f} * 1000000 div wu AS BIGINT) AS u_x1e6",
+                "CAST(wm div n_pairs AS BIGINT) AS prior_x1e6",
+                "CAST(n_pairs AS BIGINT) AS n_pairs",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionAll(x)
+    return out
