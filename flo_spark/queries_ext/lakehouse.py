@@ -33,6 +33,7 @@ __all__ = [
     "dynamic_partition_overwrite",
     "lakehouse_vacuum_orphans",
     "lakehouse_stats_skipping",
+    "lakehouse_deletion_vectors",
 ]
 
 
@@ -929,3 +930,85 @@ def lakehouse_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_doc"),
     )
     return agg
+
+
+@query(
+    "lakehouse_deletion_vectors",
+    """
+    WITH live AS (
+      SELECT doc_id, n_chars FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3
+    ),
+    snap AS (
+      SELECT 2 AS version, 0 AS ndv, doc_id, n_chars FROM documents
+      UNION ALL
+      SELECT 4 AS version, 2 AS ndv, doc_id, n_chars FROM live
+      UNION ALL
+      SELECT 5 AS version, 0 AS ndv, doc_id, n_chars FROM live
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(ndv AS BIGINT) AS n_dv_files,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM snap GROUP BY version, ndv
+    """,
+)
+def lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via positional deletion vectors
+    (``ManifestTable.delete_where_mor`` / ``rewrite_deletes`` — the
+    Iceberg v2 positional-delete / Delta deletion-vector design):
+    documents land as two appended fragments (v1, v2), then TWO
+    stacked MOR deletes (v3: doc_id%5=0; v4: doc_id%7=3, overlapping
+    v3) each write only a tiny ``(file_key, pos)`` parquet — addressed
+    by ``_metadata.file_path``/``row_index`` — and republish the
+    manifest; no data fragment is touched.  v5 is the PURGE
+    (``rewrite_deletes``): DVs fold back into rewritten fragments and
+    the delete list empties.
+
+    The query reads v2, v4 and v5 AFTER all five commits and
+    aggregates each snapshot alongside its manifest's DV-file count.
+    Matching the oracle proves (a) scan-time DV application is exact
+    (v4 equals the predicate-reconstructed live set), (b) stacked DVs
+    compose without double-deleting (the v4 DV excludes rows v3
+    already deleted — unit-pinned in test_manifest_table), (c) time
+    travel reads THROUGH deletes (v2 is still the full table), and
+    (d) purge is a no-op on visible rows while zeroing read-time DV
+    cost (v5 rows == v4 rows, n_dv_files 2 -> 0).
+
+    100 TB shape: a MOR delete costs O(deleted rows) — the right
+    trade for GDPR-trickle/CDC-tombstone deletes where COW would
+    rewrite terabytes to drop kilobytes; readers anti-join a DV side
+    that AQE broadcasts (no data-side shuffle); purge is
+    fragment-granular, rewriting only dirty files.  Reference scope:
+    flo only expires whole segments by TTL (controller retention) —
+    row-granular erasure is a north-star extension (SURVEY §2 Part B
+    sources/sinks; companion to gdpr_forget_compaction's COW form)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = ManifestTable(scratch_dir("lakehouse_dv_"))
+    t.append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(4), "even")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1).coalesce(4), "odd")
+    t.delete_where_mor(spark, "doc_id % 5 = 0")
+    t.delete_where_mor(spark, "doc_id % 7 = 3")
+    t.rewrite_deletes(spark)
+    outs = []
+    for v in (2, 4, 5):
+        ndv = len(t.manifest(v).get("deletes", []))
+        outs.append(
+            t.read(spark, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(ndv).cast("long").alias("n_dv_files"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+                F.max("doc_id").cast("long").alias("max_doc"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -127,10 +127,19 @@ class ManifestTable:
         with open(path) as fh:
             return json.load(fh)
 
-    def _publish(self, version: int, files: list[str], op: str) -> int:
+    def _publish(
+        self,
+        version: int,
+        files: list[str],
+        op: str,
+        deletes: list[str] | None = None,
+    ) -> int:
         body = {
             "version": version,
             "files": sorted(files),
+            # position-delete files (merge-on-read deletion vectors);
+            # absent/[] on COW-only tables, so old manifests stay valid.
+            "deletes": sorted(deletes or []),
             "op": op,
             # wall time is commit METADATA only — never part of query
             # results, so determinism of reads is unaffected.
@@ -150,16 +159,24 @@ class ManifestTable:
         return version
 
     def commit(
-        self, build: Callable[[list[str]], tuple[list[str], str]], retries: int = 10
+        self, build: Callable[[list[str]], tuple], retries: int = 10
     ) -> int:
         """Optimistic commit: ``build(current_files) -> (new_files, op)``
-        runs against the head snapshot; on a version collision the head
-        is re-read and ``build`` re-runs on the winner's snapshot."""
+        or ``(new_files, op, new_deletes)`` runs against the head
+        snapshot; on a version collision the head is re-read and
+        ``build`` re-runs on the winner's snapshot.  A 2-tuple return
+        CARRIES the head's delete files forward unchanged (an append
+        must not resurrect merge-on-read-deleted rows)."""
         for _ in range(retries + 1):
             head = self.manifest()
-            files, op = build(list(head["files"]))
+            out = build(list(head["files"]))
+            if len(out) == 2:
+                files, op = out
+                deletes = list(head.get("deletes", []))
+            else:
+                files, op, deletes = out
             try:
-                return self._publish(head["version"] + 1, files, op)
+                return self._publish(head["version"] + 1, files, op, deletes)
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {retries} retries")
@@ -197,6 +214,7 @@ class ManifestTable:
 
         def build(files: list[str]) -> tuple[list[str], str]:
             nonlocal attempt
+            pending = self.manifest().get("deletes", [])
             tag = name_suffix if attempt == 0 else f"{name_suffix}.r{attempt}"
             attempt += 1
             kept: list[str] = []
@@ -209,7 +227,14 @@ class ManifestTable:
                     ):
                         kept.append(rel)  # stats prove no match: no scan
                         continue
-                frag = spark.read.parquet(os.path.join(self.root, rel))
+                # apply pending merge-on-read deletes first: a COW
+                # rewrite of the raw bytes would RESURRECT DV-deleted
+                # rows under the new fragment's file keys.
+                frag = self._apply_deletes(
+                    spark,
+                    spark.read.parquet(os.path.join(self.root, rel)),
+                    pending,
+                )
                 n_match = frag.filter(predicate).limit(1).count()
                 if n_match == 0:
                     kept.append(rel)
@@ -263,7 +288,11 @@ class ManifestTable:
         for name in os.listdir(self._manifests):
             if name.startswith("v") and name.endswith(".json"):
                 with open(os.path.join(self._manifests, name)) as fh:
-                    referenced.update(json.load(fh)["files"])
+                    body = json.load(fh)
+                referenced.update(body["files"])
+                # position-delete files are live data too: vacuuming a
+                # DV a manifest still references would resurrect rows.
+                referenced.update(body.get("deletes", []))
         report = {"fragments_deleted": 0, "fragments_kept": 0}
         for frag in sorted(os.listdir(self._data)):
             if os.path.join("data", frag) in referenced:
@@ -283,7 +312,170 @@ class ManifestTable:
         if not m["files"]:
             raise ValueError(f"version {m['version']} is empty")
         paths = [os.path.join(self.root, rel) for rel in m["files"]]
-        return spark.read.parquet(*paths)
+        return self._apply_deletes(
+            spark, spark.read.parquet(*paths), m.get("deletes", [])
+        )
+
+    # -- merge-on-read deletion vectors ------------------------------------
+
+    @staticmethod
+    def _file_key():
+        """Stable per-row physical address: ``frag_dir/part_file`` (the
+        last two path components — fragment names are unique within a
+        table, part names within a fragment), paired with the parquet
+        row index.  Relocation-safe: survives moving the table root."""
+        from pyspark.sql import functions as _F
+
+        return _F.substring_index(_F.col("_metadata.file_path"), "/", -2)
+
+    def _apply_deletes(
+        self, spark: SparkSession, df: DataFrame, delete_rels: list[str]
+    ) -> DataFrame:
+        """Anti-join ``df`` (a direct parquet scan, so ``_metadata`` is
+        in scope) against the accumulated position-delete files.  The
+        DV side is tiny relative to data (it holds only deleted-row
+        addresses), so AQE broadcasts it — per-row filtering with no
+        data-side shuffle, the same cost shape as Delta DV / Iceberg
+        positional-delete application."""
+        if not delete_rels:
+            return df
+        from pyspark.sql import functions as _F
+
+        dv = spark.read.parquet(
+            *[os.path.join(self.root, r) for r in delete_rels]
+        ).select("file_key", "pos")
+        keyed = df.withColumn("__fk", self._file_key()).withColumn(
+            "__pos", _F.col("_metadata.row_index")
+        )
+        return (
+            keyed.join(
+                dv,
+                (keyed["__fk"] == dv["file_key"])
+                & (keyed["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+            .drop("__fk", "__pos")
+        )
+
+    def delete_where_mor(
+        self, spark: SparkSession, predicate: str, name_suffix: str = "dv"
+    ) -> int:
+        """Merge-on-read delete: instead of rewriting fragments
+        (:meth:`delete_where`), record the ADDRESSES of matching rows —
+        ``(file_key, pos)`` position deletes, the Iceberg v2
+        positional-delete / Delta deletion-vector design — in a small
+        parquet file and publish a manifest referencing it.  Data
+        fragments are untouched; readers anti-join the DV at scan time.
+
+        Write cost is O(deleted rows), not O(affected fragments) — the
+        right trade for frequent small deletes (GDPR erasure trickle,
+        CDC tombstones) at 100 TB, where COW would rewrite terabytes to
+        drop kilobytes.  Read cost grows with accumulated DVs;
+        :meth:`rewrite_deletes` folds them back to zero.  Deletes
+        stack: a second MOR delete appends another DV file, and rows
+        already deleted are excluded from the new DV (the scan below
+        applies pending deletes first), so DV files never hold
+        duplicate addresses."""
+        from pyspark.sql import functions as _F
+
+        attempt = 0
+
+        def build(files: list[str]) -> tuple[list[str], str, list[str]]:
+            nonlocal attempt
+            head = self.manifest()
+            # unique per target version AND per optimistic-retry attempt
+            # (write_fragment is errorifexists; see delete_where).
+            tag = f"{name_suffix}.v{head['version'] + 1}" + (
+                "" if attempt == 0 else f".r{attempt}"
+            )
+            attempt += 1
+            # key rows BEFORE any join: `_metadata` resolves only on
+            # the direct file-scan relation, not through join output.
+            keyed = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in files]
+                )
+                .withColumn("__fk", self._file_key())
+                .withColumn("__pos", _F.col("_metadata.row_index"))
+            )
+            pending = head.get("deletes", [])
+            if pending:
+                old = spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in pending]
+                ).select("file_key", "pos")
+                keyed = keyed.join(
+                    old,
+                    (keyed["__fk"] == old["file_key"])
+                    & (keyed["__pos"] == old["pos"]),
+                    "left_anti",
+                )
+            dv = (
+                keyed.filter(predicate)
+                .select(
+                    _F.col("__fk").alias("file_key"),
+                    _F.col("__pos").alias("pos"),
+                )
+                .coalesce(1)
+            )
+            # no leading underscore: Spark's file index treats _-prefixed
+            # paths as hidden and silently ignores them on read.
+            rel = self.write_fragment(dv, f"dv.{tag}")
+            return files, "delete-mor", head.get("deletes", []) + [rel]
+
+        return self.commit(build)
+
+    def rewrite_deletes(self, spark: SparkSession, name_suffix: str = "purge") -> int:
+        """Fold accumulated position deletes back into the data (the
+        Delta PURGE / Iceberg rewrite_position_delete_files compaction):
+        every fragment with pending DV rows is rewritten without them;
+        untouched fragments carry over by reference; the new manifest
+        has an EMPTY delete list.  After this, scan cost returns to a
+        plain fragment read.  Fragment-granular like :meth:`delete_where`
+        — only fragments that actually contain deleted rows rewrite."""
+        import os as _os
+
+        from pyspark.sql import functions as _F
+
+        attempt = 0
+
+        def build(files: list[str]) -> tuple[list[str], str, list[str]]:
+            nonlocal attempt
+            head = self.manifest()
+            deletes = head.get("deletes", [])
+            tag = name_suffix if attempt == 0 else f"{name_suffix}.r{attempt}"
+            attempt += 1
+            if not deletes:
+                return files, "purge", []
+            # fragment dirs that own at least one deleted row:
+            # O(deleted rows -> distinct dirs) driver metadata.
+            dv = spark.read.parquet(
+                *[_os.path.join(self.root, r) for r in deletes]
+            )
+            dirty = {
+                r["d"]
+                for r in dv.select(
+                    _F.substring_index("file_key", "/", 1).alias("d")
+                )
+                .distinct()
+                .collect()  # O(dirty fragments) driver metadata
+            }
+            kept: list[str] = []
+            for rel in files:
+                frag_dir = _os.path.basename(rel.rstrip("/"))
+                if frag_dir not in dirty:
+                    kept.append(rel)
+                    continue
+                frag = self._apply_deletes(
+                    spark,
+                    spark.read.parquet(_os.path.join(self.root, rel)),
+                    deletes,
+                )
+                kept.append(
+                    self.write_fragment(frag, f"{frag_dir}_{tag}")
+                )
+            return kept, "purge", []
+
+        return self.commit(build)
 
     def read_where(
         self,
@@ -325,7 +517,11 @@ class ManifestTable:
         if not keep:
             base = self.read(spark, version).filter(_F.lit(False))
             return base, report
-        df = spark.read.parquet(
-            *[os.path.join(self.root, rel) for rel in keep]
+        df = self._apply_deletes(
+            spark,
+            spark.read.parquet(
+                *[os.path.join(self.root, rel) for rel in keep]
+            ),
+            m.get("deletes", []),
         )
         return df.filter(_F.col(col).between(lo, hi)), report

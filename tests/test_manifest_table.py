@@ -175,3 +175,84 @@ def test_empty_read_raises(spark, tmp_path):
     t = ManifestTable(str(tmp_path / "empty"))
     with pytest.raises(ValueError):
         t.read(spark)
+
+
+def test_mor_delete_records_positions_not_rewrites(spark, table):
+    t = table
+    t.append(spark.range(10, 15).withColumnRenamed("id", "k"), "more")
+    files_before = t.manifest()["files"]
+    t.delete_where_mor(spark, "k % 3 = 0")
+    m = t.manifest()
+    # data fragments untouched — only a DV file was added
+    assert m["files"] == files_before
+    assert len(m["deletes"]) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        1, 2, 4, 5, 7, 8, 10, 11, 13, 14,
+    ]
+    # time travel: the pre-delete snapshot still reads everything
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == list(range(15))
+
+
+def test_mor_deletes_stack_without_duplicate_addresses(spark, table):
+    t = table
+    t.delete_where_mor(spark, "k < 3")
+    t.delete_where_mor(spark, "k < 6")  # overlaps the first delete
+    m = t.manifest()
+    assert len(m["deletes"]) == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [6, 7, 8, 9]
+    # second DV excludes rows the first already deleted: addresses
+    # across all DV files are unique
+    dv = spark.read.parquet(
+        *[os.path.join(t.root, r) for r in m["deletes"]]
+    )
+    assert dv.count() == dv.select("file_key", "pos").distinct().count() == 6
+
+
+def test_read_where_applies_deletes(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.range(0, 10).withColumnRenamed("id", "k"),
+        "base",
+        stats_cols=["k"],
+    )
+    t.delete_where_mor(spark, "k = 4")
+    df, rep = t.read_where(spark, "k", 0, 9)
+    assert rep == {"fragments_total": 1, "fragments_read": 1}
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_rewrite_deletes_purges_and_is_fragment_granular(spark, table):
+    t = table
+    t.append(spark.range(100, 105).withColumnRenamed("id", "k"), "more")
+    t.delete_where_mor(spark, "k >= 100 AND k % 2 = 0")  # dirty: 'more' only
+    before = t.manifest()["files"]
+    t.rewrite_deletes(spark)
+    m = t.manifest()
+    assert m["deletes"] == []
+    # clean fragment carried by reference; dirty one rewritten
+    base = [f for f in before if f.endswith("base")]
+    assert base and all(f in m["files"] for f in base)
+    assert not any(f.endswith("more") for f in m["files"])
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 101, 103,
+    ]
+
+
+def test_cow_after_mor_does_not_resurrect(spark, table):
+    t = table
+    t.delete_where_mor(spark, "k = 1")
+    # COW delete touches the same fragment: the rewrite must apply the
+    # pending DV, not resurrect k=1 from the raw bytes.
+    t.delete_where(spark, "k = 5")
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        0, 2, 3, 4, 6, 7, 8, 9,
+    ]
+
+
+def test_vacuum_keeps_referenced_dv_files(spark, table):
+    t = table
+    t.delete_where_mor(spark, "k = 0")
+    t.expire_versions(keep_last=1)
+    rep = t.vacuum()
+    assert rep["fragments_deleted"] == 0  # DV file is live data
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(1, 10))
