@@ -34,6 +34,7 @@ __all__ = [
     "lakehouse_vacuum_orphans",
     "lakehouse_stats_skipping",
     "lakehouse_deletion_vectors",
+    "lakehouse_change_data_feed",
 ]
 
 
@@ -1012,3 +1013,73 @@ def lakehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "lakehouse_change_data_feed",
+    """
+    WITH ch AS (
+      SELECT 2 AS commit_version, 'insert' AS change_kind,
+             doc_id, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 3 AS commit_version, 'delete' AS change_kind,
+             doc_id, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST(commit_version AS INT) AS commit_version,
+           change_kind,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ch GROUP BY commit_version, change_kind
+    """,
+)
+def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed — incremental row-level reads between table
+    versions (``ManifestTable.read_changes``, the Delta CDF /
+    ``table_changes()`` shape): v1 appends even doc_ids, v2 appends
+    odd, v3 merge-on-read-deletes multiples of 5, v4 purges
+    (``rewrite_deletes``).  ``read_changes(1, 4)`` must emit exactly
+    v2's rows as inserts (append fragments are immutable, so added
+    files ARE the commit's rows), v3's DV-addressed rows as deletes
+    (the deletion vector makes row-level CDF a metadata semi-join —
+    the reason real engines pair CDF with DVs), and NOTHING for v4
+    (purge rewrites files but no visible row: the dataChange=false
+    rule).  Copy-on-write deletes are rejected by contract — their
+    removals aren't row-addressable from metadata (unit-pinned).
+
+    The aggregate per (commit_version, change_kind) hash-matches the
+    oracle's reconstruction; the unit suite additionally pins the
+    replay invariant v1 + inserts - deletes == head.
+
+    100 TB shape: an incremental consumer reads only each commit's
+    added fragments or one DV semi-join against the prior file set —
+    never a table rescan; classification is O(versions) driver-side
+    manifest metadata.  Reference scope: flo's consume-from-version-
+    vector (A3) is the event-log cousin of incremental reads; CDF is
+    the table-format generalization — north-star extension (SURVEY §2
+    Part B sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = ManifestTable(scratch_dir("lakehouse_cdf_"))
+    t.append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(4), "even")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1).coalesce(4), "odd")
+    t.delete_where_mor(spark, "doc_id % 5 = 0")
+    t.rewrite_deletes(spark)
+    return (
+        t.read_changes(spark, 1, 4)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change").alias("change_kind"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

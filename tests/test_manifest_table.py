@@ -256,3 +256,27 @@ def test_vacuum_keeps_referenced_dv_files(spark, table):
     rep = t.vacuum()
     assert rep["fragments_deleted"] == 0  # DV file is live data
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(1, 10))
+
+
+def test_change_data_feed_rowlevel(spark, table):
+    t = table
+    t.append(spark.range(10, 13).withColumnRenamed("id", "k"), "more")
+    t.delete_where_mor(spark, "k % 4 = 1")
+    t.rewrite_deletes(spark)  # dataChange=false: must emit nothing
+    ch = t.read_changes(spark, 1, 4).collect()
+    ins = sorted(r.k for r in ch if r._change == "insert")
+    dels = sorted(r.k for r in ch if r._change == "delete")
+    assert ins == [10, 11, 12]
+    assert dels == [1, 5, 9]
+    assert {r._commit_version for r in ch} == {2, 3}
+    # CDF replay: v1 snapshot + changes == head snapshot
+    v1 = {r.k for r in t.read(spark, 1).collect()}
+    head = {r.k for r in t.read(spark).collect()}
+    assert (v1 | set(ins)) - set(dels) == head
+
+
+def test_change_data_feed_rejects_cow(spark, table):
+    t = table
+    t.delete_where(spark, "k = 2")
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t.read_changes(spark, 1, 2)
