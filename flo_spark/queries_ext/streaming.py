@@ -1732,3 +1732,83 @@ def watermark_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(max_user_inv AS BIGINT) AS max_user_inversions",
         "CAST(max_late_us div 1000 AS BIGINT) AS max_lateness_ms",
     )
+
+
+@query(
+    "stream_lakehouse_sink",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event,
+           TRUE AS replay_noop
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the manifest-versioned
+    lakehouse table (``ManifestTable.commit_stream_batch`` inside
+    ``foreachBatch`` — the Delta streaming-sink idempotent-txn
+    protocol): each micro-batch appends one fragment and advances the
+    manifest's per-source ``txn`` ledger in the SAME atomic commit, so
+    a batch re-delivered after a crash (written data but unclaimed
+    manifest / uncommitted checkpoint) is detected by
+    ``txn[source] >= batch_id`` and skipped without writing.
+
+    The entry drains the events stream (availableNow), then SIMULATES
+    the crash-replay: batch 0 is re-submitted verbatim and must be a
+    version-preserving no-op — ``replay_noop`` carries that check into
+    the hashed output (a double-append would also break n_events).
+    The final table aggregate must equal the batch ground truth over
+    raw events: nothing lost (at-least-once from checkpointing),
+    nothing duplicated (at-most-once from the txn ledger).
+
+    100 TB shape: one fragment + one O(1) manifest write per batch —
+    sink cost scales with batch data, not table size; the ledger is
+    O(sources) metadata.  Fragment-count growth is the standing
+    small-file concern; small_file_compaction / expire+vacuum are the
+    companions.  Reference scope: flo's produce-ack batching (A8
+    credit flow) is the event-log cousin; manifest txn idempotency is
+    the table-format generalization (SURVEY §2 Part B streaming)."""
+    from flo_spark.queries import _events_stream, scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    tmp = scratch_dir("flo_stream_lake_")
+    t = ManifestTable(f"{tmp}/tbl")
+    cols = ["event_id", "user_id", "event_type"]
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        t.commit_stream_batch(batch.select(*cols), batch_id, source_id="events")
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("lakehouse sink did not drain within 180s")
+    v_before = t.current_version()
+    # crash-replay simulation: batch 0 re-delivered.  The ledger check
+    # runs BEFORE any write, so the probe frame's contents are never
+    # read — a 1-row stand-in proves the no-op without re-collecting
+    # batch 0 (no driver-side data collect).
+    probe = spark.createDataFrame(
+        [(0, 0, "probe")], "event_id long, user_id long, event_type string"
+    )
+    t.commit_stream_batch(probe, 0, source_id="events")
+    replay_noop = t.current_version() == v_before
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("event_id").cast("long").alias("min_event"),
+            F.max("event_id").cast("long").alias("max_event"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )

@@ -133,6 +133,7 @@ class ManifestTable:
         files: list[str],
         op: str,
         deletes: list[str] | None = None,
+        txn: dict | None = None,
     ) -> int:
         body = {
             "version": version,
@@ -140,6 +141,9 @@ class ManifestTable:
             # position-delete files (merge-on-read deletion vectors);
             # absent/[] on COW-only tables, so old manifests stay valid.
             "deletes": sorted(deletes or []),
+            # per-source last-committed streaming batch id (the Delta
+            # `txn` action): the exactly-once ledger for stream sinks.
+            "txn": dict(txn or {}),
             "op": op,
             # wall time is commit METADATA only — never part of query
             # results, so determinism of reads is unaffected.
@@ -176,10 +180,66 @@ class ManifestTable:
             else:
                 files, op, deletes = out
             try:
-                return self._publish(head["version"] + 1, files, op, deletes)
+                # txn always carries forward: batch-level appends/deletes
+                # never regress the streaming exactly-once ledger.
+                return self._publish(
+                    head["version"] + 1,
+                    files,
+                    op,
+                    deletes,
+                    head.get("txn", {}),
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {retries} retries")
+
+    def commit_stream_batch(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        source_id: str = "stream",
+        retries: int = 10,
+    ) -> int:
+        """Exactly-once streaming append (the Delta streaming-sink
+        idempotent-txn protocol, for use inside ``foreachBatch``): the
+        manifest's ``txn`` map records the last batch id committed per
+        ``source_id``; a REPLAYED batch (crash between data write and
+        checkpoint commit, so Structured Streaming re-delivers it) sees
+        ``txn[source_id] >= batch_id`` and returns without writing —
+        the rows land exactly once no matter how many times the batch
+        re-runs.  The check and the publish race safely: the check
+        re-runs against the fresh head on every optimistic-retry
+        attempt, and the publish is the atomic put-if-absent claim.
+
+        Crash orphans (fragment written, manifest never claimed) are
+        unreferenced and vacuum-reclaimable; the re-delivered batch
+        writes a fresh attempt-unique fragment rather than touching
+        the orphan."""
+        attempt = 0
+        while True:
+            head = self.manifest()
+            txn = dict(head.get("txn", {}))
+            if txn.get(source_id, -1) >= batch_id:
+                return head["version"]  # replayed batch: already in
+            if attempt > retries:
+                raise CommitConflict(f"gave up after {retries} retries")
+            # pid+attempt keeps the name unique across in-process
+            # retries AND across a crashed prior process's orphan.
+            rel = self.write_fragment(
+                df, f"{source_id}_b{batch_id}.{os.getpid()}.{attempt}"
+            )
+            attempt += 1
+            txn[source_id] = batch_id
+            try:
+                return self._publish(
+                    head["version"] + 1,
+                    head["files"] + [rel],
+                    "stream-append",
+                    head.get("deletes", []),
+                    txn,
+                )
+            except CommitConflict:
+                continue
 
     def append(
         self, df: DataFrame, name: str, stats_cols: list[str] | None = None

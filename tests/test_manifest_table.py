@@ -280,3 +280,34 @@ def test_change_data_feed_rejects_cow(spark, table):
     t.delete_where(spark, "k = 2")
     with pytest.raises(ValueError, match="copy-on-write"):
         t.read_changes(spark, 1, 2)
+
+
+def test_stream_batch_commit_is_exactly_once(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    b0 = spark.range(0, 5).withColumnRenamed("id", "k")
+    v1 = t.commit_stream_batch(b0, 0)
+    assert v1 == 1 and t.manifest()["txn"] == {"stream": 0}
+    # crash-replay of batch 0: must be a no-op, no new version/fragment
+    v_again = t.commit_stream_batch(b0, 0)
+    assert v_again == 1 and t.current_version() == 1
+    t.commit_stream_batch(spark.range(5, 8).withColumnRenamed("id", "k"), 1)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(8))
+    # a later non-streaming commit carries the txn ledger forward
+    t.append(spark.range(8, 9).withColumnRenamed("id", "k"), "side")
+    assert t.manifest()["txn"] == {"stream": 1}
+    # ...so a replay of batch 1 after that append is STILL a no-op
+    t.commit_stream_batch(b0, 1)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(9))
+
+
+def test_stream_batch_two_sources_independent(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit_stream_batch(
+        spark.range(0, 2).withColumnRenamed("id", "k"), 0, source_id="a"
+    )
+    # same batch id, different source: NOT a replay
+    t.commit_stream_batch(
+        spark.range(2, 4).withColumnRenamed("id", "k"), 0, source_id="b"
+    )
+    assert t.manifest()["txn"] == {"a": 0, "b": 0}
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3]
