@@ -35,6 +35,7 @@ __all__ = [
     "lakehouse_stats_skipping",
     "lakehouse_deletion_vectors",
     "lakehouse_change_data_feed",
+    "lakehouse_merge_mor",
 ]
 
 
@@ -1082,4 +1083,81 @@ def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("min_doc"),
             F.max("doc_id").cast("long").alias("max_doc"),
         )
+    )
+
+
+@query(
+    "lakehouse_merge_mor",
+    """
+    WITH merged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 42 AS n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(1 AS BIGINT) AS n_dv_files,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs_v1
+    FROM merged
+    """,
+)
+def lakehouse_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE INTO, merge-on-read
+    (``ManifestTable.merge_mor`` — the Hudi MOR / Delta DV-backed
+    upsert): the source holds every third document with n_chars
+    bumped by 1000 (updates) plus fabricated new doc_ids (inserts);
+    ONE atomic commit records the matched rows' addresses in a new
+    deletion vector AND appends all source rows as one fragment —
+    readers see the old or the new table, never half a merge.
+
+    The head aggregate must equal the oracle's CASE-reconstructed
+    merged table (updates replaced, non-matches untouched, inserts
+    present exactly once); ``n_dv_files`` pins the single-DV
+    structural shape and ``n_docs_v1`` pins time travel (the
+    pre-merge snapshot still reads complete AFTER the merge).  The
+    unit suite additionally pins the merge's CDF encoding
+    (pre-images as deletes + source as inserts) and purge folding.
+
+    100 TB shape: write cost is O(source + matched addresses) — a
+    daily upsert of millions into billions writes megabytes, where
+    COW MERGE rewrites every fragment containing a match; the match
+    probe is one semi-join whose keys-only source side AQE
+    broadcasts.  Reference scope: flo has no keyed update surface at
+    all (append-only event log) — north-star extension (SURVEY §2
+    Part B sources/sinks; table-level twin of the query-level
+    merge_upsert_customers)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = ManifestTable(scratch_dir("lakehouse_merge_"))
+    t.append(docs.coalesce(4), "base")
+    source = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.lit(42).cast(docs.schema["n_chars"].dataType).alias(
+                    "n_chars"
+                ),
+            )
+        )
+    )
+    t.merge_mor(spark, source, "doc_id")
+    ndv = len(t.manifest().get("deletes", []))
+    n_v1 = t.read(spark, 1).count()
+    return t.read(spark).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+        F.lit(ndv).cast("long").alias("n_dv_files"),
+        F.lit(n_v1).cast("long").alias("n_docs_v1"),
     )

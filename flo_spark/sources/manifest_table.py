@@ -484,6 +484,80 @@ class ManifestTable:
 
         return self.commit(build)
 
+    def merge_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        name_suffix: str = "merge",
+    ) -> int:
+        """Transactional UPSERT, merge-on-read (the Hudi MOR / Delta
+        DV-backed ``MERGE INTO`` shape): target rows whose ``key``
+        appears in ``source`` are deleted by ADDRESS (a new position-
+        delete file), and ALL source rows (updates + inserts alike)
+        land as one appended fragment — published together in a single
+        atomic commit (op ``merge``), so readers see the old or the
+        new table, never half a merge.
+
+        Source must be key-unique (caller's contract, as in SQL MERGE
+        where multiple source matches are an error).  Write cost is
+        O(source + matched addresses), never O(table) — the COW
+        alternative rewrites every fragment containing a match.
+        Read-side cost is the usual DV anti-join until
+        :meth:`rewrite_deletes` folds it down."""
+        from pyspark.sql import functions as _F
+
+        attempt = 0
+
+        def build(files: list[str]) -> tuple[list[str], str, list[str]]:
+            nonlocal attempt
+            head = self.manifest()
+            tag = f"{name_suffix}.v{head['version'] + 1}" + (
+                "" if attempt == 0 else f".r{attempt}"
+            )
+            attempt += 1
+            keyed = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in files]
+                )
+                .withColumn("__fk", self._file_key())
+                .withColumn("__pos", _F.col("_metadata.row_index"))
+            )
+            pending = head.get("deletes", [])
+            if pending:
+                old = spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in pending]
+                ).select("file_key", "pos")
+                keyed = keyed.join(
+                    old,
+                    (keyed["__fk"] == old["file_key"])
+                    & (keyed["__pos"] == old["pos"]),
+                    "left_anti",
+                )
+            # matched rows by address; the source side is keys-only and
+            # typically small relative to the table -> AQE broadcasts.
+            dv = (
+                keyed.join(
+                    source.select(_F.col(key).alias("__mk")).distinct(),
+                    keyed[key] == _F.col("__mk"),
+                    "left_semi",
+                )
+                .select(
+                    _F.col("__fk").alias("file_key"),
+                    _F.col("__pos").alias("pos"),
+                )
+                .coalesce(1)
+            )
+            dv_rel = self.write_fragment(dv, f"dv.{tag}")
+            frag_rel = self.write_fragment(source, f"upsert_{tag}")
+            return (
+                files + [frag_rel],
+                "merge",
+                head.get("deletes", []) + [dv_rel],
+            )
+
+        return self.commit(build)
+
     def read_changes(
         self, spark: SparkSession, v_from: int, v_to: int
     ) -> DataFrame:
@@ -500,6 +574,10 @@ class ManifestTable:
           deleted rows exactly; a semi-join of the prior snapshot
           against it recovers them (this is why deletion vectors make
           CDF cheap in real engines);
+        * ``merge`` / ``stream-append`` — a merge emits BOTH: its DV
+          rows are the matched rows' pre-images (an update appears as
+          delete+insert, the standard CDF encoding absent pre/post-
+          image tracking) and its added fragment's rows are inserts;
         * ``purge`` — rewrites files but changes no visible row:
           skipped, the dataChange=false rule;
         * ``delete`` (copy-on-write) — NOT row-addressable from
@@ -527,7 +605,8 @@ class ManifestTable:
                     "row-addressable for CDF; use delete_where_mor"
                     % v
                 )
-            if op == "delete-mor":
+            parts: list[DataFrame] = []
+            if op in ("delete-mor", "merge"):
                 new_dv = sorted(
                     set(m.get("deletes", [])) - set(prev.get("deletes", []))
                 )
@@ -541,7 +620,7 @@ class ManifestTable:
                     .withColumn("__fk", self._file_key())
                     .withColumn("__pos", _F.col("_metadata.row_index"))
                 )
-                delta = (
+                parts.append(
                     keyed.join(
                         dv,
                         (keyed["__fk"] == dv["file_key"])
@@ -551,17 +630,19 @@ class ManifestTable:
                     .drop("__fk", "__pos")
                     .withColumn("_change", _F.lit("delete"))
                 )
-            else:  # append
+            if op in ("append", "stream-append", "merge"):
                 added = sorted(set(m["files"]) - set(prev["files"]))
-                if not added:
-                    continue
-                delta = spark.read.parquet(
-                    *[os.path.join(self.root, r) for r in added]
-                ).withColumn("_change", _F.lit("insert"))
-            delta = delta.withColumn(
-                "_commit_version", _F.lit(v).cast("int")
-            )
-            out = delta if out is None else out.unionByName(delta)
+                if added:
+                    parts.append(
+                        spark.read.parquet(
+                            *[os.path.join(self.root, r) for r in added]
+                        ).withColumn("_change", _F.lit("insert"))
+                    )
+            for delta in parts:
+                delta = delta.withColumn(
+                    "_commit_version", _F.lit(v).cast("int")
+                )
+                out = delta if out is None else out.unionByName(delta)
         if out is None:
             raise ValueError(
                 f"no data-changing commits in ({v_from}, {v_to}]"

@@ -311,3 +311,41 @@ def test_stream_batch_two_sources_independent(spark, tmp_path):
     )
     assert t.manifest()["txn"] == {"a": 0, "b": 0}
     assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_merge_mor_upsert(spark, table):
+    t = table
+    src = spark.createDataFrame(
+        [(2, "upd2"), (4, "upd4"), (100, "new")], "k long, tag string"
+    )
+    tgt_tagged = spark.range(0, 10).selectExpr("id as k", "'base' as tag")
+    t2 = ManifestTable(str(t.root) + "_tagged")
+    t2.append(tgt_tagged, "base")
+    t2.merge_mor(spark, src, "k")
+    m = t2.manifest()
+    assert m["op"] == "merge" and len(m["deletes"]) == 1
+    rows = {(r.k, r.tag) for r in t2.read(spark).collect()}
+    assert rows == {(k, "base") for k in (0, 1, 3, 5, 6, 7, 8, 9)} | {
+        (2, "upd2"), (4, "upd4"), (100, "new"),
+    }
+    # time travel: pre-merge snapshot intact
+    assert {r.tag for r in t2.read(spark, 1).collect()} == {"base"}
+    # CDF of the merge: matched pre-images as deletes, source as inserts
+    ch = t2.read_changes(spark, 1, 2).collect()
+    assert sorted((r.k, r._change) for r in ch) == [
+        (2, "delete"), (2, "insert"), (4, "delete"), (4, "insert"),
+        (100, "insert"),
+    ]
+
+
+def test_merge_mor_then_purge(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 6).selectExpr("id as k", "id * 10 as v"), "base")
+    t.merge_mor(
+        spark, spark.createDataFrame([(1, 999), (7, 700)], "k long, v long"), "k"
+    )
+    t.rewrite_deletes(spark)
+    assert t.manifest()["deletes"] == []
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+        (0, 0), (1, 999), (2, 20), (3, 30), (4, 40), (5, 50), (7, 700),
+    ]
