@@ -35,6 +35,7 @@ __all__ = [
     "stratified_sample",
     "global_shuffle_shard",
     "bm25_search_topk",
+    "rrf_hybrid_retrieval",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -2748,4 +2749,219 @@ def zipf_rank_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq_min",
         )
         .orderBy("log2_rank_bucket")
+    )
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+      WHERE w IN ('hash', 'merge', 'window', 'dup')
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                               / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+               AS part_score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dls d ON d.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+      FROM (
+        SELECT doc_id,
+               CAST(floor(sum(part_score) * 1e4 + 0.5) AS BIGINT) AS s
+        FROM scored GROUP BY doc_id
+      )
+    ),
+    qv AS (
+      SELECT embedding FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    dense0 AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(floor(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) * 1e4 + 0.5)
+                  AS BIGINT) AS cs
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS dense_rank
+      FROM dense0
+    ),
+    fused AS (
+      SELECT doc_id,
+             l.lex_rank,
+             d.dense_rank,
+             coalesce(1000000000 // (60 + l.lex_rank), 0)
+           + coalesce(1000000000 // (60 + d.dense_rank), 0) AS rrf_nanos
+      FROM (SELECT * FROM lex WHERE lex_rank <= 50) l
+      FULL OUTER JOIN (SELECT * FROM dense WHERE dense_rank <= 50) d
+        USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           CAST(rrf_nanos AS BIGINT) AS rrf_nanos
+    FROM fused
+    ORDER BY rrf_nanos DESC, doc_id LIMIT 20
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL RANK FUSION (Cormack et al.,
+    SIGIR'09 — the standard score-free fusion behind every
+    lexical+dense RAG stack): retriever 1 is Okapi BM25 over the
+    query {hash, merge, window, dup} (same scorer as
+    bm25_search_topk); retriever 2 is dense cosine against the
+    lowest-vec_id embedding as the query vector (vec_id aliases
+    doc_id — the corpus-alignment contract the federated entries
+    use).  Each retriever contributes its top-50; fused score =
+    SUM_r 1/(60 + rank_r), kept EXACT as integer nanos
+    (1e9 div (60+rank), so both engines do pure integer arithmetic
+    on identical rank operands); top-20 by (rrf, doc_id).
+
+    Rank determinism: both rankings order by the 4dp-SCALED-INTEGER
+    score with doc_id tie-break, so a last-bit float divergence
+    between engines cannot swap ranks — the ranks that feed the
+    fusion are integer-decidable on both sides.  Docs found by only
+    one retriever fuse with the other term at 0 (the full-outer
+    semantics of RRF).
+
+    100 TB shape: the lexical leg keeps bm25_search_topk's plan
+    (term-filter before any shuffle, broadcast df/stats); the dense
+    leg is one broadcast 1-row query vector against a scan-stage
+    JVM-HOF cosine (no Python, no shuffle before the top-50 cut);
+    fusion joins two <=50-row sides and the final top-20 is
+    TakeOrderedAndProject.  At real scale the dense leg swaps to the
+    IVF/LSH index entries; RRF itself is rank-only, so it composes
+    with ANY retriever pair unchanged.  Reference scope: retrieval
+    fusion is a north-star LLM-pipeline extension (SURVEY §2 LLM
+    rows; no flo analog)."""
+    terms = ["hash", "merge", "window", "dup"]
+    k1, b = 1.2, 0.75
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = d.select("doc_id", words.alias("ws"))
+    dls = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dls.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl))
+    )
+    lex = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(part) * 1e4 + F.lit(0.5))
+            .cast("long")
+            .alias("s")
+        )
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= 50)
+        .select("doc_id", "lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+
+    def dbl(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    dot = F.aggregate(
+        F.zip_with(
+            dbl(F.col("embedding")), dbl(F.col("q_emb")), lambda a, x: a * x
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_c = F.aggregate(
+        dbl(F.col("embedding")), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    n_q = F.aggregate(
+        dbl(F.col("q_emb")), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    dense = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                dot / (F.sqrt(n_c) * F.sqrt(n_q)) * 1e4 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cs"),
+        )
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cs").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("dense_rank") <= 50)
+        .select("doc_id", "dense_rank")
+    )
+    return (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("dense_rank").cast("long").alias("dense_rank"),
+            F.expr(
+                "coalesce(1000000000 div (60 + lex_rank), 0)"
+                " + coalesce(1000000000 div (60 + dense_rank), 0)"
+            )
+            .cast("long")
+            .alias("rrf_nanos"),
+        )
+        .orderBy(F.col("rrf_nanos").desc(), "doc_id")
+        .limit(20)
     )
