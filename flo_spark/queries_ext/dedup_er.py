@@ -21,6 +21,7 @@ from flo_spark.queries import (
 
 __all__ = [
     "dedup_clusters_minhash",
+    "mmr_diversified_topk",
     "dedup_connected_components",
     "embedding_centroids",
     "dedup_keep_best",
@@ -2621,3 +2622,173 @@ def fellegi_sunter_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in rows[1:]:
         out = out.unionAll(x)
     return out
+
+
+@query(
+    "mmr_diversified_topk",
+    r"""
+    WITH qv AS (
+      SELECT embedding AS q FROM embeddings
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    rel AS (
+      SELECT e.vec_id AS id,
+             CAST(floor(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.q AS DOUBLE[])) * 1e4 + 0.5) AS BIGINT) AS rel
+      FROM embeddings e CROSS JOIN qv q
+      WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+    ),
+    cand AS (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT 20),
+    ce AS (
+      SELECT c.id, c.rel, e.embedding
+      FROM cand c JOIN embeddings e ON e.vec_id = c.id
+    ),
+    sim AS (
+      SELECT a.id AS ia, b.id AS ib,
+             CAST(floor(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) * 1e4 + 0.5)
+                  AS BIGINT) AS s
+      FROM ce a CROSS JOIN ce b WHERE a.id <> b.id
+    ),
+    p1 AS (SELECT id, rel FROM cand ORDER BY rel DESC, id LIMIT 1),
+    m2 AS (
+      SELECT c.id, c.rel, 7 * c.rel - 3 * max(s.s) AS mmr
+      FROM cand c JOIN sim s ON s.ia = c.id
+      WHERE s.ib IN (SELECT id FROM p1)
+        AND c.id NOT IN (SELECT id FROM p1)
+      GROUP BY c.id, c.rel
+    ),
+    p2 AS (SELECT id, rel, mmr FROM m2 ORDER BY mmr DESC, id LIMIT 1),
+    s2 AS (SELECT id FROM p1 UNION ALL SELECT id FROM p2),
+    m3 AS (
+      SELECT c.id, c.rel, 7 * c.rel - 3 * max(s.s) AS mmr
+      FROM cand c JOIN sim s ON s.ia = c.id
+      WHERE s.ib IN (SELECT id FROM s2)
+        AND c.id NOT IN (SELECT id FROM s2)
+      GROUP BY c.id, c.rel
+    ),
+    p3 AS (SELECT id, rel, mmr FROM m3 ORDER BY mmr DESC, id LIMIT 1),
+    s3 AS (SELECT id FROM s2 UNION ALL SELECT id FROM p3),
+    m4 AS (
+      SELECT c.id, c.rel, 7 * c.rel - 3 * max(s.s) AS mmr
+      FROM cand c JOIN sim s ON s.ia = c.id
+      WHERE s.ib IN (SELECT id FROM s3)
+        AND c.id NOT IN (SELECT id FROM s3)
+      GROUP BY c.id, c.rel
+    ),
+    p4 AS (SELECT id, rel, mmr FROM m4 ORDER BY mmr DESC, id LIMIT 1),
+    s4 AS (SELECT id FROM s3 UNION ALL SELECT id FROM p4),
+    m5 AS (
+      SELECT c.id, c.rel, 7 * c.rel - 3 * max(s.s) AS mmr
+      FROM cand c JOIN sim s ON s.ia = c.id
+      WHERE s.ib IN (SELECT id FROM s4)
+        AND c.id NOT IN (SELECT id FROM s4)
+      GROUP BY c.id, c.rel
+    ),
+    p5 AS (SELECT id, rel, mmr FROM m5 ORDER BY mmr DESC, id LIMIT 1)
+    SELECT CAST(1 AS INT) AS pick_order, id AS doc_id,
+           rel AS rel_x1e4, 7 * rel AS mmr_x1e5 FROM p1
+    UNION ALL SELECT 2, id, rel, mmr FROM p2
+    UNION ALL SELECT 3, id, rel, mmr FROM p3
+    UNION ALL SELECT 4, id, rel, mmr FROM p4
+    UNION ALL SELECT 5, id, rel, mmr FROM p5
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98 — the standard relevance-vs-redundancy diversifier for
+    RAG context selection): from the top-20 cosine candidates for the
+    query (lowest-vec_id embedding), greedily pick 5, each step
+    maximizing ``lambda*rel(d) - (1-lambda)*max_{s in S} sim(d, s)``
+    with lambda=0.7.  Every operand is a 4dp-scaled INTEGER cosine
+    and the combination ``7*rel - 3*max_sim`` stays integer
+    (mmr_x1e5), so the argmax at each step is integer-decidable with
+    doc_id tie-break — both engines replay the identical greedy
+    trajectory (the oracle unrolls the 5 steps as CTE stages; pick 1
+    has no diversity term by definition).
+
+    Plan shape: candidate generation is the distributed brute-force
+    top-k (TakeOrderedAndProject over a scan-stage JVM-HOF cosine);
+    the 20x20 pairwise matrix is distributed too; only the greedy
+    walk runs driver-side over the COLLECTED (k*N)-bounded scaled-int
+    matrix — O(420) rows by contract, the documented bounded-collect
+    exception (same class as cosine_topk's query-set collect).  At
+    100 TB the candidate stage swaps to the IVF/LSH index entries;
+    MMR itself only ever touches N candidates.  Reference scope:
+    north-star LLM-pipeline extension (SURVEY §2 LLM rows; no flo
+    analog)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+
+    def dbl(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(dbl(a), dbl(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.aggregate(dbl(a), F.lit(0.0), lambda acc, x: acc + x * x)
+        nb = F.aggregate(dbl(b), F.lit(0.0), lambda acc, x: acc + x * x)
+        return F.floor(
+            dot / (F.sqrt(na) * F.sqrt(nb)) * 1e4 + F.lit(0.5)
+        ).cast("long")
+
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("vec_id").alias("id"),
+            cos(F.col("embedding"), F.col("q_emb")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(20)
+    )
+    ce = cand.join(e, cand["id"] == e["vec_id"]).select(
+        "id", "rel", "embedding"
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cos(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+        )
+    )
+    # bounded driver collect BY CONTRACT: 20 candidates + 20*19 pairs
+    # of scaled ints — the greedy walk is O(k*N) arithmetic.
+    rel_rows = {r["id"]: r["rel"] for r in cand.collect()}
+    sim_rows = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    picked: list[tuple[int, int, int, int]] = []
+    selected: list[int] = []
+    for step in range(1, 6):
+        best = None
+        for cid, rel in rel_rows.items():
+            if cid in selected:
+                continue
+            if not selected:
+                mmr = 7 * rel
+            else:
+                mmr = 7 * rel - 3 * max(
+                    sim_rows[(cid, s)] for s in selected
+                )
+            key = (-mmr, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, rel, mmr)
+        _, cid, rel, mmr = best
+        picked.append((step, cid, rel, mmr))
+        selected.append(cid)
+    return spark.createDataFrame(
+        picked, "pick_order int, doc_id long, rel_x1e4 long, mmr_x1e5 long"
+    )
