@@ -36,6 +36,7 @@ __all__ = [
     "global_shuffle_shard",
     "bm25_search_topk",
     "rrf_hybrid_retrieval",
+    "bleu2_pairwise_eval",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -2963,5 +2964,198 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rrf_nanos"),
         )
         .orderBy(F.col("rrf_nanos").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "bleu2_pairwise_eval",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, lead(doc_id) OVER (
+               PARTITION BY lang, source ORDER BY doc_id) AS ref_id
+      FROM w
+    ),
+    pr AS (SELECT doc_id, ref_id FROM pairs WHERE ref_id IS NOT NULL),
+    uni AS (
+      SELECT doc_id, u AS tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(ws) AS u FROM w)
+      GROUP BY doc_id, u
+    ),
+    bi AS (
+      SELECT doc_id, u AS tok, count(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS u
+        FROM w
+      )
+      GROUP BY doc_id, u
+    ),
+    lens AS (SELECT doc_id, len(ws) AS n FROM w),
+    m1 AS (
+      SELECT p.doc_id, CAST(sum(least(cu.cnt, ru.cnt)) AS BIGINT) AS m
+      FROM pr p
+      JOIN uni cu ON cu.doc_id = p.doc_id
+      JOIN uni ru ON ru.doc_id = p.ref_id AND ru.tok = cu.tok
+      GROUP BY p.doc_id
+    ),
+    m2 AS (
+      SELECT p.doc_id, CAST(sum(least(cb.cnt, rb.cnt)) AS BIGINT) AS m
+      FROM pr p
+      JOIN bi cb ON cb.doc_id = p.doc_id
+      JOIN bi rb ON rb.doc_id = p.ref_id AND rb.tok = cb.tok
+      GROUP BY p.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_id, p.ref_id,
+             CAST(lc.n AS BIGINT) AS c_len,
+             CAST(lr.n AS BIGINT) AS r_len,
+             coalesce(m1.m, 0) AS m1,
+             coalesce(m2.m, 0) AS m2,
+             CASE WHEN coalesce(m1.m, 0) = 0 OR coalesce(m2.m, 0) = 0
+                  THEN 0.0
+                  ELSE (CASE WHEN lc.n > lr.n THEN 1.0
+                             ELSE exp(1 - CAST(lr.n AS DOUBLE) / lc.n)
+                        END)
+                       * exp(0.5 * (ln(CAST(m1.m AS DOUBLE) / lc.n)
+                                  + ln(CAST(m2.m AS DOUBLE) / (lc.n - 1))))
+             END AS bleu
+      FROM pr p
+      JOIN lens lc ON lc.doc_id = p.doc_id
+      JOIN lens lr ON lr.doc_id = p.ref_id
+      LEFT JOIN m1 ON m1.doc_id = p.doc_id
+      LEFT JOIN m2 ON m2.doc_id = p.doc_id
+      WHERE lc.n >= 2
+    )
+    SELECT doc_id, ref_id, c_len, r_len, m1, m2,
+           CAST(floor(bleu * 1e4 + 0.5) AS BIGINT) AS bleu2_x1e4
+    FROM scored
+    ORDER BY bleu2_x1e4 DESC, doc_id LIMIT 20
+    """,
+)
+def bleu2_pairwise_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 generation-eval scoring (Papineni et al., ACL'02 — the
+    clipped n-gram-precision metric every generation pipeline
+    reports), computed corpus-wide between deterministic
+    candidate/reference pairs (each document vs the next doc_id in
+    its (lang, source) group): clipped unigram and bigram matches
+    ``m_n = SUM_g min(cnt_cand(g), cnt_ref(g))``, geometric mean of
+    the two precisions, and the brevity penalty ``exp(1 - r/c)`` for
+    short candidates; zero bigram overlap floors the score at 0
+    (the standard smoothing-free convention).  Top-20 most-similar
+    pairs by 4dp-scaled score with doc_id tie-break.
+
+    Every model input (m1, m2, c_len, r_len) is an exact integer —
+    surfaced as output columns so the hash pins the clipped-count
+    machinery itself, not just the float — and both engines evaluate
+    the same ln/exp expression over identical operands before the
+    single 4dp rounding (the bm25 determinism pattern).
+
+    100 TB shape: n-gram counts aggregate map-side per doc; the
+    clipped join keys on (pair, gram) AFTER both sides are reduced
+    to per-doc count tables (never token-stream x token-stream); the
+    pairing is one lead() window over (lang, source); top-20 is
+    TakeOrderedAndProject.  Eval-suite scale (candidate sets ~1e3
+    rows) makes the ref side broadcastable; corpus-vs-corpus as here
+    stays a keyed shuffle join.  Reference scope: north-star
+    LLM-pipeline extension (SURVEY §2 LLM rows; ROUGE recall is this
+    with the roles swapped)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    w = d.select("doc_id", "lang", "source", words.alias("ws"))
+    win = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pr = (
+        w.select(
+            "doc_id", F.lead("doc_id").over(win).alias("ref_id")
+        )
+        .filter(F.col("ref_id").isNotNull())
+    )
+    uni = (
+        w.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        w.filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lens = w.select("doc_id", F.size("ws").alias("n"))
+
+    def clipped(counts: DataFrame, name: str) -> DataFrame:
+        cu = counts.alias("cu")
+        ru = counts.alias("ru")
+        return (
+            pr.alias("p")
+            .join(cu, F.col("cu.doc_id") == F.col("p.doc_id"))
+            .join(
+                ru,
+                (F.col("ru.doc_id") == F.col("p.ref_id"))
+                & (F.col("ru.tok") == F.col("cu.tok")),
+            )
+            .groupBy(F.col("p.doc_id").alias("doc_id"))
+            .agg(
+                F.sum(F.least(F.col("cu.cnt"), F.col("ru.cnt")))
+                .cast("long")
+                .alias(name)
+            )
+        )
+
+    lc, lr = lens.alias("lc"), lens.alias("lr")
+    j = (
+        pr.join(lc, F.col("lc.doc_id") == pr["doc_id"])
+        .join(lr, F.col("lr.doc_id") == pr["ref_id"])
+        .select(
+            pr["doc_id"],
+            "ref_id",
+            F.col("lc.n").cast("long").alias("c_len"),
+            F.col("lr.n").cast("long").alias("r_len"),
+        )
+        .filter(F.col("c_len") >= 2)
+        .join(clipped(uni, "m1"), "doc_id", "left")
+        .join(clipped(bi, "m2"), "doc_id", "left")
+        .fillna(0, ["m1", "m2"])
+    )
+    c, r = F.col("c_len").cast("double"), F.col("r_len").cast("double")
+    bp = F.when(F.col("c_len") > F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(1 - r / c)
+    )
+    bleu = F.when(
+        (F.col("m1") == 0) | (F.col("m2") == 0), F.lit(0.0)
+    ).otherwise(
+        bp
+        * F.exp(
+            0.5
+            * (
+                F.log(F.col("m1").cast("double") / c)
+                + F.log(F.col("m2").cast("double") / (c - 1))
+            )
+        )
+    )
+    return (
+        j.select(
+            "doc_id",
+            "ref_id",
+            "c_len",
+            "r_len",
+            "m1",
+            "m2",
+            F.floor(bleu * 1e4 + F.lit(0.5)).cast("long").alias(
+                "bleu2_x1e4"
+            ),
+        )
+        .orderBy(F.col("bleu2_x1e4").desc(), "doc_id")
         .limit(20)
     )
