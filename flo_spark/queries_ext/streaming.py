@@ -40,6 +40,8 @@ __all__ = [
     "stream_cep_pattern_monitor",
     "stream_drift_monitor",
     "watermark_disorder_audit",
+    "stream_lakehouse_sink",
+    "stream_stream_semi_attribution",
 ]
 
 
@@ -1811,4 +1813,68 @@ def stream_lakehouse_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("max_event"),
         )
         .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )
+
+
+@query(
+    "stream_stream_semi_attribution",
+    """
+    SELECT DISTINCT c.user_id, c.event_id AS click_id
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_semi_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join — the
+    existence-check form that completes the streaming join matrix
+    (inner / left outer / full outer are the sibling entries): clicks
+    that HAVE an attributed purchase by the same user within the
+    following 30 minutes, emitted without duplicating the click per
+    match and without shipping any purchase column.  Semi is the
+    right shape when downstream only needs "converted?" — state and
+    output stay O(clicks in window), not O(matches), and a click
+    emits at most once no matter how many purchases land in its
+    window (the oracle's DISTINCT over the inner join states exactly
+    that contract).
+
+    Deterministic under the drain trigger: one input file = one
+    micro-batch, matches emit in the batch the match arrives.  100 TB
+    shape: watermarks + the time-range predicate bound both sides'
+    state (rows older than watermark - 30 min evict); the join keys
+    on user_id so state is hash-partitioned across executors.
+    Reference scope: flo has no join surface — Structured Streaming
+    north-star extension (SURVEY §2 streaming rows)."""
+    from flo_spark.queries import _events_stream
+    from flo_spark.streaming.consume_stream import run_to_memory
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_semi",
+    ).select("user_id", "click_id")
+    return run_to_memory(
+        joined, await_new=False, output_mode="append", shuffle_partitions=8
     )
