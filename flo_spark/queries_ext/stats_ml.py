@@ -21,6 +21,7 @@ from flo_spark.queries import (
 
 __all__ = [
     "funnel_conversion",
+    "conformal_interval_coverage",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -3779,3 +3780,145 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(events AS BIGINT) AS events",
         "CAST(surv AS BIGINT) AS surv_x1e6",
     ).orderBy("week")
+
+
+@query(
+    "conformal_interval_coverage",
+    """
+    WITH px AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    tr AS (
+      SELECT prio, CAST(sum(px) // count(*) AS BIGINT) AS m
+      FROM px WHERE o_orderkey % 10 <= 5 GROUP BY prio
+    ),
+    cal AS (
+      SELECT p.prio, abs(p.px - t.m) AS score, p.o_orderkey
+      FROM px p JOIN tr t USING (prio)
+      WHERE o_orderkey % 10 IN (6, 7)
+    ),
+    calr AS (
+      SELECT prio, score,
+             row_number() OVER (
+               PARTITION BY prio ORDER BY score, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n_cal
+      FROM cal
+    ),
+    qh AS (
+      SELECT prio, n_cal, rn AS k_index, score AS qhat
+      FROM calr WHERE rn = (9 * n_cal + 18) // 10
+    ),
+    te AS (
+      SELECT p.prio, abs(p.px - t.m) AS score
+      FROM px p JOIN tr t USING (prio)
+      WHERE o_orderkey % 10 >= 8
+    ),
+    cov AS (
+      SELECT t.prio, count(*) AS n_test,
+             sum(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END) AS n_cov
+      FROM te t JOIN qh q USING (prio) GROUP BY t.prio
+    )
+    SELECT q.prio AS o_orderpriority,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(q.k_index AS BIGINT) AS k_index,
+           CAST(q.qhat AS BIGINT) AS qhat_x1e4,
+           CAST(c.n_test AS BIGINT) AS n_test,
+           CAST(c.n_cov AS BIGINT) AS n_covered,
+           floor(CAST(c.n_cov AS DOUBLE) / c.n_test * 1e4 + 0.5) / 1e4
+             AS coverage
+    FROM qh q JOIN cov c USING (prio)
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) SPLIT-CONFORMAL prediction
+    intervals (Vovk et al.; the distribution-free uncertainty
+    quantification modern ML eval pipelines attach to any point
+    model): orders hash-split 60/20/20 into train/calibration/test
+    by o_orderkey; the point model is the train-split mean price per
+    priority (exact scaled-long integer division); nonconformity =
+    |y - yhat| as exact scaled ints.  Per priority, qhat is the
+    k-th smallest calibration score with k = ceil(0.9 * (n+1)) —
+    computed as the integer (9n+18) div 10 and realized as a
+    row_number order statistic with o_orderkey tie-break, so the
+    quantile index and value are integer-decidable on both engines.
+    Coverage on the held-out test split (fraction of |y - yhat| <=
+    qhat) must then land near 90% by the conformal guarantee — the
+    entry hashes n_cal, k, qhat, and the exact covered counts, so
+    both the calibration machinery and the guarantee's realization
+    are pinned.
+
+    100 TB shape: the model and qhat are one groupBy each (5-row
+    broadcastable outputs); scores are scan-stage integer
+    expressions; the order statistic is a per-group window over the
+    calibration split only — no global sort, state O(groups).
+    North-star ML-eval extension (SURVEY §2 LLM/stats rows; sibling
+    of calibration_curve_quality and roc_youden_threshold)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        money_scaled(F.col("o_totalprice")).alias("px"),
+    )
+    tr = (
+        o.filter(F.col("k") % 10 <= 5)
+        .groupBy("prio")
+        .agg(F.expr("sum(px) div count(*)").cast("long").alias("m"))
+    )
+    cal = (
+        o.filter((F.col("k") % 10).isin(6, 7))
+        .join(F.broadcast(tr), "prio")
+        .select("prio", "k", F.abs(F.col("px") - F.col("m")).alias("score"))
+    )
+    w = Window.partitionBy("prio").orderBy("score", "k")
+    calr = cal.select(
+        "prio",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("prio")).alias("n_cal"),
+    )
+    qh = calr.filter(
+        F.col("rn") == F.expr("(9 * n_cal + 18) div 10")
+    ).select(
+        "prio",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("rn").cast("long").alias("k_index"),
+        F.col("score").cast("long").alias("qhat_x1e4"),
+    )
+    te = (
+        o.filter(F.col("k") % 10 >= 8)
+        .join(F.broadcast(tr), "prio")
+        .select("prio", F.abs(F.col("px") - F.col("m")).alias("score"))
+    )
+    cov = (
+        te.join(F.broadcast(qh), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("score") <= F.col("qhat_x1e4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        qh.join(cov, "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n_cal",
+            "k_index",
+            "qhat_x1e4",
+            "n_test",
+            "n_covered",
+            (
+                F.floor(
+                    F.col("n_covered").cast("double")
+                    / F.col("n_test")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("coverage"),
+        )
+    )
