@@ -22,6 +22,7 @@ from flo_spark.queries import (
 __all__ = [
     "funnel_conversion",
     "conformal_interval_coverage",
+    "holt_linear_forecast",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -3921,4 +3922,91 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e4
             ).alias("coverage"),
         )
+    )
+
+
+@query(
+    "holt_linear_forecast",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY bucket
+    ),
+    h AS (
+      SELECT row_number() OVER (ORDER BY bucket) AS i, cnt FROM hourly
+    ),
+    nn AS (SELECT max(i) AS n FROM h),
+    rec AS (
+      SELECT 1 AS i,
+             CAST((SELECT cnt FROM h WHERE i = 1) AS DOUBLE) AS l,
+             CAST((SELECT cnt FROM h WHERE i = 2)
+                  - (SELECT cnt FROM h WHERE i = 1) AS DOUBLE) AS b
+      UNION ALL
+      SELECT r.i + 1,
+             0.5 * hh.cnt + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * hh.cnt + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN h hh ON hh.i = r.i + 1
+    )
+    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_hours,
+           CAST(floor(l * 1e4 + 0.5) AS BIGINT) AS level_x1e4,
+           CAST(floor(b * 1e4 + 0.5) AS BIGINT) AS trend_x1e4,
+           CAST(floor((l + 1 * b) * 1e4 + 0.5) AS BIGINT) AS fc1_x1e4,
+           CAST(floor((l + 2 * b) * 1e4 + 0.5) AS BIGINT) AS fc2_x1e4,
+           CAST(floor((l + 3 * b) * 1e4 + 0.5) AS BIGINT) AS fc3_x1e4
+    FROM rec WHERE i = (SELECT n FROM nn)
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over the
+    hourly event-count series, plus the 1/2/3-step-ahead forecasts
+    ``yhat_{T+h} = l_T + h * b_T`` (the workhorse capacity-planning
+    forecaster; completes the smoothing family next to
+    ewma_hourly_trend's single-parameter level tracker).  Recursion:
+    ``l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1})``,
+    ``b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}`` with a = g = 0.5 and
+    the standard init l_1 = y_1, b_1 = y_2 - y_1.
+
+    Cross-engine determinism WITHOUT scaled-integer state: both
+    engines execute the bit-identical IEEE-double operation sequence
+    — the oracle as a recursive CTE in hour order, Spark as an
+    ``aggregate`` fold over the hour-sorted struct array with the
+    SAME operand-order arithmetic (dyadic a = g = 0.5 keeps every
+    step a correctly-rounded halving/add, so "same sequence -> same
+    bits" holds); outputs round once at 4dp.
+
+    100 TB shape: the distributed work is the hourly pre-aggregation
+    (map-side combinable count); the fold runs on ONE executor over
+    the O(hours) array — years of hourly buckets is ~1e4 elements,
+    metadata-sized by construction, never the raw events.  Reference
+    scope: north-star time-series extension (SURVEY §2 stats rows)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    arr = hourly.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("ys")
+    )
+    # fold t=2..n with the identical operand order as the oracle CTE
+    out = arr.selectExpr(
+        "size(ys) AS n_hours",
+        """
+        aggregate(
+          slice(ys, 2, size(ys) - 1),
+          named_struct(
+            'l', CAST(ys[0].cnt AS DOUBLE),
+            'b', CAST(ys[1].cnt - ys[0].cnt AS DOUBLE)),
+          (acc, y) -> named_struct(
+            'l', 0.5 * y.cnt + 0.5 * (acc.l + acc.b),
+            'b', 0.5 * ((0.5 * y.cnt + 0.5 * (acc.l + acc.b)) - acc.l)
+                 + 0.5 * acc.b)
+        ) AS st
+        """,
+    )
+    return out.selectExpr(
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        "CAST(floor(st.l * 1e4 + 0.5) AS BIGINT) AS level_x1e4",
+        "CAST(floor(st.b * 1e4 + 0.5) AS BIGINT) AS trend_x1e4",
+        "CAST(floor((st.l + 1 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc1_x1e4",
+        "CAST(floor((st.l + 2 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc2_x1e4",
+        "CAST(floor((st.l + 3 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc3_x1e4",
     )
