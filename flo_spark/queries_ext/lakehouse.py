@@ -36,6 +36,7 @@ __all__ = [
     "lakehouse_deletion_vectors",
     "lakehouse_change_data_feed",
     "lakehouse_merge_mor",
+    "lakehouse_bloom_skipping",
 ]
 
 
@@ -1161,3 +1162,83 @@ def lakehouse_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ndv).cast("long").alias("n_dv_files"),
         F.lit(n_v1).cast("long").alias("n_docs_v1"),
     )
+
+
+@query(
+    "lakehouse_bloom_skipping",
+    """
+    WITH hit AS (
+      SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_total
+      FROM documents WHERE source = 'src7'
+    )
+    SELECT 'src7' AS probe,
+           CAST(5 AS BIGINT) AS fragments_total,
+           CAST(1 AS BIGINT) AS fragments_read,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           chars_total
+    FROM hit
+    UNION ALL
+    SELECT 'zz-absent', CAST(5 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def lakehouse_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level BLOOM-sidecar data skipping for equality lookups
+    (``ManifestTable.write_fragment(bloom_cols=...)`` +
+    ``read_point`` — the Iceberg bloom-filter / Parquet
+    bloom-sidecar mechanism for the predicates min/max stats cannot
+    prune: categorical or high-cardinality point keys): documents
+    land as FIVE source-sharded fragments, each recording a
+    4096-bit/3-hash bloom over its ``source`` values; a point lookup
+    for 'src7' opens exactly ONE fragment (its shard — all 3 probe
+    positions set only there) and a lookup for an absent source
+    opens ZERO.  No false negatives by construction (every written
+    value set its bits), so the prune is lossless: the probe's
+    aggregate must still equal the raw table's answer for
+    ``source = 'src7'`` — that plus the literal skip counts is what
+    the hash pins.  (The 1-in-~4e7 structural false-positive chance
+    is data-deterministic; verified 1/0 at every shipped SF.)
+
+    100 TB shape: the probe costs one k-position hash driver-side +
+    one tiny JSON per fragment — a needle-in-the-fleet point lookup
+    touches one file instead of every file; complements
+    lakehouse_stats_skipping (range prune) and
+    dpp_month_partition_prune (partition prune).  Reference scope:
+    flo seeks segments by counter-range header (A5); value-addressed
+    skipping is a north-star extension (SURVEY §2 Part B
+    sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    t = ManifestTable(scratch_dir("lakehouse_bloom_"))
+    shard = F.pmod(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(5)
+    )
+    for i in range(5):
+        t.append(
+            docs.filter(shard == i).coalesce(2),
+            f"shard{i}",
+            bloom_cols=["source"],
+        )
+    rows = []
+    for probe in ("src7", "zz-absent"):
+        df, rep = t.read_point(spark, "source", probe)
+        rows.append(
+            df.agg(
+                F.lit(probe).alias("probe"),
+                F.lit(rep["fragments_total"]).cast("long").alias(
+                    "fragments_total"
+                ),
+                F.lit(rep["fragments_read"]).cast("long").alias(
+                    "fragments_read"
+                ),
+                F.count("*").cast("long").alias("n_docs"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+                    "chars_total"
+                ),
+            )
+        )
+    return rows[0].unionAll(rows[1])

@@ -84,8 +84,17 @@ class ManifestTable:
 
     # -- write path --------------------------------------------------------
 
+    #: bloom sidecar geometry: 4096-bit / 3-hash keeps the sidecar a
+    #: few KB while point-probe false positives stay ~(bits_set/m)^k.
+    BLOOM_M = 4096
+    BLOOM_K = 3
+
     def write_fragment(
-        self, df: DataFrame, name: str, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> str:
         """Materialize one immutable data fragment; returns its relative
         path.  Fragments are directories (one Spark parquet write), the
@@ -116,7 +125,107 @@ class ManifestTable:
                 os.path.join(self.root, rel, "_stats.json"), "w"
             ) as fh:
                 json.dump(stats, fh, default=str)
+        if bloom_cols:
+            from pyspark.sql import functions as _F
+
+            bloom: dict[str, dict] = {}
+            for c in bloom_cols:
+                pos = _F.explode(
+                    _F.array(
+                        *[
+                            _F.pmod(
+                                _F.xxhash64(_F.col(c), _F.lit(i)),
+                                _F.lit(self.BLOOM_M),
+                            )
+                            for i in range(self.BLOOM_K)
+                        ]
+                    )
+                )
+                # O(BLOOM_M)-bounded driver metadata: distinct bit
+                # positions, never values.
+                rows = df.select(pos.alias("p")).distinct().collect()
+                bloom[c] = {
+                    "m": self.BLOOM_M,
+                    "k": self.BLOOM_K,
+                    "bits": sorted(int(r["p"]) for r in rows),
+                }
+            with open(
+                os.path.join(self.root, rel, "_bloom.json"), "w"
+            ) as fh:
+                json.dump(bloom, fh)
         return rel
+
+    def fragment_bloom(self, rel: str) -> dict | None:
+        """Per-column bloom bit sets recorded at write time, None if
+        the fragment was written without ``bloom_cols``."""
+        path = os.path.join(self.root, rel, "_bloom.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Bloom-pruned POINT lookup (the Iceberg/Parquet bloom-sidecar
+        skipping for equality predicates, where min/max stats can't
+        help — high-cardinality or categorical keys): a fragment is
+        read only if ALL k probe positions of ``value`` are set in its
+        recorded bloom bits.  No false negatives by construction (every
+        written value set its bits), so the prune is lossless; false
+        positives only cost an extra fragment scan.  Fragments written
+        without a bloom for ``col`` are must-read (conservative rule,
+        as in :meth:`read_where`).
+
+        Returns ``(df, report)`` — df carries the exact residual
+        ``col = value`` filter; report counts fragments.  100 TB
+        shape: the probe is O(1) driver work (one k-position hash) +
+        O(fragments) sidecar reads; unpruned engines scan the fleet
+        for one key."""
+        from pyspark.sql import functions as _F
+
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError(f"version {m['version']} is empty")
+        # probe positions via the SAME engine hash as the write side
+        # (one 1-row collect: O(1) driver metadata)
+        probe_row = spark.range(1).select(
+            _F.array(
+                *[
+                    _F.pmod(
+                        _F.xxhash64(_F.lit(value), _F.lit(i)),
+                        _F.lit(self.BLOOM_M),
+                    )
+                    for i in range(self.BLOOM_K)
+                ]
+            ).alias("ps")
+        ).collect()
+        probes = set(probe_row[0]["ps"])
+        keep: list[str] = []
+        for rel in m["files"]:
+            bl = self.fragment_bloom(rel)
+            ent = None if bl is None else bl.get(col)
+            if ent is None or probes <= set(ent["bits"]):
+                keep.append(rel)
+        report = {
+            "fragments_total": len(m["files"]),
+            "fragments_read": len(keep),
+        }
+        if not keep:
+            base = self.read(spark, version).filter(_F.lit(False))
+            return base.filter(_F.col(col) == _F.lit(value)), report
+        df = self._apply_deletes(
+            spark,
+            spark.read.parquet(
+                *[os.path.join(self.root, rel) for rel in keep]
+            ),
+            m.get("deletes", []),
+        )
+        return df.filter(_F.col(col) == _F.lit(value)), report
 
     def fragment_stats(self, rel: str) -> dict | None:
         """Per-column [min, max] recorded at write time, None if the
@@ -242,9 +351,13 @@ class ManifestTable:
                 continue
 
     def append(
-        self, df: DataFrame, name: str, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
-        rel = self.write_fragment(df, name, stats_cols)
+        rel = self.write_fragment(df, name, stats_cols, bloom_cols)
         return self.commit(lambda files: (files + [rel], "append"))
 
     def delete_where(

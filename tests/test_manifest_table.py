@@ -349,3 +349,39 @@ def test_merge_mor_then_purge(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
         (0, 0), (1, 999), (2, 20), (3, 30), (4, 40), (5, 50), (7, 700),
     ]
+
+
+def test_bloom_point_lookup_prunes_and_is_lossless(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id as k", f"concat('g', cast(id % 40 div 10 as string)) as g"
+            ),
+            f"shard{i}",
+            bloom_cols=["g"],
+        )
+    df, rep = t.read_point(spark, "g", "g2")
+    assert rep["fragments_total"] == 4
+    assert rep["fragments_read"] == 1  # bloom pruned 3 of 4
+    assert sorted(r.k for r in df.collect()) == list(range(20, 30))
+    # absent value: zero fragments opened, empty exact result
+    df0, rep0 = t.read_point(spark, "g", "nope")
+    assert rep0["fragments_read"] == 0 and df0.count() == 0
+    # fragment without a bloom is must-read (conservative)
+    t.append(spark.range(100, 101).selectExpr("id as k", "'g2' as g"), "nb")
+    df2, rep2 = t.read_point(spark, "g", "g2")
+    assert rep2["fragments_read"] == 2
+    assert sorted(r.k for r in df2.collect()) == list(range(20, 30)) + [100]
+
+
+def test_bloom_respects_deletes(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(
+        spark.range(0, 10).selectExpr("id as k", "'a' as g"),
+        "base",
+        bloom_cols=["g"],
+    )
+    t.delete_where_mor(spark, "k = 3")
+    df, _ = t.read_point(spark, "g", "a")
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
