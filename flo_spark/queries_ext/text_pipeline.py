@@ -37,6 +37,7 @@ __all__ = [
     "bm25_search_topk",
     "rrf_hybrid_retrieval",
     "bleu2_pairwise_eval",
+    "bpe_decode_roundtrip",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -3158,4 +3159,66 @@ def bleu2_pairwise_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bleu2_x1e4").desc(), "doc_id")
         .limit(20)
+    )
+
+
+@query(
+    "bpe_decode_roundtrip",
+    f"""
+    WITH wf AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS toks FROM wf),
+    {{step1}},
+    {{step2}},
+    {{step3}}
+    SELECT CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+           CAST(sum(CASE WHEN array_to_string(toks, '') = word
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact
+    FROM s3 GROUP BY len(toks)
+    """.format(
+        step1=_bpe_step_sql("s0", 1),
+        step2=_bpe_step_sql("s1", 2),
+        step3=_bpe_step_sql("s2", 3),
+    ),
+)
+def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE DECODE — the inverse direction that certifies the trained
+    tokenizer is LOSSLESS: for every vocabulary word, concatenating
+    its post-merge token sequence must reproduce the original word
+    byte-for-byte (``n_roundtrip_exact = n_words`` in every bucket —
+    a merge step that drops, duplicates, or reorders a token breaks
+    it, which is exactly the failure mode of the positional
+    NULL-removal rewrite the merge uses).  Output is the
+    tokens-per-word distribution (word count + corpus occurrence
+    mass per token-sequence length), i.e. the compression profile
+    the 3 learned merges achieve.
+
+    100 TB shape: everything runs on the word-frequency table (one
+    corpus scan reduced to distinct words), so decode verification
+    costs O(vocabulary), not O(corpus); per-word work is a pure
+    JVM-side array fold.  Reference scope: flo codecs must round-trip
+    bytes (A17); this is the tokenizer-vocabulary analog (SURVEY §2
+    LLM rows, tokenizer family: train / encode / decode now all
+    certified)."""
+    seqs, _steps = _bpe_train(spark, sf_dir)
+    return (
+        seqs.select(
+            "word",
+            "cnt",
+            F.size("toks").alias("n_toks"),
+            (F.array_join("toks", "") == F.col("word")).alias("ok"),
+        )
+        .groupBy(F.col("n_toks").cast("long").alias("n_toks"))
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_roundtrip_exact"),
+        )
     )
