@@ -28,6 +28,7 @@ __all__ = [
     "flo_fixedwidth_roundtrip",
     "flo_async_pipelined_roundtrip",
     "flo_tailer_bounded_sweep",
+    "audit_hash_chain",
 ]
 
 
@@ -702,3 +703,96 @@ def flo_tailer_bounded_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "sweep int, n_events long, sum_counters long"
     ).orderBy("sweep")
+
+
+@query(
+    "audit_hash_chain",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             md5(string_agg(concat_ws('|', event_id, user_id, event_type),
+                            '' ORDER BY event_id)) AS digest
+      FROM events GROUP BY bucket
+    ),
+    h AS (SELECT row_number() OVER (ORDER BY bucket) AS i, digest FROM ev),
+    chain AS (
+      SELECT 1 AS i, (SELECT digest FROM h WHERE i = 1) AS digest,
+             md5((SELECT digest FROM h WHERE i = 1)) AS chain_hash
+      UNION ALL
+      SELECT c.i + 1, hh.digest, md5(concat(c.chain_hash, hh.digest))
+      FROM chain c JOIN h hh ON hh.i = c.i + 1
+    )
+    SELECT CAST(i AS BIGINT) AS link_id, digest, chain_hash FROM chain
+    """,
+)
+def audit_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident HASH CHAIN over the event log (the
+    ledger/audit-log integrity mechanism: each hour's content digest
+    is chained into ``h_i = md5(h_{i-1} || digest_i)``, so modifying,
+    dropping, or reordering ANY event anywhere changes every
+    subsequent link — verification of the head certifies the whole
+    history).  Per-hour digest = md5 over the hour's events
+    serialized in event_id order (struct-sorted, so the order key is
+    numeric on both engines); the chain is replayed per link, giving
+    an anchor sequence an auditor can spot-check at any depth.
+
+    Both engines emit every (link_id, digest, chain_hash) row, so the
+    hash gate certifies digest construction AND chain recursion
+    byte-for-byte (md5 hex is engine-independent).
+
+    100 TB shape: digests reduce map-side per hour bucket (the only
+    corpus-scale shuffle); the chain folds over the O(hours) digest
+    array — metadata-sized, exactly like the Holt fold; the per-link
+    prefix replay is O(hours^2) md5s over 32-byte strings, still
+    driver-free and trivially small.  At petabyte retention the
+    chain would checkpoint per segment — flo's segment headers
+    (flo_segment.rs) are the natural anchor points, which is why
+    this lives with the flo-surface entries: it is the integrity
+    audit flo's append-only log implies but never materializes
+    (north-star extension, SURVEY §2 Part A retention/status rows)."""
+    ev = load(spark, sf_dir, "events")
+    line = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("event_id"), line.alias("line"))
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("digest")
+        )
+    )
+    arr = hourly.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "digest"))).alias("ds")
+    )
+    return (
+        arr.select(
+            F.explode(
+                F.expr(
+                    """
+                    transform(sequence(1, size(ds)), i -> struct(
+                      CAST(i AS BIGINT) AS link_id,
+                      ds[i - 1].digest AS digest,
+                      aggregate(slice(ds, 1, i), '',
+                                (acc, x) -> md5(CAST(concat(acc, x.digest)
+                                                     AS BINARY)))
+                        AS chain_hash))
+                    """
+                )
+            ).alias("l")
+        )
+        .select("l.link_id", "l.digest", "l.chain_hash")
+    )
