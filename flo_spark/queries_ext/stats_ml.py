@@ -23,6 +23,7 @@ __all__ = [
     "funnel_conversion",
     "conformal_interval_coverage",
     "holt_linear_forecast",
+    "pca_power_iteration",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4009,4 +4010,119 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor((st.l + 1 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc1_x1e4",
         "CAST(floor((st.l + 2 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc2_x1e4",
         "CAST(floor((st.l + 3 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc3_x1e4",
+    )
+
+
+def _pca_round_sql(prev_v: str, n: int) -> str:
+    """One unrolled power-iteration round: exact int64 matvec, then
+    the scalar double renormalization (identical operand sequence on
+    both engines)."""
+    return f"""
+    w{n} AS (
+      SELECT g.i, SUM(g.g * {prev_v}.v) AS w
+      FROM g JOIN {prev_v} ON {prev_v}.i = g.j GROUP BY g.i
+    ),
+    m{n} AS (SELECT max(abs(w)) AS m FROM w{n}),
+    v{n} AS (
+      SELECT i, CAST(floor(CAST(w AS DOUBLE)
+                           / (SELECT CAST(m AS DOUBLE) FROM m{n})
+                           * 1e6 + 0.5) AS BIGINT) AS v
+      FROM w{n}
+    )"""
+
+
+@query(
+    "pca_power_iteration",
+    f"""
+    WITH pe AS (
+      SELECT vec_id, i.i AS i,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS x
+      FROM embeddings, range(64) i(i)
+    ),
+    g AS (
+      SELECT a.i, b.i AS j,
+             SUM(CAST(floor(a.x * b.x * 1e6 + 0.5) AS BIGINT)) AS g
+      FROM pe a JOIN pe b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i.i AS i, CAST(1000000 AS BIGINT) AS v FROM range(64) i(i)),
+    {_pca_round_sql('v0', 1)},
+    {_pca_round_sql('v1', 2)},
+    {_pca_round_sql('v2', 3)}
+    SELECT CAST(w3.i AS BIGINT) AS dim_idx,
+           CAST(w3.w AS BIGINT) AS w3_raw,
+           v3.v AS v3_x1e6
+    FROM w3 JOIN v3 ON v3.i = w3.i
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION over an integer-exact Gram matrix — distributed linear
+    algebra with a cross-engine-deterministic trajectory: G_ij =
+    SUM_rows floor(x_i * x_j * 1e6 + 0.5) is an exact int64 (per-row
+    floors kill float-sum order sensitivity — the money_sum recipe
+    applied to a matrix), each round's matvec ``w = G v`` is an exact
+    integer SUM, and only the renormalization ``v' =
+    floor(w/max|w| * 1e6 + 0.5)`` touches doubles — as identical
+    scalar casts/divisions on identical int64 operands, so both
+    engines replay the same 3-round trajectory bit-for-bit (the
+    oracle unrolls the rounds as CTE stages).  Output pins the final
+    RAW integer matvec (w3) and the normalized direction.
+
+    100 TB shape: the Gram build is the only corpus-scale work — a
+    d^2-per-row explode reduced map-side to one 64x64 int table
+    (at a 1e9-row corpus: one shuffle of 4096-key partials); each
+    round then joins the 4096-row G against a 64-row broadcast v.
+    d^2 explode is the dense-small-d regime (d=64 here); at d=1024+
+    you'd block the matvec, same algebra.  North-star ML extension
+    (SURVEY §2 LLM rows; the spectral sibling of kmeans_lloyd_rounds
+    and the JL/int8 embedding entries)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).toDF("vec_id", "i", "xi")
+    b = a.toDF("vec_id", "j", "xj")
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.floor(F.col("xi") * F.col("xj") * 1e6 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("g")
+        )
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"), F.lit(1_000_000).alias("v")
+    )
+    w = None
+    for _ in range(3):
+        w = (
+            g.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.floor(
+                    F.col("w").cast("double")
+                    / F.col("m").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    return (
+        w.join(v, "i")
+        .select(
+            F.col("i").cast("long").alias("dim_idx"),
+            F.col("w").cast("long").alias("w3_raw"),
+            F.col("v").alias("v3_x1e6"),
+        )
     )
