@@ -988,3 +988,56 @@ def test_r8_blocking_metrics_no_allpairs_join(spark, sf_dir):
     # the n(n-1)/2 denominator is arithmetic: no cartesian/NL join of
     # the record set against itself anywhere in the plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r8b_rrf_topk_and_broadcast_stats(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.rrf_hybrid_retrieval(spark, sf_dir)
+    plan = explain_str(df)
+    # final cut is top-k, not a global sort; df/stats/query-vector
+    # sides broadcast; no cartesian beyond the 1-row stat crossJoins
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_r8b_bleu_topk_and_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.bleu2_pairwise_eval(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the clipped-count joins are keyed on (pair, gram): no cartesian,
+    # no broadcast NL join of token streams
+    assert_no_cartesian(df)
+
+
+def test_r8b_conformal_broadcasts_model_and_qhat(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.conformal_interval_coverage(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_r8b_pca_gram_reduces_before_rounds(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.pca_power_iteration(spark, sf_dir)
+    plan = explain_str(df)
+    # each round's matvec joins the 4096-row Gram against a broadcast
+    # 64-row vector: broadcast joins present, no cartesian anywhere
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_r8b_hash_chain_single_fact_scan(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.audit_hash_chain(spark, sf_dir)
+    # one events scan feeds the hourly digests; the chain fold is
+    # array work on the aggregated O(hours) frame, not a rescan
+    # (formatted explain prints each scan node twice: tree + details)
+    assert explain_str(df).count("Scan parquet  (") == 1
