@@ -24,6 +24,7 @@ __all__ = [
     "conformal_interval_coverage",
     "holt_linear_forecast",
     "pca_power_iteration",
+    "quantile_normalize_sources",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4125,4 +4126,96 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("long").alias("w3_raw"),
             F.col("v").alias("v3_x1e6"),
         )
+    )
+
+
+@query(
+    "quantile_normalize_sources",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS pool_val,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS t_idx
+      FROM documents
+    ),
+    total AS (SELECT count(*) AS N FROM documents),
+    mapped AS (
+      SELECT rk.source, rk.n_chars, p.pool_val
+      FROM ranked rk
+      CROSS JOIN total
+      JOIN pooled p
+        ON p.t_idx = ((2 * rk.r - 1) * total.N + 2 * rk.n - 1)
+                     // (2 * rk.n)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pool_val) AS BIGINT) AS calib_sum,
+           CAST(min(pool_val) AS BIGINT) AS calib_min,
+           CAST(max(pool_val) AS BIGINT) AS calib_max,
+           CAST(sum(abs(pool_val - n_chars)) AS BIGINT) AS shift_l1
+    FROM mapped GROUP BY source
+    """,
+)
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across corpus sources (the rank-based
+    distribution alignment from microarray statistics, here the
+    cross-shard score-calibration step an LLM data pipeline needs
+    before comparing quality scores produced by per-source models):
+    each document's within-source rank r of n (ties broken by
+    doc_id) maps to the POOLED distribution's order statistic at
+    position ceil((r - 0.5)/n * N) — computed as the pure-integer
+    ((2r-1)N + 2n-1) div (2n), so the mapping is integer-decidable
+    on both engines.  After normalization every source has (up to
+    rank granularity) the SAME value distribution; the entry hashes
+    per-source sums/extremes of the calibrated values plus the L1
+    mass each source's distribution moved (shift_l1 — large for
+    sources whose length profile deviates from the pool).
+
+    Scale note, stated honestly: exact pooled order statistics need
+    a GLOBAL rank (single-ordered-partition window) — right for
+    calibration sets (1e6-1e8 score rows after per-doc reduction),
+    not for raw 100 TB facts; at that scale the pooled side swaps to
+    mergeable quantile sketches (quantile_sketch_mergeable is the
+    companion) at stated epsilon.  The per-source windows partition
+    by source and scale out.  North-star extension (SURVEY §2 stats
+    rows)."""
+    d = load(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    pooled = d.select(
+        F.col("n_chars").alias("pool_val"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("t_idx"),
+    )
+    total = d.agg(F.count("*").alias("n_pool"))
+    mapped = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "t",
+            F.expr("((2 * r - 1) * n_pool + 2 * n - 1) div (2 * n)"),
+        )
+        .join(pooled, F.col("t") == F.col("t_idx"))
+    )
+    return mapped.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("pool_val").cast("long").alias("calib_sum"),
+        F.min("pool_val").cast("long").alias("calib_min"),
+        F.max("pool_val").cast("long").alias("calib_max"),
+        F.sum(F.abs(F.col("pool_val") - F.col("n_chars")))
+        .cast("long")
+        .alias("shift_l1"),
     )
