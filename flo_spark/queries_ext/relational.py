@@ -23,6 +23,7 @@ from flo_spark.queries import (
 from flo_spark.queries import REVENUE_SQL as _REVENUE_SQL
 
 __all__ = [
+    "locf_imputation",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -2663,3 +2664,88 @@ def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return pg2.select("o_orderkey", "cents", "o_orderpriority")
+
+
+@query(
+    "locf_imputation",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(floor(value * 10000 + 0.5) AS BIGINT)
+             END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT event_type, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf
+      FROM base
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing,
+           CAST(sum(CASE WHEN v IS NULL AND vf IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN vf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unfillable,
+           CAST(sum(vf) AS BIGINT) AS imputed_sum_x1e4
+    FROM filled GROUP BY event_type
+    """,
+)
+def locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF missing-data imputation (last observation carried
+    forward — the standard time-series gap fill for sensor/feature
+    pipelines), exercised through the IGNORE NULLS window frame both
+    engines implement: a deterministic missingness mask nulls every
+    7th event's value, then each gap fills with the user's most
+    recent non-null observation in (ts, event_id) order; leading
+    gaps (no prior observation) stay null and are counted
+    separately — the honest-unfillable contract an imputation audit
+    needs.  Values are 4dp-scaled longs, so fill accounting and the
+    imputed sum are exact integers.
+
+    100 TB shape: one window partitioned by user_id — state is a
+    single carried value per partition, the frame is
+    running-unbounded-preceding (no buffering of the frame), and
+    partitions scale out by user; the mask and scaling are
+    scan-stage expressions.  North-star extension (SURVEY §2 window
+    rows; the imputation sibling of gaps_and_islands /
+    sessionization)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = base.select(
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("vf"),
+    )
+    return filled.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("vf").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_filled"),
+        F.sum(F.when(F.col("vf").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unfillable"),
+        F.sum("vf").cast("long").alias("imputed_sum_x1e4"),
+    )
