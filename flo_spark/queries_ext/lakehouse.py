@@ -38,6 +38,7 @@ __all__ = [
     "lakehouse_merge_mor",
     "lakehouse_bloom_skipping",
     "lakehouse_ivm_join_view",
+    "bitemporal_point_in_time",
 ]
 
 
@@ -1334,3 +1335,117 @@ def lakehouse_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@query(
+    "bitemporal_point_in_time",
+    """
+    WITH px AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) AS px
+      FROM customer
+    ),
+    beliefs AS (
+      -- transaction v1: every customer's period-2 row as first written
+      SELECT 1 AS txn_version, c_custkey,
+             (px + 20000000) // 20000000 AS tier, px
+      FROM px
+      UNION ALL
+      -- transaction v2: the late correction for c_custkey%10=3
+      SELECT 2, c_custkey,
+             CASE WHEN c_custkey % 10 = 3
+                  THEN (px + 30000000) // 20000000
+                  ELSE (px + 20000000) // 20000000 END AS tier,
+             px
+      FROM px
+    )
+    SELECT CAST(txn_version AS INT) AS txn_version,
+           CAST(tier AS BIGINT) AS tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(px) AS BIGINT) AS balance_x1e4
+    FROM beliefs GROUP BY txn_version, tier
+    """,
+)
+def bitemporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time query — BOTH time axes at once
+    (valid time: when a fact was true in the world; transaction
+    time: when the system believed it), composed from the two
+    primitives the repo already certifies separately: SCD2-style
+    validity intervals INSIDE the rows, manifest versions (time
+    travel) AROUND them.  A customer-tier dimension lands with two
+    validity periods per customer ([0,50) and [50,inf), tiers =
+    positive-offset integer bands of acctbal); transaction v2 applies
+    a LATE CORRECTION (merge_mor) to the period-2 tier of every
+    c_custkey%10=3.  The query asks, for valid time V=75 (inside
+    period 2): "what did we believe AS OF transaction v1, and as of
+    v2?" — the corrected subset moves tiers between transaction
+    versions while the valid-time selection logic is identical,
+    which is exactly the audit/backtest question (\"what did the
+    model see THEN?\") bitemporal tables exist to answer.
+
+    All tiers are positive-offset integer divisions (offset keeps
+    the dividend non-negative, so floor-div and trunc-div agree on
+    both engines); counts and balance sums are exact.
+
+    100 TB shape: the valid-time filter is a scan-stage predicate on
+    interval columns; the transaction axis is O(1) manifest
+    resolution + the DV anti-join of the correction — neither axis
+    rescans history.  Reference scope: flo's version-vector consume
+    is single-axis (transaction) replay; the valid axis is the
+    relational north-star (SURVEY §2 Part B lakehouse/SCD2 rows —
+    composes scd2_point_in_time_join with lakehouse time travel)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        money_scaled(F.col("c_acctbal")).alias("px"),
+    )
+    p1 = c.select(
+        (F.col("ck") * 1000 + 0).alias("skey"),
+        "ck",
+        F.lit(0).alias("valid_from"),
+        F.lit(50).alias("valid_to"),
+        F.expr("(px + 10000000) div 20000000").alias("tier"),
+        "px",
+    )
+    p2 = c.select(
+        (F.col("ck") * 1000 + 50).alias("skey"),
+        "ck",
+        F.lit(50).alias("valid_from"),
+        F.lit(99999).alias("valid_to"),
+        F.expr("(px + 20000000) div 20000000").alias("tier"),
+        "px",
+    )
+    t = ManifestTable(scratch_dir("bitemporal_"))
+    t.append(p1.unionByName(p2).coalesce(4), "dim")
+    correction = (
+        c.filter(F.col("ck") % 10 == 3)
+        .select(
+            (F.col("ck") * 1000 + 50).alias("skey"),
+            "ck",
+            F.lit(50).alias("valid_from"),
+            F.lit(99999).alias("valid_to"),
+            F.expr("(px + 30000000) div 20000000").alias("tier"),
+            "px",
+        )
+    )
+    t.merge_mor(spark, correction, "skey")
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            t.read(spark, v)
+            .filter((F.col("valid_from") <= 75) & (F.col("valid_to") > 75))
+            .groupBy("tier")
+            .agg(
+                F.count("*").cast("long").alias("n_customers"),
+                F.sum("px").cast("long").alias("balance_x1e4"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("txn_version"),
+                F.col("tier").cast("long").alias("tier"),
+                "n_customers",
+                "balance_x1e4",
+            )
+        )
+    return outs[0].unionByName(outs[1])
