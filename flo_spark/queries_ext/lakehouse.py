@@ -39,6 +39,7 @@ __all__ = [
     "lakehouse_bloom_skipping",
     "lakehouse_ivm_join_view",
     "bitemporal_point_in_time",
+    "lakehouse_table_diff",
 ]
 
 
@@ -1449,3 +1450,126 @@ def bitemporal_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "lakehouse_table_diff",
+    """
+    WITH px AS (
+      SELECT c_custkey AS ck,
+             CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) AS px,
+             c_mktsegment AS mkt
+      FROM customer
+    ),
+    v1 AS (SELECT * FROM px),
+    v3 AS (
+      -- survives the delete, with the merge's updates applied
+      SELECT ck,
+             CASE WHEN ck % 7 = 2 THEN px + 500000 ELSE px END AS px,
+             mkt
+      FROM px WHERE ck % 13 <> 4
+      UNION ALL
+      -- the later MOR delete applies to inserted keys too
+      SELECT ck + 1000000, 0, 'NEW' FROM px
+      WHERE ck % 101 = 0 AND (ck + 1000000) % 13 <> 4
+    ),
+    classified AS (
+      SELECT coalesce(a.ck, b.ck) AS ck,
+             CASE WHEN a.ck IS NULL THEN 'added'
+                  WHEN b.ck IS NULL THEN 'removed'
+                  WHEN a.px <> b.px OR a.mkt <> b.mkt THEN 'changed'
+                  ELSE 'unchanged' END AS diff_class,
+             CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL
+                       AND a.px <> b.px THEN 1 ELSE 0 END AS px_chg,
+             CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL
+                       AND a.mkt <> b.mkt THEN 1 ELSE 0 END AS mkt_chg
+      FROM v1 a FULL OUTER JOIN v3 b ON a.ck = b.ck
+    )
+    SELECT diff_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(px_chg) AS BIGINT) AS n_px_changed,
+           CAST(sum(mkt_chg) AS BIGINT) AS n_mkt_changed,
+           CAST(min(ck) AS BIGINT) AS min_key,
+           CAST(max(ck) AS BIGINT) AS max_key
+    FROM classified GROUP BY diff_class
+    """,
+)
+def lakehouse_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-ADDRESSED snapshot diff between two table versions
+    (the `data-diff`/reconciliation shape): unlike
+    lakehouse_change_data_feed — which classifies from commit
+    METADATA — this joins the two snapshots BY KEY and derives
+    added / removed / changed / unchanged from the data itself, plus
+    per-column change counts (the column-level drilldown a schema
+    reconciliation or replication-verification job reports).  The
+    pipeline between the compared versions is real: a merge_mor
+    updates px for ck%7=2 and inserts fabricated keys, then a MOR
+    delete drops ck%13=4 — so the diff must see through deletion
+    vectors on the read path.
+
+    Works against ANY two snapshots — including tables that never
+    recorded ops (imported history, cross-system reconciliation) —
+    which is exactly when metadata CDF is unavailable; the cost is a
+    full key join instead of O(changed).  Both classifications are
+    certified in this catalog, each labeled with when it applies.
+
+    100 TB shape: one co-keyed full-outer shuffle join (bucketing
+    both snapshots on the key makes it co-located); class counts
+    reduce map-side.  Reference scope: reconciliation between a flo
+    log and its downstream table is the operational use — north-star
+    extension (SURVEY §2 Part B lakehouse rows)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        money_scaled(F.col("c_acctbal")).alias("px"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+    t = ManifestTable(scratch_dir("lakehouse_diff_"))
+    t.append(c.coalesce(4), "base")
+    upd = (
+        c.filter(F.col("ck") % 7 == 2)
+        .select("ck", (F.col("px") + 500000).alias("px"), "mkt")
+        .unionByName(
+            c.filter(F.col("ck") % 101 == 0).select(
+                (F.col("ck") + 1000000).alias("ck"),
+                F.lit(0).cast("long").alias("px"),
+                F.lit("NEW").alias("mkt"),
+            )
+        )
+    )
+    t.merge_mor(spark, upd, "ck")
+    t.delete_where_mor(spark, "ck % 13 = 4")
+    a = t.read(spark, 1).alias("a")
+    b = t.read(spark).alias("b")
+    j = a.join(b, F.col("a.ck") == F.col("b.ck"), "full_outer")
+    both = F.col("a.ck").isNotNull() & F.col("b.ck").isNotNull()
+    px_chg = F.when(both & (F.col("a.px") != F.col("b.px")), 1).otherwise(0)
+    mkt_chg = F.when(both & (F.col("a.mkt") != F.col("b.mkt")), 1).otherwise(0)
+    cls = (
+        F.when(F.col("a.ck").isNull(), "added")
+        .when(F.col("b.ck").isNull(), "removed")
+        .when(
+            (F.col("a.px") != F.col("b.px"))
+            | (F.col("a.mkt") != F.col("b.mkt")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.ck"), F.col("b.ck")).alias("ck"),
+            cls.alias("diff_class"),
+            px_chg.alias("px_chg"),
+            mkt_chg.alias("mkt_chg"),
+        )
+        .groupBy("diff_class")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("px_chg").cast("long").alias("n_px_changed"),
+            F.sum("mkt_chg").cast("long").alias("n_mkt_changed"),
+            F.min("ck").cast("long").alias("min_key"),
+            F.max("ck").cast("long").alias("max_key"),
+        )
+    )
