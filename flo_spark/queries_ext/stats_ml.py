@@ -25,6 +25,7 @@ __all__ = [
     "holt_linear_forecast",
     "pca_power_iteration",
     "quantile_normalize_sources",
+    "bootstrap_mean_ci",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4218,4 +4219,124 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("pool_val") - F.col("n_chars")))
         .cast("long")
         .alias("shift_l1"),
+    )
+
+
+@query(
+    "bootstrap_mean_ci",
+    """
+    WITH px AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    reps AS (
+      SELECT px.k, px.px, b.b,
+             ((px.k * 2654435761 + b.b * 40503 + 12345)
+              % 1000000007) % 10000 AS u
+      FROM px, range(50) b(b)
+    ),
+    mult AS (
+      SELECT b, px,
+             CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+                  WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+                  WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                  ELSE 6 END AS m
+      FROM reps
+    ),
+    means AS (
+      SELECT b, sum(m * px) // sum(m) AS mean_b
+      FROM mult GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b,
+             row_number() OVER (ORDER BY mean_b, b) AS rn
+      FROM means
+    ),
+    full_mean AS (
+      SELECT count(*) AS n, sum(px) // count(*) AS est FROM px
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_rows,
+           CAST(50 AS BIGINT) AS b_replicates,
+           CAST(f.est AS BIGINT) AS est_mean_x1e4,
+           CAST((SELECT mean_b FROM ranked WHERE rn = 2) AS BIGINT)
+             AS ci_lo_x1e4,
+           CAST((SELECT mean_b FROM ranked WHERE rn = 49) AS BIGINT)
+             AS ci_hi_x1e4
+    FROM full_mean f
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean order value via
+    the POISSON BOOTSTRAP (Chamandy et al., the distributed-bootstrap
+    formulation: per replicate, each row's resample multiplicity is an
+    independent Poisson(1) draw — no global with-replacement sampling
+    step, so replicates build in one scan), made engine-deterministic
+    by drawing the multiplicity from a Knuth multiplicative hash of
+    (row key, replicate id) mapped through the integer-threshold
+    Poisson(1) inverse CDF (3679/7358/9197/9810/9963/9994 out of
+    1e4).  Replicate means are exact scaled-long floor divisions; the
+    CI endpoints are the 2nd and 49th order statistics of the 50
+    replicate means (row_number with replicate tie-break) — every
+    decision integer-decidable on both engines.
+
+    100 TB shape: one scan explodes rows x B replicates (B=50) with
+    the multiplicity computed scan-stage, then ONE map-side-combinable
+    (replicate) aggregation — the textbook way to bootstrap a
+    cluster-scale dataset without materializing resamples; the rank
+    step touches B rows.  North-star extension (SURVEY §2 stats rows;
+    the resampling sibling of jackknife_variance and
+    permutation_test_deterministic)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        money_scaled(F.col("o_totalprice")).alias("px"),
+    )
+    reps = o.crossJoin(
+        F.broadcast(spark.range(50).select(F.col("id").alias("b")))
+    ).withColumn(
+        "u",
+        ((F.col("k") * 2654435761 + F.col("b") * 40503 + 12345)
+         % 1000000007) % 10000,
+    )
+    m = (
+        F.when(F.col("u") < 3679, 0)
+        .when(F.col("u") < 7358, 1)
+        .when(F.col("u") < 9197, 2)
+        .when(F.col("u") < 9810, 3)
+        .when(F.col("u") < 9963, 4)
+        .when(F.col("u") < 9994, 5)
+        .otherwise(6)
+    )
+    means = (
+        reps.withColumn("m", m)
+        .groupBy("b")
+        .agg(F.expr("sum(m * px) div sum(m)").alias("mean_b"))
+    )
+    ranked = means.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy("mean_b", "b"))
+        .alias("rn"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("mean_b").alias("ci_lo_x1e4")
+    )
+    hi = ranked.filter(F.col("rn") == 49).select(
+        F.col("mean_b").alias("ci_hi_x1e4")
+    )
+    full = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("sum(px) div count(*)").cast("long").alias("est_mean_x1e4"),
+    )
+    return (
+        full.withColumn("b_replicates", F.lit(50).cast("long"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            "b_replicates",
+            "est_mean_x1e4",
+            "ci_lo_x1e4",
+            "ci_hi_x1e4",
+        )
     )
