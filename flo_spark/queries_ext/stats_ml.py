@@ -26,6 +26,7 @@ __all__ = [
     "pca_power_iteration",
     "quantile_normalize_sources",
     "bootstrap_mean_ci",
+    "rfm_segmentation",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4338,5 +4339,140 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_mean_x1e4",
             "ci_lo_x1e4",
             "ci_hi_x1e4",
+        )
+    )
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_x1e4
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ck, recency_days, frequency, monetary_x1e4,
+             5 - ((row_number() OVER (ORDER BY recency_days, ck) - 1) * 5)
+                 // (count(*) OVER ()) AS r_score,
+             5 - ((row_number() OVER (ORDER BY frequency DESC, ck) - 1) * 5)
+                 // (count(*) OVER ()) AS f_score,
+             5 - ((row_number() OVER (ORDER BY monetary_x1e4 DESC, ck) - 1)
+                  * 5) // (count(*) OVER ()) AS m_score
+      FROM cust
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+             AS rfm_segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_x1e4) AS BIGINT) AS monetary_sum_x1e4,
+           CAST(min(recency_days) AS BIGINT) AS best_recency_days,
+           CAST(max(frequency) AS BIGINT) AS max_frequency
+    FROM scored GROUP BY r_score * 100 + f_score * 10 + m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary —
+    the standard behavioral-cohort scoring in growth analytics):
+    per customer, recency = days from their last order to the corpus
+    horizon, frequency = order count, monetary = exact scaled-long
+    revenue; each dimension maps to a 1-5 quintile score via the
+    pure-integer rank formula ``5 - ((r-1)*5) div n`` with custkey
+    tie-breaks (score 5 = most recent / most frequent / highest
+    value), and the 3-digit segment code aggregates customer counts
+    and exact revenue mass — the "champions vs at-risk" matrix,
+    integer-decidable end to end.
+
+    100 TB shape: the per-customer reduction is one
+    map-side-combinable groupBy over the fact; the quintile ranks
+    are windows over the CUSTOMER DIMENSION (n_customers rows, three
+    orders of magnitude smaller than the fact) — the global-window
+    caveat of quantile_normalize_sources applies only at
+    dimension-cardinality, where it is the standard practice; at
+    1e9+ customers swap the rank for the mergeable quantile sketch's
+    boundaries.  North-star extension (SURVEY §2 stats rows; sits
+    beside cohort_retention and time_weighted_value_per_user)."""
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("h")
+    )
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum(money_scaled(F.col("o_totalprice")))
+            .cast("long")
+            .alias("monetary_x1e4"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "ck",
+            F.datediff(F.col("h"), F.col("last_d")).alias("recency_days"),
+            "frequency",
+            "monetary_x1e4",
+        )
+    )
+    n = Window.partitionBy()
+    scored = cust.select(
+        "ck",
+        "recency_days",
+        "frequency",
+        "monetary_x1e4",
+        (
+            5
+            - F.floor(
+                ((F.row_number().over(Window.orderBy("recency_days", "ck")) - 1) * 5)
+                / F.count("*").over(n)
+            )
+        ).alias("r_score"),
+        (
+            5
+            - F.floor(
+                (
+                    (
+                        F.row_number().over(
+                            Window.orderBy(F.col("frequency").desc(), "ck")
+                        )
+                        - 1
+                    )
+                    * 5
+                )
+                / F.count("*").over(n)
+            )
+        ).alias("f_score"),
+        (
+            5
+            - F.floor(
+                (
+                    (
+                        F.row_number().over(
+                            Window.orderBy(F.col("monetary_x1e4").desc(), "ck")
+                        )
+                        - 1
+                    )
+                    * 5
+                )
+                / F.count("*").over(n)
+            )
+        ).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("long")
+            .alias("rfm_segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_x1e4").cast("long").alias("monetary_sum_x1e4"),
+            F.min("recency_days").cast("long").alias("best_recency_days"),
+            F.max("frequency").cast("long").alias("max_frequency"),
         )
     )
