@@ -27,6 +27,7 @@ __all__ = [
     "quantile_normalize_sources",
     "bootstrap_mean_ci",
     "rfm_segmentation",
+    "neyman_allocation_sampling",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4474,5 +4475,123 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_x1e4").cast("long").alias("monetary_sum_x1e4"),
             F.min("recency_days").cast("long").alias("best_recency_days"),
             F.max("frequency").cast("long").alias("max_frequency"),
+        )
+    )
+
+
+@query(
+    "neyman_allocation_sampling",
+    """
+    WITH px AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS px
+      FROM orders
+    ),
+    means AS (
+      SELECT prio, count(*) AS n_h, sum(px) // count(*) AS mu
+      FROM px GROUP BY prio
+    ),
+    spread AS (
+      SELECT p.prio, m.n_h,
+             sum(abs(p.px - m.mu)) // m.n_h AS mad_h
+      FROM px p JOIN means m USING (prio)
+      GROUP BY p.prio, m.n_h
+    ),
+    wts AS (
+      SELECT prio, n_h, mad_h, n_h * mad_h AS w,
+             (SELECT sum(n_h * mad_h) FROM spread) AS w_total
+      FROM spread
+    ),
+    alloc AS (
+      SELECT prio, n_h, mad_h,
+             (1000 * w) // w_total AS base_seats,
+             1000 * w - ((1000 * w) // w_total) * w_total AS remainder
+      FROM wts
+    ),
+    leftover AS (
+      SELECT 1000 - sum(base_seats) AS extra FROM alloc
+    ),
+    ranked AS (
+      SELECT prio, n_h, mad_h, base_seats,
+             row_number() OVER (ORDER BY remainder DESC, prio) AS rk
+      FROM alloc
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(n_h AS BIGINT) AS n_stratum,
+           CAST(mad_h AS BIGINT) AS mad_x1e4,
+           CAST(base_seats
+                + CASE WHEN rk <= (SELECT extra FROM leftover)
+                       THEN 1 ELSE 0 END AS BIGINT) AS sample_seats
+    FROM ranked
+    """,
+)
+def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-style optimal stratified-sample allocation + LARGEST-
+    REMAINDER apportionment (two classical mechanisms composed: the
+    survey-sampling rule n_h proportional to N_h * dispersion_h, and the
+    Hamilton method that turns fractional seat shares into integers
+    without violating quota): per priority stratum, dispersion is the
+    integer mean absolute deviation around the stratum's floor-div
+    mean (MAD as the spread proxy keeps every operand in exact int64
+    where a sum of squared 4dp-scaled prices would overflow — the
+    documented reason variance isn't used here); a budget of 1000
+    sample seats splits as floor(B*w_h/W) plus one seat to the
+    largest remainders (row_number tie-broken by stratum).  Total
+    seats is exactly 1000 by construction; every decision —
+    means, MADs, quotas, remainders, ranking — is integer-decidable
+    on both engines.
+
+    This is the design step a 100 TB profiling job runs BEFORE
+    sampling: spend the row budget where the money variance lives,
+    not uniformly.  Shape: two map-side-combinable passes over the
+    fact (means, then deviations) and O(strata) driver-free
+    allocation arithmetic.  North-star extension (SURVEY §2 stats
+    rows; the design-of-experiments sibling of the
+    stratified/reservoir sampling entries)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        money_scaled(F.col("o_totalprice")).alias("px"),
+    )
+    means = o.groupBy("prio").agg(
+        F.count("*").alias("n_h"),
+        F.expr("sum(px) div count(*)").alias("mu"),
+    )
+    spread = (
+        o.join(F.broadcast(means), "prio")
+        .groupBy("prio", "n_h")
+        .agg(F.expr("sum(abs(px - mu)) div first(n_h)").alias("mad_h"))
+    )
+    w_total = spread.agg(
+        F.sum(F.col("n_h") * F.col("mad_h")).alias("w_total")
+    )
+    alloc = (
+        spread.crossJoin(F.broadcast(w_total))
+        .withColumn("w", F.col("n_h") * F.col("mad_h"))
+        .withColumn("base_seats", F.expr("(1000 * w) div w_total"))
+        .withColumn(
+            "remainder", F.expr("1000 * w - ((1000 * w) div w_total) * w_total")
+        )
+    )
+    extra = alloc.agg(
+        (F.lit(1000) - F.sum("base_seats")).alias("extra")
+    )
+    ranked = alloc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), "prio")
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("n_h").cast("long").alias("n_stratum"),
+            F.col("mad_h").cast("long").alias("mad_x1e4"),
+            (
+                F.col("base_seats")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("sample_seats"),
         )
     )
