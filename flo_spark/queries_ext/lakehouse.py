@@ -40,6 +40,7 @@ __all__ = [
     "lakehouse_ivm_join_view",
     "bitemporal_point_in_time",
     "lakehouse_table_diff",
+    "encoding_advisor_profile",
 ]
 
 
@@ -1572,4 +1573,106 @@ def lakehouse_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ck").cast("long").alias("min_key"),
             F.max("ck").cast("long").alias("max_key"),
         )
+    )
+
+
+@query(
+    "encoding_advisor_profile",
+    """
+    WITH stacked AS (
+      SELECT o_orderkey AS phys, 'o_orderstatus' AS col_name,
+             o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    runs AS (
+      SELECT col_name, val,
+             CASE WHEN lag(val) OVER (
+                    PARTITION BY col_name ORDER BY phys) IS DISTINCT FROM val
+                  THEN 1 ELSE 0 END AS is_break
+      FROM stacked
+    ),
+    prof AS (
+      SELECT col_name,
+             count(*) AS n_rows,
+             count(DISTINCT val) AS n_distinct,
+             sum(is_break) AS n_runs
+      FROM runs GROUP BY col_name
+    )
+    SELECT col_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST((n_rows * 10000) // n_runs AS BIGINT) AS avg_run_x1e4,
+           CASE WHEN (n_rows * 10000) // n_runs >= 20000 THEN 'rle'
+                WHEN n_distinct * 100 <= n_rows THEN 'dict'
+                ELSE 'plain' END AS recommendation
+    FROM prof
+    """,
+)
+def encoding_advisor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar ENCODING ADVISOR — the storage-profiling pass a
+    lakehouse optimizer runs to pick per-column encodings (the
+    decision Parquet writers make from stats): three columns of
+    orders are profiled IN PHYSICAL ORDER (o_orderkey as the row
+    order) for cardinality and run structure — n_distinct drives
+    dictionary viability, the exact run count (1 + value breaks via
+    IS DISTINCT FROM lag) drives RLE viability — and an integer
+    rule picks rle (avg run >= 2.0), dict (<=1% distinct), or plain.
+    Every profile number is an exact integer (avg run length is a
+    4dp-scaled floor division), so the advisor's verdicts hash.
+
+    100 TB shape: this is a per-column scan profile — the stack is a
+    column-pruned union (each leg reads one column), run detection
+    is one lag window per column partition, and the output is
+    O(columns).  In production the window runs per row group, not
+    globally — the global order here IS the row-group order of the
+    synthetic table (o_orderkey is the write order), which the
+    docstring pins honestly.  North-star extension (SURVEY §2 Part B
+    sources/sinks; advises the formats zorder_morton_key and
+    small_file_compaction lay out)."""
+    o = load(spark, sf_dir, "orders")
+    legs = []
+    for cname, expr in (
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+    ):
+        legs.append(
+            o.select(
+                F.col("o_orderkey").alias("phys"),
+                F.lit(cname).alias("col_name"),
+                expr.alias("val"),
+            )
+        )
+    stacked = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    w = Window.partitionBy("col_name").orderBy("phys")
+    runs = stacked.select(
+        "col_name",
+        "val",
+        F.when(
+            ~F.lag("val").over(w).eqNullSafe(F.col("val")), 1
+        )
+        .otherwise(0)
+        .alias("is_break"),
+    )
+    prof = runs.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.sum("is_break").cast("long").alias("n_runs"),
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        F.expr("(n_rows * 10000) div n_runs").cast("long").alias(
+            "avg_run_x1e4"
+        ),
+        F.when(F.expr("(n_rows * 10000) div n_runs >= 20000"), "rle")
+        .when(F.col("n_distinct") * 100 <= F.col("n_rows"), "dict")
+        .otherwise("plain")
+        .alias("recommendation"),
     )

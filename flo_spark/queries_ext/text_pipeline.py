@@ -54,6 +54,7 @@ __all__ = [
     "pmi_collocations_topk",
     "vocab_index_encode",
     "k_anonymity_audit",
+    "l_diversity_audit",
     "ndcg_search_eval",
     "dp_randomized_response",
     "inverted_index_build",
@@ -3221,4 +3222,78 @@ def bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_roundtrip_exact"),
         )
+    )
+
+
+@query(
+    "l_diversity_audit",
+    """
+    WITH banded AS (
+      SELECT c_mktsegment AS mkt, c_nationkey AS nat,
+             (CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) + 10000000)
+             // 20000000 AS sens_band
+      FROM customer
+    ),
+    grp AS (
+      SELECT mkt, nat,
+             count(*) AS k_size,
+             count(DISTINCT sens_band) AS l_div
+      FROM banded GROUP BY mkt, nat
+    )
+    SELECT mkt AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_qi_groups,
+           CAST(min(k_size) AS BIGINT) AS min_k,
+           CAST(min(l_div) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN k_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_k_violations,
+           CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_l_violations,
+           CAST(sum(CASE WHEN l_div < 3 THEN k_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM grp GROUP BY mkt
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY privacy audit (Machanavajjhala et al. — the
+    successor guarantee to k-anonymity this catalog already audits:
+    a quasi-identifier group can be k-large yet still leak if every
+    member shares the same sensitive value): quasi-identifiers are
+    (mktsegment, nationkey), the sensitive attribute is the
+    positive-offset integer balance band; per QI group the audit
+    measures k (size) and l (distinct sensitive values), then
+    reports per segment the minima, the k<5 and l<3 violation
+    counts, and the ROWS AT RISK under the l-rule — the number an
+    anonymization pipeline must drive to zero before release, and
+    the case k-anonymity alone cannot catch.
+
+    100 TB shape: one map-side-combinable groupBy to QI groups
+    (count + distinct-band count), one reduction to segments —
+    no joins, no windows.  North-star extension (SURVEY §2 LLM
+    hygiene rows; completes k_anonymity_audit exactly as l-diversity
+    completes k-anonymity in the literature)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("mkt"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) + 10000000)"
+            " div 20000000"
+        ).alias("sens_band"),
+    )
+    grp = c.groupBy("mkt", "nat").agg(
+        F.count("*").alias("k_size"),
+        F.countDistinct("sens_band").alias("l_div"),
+    )
+    return grp.groupBy(F.col("mkt").alias("c_mktsegment")).agg(
+        F.count("*").cast("long").alias("n_qi_groups"),
+        F.min("k_size").cast("long").alias("min_k"),
+        F.min("l_div").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("k_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_k_violations"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_l_violations"),
+        F.sum(F.when(F.col("l_div") < 3, F.col("k_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
     )
