@@ -41,6 +41,7 @@ __all__ = [
     "bitemporal_point_in_time",
     "lakehouse_table_diff",
     "encoding_advisor_profile",
+    "lakehouse_optimize_binpack",
 ]
 
 
@@ -1675,4 +1676,68 @@ def encoding_advisor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_distinct") * 100 <= F.col("n_rows"), "dict")
         .otherwise("plain")
         .alias("recommendation"),
+    )
+
+
+@query(
+    "lakehouse_optimize_binpack",
+    """
+    WITH live AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 9 <> 5
+    )
+    SELECT CAST(8 AS BIGINT) AS fragments_before,
+           CAST(1 AS BIGINT) AS fragments_after,
+           CAST(8 AS BIGINT) AS fragments_rewritten,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM live
+    """,
+)
+def lakehouse_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE — bin-packing small-file compaction
+    (``ManifestTable.optimize``, the Delta OPTIMIZE / Iceberg
+    rewrite_data_files maintenance op): documents land as EIGHT
+    small single-part fragments (the streaming-ingest pathology the
+    op exists for), a merge-on-read delete adds a pending DV, then
+    optimize first-fit-decreasing-packs everything under the target
+    into one rewritten fragment — applying the pending DV in the
+    same pass (rewritten rows get new addresses, stale DV entries
+    can't re-match).  The oracle pins the structural report (8 -> 1,
+    all 8 rewritten) and the content invariance: the post-OPTIMIZE
+    table must still equal the predicate-reconstructed live set —
+    compaction moves bytes, never rows.  The unit suite additionally
+    pins that the optimize commit is dataChange=false for the CDF
+    (read_changes skips it) and that multi-bin FFD packing is
+    deterministic.
+
+    100 TB shape: the packing decision is O(fragments) driver
+    metadata; only small fragments are read and each bin writes
+    once — scan cost after OPTIMIZE drops from O(files) open
+    overhead to O(bins).  Completes the maintenance family:
+    small_file_compaction (repartition form), expire+vacuum,
+    rewrite_deletes, and now policy-driven compaction (SURVEY §2
+    Part B sources/sinks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = ManifestTable(scratch_dir("lakehouse_opt_"))
+    for i in range(8):
+        t.append(
+            docs.filter(F.col("doc_id") % 8 == i).coalesce(1), f"shard{i}"
+        )
+    t.delete_where_mor(spark, "doc_id % 9 = 5")
+    _v, rep = t.optimize(spark, target_bytes=1 << 30)
+    return t.read(spark).agg(
+        F.lit(rep["fragments_before"]).cast("long").alias("fragments_before"),
+        F.lit(rep["fragments_after"]).cast("long").alias("fragments_after"),
+        F.lit(rep["fragments_rewritten"])
+        .cast("long")
+        .alias("fragments_rewritten"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
     )

@@ -597,6 +597,99 @@ class ManifestTable:
 
         return self.commit(build)
 
+    @staticmethod
+    def _first_fit_decreasing(
+        sizes: dict[str, int], target: int
+    ) -> list[list[str]]:
+        """Bin-pack fragments into <= target-byte bins, largest first
+        (the classic FFD heuristic every OPTIMIZE implementation
+        uses).  Fragments already >= target get their own bin and are
+        never rewritten.  Deterministic: size-desc then name order."""
+        bins: list[tuple[int, list[str]]] = []
+        for rel in sorted(sizes, key=lambda r: (-sizes[r], r)):
+            sz = sizes[rel]
+            if sz >= target:
+                bins.append((sz, [rel]))
+                continue
+            for i, (used, members) in enumerate(bins):
+                if used + sz <= target and used < target:
+                    bins[i] = (used + sz, members + [rel])
+                    break
+            else:
+                bins.append((sz, [rel]))
+        return [members for _, members in bins]
+
+    def fragment_bytes(self, rel: str) -> int:
+        """On-disk bytes of one fragment dir (parquet parts +
+        sidecars) — O(files in fragment) driver metadata."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(os.path.join(self.root, rel)):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        name_suffix: str = "opt",
+    ) -> tuple[int, dict]:
+        """Small-file compaction (the Delta OPTIMIZE / Iceberg
+        rewrite_data_files maintenance op): fragments below
+        ``target_bytes`` bin-pack (first-fit decreasing) and each
+        multi-fragment bin rewrites into ONE fragment; bins of one
+        carry over by reference, so a table that is already compact
+        is a no-op commit.  Pending deletion vectors are APPLIED to
+        rewritten bins (their rows get new addresses, so the stale DV
+        entries can't re-match) and carried for untouched fragments.
+        Publishes op ``optimize`` — a dataChange=false commit that
+        :meth:`read_changes` skips, like purge.
+
+        Returns ``(version, report)`` with before/after fragment
+        counts.  100 TB shape: the packing decision is O(fragments)
+        driver metadata (manifest + file sizes); only small files are
+        read, each bin writes once — exactly the maintenance cost
+        model table formats ship."""
+        attempt = 0
+        report: dict = {}
+
+        def build(files: list[str]) -> tuple[list[str], str]:
+            nonlocal attempt
+            head = self.manifest()
+            pending = head.get("deletes", [])
+            tag = f"{name_suffix}.v{head['version'] + 1}" + (
+                "" if attempt == 0 else f".r{attempt}"
+            )
+            attempt += 1
+            sizes = {rel: self.fragment_bytes(rel) for rel in files}
+            bins = self._first_fit_decreasing(sizes, target_bytes)
+            kept: list[str] = []
+            n_rewritten = 0
+            for i, members in enumerate(sorted(bins)):
+                if len(members) == 1:
+                    kept.append(members[0])
+                    continue
+                df = self._apply_deletes(
+                    spark,
+                    spark.read.parquet(
+                        *[os.path.join(self.root, r) for r in members]
+                    ),
+                    pending,
+                ).coalesce(1)
+                kept.append(self.write_fragment(df, f"bin{i}_{tag}"))
+                n_rewritten += len(members)
+            report.update(
+                {
+                    "fragments_before": len(files),
+                    "fragments_after": len(kept),
+                    "fragments_rewritten": n_rewritten,
+                }
+            )
+            return kept, "optimize"
+
+        v = self.commit(build)
+        return v, report
+
     def merge_mor(
         self,
         spark: SparkSession,
@@ -710,8 +803,8 @@ class ManifestTable:
             m = self.manifest(v)
             prev = self.manifest(v - 1)
             op = m.get("op", "append")
-            if op == "purge":
-                continue
+            if op in ("purge", "optimize"):
+                continue  # dataChange=false: files move, no row does
             if op == "delete":
                 raise ValueError(
                     "version %d is a copy-on-write delete: not "

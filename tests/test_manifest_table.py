@@ -385,3 +385,31 @@ def test_bloom_respects_deletes(spark, tmp_path):
     t.delete_where_mor(spark, "k = 3")
     df, _ = t.read_point(spark, "g", "a")
     assert sorted(r.k for r in df.collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+
+def test_ffd_bin_packing_deterministic():
+    sizes = {"a": 70, "b": 50, "c": 40, "d": 30, "e": 200}
+    bins = ManifestTable._first_fit_decreasing(sizes, 100)
+    # e >= target: own bin, never rewritten; 70+30, 50+40 pack
+    assert sorted(sorted(b) for b in bins) == [["a", "d"], ["b", "c"], ["e"]]
+
+
+def test_optimize_compacts_and_changes_no_row(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "k")
+            .coalesce(1),
+            f"s{i}",
+        )
+    t.delete_where_mor(spark, "k % 10 = 9")
+    v, rep = t.optimize(spark, target_bytes=1 << 30)
+    assert rep["fragments_before"] == 6 and rep["fragments_after"] == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(60) if k % 10 != 9
+    ]
+    # time travel intact, and the optimize commit emits no CDF rows
+    assert t.read(spark, 6).count() == 60
+    ch = t.read_changes(spark, 6, v)
+    assert sorted(r.k for r in ch.collect()) == [9, 19, 29, 39, 49, 59]
+    assert {r._commit_version for r in ch.collect()} == {7}  # only the delete
