@@ -24,6 +24,7 @@ from flo_spark.queries import REVENUE_SQL as _REVENUE_SQL
 
 __all__ = [
     "locf_imputation",
+    "multitouch_attribution_models",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -2748,4 +2749,135 @@ def locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unfillable"),
         F.sum("vf").cast("long").alias("imputed_sum_x1e4"),
+    )
+
+
+@query(
+    "multitouch_attribution_models",
+    """
+    WITH touches AS (
+      SELECT p.event_id AS pid, c.event_id AS cid,
+             row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts, c.event_id) AS rk,
+             count(*) OVER (PARTITION BY p.event_id) AS n
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+    ),
+    labeled AS (
+      SELECT pid, cid, rk, n,
+             CASE WHEN rk = 1 THEN '1_first'
+                  WHEN rk = n THEN '3_last'
+                  ELSE '2_middle' END AS position,
+             1000000 // n
+               + CASE WHEN rk = n
+                      THEN 1000000 - n * (1000000 // n) ELSE 0 END
+               AS linear_credit,
+             CASE WHEN rk = 1 THEN 1000000 ELSE 0 END AS first_credit,
+             CASE WHEN rk = n THEN 1000000 ELSE 0 END AS last_credit
+      FROM touches
+    ),
+    models AS (
+      SELECT 'linear' AS model, position, linear_credit AS credit
+      FROM labeled
+      UNION ALL
+      SELECT 'first_touch', position, first_credit FROM labeled
+      UNION ALL
+      SELECT 'last_touch', position, last_credit FROM labeled
+    )
+    SELECT model, position,
+           CAST(sum(credit) AS BIGINT) AS credit_x1e6,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM models GROUP BY model, position
+    """,
+)
+def multitouch_attribution_models(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION under three models side by side
+    (first-touch / last-touch / linear — the marketing-analytics
+    credit-assignment family), with EXACT integer credit accounting:
+    every purchase's 1e6 credit units split over its click touches
+    in the preceding 60 minutes; linear gives each touch
+    1e6 div n with the division remainder assigned to the last touch
+    — so per-conversion credit sums to EXACTLY 1e6 by construction
+    (the invariant fractional-credit float models silently violate),
+    and the position x model matrix (how much credit lands on
+    first / middle / last touches under each rule) is
+    integer-decidable on both engines.  Touch order is
+    (click_ts, event_id) — fully deterministic ranks.
+
+    100 TB shape: the touch join is the same user-keyed
+    interval-bounded join as the attribution entries (state bounded
+    by the 60-minute window at stream scale; a keyed shuffle join in
+    batch); ranks are per-purchase windows (tiny partitions);
+    aggregation is 9 groups.  North-star extension (SURVEY §2 stats
+    rows; the credit-assignment sibling of funnel_conversion and
+    markov_event_transitions)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES")),
+    ).select(
+        "pid",
+        "cid",
+        F.row_number()
+        .over(Window.partitionBy("pid").orderBy("cts", "cid"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("pid")).alias("n"),
+    )
+    labeled = touches.select(
+        F.when(F.col("rk") == 1, "1_first")
+        .when(F.col("rk") == F.col("n"), "3_last")
+        .otherwise("2_middle")
+        .alias("position"),
+        (
+            F.expr("1000000 div n")
+            + F.when(
+                F.col("rk") == F.col("n"),
+                F.expr("1000000 - n * (1000000 div n)"),
+            ).otherwise(0)
+        ).alias("linear_credit"),
+        F.when(F.col("rk") == 1, 1000000).otherwise(0).alias("first_credit"),
+        F.when(F.col("rk") == F.col("n"), 1000000)
+        .otherwise(0)
+        .alias("last_credit"),
+    )
+    models = (
+        labeled.select(
+            F.lit("linear").alias("model"),
+            "position",
+            F.col("linear_credit").alias("credit"),
+        )
+        .unionByName(
+            labeled.select(
+                F.lit("first_touch").alias("model"),
+                "position",
+                F.col("first_credit").alias("credit"),
+            )
+        )
+        .unionByName(
+            labeled.select(
+                F.lit("last_touch").alias("model"),
+                "position",
+                F.col("last_credit").alias("credit"),
+            )
+        )
+    )
+    return models.groupBy("model", "position").agg(
+        F.sum("credit").cast("long").alias("credit_x1e6"),
+        F.count("*").cast("long").alias("n_touches"),
     )
