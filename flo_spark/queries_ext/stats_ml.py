@@ -28,6 +28,7 @@ __all__ = [
     "bootstrap_mean_ci",
     "rfm_segmentation",
     "neyman_allocation_sampling",
+    "shapley_channel_attribution",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4595,3 +4596,117 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sample_seats"),
         )
     )
+
+
+@query(
+    "shapley_channel_attribution",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bc,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bv,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bs,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT
+        sum(CASE WHEN conv=1 AND bc<=0 AND bv<=0 AND bs<=0 THEN 1 ELSE 0 END) AS v000,
+        sum(CASE WHEN conv=1 AND bv<=0 AND bs<=0 THEN 1 ELSE 0 END) AS v100,
+        sum(CASE WHEN conv=1 AND bc<=0 AND bs<=0 THEN 1 ELSE 0 END) AS v010,
+        sum(CASE WHEN conv=1 AND bc<=0 AND bv<=0 THEN 1 ELSE 0 END) AS v001,
+        sum(CASE WHEN conv=1 AND bs<=0 THEN 1 ELSE 0 END) AS v110,
+        sum(CASE WHEN conv=1 AND bv<=0 THEN 1 ELSE 0 END) AS v101,
+        sum(CASE WHEN conv=1 AND bc<=0 THEN 1 ELSE 0 END) AS v011,
+        sum(CASE WHEN conv=1 THEN 1 ELSE 0 END) AS v111
+      FROM u
+    )
+    SELECT 'click' AS channel,
+           CAST(2*(v100-v000) + (v110-v010) + (v101-v001)
+                + 2*(v111-v011) AS BIGINT) AS shapley_x6,
+           CAST(v000 AS BIGINT) AS v_empty, CAST(v111 AS BIGINT) AS v_full
+    FROM v
+    UNION ALL
+    SELECT 'view',
+           CAST(2*(v010-v000) + (v110-v100) + (v011-v001)
+                + 2*(v111-v101) AS BIGINT),
+           CAST(v000 AS BIGINT), CAST(v111 AS BIGINT)
+    FROM v
+    UNION ALL
+    SELECT 'signup',
+           CAST(2*(v001-v000) + (v101-v100) + (v011-v010)
+                + 2*(v111-v110) AS BIGINT),
+           CAST(v000 AS BIGINT), CAST(v111 AS BIGINT)
+    FROM v
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY-VALUE channel attribution (the game-theoretic
+    credit rule — the unique allocation satisfying efficiency /
+    symmetry / dummy / additivity — that position rules like
+    multitouch_attribution_models approximate): players are the
+    {click, view, signup} exposure channels, the characteristic
+    function v(S) counts converted users whose exposure set is
+    CONTAINED in S (the only-these-channels-acted counterfactual),
+    and each channel's Shapley value is the weighted sum of its
+    marginal contributions over all 2^(n-1) coalitions.  With n=3
+    the factorial weights are {2,1,1,2}/6, so shapley_x6 is an EXACT
+    integer on both engines; efficiency (sum of values =
+    6*(v(N) - v(empty))) is pinned by hashing v_empty/v_full
+    alongside.
+
+    100 TB shape: one map-side-combinable per-user bitmap reduction,
+    then ONE row of 8 conditional sums — the 2^n characteristic
+    function evaluates in a single pass regardless of corpus size
+    (exponential only in the CHANNEL count, which is the model's
+    own constraint).  North-star extension (SURVEY §2 stats rows;
+    the exact-game sibling of the position-rule attribution entry)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("bc"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("bv"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("bs"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+
+    def vS(c_ok, v_ok, s_ok):
+        cond = F.col("conv") == 1
+        if not c_ok:
+            cond = cond & (F.col("bc") == 0)
+        if not v_ok:
+            cond = cond & (F.col("bv") == 0)
+        if not s_ok:
+            cond = cond & (F.col("bs") == 0)
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    v = u.agg(
+        vS(False, False, False).alias("v000"),
+        vS(True, False, False).alias("v100"),
+        vS(False, True, False).alias("v010"),
+        vS(False, False, True).alias("v001"),
+        vS(True, True, False).alias("v110"),
+        vS(True, False, True).alias("v101"),
+        vS(False, True, True).alias("v011"),
+        vS(True, True, True).alias("v111"),
+    )
+    rows = []
+    for ch, expr in (
+        ("click", "2*(v100-v000) + (v110-v010) + (v101-v001) + 2*(v111-v011)"),
+        ("view", "2*(v010-v000) + (v110-v100) + (v011-v001) + 2*(v111-v101)"),
+        (
+            "signup",
+            "2*(v001-v000) + (v101-v100) + (v011-v010) + 2*(v111-v110)",
+        ),
+    ):
+        rows.append(
+            v.select(
+                F.lit(ch).alias("channel"),
+                F.expr(expr).cast("long").alias("shapley_x6"),
+                F.col("v000").cast("long").alias("v_empty"),
+                F.col("v111").cast("long").alias("v_full"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])
