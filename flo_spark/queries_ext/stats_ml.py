@@ -29,6 +29,7 @@ __all__ = [
     "rfm_segmentation",
     "neyman_allocation_sampling",
     "shapley_channel_attribution",
+    "sequence_pattern_mining",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4710,3 +4711,92 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
+@query(
+    "sequence_pattern_mining",
+    """
+    WITH pos AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2
+      FROM pos a JOIN pos b
+        ON a.user_id = b.user_id AND a.rn < b.rn
+    ),
+    nu AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    sup AS (
+      SELECT t1, t2, count(*) AS support FROM pairs GROUP BY t1, t2
+    )
+    SELECT t1, t2,
+           CAST(support AS BIGINT) AS support,
+           CAST((support * 10000) // nu.n_users AS BIGINT)
+             AS support_ratio_x1e4,
+           CAST(nu.n_users AS BIGINT) AS n_users
+    FROM sup CROSS JOIN nu
+    ORDER BY support DESC, t1, t2 LIMIT 10
+    """,
+)
+def sequence_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING — gapped length-2 subsequence
+    support (the PrefixSpan/GSP primitive: pattern <a then b> is
+    supported by a user if SOME a-event precedes SOME b-event,
+    arbitrary gap — which fixed-window funnels and adjacent-pair
+    Markov transitions both cannot express): per-user event
+    positions by (ts, event_id), an inequality self-join produces
+    the DISTINCT patterns each user exhibits, support counts
+    supporting users, and the top-10 patterns emit with the exact
+    integer support ratio.  MINES the frequent orderings rather than
+    checking a prescribed one — the discovery step that feeds
+    funnel_conversion's hypothesis.
+
+    100 TB shape: the self-join keys on user_id (partition-local
+    pairing; per-user cost is O(events-per-user^2) on the REDUCED
+    distinct-pattern output, the known cost model of sequence
+    mining — bounded by capping per-user history in production);
+    support is a map-side-combinable count over <= |types|^2 keys;
+    top-10 is TakeOrderedAndProject.  North-star extension (SURVEY
+    §2 stats rows; completes the event-sequence family: funnel =
+    check, markov = adjacency, CEP = streaming regex, this =
+    mining)."""
+    ev = load(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .distinct()
+    )
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    sup = pairs.groupBy("t1", "t2").agg(F.count("*").alias("support"))
+    return (
+        sup.crossJoin(F.broadcast(nu))
+        .select(
+            "t1",
+            "t2",
+            F.col("support").cast("long").alias("support"),
+            F.expr("(support * 10000) div n_users")
+            .cast("long")
+            .alias("support_ratio_x1e4"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("support").desc(), "t1", "t2")
+        .limit(10)
+    )
