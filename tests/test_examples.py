@@ -88,3 +88,23 @@ def test_remote_client_tour_example_runs(tmp_path):
     assert "pipelined batch acked 4 ids" in out.stdout
     assert "produced MID-CONSUME" in out.stdout
     assert "scan sees 9 events" in out.stdout
+
+
+def test_lakehouse_crud_tour_example_runs(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "examples/lakehouse_crud_tour.py",
+            str(tmp_path / "crud"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "replayed batch was a no-op" in out.stdout
+    assert "0 fragments rewritten" in out.stdout
+    assert "IVM from CDF deltas == direct recompute" in out.stdout
+    assert "rows unchanged" in out.stdout
+    assert "lakehouse CRUD tour complete" in out.stdout
