@@ -20,6 +20,7 @@ from flo_spark.queries import (
 
 __all__ = [
     "pagerank_customer_supplier",
+    "personalized_pagerank_seeds",
     "triangle_count_copurchase",
     "community_label_propagation",
     "kcore_copurchase_peel",
@@ -1144,3 +1145,138 @@ def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled personalized-PageRank step: seed-only teleport."""
+    return (
+        f"{cur} AS (SELECT a.dst AS node,"
+        f" CASE WHEN a.dst IN (SELECT node FROM seeds)"
+        f" THEN 150000 ELSE 0 END"
+        f" + CAST((85 * sum(r.pr // a.outdeg)) // 100 AS BIGINT) AS pr"
+        f" FROM adj a JOIN {prev} r ON r.node = a.src"
+        f" WHERE r.pr > 0 GROUP BY a.dst)"
+    )
+
+
+@query(
+    "personalized_pagerank_seeds",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    adj AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+    seeds AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    r0 AS (
+      SELECT src AS node,
+             CAST(CASE WHEN src IN (SELECT node FROM seeds)
+                       THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+      FROM deg
+    ),
+    {_ppr_iter_sql('r0', 'r1')},
+    {_ppr_iter_sql('r1', 'r2')},
+    {_ppr_iter_sql('r2', 'r3')}
+    SELECT node, pr AS rank_scaled FROM r3
+    WHERE node LIKE 's%'
+    ORDER BY rank_scaled DESC, node LIMIT 20
+    """,
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank — random walk with restart to a SEED SET
+    (the graph-based recommendation/retrieval primitive: "suppliers
+    most relevant to BUILDING-segment customers", not globally
+    central ones): teleport mass lands only on the seed customers,
+    so rank diffuses outward from them through the trade graph; the
+    top-20 SUPPLIERS by 3-round fixed-point score are the
+    segment-specific recommendations global PageRank cannot express
+    (its top nodes are the same for every query).
+
+    Same integer fixed-point discipline as pagerank_customer_supplier
+    (1e-6 units, pr div outdeg contributions, 0.15/0.85 as integer
+    ops — bit-identical rounds on both engines); the r.pr > 0 guard
+    prunes message traffic to the REACHED frontier, which is the real
+    PPR optimization at scale (early rounds touch only the seeds'
+    neighborhoods, not the whole graph).
+
+    100 TB shape: adjacency built once and persisted; per round one
+    frontier-pruned equi-join + one dst-keyed shuffle; seeds are a
+    broadcastable dimension subset; top-20 is
+    TakeOrderedAndProject.  North-star extension (SURVEY §2 graph
+    rows; the query-conditioned sibling of the global entry)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    adj = edges.join(deg, "src").persist()
+    seeds = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .join(seeds.withColumn("is_seed", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("is_seed") == 1, 1000000)
+            .otherwise(0)
+            .cast("long")
+            .alias("pr"),
+        )
+    )
+    seed_flag = seeds.withColumn("is_seed", F.lit(1))
+    for _ in range(3):
+        msgs = (
+            adj.join(ranks.filter(F.col("pr") > 0), adj["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("mnode"),
+                F.expr("pr div outdeg").alias("contrib"),
+            )
+        )
+        ranks = (
+            msgs.groupBy("mnode")
+            .agg(F.sum("contrib").alias("s"))
+            .select(F.col("mnode").alias("node"), "s")
+            .join(F.broadcast(seed_flag), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, 150000).otherwise(0)
+                    + F.expr("(85 * s) div 100")
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", F.col("pr").alias("rank_scaled"))
+        .orderBy(F.col("rank_scaled").desc(), "node")
+        .limit(20)
+    )
