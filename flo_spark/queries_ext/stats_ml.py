@@ -30,6 +30,7 @@ __all__ = [
     "neyman_allocation_sampling",
     "shapley_channel_attribution",
     "sequence_pattern_mining",
+    "bradley_terry_ranking",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4799,4 +4800,171 @@ def sequence_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("support").desc(), "t1", "t2")
         .limit(10)
+    )
+
+
+def _bt_round_sql(prev: str, cur: str) -> str:
+    """One unrolled Bradley-Terry MM update with scaled-int pair
+    terms (identical integer operands on both engines)."""
+    return f"""
+    d{cur} AS (
+      SELECT m.i,
+             sum((m.n_pair * 1000000000)
+                 // (pa.p + pb.p)) AS denom
+      FROM matches m
+      JOIN {prev} pa ON pa.src = m.i
+      JOIN {prev} pb ON pb.src = m.j
+      GROUP BY m.i
+    ),
+    {cur} AS (
+      SELECT w.src, (w.wins * 1000000000) // d{cur}.denom AS p
+      FROM wins w JOIN d{cur} ON d{cur}.i = w.src
+    )"""
+
+
+@query(
+    "bradley_terry_ranking",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, n_chars,
+             lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS r_id,
+             lead(source) OVER (PARTITION BY lang ORDER BY doc_id) AS r_src,
+             lead(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS r_n
+      FROM documents
+    ),
+    duels AS (
+      SELECT CASE WHEN n_chars > r_n
+                    OR (n_chars = r_n AND doc_id < r_id)
+                  THEN source ELSE r_src END AS winner,
+             CASE WHEN n_chars > r_n
+                    OR (n_chars = r_n AND doc_id < r_id)
+                  THEN r_src ELSE source END AS loser
+      FROM w WHERE r_id IS NOT NULL AND source <> r_src
+    ),
+    nw AS (SELECT winner, loser, count(*) AS n FROM duels
+           GROUP BY winner, loser),
+    matches AS (
+      SELECT coalesce(a.winner, b.loser) AS i,
+             coalesce(a.loser, b.winner) AS j,
+             coalesce(a.n, 0) + coalesce(b.n, 0) AS n_pair
+      FROM nw a FULL OUTER JOIN nw b
+        ON a.winner = b.loser AND a.loser = b.winner
+    ),
+    wins AS (
+      SELECT s.src, coalesce(sum(nw.n), 0) AS wins
+      FROM (SELECT DISTINCT source AS src FROM documents) s
+      LEFT JOIN nw ON nw.winner = s.src GROUP BY s.src
+    ),
+    p0 AS (SELECT src, CAST(1000000 AS BIGINT) AS p FROM wins),
+    {_bt_round_sql('p0', 'p1')},
+    {_bt_round_sql('p1', 'p2')}
+    SELECT p2.src AS source,
+           CAST(w.wins AS BIGINT) AS wins,
+           CAST(p1.p AS BIGINT) AS strength_r1_x1e6,
+           CAST(p2.p AS BIGINT) AS strength_r2_x1e6
+    FROM p2 JOIN p1 ON p1.src = p2.src JOIN wins w ON w.src = p2.src
+    """,
+)
+def bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY pairwise-preference ranking (the arena/Elo-class
+    model behind LLM leaderboard scoring: strengths p_i such that
+    P(i beats j) = p_i/(p_i+p_j), fit by the classical MM update
+    p_i' = W_i / SUM_j n_ij/(p_i+p_j)): duels are deterministic
+    doc-length contests between different-source documents adjacent
+    in (lang, doc_id) order (ties to the lower doc_id), and two MM
+    rounds run in SCALED-INTEGER arithmetic — each pair term is
+    (n_pair * 1e9) div (p_i + p_j), summed exactly, so the update
+    trajectory is integer-decidable on both engines (the oracle
+    unrolls both rounds as CTE stages).  Output pins wins and both
+    rounds' strengths per source.
+
+    100 TB shape: the duel stream reduces map-side to a
+    |sources|^2 match matrix; each MM round joins that tiny matrix
+    against the |sources|-row strength table — iteration cost is
+    independent of corpus size after the first reduction (the same
+    cost model as arena leaderboards: millions of battles, dozens of
+    models).  North-star extension (SURVEY §2 LLM-eval rows; the
+    preference-model sibling of bleu2_pairwise_eval and the
+    judge-panel pattern)."""
+    d = load(spark, sf_dir, "documents")
+    win = Window.partitionBy("lang").orderBy("doc_id")
+    w = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lead("doc_id").over(win).alias("r_id"),
+        F.lead("source").over(win).alias("r_src"),
+        F.lead("n_chars").over(win).alias("r_n"),
+    ).filter(F.col("r_id").isNotNull() & (F.col("source") != F.col("r_src")))
+    left_wins = (F.col("n_chars") > F.col("r_n")) | (
+        (F.col("n_chars") == F.col("r_n")) & (F.col("doc_id") < F.col("r_id"))
+    )
+    duels = w.select(
+        F.when(left_wins, F.col("source")).otherwise(F.col("r_src")).alias(
+            "winner"
+        ),
+        F.when(left_wins, F.col("r_src")).otherwise(F.col("source")).alias(
+            "loser"
+        ),
+    )
+    nw = duels.groupBy("winner", "loser").agg(F.count("*").alias("n"))
+    a, b = nw.alias("a"), nw.alias("b")
+    matches = (
+        a.join(
+            b,
+            (F.col("a.winner") == F.col("b.loser"))
+            & (F.col("a.loser") == F.col("b.winner")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("a.winner"), F.col("b.loser")).alias("i"),
+            F.coalesce(F.col("a.loser"), F.col("b.winner")).alias("j"),
+            (
+                F.coalesce(F.col("a.n"), F.lit(0))
+                + F.coalesce(F.col("b.n"), F.lit(0))
+            ).alias("n_pair"),
+        )
+    )
+    srcs = d.select(F.col("source").alias("src")).distinct()
+    wins = (
+        srcs.join(nw, srcs["src"] == nw["winner"], "left")
+        .groupBy("src")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("wins"))
+    )
+    p = wins.select("src", F.lit(1000000).cast("long").alias("p"))
+    strengths = []
+    for _ in range(2):
+        pa = p.select(F.col("src").alias("i"), F.col("p").alias("pi"))
+        pb = p.select(F.col("src").alias("j"), F.col("p").alias("pj"))
+        denom = (
+            matches.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr("(n_pair * 1000000000) div (pi + pj)")
+                ).alias("denom")
+            )
+        )
+        p = (
+            wins.join(denom, wins["src"] == denom["i"])
+            .select(
+                "src",
+                F.expr("(wins * 1000000000) div denom").cast("long").alias("p"),
+            )
+        )
+        strengths.append(p)
+    return (
+        strengths[1]
+        .join(
+            strengths[0].withColumnRenamed("p", "p1"),
+            "src",
+        )
+        .join(wins, "src")
+        .select(
+            F.col("src").alias("source"),
+            F.col("wins").cast("long").alias("wins"),
+            F.col("p1").cast("long").alias("strength_r1_x1e6"),
+            F.col("p").cast("long").alias("strength_r2_x1e6"),
+        )
     )
