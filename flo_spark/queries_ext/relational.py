@@ -26,6 +26,7 @@ __all__ = [
     "locf_imputation",
     "multitouch_attribution_models",
     "business_day_transit",
+    "fifo_inventory_allocation",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -2970,4 +2971,106 @@ def business_day_transit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cal_days") - F.col("biz_days"))
         .cast("long")
         .alias("weekend_days_total"),
+    )
+
+
+@query(
+    "fifo_inventory_allocation",
+    """
+    WITH demand AS (
+      SELECT l_partkey AS pk,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             l_shipdate, l_orderkey, l_linenumber,
+             40 + l_partkey % 20 AS budget
+      FROM lineitem
+    ),
+    seq AS (
+      SELECT pk, qty, budget,
+             coalesce(sum(qty) OVER (
+               PARTITION BY pk ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM demand
+    ),
+    alloc AS (
+      SELECT pk, qty,
+             greatest(CAST(0 AS BIGINT),
+                      least(qty, budget - cum_before)) AS allocated
+      FROM seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS qty_demanded,
+           CAST(sum(allocated) AS BIGINT) AS qty_allocated,
+           CAST(sum(qty - allocated) AS BIGINT) AS qty_backordered,
+           CAST(sum(CASE WHEN allocated = qty THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_served,
+           CAST(sum(CASE WHEN allocated > 0 AND allocated < qty
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN allocated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starved
+    FROM alloc
+    """,
+)
+def fifo_inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO WATERFALL ALLOCATION — capped running allocation of a
+    finite per-part budget to demand in arrival order (the
+    inventory-reservation / FIFO-lot-matching primitive behind order
+    promising, ad pacing, and cost-basis accounting): each part has
+    a deterministic budget (40 + partkey%20 units); its lineitems
+    consume it in (shipdate, orderkey, linenumber) order via
+    ``allocated = clamp(budget - cum_before, 0, qty)`` where
+    cum_before is the exclusive running demand — the first lines are
+    fully served, one line straddles the boundary (partial), the
+    rest starve.  All integers (TPC-H quantities are whole), so the
+    served/partial/starved census and quantity masses hash exactly.
+
+    100 TB shape: ONE window per part partition with the exclusive
+    running-sum frame — no self-join, no iteration; partitions scale
+    out by part key (the natural allocation unit).  North-star
+    extension (SURVEY §2 window rows; the capped-allocation sibling
+    of the running-total and gaps-and-islands entries)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(40) + F.col("l_partkey") % 20).alias("budget"),
+    )
+    w = (
+        Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = li.withColumn(
+        "cum_before", F.coalesce(F.sum("qty").over(w), F.lit(0))
+    )
+    alloc = seq.withColumn(
+        "allocated",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("qty"), F.col("budget") - F.col("cum_before")),
+        ),
+    )
+    return alloc.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("qty_demanded"),
+        F.sum("allocated").cast("long").alias("qty_allocated"),
+        F.sum(F.col("qty") - F.col("allocated"))
+        .cast("long")
+        .alias("qty_backordered"),
+        F.sum(F.when(F.col("allocated") == F.col("qty"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fully_served"),
+        F.sum(
+            F.when(
+                (F.col("allocated") > 0) & (F.col("allocated") < F.col("qty")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_partial"),
+        F.sum(F.when(F.col("allocated") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_starved"),
     )
