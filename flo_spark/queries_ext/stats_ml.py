@@ -31,6 +31,7 @@ __all__ = [
     "shapley_channel_attribution",
     "sequence_pattern_mining",
     "bradley_terry_ranking",
+    "feature_store_pit_join",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -4966,5 +4967,107 @@ def bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wins").cast("long").alias("wins"),
             F.col("p1").cast("long").alias("strength_r1_x1e6"),
             F.col("p").cast("long").alias("strength_r2_x1e6"),
+        )
+    )
+
+
+@query(
+    "feature_store_pit_join",
+    """
+    WITH labels AS (
+      SELECT user_id, max(ts) AS label_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    feat AS (
+      SELECT l.user_id,
+             sum(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+               AS n_clicks_before,
+             sum(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+               AS n_views_before,
+             sum(CASE WHEN e.ts >= l.label_ts - INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS n_events_7d,
+             (epoch_ms(l.label_ts) - epoch_ms(max(e.ts))) // 60000
+               AS recency_min
+      FROM labels l JOIN events e
+        ON e.user_id = l.user_id AND e.ts < l.label_ts
+      GROUP BY l.user_id, l.label_ts
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_clicks_before AS BIGINT) AS n_clicks_before,
+           CAST(n_views_before AS BIGINT) AS n_views_before,
+           CAST(n_events_7d AS BIGINT) AS n_events_7d,
+           CAST(recency_min AS BIGINT) AS recency_min
+    FROM feat
+    """,
+)
+def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-CORRECT feature join — the feature-store
+    primitive that makes training data leakage-free (Feast/Tecton's
+    core contract: per entity, features may use only observations
+    STRICTLY BEFORE that entity's own label timestamp, which a plain
+    as-of-now aggregation violates): each user's label event is
+    their last purchase; the feature join admits only events with
+    ``ts < label_ts`` PER USER (a per-entity temporal predicate
+    inside the join condition, not a global snapshot cut), then
+    derives click/view history counts, 7-day recent activity, and
+    recency-in-minutes — all exact integers.
+
+    A user whose only events are at/after their label vanishes from
+    the output (no pre-label history -> no training row), which is
+    the honest contract; events AT the label timestamp are excluded
+    (strict <) — the classic off-by-one that leaks the label into
+    its own features.
+
+    100 TB shape: one user-keyed equi-join with the temporal
+    predicate as a join-condition filter (no window, no per-user
+    sort); the label side is an entity-cardinality aggregate that
+    AQE can broadcast when small.  North-star extension (SURVEY §2
+    LLM rows; the training-data sibling of leakage-safe splits and
+    decontamination)."""
+    ev = load(spark, sf_dir, "events")
+    labels = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("label_ts"))
+    )
+    e = ev.select(
+        F.col("user_id").alias("eu"),
+        "event_type",
+        F.col("ts").alias("ets"),
+    )
+    j = labels.join(
+        e,
+        (F.col("eu") == F.col("user_id")) & (F.col("ets") < F.col("label_ts")),
+    )
+    return (
+        j.groupBy("user_id", "label_ts")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks_before"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views_before"),
+            F.sum(
+                F.when(
+                    F.col("ets")
+                    >= F.col("label_ts") - F.expr("INTERVAL 7 DAYS"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_events_7d"),
+            F.expr(
+                "(unix_millis(label_ts) - unix_millis(max(ets))) div 60000"
+            )
+            .cast("long")
+            .alias("recency_min"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_clicks_before",
+            "n_views_before",
+            "n_events_7d",
+            "recency_min",
         )
     )

@@ -38,6 +38,7 @@ __all__ = [
     "rrf_hybrid_retrieval",
     "bleu2_pairwise_eval",
     "bpe_decode_roundtrip",
+    "autocomplete_prefix_index",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -3296,4 +3297,96 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_div") < 3, F.col("k_size")).otherwise(0))
         .cast("long")
         .alias("rows_at_risk"),
+    )
+
+
+@query(
+    "autocomplete_prefix_index",
+    """
+    WITH words AS (
+      SELECT lower(u) AS w FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS u
+        FROM documents
+      )
+      WHERE length(u) >= 2 AND regexp_matches(u, '^[A-Za-z]+$')
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+    pref AS (
+      SELECT substr(w, 1, p.p) AS prefix, w, freq
+      FROM wf, (SELECT unnest([2, 3]) AS p) p
+      WHERE length(w) > p.p
+    ),
+    ranked AS (
+      SELECT prefix, w, freq,
+             row_number() OVER (
+               PARTITION BY prefix ORDER BY freq DESC, w) AS rk
+      FROM pref
+    )
+    SELECT prefix, w AS completion,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 3 AND prefix IN ('th', 'ha', 'me', 'wi', 'dup', 'mer')
+    """,
+)
+def autocomplete_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX AUTOCOMPLETE INDEX — the materialized
+    (prefix -> top-k completions) table behind search-as-you-type
+    (the batch trie every suggest service precomputes): alphabetic
+    corpus words lowercase-normalized and frequency-counted, exploded
+    into their 2- and 3-char proper prefixes, ranked per prefix by
+    (freq desc, word) — integer-decidable — and cut to top-3; the
+    entry emits the index rows for six probe prefixes so the hash
+    pins both ranking and cut.
+
+    100 TB shape: prefixes explode from the REDUCED word-frequency
+    table (O(vocabulary), not O(corpus tokens)); the per-prefix rank
+    is a bounded window over same-prefix completions; serving-side
+    this table is range-partitioned by prefix — a point lookup.
+    North-star extension (SURVEY §2 LLM/text rows; the query-side
+    sibling of inverted_index_build and bm25_search_topk)."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("u")
+        )
+        .filter(
+            (F.length("u") >= 2) & F.col("u").rlike("^[A-Za-z]+$")
+        )
+        .select(F.lower(F.col("u")).alias("w"))
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pref = (
+        wf.crossJoin(
+            F.broadcast(
+                d.sparkSession.createDataFrame([(2,), (3,)], "p int")
+            )
+        )
+        .filter(F.length("w") > F.col("p"))
+        .select(
+            F.expr("substring(w, 1, p)").alias("prefix"), "w", "freq"
+        )
+    )
+    ranked = pref.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("prefix").orderBy(
+                F.col("freq").desc(), F.col("w")
+            )
+        ),
+    )
+    return (
+        ranked.filter(
+            (F.col("rk") <= 3)
+            & F.col("prefix").isin("th", "ha", "me", "wi", "dup", "mer")
+        )
+        .select(
+            "prefix",
+            F.col("w").alias("completion"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )
