@@ -32,6 +32,8 @@ __all__ = [
     "sequence_pattern_mining",
     "bradley_terry_ranking",
     "feature_store_pit_join",
+    "target_encoding_loo",
+    "oaxaca_mix_rate_decomposition",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5070,4 +5072,202 @@ def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_7d",
             "recency_min",
         )
+    )
+
+
+@query(
+    "target_encoding_loo",
+    """
+    WITH px AS (
+      SELECT o_orderpriority AS cat,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT cat, count(*) AS n_g, sum(y) AS sum_g FROM px GROUP BY cat
+    ),
+    enc AS (
+      SELECT p.cat, p.y,
+             (g.sum_g - p.y) // (g.n_g - 1) AS loo_enc
+      FROM px p JOIN g USING (cat)
+      WHERE g.n_g > 1
+    )
+    SELECT cat AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(loo_enc) AS BIGINT) AS enc_min_x1e4,
+           CAST(max(loo_enc) AS BIGINT) AS enc_max_x1e4,
+           CAST(sum(loo_enc) AS BIGINT) AS enc_sum_x1e4,
+           CAST(sum(CASE WHEN loo_enc > y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_group_mean
+    FROM enc GROUP BY cat
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING (the category-to-number feature
+    encoder gradient-boosting pipelines use, in its leakage-safe
+    form: each row's encoding is its category's target mean COMPUTED
+    WITHOUT THAT ROW — ``(sum_g - y_i) div (n_g - 1)`` — because the
+    naive within-fold mean leaks the row's own label into its
+    feature, the classic target-leak CatBoost's ordered encoding
+    exists to fix): exact scaled-long floor divisions per row, so
+    the per-category encoding distribution (min/max/sum and the
+    count of rows sitting below their group's LOO mean) hashes
+    bitwise.  Singleton categories are excluded by contract (their
+    LOO mean is undefined) — the honest edge case.
+
+    100 TB shape: one map-side-combinable category aggregate
+    broadcast back over the fact (per-row arithmetic at scan stage,
+    no window, no shuffle of the fact beyond the final 5-group
+    reduce).  North-star extension (SURVEY §2 LLM/ML rows; the
+    encoding sibling of feature_store_pit_join's leakage contract)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+    )
+    g = o.groupBy("cat").agg(
+        F.count("*").alias("n_g"), F.sum("y").alias("sum_g")
+    )
+    enc = (
+        o.join(F.broadcast(g), "cat")
+        .filter(F.col("n_g") > 1)
+        .withColumn("loo_enc", F.expr("(sum_g - y) div (n_g - 1)"))
+    )
+    return enc.groupBy(F.col("cat").alias("o_orderpriority")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("loo_enc").cast("long").alias("enc_min_x1e4"),
+        F.max("loo_enc").cast("long").alias("enc_max_x1e4"),
+        F.sum("loo_enc").cast("long").alias("enc_sum_x1e4"),
+        F.sum(F.when(F.col("loo_enc") > F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_group_mean"),
+    )
+
+
+@query(
+    "oaxaca_mix_rate_decomposition",
+    """
+    WITH px AS (
+      SELECT o_orderpriority AS seg,
+             CASE WHEN epoch_ms(o_orderdate) <
+                       (SELECT (epoch_ms(min(o_orderdate))
+                                + epoch_ms(max(o_orderdate))) // 2
+                        FROM orders)
+                  THEN 'A' ELSE 'B' END AS period,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    seg_stats AS (
+      SELECT seg, period, count(*) AS n, sum(y) // count(*) AS mean_y
+      FROM px GROUP BY seg, period
+    ),
+    tot AS (
+      SELECT period, sum(n) AS n_tot FROM seg_stats GROUP BY period
+    ),
+    shares AS (
+      SELECT s.seg, s.period, s.mean_y,
+             (s.n * 1000000) // t.n_tot AS share_x1e6
+      FROM seg_stats s JOIN tot t USING (period)
+    ),
+    wide AS (
+      SELECT a.seg,
+             a.share_x1e6 AS sh_a, b.share_x1e6 AS sh_b,
+             a.mean_y AS mu_a, b.mean_y AS mu_b
+      FROM (SELECT * FROM shares WHERE period = 'A') a
+      JOIN (SELECT * FROM shares WHERE period = 'B') b USING (seg)
+    )
+    SELECT seg AS o_orderpriority,
+           CAST(sh_a AS BIGINT) AS share_a_x1e6,
+           CAST(sh_b AS BIGINT) AS share_b_x1e6,
+           CAST(mu_a AS BIGINT) AS mean_a_x1e4,
+           CAST(mu_b AS BIGINT) AS mean_b_x1e4,
+           CAST((sh_b - sh_a) * mu_a AS BIGINT) AS mix_effect_x1e10,
+           CAST(sh_a * (mu_b - mu_a) AS BIGINT) AS rate_effect_x1e10,
+           CAST((sh_b - sh_a) * (mu_b - mu_a) AS BIGINT)
+             AS interaction_x1e10
+    FROM wide
+    """,
+)
+def oaxaca_mix_rate_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OAXACA-BLINDER mix/rate DECOMPOSITION (the "why did the
+    metric move" arithmetic every growth team runs: a change in
+    average order value between two periods splits, per segment,
+    into a MIX effect — the segment's share of volume shifted — a
+    RATE effect — the segment's own mean shifted — and their
+    interaction): periods are the date-median halves of the corpus;
+    per (segment, period) the mean is an exact scaled-long floor
+    division and the volume share an exact ppm; the three effect
+    terms are pure integer products at 1e10 scale, so the
+    decomposition table hashes bitwise.  Summed over segments,
+    mix + rate + interaction reproduces the total metric change up
+    to the stated ppm/4dp quantization — the identity the analysis
+    rests on.
+
+    100 TB shape: one (segment, period) map-side-combinable
+    aggregate (10 rows), then pure arithmetic on the tiny wide
+    table; the period split predicate is a scan-stage comparison
+    against a 1-row broadcast midpoint.  North-star extension
+    (SURVEY §2 stats rows; the decomposition sibling of
+    diff_in_diff_revenue)."""
+    o = load(spark, sf_dir, "orders")
+    mid = o.agg(
+        F.expr(
+            "(unix_millis(cast(min(o_orderdate) as timestamp))"
+            " + unix_millis(cast(max(o_orderdate) as timestamp))) div 2"
+        ).alias("mid_ms")
+    )
+    px = o.crossJoin(F.broadcast(mid)).select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(
+            F.expr("unix_millis(cast(o_orderdate as timestamp))")
+            < F.col("mid_ms"),
+            "A",
+        )
+        .otherwise("B")
+        .alias("period"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+    )
+    seg_stats = px.groupBy("seg", "period").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(y) div count(*)").alias("mean_y"),
+    )
+    tot = seg_stats.groupBy("period").agg(F.sum("n").alias("n_tot"))
+    shares = seg_stats.join(F.broadcast(tot), "period").select(
+        "seg",
+        "period",
+        "mean_y",
+        F.expr("(n * 1000000) div n_tot").alias("share_x1e6"),
+    )
+    a = (
+        shares.filter(F.col("period") == "A")
+        .select(
+            "seg",
+            F.col("share_x1e6").alias("sh_a"),
+            F.col("mean_y").alias("mu_a"),
+        )
+    )
+    b = (
+        shares.filter(F.col("period") == "B")
+        .select(
+            "seg",
+            F.col("share_x1e6").alias("sh_b"),
+            F.col("mean_y").alias("mu_b"),
+        )
+    )
+    return a.join(b, "seg").select(
+        F.col("seg").alias("o_orderpriority"),
+        F.col("sh_a").cast("long").alias("share_a_x1e6"),
+        F.col("sh_b").cast("long").alias("share_b_x1e6"),
+        F.col("mu_a").cast("long").alias("mean_a_x1e4"),
+        F.col("mu_b").cast("long").alias("mean_b_x1e4"),
+        ((F.col("sh_b") - F.col("sh_a")) * F.col("mu_a"))
+        .cast("long")
+        .alias("mix_effect_x1e10"),
+        (F.col("sh_a") * (F.col("mu_b") - F.col("mu_a")))
+        .cast("long")
+        .alias("rate_effect_x1e10"),
+        ((F.col("sh_b") - F.col("sh_a")) * (F.col("mu_b") - F.col("mu_a")))
+        .cast("long")
+        .alias("interaction_x1e10"),
     )
