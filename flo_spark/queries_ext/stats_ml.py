@@ -34,6 +34,7 @@ __all__ = [
     "feature_store_pit_join",
     "target_encoding_loo",
     "oaxaca_mix_rate_decomposition",
+    "chain_ladder_development",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5271,3 +5272,198 @@ def oaxaca_mix_rate_decomposition(
         .cast("long")
         .alias("interaction_x1e10"),
     )
+
+
+@query(
+    "chain_ladder_development",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    fd AS (SELECT user_id, min(d) AS c FROM ev GROUP BY user_id),
+    mx AS (SELECT max(d) AS maxd FROM ev),
+    aged AS (
+      SELECT f.c, e.d - f.c AS age
+      FROM ev e JOIN fd f USING (user_id)
+      WHERE e.d - f.c BETWEEN 0 AND 6
+    ),
+    inc AS (SELECT c, age, count(*) AS n FROM aged GROUP BY c, age),
+    spine AS (
+      SELECT cc.c, j.j AS age
+      FROM (SELECT DISTINCT c FROM fd) cc, (SELECT unnest(range(7)) AS j) j
+      CROSS JOIN mx WHERE cc.c + j.j <= mx.maxd
+    ),
+    cum AS (
+      SELECT s.c, s.age,
+             (SELECT coalesce(sum(i.n), 0) FROM inc i
+              WHERE i.c = s.c AND i.age <= s.age) AS cum
+      FROM spine s
+    ),
+    factors AS (
+      SELECT n0.age,
+             (sum(n1.cum) * 1000000) // sum(n0.cum) AS f
+      FROM cum n0 JOIN cum n1 ON n1.c = n0.c AND n1.age = n0.age + 1
+      WHERE n0.age < 6
+      GROUP BY n0.age
+    ),
+    fw AS (
+      SELECT max(CASE WHEN age = 0 THEN f END) AS f0,
+             max(CASE WHEN age = 1 THEN f END) AS f1,
+             max(CASE WHEN age = 2 THEN f END) AS f2,
+             max(CASE WHEN age = 3 THEN f END) AS f3,
+             max(CASE WHEN age = 4 THEN f END) AS f4,
+             max(CASE WHEN age = 5 THEN f END) AS f5
+      FROM factors
+    ),
+    open_cohorts AS (
+      SELECT c.c, mx.maxd - c.c AS maxage, c.cum AS latest
+      FROM cum c CROSS JOIN mx
+      WHERE c.age = mx.maxd - c.c AND mx.maxd - c.c < 6
+    ),
+    p0 AS (SELECT o.c, o.maxage, o.latest, o.latest AS u,
+           f.f0, f.f1, f.f2, f.f3, f.f4, f.f5
+           FROM open_cohorts o CROSS JOIN fw f),
+    p1 AS (SELECT c, maxage, latest,
+           CASE WHEN 0 >= maxage THEN (u * f0) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p0),
+    p2 AS (SELECT c, maxage, latest,
+           CASE WHEN 1 >= maxage THEN (u * f1) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p1),
+    p3 AS (SELECT c, maxage, latest,
+           CASE WHEN 2 >= maxage THEN (u * f2) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p2),
+    p4 AS (SELECT c, maxage, latest,
+           CASE WHEN 3 >= maxage THEN (u * f3) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p3),
+    p5 AS (SELECT c, maxage, latest,
+           CASE WHEN 4 >= maxage THEN (u * f4) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p4),
+    p6 AS (SELECT c, maxage, latest,
+           CASE WHEN 5 >= maxage THEN (u * f5) // 1000000
+                ELSE u END AS u,
+           f0, f1, f2, f3, f4, f5 FROM p5),
+    proj AS (SELECT c, maxage, latest, u AS ultimate FROM p6)
+    SELECT 'factor' AS kind, CAST(age AS BIGINT) AS k,
+           CAST(f AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2
+    FROM factors
+    UNION ALL
+    SELECT 'ultimate', CAST(c AS BIGINT), CAST(latest AS BIGINT),
+           CAST(ultimate AS BIGINT)
+    FROM proj
+    """,
+)
+def chain_ladder_development(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-LADDER development triangle (the actuarial
+    loss-development method, reused here as cohort activity
+    maturation — the same arithmetic powers revenue-recognition and
+    engagement-forecast curves): users cohort by first-active day;
+    cumulative event counts build the (cohort x age<=6) run-off
+    triangle on a DENSE spine (zero-activity ages included — the
+    gap every sparse-join implementation silently drops);
+    age-to-age factors f_j = sum(C_{.,j+1}) / sum(C_{.,j}) over
+    cohorts observed at both ages are exact ppm divisions; open
+    cohorts (age < 6 at the data horizon) project to ULTIMATE by the
+    sequential factor chain with a floor-div at every step — the
+    identical integer op sequence both engines replay (oracle
+    unrolls the 6-step chain as one CASE pyramid).
+
+    100 TB shape: the triangle reduces map-side to
+    O(cohorts x ages); factors and the projection are arithmetic on
+    that tiny table; the only corpus-scale work is the first-day
+    aggregate + one age-bounded join.  North-star extension (SURVEY
+    §2 stats rows; the forecasting sibling of cohort_retention —
+    retention reports the triangle, chain-ladder COMPLETES it)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    fd = ev.groupBy("user_id").agg(F.min("d").alias("c"))
+    mx = ev.agg(F.max("d").alias("maxd"))
+    aged = (
+        ev.join(fd, "user_id")
+        .withColumn("age", F.col("d") - F.col("c"))
+        .filter(F.col("age").between(0, 6))
+    )
+    inc = aged.groupBy("c", "age").agg(F.count("*").alias("n"))
+    spine = (
+        fd.select("c")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(7).select(F.col("id").alias("age")))
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("c") + F.col("age") <= F.col("maxd"))
+        .select("c", "age")
+    )
+    cum = (
+        spine.join(inc.withColumnRenamed("age", "iage"), "c", "left")
+        .filter(F.col("iage").isNull() | (F.col("iage") <= F.col("age")))
+        .groupBy("c", "age")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("cum"))
+    )
+    n0 = cum.alias("n0")
+    n1 = cum.alias("n1")
+    factors = (
+        n0.filter(F.col("n0.age") < 6)
+        .join(
+            n1,
+            (F.col("n1.c") == F.col("n0.c"))
+            & (F.col("n1.age") == F.col("n0.age") + 1),
+        )
+        .groupBy(F.col("n0.age").alias("age"))
+        .agg(
+            F.expr("(sum(n1.cum) * 1000000) div sum(n0.cum)").alias("f")
+        )
+    )
+    fw = factors.agg(
+        *[
+            F.max(F.when(F.col("age") == j, F.col("f"))).alias(f"f{j}")
+            for j in range(6)
+        ]
+    )
+    open_cohorts = (
+        cum.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("age") == F.col("maxd") - F.col("c"))
+            & (F.col("maxd") - F.col("c") < 6)
+        )
+        .select(
+            "c",
+            (F.col("maxd") - F.col("c")).alias("maxage"),
+            F.col("cum").alias("latest"),
+        )
+    )
+    proj = open_cohorts.crossJoin(F.broadcast(fw)).withColumn(
+        "u", F.col("latest")
+    )
+    for j in range(6):
+        proj = proj.withColumn(
+            "u",
+            F.expr(
+                f"CASE WHEN {j} >= maxage THEN (u * f{j}) div 1000000"
+                " ELSE u END"
+            ),
+        )
+    proj = proj.withColumn("ultimate", F.col("u"))
+    facts = factors.select(
+        F.lit("factor").alias("kind"),
+        F.col("age").cast("long").alias("k"),
+        F.col("f").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    ults = proj.select(
+        F.lit("ultimate").alias("kind"),
+        F.col("c").cast("long").alias("k"),
+        F.col("latest").cast("long").alias("v1"),
+        F.col("ultimate").cast("long").alias("v2"),
+    )
+    return facts.unionByName(ults)
