@@ -27,6 +27,8 @@ __all__ = [
     "multitouch_attribution_models",
     "business_day_transit",
     "fifo_inventory_allocation",
+    "decayed_trending_brands",
+    "haversine_trade_distance",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -3073,4 +3075,209 @@ def fifo_inventory_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("allocated") == 0, 1).otherwise(0))
         .cast("long")
         .alias("n_starved"),
+    )
+
+
+@query(
+    "decayed_trending_brands",
+    """
+    WITH horizon AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    weighted AS (
+      SELECT p.p_brand,
+             CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT) AS px,
+             CAST(floor(power(0.5,
+                    date_diff('day', CAST(o.o_orderdate AS DATE), hz.h)
+                    / 30.0) * 1000000 + 0.5) AS BIGINT) AS w_x1e6
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      CROSS JOIN horizon hz
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(px * w_x1e6 // 1000000) AS BIGINT)
+             AS decayed_revenue_x1e4,
+           CAST(sum(px) AS BIGINT) AS raw_revenue_x1e4
+    FROM weighted GROUP BY p_brand
+    ORDER BY decayed_revenue_x1e4 DESC, p_brand LIMIT 10
+    """,
+)
+def decayed_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAYED TRENDING ranking (the exponentially-decayed
+    frequency/revenue scoring behind every "trending now" surface —
+    recency-weighted so a recent surge outranks stale volume):
+    per line, weight = 2^(-age_days/30) with a 30-day half-life,
+    floored ONCE to ppm per row (identical float expression over
+    exact integer day-diffs on both engines — the bm25 determinism
+    pattern), then the decayed revenue sum is pure integer
+    arithmetic (px * w div 1e6 per row, summed exactly).  Top-10
+    brands by decayed revenue, with the RAW revenue alongside so the
+    hash also pins how the decay reorders the undecayed ranking.
+
+    100 TB shape: the weight is a scan-stage expression on the fact
+    join (q9's star shape); the horizon is a 1-row broadcast;
+    aggregation is map-side-combinable per brand and the cut is
+    TakeOrderedAndProject.  At stream scale the same math folds
+    incrementally (decayed_sum' = decayed_sum * decay + new).
+    North-star extension (SURVEY §2 stats rows; the recency-weighted
+    sibling of copurchase_lift_topk and ewma_hourly_trend)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", money_scaled(F.col("l_extendedprice")).alias("px")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    horizon = o.agg(F.max("od").alias("h"))
+    weighted = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "p_brand",
+            "px",
+            F.floor(
+                F.pow(
+                    F.lit(0.5),
+                    F.datediff(F.col("h"), F.col("od")) / F.lit(30.0),
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_x1e6"),
+        )
+    )
+    return (
+        weighted.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.expr("px * w_x1e6 div 1000000"))
+            .cast("long")
+            .alias("decayed_revenue_x1e4"),
+            F.sum("px").cast("long").alias("raw_revenue_x1e4"),
+        )
+        .orderBy(F.col("decayed_revenue_x1e4").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+@query(
+    "haversine_trade_distance",
+    """
+    WITH geo AS (
+      SELECT n_nationkey,
+             CAST((n_nationkey * 7) % 140 - 70 AS DOUBLE) AS lat,
+             CAST((n_nationkey * 13) % 360 - 180 AS DOUBLE) AS lon
+      FROM nation
+    ),
+    lanes AS (
+      SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    dist AS (
+      SELECT ln.cn, ln.sn,
+             CAST(floor(
+               12742.0 * asin(sqrt(
+                 pow(sin(radians(g2.lat - g1.lat) / 2), 2)
+                 + cos(radians(g1.lat)) * cos(radians(g2.lat))
+                   * pow(sin(radians(g2.lon - g1.lon) / 2), 2)
+               )) * 10 + 0.5) AS BIGINT) AS km_x10
+      FROM lanes ln
+      JOIN geo g1 ON g1.n_nationkey = ln.cn
+      JOIN geo g2 ON g2.n_nationkey = ln.sn
+    )
+    SELECT km_x10 // 20000 AS band_2000km,
+           CAST(count(*) AS BIGINT) AS n_lanes,
+           CAST(min(km_x10) AS BIGINT) AS min_km_x10,
+           CAST(max(km_x10) AS BIGINT) AS max_km_x10
+    FROM dist GROUP BY km_x10 // 20000
+    """,
+)
+def haversine_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOSPATIAL distance analytics — great-circle (haversine)
+    shipping distance between customer and supplier nations, banded
+    into 2000 km buckets (the logistics lane-length distribution a
+    supply-chain dashboard reports): nation coordinates are a
+    DETERMINISTIC synthetic grid (lat = 7k%140-70, lon = 13k%360-180
+    — stated in the oracle, so both engines geocode identically),
+    and the haversine — 2R*asin(sqrt(sin^2(dLat/2) +
+    cos*cos*sin^2(dLon/2))), R=6371 km — is the identical
+    double-expression sequence over identical integer-degree
+    operands on both engines, floored once at 0.1 km before
+    banding (the bm25 determinism pattern applied to trig).
+
+    100 TB shape: distances compute per LANE (25x25 nation pairs via
+    the broadcast geo dim), not per row — the per-row work is the
+    q5-shaped star join to reach (cust_nation, supp_nation); banding
+    and counts reduce map-side.  North-star extension (SURVEY §2
+    scalar/math rows; the geo sibling of the proximity-grid join,
+    which bins PLANAR coordinates — this is the spherical metric)."""
+    geo = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 7) % 140 - 70).cast("double").alias("lat"),
+        ((F.col("n_nationkey") * 13) % 360 - 180).cast("double").alias("lon"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lanes = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("cn"),
+            F.col("s_nationkey").alias("sn"),
+        )
+    )
+    g1 = geo.select(
+        F.col("n_nationkey").alias("k1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+    )
+    g2 = geo.select(
+        F.col("n_nationkey").alias("k2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    dist = (
+        lanes.join(F.broadcast(g1), F.col("cn") == F.col("k1"))
+        .join(F.broadcast(g2), F.col("sn") == F.col("k2"))
+        .withColumn(
+            "km_x10",
+            F.floor(
+                12742.0
+                * F.asin(
+                    F.sqrt(
+                        F.pow(
+                            F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2),
+                            2,
+                        )
+                        + F.cos(F.radians("lat1"))
+                        * F.cos(F.radians("lat2"))
+                        * F.pow(
+                            F.sin(
+                                F.radians(F.col("lon2") - F.col("lon1")) / 2
+                            ),
+                            2,
+                        )
+                    )
+                )
+                * 10
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return dist.groupBy(
+        F.expr("km_x10 div 20000").alias("band_2000km")
+    ).agg(
+        F.count("*").cast("long").alias("n_lanes"),
+        F.min("km_x10").cast("long").alias("min_km_x10"),
+        F.max("km_x10").cast("long").alias("max_km_x10"),
     )
