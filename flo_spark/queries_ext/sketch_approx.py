@@ -19,6 +19,7 @@ from flo_spark.queries import (
 )
 
 __all__ = [
+    "capture_recapture_estimate",
     "approx_distinct_bounded",
     "approx_quantile_bounded",
     "freq_items_heavy_hitters",
@@ -860,4 +861,76 @@ def ams_f2_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((CAST(z1 AS DECIMAL(38,0)) * z1 + CAST(z2 AS DECIMAL(38,0))"
         " * z2 + CAST(z3 AS DECIMAL(38,0)) * z3 + CAST(z4 AS"
         " DECIMAL(38,0)) * z4) div 4 AS BIGINT) AS ams_estimate",
+    )
+
+
+@query(
+    "capture_recapture_estimate",
+    """
+    WITH marks AS (
+      SELECT user_id,
+             max(CASE WHEN (event_id * 2654435761) % 7 < 3
+                      THEN 1 ELSE 0 END) AS in_s1,
+             max(CASE WHEN (event_id * 40503) % 7 < 3
+                      THEN 1 ELSE 0 END) AS in_s2
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(in_s1) AS BIGINT) AS n_sample1,
+           CAST(sum(in_s2) AS BIGINT) AS n_sample2,
+           CAST(sum(in_s1 * in_s2) AS BIGINT) AS n_recaptured,
+           CAST((sum(in_s1) * sum(in_s2)) // sum(in_s1 * in_s2) AS BIGINT)
+             AS lincoln_petersen_est,
+           CAST(((sum(in_s1) + 1) * (sum(in_s2) + 1))
+                // (sum(in_s1 * in_s2) + 1) - 1 AS BIGINT)
+             AS chapman_est
+    FROM marks
+    """,
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE population estimation (Lincoln-Petersen and
+    the bias-corrected Chapman estimator — the ecology method that
+    predates sketches for "how many distinct are there REALLY":
+    two independent observation passes, overlap size reveals the
+    unseen mass via N-hat = n1*n2/m): the two "capture" passes are
+    independent deterministic hash marks over each user's events
+    (different Knuth multipliers, ~3/7 inclusion each), recapture is
+    the intersection, and both estimators are exact integer floor
+    divisions — so the estimate, its inputs, AND the true distinct
+    count all hash, letting the entry double as its own accuracy
+    report.  Estimation logic this shape is what audit teams use to
+    size UNDERCOUNTS (dedup missed-match rates, log-loss estimation)
+    where an HLL can only count what it SAW.
+
+    100 TB shape: one map-side-combinable per-user mark reduction,
+    then a single-row aggregate — no shuffle beyond the user
+    groupBy; the marks are scan-stage hash arithmetic.  North-star
+    extension (SURVEY §2 sketch/approx rows; the statistical-sample
+    counterpart of hll_sketch_union_bounded's algorithmic
+    summary)."""
+    ev = load(spark, sf_dir, "events")
+    marks = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_id") * 2654435761) % 7 < 3, 1).otherwise(0)
+        ).alias("in_s1"),
+        F.max(
+            F.when((F.col("event_id") * 40503) % 7 < 3, 1).otherwise(0)
+        ).alias("in_s2"),
+    )
+    return marks.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("in_s1").cast("long").alias("n_sample1"),
+        F.sum("in_s2").cast("long").alias("n_sample2"),
+        F.sum(F.col("in_s1") * F.col("in_s2"))
+        .cast("long")
+        .alias("n_recaptured"),
+        F.expr("(sum(in_s1) * sum(in_s2)) div sum(in_s1 * in_s2)")
+        .cast("long")
+        .alias("lincoln_petersen_est"),
+        F.expr(
+            "((sum(in_s1) + 1) * (sum(in_s2) + 1))"
+            " div (sum(in_s1 * in_s2) + 1) - 1"
+        )
+        .cast("long")
+        .alias("chapman_est"),
     )

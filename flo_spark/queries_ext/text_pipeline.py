@@ -39,6 +39,7 @@ __all__ = [
     "bleu2_pairwise_eval",
     "bpe_decode_roundtrip",
     "autocomplete_prefix_index",
+    "sentence_segmentation_stats",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -3389,4 +3390,82 @@ def autocomplete_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
             F.col("rk").cast("long").alias("rk"),
         )
+    )
+
+
+@query(
+    "sentence_segmentation_stats",
+    r"""
+    WITH sents AS (
+      SELECT doc_id, lang, trim(s) AS s
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(text, '[.!?]+')) AS s
+        FROM documents
+      )
+      WHERE trim(s) <> ''
+    ),
+    per AS (
+      SELECT doc_id, lang,
+             count(*) AS n_sents,
+             sum(length(s)) AS chars_total,
+             sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+               AS words_total
+      FROM sents GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sents) AS BIGINT) AS sents_total,
+           CAST(sum(words_total) AS BIGINT) AS words_total,
+           CAST((sum(words_total) * 10000) // sum(n_sents) AS BIGINT)
+             AS words_per_sent_x1e4,
+           CAST((sum(chars_total) * 10000) // sum(words_total) AS BIGINT)
+             AS chars_per_word_x1e4
+    FROM per GROUP BY lang
+    """,
+)
+def sentence_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE SEGMENTATION + readability-style structure stats
+    (the words-per-sentence / chars-per-word inputs behind
+    Flesch-class readability scoring and the doc-structure features
+    quality classifiers consume): documents split on terminal
+    punctuation runs ([.!?]+), empty segments dropped, and per
+    language the corpus reports sentence counts plus EXACT
+    4dp-scaled integer ratios (words per sentence, chars per word —
+    floor divisions of exact token/char sums, never float means).
+    Regex semantics are pinned to the same pattern class both
+    engines implement identically (split on a character-class run).
+
+    100 TB shape: segmentation and token counting are scan-stage
+    (explode + length arithmetic, reduced map-side per doc before
+    the language rollup); no joins, no windows.  North-star
+    extension (SURVEY §2 text rows; feeds quality_classifier_score's
+    feature family)."""
+    d = load(spark, sf_dir, "documents")
+    sents = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s0"),
+        )
+        .select("doc_id", "lang", F.trim(F.col("s0")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    per = sents.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_sents"),
+        F.sum(F.length("s")).alias("chars_total"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("s"), " "), lambda x: x != ""))
+        ).alias("words_total"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sents").cast("long").alias("sents_total"),
+        F.sum("words_total").cast("long").alias("words_total"),
+        F.expr("(sum(words_total) * 10000) div sum(n_sents)")
+        .cast("long")
+        .alias("words_per_sent_x1e4"),
+        F.expr("(sum(chars_total) * 10000) div sum(words_total)")
+        .cast("long")
+        .alias("chars_per_word_x1e4"),
     )
