@@ -35,6 +35,7 @@ __all__ = [
     "target_encoding_loo",
     "oaxaca_mix_rate_decomposition",
     "chain_ladder_development",
+    "empirical_bayes_shrinkage",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5467,3 +5468,118 @@ def chain_ladder_development(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ultimate").cast("long").alias("v2"),
     )
     return facts.unionByName(ults)
+
+
+@query(
+    "empirical_bayes_shrinkage",
+    """
+    WITH px AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ),
+    grp AS (
+      SELECT g, count(*) AS n_g, sum(y) // count(*) AS mu_g
+      FROM px GROUP BY g
+    ),
+    grand AS (
+      SELECT sum(n_g * mu_g) // sum(n_g) AS mu, count(*) AS k FROM grp
+    ),
+    within AS (
+      SELECT p.g, sum((p.y - gr.mu_g) * (p.y - gr.mu_g) // 100000000)
+               AS ssw_x1
+      FROM px p JOIN grp gr USING (g) GROUP BY p.g
+    ),
+    parts AS (
+      SELECT g.g, g.n_g, g.mu_g, w.ssw_x1,
+             (g.mu_g - gd.mu) * (g.mu_g - gd.mu) // 100000000 AS btw_x1,
+             gd.mu, gd.k
+      FROM grp g JOIN within w USING (g) CROSS JOIN grand gd
+    ),
+    tau AS (
+      SELECT sum(n_g * btw_x1) // sum(n_g) AS tau2_x1,
+             sum(ssw_x1) // sum(n_g) AS sigma2_x1
+      FROM parts
+    )
+    SELECT p.g AS o_orderpriority,
+           CAST(p.n_g AS BIGINT) AS n_g,
+           CAST(p.mu_g AS BIGINT) AS mean_x1e4,
+           CAST(p.mu AS BIGINT) AS grand_mean_x1e4,
+           CAST((p.n_g * t.tau2_x1 * 1000000)
+                // (p.n_g * t.tau2_x1 + t.sigma2_x1) AS BIGINT)
+             AS weight_x1e6,
+           CAST(p.mu
+                + (p.n_g * t.tau2_x1 * (p.mu_g - p.mu))
+                  // (p.n_g * t.tau2_x1 + t.sigma2_x1) AS BIGINT)
+             AS shrunk_mean_x1e4
+    FROM parts p CROSS JOIN tau t
+    """,
+)
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES SHRINKAGE of group means toward the grand mean
+    (the James-Stein/partial-pooling estimator dashboards need for
+    small groups: a group's reported mean is pulled toward the
+    population by a weight n*tau^2/(n*tau^2 + sigma^2) — groups with
+    little data borrow strength, big groups keep their own signal):
+    variance components come from method-of-moments — sigma^2 as the
+    pooled within-group mean square, tau^2 as the size-weighted
+    between-group mean square — computed on a COMMON REDUCED SCALE
+    (squared 4dp deviations pre-divided by 1e8, i.e. squared whole
+    dollars) so every sum stays exact int64 where raw squared
+    scaled-cents would overflow (the documented reason); weights and
+    shrunk means are then pure integer products/divisions.
+
+    100 TB shape: two map-side-combinable passes (group moments,
+    then within-group squares against broadcast means), then
+    arithmetic on O(groups) rows.  North-star extension (SURVEY §2
+    stats rows; the partial-pooling sibling of
+    target_encoding_loo — same borrowing idea, estimator-grade)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+    )
+    grp = o.groupBy("g").agg(
+        F.count("*").alias("n_g"),
+        F.expr("sum(y) div count(*)").alias("mu_g"),
+    )
+    grand = grp.agg(
+        F.expr("sum(n_g * mu_g) div sum(n_g)").alias("mu"),
+        F.count("*").alias("k"),
+    )
+    within = (
+        o.join(F.broadcast(grp), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.expr("(y - mu_g) * (y - mu_g) div 100000000")
+            ).alias("ssw_x1")
+        )
+    )
+    parts = (
+        grp.join(within, "g")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "btw_x1", F.expr("(mu_g - mu) * (mu_g - mu) div 100000000")
+        )
+    )
+    tau = parts.agg(
+        F.expr("sum(n_g * btw_x1) div sum(n_g)").alias("tau2_x1"),
+        F.expr("sum(ssw_x1) div sum(n_g)").alias("sigma2_x1"),
+    )
+    return parts.crossJoin(F.broadcast(tau)).select(
+        F.col("g").alias("o_orderpriority"),
+        F.col("n_g").cast("long").alias("n_g"),
+        F.col("mu_g").cast("long").alias("mean_x1e4"),
+        F.col("mu").cast("long").alias("grand_mean_x1e4"),
+        F.expr(
+            "(n_g * tau2_x1 * 1000000) div (n_g * tau2_x1 + sigma2_x1)"
+        )
+        .cast("long")
+        .alias("weight_x1e6"),
+        F.expr(
+            "mu + (n_g * tau2_x1 * (mu_g - mu))"
+            " div (n_g * tau2_x1 + sigma2_x1)"
+        )
+        .cast("long")
+        .alias("shrunk_mean_x1e4"),
+    )

@@ -22,6 +22,7 @@ from flo_spark.queries import (
 
 __all__ = [
     "benford_first_digit_audit",
+    "cuped_variance_reduction",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -2824,4 +2825,112 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("chi2_term_x1e4"),
         )
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    """
+    WITH split AS (
+      SELECT (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2
+              FROM events) AS mid_ms
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN epoch_ms(ts) < s.mid_ms THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN epoch_ms(ts) >= s.mid_ms THEN 1 ELSE 0 END) AS y
+      FROM events CROSS JOIN split s
+      GROUP BY user_id, s.mid_ms
+    ),
+    moments AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+           CAST(n * syy - sy * sy AS BIGINT) AS vary_n2,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) * 1e4 + 0.5) AS BIGINT)
+             AS theta_x1e4,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      * (n * sxy - sx * sy)
+                      / (n * sxx - sx * sx)
+                      / (n * syy - sy * sy) * 1e4 + 0.5) AS BIGINT)
+             AS rho2_x1e4
+    FROM moments
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the
+    pre-experiment-covariate adjustment every mature A/B platform
+    applies: ``y_adj = y - theta*(x - mean_x)`` with
+    theta = cov(x,y)/var(x) shrinks metric variance by rho^2, so
+    experiments need 1/(1-rho^2) fewer samples): the covariate is
+    each user's PRE-period activity (events before the epoch-millis
+    midpoint), the metric their POST-period activity; all moment
+    sums (n, sums, cross products) are EXACT integers (per-user
+    counts are small, so n*sxy-type terms stay far inside int64 —
+    stated bound in the entry), surfaced raw in the hash alongside
+    the single-rounding theta and rho^2 — the variance-reduction
+    fraction itself.
+
+    100 TB shape: one map-side-combinable per-user reduction, one
+    single-row moment aggregate — the same two-pass-free shape as
+    the OLS entries; the period midpoint is a 1-row broadcast.
+    North-star extension (SURVEY §2 stats rows; completes the A/B
+    family: welch_t2 tests, srm guards, diff_in_diff identifies,
+    CUPED powers)."""
+    ev = load(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(unix_millis(cast(min(ts) as timestamp))"
+            " + unix_millis(cast(max(ts) as timestamp))) div 2"
+        ).alias("mid_ms")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("unix_millis(cast(ts as timestamp))")
+                    < F.col("mid_ms"),
+                    1,
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.expr("unix_millis(cast(ts as timestamp))")
+                    >= F.col("mid_ms"),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("n * sxy - sx * sy").cast("long").alias("cov_n2"),
+        F.expr("n * sxx - sx * sx").cast("long").alias("varx_n2"),
+        F.expr("n * syy - sy * sy").cast("long").alias("vary_n2"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (n * sxx - sx * sx) * 1e4 + 0.5) AS BIGINT)"
+        ).alias("theta_x1e4"),
+        F.expr(
+            "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * (n * sxy - sx * sy)"
+            " / (n * sxx - sx * sx)"
+            " / (n * syy - sy * sy) * 1e4 + 0.5) AS BIGINT)"
+        ).alias("rho2_x1e4"),
     )
