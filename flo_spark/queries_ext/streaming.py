@@ -42,6 +42,7 @@ __all__ = [
     "watermark_disorder_audit",
     "stream_lakehouse_sink",
     "stream_stream_semi_attribution",
+    "session_window_dynamic_gap",
 ]
 
 
@@ -1877,4 +1878,93 @@ def stream_stream_semi_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("user_id", "click_id")
     return run_to_memory(
         joined, await_new=False, output_mode="append", shuffle_partitions=8
+    )
+
+
+@query(
+    "session_window_dynamic_gap",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type = 'purchase' THEN 3600000
+                  ELSE 900000 END AS gap_ms
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_ms, gap_ms,
+             CASE WHEN ts_ms >= max(ts_ms + gap_ms) OVER (
+                    PARTITION BY user_id ORDER BY ts_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts_ms) = 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, ts_ms, gap_ms,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             max(ts_ms + gap_ms) - min(ts_ms) AS dur_ms
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(dur_ms) AS BIGINT) AS dur_ms_total
+    FROM per_session GROUP BY user_id % 10
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows — the per-ROW gap expression form
+    of ``F.session_window`` (Spark 3.2+'s extension the static-gap
+    entry cannot exercise: a purchase keeps the session alive 60
+    minutes, anything else 15 — engagement-weighted sessionization):
+    Spark's native session merge runs against an oracle that derives
+    the identical sessions from first principles — a session breaks
+    when an event's time reaches the RUNNING MAX of all previous
+    events' (ts + their own gap) (running max, not lag: one
+    long-gap event must hold the session open across several
+    short-gap successors — the bug a lag-based oracle would hide),
+    with the half-open [start, end) boundary convention.
+
+    Aggregates per user-bucket (session counts, event mass, longest
+    session, total open duration) are exact epoch-millis integers.
+
+    100 TB shape: sessionization is one user-partitioned window pass
+    on both formulations; Spark's native operator carries session
+    state per key in streaming mode (the batch entry pins identical
+    semantics).  Completes the session family: static gap
+    (session_windows_30m), streaming state, and now per-event
+    dynamic gaps (SURVEY §2 streaming/window rows)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .otherwise("15 minutes")
+        .alias("gap"),
+    )
+    sess = ev.groupBy(
+        F.session_window(F.col("ts"), F.col("gap")).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    per = sess.select(
+        "user_id",
+        "n_events",
+        (
+            F.expr("unix_millis(cast(w.end as timestamp))")
+            - F.expr("unix_millis(cast(w.start as timestamp))")
+        ).alias("dur_ms"),
+    )
+    return per.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.sum("dur_ms").cast("long").alias("dur_ms_total"),
     )
