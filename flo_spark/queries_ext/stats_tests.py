@@ -23,6 +23,7 @@ from flo_spark.queries import (
 __all__ = [
     "benford_first_digit_audit",
     "cuped_variance_reduction",
+    "spearman_rho_user_metrics",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -2933,4 +2934,79 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n * sxx - sx * sx)"
             " / (n * syy - sy * sy) * 1e4 + 0.5) AS BIGINT)"
         ).alias("rho2_x1e4"),
+    )
+
+
+@query(
+    "spearman_rho_user_metrics",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS activity,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS spend
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY activity, user_id) AS ra,
+             row_number() OVER (ORDER BY spend, user_id) AS rs
+      FROM u
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum((ra - rs) * (ra - rs)) AS d2
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(d2 AS BIGINT) AS sum_d2,
+           CAST(1000000 - (6 * d2 * 1000000) // (n * (n * n - 1))
+                AS BIGINT) AS rho_x1e6
+    FROM s
+    """,
+)
+def spearman_rho_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation via the exact FOOTRULE form
+    ``rho = 1 - 6*SUM(d^2) / (n(n^2-1))`` between per-user activity
+    and spend — the rational complement to
+    kendall_tau_user_metrics (whose docstring notes Pearson/Spearman
+    "need square roots": true only under ties — with ranks made
+    DISTINCT by user_id tie-break, the classical formula is a pure
+    rational, and both engines produce identical integer ranks, d^2
+    sums, and the single 1e-6-grid division).  The tie-break
+    convention is stated (row_number over (metric, user_id)), so the
+    oracle cannot drift to midrank Spearman.
+
+    Overflow bound, stated: 6*d^2*1e6 <= 6*n^3*1e6 needs n <= ~1e5
+    users for int64 — true at every shipped SF; beyond that, reduce
+    the scale factor or compute in DECIMAL.
+
+    100 TB shape: one per-user reduction, two dimension-sized rank
+    windows (user-cardinality, the quantile_normalize_sources
+    caveat), one single-row aggregate — no O(n^2) pair join, which
+    is exactly why Spearman complements Kendall at scale (tau's
+    exact form is quadratic in users; rho's is linear after
+    ranking).  North-star extension (SURVEY §2 stats rows)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("activity"),
+        F.sum(F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long")).alias(
+            "spend"
+        ),
+    )
+    ranked = u.select(
+        F.row_number()
+        .over(Window.orderBy("activity", "user_id"))
+        .alias("ra"),
+        F.row_number().over(Window.orderBy("spend", "user_id")).alias("rs"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("ra") - F.col("rs")) * (F.col("ra") - F.col("rs"))
+        ).alias("d2"),
+    ).select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("d2").cast("long").alias("sum_d2"),
+        F.expr("1000000 - (6 * d2 * 1000000) div (n * (n * n - 1))")
+        .cast("long")
+        .alias("rho_x1e6"),
     )
