@@ -43,6 +43,7 @@ __all__ = [
     "stream_lakehouse_sink",
     "stream_stream_semi_attribution",
     "session_window_dynamic_gap",
+    "stream_dlq_ingest",
 ]
 
 
@@ -1967,4 +1968,98 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.max("n_events").cast("long").alias("max_session_events"),
         F.sum("dur_ms").cast("long").alias("dur_ms_total"),
+    )
+
+
+@query(
+    "stream_dlq_ingest",
+    """
+    WITH classified AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN value IS NULL OR value < 0 THEN 'neg_value'
+                  WHEN event_type NOT IN
+                       ('click', 'view', 'purchase', 'signup')
+                    THEN 'bad_type'
+                  ELSE 'ok' END AS verdict
+      FROM events
+    )
+    SELECT verdict,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_event,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM classified GROUP BY verdict
+    """,
+)
+def stream_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-LETTER-QUEUE streaming ingest — the validate-and-route
+    pattern every production pipeline needs (bad rows must neither
+    poison the main table NOR vanish: they land in a quarantine
+    table WITH their rejection reason, at the same exactly-once
+    guarantee): each micro-batch splits on validation (negative/null
+    values -> 'neg_value'; event types outside the allowlist ->
+    'bad_type' — the corpus's 'error' type is the planted offender)
+    and both routes append to their own manifest table via
+    ``commit_stream_batch`` under DIFFERENT source ids in the same
+    batch — so a crash replay skips both atomically-guarded routes.
+    The hashed output is the routing census (row counts + event-id
+    extremes per verdict) read back FROM THE TWO TABLES, equal to
+    the oracle's direct classification of the raw stream: nothing
+    lost, nothing duplicated, nothing misrouted.
+
+    100 TB shape: validation is a scan-stage CASE; each route costs
+    one fragment + O(1) manifest write per batch (the
+    stream_lakehouse_sink cost model x2); the DLQ stays small by
+    construction and is the operator's inspection surface.
+    North-star extension (SURVEY §2 streaming rows; composes the
+    exactly-once sink with the constraint_audit family)."""
+    from flo_spark.queries import _events_stream, scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    tmp = scratch_dir("flo_dlq_")
+    main_t = ManifestTable(f"{tmp}/main")
+    dlq_t = ManifestTable(f"{tmp}/dlq")
+    allowed = ("click", "view", "purchase", "signup")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        verdict = (
+            F.when(
+                F.col("value").isNull() | (F.col("value") < 0), "neg_value"
+            )
+            .when(~F.col("event_type").isin(*allowed), "bad_type")
+            .otherwise("ok")
+        )
+        classified = batch.select(
+            "event_id", "event_type", "value", verdict.alias("verdict")
+        )
+        main_t.commit_stream_batch(
+            classified.filter(F.col("verdict") == "ok"),
+            batch_id,
+            source_id="main",
+        )
+        dlq_t.commit_stream_batch(
+            classified.filter(F.col("verdict") != "ok"),
+            batch_id,
+            source_id="dlq",
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("DLQ ingest did not drain within 180s")
+    main = main_t.read(spark)
+    dlq = dlq_t.read(spark)
+    return (
+        main.unionByName(dlq)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_event"),
+            F.max("event_id").cast("long").alias("max_event"),
+        )
     )
