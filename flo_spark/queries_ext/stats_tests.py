@@ -24,6 +24,7 @@ __all__ = [
     "benford_first_digit_audit",
     "cuped_variance_reduction",
     "spearman_rho_user_metrics",
+    "overdispersion_zero_inflation",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3009,4 +3010,103 @@ def spearman_rho_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 - (6 * d2 * 1000000) div (n * (n * n - 1))")
         .cast("long")
         .alias("rho_x1e6"),
+    )
+
+
+@query(
+    "overdispersion_zero_inflation",
+    """
+    WITH days AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT u.user_id, d.d FROM users u CROSS JOIN days d),
+    daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             count(*) AS n
+      FROM events GROUP BY user_id, d
+    ),
+    dense AS (
+      SELECT g.user_id, g.d, coalesce(dl.n, 0) AS n
+      FROM grid g LEFT JOIN daily dl
+        ON dl.user_id = g.user_id AND dl.d = g.d
+    ),
+    m AS (
+      SELECT count(*) AS cells,
+             sum(n) AS total,
+             sum(n * n) AS total2,
+             sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS zeros
+      FROM dense
+    )
+    SELECT CAST(cells AS BIGINT) AS n_cells,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(zeros AS BIGINT) AS zero_cells,
+           CAST(floor((CAST(cells AS DOUBLE) * total2 - CAST(total AS DOUBLE) * total)
+                      / (CAST(cells AS DOUBLE) * total) * 1e4 + 0.5)
+                AS BIGINT) AS dispersion_index_x1e4,
+           CAST(floor(exp(-CAST(total AS DOUBLE) / cells) * CAST(cells AS DOUBLE)
+                      + 0.5) AS BIGINT) AS poisson_expected_zeros,
+           CAST(floor((CAST(zeros AS DOUBLE)
+                       / (exp(-CAST(total AS DOUBLE) / cells) * cells))
+                      * 1e4 + 0.5) AS BIGINT) AS zero_inflation_x1e4
+    FROM m
+    """,
+)
+def overdispersion_zero_inflation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT-MODEL DIAGNOSTICS — overdispersion index and
+    zero-inflation ratio on the DENSE user x day activity grid (the
+    two checks that decide Poisson vs negative-binomial vs
+    zero-inflated models, run before anyone fits one): the dense
+    grid includes every user's zero-activity days (the silent-user
+    mass a sparse aggregation drops — the same dense-spine
+    discipline as chain_ladder), moments are exact integer sums, and
+    the derived ratios — variance/mean dispersion (>1 means
+    overdispersed), Poisson-expected zero count n*exp(-lambda), and
+    observed/expected zero inflation — are identical float
+    expressions over those integer operands, rounded once.
+
+    100 TB shape: the grid is |users| x |days| — at dimension scale
+    (1e6 users x 365 days = 4e8 cells, a normal fact size), built as
+    a cross join of two REDUCED dimensions, never via the raw
+    events; daily counts reduce map-side first.  North-star
+    extension (SURVEY §2 stats rows; the model-selection gate in
+    front of anomaly_zscore_hourly's Gaussian assumption)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    days = ev.select("d").distinct()
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = ev.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    dense = grid.join(daily, ["user_id", "d"], "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    m = dense.agg(
+        F.count("*").alias("cells"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("total2"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("zeros"),
+    )
+    return m.selectExpr(
+        "CAST(cells AS BIGINT) AS n_cells",
+        "CAST(total AS BIGINT) AS n_events",
+        "CAST(zeros AS BIGINT) AS zero_cells",
+        """CAST(floor((CAST(cells AS DOUBLE) * total2
+                       - CAST(total AS DOUBLE) * total)
+                      / (CAST(cells AS DOUBLE) * total) * 1e4 + 0.5)
+               AS BIGINT) AS dispersion_index_x1e4""",
+        """CAST(floor(exp(-CAST(total AS DOUBLE) / cells)
+                      * CAST(cells AS DOUBLE) + 0.5)
+               AS BIGINT) AS poisson_expected_zeros""",
+        """CAST(floor((CAST(zeros AS DOUBLE)
+                       / (exp(-CAST(total AS DOUBLE) / cells) * cells))
+                      * 1e4 + 0.5) AS BIGINT) AS zero_inflation_x1e4""",
     )
