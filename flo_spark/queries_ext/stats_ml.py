@@ -36,6 +36,7 @@ __all__ = [
     "oaxaca_mix_rate_decomposition",
     "chain_ladder_development",
     "empirical_bayes_shrinkage",
+    "haar_wavelet_levels",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5582,4 +5583,138 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("shrunk_mean_x1e4"),
+    )
+
+
+def _haar_level_sql(prev: str, n: int, half: int) -> str:
+    """One unrolled Haar level: pairwise integer averages + details
+    (exact: the x64 pre-scale absorbs all six halvings)."""
+    return f"""
+    h{n} AS (
+      SELECT list_transform(range(1, {half} + 1),
+               i -> (a[2 * i - 1] + a[2 * i]) // 2) AS a,
+             list_transform(range(1, {half} + 1),
+               i -> (a[2 * i - 1] - a[2 * i]) // 2) AS d
+      FROM {prev}
+    )"""
+
+
+@query(
+    "haar_wavelet_levels",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY bucket
+    ),
+    h0 AS (
+      SELECT (list(cnt * 64 ORDER BY bucket))[1:64] AS a FROM hourly
+    ),
+    {_haar_level_sql('h0', 1, 32)},
+    {_haar_level_sql('h1', 2, 16)},
+    {_haar_level_sql('h2', 3, 8)},
+    {_haar_level_sql('h3', 4, 4)},
+    {_haar_level_sql('h4', 5, 2)},
+    {_haar_level_sql('h5', 6, 1)}
+    SELECT lvl,
+           CAST(n_coeffs AS BIGINT) AS n_coeffs,
+           CAST(energy AS BIGINT) AS energy,
+           CAST(max_abs AS BIGINT) AS max_abs_detail,
+           CAST(approx0 AS BIGINT) AS final_approx
+    FROM (
+      SELECT 1 AS lvl, len(h1.d) AS n_coeffs,
+             list_sum(list_transform(h1.d, x -> x * x)) AS energy,
+             list_max(list_transform(h1.d, x -> abs(x))) AS max_abs,
+             h6.a[1] AS approx0
+      FROM h1, h6
+      UNION ALL SELECT 2, len(h2.d),
+             list_sum(list_transform(h2.d, x -> x * x)),
+             list_max(list_transform(h2.d, x -> abs(x))), h6.a[1]
+      FROM h2, h6
+      UNION ALL SELECT 3, len(h3.d),
+             list_sum(list_transform(h3.d, x -> x * x)),
+             list_max(list_transform(h3.d, x -> abs(x))), h6.a[1]
+      FROM h3, h6
+      UNION ALL SELECT 4, len(h4.d),
+             list_sum(list_transform(h4.d, x -> x * x)),
+             list_max(list_transform(h4.d, x -> abs(x))), h6.a[1]
+      FROM h4, h6
+      UNION ALL SELECT 5, len(h5.d),
+             list_sum(list_transform(h5.d, x -> x * x)),
+             list_max(list_transform(h5.d, x -> abs(x))), h6.a[1]
+      FROM h5, h6
+      UNION ALL SELECT 6, len(h6.d),
+             list_sum(list_transform(h6.d, x -> x * x)),
+             list_max(list_transform(h6.d, x -> abs(x))), h6.a[1]
+      FROM h6
+    )
+    """,
+)
+def haar_wavelet_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET multiresolution decomposition of the hourly event
+    series (the dyadic averaging/differencing behind time-series
+    compression, change localization, and wavelet-based similarity
+    search): the first 64 hourly counts, pre-scaled by 64 so ALL SIX
+    levels of pairwise (a+b)/2 averages and (a-b)/2 details stay
+    EXACT integers (one halving per level, parity absorbed by the
+    pre-scale — no floats anywhere in the transform); per level the
+    entry hashes coefficient counts, detail ENERGY (sum of squares —
+    where the series' variance lives by scale: level-1 energy is
+    hour-to-hour noise, level-6 is the day-scale trend), the largest
+    detail magnitude (the strongest change at that scale), and the
+    final approximation coefficient (64x the series mean).
+
+    100 TB shape: the only corpus-scale work is the hourly
+    pre-aggregation; the transform is six array-HOF steps on ONE
+    64-element row (the Holt/hash-chain fold discipline — years of
+    hourly data is still metadata-sized).  North-star extension
+    (SURVEY §2 stats rows; the multiscale sibling of
+    cusum_changepoint_hourly, which localizes ONE change — wavelets
+    rank changes at EVERY scale)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    arr = hourly.agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+                lambda s: s["cnt"] * 64,
+            ),
+            1,
+            64,
+        ).alias("a")
+    )
+    rows = []
+    cur = arr
+    approx_cur = None
+    for lvl, half in ((1, 32), (2, 16), (3, 8), (4, 4), (5, 2), (6, 1)):
+        cur = cur.selectExpr(
+            f"transform(sequence(1, {half}),"
+            " i -> (element_at(a, 2 * i - 1) + element_at(a, 2 * i))"
+            " div 2) AS a",
+            f"transform(sequence(1, {half}),"
+            " i -> (element_at(a, 2 * i - 1) - element_at(a, 2 * i))"
+            " div 2) AS d",
+        ).localCheckpoint()
+        rows.append(
+            cur.selectExpr(
+                f"{lvl} AS lvl",
+                "CAST(size(d) AS BIGINT) AS n_coeffs",
+                "CAST(aggregate(d, 0L, (acc, x) -> acc + x * x)"
+                " AS BIGINT) AS energy",
+                "CAST(array_max(transform(d, x -> abs(x)))"
+                " AS BIGINT) AS max_abs_detail",
+            )
+        )
+        if lvl == 6:
+            approx_cur = cur.selectExpr("element_at(a, 1) AS approx0")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(approx_cur)).select(
+        "lvl",
+        "n_coeffs",
+        "energy",
+        "max_abs_detail",
+        F.col("approx0").cast("long").alias("final_approx"),
     )
