@@ -37,6 +37,7 @@ __all__ = [
     "chain_ladder_development",
     "empirical_bayes_shrinkage",
     "haar_wavelet_levels",
+    "dft_periodicity_power",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5717,4 +5718,110 @@ def haar_wavelet_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "energy",
         "max_abs_detail",
         F.col("approx0").cast("long").alias("final_approx"),
+    )
+
+
+@query(
+    "dft_periodicity_power",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY bucket
+    ),
+    series AS (
+      SELECT cnt, row_number() OVER (ORDER BY bucket) - 1 AS t
+      FROM hourly
+    ),
+    mean_c AS (SELECT sum(cnt) // count(*) AS mu FROM series),
+    terms AS (
+      SELECT p.period, s.t,
+             CAST(floor((s.cnt - m.mu)
+                  * cos(2 * pi() * s.t / p.period) * 1e6 + 0.5)
+                  AS BIGINT) AS re_term,
+             CAST(floor((s.cnt - m.mu)
+                  * sin(2 * pi() * s.t / p.period) * 1e6 + 0.5)
+                  AS BIGINT) AS im_term
+      FROM series s CROSS JOIN mean_c m
+      CROSS JOIN (SELECT unnest([24, 12, 8, 6]) AS period) p
+    ),
+    sums AS (
+      SELECT period,
+             sum(re_term) // 1000000 AS re,
+             sum(im_term) // 1000000 AS im
+      FROM terms GROUP BY period
+    )
+    SELECT CAST(period AS BIGINT) AS period_hours,
+           CAST(re AS BIGINT) AS re_coeff,
+           CAST(im AS BIGINT) AS im_coeff,
+           CAST(re * re + im * im AS BIGINT) AS power
+    FROM sums
+    """,
+)
+def dft_periodicity_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-DOMAIN periodicity detection — single-bin DFT
+    (Goertzel-style) power of the mean-centered hourly event series
+    at candidate periods 24/12/8/6 hours (the spectral test that
+    finds daily/shift seasonality where autocorrelation entries see
+    only lag structure): each term (c_t - mu) * cos/sin(2*pi*t/P)
+    is floored ONCE per term to 1e-6 (identical float expression
+    over exact integer operands — the engine-exactness discipline),
+    so the coefficient SUMS are exact integers in any order, the
+    coefficients scale back by integer division, and the squared
+    power is pure integer arithmetic (the scale-down before squaring
+    is what keeps 73-term sums inside int64 — stated here).
+
+    100 TB shape: the corpus reduces map-side to hourly buckets
+    once; the DFT terms are scan-stage expressions on the O(hours)
+    table x O(candidate periods) — probing named periods costs
+    |periods| passes over metadata-sized data, the reason monitoring
+    systems probe known frequencies instead of running a full FFT.
+    North-star extension (SURVEY §2 stats rows; the frequency-domain
+    member of the seasonality family: acf lags, CUSUM changepoints,
+    Haar scales, now spectral bins)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    series = hourly.select(
+        "cnt",
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("t"),
+    )
+    mu = series.agg(F.expr("sum(cnt) div count(*)").alias("mu"))
+    periods = spark.createDataFrame(
+        [(24,), (12,), (8,), (6,)], "period int"
+    )
+    terms = (
+        series.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(periods))
+        .select(
+            "period",
+            F.floor(
+                (F.col("cnt") - F.col("mu"))
+                * F.cos(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("re_term"),
+            F.floor(
+                (F.col("cnt") - F.col("mu"))
+                * F.sin(2 * F.lit(3.141592653589793) * F.col("t") / F.col("period"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("im_term"),
+        )
+    )
+    sums = terms.groupBy("period").agg(
+        F.expr("sum(re_term) div 1000000").alias("re"),
+        F.expr("sum(im_term) div 1000000").alias("im"),
+    )
+    return sums.select(
+        F.col("period").cast("long").alias("period_hours"),
+        F.col("re").cast("long").alias("re_coeff"),
+        F.col("im").cast("long").alias("im_coeff"),
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+        .cast("long")
+        .alias("power"),
     )
