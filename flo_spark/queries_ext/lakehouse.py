@@ -42,6 +42,7 @@ __all__ = [
     "lakehouse_table_diff",
     "encoding_advisor_profile",
     "lakehouse_optimize_binpack",
+    "lakehouse_write_audit_publish",
 ]
 
 
@@ -1740,4 +1741,91 @@ def lakehouse_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars_total"),
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@query(
+    "lakehouse_write_audit_publish",
+    """
+    WITH staged AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    bad AS (SELECT * FROM staged WHERE n_chars % 7 = 0),
+    good AS (SELECT * FROM staged WHERE n_chars % 7 <> 0),
+    base AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+    SELECT CAST((SELECT count(*) FROM final) AS BIGINT) AS n_docs,
+           CAST((SELECT sum(n_chars) FROM final) AS BIGINT) AS chars_total,
+           CAST((SELECT count(*) FROM bad) AS BIGINT) AS bad_rows_rejected,
+           CAST((SELECT count(*) FROM base) AS BIGINT)
+             AS n_docs_before_publish,
+           CAST(2 AS BIGINT) AS main_versions,
+           CAST(1 AS BIGINT) AS orphans_reclaimed
+    """,
+)
+def lakehouse_write_audit_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH — staged ingestion on a BRANCH with an
+    audit gate before anything reaches readers (the Iceberg WAP /
+    Nessie branch workflow; ``ManifestTable.create_branch`` /
+    ``publish_branch`` / ``drop_branch``): the incoming batch
+    (doc_id%3=0) first lands on branch 'incoming'; the audit finds
+    the planted corrupt subset (n_chars%7=0), so the branch is
+    DROPPED — main never saw it, its fragment becomes a vacuumable
+    orphan (reclaim count pinned) — and the corrected batch stages
+    on a fresh branch that passes audit and PUBLISHES: one atomic
+    fast-forward commit making the audited state visible, however
+    many staging commits the branch took.
+
+    The hash pins the final table aggregate (base + good rows,
+    exactly once), the audit's rejected-row count, main's
+    pre-publish row count (staging invisible to readers — the
+    whole point), main's total version count (2: base append +
+    publish; staging never inflates main history), and the orphan
+    reclaim.
+
+    100 TB shape: branches are manifest-prefix metadata — zero data
+    copies to create, publish, or drop; the audit reads only the
+    branch snapshot; vacuum stays O(fragments).  Reference scope:
+    flo's produce is ack-then-visible with no staging area — the
+    audit gate is a north-star extension (SURVEY §2 Part B
+    sources/sinks; composes the branch mechanism with
+    constraint_audit's checks)."""
+    from flo_spark.queries import scratch_dir
+    from flo_spark.sources.manifest_table import ManifestTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    staged = docs.filter(F.col("doc_id") % 3 == 0)
+    t = ManifestTable(scratch_dir("lakehouse_wap_"))
+    t.append(base.coalesce(4), "base")
+    n_before = t.read(spark).count()
+    # attempt 1: stage the raw batch, audit, reject
+    t.create_branch("incoming")
+    t.append(staged.coalesce(2), "batch_raw", chain="incoming")
+    bad_rows = (
+        t.read(spark, chain="incoming")
+        .filter((F.col("doc_id") % 3 == 0) & (F.col("n_chars") % 7 == 0))
+        .count()
+    )
+    t.drop_branch("incoming")
+    reclaimed = t.vacuum()["fragments_deleted"]
+    # attempt 2: stage the corrected batch, audit passes, publish
+    t.create_branch("retry")
+    t.append(
+        staged.filter(F.col("n_chars") % 7 != 0).coalesce(2),
+        "batch_clean",
+        chain="retry",
+    )
+    t.publish_branch(spark, "retry")
+    return t.read(spark).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.lit(bad_rows).cast("long").alias("bad_rows_rejected"),
+        F.lit(n_before).cast("long").alias("n_docs_before_publish"),
+        F.lit(t.current_version()).cast("long").alias("main_versions"),
+        F.lit(reclaimed).cast("long").alias("orphans_reclaimed"),
     )

@@ -60,23 +60,36 @@ class ManifestTable:
 
     # -- metadata ----------------------------------------------------------
 
-    def current_version(self) -> int:
-        """Highest committed version, 0 if none.  O(manifests) listing."""
+    @staticmethod
+    def _chain_prefix(chain: str) -> str:
+        """Manifest filename prefix for a version chain: the main
+        chain is ``v``; a branch ``x`` is ``b-x-v`` (the
+        write-audit-publish staging lines, Iceberg/Nessie-style)."""
+        return "v" if chain == "main" else f"b-{chain}-v"
+
+    def current_version(self, chain: str = "main") -> int:
+        """Highest committed version on ``chain``, 0 if none.
+        O(manifests) listing."""
         best = 0
+        pre = self._chain_prefix(chain)
         for name in os.listdir(self._manifests):
-            if name.startswith("v") and name.endswith(".json"):
+            if name.startswith(pre) and name.endswith(".json"):
                 try:
-                    best = max(best, int(name[1:-5]))
+                    best = max(best, int(name[len(pre):-5]))
                 except ValueError:
                     continue
         return best
 
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self._manifests, f"v{version}.json")
+    def _manifest_path(self, version: int, chain: str = "main") -> str:
+        return os.path.join(
+            self._manifests, f"{self._chain_prefix(chain)}{version}.json"
+        )
 
-    def manifest(self, version: int | None = None) -> dict:
-        v = self.current_version() if version is None else version
-        path = self._manifest_path(v)
+    def manifest(
+        self, version: int | None = None, chain: str = "main"
+    ) -> dict:
+        v = self.current_version(chain) if version is None else version
+        path = self._manifest_path(v, chain)
         if v == 0 or not os.path.exists(path):
             return {"version": 0, "files": [], "op": "init"}
         with open(path) as fh:
@@ -243,6 +256,7 @@ class ManifestTable:
         op: str,
         deletes: list[str] | None = None,
         txn: dict | None = None,
+        chain: str = "main",
     ) -> int:
         body = {
             "version": version,
@@ -258,13 +272,13 @@ class ManifestTable:
             # results, so determinism of reads is unaffected.
             "committed_at": time.time(),
         }
-        tmp = self._manifest_path(version) + f".tmp.{os.getpid()}"
+        tmp = self._manifest_path(version, chain) + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(body, fh)
         try:
             # atomic put-if-absent: the one writer whose link lands owns
             # version N; everyone else gets CommitConflict and retries.
-            os.link(tmp, self._manifest_path(version))
+            os.link(tmp, self._manifest_path(version, chain))
         except FileExistsError as exc:
             raise CommitConflict(f"version {version} already committed") from exc
         finally:
@@ -272,7 +286,10 @@ class ManifestTable:
         return version
 
     def commit(
-        self, build: Callable[[list[str]], tuple], retries: int = 10
+        self,
+        build: Callable[[list[str]], tuple],
+        retries: int = 10,
+        chain: str = "main",
     ) -> int:
         """Optimistic commit: ``build(current_files) -> (new_files, op)``
         or ``(new_files, op, new_deletes)`` runs against the head
@@ -281,7 +298,7 @@ class ManifestTable:
         CARRIES the head's delete files forward unchanged (an append
         must not resurrect merge-on-read-deleted rows)."""
         for _ in range(retries + 1):
-            head = self.manifest()
+            head = self.manifest(chain=chain)
             out = build(list(head["files"]))
             if len(out) == 2:
                 files, op = out
@@ -297,6 +314,7 @@ class ManifestTable:
                     op,
                     deletes,
                     head.get("txn", {}),
+                    chain,
                 )
             except CommitConflict:
                 continue
@@ -356,9 +374,12 @@ class ManifestTable:
         name: str,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        chain: str = "main",
     ) -> int:
         rel = self.write_fragment(df, name, stats_cols, bloom_cols)
-        return self.commit(lambda files: (files + [rel], "append"))
+        return self.commit(
+            lambda files: (files + [rel], "append"), chain=chain
+        )
 
     def delete_where(
         self,
@@ -459,7 +480,11 @@ class ManifestTable:
 
         referenced: set[str] = set()
         for name in os.listdir(self._manifests):
-            if name.startswith("v") and name.endswith(".json"):
+            # main chain (v*) AND every branch chain (b-*): a staged
+            # write-audit-publish branch's fragments are live data.
+            if (
+                name.startswith("v") or name.startswith("b-")
+            ) and name.endswith(".json"):
                 with open(os.path.join(self._manifests, name)) as fh:
                     body = json.load(fh)
                 referenced.update(body["files"])
@@ -479,9 +504,15 @@ class ManifestTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read at ``version`` (default: latest)."""
-        m = self.manifest(version)
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        chain: str = "main",
+    ) -> DataFrame:
+        """Snapshot read at ``version`` (default: latest) on
+        ``chain`` (default: main)."""
+        m = self.manifest(version, chain)
         if not m["files"]:
             raise ValueError(f"version {m['version']} is empty")
         paths = [os.path.join(self.root, rel) for rel in m["files"]]
@@ -689,6 +720,57 @@ class ManifestTable:
 
         v = self.commit(build)
         return v, report
+
+    # -- write-audit-publish branches --------------------------------------
+
+    def create_branch(self, name: str) -> int:
+        """Start a staging branch at the CURRENT main head (the
+        Iceberg WAP / Nessie branch shape): branch commits are
+        invisible to main readers until :meth:`publish_branch`
+        fast-forwards main to the audited branch head.  Branch names
+        share the manifest dir under a ``b-<name>-v`` prefix; all
+        chain operations (append/read/commit) take ``chain=name``."""
+        if name == "main" or "-" in name:
+            raise ValueError("branch names must not be 'main' or contain '-'")
+        head = self.manifest()
+
+        def build(_files: list[str]) -> tuple[list[str], str, list[str]]:
+            return list(head["files"]), "branch", list(head.get("deletes", []))
+
+        return self.commit(build, chain=name)
+
+    def publish_branch(self, spark_or_none, name: str) -> int:
+        """Atomically fast-forward main to the branch head (the
+        PUBLISH step of write-audit-publish: the audited state
+        becomes visible to every main reader in ONE commit; main
+        history gains a single ``publish`` version regardless of how
+        many staging commits the branch took).  The argument order
+        keeps room for a future audit callback; the first parameter
+        is unused today."""
+        head_b = self.manifest(chain=name)
+        if head_b["version"] == 0:
+            raise ValueError(f"branch {name!r} has no commits")
+
+        def build(_files: list[str]) -> tuple[list[str], str, list[str]]:
+            return (
+                list(head_b["files"]),
+                "publish",
+                list(head_b.get("deletes", [])),
+            )
+
+        return self.commit(build)
+
+    def drop_branch(self, name: str) -> int:
+        """Delete a branch's manifests (abandoning its staged state);
+        its exclusive fragments become vacuum-reclaimable orphans.
+        Returns the number of manifests removed."""
+        pre = self._chain_prefix(name)
+        n = 0
+        for fname in os.listdir(self._manifests):
+            if fname.startswith(pre) and fname.endswith(".json"):
+                os.remove(os.path.join(self._manifests, fname))
+                n += 1
+        return n
 
     def merge_mor(
         self,

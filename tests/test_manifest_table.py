@@ -80,8 +80,8 @@ def test_contended_delete_where_retries(spark, table):
     racer_done = {"flag": False}
     orig_manifest = t.manifest
 
-    def manifest_with_race(version=None):
-        head = orig_manifest(version)
+    def manifest_with_race(version=None, chain="main"):
+        head = orig_manifest(version, chain)
         if version is None and not racer_done["flag"]:
             racer_done["flag"] = True
             ManifestTable(t.root).append(
@@ -413,3 +413,40 @@ def test_optimize_compacts_and_changes_no_row(spark, tmp_path):
     ch = t.read_changes(spark, 6, v)
     assert sorted(r.k for r in ch.collect()) == [9, 19, 29, 39, 49, 59]
     assert {r._commit_version for r in ch.collect()} == {7}  # only the delete
+
+
+def test_write_audit_publish_branch(spark, table):
+    t = table
+    t.create_branch("stage")
+    # staged append is invisible to main until publish
+    t.append(
+        spark.range(100, 105).withColumnRenamed("id", "k"),
+        "staged",
+        chain="stage",
+    )
+    assert t.read(spark).count() == 10
+    assert t.read(spark, chain="stage").count() == 15
+    v_main_before = t.current_version()
+    # audit passes -> publish fast-forwards main in ONE commit
+    t.publish_branch(spark, "stage")
+    assert t.current_version() == v_main_before + 1
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(10)) + [
+        100, 101, 102, 103, 104,
+    ]
+    assert t.manifest()["op"] == "publish"
+
+
+def test_abandoned_branch_fragments_vacuum_after_drop(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 4).withColumnRenamed("id", "k"), "base")
+    t.create_branch("bad")
+    t.append(
+        spark.range(90, 95).withColumnRenamed("id", "k"), "dirty", chain="bad"
+    )
+    # while the branch exists its fragments are protected from vacuum
+    rep = t.vacuum()
+    assert rep["fragments_deleted"] == 0
+    t.drop_branch("bad")
+    rep = t.vacuum()
+    assert rep["fragments_deleted"] == 1  # the abandoned dirty fragment
+    assert t.read(spark).count() == 4
