@@ -38,6 +38,7 @@ __all__ = [
     "empirical_bayes_shrinkage",
     "haar_wavelet_levels",
     "dft_periodicity_power",
+    "event_study_alignment",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5824,4 +5825,89 @@ def dft_periodicity_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
         .cast("long")
         .alias("power"),
+    )
+
+
+@query(
+    "event_study_alignment",
+    """
+    WITH anchors AS (
+      SELECT user_id,
+             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d0
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    rel AS (
+      SELECT a.user_id,
+             date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+               - a.d0 AS rel_day
+      FROM events e JOIN anchors a USING (user_id)
+      WHERE e.event_type <> 'purchase'
+    ),
+    win AS (
+      SELECT user_id, rel_day, count(*) AS n
+      FROM rel WHERE rel_day BETWEEN -7 AND 7
+      GROUP BY user_id, rel_day
+    ),
+    cohort AS (SELECT count(*) AS n_users FROM anchors)
+    SELECT CAST(w.rel_day AS BIGINT) AS rel_day,
+           CAST(sum(w.n) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active_users,
+           CAST((sum(w.n) * 10000) // c.n_users AS BIGINT)
+             AS events_per_user_x1e4
+    FROM win w CROSS JOIN cohort c
+    GROUP BY w.rel_day, c.n_users
+    """,
+)
+def event_study_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-STUDY alignment (the causal-timing panel every
+    difference-in-differences result should be shown next to: align
+    every user on their OWN treatment date — first purchase — and
+    trace the outcome by RELATIVE day, so pre-trends and the
+    post-event shift are visible at ±7 days rather than averaged
+    away by calendar time): non-purchase activity is re-indexed to
+    rel_day = day - user's_first_purchase_day; per relative day the
+    entry hashes the event mass, active-user breadth, and the exact
+    per-cohort-user intensity (scaled floor division by the FULL
+    anchor cohort, so days where users go silent read as true
+    declines, not survivorship).
+
+    100 TB shape: one anchor aggregate joined back user-keyed (AQE
+    broadcasts the anchor side when small), a scan-stage relative-day
+    computation, and a 15-group reduction.  North-star extension
+    (SURVEY §2 stats rows; the alignment sibling of
+    diff_in_diff_revenue and cohort_retention — calendar-time DiD,
+    cohort-time retention, and now treatment-time event study)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("d0"))
+    )
+    rel = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(anchors, "user_id")
+        .select("user_id", (day - F.col("d0")).alias("rel_day"))
+        .filter(F.col("rel_day").between(-7, 7))
+    )
+    win = rel.groupBy("user_id", "rel_day").agg(F.count("*").alias("n"))
+    cohort = anchors.agg(F.count("*").alias("n_users"))
+    return (
+        win.crossJoin(F.broadcast(cohort))
+        .groupBy("rel_day", "n_users")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_active_users"),
+        )
+        .select(
+            F.col("rel_day").cast("long").alias("rel_day"),
+            "n_events",
+            "n_active_users",
+            F.expr("(n_events * 10000) div n_users")
+            .cast("long")
+            .alias("events_per_user_x1e4"),
+        )
     )
