@@ -25,6 +25,7 @@ __all__ = [
     "cuped_variance_reduction",
     "spearman_rho_user_metrics",
     "overdispersion_zero_inflation",
+    "ab_power_mde_grid",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3109,4 +3110,74 @@ def overdispersion_zero_inflation(
         """CAST(floor((CAST(zeros AS DOUBLE)
                        / (exp(-CAST(total AS DOUBLE) / cells) * cells))
                       * 1e4 + 0.5) AS BIGINT) AS zero_inflation_x1e4""",
+    )
+
+
+@query(
+    "ab_power_mde_grid",
+    """
+    WITH px AS (
+      SELECT CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) // 1000000
+               AS d
+      FROM orders
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(d) AS s, sum(d * d) AS s2_dollars
+      FROM px
+    )
+    SELECT CAST(g.n_per_arm AS BIGINT) AS n_per_arm,
+           CAST(m.n AS BIGINT) AS n_population,
+           CAST((m.n * m.s2_dollars - m.s * m.s) // (m.n * m.n)
+                AS BIGINT) AS var_hundreds2,
+           CAST(floor(2.8016 * sqrt(2.0 *
+                      (CAST(m.n AS DOUBLE) * m.s2_dollars
+                       - CAST(m.s AS DOUBLE) * m.s)
+                      / m.n / m.n / g.n_per_arm) * 100 * 1e4 + 0.5)
+                AS BIGINT) AS mde_dollars_x1e4
+    FROM m CROSS JOIN
+         (SELECT unnest([1000, 10000, 100000]) AS n_per_arm) g
+    """,
+)
+def ab_power_mde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B POWER ANALYSIS — the minimum detectable effect grid run
+    BEFORE an experiment (the sizing step the rest of the A/B family
+    assumes was done): with alpha=0.05 two-sided and 80% power,
+    MDE = (z_{0.975} + z_{0.8}) * sqrt(2*sigma^2/n) =
+    2.8016 * sqrt(2*var/n) per candidate arm size.  The variance of
+    order value computes in HUNDRED-DOLLAR units via per-row exact scaled
+    division (squared cents or even squared dollars overflow int64
+    once n*s2-style cross terms appear — the empirical_bayes scale
+    discipline, one notch coarser; MDE converts back to dollars
+    inside the single-rounding float expression), and the z-constant sum is a
+    stated literal, so both engines evaluate the identical float
+    expression over identical operands with ONE final rounding per
+    grid row.
+
+    100 TB shape: one single-row moment aggregate over the fact,
+    then arithmetic against a 3-row literal grid.  Completes the
+    experimentation lifecycle in the catalog: ab_power sizes,
+    srm guards, welch tests, CUPED powers up, diff-in-diff and the
+    event study identify (SURVEY §2 stats rows)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) div 1000000"
+        ).alias("d")
+    )
+    m = o.agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("s2_dollars"),
+    )
+    grid = spark.createDataFrame(
+        [(1000,), (10000,), (100000,)], "n_per_arm int"
+    )
+    return m.crossJoin(F.broadcast(grid)).selectExpr(
+        "CAST(n_per_arm AS BIGINT) AS n_per_arm",
+        "CAST(n AS BIGINT) AS n_population",
+        "CAST((n * s2_dollars - s * s) div (n * n) AS BIGINT)"
+        " AS var_hundreds2",
+        "CAST(floor(2.8016 * sqrt(2.0 *"
+        " (CAST(n AS DOUBLE) * s2_dollars - CAST(s AS DOUBLE) * s)"
+        " / n / n / n_per_arm) * 100 * 1e4 + 0.5) AS BIGINT)"
+        " AS mde_dollars_x1e4",
     )
