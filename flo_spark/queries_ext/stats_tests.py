@@ -26,6 +26,7 @@ __all__ = [
     "spearman_rho_user_metrics",
     "overdispersion_zero_inflation",
     "ab_power_mde_grid",
+    "variance_ratio_test",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3180,4 +3181,91 @@ def ab_power_mde_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (CAST(n AS DOUBLE) * s2_dollars - CAST(s AS DOUBLE) * s)"
         " / n / n / n_per_arm) * 100 * 1e4 + 0.5) AS BIGINT)"
         " AS mde_dollars_x1e4",
+    )
+
+
+@query(
+    "variance_ratio_test",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY bucket
+    ),
+    series AS (
+      SELECT cnt, row_number() OVER (ORDER BY bucket) AS i FROM hourly
+    ),
+    diffs AS (
+      SELECT q.q, a.i,
+             a.cnt - b.cnt AS dq
+      FROM series a
+      JOIN (SELECT unnest([1, 2, 4, 8]) AS q) q ON TRUE
+      JOIN series b ON b.i = a.i - q.q
+    ),
+    ss AS (
+      SELECT q, count(*) AS n_q, sum(dq * dq) AS ss_q
+      FROM diffs GROUP BY q
+    ),
+    base AS (SELECT n_q AS n1, ss_q AS ss1 FROM ss WHERE q = 1)
+    SELECT CAST(s.q AS BIGINT) AS q,
+           CAST(s.n_q AS BIGINT) AS n_diffs,
+           CAST(s.ss_q AS BIGINT) AS sum_sq_qdiff,
+           CAST((s.ss_q * b.n1 * 10000) // (s.q * b.ss1 * s.n_q)
+                AS BIGINT) AS vr_x1e4
+    FROM ss s CROSS JOIN base b
+    WHERE s.q > 1
+    """,
+)
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO-MACKINLAY VARIANCE RATIO test (the random-walk diagnostic:
+    if a series is a random walk, the variance of q-period
+    differences is exactly q times the 1-period variance, so
+    VR(q) = Var(d_q)/(q*Var(d_1)) = 1; VR < 1 flags mean reversion,
+    VR > 1 trending) over the hourly event-count series for
+    q in {2, 4, 8}: all difference sums-of-squares are EXACT
+    integers (counts are ints; squared hourly diffs stay far inside
+    int64), and each ratio is a single scaled integer division over
+    exact operands with the sample-size correction (n1/n_q) applied
+    as integer factors — nothing floats.
+
+    100 TB shape: the corpus reduces map-side to hourly buckets; the
+    lagged self-join runs on the O(hours) series per candidate q
+    (metadata-sized, the Holt/Haar/DFT fold discipline).  North-star
+    extension (SURVEY §2 stats rows; the random-walk member of the
+    trend family: Mann-Kendall monotonicity, Durbin-Watson serial
+    correlation, CUSUM level shifts, now martingale testing)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    series = hourly.select(
+        "cnt", F.row_number().over(Window.orderBy("bucket")).alias("i")
+    )
+    qs = spark.createDataFrame([(1,), (2,), (4,), (8,)], "q int")
+    a = series.alias("a")
+    b = series.select(
+        F.col("cnt").alias("bcnt"), F.col("i").alias("bi")
+    )
+    diffs = (
+        a.crossJoin(F.broadcast(qs))
+        .join(b, F.col("bi") == F.col("i") - F.col("q"))
+        .select("q", (F.col("cnt") - F.col("bcnt")).alias("dq"))
+    )
+    ss = diffs.groupBy("q").agg(
+        F.count("*").alias("n_q"),
+        F.sum(F.col("dq") * F.col("dq")).alias("ss_q"),
+    )
+    base = ss.filter(F.col("q") == 1).select(
+        F.col("n_q").alias("n1"), F.col("ss_q").alias("ss1")
+    )
+    return (
+        ss.filter(F.col("q") > 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("q").cast("long").alias("q"),
+            F.col("n_q").cast("long").alias("n_diffs"),
+            F.col("ss_q").cast("long").alias("sum_sq_qdiff"),
+            F.expr("(ss_q * n1 * 10000) div (q * ss1 * n_q)")
+            .cast("long")
+            .alias("vr_x1e4"),
+        )
     )
