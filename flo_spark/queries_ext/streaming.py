@@ -44,6 +44,7 @@ __all__ = [
     "stream_stream_semi_attribution",
     "session_window_dynamic_gap",
     "stream_dlq_ingest",
+    "rate_limiter_replay",
 ]
 
 
@@ -2062,4 +2063,127 @@ def stream_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("long").alias("min_event"),
             F.max("event_id").cast("long").alias("max_event"),
         )
+    )
+
+
+@query(
+    "rate_limiter_replay",
+    """
+    WITH ue AS (
+      SELECT user_id,
+             list(epoch_ms(ts) ORDER BY ts, event_id) AS ts_list,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, n_events,
+        list_reduce(
+          list_prepend(
+            {'tokens': CAST(5000 AS BIGINT),
+             'last_ms': CAST(ts_list[1] AS BIGINT),
+             'allowed': CAST(0 AS BIGINT),
+             'cur': CAST(0 AS BIGINT)},
+            list_transform(ts_list,
+              t -> {'tokens': CAST(0 AS BIGINT),
+                    'last_ms': CAST(0 AS BIGINT),
+                    'allowed': CAST(0 AS BIGINT),
+                    'cur': CAST(t AS BIGINT)})
+          ),
+          (acc, x) -> CASE
+            WHEN least(5000, acc.tokens + (x.cur - acc.last_ms) // 60)
+                 >= 1000
+            THEN {'tokens': least(5000, acc.tokens
+                            + (x.cur - acc.last_ms) // 60) - 1000,
+                  'last_ms': x.cur,
+                  'allowed': acc.allowed + 1,
+                  'cur': CAST(0 AS BIGINT)}
+            ELSE {'tokens': least(5000, acc.tokens
+                            + (x.cur - acc.last_ms) // 60),
+                  'last_ms': x.cur,
+                  'allowed': acc.allowed,
+                  'cur': CAST(0 AS BIGINT)}
+          END
+        ) AS st
+      FROM ue
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_requests,
+           CAST(sum(st.allowed) AS BIGINT) AS n_allowed,
+           CAST(sum(n_events - st.allowed) AS BIGINT) AS n_throttled
+    FROM folded GROUP BY user_id % 10
+    """,
+)
+def rate_limiter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET RATE LIMITER replay — the admission-control
+    policy (capacity 5 tokens, refill 1/minute, cost 1 per request)
+    replayed deterministically over every user's event history to
+    size throttling impact BEFORE deploying the limiter (the
+    offline what-if every rate-limit rollout should run): per user,
+    a left fold over the (ts, event_id)-ordered request sequence
+    carries integer milli-token state — refill = elapsed_ms div 60,
+    capped at 5000, admit iff >= 1000 — so the allowed/throttled
+    split is pure integer arithmetic both engines replay identically
+    (Spark as an ``aggregate`` HOF with explicit init; DuckDB as
+    ``list_reduce`` with the init state PREPENDED, aligning the two
+    folds step for step).
+
+    100 TB shape: the fold is per-user local work after one groupBy
+    (state is 3 integers; per-user sequences are the natural
+    partition unit — the same shape a streaming limiter shards by
+    key); the output is a 10-bucket census.  North-star extension
+    (SURVEY §2 streaming rows; the admission-control sibling of the
+    credit-flow batching flo's A8 implements on the wire)."""
+    ev = load(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.expr(
+                            "unix_millis(cast(ts as timestamp))"
+                        ).alias("t"),
+                        F.col("event_id").alias("e"),
+                    )
+                )
+            ),
+            lambda s: s["t"],
+        ).alias("ts_list"),
+        F.count("*").alias("n_events"),
+    )
+    folded = ue.selectExpr(
+        "user_id",
+        "n_events",
+        """
+        aggregate(
+          ts_list,
+          named_struct(
+            'tokens', CAST(5000 AS BIGINT),
+            'last_ms', CAST(element_at(ts_list, 1) AS BIGINT),
+            'allowed', CAST(0 AS BIGINT)),
+          (acc, t) -> CASE
+            WHEN least(CAST(5000 AS BIGINT),
+                       acc.tokens + (t - acc.last_ms) div 60) >= 1000
+            THEN named_struct(
+              'tokens', least(CAST(5000 AS BIGINT),
+                              acc.tokens + (t - acc.last_ms) div 60)
+                        - 1000,
+              'last_ms', t, 'allowed', acc.allowed + 1)
+            ELSE named_struct(
+              'tokens', least(CAST(5000 AS BIGINT),
+                              acc.tokens + (t - acc.last_ms) div 60),
+              'last_ms', t, 'allowed', acc.allowed)
+          END
+        ) AS st
+        """,
+    )
+    return folded.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_requests"),
+        F.sum(F.expr("st.allowed")).cast("long").alias("n_allowed"),
+        F.sum(F.expr("n_events - st.allowed"))
+        .cast("long")
+        .alias("n_throttled"),
     )
