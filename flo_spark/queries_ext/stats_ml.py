@@ -39,6 +39,7 @@ __all__ = [
     "haar_wavelet_levels",
     "dft_periodicity_power",
     "event_study_alignment",
+    "information_gain_features",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -5911,3 +5912,128 @@ def event_study_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("events_per_user_x1e4"),
         )
     )
+
+
+def _ig_sql(feature_expr: str, fname: str) -> str:
+    """One feature's information-gain block: N*IG via floored
+    c*ln(c) microterms (exact integer sums on both engines)."""
+    return f"""
+      SELECT '{fname}' AS feature,
+             count(DISTINCT x) AS n_levels,
+             (SELECT CAST(floor(count(*) * ln(count(*)) * 1e6 + 0.5)
+                          AS BIGINT) FROM u)
+             - (SELECT sum(CAST(floor(cy * ln(cy) * 1e6 + 0.5) AS BIGINT))
+                FROM (SELECT count(*) AS cy FROM u GROUP BY conv))
+             - sum(nx_ln) + sum(nxy_ln) AS n_ig_x1e6
+      FROM (
+        SELECT x,
+               CAST(floor(sum(cxy) * ln(sum(cxy)) * 1e6 + 0.5) AS BIGINT)
+                 AS nx_ln,
+               sum(CAST(floor(cxy * ln(cxy) * 1e6 + 0.5) AS BIGINT))
+                 AS nxy_ln
+        FROM (
+          SELECT {feature_expr} AS x, conv, count(*) AS cxy
+          FROM u GROUP BY x, conv
+        ) GROUP BY x
+      )
+    """
+
+
+@query(
+    "information_gain_features",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             least(count(*) // 10, 5) AS act_band,
+             min(event_id) % 4 AS entry_band,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    )
+    SELECT feature, CAST(n_levels AS BIGINT) AS n_levels,
+           CAST(n_ig_x1e6 AS BIGINT) AS n_ig_x1e6
+    FROM (
+      {_ig_sql('act_band', 'activity_band')}
+      UNION ALL
+      {_ig_sql('entry_band', 'entry_band')}
+    )
+    """,
+)
+def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFORMATION-GAIN FEATURE RANKING (the mutual-information
+    screen feature-selection pipelines run before training: how many
+    bits does knowing X reveal about the label?): candidate features
+    are each user's activity band and a hash-band of their first
+    event id (a deliberate near-noise control — its gain should be
+    tiny next to activity's); the label is conversion.  The entry
+    computes N*IG = [N ln N - SUM_y n_y ln n_y] - [SUM_x n_x ln n_x
+    - SUM_xy n_xy ln n_xy] with EVERY c*ln(c) term floored once to
+    1e-6 — integer microterm sums are order-free exact, so the gain
+    ranking is engine-decidable (the bm25 ln discipline applied to
+    entropy).
+
+    100 TB shape: one per-user reduction, then per feature a
+    (level, label) contingency aggregate of a few dozen cells — the
+    gain of ANY number of candidate features screens in one pass
+    each over the reduced entity table, never the raw events.
+    North-star extension (SURVEY §2 LLM/ML rows; the supervised
+    sibling of the PMI and entropy entries, and the splitting
+    criterion a decision tree would use)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.least(F.expr("count(*) div 10"), F.lit(5)).alias("act_band"),
+        (F.min("event_id") % 4).alias("entry_band"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    n_ln_n = u.agg(
+        F.expr(
+            "CAST(floor(count(*) * ln(count(*)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("nlnn")
+    )
+    y_term = (
+        u.groupBy("conv")
+        .agg(F.count("*").alias("cy"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(cy * ln(cy) * 1e6 + 0.5) AS BIGINT)")
+            ).alias("ylnx")
+        )
+    )
+    outs = []
+    for col, fname in (("act_band", "activity_band"), ("entry_band", "entry_band")):
+        xy = (
+            u.groupBy(F.col(col).alias("x"), "conv")
+            .agg(F.count("*").alias("cxy"))
+        )
+        per_x = xy.groupBy("x").agg(
+            F.expr(
+                "CAST(floor(sum(cxy) * ln(sum(cxy)) * 1e6 + 0.5) AS BIGINT)"
+            ).alias("nx_ln"),
+            F.sum(
+                F.expr("CAST(floor(cxy * ln(cxy) * 1e6 + 0.5) AS BIGINT)")
+            ).alias("nxy_ln"),
+        )
+        agg = per_x.agg(
+            F.count("*").alias("n_levels"),
+            F.sum("nx_ln").alias("sx"),
+            F.sum("nxy_ln").alias("sxy"),
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(n_ln_n))
+            .crossJoin(F.broadcast(y_term))
+            .select(
+                F.lit(fname).alias("feature"),
+                F.col("n_levels").cast("long").alias("n_levels"),
+                (
+                    F.col("nlnn")
+                    - F.col("ylnx")
+                    - F.col("sx")
+                    + F.col("sxy")
+                )
+                .cast("long")
+                .alias("n_ig_x1e6"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
