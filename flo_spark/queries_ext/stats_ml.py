@@ -41,6 +41,7 @@ __all__ = [
     "event_study_alignment",
     "information_gain_features",
     "decision_stump_train",
+    "naive_bayes_classify",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6185,3 +6186,152 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct_majority"),
     )
+
+
+@query(
+    "naive_bayes_classify",
+    """
+    WITH u AS (
+      SELECT user_id,
+             least(count(*) // 10, 5) AS f1,
+             min(event_id) % 4 AS f2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv,
+             user_id % 2 AS fold
+      FROM events GROUP BY user_id
+    ),
+    pri AS (
+      SELECT conv AS c, count(*) AS n_c FROM u WHERE fold = 0 GROUP BY conv
+    ),
+    n_tr AS (SELECT sum(n_c) AS n FROM pri),
+    lik1 AS (
+      SELECT conv AS c, f1 AS v, count(*) AS n_cv
+      FROM u WHERE fold = 0 GROUP BY conv, f1
+    ),
+    lik2 AS (
+      SELECT conv AS c, f2 AS v, count(*) AS n_cv
+      FROM u WHERE fold = 0 GROUP BY conv, f2
+    ),
+    scored AS (
+      SELECT t.user_id, t.conv,
+             p.c AS cand,
+             CAST(floor(ln((p.n_c + 1.0) / (n.n + 2.0)) * 1e6 + 0.5)
+                  AS BIGINT)
+             + CAST(floor(ln((coalesce(l1.n_cv, 0) + 1.0) / (p.n_c + 6.0))
+                    * 1e6 + 0.5) AS BIGINT)
+             + CAST(floor(ln((coalesce(l2.n_cv, 0) + 1.0) / (p.n_c + 4.0))
+                    * 1e6 + 0.5) AS BIGINT) AS ll_x1e6
+      FROM (SELECT * FROM u WHERE fold = 1) t
+      CROSS JOIN pri p
+      CROSS JOIN n_tr n
+      LEFT JOIN lik1 l1 ON l1.c = p.c AND l1.v = t.f1
+      LEFT JOIN lik2 l2 ON l2.c = p.c AND l2.v = t.f2
+    ),
+    pred AS (
+      SELECT user_id, conv, cand AS pred FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ll_x1e6 DESC, cand) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT CAST(conv AS BIGINT) AS label,
+           CAST(pred AS BIGINT) AS predicted,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pred GROUP BY conv, pred
+    """,
+)
+def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAIVE BAYES — train a generative classifier on one hash fold
+    and apply it to the other (the count-based classifier that needs
+    no optimizer, still the baseline for categorical features):
+    Laplace-smoothed priors and per-feature likelihoods come
+    straight from training counts; each test user's class score is
+    the SUM of per-term log-probabilities, every ln(...) FLOORED
+    ONCE to 1e-6 before summing (integer microterms — order-free,
+    engine-exact), and the argmax is a per-user window with a class
+    tie-break.  The output is the test-fold confusion matrix —
+    training counts, smoothing, scoring, and argmax all pinned by
+    one hash.
+
+    Smoothing denominators state the level counts (6 activity
+    bands, 4 entry bands) as literals, the classic
+    +|V| Laplace form.  100 TB shape: training is two (class,
+    feature-value) count tables (broadcastable); scoring is one
+    left join per feature against those tiny tables + a 2-row-per-
+    user argmax window; nothing iterates.  North-star extension
+    (SURVEY §2 LLM/ML rows; with kmeans/regression/stump/NB the
+    catalog now trains an unsupervised, a linear, a tree, and a
+    generative model, each engine-exactly)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.least(F.expr("count(*) div 10"), F.lit(5)).alias("f1"),
+        (F.min("event_id") % 4).alias("f2"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+        (F.col("user_id") % 2).alias("fold"),
+    )
+    tr = u.filter(F.col("fold") == 0)
+    te = u.filter(F.col("fold") == 1)
+    pri = tr.groupBy(F.col("conv").alias("c")).agg(
+        F.count("*").alias("n_c")
+    )
+    n_tr = pri.agg(F.sum("n_c").alias("n"))
+    lik1 = tr.groupBy(
+        F.col("conv").alias("c"), F.col("f1").alias("v")
+    ).agg(F.count("*").alias("n_cv1"))
+    lik2 = tr.groupBy(
+        F.col("conv").alias("c"), F.col("f2").alias("v")
+    ).agg(F.count("*").alias("n_cv2"))
+    # join likelihoods on (class, feature value)
+    scored = (
+        te.crossJoin(F.broadcast(pri))
+        .crossJoin(F.broadcast(n_tr))
+        .join(
+            F.broadcast(lik1.withColumnRenamed("c", "c1")),
+            (F.col("c1") == F.col("c")) & (F.col("v") == F.col("f1")),
+            "left",
+        )
+        .drop("c1", "v")
+        .join(
+            F.broadcast(
+                lik2.withColumnRenamed("c", "c2").withColumnRenamed(
+                    "v", "v2"
+                )
+            ),
+            (F.col("c2") == F.col("c")) & (F.col("v2") == F.col("f2")),
+            "left",
+        )
+        .drop("c2", "v2")
+        .select(
+            "user_id",
+            "conv",
+            F.col("c").alias("cand"),
+            (
+                F.expr(
+                    "CAST(floor(ln((n_c + 1.0) / (n + 2.0)) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                )
+                + F.expr(
+                    "CAST(floor(ln((coalesce(n_cv1, 0) + 1.0)"
+                    " / (n_c + 6.0)) * 1e6 + 0.5) AS BIGINT)"
+                )
+                + F.expr(
+                    "CAST(floor(ln((coalesce(n_cv2, 0) + 1.0)"
+                    " / (n_c + 4.0)) * 1e6 + 0.5) AS BIGINT)"
+                )
+            ).alias("ll_x1e6"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ll_x1e6").desc(), F.col("cand")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv", F.col("cand").alias("pred"))
+    )
+    return pred.groupBy(
+        F.col("conv").cast("long").alias("label"),
+        F.col("pred").cast("long").alias("predicted"),
+    ).agg(F.count("*").cast("long").alias("n_users"))
