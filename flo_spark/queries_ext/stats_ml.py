@@ -42,6 +42,7 @@ __all__ = [
     "information_gain_features",
     "decision_stump_train",
     "naive_bayes_classify",
+    "nelson_aalen_hazard",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6335,3 +6336,105 @@ def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv").cast("long").alias("label"),
         F.col("pred").cast("long").alias("predicted"),
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+@query(
+    "nelson_aalen_hazard",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE))
+               AS d_first,
+             date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE))
+               AS d_last,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, d_last - d_first AS dur, converted AS ev FROM spans
+    ),
+    grid AS (
+      SELECT dur AS tt,
+             count(*) FILTER (WHERE ev = 1) AS d_i
+      FROM t GROUP BY dur
+      HAVING count(*) FILTER (WHERE ev = 1) > 0
+    ),
+    risk AS (
+      SELECT g.tt, g.d_i,
+             (SELECT count(*) FROM t WHERE t.dur >= g.tt) AS n_i
+      FROM grid g
+    ),
+    haz AS (
+      SELECT tt, d_i, n_i,
+             (d_i * 1000000) // n_i AS h_inc_x1e6
+      FROM risk
+    )
+    SELECT CAST(a.tt AS BIGINT) AS t_days,
+           CAST(a.d_i AS BIGINT) AS n_events,
+           CAST(a.n_i AS BIGINT) AS n_at_risk,
+           CAST(a.h_inc_x1e6 AS BIGINT) AS hazard_inc_x1e6,
+           CAST((SELECT sum(b.h_inc_x1e6) FROM haz b WHERE b.tt <= a.tt)
+                AS BIGINT) AS cum_hazard_x1e6
+    FROM haz a
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative hazard estimator — the
+    counting-process twin of the Kaplan-Meier curve this catalog
+    already ships (KM multiplies survival factors; Nelson-Aalen SUMS
+    hazard increments d_i/n_i, the form that generalizes to
+    competing risks and feeds Cox models): durations are each user's
+    observed span (first to last event day), the event is
+    conversion, right-censored users leave the risk set without
+    contributing an increment.  Every increment is an exact ppm
+    integer division (d_i and the risk-set count n_i are exact
+    integers), and the cumulative hazard is an exact integer prefix
+    sum over event times — no products, no floats, so where the KM
+    entry needed the packed-fraction replay trick, Nelson-Aalen
+    hashes natively.
+
+    100 TB shape: one per-user reduction, one event-time grid with a
+    risk-set count per event time (an O(times) correlated aggregate
+    over the reduced duration table — at production scale a sorted
+    prefix-sum formulation), O(times) output.  North-star extension
+    (SURVEY §2 stats rows; completes the survival family:
+    discrete_hazard_lifetable, kaplan_meier_survival, and now the
+    additive estimator)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min(day).alias("d_first"),
+        F.max(day).alias("d_last"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ev"),
+    )
+    t = spans.select(
+        (F.col("d_last") - F.col("d_first")).alias("dur"), "ev"
+    )
+    grid = (
+        t.groupBy("dur")
+        .agg(F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).alias("d_i"))
+        .filter(F.col("d_i") > 0)
+        .select(F.col("dur").alias("tt"), "d_i")
+    )
+    t2 = t.select(F.col("dur").alias("dur2"))
+    risk = (
+        grid.join(t2, F.col("dur2") >= F.col("tt"))
+        .groupBy("tt", "d_i")
+        .agg(F.count("*").alias("n_i"))
+    )
+    haz = risk.withColumn(
+        "h_inc_x1e6", F.expr("(d_i * 1000000) div n_i")
+    )
+    w = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, 0)
+    return haz.select(
+        F.col("tt").cast("long").alias("t_days"),
+        F.col("d_i").cast("long").alias("n_events"),
+        F.col("n_i").cast("long").alias("n_at_risk"),
+        F.col("h_inc_x1e6").cast("long").alias("hazard_inc_x1e6"),
+        F.sum("h_inc_x1e6").over(w).cast("long").alias("cum_hazard_x1e6"),
+    )
