@@ -29,6 +29,7 @@ __all__ = [
     "fifo_inventory_allocation",
     "decayed_trending_brands",
     "haversine_trade_distance",
+    "market_clearing_price",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -3280,4 +3281,132 @@ def haversine_trade_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lanes"),
         F.min("km_x10").cast("long").alias("min_km_x10"),
         F.max("km_x10").cast("long").alias("max_km_x10"),
+    )
+
+
+@query(
+    "market_clearing_price",
+    """
+    WITH px AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) // 10000000
+               AS band
+      FROM orders
+    ),
+    demand AS (
+      SELECT band, count(*) AS n FROM px
+      WHERE prio = '1-URGENT' GROUP BY band
+    ),
+    supply AS (
+      SELECT band, count(*) AS n FROM px
+      WHERE prio = '5-LOW' GROUP BY band
+    ),
+    bands AS (
+      SELECT band FROM demand UNION SELECT band FROM supply
+    ),
+    curves AS (
+      SELECT b.band,
+             (SELECT coalesce(sum(d.n), 0) FROM demand d
+              WHERE d.band >= b.band) AS cum_demand,
+             (SELECT coalesce(sum(s.n), 0) FROM supply s
+              WHERE s.band <= b.band) AS cum_supply
+      FROM bands b
+    ),
+    clearing AS (
+      SELECT band, cum_demand, cum_supply
+      FROM curves WHERE cum_demand >= cum_supply AND cum_supply > 0
+      ORDER BY band DESC, cum_demand LIMIT 1
+    )
+    SELECT CAST(c.band AS BIGINT) AS clearing_band_1k,
+           CAST(c.cum_demand AS BIGINT) AS demand_at_clearing,
+           CAST(c.cum_supply AS BIGINT) AS supply_at_clearing,
+           CAST(least(c.cum_demand, c.cum_supply) AS BIGINT) AS volume,
+           CAST((SELECT sum((p.band - c.band)) FROM px p
+                 WHERE p.prio = '1-URGENT' AND p.band >= c.band)
+                AS BIGINT) AS buyer_surplus_bands
+    FROM clearing c
+    """,
+)
+def market_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM-PRICE MARKET CLEARING — intersect a demand curve and
+    a supply curve and read off the clearing price (the auction /
+    matching-market primitive behind exchange pricing, ad auctions,
+    and marketplace liquidity dashboards): urgent orders act as
+    BIDS (willing to pay >= their price; demand at price p = count
+    with band >= p, a non-increasing step curve), low-priority
+    orders as ASKS (supply at p = count with band <= p,
+    non-decreasing); the clearing band is the HIGHEST price where
+    demand still covers supply (ties broken toward lower demand —
+    stated), volume is min(D, S) there, and buyer surplus sums the
+    winning bids' distance above clearing.  Prices quantize to
+    exact $1000 integer bands, so the curves, the crossing, and the
+    surplus are all integer-decidable.
+
+    100 TB shape: both curves are band-keyed map-side-combinable
+    counts; the cumulative intersection runs on the O(bands) grid
+    (a window prefix-sum at scale, correlated aggregates here);
+    nothing touches the fact twice.  North-star extension (SURVEY
+    §2 stats rows; a genuinely new family — market/auction
+    mechanics — joining the causal, survival, and game-theoretic
+    members)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)"
+            " div 10000000"
+        ).alias("band"),
+    )
+    demand = (
+        o.filter(F.col("prio") == "1-URGENT")
+        .groupBy("band")
+        .agg(F.count("*").alias("nd"))
+    )
+    supply = (
+        o.filter(F.col("prio") == "5-LOW")
+        .groupBy("band")
+        .agg(F.count("*").alias("ns"))
+    )
+    bands = (
+        demand.select("band").union(supply.select("band")).distinct()
+    )
+    wd = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    curves = (
+        bands.join(demand, "band", "left")
+        .join(supply, "band", "left")
+        .select(
+            "band",
+            F.sum(F.coalesce(F.col("nd"), F.lit(0)))
+            .over(wd)
+            .alias("cum_demand"),
+            F.sum(F.coalesce(F.col("ns"), F.lit(0)))
+            .over(ws)
+            .alias("cum_supply"),
+        )
+    )
+    clearing = (
+        curves.filter(
+            (F.col("cum_demand") >= F.col("cum_supply"))
+            & (F.col("cum_supply") > 0)
+        )
+        .orderBy(F.col("band").desc(), "cum_demand")
+        .limit(1)
+    )
+    surplus = (
+        o.filter(F.col("prio") == "1-URGENT")
+        .crossJoin(F.broadcast(clearing.select(F.col("band").alias("cb"))))
+        .filter(F.col("band") >= F.col("cb"))
+        .agg(F.sum(F.col("band") - F.col("cb")).alias("surplus"))
+    )
+    return clearing.crossJoin(F.broadcast(surplus)).select(
+        F.col("band").cast("long").alias("clearing_band_1k"),
+        F.col("cum_demand").cast("long").alias("demand_at_clearing"),
+        F.col("cum_supply").cast("long").alias("supply_at_clearing"),
+        F.least(F.col("cum_demand"), F.col("cum_supply"))
+        .cast("long")
+        .alias("volume"),
+        F.col("surplus").cast("long").alias("buyer_surplus_bands"),
     )
