@@ -30,6 +30,7 @@ __all__ = [
     "decayed_trending_brands",
     "haversine_trade_distance",
     "market_clearing_price",
+    "vickrey_second_price",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -3409,4 +3410,92 @@ def market_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("volume"),
         F.col("surplus").cast("long").alias("buyer_surplus_bands"),
+    )
+
+
+@query(
+    "vickrey_second_price",
+    """
+    WITH bids AS (
+      SELECT l.l_partkey AS item,
+             CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT) AS bid,
+             l.l_orderkey, l.l_linenumber,
+             row_number() OVER (
+               PARTITION BY l.l_partkey
+               ORDER BY floor(l.l_extendedprice * 10000 + 0.5) DESC,
+                        l.l_orderkey, l.l_linenumber) AS rk,
+             count(*) OVER (PARTITION BY l.l_partkey) AS n_bids
+      FROM lineitem l
+    ),
+    auctions AS (
+      SELECT w.item, w.bid AS win_bid, s.bid AS second_bid
+      FROM (SELECT * FROM bids WHERE rk = 1 AND n_bids >= 2) w
+      JOIN (SELECT * FROM bids WHERE rk = 2) s ON s.item = w.item
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_auctions,
+           CAST(sum(win_bid) AS BIGINT) AS first_price_revenue_x1e4,
+           CAST(sum(second_bid) AS BIGINT) AS second_price_revenue_x1e4,
+           CAST(sum(win_bid - second_bid) AS BIGINT)
+             AS winner_savings_x1e4,
+           CAST(max(win_bid - second_bid) AS BIGINT)
+             AS max_gap_x1e4
+    FROM auctions
+    """,
+)
+def vickrey_second_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VICKREY (second-price) AUCTION settlement — per item, the
+    highest bidder wins but pays the SECOND-highest bid (the
+    incentive-compatible mechanism behind ad exchanges): lineitems
+    bid on their part; per part the top-2 bids come from one window
+    rank with full (price, orderkey, linenumber) tie-breaks; the
+    entry hashes auction counts, revenue under first- vs
+    second-price settlement, and the aggregate/maximum winner
+    savings (the bid-shading headroom first-price auctions induce) —
+    all exact scaled-long integers.  Single-bid items don't clear
+    (n_bids >= 2, the stated rule).
+
+    100 TB shape: one item-partitioned window (rank within part) —
+    partitions scale out by item key; the top-2 extraction is a
+    rank filter, not a sort of the fact; settlement aggregates
+    map-side.  North-star extension (SURVEY §2 stats rows; the
+    per-item mechanism beside market_clearing_price's one-market
+    uniform price)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item"),
+        money_scaled(F.col("l_extendedprice")).alias("bid"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("bid").desc(), "l_orderkey", "l_linenumber"
+    )
+    bids = li.select(
+        "item",
+        "bid",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("item")).alias("n_bids"),
+    )
+    wtop = bids.filter((F.col("rk") == 1) & (F.col("n_bids") >= 2)).select(
+        "item", F.col("bid").alias("win_bid")
+    )
+    second = bids.filter(F.col("rk") == 2).select(
+        "item", F.col("bid").alias("second_bid")
+    )
+    return (
+        wtop.join(second, "item")
+        .agg(
+            F.count("*").cast("long").alias("n_auctions"),
+            F.sum("win_bid").cast("long").alias(
+                "first_price_revenue_x1e4"
+            ),
+            F.sum("second_bid").cast("long").alias(
+                "second_price_revenue_x1e4"
+            ),
+            F.sum(F.col("win_bid") - F.col("second_bid"))
+            .cast("long")
+            .alias("winner_savings_x1e4"),
+            F.max(F.col("win_bid") - F.col("second_bid"))
+            .cast("long")
+            .alias("max_gap_x1e4"),
+        )
     )

@@ -45,6 +45,7 @@ __all__ = [
     "session_window_dynamic_gap",
     "stream_dlq_ingest",
     "rate_limiter_replay",
+    "slo_burn_rate_alerts",
 ]
 
 
@@ -2186,4 +2187,93 @@ def rate_limiter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("n_events - st.allowed"))
         .cast("long")
         .alias("n_throttled"),
+    )
+
+
+@query(
+    "slo_burn_rate_alerts",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS n_err
+      FROM events GROUP BY bucket
+    ),
+    seq AS (
+      SELECT bucket, n, n_err,
+             row_number() OVER (ORDER BY bucket) AS i FROM hourly
+    ),
+    win AS (
+      SELECT a.i, a.bucket, a.n, a.n_err,
+             (SELECT sum(b.n) FROM seq b
+              WHERE b.i BETWEEN a.i - 5 AND a.i) AS n_6h,
+             (SELECT sum(b.n_err) FROM seq b
+              WHERE b.i BETWEEN a.i - 5 AND a.i) AS err_6h
+      FROM seq a
+    ),
+    rates AS (
+      SELECT i,
+             (n_err * 1000000) // n AS err_ppm_1h,
+             (err_6h * 1000000) // n_6h AS err_ppm_6h
+      FROM win
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN err_ppm_1h > 2 * 200000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fast_burn_alerts,
+           CAST(sum(CASE WHEN err_ppm_6h > 200000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_slow_burn_alerts,
+           CAST(max(err_ppm_1h) AS BIGINT) AS worst_1h_ppm,
+           CAST(max(err_ppm_6h) AS BIGINT) AS worst_6h_ppm
+    FROM rates
+    """,
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN-RATE alerting — the multi-window
+    burn-rate rule from SRE practice (a fast window catches sudden
+    budget burn, a slow window catches sustained slow burn; paging
+    on raw error rate alone is either noisy or late): with an
+    error-budget target of 20% error events (200000 ppm — the
+    corpus's planted 'error' type runs near it, so both alert
+    classes exercise), the entry computes per-hour and trailing-6h
+    error rates as exact ppm integer divisions and counts fast-burn
+    (1h rate > 2x budget) and slow-burn (6h rate > budget) alert
+    hours, plus the worst observed rates.
+
+    100 TB shape: one hourly map-side-combinable reduction; the
+    trailing window is O(hours) (correlated aggregates here; a
+    range-frame window at production scale); alert evaluation is
+    scan-stage arithmetic.  North-star extension (SURVEY §2
+    streaming/ops rows; the alerting layer over stream_profile and
+    anomaly_zscore_hourly's detectors)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    w6 = Window.orderBy("bucket").rowsBetween(-5, 0)
+    rates = hourly.select(
+        F.expr("(n_err * 1000000) div n").alias("err_ppm_1h"),
+        F.sum("n_err").over(w6).alias("err_6h"),
+        F.sum("n").over(w6).alias("n_6h"),
+    ).select(
+        "err_ppm_1h",
+        F.expr("(err_6h * 1000000) div n_6h").alias("err_ppm_6h"),
+    )
+    return rates.agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("err_ppm_1h") > 400000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fast_burn_alerts"),
+        F.sum(F.when(F.col("err_ppm_6h") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_slow_burn_alerts"),
+        F.max("err_ppm_1h").cast("long").alias("worst_1h_ppm"),
+        F.max("err_ppm_6h").cast("long").alias("worst_6h_ppm"),
     )

@@ -40,6 +40,8 @@ __all__ = [
     "bpe_decode_roundtrip",
     "autocomplete_prefix_index",
     "sentence_segmentation_stats",
+    "heaps_law_vocab_growth",
+    "good_turing_unseen_mass",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -3468,4 +3470,197 @@ def sentence_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(chars_total) * 10000) div sum(words_total)")
         .cast("long")
         .alias("chars_per_word_x1e4"),
+    )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    r"""
+    WITH words AS (
+      SELECT doc_id, u AS w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS u
+        FROM documents
+      )
+    ),
+    firsts AS (SELECT w, min(doc_id) AS first_doc FROM words GROUP BY w),
+    toks AS (SELECT doc_id, count(*) AS n_toks FROM words GROUP BY doc_id),
+    nd AS (SELECT max(doc_id) AS max_doc FROM words),
+    checkpoints AS (
+      SELECT (c.c * (nd.max_doc + 1)) // 10 - 1 AS cutoff, c.c AS decile
+      FROM (SELECT unnest(range(2, 11)) AS c) c CROSS JOIN nd
+    ),
+    growth AS (
+      SELECT cp.decile, cp.cutoff,
+             (SELECT coalesce(sum(t.n_toks), 0) FROM toks t
+              WHERE t.doc_id <= cp.cutoff) AS tokens_cum,
+             (SELECT count(*) FROM firsts f
+              WHERE f.first_doc <= cp.cutoff) AS vocab_cum
+      FROM checkpoints cp
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(tokens_cum AS BIGINT) AS tokens_cum,
+           CAST(vocab_cum AS BIGINT) AS vocab_cum,
+           CAST(floor(ln(vocab_cum) / ln(tokens_cum) * 1e6 + 0.5)
+                AS BIGINT) AS beta_naive_x1e6
+    FROM growth
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW VOCABULARY GROWTH — how the distinct-word count
+    scales with corpus size, V(n) ~ K * n^beta (the sublinear law
+    that sizes tokenizer vocabularies and dedup hash tables before a
+    crawl is ingested): the curve is computed WITHOUT rescanning per
+    checkpoint via the first-occurrence trick — each word reduces to
+    its minimum doc_id once, and the vocabulary at any prefix cutoff
+    is just a count of first occurrences below it (the same
+    first-seen reduction the CDC-chunk and streaming-dedup entries
+    pivot on).  Nine doc-count deciles report cumulative tokens,
+    cumulative vocabulary, and the naive per-point exponent
+    ln V / ln n as a single-rounding scaled integer (a diagnostic
+    trace of beta, not a fit — the slope stabilizing is the
+    Heaps-regime signature).
+
+    100 TB shape: ONE token scan reduced to per-word first
+    occurrences and per-doc token counts; every checkpoint is then a
+    metadata aggregate over those reduced tables — the whole growth
+    curve costs one corpus pass regardless of checkpoint count.
+    North-star extension (SURVEY §2 text rows; the growth-curve
+    sibling of zipf_rank_frequency_audit — Zipf fixes the frequency
+    SHAPE, Heaps its integral)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    toks = words.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    nd = words.agg(F.max("doc_id").alias("max_doc"))
+    deciles = spark.range(2, 11).select(F.col("id").alias("decile"))
+    checkpoints = deciles.crossJoin(F.broadcast(nd)).select(
+        "decile",
+        F.expr("(decile * (max_doc + 1)) div 10 - 1").alias("cutoff"),
+    )
+    tok_cum = (
+        checkpoints.join(toks, toks["doc_id"] <= F.col("cutoff"))
+        .groupBy("decile", "cutoff")
+        .agg(F.sum("n_toks").alias("tokens_cum"))
+    )
+    voc_cum = (
+        checkpoints.join(firsts, firsts["first_doc"] <= F.col("cutoff"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    return (
+        tok_cum.join(voc_cum, "decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("tokens_cum").cast("long").alias("tokens_cum"),
+            F.col("vocab_cum").cast("long").alias("vocab_cum"),
+            F.expr(
+                "CAST(floor(ln(vocab_cum) / ln(tokens_cum) * 1e6 + 0.5)"
+                " AS BIGINT)"
+            ).alias("beta_naive_x1e6"),
+        )
+    )
+
+
+@query(
+    "good_turing_unseen_mass",
+    r"""
+    WITH words AS (
+      SELECT u AS w FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS u
+        FROM documents
+      )
+    ),
+    wf AS (SELECT w, count(*) AS r FROM words GROUP BY w),
+    fof AS (SELECT r, count(*) AS n_r FROM wf GROUP BY r),
+    tot AS (
+      SELECT (SELECT count(*) FROM words) AS n_tokens,
+             (SELECT count(*) FROM wf) AS vocab
+    )
+    SELECT CAST(f.r AS BIGINT) AS r,
+           CAST(f.n_r AS BIGINT) AS n_r,
+           CAST(coalesce(g.n_r, 0) AS BIGINT) AS n_r_plus_1,
+           CAST(CASE WHEN coalesce(g.n_r, 0) > 0
+                     THEN ((f.r + 1) * g.n_r * 1000000) // f.n_r
+                     ELSE 0 END AS BIGINT) AS r_star_x1e6,
+           CAST((SELECT (n_r * 1000000) // t.n_tokens FROM fof
+                 WHERE r = 1) AS BIGINT) AS p0_unseen_ppm,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab
+    FROM fof f
+    LEFT JOIN fof g ON g.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.r <= 5
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING frequency estimation — the unseen-mass and
+    adjusted-count arithmetic under every smoothed language model
+    (how much probability belongs to words the corpus has NEVER
+    seen: p0 = N1/N, the hapax share; and the discounted count
+    r* = (r+1) * N_{r+1}/N_r for rare words): the
+    frequency-of-frequencies table N_r comes from two exact
+    map-side reductions (word counts, then counts-of-counts), and
+    both the unseen mass (ppm) and each small-r adjusted count are
+    single exact scaled integer divisions — the entry hashes the
+    r <= 5 rows where Good-Turing actually matters, plus the raw
+    N_r/N_{r+1} inputs so the estimator's arithmetic is fully
+    pinned.
+
+    100 TB shape: one token scan -> word counts -> O(distinct
+    frequencies) table; everything after is metadata arithmetic.
+    North-star extension (SURVEY §2 LLM rows; closes the
+    corpus-statistics trio — Zipf fixes the rank-frequency shape,
+    Heaps its integral, Good-Turing the probability the NEXT token
+    is new)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w")
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("r"))
+    fof = wf.groupBy("r").agg(F.count("*").alias("n_r"))
+    tot = words.agg(F.count("*").alias("n_tokens")).crossJoin(
+        wf.agg(F.count("*").alias("vocab"))
+    )
+    p0 = (
+        fof.filter(F.col("r") == 1)
+        .crossJoin(F.broadcast(tot.select("n_tokens")))
+        .select(
+            F.expr("(n_r * 1000000) div n_tokens").alias("p0_unseen_ppm")
+        )
+    )
+    g = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        fof.filter(F.col("r") <= 5)
+        .join(g, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce(F.col("n_r1"), F.lit(0))
+            .cast("long")
+            .alias("n_r_plus_1"),
+            F.when(
+                F.coalesce(F.col("n_r1"), F.lit(0)) > 0,
+                F.expr("((r + 1) * n_r1 * 1000000) div n_r"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("r_star_x1e6"),
+            F.col("p0_unseen_ppm").cast("long").alias("p0_unseen_ppm"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+        )
     )
