@@ -43,6 +43,7 @@ __all__ = [
     "decision_stump_train",
     "naive_bayes_classify",
     "nelson_aalen_hazard",
+    "newsvendor_stocking",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6437,4 +6438,103 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_i").cast("long").alias("n_at_risk"),
         F.col("h_inc_x1e6").cast("long").alias("hazard_inc_x1e6"),
         F.sum("h_inc_x1e6").over(w).cast("long").alias("cum_hazard_x1e6"),
+    )
+
+
+@query(
+    "newsvendor_stocking",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             count(*) AS demand
+      FROM orders GROUP BY prio, d
+    ),
+    ranked AS (
+      SELECT prio, demand,
+             row_number() OVER (
+               PARTITION BY prio ORDER BY demand, d) AS r,
+             count(*) OVER (PARTITION BY prio) AS n
+      FROM daily
+    ),
+    stock AS (
+      SELECT prio, n, demand AS s_star
+      FROM ranked WHERE r = (3 * n + 3) // 4
+    ),
+    cost AS (
+      SELECT d.prio,
+             sum(greatest(d.demand - s.s_star, 0)) AS underage_units,
+             sum(greatest(s.s_star - d.demand, 0)) AS overage_units
+      FROM daily d JOIN stock s USING (prio)
+      GROUP BY d.prio
+    )
+    SELECT s.prio AS o_orderpriority,
+           CAST(s.n AS BIGINT) AS n_days,
+           CAST(s.s_star AS BIGINT) AS stock_level,
+           CAST(c.underage_units AS BIGINT) AS underage_units,
+           CAST(c.overage_units AS BIGINT) AS overage_units,
+           CAST(3 * c.underage_units + c.overage_units AS BIGINT)
+             AS total_cost_units
+    FROM stock s JOIN cost c ON c.prio = s.prio
+    """,
+)
+def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR optimal stocking — the critical-fractile rule of
+    inventory theory (with underage cost 3x overage, stock at the
+    cu/(cu+co) = 75% demand quantile; stocking at the mean is the
+    classic mistake this model exists to correct): per priority,
+    daily demand is the per-day order count, the 75th-percentile
+    stock level is the exact order statistic at index
+    ceil(0.75(n+1)) = (3n+3) div 4 (integer, day tie-broken), and
+    the realized underage/overage unit masses plus the 3:1-weighted
+    total cost are exact integer sums — the whole prescriptive
+    pipeline (demand model -> optimal policy -> cost audit) hashes.
+
+    100 TB shape: demand reduces map-side to (group, day); the
+    quantile is a per-group window over O(days) rows; the cost
+    audit joins the 5-row policy back broadcast.  North-star
+    extension (SURVEY §2 stats rows; the prescriptive-analytics
+    member of the ops family, beside fifo_inventory_allocation's
+    execution-time twin)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    daily = o.groupBy("prio", "d").agg(F.count("*").alias("demand"))
+    ranked = daily.select(
+        "prio",
+        "demand",
+        F.row_number()
+        .over(Window.partitionBy("prio").orderBy("demand", "d"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("prio")).alias("n"),
+    )
+    stock = ranked.filter(
+        F.col("r") == F.expr("(3 * n + 3) div 4")
+    ).select("prio", "n", F.col("demand").alias("s_star"))
+    cost = (
+        daily.join(F.broadcast(stock.select("prio", "s_star")), "prio")
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                F.greatest(F.col("demand") - F.col("s_star"), F.lit(0))
+            ).alias("underage_units"),
+            F.sum(
+                F.greatest(F.col("s_star") - F.col("demand"), F.lit(0))
+            ).alias("overage_units"),
+        )
+    )
+    return stock.join(cost, "prio").select(
+        F.col("prio").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_star").cast("long").alias("stock_level"),
+        F.col("underage_units").cast("long").alias("underage_units"),
+        F.col("overage_units").cast("long").alias("overage_units"),
+        (3 * F.col("underage_units") + F.col("overage_units"))
+        .cast("long")
+        .alias("total_cost_units"),
     )
