@@ -46,6 +46,7 @@ __all__ = [
     "stream_dlq_ingest",
     "rate_limiter_replay",
     "slo_burn_rate_alerts",
+    "erlang_b_blocking",
 ]
 
 
@@ -2276,4 +2277,91 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_slow_burn_alerts"),
         F.max("err_ppm_1h").cast("long").alias("worst_1h_ppm"),
         F.max("err_ppm_6h").cast("long").alias("worst_6h_ppm"),
+    )
+
+
+@query(
+    "erlang_b_blocking",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+      FROM events GROUP BY bucket
+    ),
+    peak AS (SELECT max(n) AS peak_n FROM hourly),
+    tot AS (SELECT count(*) AS n_hours, sum(n) AS n_events FROM hourly),
+    load AS (
+      -- offered load a (erlangs): mean arrivals per hour, holding
+      -- time 1 hour by construction -> a = mean hourly rate; kept
+      -- as an exact ppm integer, converted to double ONCE below.
+      SELECT (t.n_events * 1000000) // t.n_hours AS a_ppm,
+             t.n_hours, t.n_events, p.peak_n
+      FROM tot t CROSS JOIN peak p
+    ),
+    folded AS (
+      SELECT a_ppm, n_hours, n_events, peak_n,
+             list_reduce(
+               list_prepend(
+                 CAST(1.0 AS DOUBLE),
+                 list_transform(range(1, 21), k -> CAST(k AS DOUBLE))
+               ),
+               (b, k) -> (CAST(a_ppm AS DOUBLE) / 1000000.0) * b
+                         / (k + (CAST(a_ppm AS DOUBLE) / 1000000.0) * b)
+             ) AS b20
+      FROM load
+    )
+    SELECT CAST(a_ppm AS BIGINT) AS offered_load_ppm,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(peak_n AS BIGINT) AS peak_hourly,
+           CAST(floor(b20 * 1e8 + 0.5) AS BIGINT) AS blocking_20_x1e8
+    FROM folded
+    """,
+)
+def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERLANG-B BLOCKING PROBABILITY — the queueing-theory capacity
+    formula (probability an arrival finds all C servers busy in an
+    M/M/C/C system; how telecoms, connection pools, and GPU-slot
+    schedulers are sized): offered load a comes from the data as the
+    exact ppm mean hourly arrival rate (holding time one bucket by
+    construction), and B(C) evaluates via the numerically-stable
+    RECURRENCE B(k) = a*B(k-1) / (k + a*B(k-1)) from B(0)=1 up to
+    C=20 servers — a 20-step left fold executed with the IDENTICAL
+    double operation sequence on both engines (Spark ``aggregate``
+    with explicit init; DuckDB ``list_reduce`` with the init
+    prepended — the rate-limiter alignment trick, now over doubles,
+    sound because same-sequence IEEE ops are bit-identical), rounded
+    once at 1e-8.
+
+    100 TB shape: one hourly reduction, then O(C) scalar arithmetic
+    on a 1-row frame.  North-star extension (SURVEY §2 stats rows;
+    the capacity-planning member of the ops family — the limiter
+    replays a policy, Erlang-B sizes one."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    base = hourly.agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("peak_n"),
+    ).withColumn("a_ppm", F.expr("(n_events * 1000000) div n_hours"))
+    folded = base.selectExpr(
+        "a_ppm",
+        "n_hours",
+        "peak_n",
+        """
+        aggregate(
+          sequence(1, 20),
+          CAST(1.0 AS DOUBLE),
+          (b, k) -> (CAST(a_ppm AS DOUBLE) / 1000000.0) * b
+                    / (k + (CAST(a_ppm AS DOUBLE) / 1000000.0) * b)
+        ) AS b20
+        """,
+    )
+    return folded.select(
+        F.col("a_ppm").cast("long").alias("offered_load_ppm"),
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("peak_n").cast("long").alias("peak_hourly"),
+        F.floor(F.col("b20") * 1e8 + F.lit(0.5))
+        .cast("long")
+        .alias("blocking_20_x1e8"),
     )
