@@ -29,6 +29,7 @@ __all__ = [
     "flo_async_pipelined_roundtrip",
     "flo_tailer_bounded_sweep",
     "audit_hash_chain",
+    "merkle_tree_proof",
 ]
 
 
@@ -795,4 +796,143 @@ def audit_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l")
         )
         .select("l.link_id", "l.digest", "l.chain_hash")
+    )
+
+
+def _merkle_level_sql(prev: str, n: int) -> str:
+    """One Merkle level: pairwise md5(left || right); odd tail node
+    promoted unchanged (the Bitcoin-style odd rule, stated)."""
+    return f"""
+    m{n} AS (
+      SELECT list_transform(
+               range(1, CAST(ceil(len(h) / 2.0) AS BIGINT) + 1),
+               i -> CASE WHEN 2 * i <= len(h)
+                         THEN md5(h[2 * i - 1] || h[2 * i])
+                         ELSE h[2 * i - 1] END) AS h
+      FROM m{n - 1}
+    )"""
+
+
+@query(
+    "merkle_tree_proof",
+    f"""
+    WITH ev AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             md5(string_agg(concat_ws('|', event_id, user_id, event_type),
+                            '' ORDER BY event_id)) AS digest
+      FROM events GROUP BY bucket
+    ),
+    m0 AS (SELECT list(digest ORDER BY bucket) AS h FROM ev),
+    {_merkle_level_sql('m0', 1)},
+    {_merkle_level_sql('m1', 2)},
+    {_merkle_level_sql('m2', 3)},
+    {_merkle_level_sql('m3', 4)},
+    {_merkle_level_sql('m4', 5)},
+    {_merkle_level_sql('m5', 6)},
+    {_merkle_level_sql('m6', 7)},
+    proof AS (
+      -- audit path for leaf 1: at each level the CURRENT node is at
+      -- index 1; its sibling is index 2 (or promoted if absent).
+      SELECT
+        (SELECT CASE WHEN len(h) >= 2 THEN md5(h[1] || h[2])
+                     ELSE h[1] END FROM m0) AS step1_expected,
+        (SELECT h[1] FROM m1) AS step1_actual
+    )
+    SELECT CAST((SELECT len(h) FROM m0) AS BIGINT) AS n_leaves,
+           (SELECT h[1] FROM m7) AS merkle_root,
+           (SELECT h[1] FROM m0) AS leaf1_digest,
+           CAST((SELECT step1_expected = step1_actual FROM proof)
+                AS BOOLEAN) AS proof_step1_ok
+    """,
+)
+def merkle_tree_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE TREE over the event log's hourly digests — the
+    tamper-evidence structure that upgrades audit_hash_chain's
+    linear verification to O(log n) MEMBERSHIP PROOFS (verify one
+    hour's integrity with ~7 hashes instead of replaying the whole
+    chain — how transparency logs and blockchains audit inclusion):
+    leaves are the same event_id-ordered hourly md5 digests as the
+    chain entry; seven unrolled levels pair-hash md5(left || right)
+    with the odd tail node PROMOTED (the Bitcoin odd rule, stated so
+    both engines build the identical tree shape for any leaf
+    count); the hash pins the leaf count, the ROOT, leaf 1's digest,
+    and an in-query verification of the first proof step (the
+    level-1 parent recomputed from leaf 1 + its sibling equals the
+    tree's own node).
+
+    100 TB shape: the corpus-scale work is the hourly digest
+    reduction; the tree is seven array-HOF steps over O(hours)
+    strings (the Haar fold discipline applied to hashing); at
+    segment scale the leaves would be flo's segment digests, giving
+    per-segment inclusion proofs against a published root
+    (north-star extension, SURVEY §2 Part A retention/status rows —
+    the proof-capable sibling of audit_hash_chain)."""
+    ev = load(spark, sf_dir, "events")
+    line = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("event_id"), line.alias("l"))
+                            )
+                        ),
+                        lambda s: s["l"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("digest")
+        )
+    )
+    cur = hourly.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "digest"))),
+            lambda s: s["digest"],
+        ).alias("h")
+    ).localCheckpoint()
+    leaves = cur.selectExpr(
+        "size(h) AS n_leaves", "element_at(h, 1) AS leaf1_digest"
+    )
+    step1 = cur.selectExpr(
+        """CASE WHEN size(h) >= 2
+                THEN md5(CAST(concat(element_at(h, 1), element_at(h, 2))
+                              AS BINARY))
+                ELSE element_at(h, 1) END AS step1_expected"""
+    )
+    level_expr = """
+        transform(sequence(1, CAST(ceil(size(h) / 2.0) AS INT)),
+          i -> CASE WHEN 2 * i <= size(h)
+                    THEN md5(CAST(concat(element_at(h, 2 * i - 1),
+                                         element_at(h, 2 * i)) AS BINARY))
+                    ELSE element_at(h, 2 * i - 1) END) AS h
+    """
+    step1_actual = None
+    for lvl in range(1, 8):
+        cur = cur.selectExpr(level_expr)
+        if lvl == 1:
+            cur = cur.localCheckpoint()
+            step1_actual = cur.selectExpr(
+                "element_at(h, 1) AS step1_actual"
+            )
+    root = cur.selectExpr("element_at(h, 1) AS merkle_root")
+    return (
+        leaves.crossJoin(F.broadcast(root))
+        .crossJoin(F.broadcast(step1))
+        .crossJoin(F.broadcast(step1_actual))
+        .select(
+            F.col("n_leaves").cast("long").alias("n_leaves"),
+            "merkle_root",
+            "leaf1_digest",
+            (F.col("step1_expected") == F.col("step1_actual")).alias(
+                "proof_step1_ok"
+            ),
+        )
     )
