@@ -47,6 +47,7 @@ __all__ = [
     "rate_limiter_replay",
     "slo_burn_rate_alerts",
     "erlang_b_blocking",
+    "consistent_hashing_ring",
 ]
 
 
@@ -2364,4 +2365,139 @@ def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("b20") * 1e8 + F.lit(0.5))
         .cast("long")
         .alias("blocking_20_x1e8"),
+    )
+
+
+@query(
+    "consistent_hashing_ring",
+    """
+    WITH ring8 AS (
+      SELECT s.s AS shard, v.v AS vnode,
+             ((s.s * 2654435761 + v.v * 40503 + 99991) % 1000000007)
+               AS pos
+      FROM (SELECT unnest(range(8)) AS s) s,
+           (SELECT unnest(range(16)) AS v) v
+    ),
+    ring9 AS (
+      SELECT * FROM ring8
+      UNION ALL
+      SELECT 8 AS shard, v.v AS vnode,
+             ((8 * 2654435761 + v.v * 40503 + 99991) % 1000000007) AS pos
+      FROM (SELECT unnest(range(16)) AS v) v
+    ),
+    keys AS (
+      SELECT DISTINCT user_id,
+             (user_id * 1103515245 + 12345) % 1000000007 AS kpos
+      FROM events
+    ),
+    a8 AS (
+      SELECT k.user_id,
+             coalesce(
+               first(r.shard ORDER BY r.pos, r.shard)
+                 FILTER (WHERE r.pos >= k.kpos),
+               (SELECT first(shard ORDER BY pos, shard) FROM ring8)
+             ) AS shard
+      FROM keys k CROSS JOIN ring8 r GROUP BY k.user_id, k.kpos
+    ),
+    a9 AS (
+      SELECT k.user_id,
+             coalesce(
+               first(r.shard ORDER BY r.pos, r.shard)
+                 FILTER (WHERE r.pos >= k.kpos),
+               (SELECT first(shard ORDER BY pos, shard) FROM ring9)
+             ) AS shard
+      FROM keys k CROSS JOIN ring9 r GROUP BY k.user_id, k.kpos
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(sum(CASE WHEN a9.shard = 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_new_shard,
+           CAST(sum(CASE WHEN a8.shard <> a9.shard AND a9.shard <> 8
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_wrongly
+    FROM a8 JOIN a9 USING (user_id)
+    """,
+)
+def consistent_hashing_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT HASHING ring placement + the resize-disruption
+    audit (the shard-assignment scheme behind distributed caches and
+    partitioned stores, and the REASON it exists: adding a node must
+    move only ~1/(n+1) of keys, never reshuffle everything like
+    mod-N): shards place 16 virtual nodes each on a 1e9+7 ring via a
+    Knuth multiplicative hash (pure integer, engine-identical), keys
+    hash to ring positions, and each key belongs to the first vnode
+    CLOCKWISE (min position >= key, wrapping to the ring's global
+    minimum — tie-broken by shard).  The entry assigns every user
+    under 8 shards and again under 9, and hashes the movement
+    census: total moved, landings on the new shard, and — the
+    correctness heart — n_moved_wrongly = keys that moved between
+    two OLD shards, which consistent hashing guarantees is ZERO (a
+    mod-N scheme would move ~8/9 of keys, almost all wrongly).
+
+    100 TB shape: the ring is a 144-row broadcast; assignment is a
+    scan-stage min-over-broadcast per key (at production scale a
+    sorted-ring binary search); the census is one join of two
+    assignment passes.  North-star extension (SURVEY §2 streaming/
+    systems rows; the placement-layer sibling of
+    skew_salted_join_types and zorder_morton_key)."""
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct().withColumn(
+        "kpos", (F.col("user_id") * 1103515245 + 12345) % 1000000007
+    )
+
+    def ring(n_shards: int) -> DataFrame:
+        shards = spark.range(n_shards).select(F.col("id").alias("shard"))
+        vnodes = spark.range(16).select(F.col("id").alias("vnode"))
+        return shards.crossJoin(vnodes).select(
+            "shard",
+            (
+                (F.col("shard") * 2654435761 + F.col("vnode") * 40503 + 99991)
+                % 1000000007
+            ).alias("pos"),
+        )
+
+    def assign(r: DataFrame, tag: str) -> DataFrame:
+        wrap = (
+            r.orderBy("pos", "shard")
+            .limit(1)
+            .select(F.col("shard").alias("wrap_shard"))
+        )
+        cand = (
+            keys.crossJoin(F.broadcast(r))
+            .filter(F.col("pos") >= F.col("kpos"))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy("pos", "shard")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("shard").alias(tag))
+        )
+        return (
+            keys.join(cand, "user_id", "left")
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "user_id",
+                F.coalesce(F.col(tag), F.col("wrap_shard")).alias(tag),
+            )
+        )
+
+    a8 = assign(ring(8), "s8")
+    a9 = assign(ring(9), "s9")
+    return a8.join(a9, "user_id").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+        F.sum(F.when(F.col("s9") == 8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_on_new_shard"),
+        F.sum(
+            F.when((F.col("s8") != F.col("s9")) & (F.col("s9") != 8), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_wrongly"),
     )
