@@ -44,6 +44,7 @@ __all__ = [
     "naive_bayes_classify",
     "nelson_aalen_hazard",
     "newsvendor_stocking",
+    "optimal_stopping_replay",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6537,4 +6538,123 @@ def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3 * F.col("underage_units") + F.col("overage_units"))
         .cast("long")
         .alias("total_cost_units"),
+    )
+
+
+@query(
+    "optimal_stopping_replay",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                  ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+      HAVING count(*) >= 3
+    ),
+    staged AS (
+      SELECT user_id, vals, len(vals) AS n,
+             (len(vals) * 10) // 27 AS k
+      FROM seq
+    ),
+    decided AS (
+      SELECT user_id, n, k,
+             list_max(vals) AS best,
+             list_max(vals[1:k]) AS thresh,
+             coalesce(
+               (SELECT min(i) FROM unnest(range(1, n + 1)) AS t(i)
+                WHERE i > k AND vals[i] > list_max(vals[1:k])),
+               n) AS pick_idx,
+             vals AS v
+      FROM staged WHERE k >= 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN v[pick_idx] = best THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_picked_best,
+           CAST((sum(CASE WHEN v[pick_idx] = best THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS success_ppm,
+           CAST(sum(v[pick_idx]) AS BIGINT) AS picked_value_x1e4,
+           CAST(sum(best) AS BIGINT) AS best_value_x1e4
+    FROM decided
+    """,
+)
+def optimal_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL STOPPING (secretary problem) replay — the 1/e rule
+    evaluated against every user's actual event-value sequence
+    (the irrevocable-choice model behind offer acceptance, ad-slot
+    take/pass, and hiring funnels: observe the first n/e candidates
+    without committing, then take the first one better than all of
+    them): per user (>= 3 events), the observation cutoff is the
+    integer k = (10n) div 27 (~n/e), the threshold is the exact max
+    of the first k scaled values, the pick is the FIRST later value
+    beating it (falling back to the last, the forced-choice rule),
+    and the census hashes how often the strategy captured the true
+    best plus the value it left on the table — the theory says the
+    success rate approaches 1/e ~ 368000 ppm, and the entry measures
+    it on real sequences.
+
+    100 TB shape: one per-user ordered-list reduction, then pure
+    array arithmetic per user (no joins, no windows beyond the
+    groupBy); the scan for the first qualifying index is bounded by
+    the per-user sequence length.  North-star extension (SURVEY §2
+    stats rows; the sequential-decision member of the ops family,
+    beside the rate-limiter's admission policy)."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.floor(F.col("value") * 1e4 + F.lit(0.5))
+                            .cast("long")
+                            .alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("vals"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .withColumn("k", F.expr("(n * 10) div 27"))
+        .filter(F.col("k") >= 1)
+    )
+    decided = seq.selectExpr(
+        "user_id",
+        "n",
+        "array_max(vals) AS best",
+        "array_max(slice(vals, 1, k)) AS thresh",
+        """coalesce(
+             aggregate(sequence(k + 1, n), CAST(0 AS BIGINT),
+               (acc, i) -> CASE WHEN acc > 0 THEN acc
+                                WHEN element_at(vals, CAST(i AS INT))
+                                     > array_max(slice(vals, 1, k))
+                                THEN CAST(i AS BIGINT) ELSE acc END),
+             0) AS first_better""",
+        "vals",
+    ).selectExpr(
+        "user_id",
+        "best",
+        "CASE WHEN first_better > 0 THEN first_better ELSE n END"
+        " AS pick_idx",
+        "vals",
+    )
+    return decided.selectExpr(
+        "element_at(vals, CAST(pick_idx AS INT)) AS picked", "best"
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("picked") == F.col("best"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_picked_best"),
+        F.expr(
+            "(sum(CASE WHEN picked = best THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("success_ppm"),
+        F.sum("picked").cast("long").alias("picked_value_x1e4"),
+        F.sum("best").cast("long").alias("best_value_x1e4"),
     )
