@@ -45,6 +45,7 @@ __all__ = [
     "nelson_aalen_hazard",
     "newsvendor_stocking",
     "optimal_stopping_replay",
+    "min_variance_portfolio",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6657,4 +6658,96 @@ def optimal_stopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("success_ppm"),
         F.sum("picked").cast("long").alias("picked_value_x1e4"),
         F.sum("best").cast("long").alias("best_value_x1e4"),
+    )
+
+
+@query(
+    "min_variance_portfolio",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY bucket
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM hourly
+    ),
+    comoments AS (
+      SELECT n,
+             n * saa - sa * sa AS va_n2,
+             n * sbb - sb * sb AS vb_n2,
+             n * sab - sa * sb AS cab_n2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(va_n2 AS BIGINT) AS var_a_n2,
+           CAST(vb_n2 AS BIGINT) AS var_b_n2,
+           CAST(cab_n2 AS BIGINT) AS cov_ab_n2,
+           CAST(((vb_n2 - cab_n2) * 1000000)
+                // (va_n2 + vb_n2 - 2 * cab_n2) AS BIGINT)
+             AS w_a_x1e6,
+           CAST(floor((CAST(va_n2 AS DOUBLE) * vb_n2
+                       - CAST(cab_n2 AS DOUBLE) * cab_n2)
+                      / (CAST(va_n2 AS DOUBLE) + vb_n2 - 2 * cab_n2)
+                      / n / n * 1e4 + 0.5) AS BIGINT)
+             AS port_var_x1e4
+    FROM comoments
+    """,
+)
+def min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM-VARIANCE PORTFOLIO — the Markowitz two-asset closed
+    form (the allocation that minimizes combined volatility:
+    w_a = (var_b - cov) / (var_a + var_b - 2cov); the same algebra
+    allocates traffic between two noisy channels or budget between
+    two volatile suppliers): the two "assets" are hourly click and
+    view volumes, their co-moment matrix comes from exact integer
+    sums (n*sxy - sx*sy cross terms — hourly counts keep everything
+    far inside int64), the optimal weight is ONE exact ppm integer
+    division, and the resulting portfolio variance — whose value
+    must undercut both assets' own variances, the diversification
+    payoff — rounds once from the identical float expression.
+
+    100 TB shape: one hourly two-column reduction, one single-row
+    co-moment aggregate, scalar algebra.  North-star extension
+    (SURVEY §2 stats rows; the allocation member of the finance
+    family beside gini/HHI concentration and the auction entries)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "a"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "b"
+        ),
+    )
+    m = hourly.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    co = m.selectExpr(
+        "n",
+        "n * saa - sa * sa AS va_n2",
+        "n * sbb - sb * sb AS vb_n2",
+        "n * sab - sa * sb AS cab_n2",
+    )
+    return co.selectExpr(
+        "CAST(n AS BIGINT) AS n_hours",
+        "CAST(va_n2 AS BIGINT) AS var_a_n2",
+        "CAST(vb_n2 AS BIGINT) AS var_b_n2",
+        "CAST(cab_n2 AS BIGINT) AS cov_ab_n2",
+        "CAST(((vb_n2 - cab_n2) * 1000000)"
+        " div (va_n2 + vb_n2 - 2 * cab_n2) AS BIGINT) AS w_a_x1e6",
+        "CAST(floor((CAST(va_n2 AS DOUBLE) * vb_n2"
+        " - CAST(cab_n2 AS DOUBLE) * cab_n2)"
+        " / (CAST(va_n2 AS DOUBLE) + vb_n2 - 2 * cab_n2)"
+        " / n / n * 1e4 + 0.5) AS BIGINT) AS port_var_x1e4",
     )
