@@ -23,6 +23,7 @@ __all__ = [
     "dedup_clusters_minhash",
     "mmr_diversified_topk",
     "ndcg_at_k_eval",
+    "grid_dbscan_embeddings",
     "dedup_connected_components",
     "embedding_centroids",
     "dedup_keep_best",
@@ -2918,4 +2919,192 @@ def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hits").cast("long").alias("total_hits"),
         F.sum("ndcg_x1e6").cast("long").alias("ndcg_sum_x1e6"),
         F.max("ndcg_x1e6").cast("long").alias("ndcg_max_x1e6"),
+    )
+
+
+@query(
+    "grid_dbscan_embeddings",
+    """
+    WITH proj AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                    * (CASE WHEN (i * 1103515245 + 12345) % 2 = 0
+                            THEN 1 ELSE -1 END) * 10000 + 0.5)
+                    AS BIGINT))) AS xs,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                    * (CASE WHEN (i * 2654435761 + 99991) % 2 = 0
+                            THEN 1 ELSE -1 END) * 10000 + 0.5)
+                    AS BIGINT))) AS ys
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT ((xs + 10000000) // 100000) * 1000
+             + ((ys + 10000000) // 100000) AS cell,
+             count(*) AS n
+      FROM proj GROUP BY cell
+    ),
+    core AS (SELECT cell, n FROM cells WHERE n >= 5),
+    edges AS (
+      SELECT a.cell AS ca, b.cell AS cb
+      FROM core a JOIN core b
+        ON abs(a.cell // 1000 - b.cell // 1000)
+           + abs(a.cell % 1000 - b.cell % 1000) = 1
+    ),
+    rc AS (
+      WITH RECURSIVE reach AS (
+        SELECT cell AS node, cell AS root FROM core
+        UNION
+        SELECT e.cb AS node, r.root
+        FROM reach r JOIN edges e ON e.ca = r.node
+      )
+      SELECT node, min(root) AS label FROM reach GROUP BY node
+    ),
+    clusters AS (
+      SELECT r.label, count(*) AS n_cells, sum(c.n) AS n_points
+      FROM rc r JOIN core c ON c.cell = r.node
+      GROUP BY r.label
+    ),
+    border AS (
+      SELECT count(DISTINCT c.cell) AS n_border
+      FROM cells c JOIN core k
+        ON abs(c.cell // 1000 - k.cell // 1000)
+           + abs(c.cell % 1000 - k.cell % 1000) = 1
+      WHERE c.n < 5
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core,
+           CAST((SELECT n_border FROM border) AS BIGINT) AS n_border,
+           CAST((SELECT count(*) FROM clusters) AS BIGINT) AS n_clusters,
+           CAST((SELECT max(n_cells) FROM clusters) AS BIGINT)
+             AS largest_cluster_cells,
+           CAST((SELECT max(n_points) FROM clusters) AS BIGINT)
+             AS largest_cluster_points
+    """,
+)
+def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BASED DBSCAN — density clustering with core / border /
+    noise semantics (the cluster-shape-agnostic alternative to
+    k-means, in its grid formulation: a cell is CORE if it holds >=
+    minPts points, clusters are connected components of 4-adjacent
+    core cells, non-core cells touching a core cell are BORDER, the
+    rest noise): embeddings project to 2D by deterministic
+    hash-signed coordinate sums (each term floored once at 1e-4, so
+    the projection is an exact integer and the cell assignment
+    integer-decidable); the core-cell adjacency graph runs through
+    the repo's pointer-jumping connected components on the Spark
+    side and a recursive-CTE closure on the oracle side (the
+    dedup_connected_components pattern), labels = min cell id.
+    The census hashes cell/core/border counts, cluster count, and
+    the largest cluster's cell and point mass.
+
+    100 TB shape: the projection is scan-stage array arithmetic;
+    density reduces map-side to cells (the grid bounds ALL
+    neighborhood work — no point-to-point distance joins, the trick
+    that makes DBSCAN feasible distributed); the component loop runs
+    on the tiny core-cell graph.  North-star extension (SURVEY §2
+    LLM rows; the density member of the clustering family beside
+    kmeans_lloyd_rounds and semantic_dedup's cell blocking)."""
+    from flo_spark.operators.graph import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def signed_sum(mult: int, add: int, alias: str):
+        return F.expr(
+            f"""
+            aggregate(
+              zip_with(embedding,
+                       sequence(1, size(embedding)),
+                       (v, i) -> CAST(floor(CAST(v AS DOUBLE)
+                           * (CASE WHEN (CAST(i AS BIGINT) * {mult}
+                                         + {add}) % 2 = 0
+                                   THEN 1 ELSE -1 END) * 10000 + 0.5)
+                           AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)
+            """
+        ).alias(alias)
+
+    proj = e.select(
+        signed_sum(1103515245, 12345, "xs"),
+        signed_sum(2654435761, 99991, "ys"),
+    )
+    cells = proj.select(
+        (
+            F.expr("((xs + 10000000) div 100000)") * 1000
+            + F.expr("((ys + 10000000) div 100000)")
+        ).alias("cell")
+    ).groupBy("cell").agg(F.count("*").alias("n"))
+    core = cells.filter(F.col("n") >= 5)
+    a = core.select(F.col("cell").alias("ca"))
+    b = core.select(F.col("cell").alias("cb"))
+    edges = a.join(
+        b,
+        (
+            F.abs(
+                F.expr("ca div 1000") - F.expr("cb div 1000")
+            )
+            + F.abs(F.expr("ca % 1000") - F.expr("cb % 1000"))
+        )
+        == 1,
+    )
+    comp = connected_components(edges, src="ca", dst="cb")
+    labels = (
+        core.join(
+            comp.withColumnRenamed("node", "cell").withColumnRenamed(
+                "label", "comp_label"
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n",
+            F.coalesce(F.col("comp_label"), F.col("cell")).alias("label"),
+        )
+    )
+    clusters = labels.groupBy("label").agg(
+        F.count("*").alias("n_cells_c"), F.sum("n").alias("n_points_c")
+    )
+    border = (
+        cells.filter(F.col("n") < 5)
+        .alias("c")
+        .join(
+            core.select(F.col("cell").alias("kcell")).alias("k"),
+            (
+                F.abs(
+                    F.expr("c.cell div 1000") - F.expr("kcell div 1000")
+                )
+                + F.abs(F.expr("c.cell % 1000") - F.expr("kcell % 1000"))
+            )
+            == 1,
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_border"))
+    )
+    stats = (
+        cells.agg(F.count("*").alias("n_cells"))
+        .crossJoin(F.broadcast(core.agg(F.count("*").alias("n_core"))))
+        .crossJoin(F.broadcast(border))
+        .crossJoin(
+            F.broadcast(
+                clusters.agg(
+                    F.count("*").alias("n_clusters"),
+                    F.max("n_cells_c").alias("largest_cluster_cells"),
+                    F.max("n_points_c").alias("largest_cluster_points"),
+                )
+            )
+        )
+    )
+    return stats.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_core").cast("long").alias("n_core"),
+        F.col("n_border").cast("long").alias("n_border"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("largest_cluster_cells").cast("long").alias(
+            "largest_cluster_cells"
+        ),
+        F.col("largest_cluster_points").cast("long").alias(
+            "largest_cluster_points"
+        ),
     )
