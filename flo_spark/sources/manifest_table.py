@@ -732,6 +732,10 @@ class ManifestTable:
         chain operations (append/read/commit) take ``chain=name``."""
         if name == "main" or "-" in name:
             raise ValueError("branch names must not be 'main' or contain '-'")
+        if self.current_version(chain=name) > 0:
+            raise ValueError(
+                f"branch {name!r} already exists; drop_branch it first"
+            )
         head = self.manifest()
 
         def build(_files: list[str]) -> tuple[list[str], str, list[str]]:

@@ -450,3 +450,12 @@ def test_abandoned_branch_fragments_vacuum_after_drop(spark, tmp_path):
     rep = t.vacuum()
     assert rep["fragments_deleted"] == 1  # the abandoned dirty fragment
     assert t.read(spark).count() == 4
+
+
+def test_create_branch_rejects_existing(spark, table):
+    t = table
+    t.create_branch("x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("x")
+    t.drop_branch("x")
+    t.create_branch("x")  # fine after drop
