@@ -46,6 +46,7 @@ __all__ = [
     "newsvendor_stocking",
     "optimal_stopping_replay",
     "min_variance_portfolio",
+    "quantile_treatment_effect",
     "cohort_retention",
     "regression_price_quantity",
     "copurchase_lift_topk",
@@ -6750,4 +6751,92 @@ def min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(cab_n2 AS DOUBLE) * cab_n2)"
         " / (CAST(va_n2 AS DOUBLE) + vb_n2 - 2 * cab_n2)"
         " / n / n * 1e4 + 0.5) AS BIGINT) AS port_var_x1e4",
+    )
+
+
+@query(
+    "quantile_treatment_effect",
+    """
+    WITH px AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 't' ELSE 'c' END
+               AS arm,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y,
+             o_orderkey
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+      SELECT arm, y,
+             row_number() OVER (PARTITION BY arm ORDER BY y, o_orderkey)
+               AS r,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM px
+    ),
+    qs AS (
+      SELECT rk.arm, q.tau, rk.y
+      FROM ranked rk
+      JOIN (SELECT unnest([25, 50, 75]) AS tau) q
+        ON rk.r = (q.tau * (rk.n + 1) + 99) // 100
+    )
+    SELECT CAST(t.tau AS BIGINT) AS tau_pct,
+           CAST(t.y AS BIGINT) AS q_treated_x1e4,
+           CAST(c.y AS BIGINT) AS q_control_x1e4,
+           CAST(t.y - c.y AS BIGINT) AS qte_x1e4
+    FROM (SELECT * FROM qs WHERE arm = 't') t
+    JOIN (SELECT * FROM qs WHERE arm = 'c') c ON c.tau = t.tau
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS — the distributional causal
+    contrast (a mean difference can be zero while the treatment
+    compresses the bottom and stretches the top; QTE(tau) =
+    Q_T(tau) - Q_C(tau) reveals WHERE in the distribution the effect
+    lives — the heterogeneity view diff-in-means hides): arms are
+    urgent vs low-priority orders, and each arm's 25/50/75th
+    percentiles are exact order statistics at the integer index
+    ceil(tau(n+1)/100) = (tau(n+1)+99) div 100 with orderkey
+    tie-breaks — quantiles, contrasts, and the per-tau effect all
+    exact scaled longs.
+
+    100 TB shape: one window per arm partition over the filtered
+    fact (two arms, each ordered independently — no cross-arm
+    shuffle), three index probes, a 3-row join.  North-star
+    extension (SURVEY §2 stats rows; the distributional member of
+    the causal family — DiD shifts means, the event study shifts
+    time, QTE shifts quantiles)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    px = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "t")
+        .otherwise("c")
+        .alias("arm"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+        "o_orderkey",
+    )
+    ranked = px.select(
+        "arm",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy("y", "o_orderkey"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("arm")).alias("n"),
+    )
+    taus = spark.createDataFrame([(25,), (50,), (75,)], "tau int")
+    qs = ranked.crossJoin(F.broadcast(taus)).filter(
+        F.col("r") == F.expr("(tau * (n + 1) + 99) div 100")
+    )
+    t = qs.filter(F.col("arm") == "t").select(
+        "tau", F.col("y").alias("q_treated_x1e4")
+    )
+    c = qs.filter(F.col("arm") == "c").select(
+        "tau", F.col("y").alias("q_control_x1e4")
+    )
+    return t.join(c, "tau").select(
+        F.col("tau").cast("long").alias("tau_pct"),
+        "q_treated_x1e4",
+        "q_control_x1e4",
+        (F.col("q_treated_x1e4") - F.col("q_control_x1e4"))
+        .cast("long")
+        .alias("qte_x1e4"),
     )
