@@ -1041,3 +1041,41 @@ def test_r8b_hash_chain_single_fact_scan(spark, sf_dir):
     # array work on the aggregated O(hours) frame, not a rescan
     # (formatted explain prints each scan node twice: tree + details)
     assert explain_str(df).count("Scan parquet  (") == 1
+
+
+def test_r8c_ndcg_broadcasts_rec_list(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.ndcg_at_k_eval(spark, sf_dir)
+    plan = explain_str(df)
+    # the 10-row recommendation list and ideal-DCG table broadcast;
+    # truth rows never shuffle against each other
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_r8c_decayed_trending_topk_and_star_shape(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.decayed_trending_brands(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_r8c_rrf_hybrid_single_docs_scan_per_leg(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.bleu2_pairwise_eval(spark, sf_dir)
+    # clipped-count joins key on (pair, gram): no broadcast NL join of
+    # exploded token streams
+    assert "BroadcastNestedLoopJoin" not in explain_str(df)
+
+
+def test_r8c_vickrey_single_window_no_join_of_fact(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.vickrey_second_price(spark, sf_dir)
+    # top-2 extraction is one item-partitioned window; the only join
+    # is the 2-row-per-item winner/second match
+    assert_no_cartesian(df)
