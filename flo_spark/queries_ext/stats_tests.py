@@ -27,6 +27,7 @@ __all__ = [
     "overdispersion_zero_inflation",
     "ab_power_mde_grid",
     "variance_ratio_test",
+    "cronbach_alpha_reliability",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3268,4 +3269,94 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("vr_x1e4"),
         )
+    )
+
+
+@query(
+    "cronbach_alpha_reliability",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS i1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS i2,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS i3
+      FROM events GROUP BY bucket
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(i1) AS s1, sum(i2) AS s2, sum(i3) AS s3,
+             sum(i1 * i1) AS q1, sum(i2 * i2) AS q2, sum(i3 * i3) AS q3,
+             sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS qt,
+             sum(i1 + i2 + i3) AS st
+      FROM hourly
+    ),
+    v AS (
+      SELECT n,
+             (n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+               + (n * q3 - s3 * s3) AS sum_item_var_n2,
+             n * qt - st * st AS total_var_n2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST(sum_item_var_n2 AS BIGINT) AS sum_item_var_n2,
+           CAST(total_var_n2 AS BIGINT) AS total_var_n2,
+           CAST((3 * (total_var_n2 - sum_item_var_n2) * 1000000)
+                // (2 * total_var_n2) AS BIGINT) AS alpha_x1e6
+    FROM v
+    """,
+)
+def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA — internal-consistency reliability of a
+    multi-item scale (psychometrics' workhorse, equally at home
+    grading whether K metrics measure one underlying construct:
+    alpha = k/(k-1) * (1 - sum(item variances)/variance(total));
+    high alpha means the items co-move — here, whether hourly click
+    / view / signup volumes track one underlying activity level):
+    every variance is the n^2-scaled integer co-moment
+    (n*sum(x^2) - sum(x)^2 — the CUPED discipline), the n^2 factors
+    cancel in the ratio, and alpha itself is ONE exact scaled
+    integer division with the k/(k-1) = 3/2 factor folded in as
+    integers.  The raw variance components hash alongside so the
+    estimator's inputs are pinned, not just its output.
+
+    100 TB shape: one hourly three-column reduction, one single-row
+    moment aggregate, scalar integer algebra.  North-star extension
+    (SURVEY §2 stats rows; opens the measurement-reliability family
+    beside cohens_kappa_langid's inter-rater agreement)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"i{j + 1}")
+            for j, t in enumerate(("click", "view", "signup"))
+        ]
+    )
+    m = hourly.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"i{j}").alias(f"s{j}") for j in (1, 2, 3)],
+        *[
+            F.sum(F.col(f"i{j}") * F.col(f"i{j}")).alias(f"q{j}")
+            for j in (1, 2, 3)
+        ],
+        F.sum(
+            (F.col("i1") + F.col("i2") + F.col("i3"))
+            * (F.col("i1") + F.col("i2") + F.col("i3"))
+        ).alias("qt"),
+        F.sum(F.col("i1") + F.col("i2") + F.col("i3")).alias("st"),
+    )
+    v = m.selectExpr(
+        "n",
+        "(n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)"
+        " AS sum_item_var_n2",
+        "n * qt - st * st AS total_var_n2",
+    )
+    return v.selectExpr(
+        "CAST(n AS BIGINT) AS n_obs",
+        "CAST(sum_item_var_n2 AS BIGINT) AS sum_item_var_n2",
+        "CAST(total_var_n2 AS BIGINT) AS total_var_n2",
+        "CAST((3 * (total_var_n2 - sum_item_var_n2) * 1000000)"
+        " div (2 * total_var_n2) AS BIGINT) AS alpha_x1e6",
     )
