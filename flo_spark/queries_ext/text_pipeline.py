@@ -42,6 +42,7 @@ __all__ = [
     "sentence_segmentation_stats",
     "heaps_law_vocab_growth",
     "good_turing_unseen_mass",
+    "kl_js_divergence_sources",
     "perplexity_bigram_filter",
     "corpus_jsonl_gz_roundtrip",
     "temperature_mix_sample",
@@ -3662,5 +3663,141 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p0_unseen_ppm").cast("long").alias("p0_unseen_ppm"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("vocab").cast("long").alias("vocab"),
+        )
+    )
+
+
+@query(
+    "kl_js_divergence_sources",
+    r"""
+    WITH words AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                  THEN 'p' ELSE 'q' END AS side,
+             u AS w
+      FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS u
+        FROM documents
+      )
+    ),
+    vocab AS (SELECT DISTINCT w FROM words),
+    cnt AS (
+      SELECT v.w,
+             coalesce(p.n, 0) + 1 AS np,
+             coalesce(q.n, 0) + 1 AS nq
+      FROM vocab v
+      LEFT JOIN (SELECT w, count(*) AS n FROM words
+                 WHERE side = 'p' GROUP BY w) p ON p.w = v.w
+      LEFT JOIN (SELECT w, count(*) AS n FROM words
+                 WHERE side = 'q' GROUP BY w) q ON q.w = v.w
+    ),
+    tot AS (SELECT sum(np) AS tp, sum(nq) AS tq FROM cnt)
+    SELECT CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size,
+           CAST(t.tp AS BIGINT) AS n_p_smoothed,
+           CAST(t.tq AS BIGINT) AS n_q_smoothed,
+           CAST(sum(CAST(floor(
+                 (CAST(c.np AS DOUBLE) / t.tp)
+                 * ln((CAST(c.np AS DOUBLE) / t.tp)
+                      / (CAST(c.nq AS DOUBLE) / t.tq)) * 1e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS kl_pq_x1e9,
+           CAST(sum(CAST(floor(
+                 (CAST(c.np AS DOUBLE) / t.tp) * ln(
+                   (CAST(c.np AS DOUBLE) / t.tp)
+                   / ((CAST(c.np AS DOUBLE) / t.tp
+                       + CAST(c.nq AS DOUBLE) / t.tq) / 2)) * 5e8 + 0.5)
+                 AS BIGINT)
+               + CAST(floor(
+                 (CAST(c.nq AS DOUBLE) / t.tq) * ln(
+                   (CAST(c.nq AS DOUBLE) / t.tq)
+                   / ((CAST(c.np AS DOUBLE) / t.tp
+                       + CAST(c.nq AS DOUBLE) / t.tq) / 2)) * 5e8 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS js_x1e9
+    FROM cnt c CROSS JOIN tot t
+    GROUP BY t.tp, t.tq
+    """,
+)
+def kl_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and JENSEN-SHANNON DIVERGENCE between the unigram
+    distributions of two corpus halves (the distribution-shift
+    measures behind domain-mixing decisions and DSIR-style
+    importance weighting — KL is the likelihood-ratio expectation,
+    JS its symmetric bounded cousin): sources src0-9 form P, src10-19
+    Q, both add-one smoothed over the JOINT vocabulary (so no
+    zero-denominator term exists by construction — the smoothing
+    every practical KL needs, stated); every p*ln(p/q) term FLOORS
+    ONCE to 1e-9 (1e-9/2 for the two JS halves) before the
+    order-free integer sum — the entropy-microterm discipline, so
+    both divergences are engine-decidable.  Smoothed totals and
+    vocabulary size hash alongside.
+
+    100 TB shape: two count tables from one token scan, a
+    vocabulary-keyed join (word-keyed shuffle, the PMI/TF-IDF
+    shape), scan-stage term arithmetic, one reduction.  North-star
+    extension (SURVEY §2 LLM rows; completes the information-theory
+    kit — entropy, PMI, information gain, and now divergences)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.when(
+            F.regexp_extract("source", r"(\d+)", 1).cast("long") < 10, "p"
+        )
+        .otherwise("q")
+        .alias("side"),
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    pc = (
+        words.filter(F.col("side") == "p")
+        .groupBy("w")
+        .agg(F.count("*").alias("np0"))
+    )
+    qc = (
+        words.filter(F.col("side") == "q")
+        .groupBy("w")
+        .agg(F.count("*").alias("nq0"))
+    )
+    vocab = words.select("w").distinct()
+    cnt = (
+        vocab.join(pc, "w", "left")
+        .join(qc, "w", "left")
+        .select(
+            (F.coalesce(F.col("np0"), F.lit(0)) + 1).alias("np"),
+            (F.coalesce(F.col("nq0"), F.lit(0)) + 1).alias("nq"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("np").alias("tp"),
+        F.sum("nq").alias("tq"),
+        F.count("*").alias("vocab_size"),
+    )
+    kl_term = (
+        "CAST(floor((CAST(np AS DOUBLE) / tp)"
+        " * ln((CAST(np AS DOUBLE) / tp) / (CAST(nq AS DOUBLE) / tq))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    js_term = (
+        "CAST(floor((CAST(np AS DOUBLE) / tp) * ln("
+        " (CAST(np AS DOUBLE) / tp)"
+        " / ((CAST(np AS DOUBLE) / tp + CAST(nq AS DOUBLE) / tq) / 2))"
+        " * 5e8 + 0.5) AS BIGINT)"
+        " + CAST(floor((CAST(nq AS DOUBLE) / tq) * ln("
+        " (CAST(nq AS DOUBLE) / tq)"
+        " / ((CAST(np AS DOUBLE) / tp + CAST(nq AS DOUBLE) / tq) / 2))"
+        " * 5e8 + 0.5) AS BIGINT)"
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .groupBy("tp", "tq", "vocab_size")
+        .agg(
+            F.sum(F.expr(kl_term)).alias("kl_pq_x1e9"),
+            F.sum(F.expr(js_term)).alias("js_x1e9"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("tp").cast("long").alias("n_p_smoothed"),
+            F.col("tq").cast("long").alias("n_q_smoothed"),
+            F.col("kl_pq_x1e9").cast("long").alias("kl_pq_x1e9"),
+            F.col("js_x1e9").cast("long").alias("js_x1e9"),
         )
     )
