@@ -22,7 +22,6 @@ from flo_spark.queries import (
 __all__ = [
     "funnel_conversion",
     "conformal_interval_coverage",
-    "holt_linear_forecast",
     "pca_power_iteration",
     "quantile_normalize_sources",
     "bootstrap_mean_ci",
@@ -32,7 +31,6 @@ __all__ = [
     "sequence_pattern_mining",
     "bradley_terry_ranking",
     "feature_store_pit_join",
-    "target_encoding_loo",
     "oaxaca_mix_rate_decomposition",
     "chain_ladder_development",
     "empirical_bayes_shrinkage",
@@ -3949,93 +3947,6 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "holt_linear_forecast",
-    """
-    WITH RECURSIVE hourly AS (
-      SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
-      FROM events GROUP BY bucket
-    ),
-    h AS (
-      SELECT row_number() OVER (ORDER BY bucket) AS i, cnt FROM hourly
-    ),
-    nn AS (SELECT max(i) AS n FROM h),
-    rec AS (
-      SELECT 1 AS i,
-             CAST((SELECT cnt FROM h WHERE i = 1) AS DOUBLE) AS l,
-             CAST((SELECT cnt FROM h WHERE i = 2)
-                  - (SELECT cnt FROM h WHERE i = 1) AS DOUBLE) AS b
-      UNION ALL
-      SELECT r.i + 1,
-             0.5 * hh.cnt + 0.5 * (r.l + r.b),
-             0.5 * ((0.5 * hh.cnt + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
-      FROM rec r JOIN h hh ON hh.i = r.i + 1
-    )
-    SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_hours,
-           CAST(floor(l * 1e4 + 0.5) AS BIGINT) AS level_x1e4,
-           CAST(floor(b * 1e4 + 0.5) AS BIGINT) AS trend_x1e4,
-           CAST(floor((l + 1 * b) * 1e4 + 0.5) AS BIGINT) AS fc1_x1e4,
-           CAST(floor((l + 2 * b) * 1e4 + 0.5) AS BIGINT) AS fc2_x1e4,
-           CAST(floor((l + 3 * b) * 1e4 + 0.5) AS BIGINT) AS fc3_x1e4
-    FROM rec WHERE i = (SELECT n FROM nn)
-    """,
-)
-def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Holt's linear-trend double exponential smoothing over the
-    hourly event-count series, plus the 1/2/3-step-ahead forecasts
-    ``yhat_{T+h} = l_T + h * b_T`` (the workhorse capacity-planning
-    forecaster; completes the smoothing family next to
-    ewma_hourly_trend's single-parameter level tracker).  Recursion:
-    ``l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1})``,
-    ``b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}`` with a = g = 0.5 and
-    the standard init l_1 = y_1, b_1 = y_2 - y_1.
-
-    Cross-engine determinism WITHOUT scaled-integer state: both
-    engines execute the bit-identical IEEE-double operation sequence
-    — the oracle as a recursive CTE in hour order, Spark as an
-    ``aggregate`` fold over the hour-sorted struct array with the
-    SAME operand-order arithmetic (dyadic a = g = 0.5 keeps every
-    step a correctly-rounded halving/add, so "same sequence -> same
-    bits" holds); outputs round once at 4dp.
-
-    100 TB shape: the distributed work is the hourly pre-aggregation
-    (map-side combinable count); the fold runs on ONE executor over
-    the O(hours) array — years of hourly buckets is ~1e4 elements,
-    metadata-sized by construction, never the raw events.  Reference
-    scope: north-star time-series extension (SURVEY §2 stats rows)."""
-    ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket")
-    ).agg(F.count("*").alias("cnt"))
-    arr = hourly.agg(
-        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("ys")
-    )
-    # fold t=2..n with the identical operand order as the oracle CTE
-    out = arr.selectExpr(
-        "size(ys) AS n_hours",
-        """
-        aggregate(
-          slice(ys, 2, size(ys) - 1),
-          named_struct(
-            'l', CAST(ys[0].cnt AS DOUBLE),
-            'b', CAST(ys[1].cnt - ys[0].cnt AS DOUBLE)),
-          (acc, y) -> named_struct(
-            'l', 0.5 * y.cnt + 0.5 * (acc.l + acc.b),
-            'b', 0.5 * ((0.5 * y.cnt + 0.5 * (acc.l + acc.b)) - acc.l)
-                 + 0.5 * acc.b)
-        ) AS st
-        """,
-    )
-    return out.selectExpr(
-        "CAST(n_hours AS BIGINT) AS n_hours",
-        "CAST(floor(st.l * 1e4 + 0.5) AS BIGINT) AS level_x1e4",
-        "CAST(floor(st.b * 1e4 + 0.5) AS BIGINT) AS trend_x1e4",
-        "CAST(floor((st.l + 1 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc1_x1e4",
-        "CAST(floor((st.l + 2 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc2_x1e4",
-        "CAST(floor((st.l + 3 * st.b) * 1e4 + 0.5) AS BIGINT) AS fc3_x1e4",
-    )
-
-
 def _pca_round_sql(prev_v: str, n: int) -> str:
     """One unrolled power-iteration round: exact int64 matvec, then
     the scalar double renormalization (identical operand sequence on
@@ -5085,74 +4996,6 @@ def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events_7d",
             "recency_min",
         )
-    )
-
-
-@query(
-    "target_encoding_loo",
-    """
-    WITH px AS (
-      SELECT o_orderpriority AS cat,
-             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y
-      FROM orders
-    ),
-    g AS (
-      SELECT cat, count(*) AS n_g, sum(y) AS sum_g FROM px GROUP BY cat
-    ),
-    enc AS (
-      SELECT p.cat, p.y,
-             (g.sum_g - p.y) // (g.n_g - 1) AS loo_enc
-      FROM px p JOIN g USING (cat)
-      WHERE g.n_g > 1
-    )
-    SELECT cat AS o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min(loo_enc) AS BIGINT) AS enc_min_x1e4,
-           CAST(max(loo_enc) AS BIGINT) AS enc_max_x1e4,
-           CAST(sum(loo_enc) AS BIGINT) AS enc_sum_x1e4,
-           CAST(sum(CASE WHEN loo_enc > y THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_below_group_mean
-    FROM enc GROUP BY cat
-    """,
-)
-def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEAVE-ONE-OUT TARGET ENCODING (the category-to-number feature
-    encoder gradient-boosting pipelines use, in its leakage-safe
-    form: each row's encoding is its category's target mean COMPUTED
-    WITHOUT THAT ROW — ``(sum_g - y_i) div (n_g - 1)`` — because the
-    naive within-fold mean leaks the row's own label into its
-    feature, the classic target-leak CatBoost's ordered encoding
-    exists to fix): exact scaled-long floor divisions per row, so
-    the per-category encoding distribution (min/max/sum and the
-    count of rows sitting below their group's LOO mean) hashes
-    bitwise.  Singleton categories are excluded by contract (their
-    LOO mean is undefined) — the honest edge case.
-
-    100 TB shape: one map-side-combinable category aggregate
-    broadcast back over the fact (per-row arithmetic at scan stage,
-    no window, no shuffle of the fact beyond the final 5-group
-    reduce).  North-star extension (SURVEY §2 LLM/ML rows; the
-    encoding sibling of feature_store_pit_join's leakage contract)."""
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("cat"),
-        money_scaled(F.col("o_totalprice")).alias("y"),
-    )
-    g = o.groupBy("cat").agg(
-        F.count("*").alias("n_g"), F.sum("y").alias("sum_g")
-    )
-    enc = (
-        o.join(F.broadcast(g), "cat")
-        .filter(F.col("n_g") > 1)
-        .withColumn("loo_enc", F.expr("(sum_g - y) div (n_g - 1)"))
-    )
-    return enc.groupBy(F.col("cat").alias("o_orderpriority")).agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.min("loo_enc").cast("long").alias("enc_min_x1e4"),
-        F.max("loo_enc").cast("long").alias("enc_max_x1e4"),
-        F.sum("loo_enc").cast("long").alias("enc_sum_x1e4"),
-        F.sum(F.when(F.col("loo_enc") > F.col("y"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_below_group_mean"),
     )
 
 
