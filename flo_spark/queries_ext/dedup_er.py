@@ -22,7 +22,6 @@ from flo_spark.queries import (
 __all__ = [
     "dedup_clusters_minhash",
     "mmr_diversified_topk",
-    "ndcg_at_k_eval",
     "grid_dbscan_embeddings",
     "dedup_connected_components",
     "embedding_centroids",
@@ -2793,132 +2792,6 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(cid)
     return spark.createDataFrame(
         picked, "pick_order int, doc_id long, rel_x1e4 long, mmr_x1e5 long"
-    )
-
-
-@query(
-    "ndcg_at_k_eval",
-    """
-    WITH pop AS (
-      SELECT l_partkey AS item,
-             row_number() OVER (
-               ORDER BY count(*) DESC, l_partkey) AS rnk
-      FROM lineitem GROUP BY l_partkey
-    ),
-    rec AS (SELECT item, rnk FROM pop WHERE rnk <= 10),
-    truth AS (
-      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
-      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
-    per_cust AS (
-      SELECT t.cust,
-             count(*) AS n_truth,
-             count(r.item) AS hits,
-             coalesce(sum(CASE WHEN r.item IS NOT NULL
-                    THEN CAST(floor(1000000.0 / ln(r.rnk + 1) * ln(2.0)
-                              + 0.5) AS BIGINT)
-                    ELSE 0 END), 0) AS dcg_x1e6
-      FROM truth t LEFT JOIN rec r ON r.item = t.item
-      GROUP BY t.cust
-    ),
-    ideal AS (
-      SELECT k.k,
-             sum(CAST(floor(1000000.0 / ln(i.i + 1) * ln(2.0) + 0.5)
-                 AS BIGINT)) AS idcg_x1e6
-      FROM (SELECT unnest(range(1, 11)) AS k) k
-      JOIN (SELECT unnest(range(1, 11)) AS i) i ON i.i <= k.k
-      GROUP BY k.k
-    ),
-    scored AS (
-      SELECT p.cust, p.hits, p.n_truth,
-             (p.dcg_x1e6 * 1000000) // i.idcg_x1e6 AS ndcg_x1e6
-      FROM per_cust p
-      JOIN ideal i ON i.k = least(p.n_truth, 10)
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hit_at_10,
-           CAST(sum(hits) AS BIGINT) AS total_hits,
-           CAST(sum(ndcg_x1e6) AS BIGINT) AS ndcg_sum_x1e6,
-           CAST(max(ndcg_x1e6) AS BIGINT) AS ndcg_max_x1e6
-    FROM scored
-    """,
-)
-def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@10 / HIT-RATE@10 recommender evaluation — the ranking
-    metrics every retrieval/recsys offline eval reports (DCG
-    discounts a hit at rank r by 1/log2(r+1); NDCG normalizes by the
-    best achievable DCG given how many relevant items the user has):
-    the recommender under test is the popularity top-10 (parts by
-    lineitem count, rank tie-broken by key — the baseline any
-    personalized model must beat), truth is each customer's actually
-    purchased part set, and every discount term 1e6/log2(r+1) is
-    FLOORED ONCE (integer microterms, order-free sums); the ideal
-    DCG table is precomputed per truncation depth and the final
-    per-customer NDCG is one exact integer division.  The census
-    hashes customer counts, hit coverage, and the NDCG mass/max.
-
-    100 TB shape: the recommendation list is a 10-row broadcast; the
-    eval join keys truth rows against it (scan-stage, no per-user
-    ranking work since the list is global); per-customer aggregation
-    is map-side-combinable; the ideal table is 10 rows of literals.
-    North-star extension (SURVEY §2 LLM rows; the ranking-eval
-    sibling of embedding_ann_recall — recall gates candidate
-    generation, NDCG grades the final ordering)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pop = (
-        li.groupBy(F.col("l_partkey").alias("item"))
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            "item",
-            F.row_number()
-            .over(Window.orderBy(F.col("cnt").desc(), F.col("item")))
-            .alias("rnk"),
-        )
-        .filter(F.col("rnk") <= 10)
-    )
-    truth = (
-        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
-        .distinct()
-    )
-    disc = "CAST(floor(1000000.0 / ln(rnk + 1) * ln(2.0) + 0.5) AS BIGINT)"
-    per_cust = (
-        truth.join(F.broadcast(pop), "item", "left")
-        .groupBy("cust")
-        .agg(
-            F.count("*").alias("n_truth"),
-            F.count("rnk").alias("hits"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("rnk").isNotNull(), F.expr(disc)).otherwise(0)
-                ),
-                F.lit(0),
-            ).alias("dcg_x1e6"),
-        )
-    )
-    ks = spark.range(1, 11).select(F.col("id").alias("k"))
-    ranks = spark.range(1, 11).select(F.col("id").alias("rnk"))
-    ideal = (
-        ks.join(ranks, F.col("rnk") <= F.col("k"))
-        .groupBy("k")
-        .agg(F.sum(F.expr(disc)).alias("idcg_x1e6"))
-    )
-    scored = per_cust.join(
-        F.broadcast(ideal),
-        F.col("k") == F.least(F.col("n_truth"), F.lit(10)),
-    ).withColumn(
-        "ndcg_x1e6", F.expr("(dcg_x1e6 * 1000000) div idcg_x1e6")
-    )
-    return scored.agg(
-        F.count("*").cast("long").alias("n_customers"),
-        F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hit_at_10"),
-        F.sum("hits").cast("long").alias("total_hits"),
-        F.sum("ndcg_x1e6").cast("long").alias("ndcg_sum_x1e6"),
-        F.max("ndcg_x1e6").cast("long").alias("ndcg_max_x1e6"),
     )
 
 

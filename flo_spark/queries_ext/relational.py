@@ -31,7 +31,6 @@ __all__ = [
     "haversine_trade_distance",
     "market_clearing_price",
     "vickrey_second_price",
-    "skyline_pareto_frontier",
     "full_outer_nation_presence",
     "grouping_sets_revenue",
     "quantiles_by_returnflag",
@@ -3499,90 +3498,4 @@ def vickrey_second_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("max_gap_x1e4"),
         )
-    )
-
-
-@query(
-    "skyline_pareto_frontier",
-    """
-    WITH pts AS (
-      SELECT DISTINCT
-             CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT) // 100000
-               AS price_band,
-             p_size AS size
-      FROM part
-    ),
-    skyline AS (
-      SELECT a.price_band, a.size
-      FROM pts a
-      WHERE NOT EXISTS (
-        SELECT 1 FROM pts b
-        WHERE b.price_band <= a.price_band AND b.size <= a.size
-          AND (b.price_band < a.price_band OR b.size < a.size)
-      )
-    )
-    SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
-           CAST(count(*) AS BIGINT) AS n_skyline,
-           CAST(min(price_band) AS BIGINT) AS min_price_band,
-           CAST(max(size) AS BIGINT) AS max_size_on_skyline,
-           CAST(sum(price_band * 1000 + size) AS BIGINT)
-             AS skyline_checksum
-    FROM skyline
-    """,
-)
-def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SKYLINE QUERY (Pareto frontier / dominance analysis — the
-    Börzsönyi et al. ICDE'01 operator: return the options no other
-    option beats on EVERY objective; the multi-criteria shortlist
-    behind "cheap AND small" product search that no single ORDER BY
-    can express): the option space is the distinct (price band,
-    size) grid of parts (both minimized; $10 integer price bands),
-    and a point survives iff nothing weakly dominates it with at
-    least one strict improvement — the textbook NOT EXISTS
-    formulation, realized in Spark as a dominance anti-join.  The
-    frontier's size, extremes, and a position checksum hash (the
-    frontier is a staircase: its min-price and max-size corners pin
-    the ends, the checksum pins every step).
-
-    100 TB shape: dominance is evaluated on the DISTINCT option
-    grid, not raw rows (the dedup-first rule that bounds the O(n^2)
-    dominance test to grid cardinality); at larger grids the
-    standard refinement is sort-filter-skyline (sort by one
-    objective, single pass with a running best of the other) —
-    noted as the scale path.  North-star extension (SURVEY §2
-    relational rows; the multi-objective sibling of the top-k
-    entries, which need a single scoring function)."""
-    p = load(spark, sf_dir, "part").select(
-        F.expr(
-            "CAST(floor(p_retailprice * 10000 + 0.5) AS BIGINT)"
-            " div 100000"
-        ).alias("price_band"),
-        F.col("p_size").alias("size"),
-    ).distinct()
-    a, b = p.alias("a"), p.alias("b")
-    dominated = a.join(
-        b,
-        (F.col("b.price_band") <= F.col("a.price_band"))
-        & (F.col("b.size") <= F.col("a.size"))
-        & (
-            (F.col("b.price_band") < F.col("a.price_band"))
-            | (F.col("b.size") < F.col("a.size"))
-        ),
-        "left_semi",
-    )
-    skyline = p.exceptAll(dominated)
-    n_pts = p.agg(F.count("*").alias("n_points"))
-    return skyline.agg(
-        F.count("*").cast("long").alias("n_skyline"),
-        F.min("price_band").cast("long").alias("min_price_band"),
-        F.max("size").cast("long").alias("max_size_on_skyline"),
-        F.sum(F.col("price_band") * 1000 + F.col("size"))
-        .cast("long")
-        .alias("skyline_checksum"),
-    ).crossJoin(F.broadcast(n_pts)).select(
-        F.col("n_points").cast("long").alias("n_points"),
-        "n_skyline",
-        "min_price_band",
-        "max_size_on_skyline",
-        "skyline_checksum",
     )

@@ -38,7 +38,6 @@ __all__ = [
     "dft_periodicity_power",
     "event_study_alignment",
     "information_gain_features",
-    "decision_stump_train",
     "naive_bayes_classify",
     "nelson_aalen_hazard",
     "newsvendor_stocking",
@@ -5887,153 +5886,6 @@ def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
-
-
-@query(
-    "decision_stump_train",
-    """
-    WITH u AS (
-      SELECT user_id, count(*) AS x,
-             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-               AS conv
-      FROM events GROUP BY user_id
-    ),
-    ranked AS (
-      SELECT x, row_number() OVER (ORDER BY x, user_id) AS r,
-             count(*) OVER () AS n
-      FROM u
-    ),
-    cands AS (
-      SELECT DISTINCT x AS t
-      FROM ranked, (SELECT unnest(range(1, 10)) AS d) d
-      WHERE r = (d.d * n) // 10
-    ),
-    split AS (
-      SELECT c.t,
-             sum(CASE WHEN u.x <= c.t THEN 1 ELSE 0 END) AS nl,
-             sum(CASE WHEN u.x <= c.t AND u.conv = 1 THEN 1 ELSE 0 END)
-               AS nl1,
-             sum(CASE WHEN u.x > c.t THEN 1 ELSE 0 END) AS nr,
-             sum(CASE WHEN u.x > c.t AND u.conv = 1 THEN 1 ELSE 0 END)
-               AS nr1
-      FROM u CROSS JOIN cands c GROUP BY c.t
-    ),
-    ent AS (
-      SELECT t, nl, nl1, nr, nr1,
-             CASE WHEN nl > 0 THEN CAST(floor(nl * ln(nl) * 1e6 + 0.5)
-                  AS BIGINT) ELSE 0 END
-             - CASE WHEN nl1 > 0 THEN CAST(floor(nl1 * ln(nl1) * 1e6
-                    + 0.5) AS BIGINT) ELSE 0 END
-             - CASE WHEN nl - nl1 > 0 THEN CAST(floor((nl - nl1)
-                    * ln(nl - nl1) * 1e6 + 0.5) AS BIGINT) ELSE 0 END
-             + CASE WHEN nr > 0 THEN CAST(floor(nr * ln(nr) * 1e6 + 0.5)
-                    AS BIGINT) ELSE 0 END
-             - CASE WHEN nr1 > 0 THEN CAST(floor(nr1 * ln(nr1) * 1e6
-                    + 0.5) AS BIGINT) ELSE 0 END
-             - CASE WHEN nr - nr1 > 0 THEN CAST(floor((nr - nr1)
-                    * ln(nr - nr1) * 1e6 + 0.5) AS BIGINT) ELSE 0 END
-               AS cond_ent_x1e6
-      FROM split
-    ),
-    best AS (
-      SELECT * FROM ent ORDER BY cond_ent_x1e6, t LIMIT 1
-    )
-    SELECT CAST(t AS BIGINT) AS threshold,
-           CAST(nl AS BIGINT) AS n_left,
-           CAST(nl1 AS BIGINT) AS n_left_pos,
-           CAST(nr AS BIGINT) AS n_right,
-           CAST(nr1 AS BIGINT) AS n_right_pos,
-           CAST(cond_ent_x1e6 AS BIGINT) AS cond_ent_x1e6,
-           CAST(greatest(nl1, nl - nl1) + greatest(nr1, nr - nr1)
-                AS BIGINT) AS n_correct_majority
-    FROM best
-    """,
-)
-def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DECISION-STUMP TRAINING — fit a 1-split tree predicting
-    conversion from activity (the base learner of boosting and the
-    simplest trained classifier: scan candidate thresholds, keep the
-    split minimizing conditional label entropy — equivalently
-    maximizing the information gain the previous entry ranks
-    features by): candidates are the feature's integer deciles
-    (order-statistic indices, exact), each candidate's conditional
-    entropy computes from the floored c*ln(c) microterm machinery
-    (order-free exact integer sums), and the argmin is
-    integer-decidable with a threshold tie-break.  The hash pins the
-    chosen threshold, the split's full confusion counts, and the
-    majority-vote training accuracy numerator.
-
-    100 TB shape: one per-user reduction, one |candidates|-way
-    conditional aggregate over it (9 candidates evaluated in a
-    single pass via the cross join + CASE — no per-candidate
-    rescans), O(candidates) argmin.  This is exactly how distributed
-    tree learners evaluate split candidates (histogram-based
-    splitting); a full tree recurses this entry's step.  North-star
-    extension (SURVEY §2 LLM/ML rows; the trained-model sibling of
-    kmeans_lloyd_rounds and regression_price_quantity)."""
-    ev = load(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.count("*").alias("x"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("conv"),
-    )
-    ranked = u.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "user_id")).alias("r"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    ds = spark.range(1, 10).select(F.col("id").alias("d"))
-    cands = (
-        ranked.crossJoin(F.broadcast(ds))
-        .filter(F.col("r") == F.expr("(d * n) div 10"))
-        .select(F.col("x").alias("t"))
-        .distinct()
-    )
-    split = (
-        u.crossJoin(F.broadcast(cands))
-        .groupBy("t")
-        .agg(
-            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0)).alias("nl"),
-            F.sum(
-                F.when((F.col("x") <= F.col("t")) & (F.col("conv") == 1), 1)
-                .otherwise(0)
-            ).alias("nl1"),
-            F.sum(F.when(F.col("x") > F.col("t"), 1).otherwise(0)).alias("nr"),
-            F.sum(
-                F.when((F.col("x") > F.col("t")) & (F.col("conv") == 1), 1)
-                .otherwise(0)
-            ).alias("nr1"),
-        )
-    )
-
-    def term(c):
-        return (
-            f"CASE WHEN {c} > 0 THEN CAST(floor({c} * ln({c}) * 1e6 + 0.5)"
-            f" AS BIGINT) ELSE 0 END"
-        )
-
-    ent = split.withColumn(
-        "cond_ent_x1e6",
-        F.expr(
-            f"{term('nl')} - {term('nl1')} - {term('(nl - nl1)')}"
-            f" + {term('nr')} - {term('nr1')} - {term('(nr - nr1)')}"
-        ),
-    )
-    best = ent.orderBy("cond_ent_x1e6", "t").limit(1)
-    return best.select(
-        F.col("t").cast("long").alias("threshold"),
-        F.col("nl").cast("long").alias("n_left"),
-        F.col("nl1").cast("long").alias("n_left_pos"),
-        F.col("nr").cast("long").alias("n_right"),
-        F.col("nr1").cast("long").alias("n_right_pos"),
-        F.col("cond_ent_x1e6").cast("long").alias("cond_ent_x1e6"),
-        F.expr(
-            "greatest(nl1, nl - nl1) + greatest(nr1, nr - nr1)"
-        )
-        .cast("long")
-        .alias("n_correct_majority"),
-    )
 
 
 @query(

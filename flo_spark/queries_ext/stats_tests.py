@@ -21,7 +21,6 @@ from flo_spark.queries import (
 )
 
 __all__ = [
-    "benford_first_digit_audit",
     "cuped_variance_reduction",
     "spearman_rho_user_metrics",
     "overdispersion_zero_inflation",
@@ -2742,94 +2741,6 @@ def permutation_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(b AS BIGINT) AS n_replicates",
         "CAST(n_ge AS BIGINT) AS n_ge",
         "CAST((1 + n_ge) * 1000000 div (b + 1) AS BIGINT) AS p_x1e6",
-    )
-
-
-@query(
-    "benford_first_digit_audit",
-    """
-    WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 10000 + 0.5)
-                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
-               AS d
-      FROM orders
-      WHERE o_totalprice > 0
-    ),
-    obs AS (SELECT d, count(*) AS o FROM digits GROUP BY d),
-    tot AS (SELECT count(*) AS n FROM digits),
-    expected AS (
-      SELECT dd.d AS d, t.n,
-             t.n * log10(1.0 + 1.0 / dd.d) AS e
-      FROM (SELECT unnest(range(1, 10)) AS d) dd CROSS JOIN tot t
-    )
-    SELECT CAST(e.d AS BIGINT) AS first_digit,
-           CAST(coalesce(o.o, 0) AS BIGINT) AS n_observed,
-           CAST(floor(e.e * 1e4 + 0.5) AS BIGINT) AS n_expected_x1e4,
-           CAST(floor((coalesce(o.o, 0) - e.e) * (coalesce(o.o, 0) - e.e)
-                      / e.e * 1e4 + 0.5) AS BIGINT) AS chi2_term_x1e4
-    FROM expected e LEFT JOIN obs o ON o.d = e.d
-    """,
-)
-def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BENFORD'S LAW first-digit audit (the forensic-accounting /
-    fraud-screening test: naturally occurring monetary amounts have
-    first digit d with probability log10(1 + 1/d); fabricated or
-    constrained data deviates): observed first-digit counts of order
-    totals against the Benford expectation, with the per-digit
-    chi-square contribution — the drill-down an auditor reads to see
-    WHICH digits carry the deviation.  (TPC-H prices are uniform in
-    a band, so the test correctly reports a strong deviation — the
-    operator contract is the audit machinery, and a negative control
-    is exactly what proves it fires.)
-
-    Determinism: first digits come from the decimal rendering of the
-    exact scaled-long price (pure integer/string ops); the expected
-    counts and chi-square terms are identical float expressions over
-    (count, digit) integer operands, rounded once at 4dp.
-
-    100 TB shape: one scan-stage digit extraction + a 9-key
-    map-side-combinable count; the expectation side is a 9-row
-    broadcast.  North-star extension (SURVEY §2 stats rows;
-    completes the audit family beside constraint_audit and
-    zipf_rank_frequency_audit)."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    digits = o.select(
-        F.substring(
-            money_scaled(F.col("o_totalprice")).cast("string"), 1, 1
-        )
-        .cast("long")
-        .alias("d")
-    )
-    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
-    tot = digits.agg(F.count("*").alias("n"))
-    expected = (
-        spark.range(1, 10)
-        .select(F.col("id").alias("d"))
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "e", F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
-        )
-    )
-    return (
-        expected.join(obs, "d", "left")
-        .select(
-            F.col("d").cast("long").alias("first_digit"),
-            F.coalesce(F.col("o"), F.lit(0))
-            .cast("long")
-            .alias("n_observed"),
-            F.floor(F.col("e") * 1e4 + F.lit(0.5))
-            .cast("long")
-            .alias("n_expected_x1e4"),
-            F.floor(
-                (F.coalesce(F.col("o"), F.lit(0)) - F.col("e"))
-                * (F.coalesce(F.col("o"), F.lit(0)) - F.col("e"))
-                / F.col("e")
-                * 1e4
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("chi2_term_x1e4"),
-        )
     )
 
 
