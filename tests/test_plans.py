@@ -1043,17 +1043,6 @@ def test_r8b_hash_chain_single_fact_scan(spark, sf_dir):
     assert explain_str(df).count("Scan parquet  (") == 1
 
 
-def test_r8c_ndcg_broadcasts_rec_list(spark, sf_dir):
-    from flo_spark import queries_ext as QX
-
-    df = QX.ndcg_at_k_eval(spark, sf_dir)
-    plan = explain_str(df)
-    # the 10-row recommendation list and ideal-DCG table broadcast;
-    # truth rows never shuffle against each other
-    assert "BroadcastHashJoin" in plan, plan
-    assert_no_cartesian(df)
-
-
 def test_r8c_decayed_trending_topk_and_star_shape(spark, sf_dir):
     from flo_spark import queries_ext as QX
 
