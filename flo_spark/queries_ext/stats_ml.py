@@ -40,6 +40,7 @@ __all__ = [
     "information_gain_features",
     "naive_bayes_classify",
     "nelson_aalen_hazard",
+    "logrank_test_survival",
     "newsvendor_stocking",
     "optimal_stopping_replay",
     "min_variance_portfolio",
@@ -6534,4 +6535,130 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q_treated_x1e4") - F.col("q_control_x1e4"))
         .cast("long")
         .alias("qte_x1e4"),
+    )
+
+
+@query(
+    "logrank_test_survival",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS ev,
+             user_id % 2 AS grp
+      FROM events GROUP BY user_id
+    ),
+    times AS (
+      SELECT dur AS tt FROM spans WHERE ev = 1 GROUP BY dur
+    ),
+    at_t AS (
+      SELECT t.tt,
+             (SELECT count(*) FROM spans s WHERE s.dur >= t.tt) AS n_i,
+             (SELECT count(*) FROM spans s
+              WHERE s.dur >= t.tt AND s.grp = 1) AS n1_i,
+             (SELECT count(*) FROM spans s
+              WHERE s.dur = t.tt AND s.ev = 1) AS d_i,
+             (SELECT count(*) FROM spans s
+              WHERE s.dur = t.tt AND s.ev = 1 AND s.grp = 1) AS d1_i
+      FROM times t
+    ),
+    terms AS (
+      SELECT tt, d1_i,
+             (n1_i * d_i * 1000000) // n_i AS e_term_x1e6,
+             CASE WHEN n_i > 1
+                  THEN (n1_i * (n_i - n1_i) * d_i * (n_i - d_i) * 1000000)
+                       // (n_i * n_i * (n_i - 1))
+                  ELSE 0 END AS v_term_x1e6
+      FROM at_t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           CAST(sum(d1_i) AS BIGINT) AS observed_g1,
+           CAST(sum(e_term_x1e6) AS BIGINT) AS expected_g1_x1e6,
+           CAST(sum(v_term_x1e6) AS BIGINT) AS variance_x1e6,
+           CAST(((sum(d1_i) * 1000000 - sum(e_term_x1e6))
+                 * (sum(d1_i) * 1000000 - sum(e_term_x1e6)))
+                // (sum(v_term_x1e6) * 1000000) AS BIGINT)
+             AS chi2_x1e6
+    FROM terms
+    """,
+)
+def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGRANK TEST — the standard two-group survival comparison
+    (does cohort A convert on a different clock than cohort B?; the
+    inference step the survival ESTIMATORS this catalog ships —
+    lifetable, Kaplan-Meier, Nelson-Aalen — feed into): users split
+    by parity, duration = observed span, event = conversion,
+    censored users leave the risk set silently.  At each pooled
+    event time the group-1 expectation n1*d/n and the hypergeometric
+    variance term n1(n-n1)d(n-d)/(n^2(n-1)) are FLOORED ONCE to ppm
+    (pure integer divisions of exact risk-set counts — order-free
+    sums), and the chi-square statistic
+    (O - E)^2 / V is one final integer division, so the whole test
+    is engine-decidable.  O/E/V are hashed raw alongside chi2.
+
+    100 TB shape: one per-user reduction; the per-event-time risk
+    sets are O(times) aggregates over the reduced duration table
+    (sorted suffix sums at production scale, correlated aggregates
+    here — the nelson_aalen shape); the statistic is a single-row
+    reduction.  North-star extension (SURVEY §2 stats rows;
+    completes the survival family with its hypothesis test)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    spans = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("dur"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ev"),
+    ).withColumn("grp", F.col("user_id") % 2)
+    times = (
+        spans.filter(F.col("ev") == 1).select(F.col("dur").alias("tt"))
+        .distinct()
+    )
+    s2 = spans.select(
+        F.col("dur").alias("dur2"), F.col("ev").alias("ev2"),
+        F.col("grp").alias("grp2"),
+    )
+    at_t = (
+        times.join(s2, F.col("dur2") >= F.col("tt"))
+        .groupBy("tt")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(F.when(F.col("grp2") == 1, 1).otherwise(0)).alias("n1_i"),
+            F.sum(
+                F.when((F.col("dur2") == F.col("tt")) & (F.col("ev2") == 1), 1)
+                .otherwise(0)
+            ).alias("d_i"),
+            F.sum(
+                F.when(
+                    (F.col("dur2") == F.col("tt"))
+                    & (F.col("ev2") == 1)
+                    & (F.col("grp2") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("d1_i"),
+        )
+    )
+    terms = at_t.selectExpr(
+        "d1_i",
+        "(n1_i * d_i * 1000000) div n_i AS e_term_x1e6",
+        "CASE WHEN n_i > 1 THEN"
+        " (n1_i * (n_i - n1_i) * d_i * (n_i - d_i) * 1000000)"
+        " div (n_i * n_i * (n_i - 1)) ELSE 0 END AS v_term_x1e6",
+    )
+    return terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.sum("d1_i").cast("long").alias("observed_g1"),
+        F.sum("e_term_x1e6").cast("long").alias("expected_g1_x1e6"),
+        F.sum("v_term_x1e6").cast("long").alias("variance_x1e6"),
+        F.expr(
+            "((sum(d1_i) * 1000000 - sum(e_term_x1e6))"
+            " * (sum(d1_i) * 1000000 - sum(e_term_x1e6)))"
+            " div (sum(v_term_x1e6) * 1000000)"
+        )
+        .cast("long")
+        .alias("chi2_x1e6"),
     )
