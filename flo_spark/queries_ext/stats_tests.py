@@ -27,6 +27,7 @@ __all__ = [
     "ab_power_mde_grid",
     "variance_ratio_test",
     "cronbach_alpha_reliability",
+    "psi_population_stability",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3270,4 +3271,133 @@ def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(total_var_n2 AS BIGINT) AS total_var_n2",
         "CAST((3 * (total_var_n2 - sum_item_var_n2) * 1000000)"
         " div (2 * total_var_n2) AS BIGINT) AS alpha_x1e6",
+    )
+
+
+@query(
+    "psi_population_stability",
+    """
+    WITH px AS (
+      SELECT CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS y,
+             o_orderkey,
+             CASE WHEN epoch_ms(o_orderdate) <
+                       (SELECT (epoch_ms(min(o_orderdate))
+                                + epoch_ms(max(o_orderdate))) // 2
+                        FROM orders)
+                  THEN 'base' ELSE 'cur' END AS period
+      FROM orders
+    ),
+    base_ranked AS (
+      SELECT y, row_number() OVER (ORDER BY y, o_orderkey) AS r,
+             count(*) OVER () AS n
+      FROM px WHERE period = 'base'
+    ),
+    edges AS (
+      SELECT d.d AS decile, br.y AS edge
+      FROM base_ranked br
+      JOIN (SELECT unnest(range(1, 10)) AS d) d
+        ON br.r = (d.d * br.n) // 10
+    ),
+    binned AS (
+      SELECT p.period,
+             coalesce((SELECT min(e.decile) FROM edges e
+                       WHERE p.y <= e.edge), 10) AS bin
+      FROM px p
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+    SELECT CAST(c.bin AS BIGINT) AS bin,
+           CAST(c.nb AS BIGINT) AS n_base,
+           CAST(c.nc AS BIGINT) AS n_current,
+           CAST(floor((CAST(c.nc + 1 AS DOUBLE) / (t.tc + 10)
+                       - CAST(c.nb + 1 AS DOUBLE) / (t.tb + 10))
+                      * ln((CAST(c.nc + 1 AS DOUBLE) / (t.tc + 10))
+                           / (CAST(c.nb + 1 AS DOUBLE) / (t.tb + 10)))
+                      * 1e9 + 0.5) AS BIGINT) AS psi_term_x1e9
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the model-monitoring drift
+    metric every scorecard/ML-ops stack reports (PSI =
+    SUM_bins (p_cur - p_base) * ln(p_cur/p_base); < 0.1 stable,
+    > 0.25 retrain): bins are the BASE period's own deciles (exact
+    order-statistic edges with key tie-breaks — the standard recipe,
+    so drift shows up as current mass escaping the base's equal
+    frequency bins), periods split at the epoch-millis date midpoint,
+    and each bin's PSI term — add-one smoothed on both sides so
+    empty bins stay finite — floors once at 1e-9 from the identical
+    float expression over exact counts.  Per-bin rows hash counts
+    AND terms, so the drilldown (WHICH bins drifted) is certified,
+    not just the total.
+
+    100 TB shape: decile edges come from a base-period window
+    (dimension-scale after reduction — or the quantile sketch at
+    extreme scale), binning is a 9-edge broadcast comparison at scan
+    stage, counts reduce map-side.  North-star extension (SURVEY §2
+    stats rows; the binned-drift sibling of ks_drift_priority — KS
+    tests the max gap, PSI weighs the whole shape and is the one
+    with industry thresholds)."""
+    o = load(spark, sf_dir, "orders")
+    mid = o.agg(
+        F.expr(
+            "(unix_millis(cast(min(o_orderdate) as timestamp))"
+            " + unix_millis(cast(max(o_orderdate) as timestamp))) div 2"
+        ).alias("mid_ms")
+    )
+    px = o.crossJoin(F.broadcast(mid)).select(
+        money_scaled(F.col("o_totalprice")).alias("y"),
+        "o_orderkey",
+        F.when(
+            F.expr("unix_millis(cast(o_orderdate as timestamp))")
+            < F.col("mid_ms"),
+            "base",
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    base = px.filter(F.col("period") == "base")
+    ranked = base.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "o_orderkey")).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    edges = (
+        ranked.crossJoin(F.broadcast(ds))
+        .filter(F.col("r") == F.expr("(d * n) div 10"))
+        .select(F.col("d").alias("decile"), F.col("y").alias("edge"))
+    )
+    binned = (
+        px.crossJoin(F.broadcast(edges))
+        .withColumn(
+            "hit", F.when(F.col("y") <= F.col("edge"), F.col("decile"))
+        )
+        .groupBy("period", "y", "o_orderkey")
+        .agg(F.coalesce(F.min("hit"), F.lit(10)).alias("bin"))
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("nb").cast("long").alias("n_base"),
+            F.col("nc").cast("long").alias("n_current"),
+            F.expr(
+                "CAST(floor((CAST(nc + 1 AS DOUBLE) / (tc + 10)"
+                " - CAST(nb + 1 AS DOUBLE) / (tb + 10))"
+                " * ln((CAST(nc + 1 AS DOUBLE) / (tc + 10))"
+                " / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))"
+                " * 1e9 + 0.5) AS BIGINT)"
+            ).alias("psi_term_x1e9"),
+        )
     )
