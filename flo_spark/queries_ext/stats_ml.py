@@ -41,6 +41,7 @@ __all__ = [
     "naive_bayes_classify",
     "nelson_aalen_hazard",
     "logrank_test_survival",
+    "weibull_rank_regression",
     "newsvendor_stocking",
     "optimal_stopping_replay",
     "min_variance_portfolio",
@@ -6661,4 +6662,113 @@ def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("chi2_x1e6"),
+    )
+
+
+@query(
+    "weibull_rank_regression",
+    """
+    WITH durs AS (
+      SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             user_id
+      FROM events GROUP BY user_id
+      HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+         AND date_diff('day', CAST(min(ts) AS DATE),
+                       CAST(max(ts) AS DATE)) >= 1
+    ),
+    ranked AS (
+      SELECT dur, row_number() OVER (ORDER BY dur, user_id) AS i,
+             count(*) OVER () AS n
+      FROM durs
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(dur AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+               AS x,
+             CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 1e4 + 0.5)
+               AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_uncensored,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (n * sxx - sx * sx) * 1e4 + 0.5) AS BIGINT)
+             AS shape_beta_x1e4,
+           CAST(floor(exp(-(CAST(sy AS DOUBLE) / n
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (n * sxx - sx * sx)
+                              * (CAST(sx AS DOUBLE) / n))
+                          / (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (n * sxx - sx * sx)) / 1e4)
+                      * 1e4 + 0.5) AS BIGINT) AS scale_eta_x1e4
+    FROM m
+    """,
+)
+def weibull_rank_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIBULL PARAMETER FIT by median-rank regression — the
+    parametric member of the survival family (the lifetable/KM/NA
+    entries are distribution-free; Weibull's shape parameter is the
+    DIAGNOSIS: beta < 1 infant mortality, = 1 memoryless, > 1
+    wear-out): uncensored conversion durations get Benard median
+    ranks F_i = (i-0.3)/(n+0.4) (exact rank arithmetic, key
+    tie-breaks), both axes of the linearized model
+    ln(-ln(1-F)) = beta*ln(t) - beta*ln(eta) floor once to 1e-4
+    (log microterms, order-free integer moment sums), the slope
+    comes from exact n^2-scaled co-moments with a single rounding,
+    and the scale eta back-transforms through one exp.  Raw
+    co-moments hash alongside shape and scale.
+
+    100 TB shape: one per-user reduction, one dimension-scale rank
+    window, one single-row moment aggregate — the OLS-entry shape
+    on log-log axes.  North-star extension (SURVEY §2 stats rows;
+    parametric capstone of the survival family)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    durs = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.max(day) - F.min(day)).alias("dur"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ev"),
+        )
+        .filter((F.col("ev") == 1) & (F.col("dur") >= 1))
+    )
+    ranked = durs.select(
+        "dur",
+        F.row_number().over(Window.orderBy("dur", "user_id")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    pts = ranked.selectExpr(
+        "CAST(floor(ln(CAST(dur AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) * 1e4 + 0.5)"
+        " AS BIGINT) AS y",
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_uncensored",
+        "CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2",
+        "CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2",
+        "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (n * sxx - sx * sx) * 1e4 + 0.5) AS BIGINT)"
+        " AS shape_beta_x1e4",
+        "CAST(floor(exp(-(CAST(sy AS DOUBLE) / n"
+        " - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)"
+        " * (CAST(sx AS DOUBLE) / n))"
+        " / (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))"
+        " / 1e4) * 1e4 + 0.5) AS BIGINT) AS scale_eta_x1e4",
     )
