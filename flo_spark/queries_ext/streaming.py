@@ -48,6 +48,7 @@ __all__ = [
     "slo_burn_rate_alerts",
     "erlang_b_blocking",
     "consistent_hashing_ring",
+    "lindley_queue_replay",
 ]
 
 
@@ -2500,4 +2501,102 @@ def consistent_hashing_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_moved_wrongly"),
+    )
+
+
+@query(
+    "lindley_queue_replay",
+    """
+    WITH arr AS (
+      SELECT list(epoch_ms(ts) ORDER BY ts, event_id) AS ts_list,
+             count(*) AS n
+      FROM events
+    ),
+    gaps AS (
+      SELECT n,
+             list_transform(range(2, CAST(n AS BIGINT) + 1),
+               i -> ts_list[i] - ts_list[i - 1]) AS a
+      FROM arr
+    ),
+    folded AS (
+      SELECT n,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT), a),
+          (st, g) -> greatest(st // 4294967296,
+                              greatest(CAST(0 AS BIGINT),
+                                       st % 4294967296 + 400 - g))
+                     * 4294967296
+                     + greatest(CAST(0 AS BIGINT),
+                                st % 4294967296 + 400 - g)
+        ) AS st
+      FROM gaps
+    )
+    SELECT CAST(n AS BIGINT) AS n_jobs,
+           CAST(st % 4294967296 AS BIGINT) AS final_wait_ms,
+           CAST(st // 4294967296 AS BIGINT) AS max_wait_ms
+    FROM folded
+    """,
+)
+def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINDLEY RECURSION replay — G/G/1 waiting-time simulation over
+    the ACTUAL arrival process (W_{k+1} = max(0, W_k + S - A_{k+1}),
+    the single-server queue's exact waiting-time law; Erlang-B sizes
+    a LOSS system analytically, this REPLAYS a wait system against
+    real burst structure, which no Poisson assumption captures):
+    arrivals are the event stream in (ts, event_id) order, service
+    is a fixed 400 ms, and the fold state BIT-PACKS (max_wait,
+    current_wait) into one BIGINT (max * 2^32 + w, both bounded far
+    below 2^31 here) — a SCALAR integer left fold, the safe shape
+    for cross-engine folds (the Holt-Winters attempt documented that
+    DuckDB's list_reduce miscomputes multi-field struct lambdas that
+    re-evaluate a sibling field's expression; scalar packing
+    sidesteps the entire hazard class).  Both engines replay the
+    identical integer recursion; the census hashes the job count,
+    the final in-queue wait, and the worst wait the burst structure
+    ever produced.
+
+    100 TB shape: the fold is per-queue-key local work (here one
+    global server as the worst case; a sharded system folds per
+    key after one groupBy — the rate-limiter shape); memory is one
+    BIGINT of state regardless of stream length.  North-star
+    extension (SURVEY §2 streaming/ops rows; the wait-system twin
+    of erlang_b_blocking)."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.expr("unix_millis(cast(ts as timestamp))").alias(
+                            "t"
+                        ),
+                        F.col("event_id").alias("e"),
+                    )
+                )
+            ),
+            lambda s: s["t"],
+        ).alias("ts_list"),
+        F.count("*").alias("n"),
+    )
+    folded = arr.selectExpr(
+        "n",
+        """
+        aggregate(
+          transform(sequence(2, CAST(size(ts_list) AS INT)),
+                    i -> element_at(ts_list, i)
+                         - element_at(ts_list, i - 1)),
+          CAST(0 AS BIGINT),
+          (st, g) -> greatest(st div 4294967296,
+                              greatest(CAST(0 AS BIGINT),
+                                       st % 4294967296 + 400 - g))
+                     * 4294967296
+                     + greatest(CAST(0 AS BIGINT),
+                                st % 4294967296 + 400 - g)
+        ) AS st
+        """,
+    )
+    return folded.selectExpr(
+        "CAST(n AS BIGINT) AS n_jobs",
+        "CAST(st % 4294967296 AS BIGINT) AS final_wait_ms",
+        "CAST(st div 4294967296 AS BIGINT) AS max_wait_ms",
     )
