@@ -42,6 +42,7 @@ __all__ = [
     "nelson_aalen_hazard",
     "logrank_test_survival",
     "weibull_rank_regression",
+    "exact_matching_att",
     "newsvendor_stocking",
     "optimal_stopping_replay",
     "min_variance_portfolio",
@@ -6771,4 +6772,123 @@ def weibull_rank_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(sx AS DOUBLE) / n))"
         " / (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))"
         " / 1e4) * 1e4 + 0.5) AS BIGINT) AS scale_eta_x1e4",
+    )
+
+
+@query(
+    "exact_matching_att",
+    """
+    WITH obs AS (
+      SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS treated,
+             c.c_nationkey AS nat,
+             CAST(month(o.o_orderdate) AS BIGINT) AS mon,
+             CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    cells AS (
+      SELECT nat, mon,
+             sum(treated) AS n_t,
+             count(*) - sum(treated) AS n_c,
+             sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS sy_t,
+             sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS sy_c
+      FROM obs GROUP BY nat, mon
+    ),
+    matched AS (
+      SELECT n_t, n_c,
+             sy_t // n_t AS mu_t,
+             sy_c // n_c AS mu_c
+      FROM cells WHERE n_t > 0 AND n_c > 0
+    ),
+    unmatched AS (
+      SELECT coalesce(sum(CASE WHEN n_c = 0 THEN n_t ELSE 0 END), 0)
+               AS t_dropped
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_matched,
+           CAST(sum(n_t) AS BIGINT) AS n_treated_matched,
+           CAST((SELECT t_dropped FROM unmatched) AS BIGINT)
+             AS n_treated_unmatched,
+           CAST(sum(n_t * (mu_t - mu_c)) // sum(n_t) AS BIGINT)
+             AS att_x1e4,
+           CAST(sum(n_t * mu_t) // sum(n_t) AS BIGINT)
+             AS treated_mean_x1e4,
+           CAST(sum(n_t * mu_c) // sum(n_t) AS BIGINT)
+             AS counterfactual_mean_x1e4
+    FROM matched
+    """,
+)
+def exact_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-MATCHING treatment-effect estimation (coarsened exact
+    matching's limiting case — the identification strategy that
+    compares treated and control units ONLY inside identical
+    covariate cells, the nonparametric answer to confounding that
+    regression adjustment assumes away): treated = urgent orders,
+    control = low-priority, covariate cells = (customer nation x
+    order month); within each cell with BOTH arms present, the
+    treated-vs-control mean gap (exact scaled-long floor divisions)
+    weights by the cell's treated count into the ATT — and the
+    treated units in cells with NO control match are counted and
+    REPORTED, not silently reweighted (the common-support honesty
+    every matching estimator owes).  ATT, the treated mean, and the
+    matched counterfactual mean all hash as exact integers.
+
+    100 TB shape: one fact-dim join (the q3 star), one
+    map-side-combinable cell aggregate, O(cells) arithmetic — exact
+    matching is embarrassingly aggregable, which is WHY it scales
+    where nearest-neighbor matching needs an ANN index.  North-star
+    extension (SURVEY §2 stats rows; completes the causal toolkit:
+    DiD in calendar time, event study in treatment time, QTE in
+    distribution, matching in covariate space)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    obs = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("treated"),
+        F.col("c_nationkey").alias("nat"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        money_scaled(F.col("o_totalprice")).alias("y"),
+    )
+    cells = obs.groupBy("nat", "mon").agg(
+        F.sum("treated").alias("n_t"),
+        (F.count("*") - F.sum("treated")).alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).alias(
+            "sy_t"
+        ),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).alias(
+            "sy_c"
+        ),
+    )
+    matched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).selectExpr(
+        "n_t", "n_c", "sy_t div n_t AS mu_t", "sy_c div n_c AS mu_c"
+    )
+    unmatched = cells.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_c") == 0, F.col("n_t")).otherwise(0)),
+            F.lit(0),
+        ).alias("t_dropped")
+    )
+    return matched.agg(
+        F.count("*").cast("long").alias("n_cells_matched"),
+        F.sum("n_t").cast("long").alias("n_treated_matched"),
+        F.expr("sum(n_t * (mu_t - mu_c)) div sum(n_t)")
+        .cast("long")
+        .alias("att_x1e4"),
+        F.expr("sum(n_t * mu_t) div sum(n_t)")
+        .cast("long")
+        .alias("treated_mean_x1e4"),
+        F.expr("sum(n_t * mu_c) div sum(n_t)")
+        .cast("long")
+        .alias("counterfactual_mean_x1e4"),
+    ).crossJoin(F.broadcast(unmatched)).select(
+        "n_cells_matched",
+        "n_treated_matched",
+        F.col("t_dropped").cast("long").alias("n_treated_unmatched"),
+        "att_x1e4",
+        "treated_mean_x1e4",
+        "counterfactual_mean_x1e4",
     )
