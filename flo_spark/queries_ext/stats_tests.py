@@ -28,6 +28,7 @@ __all__ = [
     "variance_ratio_test",
     "cronbach_alpha_reliability",
     "psi_population_stability",
+    "sprt_sequential_replay",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3399,5 +3400,140 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / (CAST(nb + 1 AS DOUBLE) / (tb + 10)))"
                 " * 1e9 + 0.5) AS BIGINT)"
             ).alias("psi_term_x1e9"),
+        )
+    )
+
+
+@query(
+    "sprt_sequential_replay",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    ),
+    walked AS (
+      SELECT user_id, len(xs) AS n,
+             list_transform(range(1, len(xs) + 1),
+               k -> 5108 * list_sum(xs[1:k]) - 1252 * (k - list_sum(xs[1:k]))
+             ) AS llr
+      FROM seq
+    ),
+    decided AS (
+      SELECT user_id, n,
+             coalesce((SELECT min(k) FROM unnest(range(1, n + 1)) t(k)
+                       WHERE abs(llr[k]) >= 29444), 0) AS stop_k,
+             llr[n] AS final_llr
+      FROM walked
+    )
+    SELECT CASE WHEN stop_k = 0 THEN 'undecided'
+                WHEN llr_at_stop >= 29444 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS verdict,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN stop_k > 0 THEN stop_k ELSE n END)
+                AS BIGINT) AS total_samples,
+           CAST(min(CASE WHEN stop_k > 0 THEN stop_k END) AS BIGINT)
+             AS min_stop,
+           CAST(max(CASE WHEN stop_k > 0 THEN stop_k END) AS BIGINT)
+             AS max_stop
+    FROM (
+      SELECT d.*, w.llr[CASE WHEN d.stop_k > 0 THEN d.stop_k
+                             ELSE 1 END] AS llr_at_stop
+      FROM decided d JOIN walked w USING (user_id)
+    )
+    GROUP BY verdict
+    """,
+)
+def sprt_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SPRT replayed per user — sequential hypothesis testing
+    (decide H0: p = 0.15 vs H1: p = 0.25 about a user's purchase
+    propensity WHILE observing, stopping as soon as the evidence
+    crosses a boundary — the sequential design that needs ~half the
+    samples of a fixed-n test, and the ancestor of every modern
+    always-valid A/B method): each Bernoulli observation moves the
+    log-likelihood ratio by one of TWO precomputed 1e-4-scaled
+    INTEGER increments (+5108 on purchase, -1252 otherwise), the
+    symmetric alpha = beta = 0.05 boundary is the integer 29444
+    (ln 19 scaled), so every user's walk, stopping time, and verdict
+    are pure integer lattice arithmetic — engine-decidable with no
+    float anywhere.  The census hashes verdict counts, total and
+    extreme stopping times (the sample-size saving is the payoff
+    the entry exhibits).
+
+    100 TB shape: one per-user ordered reduction, then per-user
+    array arithmetic (prefix sums via bounded per-user O(n^2) HOFs —
+    fine at per-entity history lengths; a running-fold form exists
+    for long histories).  North-star extension (SURVEY §2 stats
+    rows; the sequential member of the A/B family — power sizes
+    fixed-n, CUPED shrinks variance, SPRT stops early)."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)
+                        .alias("x"),
+                    )
+                )
+            ),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    walked = seq.selectExpr(
+        "user_id",
+        "size(xs) AS n",
+        """
+        transform(sequence(1, size(xs)), k ->
+          5108 * aggregate(slice(xs, 1, k), 0L, (a, x) -> a + x)
+          - 1252 * (k - aggregate(slice(xs, 1, k), 0L, (a, x) -> a + x))
+        ) AS llr
+        """,
+    )
+    decided = walked.selectExpr(
+        "user_id",
+        "n",
+        "llr",
+        """coalesce(
+             aggregate(sequence(1, n), CAST(0 AS BIGINT),
+               (acc, k) -> CASE WHEN acc > 0 THEN acc
+                                WHEN abs(element_at(llr, k)) >= 29444
+                                THEN CAST(k AS BIGINT) ELSE acc END),
+             0) AS stop_k""",
+    ).selectExpr(
+        "n",
+        "stop_k",
+        "element_at(llr, CAST(CASE WHEN stop_k > 0 THEN stop_k ELSE 1 END"
+        " AS INT)) AS llr_at_stop",
+    )
+    return (
+        decided.select(
+            F.when(F.col("stop_k") == 0, "undecided")
+            .when(F.col("llr_at_stop") >= 29444, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("verdict"),
+            "stop_k",
+            "n",
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("stop_k") > 0, F.col("stop_k")).otherwise(
+                    F.col("n")
+                )
+            )
+            .cast("long")
+            .alias("total_samples"),
+            F.min(F.when(F.col("stop_k") > 0, F.col("stop_k")))
+            .cast("long")
+            .alias("min_stop"),
+            F.max(F.when(F.col("stop_k") > 0, F.col("stop_k")))
+            .cast("long")
+            .alias("max_stop"),
         )
     )
