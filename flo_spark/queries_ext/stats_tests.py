@@ -29,6 +29,8 @@ __all__ = [
     "cronbach_alpha_reliability",
     "psi_population_stability",
     "sprt_sequential_replay",
+    "spc_funnel_rate_limits",
+    "meta_analysis_pooling",
     "auc_quality_classifier",
     "chi_square_crosstab_audit",
     "benford_leading_digit_audit",
@@ -3535,5 +3537,235 @@ def sprt_sequential_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("stop_k") > 0, F.col("stop_k")))
             .cast("long")
             .alias("max_stop"),
+        )
+    )
+
+
+@query(
+    "spc_funnel_rate_limits",
+    """
+    WITH rates AS (
+      SELECT c.c_nationkey AS nat,
+             count(*) AS n,
+             sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    pooled AS (
+      SELECT sum(k) AS tk, sum(n) AS tn FROM rates
+    )
+    SELECT CAST(r.nat AS BIGINT) AS nation,
+           CAST(r.n AS BIGINT) AS n_orders,
+           CAST((r.k * 1000000) // r.n AS BIGINT) AS rate_ppm,
+           CAST((p.tk * 1000000) // p.tn AS BIGINT) AS pooled_ppm,
+           CAST(floor(3.0 * sqrt((CAST(p.tk AS DOUBLE) / p.tn)
+                      * (1.0 - CAST(p.tk AS DOUBLE) / p.tn) / r.n)
+                      * 1e6 + 0.5) AS BIGINT) AS halfwidth3_ppm,
+           CASE WHEN abs((r.k * 1000000) // r.n
+                         - (p.tk * 1000000) // p.tn)
+                     > floor(3.0 * sqrt((CAST(p.tk AS DOUBLE) / p.tn)
+                             * (1.0 - CAST(p.tk AS DOUBLE) / p.tn) / r.n)
+                             * 1e6 + 0.5)
+                THEN TRUE ELSE FALSE END AS outside_3sigma
+    FROM rates r CROSS JOIN pooled p
+    """,
+)
+def spc_funnel_rate_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC FUNNEL PLOT — institutional-comparison control limits
+    (Spiegelhalter's funnel: rank units by a rate ONLY after checking
+    the rate against volume-dependent 3-sigma limits around the
+    pooled rate — small units swing wildly by chance, and naive
+    league tables flag exactly those; the funnel narrows as n grows):
+    per customer nation, the urgent-order rate (exact ppm) compares
+    against the pooled rate's binomial half-width
+    3*sqrt(p(1-p)/n) — the single float expression over exact
+    integer operands, floored once to ppm — and the outside/inside
+    verdict is then an integer comparison.  Rates, limits, and
+    verdicts all hash per nation.
+
+    100 TB shape: one fact-dim star aggregate to O(units) rows, a
+    1-row pooled broadcast, scan-stage limit arithmetic.  North-star
+    extension (SURVEY §2 stats rows; the small-sample-honesty
+    sibling of empirical_bayes_shrinkage — EB pulls noisy unit
+    estimates in, the funnel tells you which ones were never
+    signal)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rates = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    pooled = rates.agg(F.sum("k").alias("tk"), F.sum("n").alias("tn"))
+    hw = (
+        "CAST(floor(3.0 * sqrt((CAST(tk AS DOUBLE) / tn)"
+        " * (1.0 - CAST(tk AS DOUBLE) / tn) / n) * 1e6 + 0.5) AS BIGINT)"
+    )
+    return rates.crossJoin(F.broadcast(pooled)).selectExpr(
+        "CAST(nat AS BIGINT) AS nation",
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST((k * 1000000) div n AS BIGINT) AS rate_ppm",
+        "CAST((tk * 1000000) div tn AS BIGINT) AS pooled_ppm",
+        f"{hw} AS halfwidth3_ppm",
+        f"abs((k * 1000000) div n - (tk * 1000000) div tn) > {hw}"
+        " AS outside_3sigma",
+    )
+
+
+@query(
+    "meta_analysis_pooling",
+    """
+    WITH obs AS (
+      SELECT c.c_nationkey AS nat,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS t,
+             CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT) // 1000000
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_nat AS (
+      SELECT nat,
+             sum(t) AS n1, count(*) - sum(t) AS n0,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS s1,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS s0,
+             sum(CASE WHEN t = 1 THEN y * y ELSE 0 END) AS q1,
+             sum(CASE WHEN t = 0 THEN y * y ELSE 0 END) AS q0
+      FROM obs GROUP BY nat
+      HAVING sum(t) >= 2 AND count(*) - sum(t) >= 2
+    ),
+    studies AS (
+      SELECT nat,
+             CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                        * 1e4 + 0.5) AS BIGINT) AS d_x1e4,
+             CAST(floor(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                          / n1 / n1 / (n1 - 1)
+                        + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+                          / n0 / n0 / (n0 - 1)) * 1e4 + 0.5) AS BIGINT)
+               AS v_x1e4
+      FROM per_nat
+    ),
+    weighted AS (
+      SELECT nat, d_x1e4, v_x1e4,
+             (1000000000000000 // greatest(v_x1e4, 1)) AS w
+      FROM studies
+    ),
+    pool AS (
+      SELECT count(*) AS k,
+             sum(w) AS sw,
+             sum(w * d_x1e4) // sum(w) AS pooled_x1e4
+      FROM weighted
+    ),
+    qterm AS (
+      SELECT p.k, p.pooled_x1e4,
+             sum(w.w * (abs(w.d_x1e4 - p.pooled_x1e4) // 100)
+                     * (abs(w.d_x1e4 - p.pooled_x1e4) // 100))
+               // 1000000000000 AS q_x1e3
+      FROM weighted w CROSS JOIN pool p
+      GROUP BY p.k, p.pooled_x1e4
+    )
+    SELECT CAST(k AS BIGINT) AS n_studies,
+           CAST(pooled_x1e4 AS BIGINT) AS pooled_effect_x1e4,
+           CAST(q_x1e3 AS BIGINT) AS q_stat_x1e3,
+           CAST(greatest(CAST(0 AS BIGINT),
+                ((q_x1e3 - (k - 1) * 1000) * 1000000)
+                // greatest(q_x1e3, 1)) AS BIGINT) AS i2_ppm
+    FROM qterm
+    """,
+)
+def meta_analysis_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-EFFECT META-ANALYSIS — inverse-variance pooling of
+    per-site effect estimates with Cochran's Q and I^2 heterogeneity
+    (the multi-site/multi-experiment synthesis layer: each nation is
+    a "study" estimating the urgent-vs-low order-value gap; pooling
+    weights each study by 1/variance, and I^2 says how much of the
+    between-study spread is real heterogeneity vs sampling noise —
+    the statistic that decides fixed vs random effects): per-study
+    effects and variances come from exact integer moments in
+    hundred-dollar units (single 1e-4 rounding each, the MDE scale
+    discipline), weights and the pooled effect are integer divisions,
+    and Q / I^2 are integer arithmetic over those — the entire
+    synthesis engine-decidable.  Small studies (< 2 per arm) are
+    excluded by the stated rule.
+
+    100 TB shape: one star aggregate to O(sites) rows, then
+    arithmetic on the study table — the federated-experimentation
+    shape (sites never ship rows, only sufficient statistics).
+    North-star extension (SURVEY §2 stats rows; the synthesis
+    member of the A/B family — and the reason the entry family has
+    per-site effects to pool at all)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    obs = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("c_nationkey").alias("nat"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("t"),
+        F.expr(
+            "CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) div 1000000"
+        ).alias("y"),
+    )
+    per_nat = (
+        obs.groupBy("nat")
+        .agg(
+            F.sum("t").alias("n1"),
+            (F.count("*") - F.sum("t")).alias("n0"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("s0"),
+            F.sum(
+                F.when(F.col("t") == 1, F.col("y") * F.col("y")).otherwise(0)
+            ).alias("q1"),
+            F.sum(
+                F.when(F.col("t") == 0, F.col("y") * F.col("y")).otherwise(0)
+            ).alias("q0"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n0") >= 2))
+    )
+    studies = per_nat.selectExpr(
+        "nat",
+        "CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+        " * 1e4 + 0.5) AS BIGINT) AS d_x1e4",
+        "CAST(floor(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)"
+        " / n1 / n1 / (n1 - 1)"
+        " + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)"
+        " / n0 / n0 / (n0 - 1)) * 1e4 + 0.5) AS BIGINT) AS v_x1e4",
+    )
+    weighted = studies.withColumn(
+        "w", F.expr("1000000000000000 div greatest(v_x1e4, 1)")
+    )
+    pool = weighted.agg(
+        F.count("*").alias("k"),
+        F.sum("w").alias("sw"),
+        # NOTE: DuckDB's // on INTEGER operands truncates toward zero,
+        # exactly like Spark's div — negative quotients agree as-is
+        # (verified: -1459844 on both; a floor-division emulation was
+        # tried and REVERTED because it diverged by one).
+        F.expr("sum(w * d_x1e4) div sum(w)").alias("pooled_x1e4"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(pool))
+        .groupBy("k", "pooled_x1e4")
+        .agg(
+            F.expr(
+                "sum(w * (abs(d_x1e4 - pooled_x1e4) div 100)"
+                " * (abs(d_x1e4 - pooled_x1e4) div 100))"
+                " div 1000000000000"
+            ).alias("q_x1e3")
+        )
+        .selectExpr(
+            "CAST(k AS BIGINT) AS n_studies",
+            "CAST(pooled_x1e4 AS BIGINT) AS pooled_effect_x1e4",
+            "CAST(q_x1e3 AS BIGINT) AS q_stat_x1e3",
+            "CAST(greatest(CAST(0 AS BIGINT),"
+            " ((q_x1e3 - (k - 1) * 1000) * 1000000)"
+            " div greatest(q_x1e3, 1)) AS BIGINT) AS i2_ppm",
         )
     )
