@@ -43,6 +43,8 @@ __all__ = [
     "logrank_test_survival",
     "weibull_rank_regression",
     "exact_matching_att",
+    "mahalanobis_outliers_2d",
+    "gumbel_block_maxima",
     "newsvendor_stocking",
     "optimal_stopping_replay",
     "min_variance_portfolio",
@@ -6891,4 +6893,210 @@ def exact_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "att_x1e4",
         "treated_mean_x1e4",
         "counterfactual_mean_x1e4",
+    )
+
+
+@query(
+    "mahalanobis_outliers_2d",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS x,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) // 10000 AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM u
+    ),
+    cov AS (
+      SELECT n,
+             n * sxx - sx * sx AS a,
+             n * syy - sy * sy AS d,
+             n * sxy - sx * sy AS b,
+             sx, sy
+      FROM m
+    ),
+    scored AS (
+      SELECT u.user_id,
+             CAST(floor(
+               (CAST(c.d AS DOUBLE) * (u.x * c.n - c.sx) * (u.x * c.n - c.sx)
+                - 2.0 * c.b * (u.x * c.n - c.sx) * (u.y * c.n - c.sy)
+                + CAST(c.a AS DOUBLE) * (u.y * c.n - c.sy)
+                  * (u.y * c.n - c.sy))
+               / (CAST(c.a AS DOUBLE) * c.d - CAST(c.b AS DOUBLE) * c.b)
+               / c.n * 1e4 + 0.5) AS BIGINT) AS d2_x1e4
+      FROM u CROSS JOIN cov c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN d2_x1e4 > 138000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(max(d2_x1e4) AS BIGINT) AS max_d2_x1e4,
+           CAST((SELECT min(s2.user_id) FROM scored s2
+                 WHERE s2.d2_x1e4 = (SELECT max(s3.d2_x1e4) FROM scored s3))
+                AS BIGINT) AS worst_user
+    FROM scored
+    """,
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS multivariate outlier detection — distance in the
+    data's own correlation geometry (a user can be unremarkable on
+    activity AND on spend yet wildly off the JOINT pattern — the
+    case every univariate z-score/MAD screen this catalog ships is
+    blind to): per-user (activity, whole-dollar spend), the 2x2
+    covariance inverts in closed form with all co-moments exact
+    n^2-scaled integers, each user's d^2 evaluates as ONE float
+    expression over those exact operands (cross-multiplied by n so
+    no intermediate mean-division happens), floored once at 1e-4;
+    the chi-square(2) 99.9% cutoff (13.8) flags outliers as an
+    integer comparison.  The census hashes the count, the extreme
+    distance, and the worst user's id (min-id tie-break).
+
+    100 TB shape: one per-user reduction, a 1-row co-moment
+    broadcast, scan-stage scoring — the multivariate screen costs
+    the same as the univariate one.  North-star extension (SURVEY
+    §2 stats rows; the joint-geometry member of the outlier family:
+    z-score, MAD, grid density, and now correlation-aware)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("x"),
+        F.expr(
+            "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div 10000"
+        ).alias("y"),
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = m.selectExpr(
+        "n",
+        "n * sxx - sx * sx AS a",
+        "n * syy - sy * sy AS d",
+        "n * sxy - sx * sy AS b",
+        "sx",
+        "sy",
+    )
+    scored = u.crossJoin(F.broadcast(cov)).selectExpr(
+        "user_id",
+        """
+        CAST(floor(
+          (CAST(d AS DOUBLE) * (x * n - sx) * (x * n - sx)
+           - 2.0 * b * (x * n - sx) * (y * n - sy)
+           + CAST(a AS DOUBLE) * (y * n - sy) * (y * n - sy))
+          / (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * b)
+          / n * 1e4 + 0.5) AS BIGINT) AS d2_x1e4
+        """,
+    )
+    worst = (
+        scored.orderBy(F.col("d2_x1e4").desc(), "user_id")
+        .limit(1)
+        .select(F.col("user_id").alias("worst_user"))
+    )
+    return (
+        scored.agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("d2_x1e4") > 138000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("d2_x1e4").cast("long").alias("max_d2_x1e4"),
+        )
+        .crossJoin(F.broadcast(worst))
+        .select(
+            "n_users",
+            "n_outliers",
+            "max_d2_x1e4",
+            F.col("worst_user").cast("long").alias("worst_user"),
+        )
+    )
+
+
+@query(
+    "gumbel_block_maxima",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+      FROM events GROUP BY h
+    ),
+    daily_max AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS d, max(cnt) AS mx
+      FROM hourly GROUP BY d
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(mx) AS s, sum(mx * mx) AS q,
+             max(mx) AS observed_max
+      FROM daily_max
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(observed_max AS BIGINT) AS observed_max,
+           CAST(floor(sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                           / n / (n - 1)) * 0.7796968012336761 * 1e4
+                      + 0.5) AS BIGINT) AS beta_x1e4,
+           CAST(floor((CAST(s AS DOUBLE) / n
+                       - sqrt((CAST(n AS DOUBLE) * q
+                               - CAST(s AS DOUBLE) * s) / n / (n - 1))
+                         * 0.7796968012336761 * 0.5772156649015329)
+                      * 1e4 + 0.5) AS BIGINT) AS mu_x1e4,
+           CAST(floor((1.0 - exp(-exp(-(
+                 (1.5 * CAST(observed_max AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / n
+                     - sqrt((CAST(n AS DOUBLE) * q
+                             - CAST(s AS DOUBLE) * s) / n / (n - 1))
+                       * 0.7796968012336761 * 0.5772156649015329))
+                 / (sqrt((CAST(n AS DOUBLE) * q
+                          - CAST(s AS DOUBLE) * s) / n / (n - 1))
+                    * 0.7796968012336761))))) * 1e6 + 0.5) AS BIGINT)
+             AS p_exceed_150pct_ppm
+    FROM m
+    """,
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUMBEL BLOCK-MAXIMA fit — extreme value theory for capacity
+    planning ("what hourly peak should we expect?" is a question
+    about the DISTRIBUTION OF MAXIMA, which converges to Gumbel
+    regardless of the underlying hourly law — the EVT fact every
+    p99-based sizing quietly ignores): daily maxima of the hourly
+    event counts are the blocks; method-of-moments gives
+    beta = s*sqrt(6)/pi and mu = mean - gamma*beta (both constants
+    inlined as shared 17-digit literals, the exact doubles both
+    engines parse identically), from exact integer moments with one
+    rounding each; the payoff column is the fitted probability that
+    a future day's peak exceeds 150% of the observed maximum —
+    exp(-exp(-z)) evaluated once and floored to ppm.
+
+    100 TB shape: two nested map-side reductions (hour, then day)
+    and a single-row moment aggregate — EVT is a sufficient-
+    statistics computation.  North-star extension (SURVEY §2 stats
+    rows; the tail-risk member of the capacity family beside
+    erlang_b_blocking and slo_burn_rate_alerts)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    daily_max = hourly.groupBy(
+        F.date_trunc("day", F.col("h")).cast("date").alias("d")
+    ).agg(F.max("cnt").alias("mx"))
+    m = daily_max.agg(
+        F.count("*").alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).alias("q"),
+        F.max("mx").alias("observed_max"),
+    )
+    sd = (
+        "sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / n / (n - 1))"
+    )
+    beta = f"({sd} * 0.7796968012336761)"
+    mu = f"(CAST(s AS DOUBLE) / n - {beta} * 0.5772156649015329)"
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_blocks",
+        "CAST(observed_max AS BIGINT) AS observed_max",
+        f"CAST(floor({beta} * 1e4 + 0.5) AS BIGINT) AS beta_x1e4",
+        f"CAST(floor({mu} * 1e4 + 0.5) AS BIGINT) AS mu_x1e4",
+        f"CAST(floor((1.0 - exp(-exp(-("
+        f"(1.5 * CAST(observed_max AS DOUBLE) - {mu}) / {beta}))))"
+        " * 1e6 + 0.5) AS BIGINT) AS p_exceed_150pct_ppm",
     )
