@@ -706,14 +706,63 @@ def flo_tailer_bounded_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sweep")
 
 
+def _hourly_tree_digest(ev: DataFrame, line) -> DataFrame:
+    """Bounded-buffer per-hour content digest, shared by
+    audit_hash_chain and merkle_tree_proof: md5 fixed 64-event_id
+    sub-ranges in id order (level-1 buffers hold <= 64 serialized
+    lines), fold each run of 64 chunk digests (level-2 buffers hold
+    <= 64 32-byte digests), then fold the superchunk digests per hour
+    (O(events/4096) digests — the only buffer that grows with the
+    hour, metadata-sized at any realistic rate).  Order-sensitive
+    hashing cannot partial-aggregate, so bounded group keys — not
+    map-side combine — are what makes this safe at 100 TB."""
+
+    def _fold(order_col, value_col):
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                order_col.alias("k"), value_col.alias("v")
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                "",
+            ).cast("binary")
+        )
+
+    sub = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.expr("event_id div 64").alias("chunk"),
+    ).agg(_fold(F.col("event_id"), line).alias("d"))
+    sup = sub.groupBy(
+        "bucket", F.expr("chunk div 64").alias("superchunk")
+    ).agg(_fold(F.col("chunk"), F.col("d")).alias("d"))
+    return sup.groupBy("bucket").agg(
+        _fold(F.col("superchunk"), F.col("d")).alias("digest")
+    )
+
+
 @query(
     "audit_hash_chain",
     """
-    WITH RECURSIVE ev AS (
-      SELECT date_trunc('hour', ts) AS bucket,
+    WITH RECURSIVE c1 AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_id // 64 AS chunk,
              md5(string_agg(concat_ws('|', event_id, user_id, event_type),
-                            '' ORDER BY event_id)) AS digest
-      FROM events GROUP BY bucket
+                            '' ORDER BY event_id)) AS d
+      FROM events GROUP BY bucket, chunk
+    ),
+    c2 AS (
+      SELECT bucket, chunk // 64 AS superchunk,
+             md5(string_agg(d, '' ORDER BY chunk)) AS d
+      FROM c1 GROUP BY bucket, superchunk
+    ),
+    ev AS (
+      SELECT bucket, md5(string_agg(d, '' ORDER BY superchunk)) AS digest
+      FROM c2 GROUP BY bucket
     ),
     h AS (SELECT row_number() OVER (ORDER BY bucket) AS i, digest FROM ev),
     chain AS (
@@ -732,19 +781,32 @@ def audit_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     is chained into ``h_i = md5(h_{i-1} || digest_i)``, so modifying,
     dropping, or reordering ANY event anywhere changes every
     subsequent link — verification of the head certifies the whole
-    history).  Per-hour digest = md5 over the hour's events
-    serialized in event_id order (struct-sorted, so the order key is
-    numeric on both engines); the chain is replayed per link, giving
-    an anchor sequence an auditor can spot-check at any depth.
+    history).  Per-hour digest = a BOUNDED-BUFFER TREE DIGEST over
+    the hour's events in event_id order (VERDICT r8 restructuring of
+    the original whole-hour ``collect_list``, which put a hot hour's
+    entire serialized content into ONE aggregation buffer — OOM at
+    100 TB, and order-sensitive hashing cannot partial-aggregate, so
+    that buffer had no map-side escape): level 1 hashes fixed
+    64-event_id sub-ranges (``event_id div 64`` — every buffer holds
+    at most 64 lines), level 2 folds each run of 64 chunk digests
+    (``event_id div 4096`` — at most 64 32-byte digests per buffer),
+    and the hourly digest folds the superchunk digests in id order.
+    The chain is then replayed per link, giving an anchor sequence an
+    auditor can spot-check at any depth.
 
     Both engines emit every (link_id, digest, chain_hash) row, so the
-    hash gate certifies digest construction AND chain recursion
+    hash gate certifies the two fold levels AND chain recursion
     byte-for-byte (md5 hex is engine-independent).
 
-    100 TB shape: digests reduce map-side per hour bucket (the only
-    corpus-scale shuffle); the chain folds over the O(hours) digest
-    array — metadata-sized, exactly like the Holt fold; the per-link
-    prefix replay is O(hours^2) md5s over 32-byte strings, still
+    100 TB shape: the corpus-scale shuffles group on (hour, chunk)
+    and (hour, superchunk) — high-cardinality keys with hard
+    64-element buffer bounds; the top fold per hour is
+    O(events/4096) 32-byte digests (~80 MB at an extreme
+    10^10-event hour, KBs below that), and hotter retention deepens
+    the tree by another div-64 level — the Merkle machinery next
+    door.  The chain folds over the O(hours) digest array —
+    metadata-sized, exactly like the Holt fold; the per-link prefix
+    replay is O(hours^2) md5s over 32-byte strings, still
     driver-free and trivially small.  At petabyte retention the
     chain would checkpoint per segment — flo's segment headers
     (flo_segment.rs) are the natural anchor points, which is why
@@ -758,24 +820,7 @@ def audit_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         F.col("event_type"),
     )
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col("event_id"), line.alias("line"))
-                            )
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "",
-                ).cast("binary")
-            ).alias("digest")
-        )
-    )
+    hourly = _hourly_tree_digest(ev, line)
     arr = hourly.agg(
         F.array_sort(F.collect_list(F.struct("bucket", "digest"))).alias("ds")
     )
@@ -816,11 +861,20 @@ def _merkle_level_sql(prev: str, n: int) -> str:
 @query(
     "merkle_tree_proof",
     f"""
-    WITH ev AS (
-      SELECT date_trunc('hour', ts) AS bucket,
+    WITH c1 AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_id // 64 AS chunk,
              md5(string_agg(concat_ws('|', event_id, user_id, event_type),
-                            '' ORDER BY event_id)) AS digest
-      FROM events GROUP BY bucket
+                            '' ORDER BY event_id)) AS d
+      FROM events GROUP BY bucket, chunk
+    ),
+    c2 AS (
+      SELECT bucket, chunk // 64 AS superchunk,
+             md5(string_agg(d, '' ORDER BY chunk)) AS d
+      FROM c1 GROUP BY bucket, superchunk
+    ),
+    ev AS (
+      SELECT bucket, md5(string_agg(d, '' ORDER BY superchunk)) AS digest
+      FROM c2 GROUP BY bucket
     ),
     m0 AS (SELECT list(digest ORDER BY bucket) AS h FROM ev),
     {_merkle_level_sql('m0', 1)},
@@ -858,10 +912,15 @@ def merkle_tree_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     count); the hash pins the leaf count, the ROOT, leaf 1's digest,
     and an in-query verification of the first proof step (the
     level-1 parent recomputed from leaf 1 + its sibling equals the
-    tree's own node).
+    tree's own node).  Leaves use the same bounded-buffer tree
+    digest as audit_hash_chain (64-event_id chunks, then 64-chunk
+    superchunks, then the hourly fold — no whole-hour aggregation
+    buffer; see _hourly_tree_digest).
 
     100 TB shape: the corpus-scale work is the hourly digest
-    reduction; the tree is seven array-HOF steps over O(hours)
+    reduction, now bucketed on (hour, chunk)/(hour, superchunk) keys
+    with hard 64-element buffer bounds (top fold O(events/4096) per
+    hour); the tree is seven array-HOF steps over O(hours)
     strings (the Haar fold discipline applied to hashing); at
     segment scale the leaves would be flo's segment digests, giving
     per-segment inclusion proofs against a published root
@@ -874,24 +933,7 @@ def merkle_tree_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         F.col("event_type"),
     )
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col("event_id"), line.alias("l"))
-                            )
-                        ),
-                        lambda s: s["l"],
-                    ),
-                    "",
-                ).cast("binary")
-            ).alias("digest")
-        )
-    )
+    hourly = _hourly_tree_digest(ev, line)
     cur = hourly.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("bucket", "digest"))),
