@@ -1841,54 +1841,62 @@ from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
 # are audited in DRIVER_COVERAGE.md and pinned by
 # tests/test_driver_window.py.
 DRIVER_CHECK_ORDER = [
-    # -- novel-mechanism representatives (zero driver history) --
-    "kmeans_lloyd_rounds",
-    "isotonic_calibration_minimax",
-    "dtw_daily_profiles",
-    "ols_two_feature_cramer",
-    "theil_sen_hourly_trend",
-    "mann_kendall_trend_test",
-    "ks_drift_priority",
-    "stream_drift_monitor",
-    "stream_cep_pattern_monitor",
-    "stream_chained_window_rollup",
-    "stream_stream_full_outer_attribution",
-    "prefix_filter_jaccard_pairs",
-    "multimodal_webp_roundtrip",
-    "multimodal_avi_roundtrip",
-    "multimodal_ico_roundtrip",
-    "multimodal_tga_roundtrip",
-    "multimodal_pcx_roundtrip",
-    "multimodal_ras_roundtrip",
-    "binaryfile_asset_scan",
-    "dynamic_partition_overwrite",
-    "flo_fixedwidth_roundtrip",
-    "sql_pipe_syntax_report",
-    "recursive_cte_order_chains",
-    "hits_hubs_authorities",
-    "degree_assortativity_copurchase",
-    # -- fixed this round (ADVICE r7 high: z^2 denominator), so its
-    #    driver certification must land on the corrected code --
-    "wilcoxon_signed_rank",
-    # -- remaining exact-stats singles, catalog order --
-    "welch_t2_ab_test",
-    "ams_f2_selfjoin_size",
-    "calibration_curve_quality",
-    "session_path_topk",
-    "stratified_kfold_assignment",
-    "time_weighted_value_per_user",
-    "diff_in_diff_revenue",
-    "mad_robust_outliers",
-    "mcnemar_paired_proportions",
-    "discrete_hazard_lifetable",
-    "cep_sequence_pattern_detect",
-    "simpson_diversity_by_source",
-    "keyset_pagination_page",
-    "funnel_time_to_convert",
-    "kendall_tau_user_metrics",
-    "roc_youden_threshold",
-    "cohens_kappa_langid",
-    "anova_f_returnflag",
+    # Round-9 window: 44 first-time keys ordered by mechanism risk
+    # (DRIVER_COVERAGE.md "Round-9 window" section has the per-slot
+    # rationale), then the 6 standing canaries.
+    # -- lakehouse/manifest transactional subsystem (newest machinery,
+    #    zero driver history across all of it) --
+    "lakehouse_time_travel",
+    "lakehouse_deletion_vectors",
+    "lakehouse_change_data_feed",
+    "lakehouse_merge_mor",
+    "lakehouse_ivm_join_view",
+    "lakehouse_bloom_skipping",
+    "lakehouse_stats_skipping",
+    "lakehouse_optimize_binpack",
+    "lakehouse_table_diff",
+    "lakehouse_write_audit_publish",
+    "lakehouse_vacuum_orphans",
+    "bitemporal_point_in_time",
+    "stream_lakehouse_sink",
+    "stream_dlq_ingest",
+    # -- flo-surface entries with zero driver history --
+    "flo_async_pipelined_roundtrip",
+    "flo_tailer_bounded_sweep",
+    "gdpr_forget_compaction",
+    "audit_hash_chain",
+    "merkle_tree_proof",
+    "flo_xml_roundtrip",
+    # -- streaming join matrix / IVM / event-time hygiene --
+    "stream_stream_semi_attribution",
+    "stream_stream_left_outer_attribution",
+    "stream_ivm_signed_deltas",
+    "session_window_dynamic_gap",
+    "watermark_disorder_audit",
+    # -- entity resolution + retrieval evaluation --
+    "fellegi_sunter_linkage",
+    "fellegi_sunter_em_round",
+    "rrf_hybrid_retrieval",
+    "mmr_diversified_topk",
+    "bleu2_pairwise_eval",
+    "blocking_quality_metrics",
+    # -- survival / hypothesis-test / drift family --
+    "kaplan_meier_survival",
+    "logrank_test_survival",
+    "mann_whitney_u_sources",
+    "cramer_von_mises_two_sample",
+    "brown_forsythe_variance",
+    "ljung_box_hourly",
+    "psi_population_stability",
+    # -- cross-engine sequential-fold replays (IEEE/fixed-point
+    #    alignment risk) --
+    "rate_limiter_replay",
+    "lindley_queue_replay",
+    "sprt_sequential_replay",
+    "pca_power_iteration",
+    "permutation_test_sources",
+    # -- typed-metadata extraction --
+    "multimodal_exif_metadata",
     # -- rows-only companion contracts (stay pinned in every window) --
     "approx_distinct_bounded",
     "dedup_simhash_pairs",
