@@ -2507,34 +2507,23 @@ def consistent_hashing_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lindley_queue_replay",
     """
-    WITH arr AS (
-      SELECT list(epoch_ms(ts) ORDER BY ts, event_id) AS ts_list,
-             count(*) AS n
+    WITH q AS (
+      SELECT row_number() OVER (ORDER BY ts, event_id) AS rn,
+             400 * (row_number() OVER (ORDER BY ts, event_id) - 1)
+               - epoch_ms(ts) AS q
       FROM events
     ),
-    gaps AS (
-      SELECT n,
-             list_transform(range(2, CAST(n AS BIGINT) + 1),
-               i -> ts_list[i] - ts_list[i - 1]) AS a
-      FROM arr
-    ),
-    folded AS (
-      SELECT n,
-        list_reduce(
-          list_prepend(CAST(0 AS BIGINT), a),
-          (st, g) -> greatest(st // 4294967296,
-                              greatest(CAST(0 AS BIGINT),
-                                       st % 4294967296 + 400 - g))
-                     * 4294967296
-                     + greatest(CAST(0 AS BIGINT),
-                                st % 4294967296 + 400 - g)
-        ) AS st
-      FROM gaps
+    w AS (
+      SELECT rn,
+             q - min(q) OVER (ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS wait
+      FROM q
     )
-    SELECT CAST(n AS BIGINT) AS n_jobs,
-           CAST(st % 4294967296 AS BIGINT) AS final_wait_ms,
-           CAST(st // 4294967296 AS BIGINT) AS max_wait_ms
-    FROM folded
+    SELECT CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(arg_max(wait, rn) AS BIGINT) AS final_wait_ms,
+           CAST(max(wait) AS BIGINT) AS max_wait_ms
+    FROM w
     """,
 )
 def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2543,60 +2532,69 @@ def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-server queue's exact waiting-time law; Erlang-B sizes
     a LOSS system analytically, this REPLAYS a wait system against
     real burst structure, which no Poisson assumption captures):
-    arrivals are the event stream in (ts, event_id) order, service
-    is a fixed 400 ms, and the fold state BIT-PACKS (max_wait,
-    current_wait) into one BIGINT (max * 2^32 + w, both bounded far
-    below 2^31 here) — a SCALAR integer left fold, the safe shape
-    for cross-engine folds (the Holt-Winters attempt documented that
-    DuckDB's list_reduce miscomputes multi-field struct lambdas that
-    re-evaluate a sibling field's expression; scalar packing
-    sidesteps the entire hazard class).  Both engines replay the
-    identical integer recursion; the census hashes the job count,
-    the final in-queue wait, and the worst wait the burst structure
-    ever produced.
+    arrivals are the event stream in (ts, event_id) order and
+    service is a fixed 400 ms.  With constant service the recursion
+    TELESCOPES — W_k = q_k - min_{j<=k} q_j with
+    q_k = 400*k - t_k (the maximum-of-partial-sums representation of
+    Lindley's equation) — so the sequential fold becomes running
+    windows over exact integers, and both engines replay the
+    identical closed form (an earlier revision folded the WHOLE
+    corpus timestamp array inside one aggregation buffer — the same
+    unbounded-buffer hazard class as the pre-r9 audit_hash_chain;
+    this restructuring removes the repo's only corpus-scale
+    collect_list).  The census hashes the job count, the final
+    in-queue wait, and the worst wait the burst structure ever
+    produced.
 
-    100 TB shape: the fold is per-queue-key local work (here one
-    global server as the worst case; a sharded system folds per
-    key after one groupBy — the rate-limiter shape); memory is one
-    BIGINT of state regardless of stream length.  North-star
-    extension (SURVEY §2 streaming/ops rows; the wait-system twin
-    of erlang_b_blocking)."""
-    ev = load(spark, sf_dir, "events")
-    arr = ev.agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.expr("unix_millis(cast(ts as timestamp))").alias(
-                            "t"
-                        ),
-                        F.col("event_id").alias("e"),
-                    )
-                )
-            ),
-            lambda s: s["t"],
-        ).alias("ts_list"),
-        F.count("*").alias("n"),
+    100 TB shape: q_k needs only the row's own timestamp and its
+    global position, so the scan decomposes by ts-prefix-consistent
+    minute buckets — within-bucket row_number/running-min windows
+    (sort-based, spillable, bounded by the hottest minute) plus two
+    O(buckets) bucket-level scans (offsets by cumulative count,
+    cross-bucket running min), stitched with broadcast joins of the
+    metadata-sized bucket frame.  No per-row state crosses buckets
+    except those O(buckets) scalars — the classic parallel-scan
+    decomposition.  A sharded system folds per key after one
+    groupBy — the rate-limiter shape.  North-star extension
+    (SURVEY §2 streaming/ops rows; the wait-system twin of
+    erlang_b_blocking)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_millis(cast(ts as timestamp))").alias("t"),
+        F.col("event_id").alias("e"),
+        F.date_trunc("minute", F.col("ts")).alias("b"),
     )
-    folded = arr.selectExpr(
-        "n",
-        """
-        aggregate(
-          transform(sequence(2, CAST(size(ts_list) AS INT)),
-                    i -> element_at(ts_list, i)
-                         - element_at(ts_list, i - 1)),
-          CAST(0 AS BIGINT),
-          (st, g) -> greatest(st div 4294967296,
-                              greatest(CAST(0 AS BIGINT),
-                                       st % 4294967296 + 400 - g))
-                     * 4294967296
-                     + greatest(CAST(0 AS BIGINT),
-                                st % 4294967296 + 400 - g)
-        ) AS st
-        """,
+    wb = Window.partitionBy("b").orderBy("t", "e")
+    loc = ev.withColumn("rn", F.row_number().over(wb))
+    # bucket-level frames are O(minutes) — the two unpartitioned
+    # windows below scan that metadata-sized frame, never the corpus
+    stats = loc.groupBy("b").agg(F.count("*").alias("nb"))
+    w_prev = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return folded.selectExpr(
-        "CAST(n AS BIGINT) AS n_jobs",
-        "CAST(st % 4294967296 AS BIGINT) AS final_wait_ms",
-        "CAST(st div 4294967296 AS BIGINT) AS max_wait_ms",
+    stats = stats.withColumn(
+        "off", F.coalesce(F.sum("nb").over(w_prev), F.lit(0))
+    )
+    j = loc.join(F.broadcast(stats.select("b", "off")), "b").withColumn(
+        "q",
+        F.lit(400) * (F.col("off") + F.col("rn") - 1) - F.col("t"),
+    )
+    j = j.withColumn(
+        "lmin",
+        F.min("q").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bmin = (
+        j.groupBy("b")
+        .agg(F.min("q").alias("bq"))
+        .withColumn("pmin", F.min("bq").over(w_prev))
+    )
+    j = j.join(F.broadcast(bmin.select("b", "pmin")), "b").withColumn(
+        "wait",
+        F.col("q")
+        - F.least(F.col("lmin"), F.coalesce(F.col("pmin"), F.col("lmin"))),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_jobs"),
+        F.expr("max_by(wait, off + rn)").cast("long").alias("final_wait_ms"),
+        F.max("wait").cast("long").alias("max_wait_ms"),
     )
