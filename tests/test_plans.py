@@ -1068,3 +1068,16 @@ def test_r8c_vickrey_single_window_no_join_of_fact(spark, sf_dir):
     # top-2 extraction is one item-partitioned window; the only join
     # is the 2-row-per-item winner/second match
     assert_no_cartesian(df)
+
+
+def test_r9_lindley_parallel_scan_shape(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.lindley_queue_replay(spark, sf_dir)
+    plan = explain_str(df)
+    # the bucket-frame stitches are broadcast joins of O(minutes)
+    # metadata; the corpus-scale windows are partitioned by bucket
+    assert "BroadcastHashJoin" in plan, plan
+    assert_no_cartesian(df)
+    # no corpus-scale collect_list buffer anywhere in the plan
+    assert "collect_list" not in plan, plan
