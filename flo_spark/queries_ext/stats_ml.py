@@ -3767,8 +3767,14 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 604800000000"
         ).alias("wk")
     )
-    n = life.agg(F.count("*").alias("n_users"))
-    evt = life.groupBy("wk").agg(F.count("*").alias("events"))
+    # materialize the O(weeks) spine once (r9): the n_users branch and
+    # the factor-prefix branch would otherwise each re-run the
+    # corpus-scale user reduction (two events scans); n_users is just
+    # the spine's own total since every user lands in exactly one week
+    evt = (
+        life.groupBy("wk").agg(F.count("*").alias("events")).localCheckpoint()
+    )
+    n = evt.agg(F.sum("events").cast("long").alias("n_users"))
     w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
     tab = evt.crossJoin(F.broadcast(n)).select(
         "wk",
@@ -6612,12 +6618,20 @@ def logrank_test_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
-    spans = ev.groupBy("user_id").agg(
-        (F.max(day) - F.min(day)).alias("dur"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("ev"),
-    ).withColumn("grp", F.col("user_id") % 2)
+    # materialize the per-user reduction once (r9): the event-times
+    # branch and the risk-set branch would otherwise each re-scan the
+    # corpus; the checkpointed frame is O(users) rows of 3 integers
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.max(day) - F.min(day)).alias("dur"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ev"),
+        )
+        .withColumn("grp", F.col("user_id") % 2)
+        .localCheckpoint()
+    )
     times = (
         spans.filter(F.col("ev") == 1).select(F.col("dur").alias("tt"))
         .distinct()

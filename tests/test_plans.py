@@ -1081,3 +1081,40 @@ def test_r9_lindley_parallel_scan_shape(spark, sf_dir):
     assert_no_cartesian(df)
     # no corpus-scale collect_list buffer anywhere in the plan
     assert "collect_list" not in plan, plan
+
+
+def test_r9_fellegi_linkage_keyed_joins_only(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.fellegi_sunter_linkage(spark, sf_dir)
+    plan = explain_str(df)
+    # seed/copy/next pairing is keyed equi-joins; the only unkeyed
+    # stitch is the broadcast 1-row m/u grid
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert_no_cartesian(df)
+
+
+def test_r9_kaplan_meier_single_events_scan_spine_windows(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.kaplan_meier_survival(spark, sf_dir)
+    plan = explain_str(df)
+    # the spine is checkpointed: at most one corpus scan ever runs and
+    # the final plan re-reads nothing
+    assert plan.count("Scan parquet  (") <= 1, plan
+    assert_no_cartesian(df)
+
+
+def test_r9_logrank_single_events_scan(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    df = QX.logrank_test_survival(spark, sf_dir)
+    # per-user spans are checkpointed: no corpus rescans downstream
+    assert explain_str(df).count("Scan parquet  (") <= 1
+    assert_no_cartesian(df)
+
+
+def test_r9_psi_no_cartesian(spark, sf_dir):
+    from flo_spark import queries_ext as QX
+
+    assert_no_cartesian(QX.psi_population_stability(spark, sf_dir))
