@@ -2563,35 +2563,51 @@ def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("e"),
         F.date_trunc("minute", F.col("ts")).alias("b"),
     )
+    # one window pass yields the within-bucket rank and running min of
+    # u = 400*rn - t; u differs from q only by the per-bucket constant
+    # 400*(off - 1), so every cross-bucket quantity reduces to bucket
+    # scalars.  The corpus is scanned twice (the windowed frame feeds
+    # both the bucket reduction and the final join) — a deliberate
+    # trade against materializing a corpus-sized checkpoint.
     wb = Window.partitionBy("b").orderBy("t", "e")
-    loc = ev.withColumn("rn", F.row_number().over(wb))
-    # bucket-level frames are O(minutes) — the two unpartitioned
-    # windows below scan that metadata-sized frame, never the corpus
-    stats = loc.groupBy("b").agg(F.count("*").alias("nb"))
-    w_prev = (
-        Window.orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    loc = ev.select(
+        "b",
+        "t",
+        F.row_number().over(wb).alias("rn"),
+        (F.lit(400) * F.row_number().over(wb) - F.col("t")).alias("u"),
+        F.min(F.lit(400) * F.row_number().over(wb) - F.col("t"))
+        .over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("rm"),
     )
-    stats = stats.withColumn(
-        "off", F.coalesce(F.sum("nb").over(w_prev), F.lit(0))
+    # bucket frame is O(minutes): offsets by cumulative count, the
+    # cross-bucket running min of bucket-min q — metadata-sized scans
+    bl = loc.groupBy("b").agg(
+        F.count("*").alias("nb"), F.min("u").alias("bu")
     )
-    j = loc.join(F.broadcast(stats.select("b", "off")), "b").withColumn(
-        "q",
-        F.lit(400) * (F.col("off") + F.col("rn") - 1) - F.col("t"),
+    w_prev = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bl = bl.select(
+        "b",
+        F.coalesce(F.sum("nb").over(w_prev), F.lit(0)).alias("off"),
+        "bu",
+    ).select(
+        "b",
+        "off",
+        (F.lit(400) * (F.col("off") - 1) + F.col("bu")).alias("bq"),
     )
-    j = j.withColumn(
-        "lmin",
-        F.min("q").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+    bl = bl.select(
+        "b", "off", F.min("bq").over(w_prev).alias("pmin")
     )
-    bmin = (
-        j.groupBy("b")
-        .agg(F.min("q").alias("bq"))
-        .withColumn("pmin", F.min("bq").over(w_prev))
-    )
-    j = j.join(F.broadcast(bmin.select("b", "pmin")), "b").withColumn(
+    j = loc.join(F.broadcast(bl), "b").withColumn(
         "wait",
-        F.col("q")
-        - F.least(F.col("lmin"), F.coalesce(F.col("pmin"), F.col("lmin"))),
+        F.lit(400) * (F.col("off") - 1)
+        + F.col("u")
+        - F.least(
+            F.lit(400) * (F.col("off") - 1) + F.col("rm"),
+            F.coalesce(
+                F.col("pmin"),
+                F.lit(400) * (F.col("off") - 1) + F.col("rm"),
+            ),
+        ),
     )
     return j.agg(
         F.count("*").cast("long").alias("n_jobs"),
