@@ -91,6 +91,38 @@ __all__ = [
 ]
 
 
+def _dense_hourly_counts(ev):
+    """Dense zero-filled hourly event-count spine, materialized once.
+
+    Collapses the corpus to per-hour counts in ONE scan and
+    localCheckpoints the O(hours) result, so the max-hour probe, the
+    dense-spine join, and every downstream fork (totals, deviations,
+    lag self-joins) reuse the spine instead of re-deriving it from the
+    raw events scan (r9: ljung_box_hourly's plan held 12 corpus scans
+    before this).  Semantics identical to the original
+    spine-left-join-count prologue: hours outside
+    [2024-01-01, max(hour)] drop, gap hours count 0."""
+    c0 = (
+        ev.groupBy("hour")
+        .agg(F.count("*").alias("cnt0"))
+        .localCheckpoint()
+    )
+    h1 = c0.agg(F.max("hour").alias("h1"))
+    hours = h1.select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp '2024-01-01 00:00:00', h1,"
+                " interval 1 hour)"
+            )
+        ).alias("hour")
+    )
+    return hours.join(c0, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("cnt0"), F.lit(0).cast("long")).alias("cnt"),
+    )
+
+
+
 @query(
     "funnel_conversion",
     """
@@ -1085,20 +1117,7 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
 
     def tdiv(a: int, d: int) -> int:
         # truncate toward zero, matching SQL integer division
@@ -1367,20 +1386,7 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
 
     def tdiv(a: int, d: int) -> int:
         # truncate toward zero, matching SQL integer division
@@ -1612,20 +1618,7 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
     w1 = Window.orderBy("hour").rowsBetween(-12, 11)
     w2 = Window.orderBy("hour").rowsBetween(-11, 12)
     t = c.select(
@@ -1810,20 +1803,7 @@ def acf_hourly_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
     tot = c.agg(
         F.count("*").alias("n"), F.sum("cnt").alias("s")
     )
@@ -3465,20 +3445,7 @@ def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
     tot = c.agg(F.count("*").alias("n"), F.sum("cnt").alias("s"))
     dev = c.crossJoin(F.broadcast(tot)).select(
         "hour",
@@ -4036,6 +4003,10 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g")
         )
+        # materialize the 64x64 Gram once (r9): without this each
+        # round's matvec/renorm fork re-derives G from the corpus —
+        # the plan held 42 embeddings scans for a 3-round iteration
+        .localCheckpoint()
     )
     v = spark.range(64).select(
         F.col("id").cast("int").alias("i"), F.lit(1_000_000).alias("v")
@@ -4046,6 +4017,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             g.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+            # 64-row per-round matvec: checkpoint so the m/v forks and
+            # the next round reuse it instead of growing the lineage
+            .localCheckpoint()
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
@@ -4063,7 +4037,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        w.join(v, "i")
+        # checkpointed frames carry no size stats, so hint the 64-row
+        # broadcast explicitly
+        w.join(F.broadcast(v), "i")
         .select(
             F.col("i").cast("long").alias("dim_idx"),
             F.col("w").cast("long").alias("w3_raw"),
