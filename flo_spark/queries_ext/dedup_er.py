@@ -2558,8 +2558,13 @@ def fellegi_sunter_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    pat = pairs.groupBy("f_seg", "f_nat", "f_bal").agg(
-        F.count("*").alias("cnt")
+    # materialize the <=8-row pattern sufficient statistics (r9): the
+    # three per-field output branches below each recomputed the whole
+    # pair pool otherwise — 12 customer scans for an 8-row E/M step
+    pat = (
+        pairs.groupBy("f_seg", "f_nat", "f_bal")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     D = "DECIMAL(38,0)"
     e = pat.selectExpr(

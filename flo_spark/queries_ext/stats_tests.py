@@ -3384,9 +3384,19 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("period", "y", "o_orderkey")
         .agg(F.coalesce(F.min("hit"), F.lit(10)).alias("bin"))
     )
-    counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias("nb"),
-        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("nc"),
+    # materialize the 10-row bin census (r9): the totals fork below
+    # otherwise recomputes the whole binning pipeline — 8 orders scans
+    counts = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "base", 1).otherwise(0)).alias(
+                "nb"
+            ),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias(
+                "nc"
+            ),
+        )
+        .localCheckpoint()
     )
     tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
     return (

@@ -1712,15 +1712,15 @@ def watermark_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    # n_events folds out of the same per-user reduction (r9: a
+    # separate e.agg(count) branch cost a fourth corpus scan)
     tot = (
-        e.agg(F.count("*").alias("n_events"))
-        .crossJoin(
-            per_user.agg(
-                F.count("*").alias("n_users"),
-                F.sum(
-                    F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
-                ).alias("n_pairs"),
-            )
+        per_user.agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
+            ).alias("n_pairs"),
         )
         .crossJoin(
             inv.agg(
