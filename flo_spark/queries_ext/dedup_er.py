@@ -1504,10 +1504,16 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
     )
     D = "decimal(38,0)"
+    # materialize the term-frequency table once (r9): df, weights,
+    # norms, and the rare-word candidate generator all fork from it —
+    # recomputing re-tokenized the corpus on every branch (16 document
+    # scans); materializing the per-doc-term table IS the
+    # inverted-index build any production pipeline persists
     tf = (
         toks.select("doc_id", F.explode("ws").alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast(D).alias("tf"))
+        .localCheckpoint()
     )
     df = tf.groupBy("w").agg(F.count("*").cast(D).alias("df"))
     n = load(spark, sf_dir, "documents").agg(

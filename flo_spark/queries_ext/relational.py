@@ -3357,36 +3357,32 @@ def market_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 10000000"
         ).alias("band"),
     )
-    demand = (
-        o.filter(F.col("prio") == "1-URGENT")
+    # both curves fold out of ONE fact scan (r9: separate
+    # demand/supply/bands/surplus branches held 9 orders scans); the
+    # O(bands) census is materialized once and serves every fork,
+    # making the docstring's nothing-touches-the-fact-twice claim true
+    cs = (
+        o.filter(F.col("prio").isin("1-URGENT", "5-LOW"))
         .groupBy("band")
-        .agg(F.count("*").alias("nd"))
-    )
-    supply = (
-        o.filter(F.col("prio") == "5-LOW")
-        .groupBy("band")
-        .agg(F.count("*").alias("ns"))
-    )
-    bands = (
-        demand.select("band").union(supply.select("band")).distinct()
+        .agg(
+            F.sum(
+                F.when(F.col("prio") == "1-URGENT", 1).otherwise(0)
+            ).alias("nd"),
+            F.sum(F.when(F.col("prio") == "5-LOW", 1).otherwise(0)).alias(
+                "ns"
+            ),
+        )
+        .localCheckpoint()
     )
     wd = (
         Window.orderBy(F.col("band").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ws = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
-    curves = (
-        bands.join(demand, "band", "left")
-        .join(supply, "band", "left")
-        .select(
-            "band",
-            F.sum(F.coalesce(F.col("nd"), F.lit(0)))
-            .over(wd)
-            .alias("cum_demand"),
-            F.sum(F.coalesce(F.col("ns"), F.lit(0)))
-            .over(ws)
-            .alias("cum_supply"),
-        )
+    curves = cs.select(
+        "band",
+        F.sum("nd").over(wd).alias("cum_demand"),
+        F.sum("ns").over(ws).alias("cum_supply"),
     )
     clearing = (
         curves.filter(
@@ -3396,11 +3392,15 @@ def market_clearing_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("band").desc(), "cum_demand")
         .limit(1)
     )
+    # per-bid surplus collapses to band arithmetic: sum_b nd_b*(b - cb)
     surplus = (
-        o.filter(F.col("prio") == "1-URGENT")
-        .crossJoin(F.broadcast(clearing.select(F.col("band").alias("cb"))))
+        cs.crossJoin(F.broadcast(clearing.select(F.col("band").alias("cb"))))
         .filter(F.col("band") >= F.col("cb"))
-        .agg(F.sum(F.col("band") - F.col("cb")).alias("surplus"))
+        .agg(
+            F.sum((F.col("band") - F.col("cb")) * F.col("nd")).alias(
+                "surplus"
+            )
+        )
     )
     return clearing.crossJoin(F.broadcast(surplus)).select(
         F.col("band").cast("long").alias("clearing_band_1k"),

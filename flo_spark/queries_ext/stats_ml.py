@@ -4820,7 +4820,14 @@ def bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "loser"
         ),
     )
-    nw = duels.groupBy("winner", "loser").agg(F.count("*").alias("n"))
+    # materialize the O(sources^2) duel tally (r9): the pair
+    # symmetrization, win totals, and both MM rounds all fork from it
+    # — the un-checkpointed plan re-ran the corpus duel window 24x
+    nw = (
+        duels.groupBy("winner", "loser")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     a, b = nw.alias("a"), nw.alias("b")
     matches = (
         a.join(
@@ -5227,7 +5234,10 @@ def chain_ladder_development(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("d"),
     )
-    fd = ev.groupBy("user_id").agg(F.min("d").alias("c"))
+    # the first-day frame feeds both the age join and the cohort
+    # spine; materialize it (O(users) rows of 2 ints) so the forks
+    # don't each redo the corpus reduction (r9: 21 events scans)
+    fd = ev.groupBy("user_id").agg(F.min("d").alias("c")).localCheckpoint()
     mx = ev.agg(F.max("d").alias("maxd"))
     aged = (
         ev.join(fd, "user_id")
@@ -5245,11 +5255,14 @@ def chain_ladder_development(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") + F.col("age") <= F.col("maxd"))
         .select("c", "age")
     )
+    # the completed O(cohorts x 7) triangle is the fork point for
+    # factors, open cohorts, and the projection — materialize it once
     cum = (
         spine.join(inc.withColumnRenamed("age", "iage"), "c", "left")
         .filter(F.col("iage").isNull() | (F.col("iage") <= F.col("age")))
         .groupBy("c", "age")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("cum"))
+        .localCheckpoint()
     )
     n0 = cum.alias("n0")
     n1 = cum.alias("n1")
