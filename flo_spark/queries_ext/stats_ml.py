@@ -4472,10 +4472,14 @@ def neyman_allocation_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_h"),
         F.expr("sum(px) div count(*)").alias("mu"),
     )
+    # materialize the O(strata) dispersion table (r9): the total, the
+    # apportionment, and the remainder ranking all fork from it — the
+    # un-checkpointed plan re-ran the fact scans 8x for 5 rows
     spread = (
         o.join(F.broadcast(means), "prio")
         .groupBy("prio", "n_h")
         .agg(F.expr("sum(abs(px - mu)) div first(n_h)").alias("mad_h"))
+        .localCheckpoint()
     )
     w_total = spread.agg(
         F.sum(F.col("n_h") * F.col("mad_h")).alias("w_total")
@@ -5077,10 +5081,13 @@ def oaxaca_mix_rate_decomposition(
         .alias("period"),
         money_scaled(F.col("o_totalprice")).alias("y"),
     )
+    # materialize the O(segments x 2) moment table (r9): the totals
+    # fork and the A/B split otherwise each re-ran the fact scans —
+    # 8 orders scans for a 10-row decomposition
     seg_stats = px.groupBy("seg", "period").agg(
         F.count("*").alias("n"),
         F.expr("sum(y) div count(*)").alias("mean_y"),
-    )
+    ).localCheckpoint()
     tot = seg_stats.groupBy("period").agg(F.sum("n").alias("n_tot"))
     shares = seg_stats.join(F.broadcast(tot), "period").select(
         "seg",
@@ -5391,10 +5398,13 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         money_scaled(F.col("o_totalprice")).alias("y"),
     )
+    # materialize the O(groups) moment tables at both fork points
+    # (r9): grand mean, within-variance join, and the shrinkage
+    # output otherwise each re-ran the fact scan — 8 orders scans
     grp = o.groupBy("g").agg(
         F.count("*").alias("n_g"),
         F.expr("sum(y) div count(*)").alias("mu_g"),
-    )
+    ).localCheckpoint()
     grand = grp.agg(
         F.expr("sum(n_g * mu_g) div sum(n_g)").alias("mu"),
         F.count("*").alias("k"),
@@ -5414,6 +5424,7 @@ def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "btw_x1", F.expr("(mu_g - mu) * (mu_g - mu) div 100000000")
         )
+        .localCheckpoint()
     )
     tau = parts.agg(
         F.expr("sum(n_g * btw_x1) div sum(n_g)").alias("tau2_x1"),

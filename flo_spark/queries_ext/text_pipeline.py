@@ -3628,9 +3628,14 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     wf = words.groupBy("w").agg(F.count("*").alias("r"))
-    fof = wf.groupBy("r").agg(F.count("*").alias("n_r"))
-    tot = words.agg(F.count("*").alias("n_tokens")).crossJoin(
-        wf.agg(F.count("*").alias("vocab"))
+    # materialize the O(max r) frequency-of-frequencies table (r9) and
+    # derive the corpus totals from it algebraically (n_tokens =
+    # sum r*n_r, vocab = sum n_r): the p0/smoothing/total forks
+    # otherwise re-tokenized the corpus — 7 documents scans
+    fof = wf.groupBy("r").agg(F.count("*").alias("n_r")).localCheckpoint()
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"),
+        F.sum("n_r").alias("vocab"),
     )
     p0 = (
         fof.filter(F.col("r") == 1)
