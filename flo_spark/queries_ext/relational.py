@@ -2862,26 +2862,14 @@ def multitouch_attribution_models(
         .otherwise(0)
         .alias("last_credit"),
     )
-    models = (
-        labeled.select(
-            F.lit("linear").alias("model"),
-            "position",
-            F.col("linear_credit").alias("credit"),
-        )
-        .unionByName(
-            labeled.select(
-                F.lit("first_touch").alias("model"),
-                "position",
-                F.col("first_credit").alias("credit"),
-            )
-        )
-        .unionByName(
-            labeled.select(
-                F.lit("last_touch").alias("model"),
-                "position",
-                F.col("last_credit").alias("credit"),
-            )
-        )
+    # one stack() generator instead of a 3-way self-union (r9): the
+    # union recomputed the purchase-click touch join per model arm —
+    # 6 events scans for the same rows
+    models = labeled.selectExpr(
+        "position",
+        "stack(3, 'linear', linear_credit,"
+        " 'first_touch', CAST(first_credit AS BIGINT),"
+        " 'last_touch', CAST(last_credit AS BIGINT)) AS (model, credit)",
     )
     return models.groupBy("model", "position").agg(
         F.sum("credit").cast("long").alias("credit_x1e6"),

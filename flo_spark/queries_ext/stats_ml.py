@@ -3860,10 +3860,14 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         money_scaled(F.col("o_totalprice")).alias("px"),
     )
+    # materialize the O(priorities) training means and quantile table
+    # (r9): the calibration, test, and output forks each re-ran the
+    # fact scans otherwise — 6 orders scans for two 5-row frames
     tr = (
         o.filter(F.col("k") % 10 <= 5)
         .groupBy("prio")
         .agg(F.expr("sum(px) div count(*)").cast("long").alias("m"))
+        .localCheckpoint()
     )
     cal = (
         o.filter((F.col("k") % 10).isin(6, 7))
@@ -3884,7 +3888,7 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cal").cast("long").alias("n_cal"),
         F.col("rn").cast("long").alias("k_index"),
         F.col("score").cast("long").alias("qhat_x1e4"),
-    )
+    ).localCheckpoint()
     te = (
         o.filter(F.col("k") % 10 >= 8)
         .join(F.broadcast(tr), "prio")
@@ -5840,13 +5844,17 @@ def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of the PMI and entropy entries, and the splitting
     criterion a decision tree would use)."""
     ev = load(spark, sf_dir, "events")
+    # materialize the per-user entity table once (r9): the N ln N,
+    # label-entropy, and both feature contingency branches otherwise
+    # each re-ran the corpus reduction — 6 events scans; this makes
+    # the docstring's screens-over-the-reduced-table claim physical
     u = ev.groupBy("user_id").agg(
         F.least(F.expr("count(*) div 10"), F.lit(5)).alias("act_band"),
         (F.min("event_id") % 4).alias("entry_band"),
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
-    )
+    ).localCheckpoint()
     n_ln_n = u.agg(
         F.expr(
             "CAST(floor(count(*) * ln(count(*)) * 1e6 + 0.5) AS BIGINT)"
