@@ -5989,7 +5989,10 @@ def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv"),
         (F.col("user_id") % 2).alias("fold"),
-    )
+    ).localCheckpoint()
+    # ^ materialized once (r9): the train split feeds prior + two
+    # likelihood tables and the test split scores against them — the
+    # un-checkpointed plan re-ran the corpus reduction 5x
     tr = u.filter(F.col("fold") == 0)
     te = u.filter(F.col("fold") == 1)
     pri = tr.groupBy(F.col("conv").alias("c")).agg(

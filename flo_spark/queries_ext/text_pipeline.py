@@ -3752,24 +3752,26 @@ def kl_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), " "), lambda x: x != "")
         ).alias("w"),
     )
-    pc = (
-        words.filter(F.col("side") == "p")
-        .groupBy("w")
-        .agg(F.count("*").alias("np0"))
-    )
-    qc = (
-        words.filter(F.col("side") == "q")
-        .groupBy("w")
-        .agg(F.count("*").alias("nq0"))
-    )
-    vocab = words.select("w").distinct()
+    # both sides' smoothed counts fold out of ONE conditional
+    # aggregate over a single tokenize pass (r9: separate p/q/vocab
+    # branches re-exploded the corpus 3x, and the totals fork doubled
+    # it to 6 documents scans); the O(vocab) table is materialized
+    # for the totals + divergence forks
     cnt = (
-        vocab.join(pc, "w", "left")
-        .join(qc, "w", "left")
-        .select(
-            (F.coalesce(F.col("np0"), F.lit(0)) + 1).alias("np"),
-            (F.coalesce(F.col("nq0"), F.lit(0)) + 1).alias("nq"),
+        words.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("side") == "p", 1).otherwise(0)).alias(
+                "np0"
+            ),
+            F.sum(F.when(F.col("side") == "q", 1).otherwise(0)).alias(
+                "nq0"
+            ),
         )
+        .select(
+            (F.col("np0") + 1).alias("np"),
+            (F.col("nq0") + 1).alias("nq"),
+        )
+        .localCheckpoint()
     )
     tot = cnt.agg(
         F.sum("np").alias("tp"),
