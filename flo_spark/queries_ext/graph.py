@@ -1227,7 +1227,14 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # degree table checkpointed (r9): the rank initialization
+    # derives its node set from deg, which otherwise re-ran the
+    # whole edge-build scan chain alongside the persisted adjacency
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint()
+    )
     adj = edges.join(deg, "src").persist()
     seeds = (
         load(spark, sf_dir, "customer")
