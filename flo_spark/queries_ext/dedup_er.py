@@ -2913,12 +2913,20 @@ def grid_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_sum(1103515245, 12345, "xs"),
         signed_sum(2654435761, 99991, "ys"),
     )
-    cells = proj.select(
-        (
-            F.expr("((xs + 10000000) div 100000)") * 1000
-            + F.expr("((ys + 10000000) div 100000)")
-        ).alias("cell")
-    ).groupBy("cell").agg(F.count("*").alias("n"))
+    # materialize the O(cells) census once (r9): core/border/cluster/
+    # stats branches otherwise each re-projected every embedding —
+    # 5 corpus scans for grid-level work
+    cells = (
+        proj.select(
+            (
+                F.expr("((xs + 10000000) div 100000)") * 1000
+                + F.expr("((ys + 10000000) div 100000)")
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     core = cells.filter(F.col("n") >= 5)
     a = core.select(F.col("cell").alias("ca"))
     b = core.select(F.col("cell").alias("cb"))

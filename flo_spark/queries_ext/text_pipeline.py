@@ -2087,8 +2087,11 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda x: x != "").alias("ws")
     )
     uni = toks.select(F.explode("ws").alias("w"))
-    cu = uni.groupBy("w").agg(F.count("*").alias("c"))
-    nu = uni.agg(F.count("*").cast("decimal(38,0)").alias("nu"))
+    # vocabulary counts materialized once (r9): both PMI margins join
+    # against them and the unigram total is their own sum — the
+    # un-checkpointed plan re-tokenized the corpus 5x
+    cu = uni.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint()
+    nu = cu.agg(F.sum("c").cast("decimal(38,0)").alias("nu"))
     big = (
         toks.filter(F.size("ws") > 1)
         .select(
@@ -3538,8 +3541,14 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
-    toks = words.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    nd = words.agg(F.max("doc_id").alias("max_doc"))
+    # per-doc token counts materialized once (r9); the max-doc probe
+    # reads it instead of re-tokenizing the corpus a third time
+    toks = (
+        words.groupBy("doc_id")
+        .agg(F.count("*").alias("n_toks"))
+        .localCheckpoint()
+    )
+    nd = toks.agg(F.max("doc_id").alias("max_doc"))
     deciles = spark.range(2, 11).select(F.col("id").alias("decile"))
     checkpoints = deciles.crossJoin(F.broadcast(nd)).select(
         "decile",
