@@ -309,6 +309,9 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("lo", "hi")
+        # O(edges) frame materialized once (r9): the symmetrization
+        # union otherwise runs the lineitem self-join twice
+        .localCheckpoint()
     )
     sym = (
         e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
@@ -416,6 +419,9 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("lo", "hi")
+        # O(edges) frame materialized once (r9): the symmetrization
+        # union otherwise runs the lineitem self-join twice
+        .localCheckpoint()
     )
     sym = (
         e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
@@ -521,6 +527,9 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("lo", "hi")
+        # O(edges) frame materialized once (r9): the symmetrization
+        # union otherwise runs the lineitem self-join twice
+        .localCheckpoint()
     )
     sym = (
         e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
@@ -1109,6 +1118,9 @@ def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("lo", "hi")
+        # O(edges) frame materialized once (r9): the symmetrization
+        # union otherwise runs the lineitem self-join twice
+        .localCheckpoint()
     )
     sym = (
         e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
