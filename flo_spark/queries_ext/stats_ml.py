@@ -3559,10 +3559,13 @@ def motif_discovery_daily_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         spark.range(24).select(F.col("id").alias("h"))
     )
+    # dense O(days x 24) profile materialized once (r9): the all-pairs
+    # self-join otherwise re-ran the corpus spine build twice
     prof = (
         grid.join(ev.withColumn("one", F.lit(1)), ["day", "h"], "left")
         .groupBy("day", "h")
         .agg(F.count("one").alias("v"))
+        .localCheckpoint()
     )
     a = prof.selectExpr("day AS day_a", "h", "v AS va")
     b = prof.selectExpr("day AS day_b", "h AS hb", "v AS vb")
@@ -6983,12 +6986,15 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2 stats rows; the joint-geometry member of the outlier family:
     z-score, MAD, grid density, and now correlation-aware)."""
     ev = load(spark, sf_dir, "events")
+    # per-user reduction materialized once (r9): the co-moment,
+    # scoring, worst-user, and census branches otherwise each re-ran
+    # the corpus reduction — 4 events scans
     u = ev.groupBy("user_id").agg(
         F.count("*").alias("x"),
         F.expr(
             "sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) div 10000"
         ).alias("y"),
-    )
+    ).localCheckpoint()
     m = u.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),

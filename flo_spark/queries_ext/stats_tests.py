@@ -191,12 +191,15 @@ def chi_square_crosstab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(ts) div 86400000000) % 7").alias("dowi"),
     )
     D = "decimal(38,0)"
+    # the contingency cells are the sufficient statistic: row totals,
+    # column totals, and N all fold out of the materialized
+    # O(types x 7) table (r9: four separate corpus aggregates before)
     o = base.groupBy("event_type", "dowi").agg(
         F.count("*").cast(D).alias("obs")
-    )
-    r = base.groupBy("event_type").agg(F.count("*").cast(D).alias("rt"))
-    c = base.groupBy("dowi").agg(F.count("*").cast(D).alias("ct"))
-    n = base.agg(F.count("*").cast(D).alias("nt"))
+    ).localCheckpoint()
+    r = o.groupBy("event_type").agg(F.sum("obs").cast(D).alias("rt"))
+    c = o.groupBy("dowi").agg(F.sum("obs").cast(D).alias("ct"))
+    n = o.agg(F.sum("obs").cast(D).alias("nt"))
     return (
         o.join(r, "event_type")
         .join(c, "dowi")
@@ -3153,9 +3156,12 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.count("*").alias("cnt"))
+    # O(hours) indexed series materialized once (r9): the lagged
+    # self-join and the base-variance fork otherwise each re-ran the
+    # corpus reduction — 4 events scans
     series = hourly.select(
         "cnt", F.row_number().over(Window.orderBy("bucket")).alias("i")
-    )
+    ).localCheckpoint()
     qs = spark.createDataFrame([(1,), (2,), (4,), (8,)], "q int")
     a = series.alias("a")
     b = series.select(

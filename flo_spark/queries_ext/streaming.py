@@ -2443,8 +2443,15 @@ def consistent_hashing_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     systems rows; the placement-layer sibling of
     skew_salted_join_types and zorder_morton_key)."""
     ev = load(spark, sf_dir, "events")
-    keys = ev.select("user_id").distinct().withColumn(
-        "kpos", (F.col("user_id") * 1103515245 + 12345) % 1000000007
+    # distinct key set materialized once (r9): both ring assignments
+    # reference it twice each — 4 corpus scans before
+    keys = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "kpos", (F.col("user_id") * 1103515245 + 12345) % 1000000007
+        )
+        .localCheckpoint()
     )
 
     def ring(n_shards: int) -> DataFrame:

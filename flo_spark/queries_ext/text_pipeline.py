@@ -1929,24 +1929,28 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
     )
     words = toks.select("doc_id", "lang", F.explode("ws").alias("w"))
-    ct = (
-        words.filter(F.col("lang") == "en")
-        .groupBy("w")
-        .agg(F.count("*").alias("ct"))
-    )
-    cr = (
-        words.filter(F.col("lang") != "en")
-        .groupBy("w")
-        .agg(F.count("*").alias("cr"))
-    )
-    ratio = cr.join(ct, "w", "left").select(
-        "w",
-        F.floor(
-            (10000 * (F.coalesce(F.col("ct"), F.lit(0)) + 1))
-            / (F.col("cr") + 1)
+    # target and raw counts fold out of ONE conditional aggregate and
+    # the O(vocab) table is materialized (r9: separate en/non-en
+    # branches each re-tokenized the corpus); keys restricted to
+    # raw-side words exactly as the old cr-left-join did
+    ratio = (
+        words.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "ct"
+            ),
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias(
+                "cr"
+            ),
         )
-        .cast("long")
-        .alias("r"),
+        .filter(F.col("cr") > 0)
+        .select(
+            "w",
+            F.floor((10000 * (F.col("ct") + 1)) / (F.col("cr") + 1))
+            .cast("long")
+            .alias("r"),
+        )
+        .localCheckpoint()
     )
     doc_scores = (
         words.filter(F.col("lang") != "en")
