@@ -2102,11 +2102,14 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("a_key"), F.col(f"k{k}").alias("b_key")
         )
         cand = p if cand is None else cand.unionAll(p)
-    cand = cand.persist()
+    # eager checkpoints (r9): lazy persist left the full window
+    # lineage in every fork's plan — candidates are O(2(w-1)n) keys,
+    # truth O(n/10); both serve the census forks without re-sorting
+    cand = cand.localCheckpoint()
     truth = plant.select(
         F.col("c_custkey").alias("a_key"),
         (F.col("c_custkey") + 10000000).alias("b_key"),
-    )
+    ).localCheckpoint()
     both = cand.unionAll(
         cand.select(F.col("b_key").alias("a_key"), F.col("a_key").alias("b_key"))
     )
