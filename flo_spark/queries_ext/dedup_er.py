@@ -1516,9 +1516,11 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     df = tf.groupBy("w").agg(F.count("*").cast(D).alias("df"))
+    # 1-row corpus count checkpointed (r9): it rides inside the
+    # weight frame, which the norm and both dot-product legs rebuild
     n = load(spark, sf_dir, "documents").agg(
         F.count("*").cast(D).alias("n")
-    )
+    ).localCheckpoint()
     wt = (
         tf.join(df, "w")
         .crossJoin(F.broadcast(n))

@@ -1248,6 +1248,8 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     adj = edges.join(deg, "src").persist()
+    # seed set checkpointed (r9): the rank init and every round's
+    # teleport flag re-scanned the customer dim otherwise
     seeds = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -1257,6 +1259,7 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
+        .localCheckpoint()
     )
     ranks = (
         deg.select(F.col("src").alias("node"))

@@ -4857,10 +4857,13 @@ def bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     srcs = d.select(F.col("source").alias("src")).distinct()
+    # O(sources) win totals checkpointed (r9): the MM rounds and the
+    # final join each rebuilt them — and srcs re-scanned the corpus
     wins = (
         srcs.join(nw, srcs["src"] == nw["winner"], "left")
         .groupBy("src")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("wins"))
+        .localCheckpoint()
     )
     p = wins.select("src", F.lit(1000000).cast("long").alias("p"))
     strengths = []

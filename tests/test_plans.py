@@ -1118,3 +1118,69 @@ def test_r9_psi_no_cartesian(spark, sf_dir):
     from flo_spark import queries_ext as QX
 
     assert_no_cartesian(QX.psi_population_stability(spark, sf_dir))
+
+
+# -- r9 fork-rescan regression pins ----------------------------------
+# Catalyst recomputes forked lineage from the raw scan, so entries
+# that fork a derived frame regress silently if a checkpoint is
+# dropped.  Bounds are the audited post-fix same-table scan counts
+# (static, from the formatted plan; checkpointed frames show 0).
+
+RESCAN_BOUNDS = {
+    "pca_power_iteration": 1,
+    "ljung_box_hourly": 1,
+    "acf_hourly_lags": 1,
+    "holt_linear_trend": 1,
+    "holt_winters_seasonal": 1,
+    "seasonal_decompose_hourly": 1,
+    "fellegi_sunter_em_round": 4,
+    "psi_population_stability": 1,
+    "kaplan_meier_survival": 1,
+    "logrank_test_survival": 1,
+    "watermark_disorder_audit": 3,
+    "blocking_quality_metrics": 2,
+    "lindley_queue_replay": 2,
+    "bradley_terry_ranking": 2,
+    "chain_ladder_development": 1,
+    "tfidf_cosine_pairs_topk": 2,
+    "market_clearing_price": 1,
+    "neyman_allocation_sampling": 2,
+    "empirical_bayes_shrinkage": 2,
+    "oaxaca_mix_rate_decomposition": 2,
+    "good_turing_unseen_mass": 1,
+    "multitouch_attribution_models": 2,
+    "conformal_interval_coverage": 3,
+    "information_gain_features": 1,
+    "kl_js_divergence_sources": 1,
+    "naive_bayes_classify": 1,
+    "grid_dbscan_embeddings": 1,
+    "pmi_collocations_topk": 3,
+    "heaps_law_vocab_growth": 2,
+    "mahalanobis_outliers_2d": 1,
+    "chi_square_crosstab_audit": 1,
+    "variance_ratio_test": 1,
+    "motif_discovery_daily_ssd": 2,
+    "consistent_hashing_ring": 1,
+    "dsir_importance_resample": 3,
+    "community_label_propagation": 2,
+    "kcore_copurchase_peel": 2,
+    "copurchase_hop_distance": 2,
+    "kcore_peel_census": 2,
+    "personalized_pagerank_seeds": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(RESCAN_BOUNDS))
+def test_r9_no_fork_rescans(spark, sf_dir, name):
+    import re
+    from collections import Counter
+
+    from flo_spark import queries as Q2
+
+    df = Q2.REGISTRY[name].fn(spark, sf_dir)
+    plan = explain_str(df)
+    per_table = Counter(
+        re.findall(r"Location:.*?/(\w+)\.parquet", plan)
+    )
+    worst = max(per_table.values(), default=0)
+    assert worst <= RESCAN_BOUNDS[name], (name, dict(per_table))
