@@ -148,3 +148,31 @@ def test_lindley_closed_form_matches_sequential_replay(spark, tmp_path, gaps):
         final_w,
         max_w,
     )
+
+
+def test_tree_digest_property_random_layouts(spark):
+    """Randomized layouts (duplicate-free ids in arbitrary hour
+    placements, including chunk/superchunk boundary straddles) must
+    all match the sequential reference — pins the grouping keys, the
+    sort keys, and the md5 composition against layout assumptions."""
+    import random
+
+    rng = random.Random(0xF10)
+    for trial in range(6):
+        n = rng.randint(1, 80)
+        ids = rng.sample(range(0, 10000), n)
+        rows = [
+            (
+                eid,
+                _T0 + timedelta(
+                    hours=rng.randint(0, 5), seconds=rng.randint(0, 3599)
+                ),
+                rng.randint(0, 9),
+                rng.choice(["a", "b", "c"]),
+            )
+            for eid in ids
+        ]
+        assert _digest_rows(spark, rows) == _ref_tree_digest(rows), (
+            trial,
+            n,
+        )
