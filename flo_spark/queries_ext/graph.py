@@ -79,7 +79,12 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted; each round shuffles messages by dst — O(|E|) per round,
     no driver-side state.  Deep iteration adds localCheckpoint every
     few rounds to cut lineage (the operators/graph.py discipline);
-    top-20 compiles to TakeOrderedAndProject, never a global sort."""
+    top-20 compiles to TakeOrderedAndProject, never a global sort.
+    r9 optimization: the distinct edge list ``e0`` is checkpointed —
+    the degree table and the round-0 rank frame previously re-derived
+    it from the orders x lineitem join per fork (6 corpus scans of
+    each fact in the static plan, now one), the fix the uncertified
+    graph siblings took in the r9 scale-hardening pass."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -89,6 +94,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -155,11 +161,16 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase structure (one shared order is noise) and keeps it
     sparse at every SF.  The oracle counts the same triangles with
     the orientation-free a<b<c 3-way join — a different algorithm
-    reaching the same exact integer."""
+    reaching the same exact integer.
+
+    r9 optimization: the distinct basket table ``lp`` is checkpointed —
+    both sides of the co-occurrence self-join previously re-derived it
+    from the raw scan (2 lineitem scans in the static plan, now one)."""
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (

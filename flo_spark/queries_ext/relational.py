@@ -10,7 +10,7 @@ entry here does NOT perturb existing ``queries()`` positions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flo_spark.queries import (
@@ -1146,7 +1146,18 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-broadcasts when small, degrades to a key shuffle at scale);
     the scalar domain checks are scan-stage conditional counts that
     collapse into one pass per table.  No driver-side data — the
-    result is seven 1-row aggregates unioned at plan level."""
+    result is eight 1-row aggregates unioned at plan level.
+
+    r9 optimization (guide §2.3/§2.4): the per-constraint counts no
+    longer each pay their own scan — the orders key census (groupBy
+    o_orderkey) is checkpointed once and serves BOTH the pk-uniqueness
+    count and the lineitem FK anti-join's build side (a distinct key
+    list, provably equal for anti-join semantics), and the per-table
+    domain checks fold into ONE conditional aggregate per table
+    (sum(when) == count(filter), null predicates land in otherwise(0)
+    exactly as a filter drops them), unpivoted with stack().  Static
+    plan: orders 5 -> 2 scans, lineitem 3 -> 2, customer 2 (the FK
+    probe side and the null check read disjoint single columns)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")
@@ -1156,36 +1167,51 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("constraint_name"), "n_violations"
         )
 
-    dup_pk = (
-        o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    def cnt(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("key_cnt"))
+        .localCheckpoint()
     )
+    dup_pk = keys.filter(F.col("key_cnt") > 1)
     fk_cust = o.join(
         c, o["o_custkey"] == c["c_custkey"], "left_anti"
     )
     fk_ord = li.join(
-        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+        keys.select("o_orderkey"),
+        li["l_orderkey"] == keys["o_orderkey"],
+        "left_anti",
+    )
+    li_scalar = li.agg(
+        cnt(F.col("l_quantity") <= 0).alias("qty"),
+        cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("disc"),
+    ).selectExpr(
+        "stack(2, 'lineitem_qty_positive', qty,"
+        " 'lineitem_discount_domain', disc)"
+        " AS (constraint_name, n_violations)"
+    )
+    # the totalprice cap is a soft expectation that HAS violations by
+    # design: with every hard constraint at zero, a checker that always
+    # returned 0 would pass vacuously — that row proves the counting path
+    o_scalar = o.agg(
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("status"),
+        cnt(F.col("o_totalprice") > 300000).alias("cap"),
+    ).selectExpr(
+        "stack(2, 'orders_status_domain', status,"
+        " 'orders_totalprice_cap_300k', cap)"
+        " AS (constraint_name, n_violations)"
     )
     checks = [
         one("orders_pk_unique", dup_pk),
         one("orders_fk_customer", fk_cust),
         one("lineitem_fk_orders", fk_ord),
-        one("lineitem_qty_positive", li.filter(F.col("l_quantity") <= 0)),
-        one(
-            "lineitem_discount_domain",
-            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
-        ),
-        one(
-            "orders_status_domain",
-            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
-        ),
+        li_scalar,
+        o_scalar,
         one("customer_acctbal_not_null", c.filter(F.col("c_acctbal").isNull())),
-        # a soft expectation that HAS violations by design: with every
-        # hard constraint at zero, a checker that always returned 0
-        # would pass vacuously — this row proves the counting path
-        one(
-            "orders_totalprice_cap_300k",
-            o.filter(F.col("o_totalprice") > 300000),
-        ),
     ]
     out = checks[0]
     for ch in checks[1:]:

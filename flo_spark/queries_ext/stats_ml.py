@@ -162,12 +162,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any shuffle (predicate reaches the parquet scan); joins are
     user_id-keyed against already-reduced per-user frames that shrink
     monotonically down the funnel.  No windows over the raw event
-    stream, no driver-side state."""
+    stream, no driver-side state.  r9 optimization: t1/t2 are
+    checkpointed O(users) frames — each stage and each count branch
+    previously re-derived the upstream stages from the raw scan
+    (6 corpus scans in the static plan); now exactly one pushed-filter
+    scan per stage, the floor without per-user event arrays."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     t1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts1"))
+        .localCheckpoint()
     )
     t2 = (
         ev.filter(F.col("event_type") == "click")
@@ -175,6 +180,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("ts1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts2"))
+        .localCheckpoint()
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -358,11 +364,17 @@ def copurchase_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by order (baskets are small, so the blow-up is sum of
     basket^2, not corpus^2); support >= 2 prunes the pair tail before
     the frequency joins; the scalar order count is a 1-row broadcast;
-    top-50 compiles to TakeOrderedAndProject."""
+    top-50 compiles to TakeOrderedAndProject.  r9 optimization: the
+    distinct basket table ``lp`` is checkpointed — its four consumers
+    (order count, part frequencies, both sides of the pair self-join)
+    previously each re-derived it from the raw scan (5 corpus scans in
+    the static plan, now one), the same materialize-the-index shape as
+    tfidf_cosine_pairs_topk."""
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     n = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
@@ -462,24 +474,14 @@ def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the window runs over the tiny dense spine.  (A single
     unpartitioned time-ordered window is spine-sized here; at
     century-scale spines, partition by coarse time and overlap 24
-    rows.)"""
+    rows.)  r9 optimization: the spine comes from the shared
+    checkpointed ``_dense_hourly_counts`` helper — the max-hour probe
+    and the dense join previously re-derived the hour projection from
+    the raw events scan (2 corpus scans in the static plan), now one."""
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
     tw = Window.orderBy("hour").rowsBetween(-24, -1)
     w = (
         c.withColumn("n_prev", F.count("*").over(tw))
@@ -556,7 +558,9 @@ def ewma_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential (truncating division breaks the linearity that
     would admit a parallel prefix scan); the float variant composes
     associatively and could segment-scan — the entry trades that for
-    cross-engine exactness, and says so."""
+    cross-engine exactness, and says so.  r9 optimization: the spine
+    comes from the shared checkpointed ``_dense_hourly_counts`` helper
+    (was 2 corpus scans — max-hour probe + dense join — now one)."""
     from collections.abc import Iterator  # noqa: F401
 
     import pandas as pd
@@ -564,20 +568,7 @@ def ewma_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("hour").reset_index(drop=True)
@@ -1014,24 +1005,15 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the corpus-scale work is the hourly
     pre-aggregation; the prefix window and argmax run over the tiny
-    dense spine; top-1 is TakeOrderedAndProject."""
+    dense spine; top-1 is TakeOrderedAndProject.  r9 optimization: the
+    spine comes from the shared checkpointed ``_dense_hourly_counts``
+    helper — the max-hour probe, the dense join, and the ``tot`` fork
+    previously re-derived from the raw scan (4 corpus scans in the
+    static plan), now one."""
     ev = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour")
     )
-    h1 = ev.agg(F.max("hour").alias("h1"))
-    hours = h1.select(
-        F.explode(
-            F.expr(
-                "sequence(timestamp '2024-01-01 00:00:00', h1,"
-                " interval 1 hour)"
-            )
-        ).alias("hour")
-    )
-    c = (
-        hours.join(ev.withColumn("one", F.lit(1)), "hour", "left")
-        .groupBy("hour")
-        .agg(F.count("one").alias("cnt"))
-    )
+    c = _dense_hourly_counts(ev)
     tot = c.agg(
         F.count("*").alias("n"), F.sum("cnt").alias("total")
     )
@@ -2904,14 +2886,17 @@ def discrete_hazard_lifetable(
     at-risk set is a spine-sized cumulative complement, not a rescan.
     Reference scope: flo has no analytics surface — north-star
     extension (SURVEY §2 Part B event analytics, next to
-    cohort_retention's calendar triangle)."""
+    cohort_retention's calendar triangle).  r9 optimization: the
+    O(users) span frame is checkpointed — the user-count fork
+    previously re-derived it from the raw scan (2 corpus scans in the
+    static plan, now one)."""
     ev = load(spark, sf_dir, "events")
     life = ev.groupBy("user_id").agg(
         F.expr(
             "(unix_micros(max(ts)) - unix_micros(min(ts)))"
             " div 604800000000"
         ).alias("wk")
-    )
+    ).localCheckpoint()
     n = life.agg(F.count("*").alias("n_users"))
     evt = life.groupBy("wk").agg(F.count("*").alias("events"))
     w = Window.orderBy("wk").rowsBetween(

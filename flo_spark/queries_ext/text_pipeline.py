@@ -1038,7 +1038,12 @@ def perplexity_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates c2, and scoring joins db->c2 on the 2-word key and
     ->c1 on w1, both AQE-planned shuffles keyed on model keys (a
     100 TB corpus LM does not broadcast); the vocabulary size is a
-    single-row broadcast.  No Python anywhere in the path."""
+    single-row broadcast.  No Python anywhere in the path.
+    r9 optimization: the per-doc bigram-multiplicity table ``db`` is
+    checkpointed — the production recipe materializes the LM training
+    counts once; previously c2, c1, and the scoring join each
+    re-derived db from the raw corpus scan (4 documents scans in the
+    static plan, now 1: the vocabulary pass)."""
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n = F.size(words)
@@ -1058,6 +1063,7 @@ def perplexity_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("m"))
+        .localCheckpoint()
     )
     c2 = db.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
     c1 = c2.groupBy(F.col("w1").alias("__w1")).agg(
@@ -1396,7 +1402,11 @@ def boilerplate_chunk_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an in-group sort.  The corpus-size scalar is a 1-row broadcast
     (no driver collect).  The frequency threshold is RELATIVE
     (df * 200 <= n_docs), so the operator's behavior is stable as the
-    corpus grows."""
+    corpus grows.  r9 optimization: the exploded chunk table ``c`` is
+    checkpointed — its three consumers (document frequencies, the
+    verdict join, per-doc chunk totals) previously each re-derived it
+    from the raw corpus scan (4 documents scans in the static plan,
+    now 2: the chunk build and the 1-row corpus count)."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
@@ -1409,7 +1419,9 @@ def boilerplate_chunk_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(ws, i*3 + 1, 3), ' '))"
             )
         ).alias("idx", "chunk"),
-    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    ).select(
+        "doc_id", F.col("idx").cast("long").alias("idx"), "chunk"
+    ).localCheckpoint()
     dfreq = c.groupBy("chunk").agg(F.countDistinct("doc_id").alias("df"))
     kept = (
         c.join(dfreq, "chunk")

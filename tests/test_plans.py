@@ -1167,6 +1167,19 @@ RESCAN_BOUNDS = {
     "copurchase_hop_distance": 2,
     "kcore_peel_census": 2,
     "personalized_pagerank_seeds": 3,
+    # r9 optimization round: the certified re-window candidates from
+    # the scale-hardening audit, fixed this round (OPTIMIZATION_r09.md)
+    "pagerank_customer_supplier": 1,
+    "triangle_count_copurchase": 1,
+    "anomaly_zscore_hourly": 1,
+    "ewma_hourly_trend": 1,
+    "cusum_changepoint_hourly": 1,
+    "funnel_conversion": 3,
+    "constraint_audit": 2,
+    "copurchase_lift_topk": 1,
+    "perplexity_bigram_filter": 1,
+    "boilerplate_chunk_strip": 2,
+    "discrete_hazard_lifetable": 1,
 }
 
 
