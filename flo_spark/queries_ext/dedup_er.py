@@ -442,6 +442,11 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
+    # the 16-byte (doc, hash) stream is checkpointed once: the
+    # dup-key census and the doc-side re-join both derive from it —
+    # un-cut lineage re-scanned and re-exploded the corpus per fork
+    # (2 scans, r9 audit; now 1)
+    tri = tri.localCheckpoint()
     dup = tri.groupBy("h").agg(
         (F.count_distinct("doc_id") > 1).alias("is_dup")
     )
@@ -1646,7 +1651,9 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("bal_x100", k).over(w).alias(f"b{k}")
             for k in (1, 2)
         ],
-    )
+    ).localCheckpoint()  # the gap-1/gap-2 union legs both derive
+    # from this windowed frame — un-cut lineage re-sorted and
+    # re-scanned customer per leg (2 scans, r9 audit; now 1)
     pairs = None
     for k in (1, 2):
         p = o.filter(F.col(f"k{k}").isNotNull()).select(
@@ -1742,8 +1749,15 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_key", F.md5(F.substring("text", 1, 80))
     )
     wk = Window.partitionBy("cluster_key")
-    members = docs.withColumn("n_members", F.count("*").over(wk)).filter(
-        F.col("n_members") > 1
+    # membership frame, checkpointed WITHOUT the text payload (the
+    # key is already derived): it feeds the canonical-field window,
+    # the language vote, and the cluster rollup — un-cut lineage
+    # re-scanned documents per fork (3 scans, r9 audit; now 1)
+    members = (
+        docs.withColumn("n_members", F.count("*").over(wk))
+        .filter(F.col("n_members") > 1)
+        .select("cluster_key", "doc_id", "n_chars", "lang", "source")
+        .localCheckpoint()
     )
     canon = (
         members.withColumn(
@@ -2335,6 +2349,10 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  At scale the labeled pairs come from clerical review
     or EM — the scorer is unchanged.  Reference scope: flo has no ER
     surface — north-star extension (SURVEY §2 Part B dedup family)."""
+    # 4-column base, checkpointed: seeds/copies/next-candidates all
+    # derive from it and the labeled-pair build joined them pairwise —
+    # un-cut lineage re-scanned customer per fork (4 scans, r9 audit;
+    # now 1)
     base = load(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -2342,7 +2360,7 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
         ).alias("bal_c"),
-    )
+    ).localCheckpoint()
     seeds = base.filter(F.col("c_custkey") % 10 == 0)
     copies = seeds.select(
         (F.col("c_custkey") + 10000000).alias("ck"),

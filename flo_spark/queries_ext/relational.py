@@ -819,14 +819,19 @@ def dense_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "hour", F.date_trunc("hour", F.col("ts"))
     )
+    # reduce FIRST, then derive the range bounds and the type
+    # dimension from the reduced (hour, type) table — every observed
+    # hour/type appears in counts, so the derived values are
+    # identical — and checkpoint it: un-cut lineage re-scanned events
+    # per fork (3 scans, r9 audit; now 1)
     counts = ev.groupBy("hour", "event_type").agg(
         F.count("*").alias("n")
-    )
-    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    ).localCheckpoint()
+    bounds = counts.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     hours = bounds.select(
         F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     spine = hours.crossJoin(types)
     return (
         spine.join(counts, ["hour", "event_type"], "left")
@@ -1999,6 +2004,10 @@ def proximity_join_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts)").alias("us"),
             "value",
         )
+        # checkpointed: both sides of the grid self-join derive from
+        # it — un-cut lineage re-scanned events per side (2 scans,
+        # r9 audit; now 1)
+        .localCheckpoint()
     )
     TB = 7200000000  # 2 h in microseconds == the time threshold
     VB = 20.0
@@ -2530,10 +2539,14 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile sketch (quantile_sketch_mergeable) at a stated rank
     error.  Reference scope: flo has no analytics surface —
     north-star extension (SURVEY §2 Part B statistics)."""
+    # O(keys) cardinality table, checkpointed: it feeds the scalar
+    # stats, the rank window, and (via s) two scalar joins — un-cut
+    # lineage re-scanned orders per fork (3 scans, r9 audit; now 1)
     k = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     s = k.agg(
         F.count("*").alias("n_keys"),
@@ -3139,9 +3152,12 @@ def decayed_trending_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally (decayed_sum' = decayed_sum * decay + new).
     North-star extension (SURVEY §2 stats rows; the recency-weighted
     sibling of copurchase_lift_topk and ewma_hourly_trend)."""
+    # 2-column order-date projection, checkpointed: it feeds the
+    # horizon aggregate AND the star join — un-cut lineage re-scanned
+    # orders per fork (2 scans, r9 audit; now 1)
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
-    )
+    ).localCheckpoint()
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", money_scaled(F.col("l_extendedprice")).alias("px")
     )
@@ -3483,12 +3499,16 @@ def vickrey_second_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("item").orderBy(
         F.col("bid").desc(), "l_orderkey", "l_linenumber"
     )
+    # ranked-bid frame checkpointed: it feeds the winner AND the
+    # second-price extraction — un-cut lineage re-ran the per-item
+    # window and re-scanned lineitem per fork (2 scans, r9 audit;
+    # now 1, and the window runs once)
     bids = li.select(
         "item",
         "bid",
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy("item")).alias("n_bids"),
-    )
+    ).localCheckpoint()
     wtop = bids.filter((F.col("rk") == 1) & (F.col("n_bids") >= 2)).select(
         "item", F.col("bid").alias("win_bid")
     )

@@ -556,7 +556,13 @@ def approx_topk_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution matters; the exact verification side is one key
     shuffle."""
     ev = load(spark, sf_dir, "events")
-    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    # O(types) exact side, checkpointed: it feeds the kth-count cut
+    # AND the verification join — un-cut lineage re-scanned events per
+    # fork (3 scans, r9 audit; now 2: this pass plus the sketch pass,
+    # which MUST run on the raw stream — it is the operator under test)
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_exact")
+    ).localCheckpoint()
     kth = (
         exact.orderBy(F.col("n_exact").desc())
         .limit(3)
@@ -749,14 +755,23 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental distinct (the Count-Min/theta store recipe, error
     -free for integer keys)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("ev_bitmap_v")
+    # the (group, bucket) bitmap partials feed BOTH scopes; Catalyst
+    # inlines a CTE referenced twice, so the one-CTE form re-scanned
+    # events per scope (2 scans, r9 audit) — materialize the partials
+    # once (O(groups x buckets) bitmaps) and fold both scopes from
+    # the checkpoint (now 1 scan), which IS the re-aggregation story
+    # the docstring tells
+    spark.sql(
+        """
+        SELECT event_type,
+               bitmap_bucket_number(user_id) AS bk,
+               bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        FROM ev_bitmap_v GROUP BY 1, 2
+        """
+    ).localCheckpoint().createOrReplaceTempView("ev_bitmap_b")
     return spark.sql(
         """
-        WITH b AS (
-          SELECT event_type,
-                 bitmap_bucket_number(user_id) AS bk,
-                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
-          FROM ev_bitmap_v GROUP BY 1, 2
-        ),
+        WITH b AS (SELECT * FROM ev_bitmap_b),
         per_type AS (
           SELECT event_type AS scope,
                  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_exact

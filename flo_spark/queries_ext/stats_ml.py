@@ -233,12 +233,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced frames, one final small-key aggregate.  The raw event
     stream is scanned once, two columns wide."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # 2-column (user, week) base, checkpointed: it feeds the
+    # first-week reduction AND the activity distinct — un-cut lineage
+    # re-scanned events per fork (2 scans, r9 audit; now 1)
     w = ev.select(
         "user_id",
         F.expr(
             "datediff(cast(ts as date), date '2024-01-01') div 7"
         ).alias("week"),
-    )
+    ).localCheckpoint()
     first_w = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = w.distinct()
     return (
@@ -785,9 +788,13 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_returnflag").orderBy("p")
     wn = Window.partitionBy("l_returnflag")
+    # ranked frame checkpointed: it feeds the cut extraction AND the
+    # clamped aggregate — un-cut lineage re-ran the rank window and
+    # re-scanned lineitem per fork (2 scans, r9 audit; now 1, and the
+    # per-group sort runs once)
     rk = v.withColumn("i", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(wn)
-    )
+    ).localCheckpoint()
     cuts = rk.groupBy("l_returnflag").agg(
         F.max(
             F.when(
@@ -872,10 +879,13 @@ def lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = spend.withColumn(
         "decile", F.ntile(10).over(Window.orderBy("s", "o_custkey"))
     )
+    # 10-row decile table, checkpointed: it feeds the total AND the
+    # cumulative output — un-cut lineage re-scanned orders per fork
+    # (2 scans, r9 audit; now 1)
     d = rk.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.sum("s").alias("ds"),
-    )
+    ).localCheckpoint()
     t = d.agg(F.sum("ds").alias("total"))
     cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -938,9 +948,13 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
         F.col("next_type").isNotNull()
     )
+    # O(types^2) transition counts, checkpointed: it feeds the
+    # per-state normalizer AND the output join — un-cut lineage
+    # re-ran the per-user window and re-scanned events per fork
+    # (2 scans, r9 audit; now 1)
     c = seq.groupBy(
         F.col("event_type").alias("cur"), F.col("next_type").alias("nxt")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint()
     t = c.groupBy("cur").agg(F.sum("n").alias("total"))
     return c.join(t, "cur").select(
         "cur",
@@ -1183,9 +1197,13 @@ def robust_scaler_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     w = Window.partitionBy("source").orderBy("n_chars")
     wn = Window.partitionBy("source")
+    # ranked frame checkpointed: it feeds the quartile extraction AND
+    # the scaling pass — un-cut lineage re-ran the per-source rank
+    # window and re-scanned documents per fork (2 scans, r9 audit;
+    # now 1, and the sort runs once)
     rk = d.withColumn("i", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(wn)
-    )
+    ).localCheckpoint()
 
     def at(q):
         return F.max(
@@ -1494,7 +1512,10 @@ def gapfill_locf_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_scaled(F.col("value")).alias("cents"),
         )
     )
-    obs = e.groupBy("hour").agg(F.sum("cents").alias("v"))
+    # O(hours) observed table, checkpointed: it feeds the spine
+    # bounds AND the gap-fill join — un-cut lineage re-scanned events
+    # per fork (2 scans, r9 audit; now 1)
+    obs = e.groupBy("hour").agg(F.sum("cents").alias("v")).localCheckpoint()
     bnd = obs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     spine = bnd.select(
         F.explode(
@@ -1695,8 +1716,15 @@ def grid_density_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(ts) div 7200000000").alias("tc"),
             F.floor(F.col("value") / 20.0).cast("long").alias("vc"),
         )
+        # checkpointed: p feeds both the cell census and the final
+        # per-point lookup, and the cell table itself forks into the
+        # stencil scatter and the live-cell filter — un-cut lineage
+        # re-scanned events per fork (3 scans, r9 audit; now 1)
+        .localCheckpoint()
     )
-    cells = p.groupBy("tc", "vc").agg(F.count("*").alias("n"))
+    cells = p.groupBy("tc", "vc").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint()
     # scatter each cell's count to its 9 neighbors IN THE SCAN STAGE
     # (explode of a literal stencil — no join at all), then gather
     # per target cell; the stencil never becomes a nested loop over
@@ -1932,9 +1960,12 @@ def quantile_discretizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode path adds zero shuffles.  Reference scope: flo has no ML
     surface — north-star extension (SURVEY §2 Part B pipeline
     hygiene)."""
+    # 2-column base, checkpointed: it feeds the global ranking, the
+    # row census, and the encode pass — un-cut lineage re-scanned
+    # orders per fork (3 scans, r9 audit; now 1)
     p = load(spark, sf_dir, "orders").select(
         "o_orderkey", money_scaled(F.col("o_totalprice")).alias("px")
-    )
+    ).localCheckpoint()
     r = p.withColumn(
         "rn",
         F.row_number().over(
@@ -3630,10 +3661,14 @@ def jackknife_block_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     g times — the algebraic identity IS the optimization), then a
     g-row reduce.  Reference scope: flo has no analytics surface —
     north-star extension (SURVEY §2 Part B statistics)."""
+    # g=20 block moments, checkpointed: they feed the totals AND the
+    # leave-one-out arithmetic — un-cut lineage re-scanned documents
+    # per fork (2 scans, r9 audit; now 1)
     g = (
         load(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .localCheckpoint()
     )
     tot = g.agg(
         F.count("*").alias("gk"),
@@ -4097,7 +4132,12 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     by source and scale out.  North-star extension (SURVEY §2 stats
     rows)."""
     d = load(spark, sf_dir, "documents")
-    ranked = d.select(
+    # 3-column calibration base, checkpointed once: it forks into the
+    # per-source ranking, the pooled order statistics, and the pool
+    # count, and un-cut lineage re-scanned the corpus per fork
+    # (3 scans, r9 audit; now 1).
+    base = d.select("doc_id", "source", "n_chars").localCheckpoint()
+    ranked = base.select(
         "doc_id",
         "source",
         "n_chars",
@@ -4106,13 +4146,13 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
-    pooled = d.select(
+    pooled = base.select(
         F.col("n_chars").alias("pool_val"),
         F.row_number()
         .over(Window.orderBy("n_chars", "doc_id"))
         .alias("t_idx"),
     )
-    total = d.agg(F.count("*").alias("n_pool"))
+    total = base.agg(F.count("*").alias("n_pool"))
     mapped = (
         ranked.crossJoin(F.broadcast(total))
         .withColumn(
@@ -4197,10 +4237,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     step touches B rows.  North-star extension (SURVEY §2 stats rows;
     the resampling sibling of jackknife_variance and
     permutation_test_deterministic)."""
+    # 2-column base, checkpointed once: it forks into the replicate
+    # explode and the full-sample estimate, and the replicate chain
+    # forked AGAIN at the CI rank cut — un-cut lineage re-ran the
+    # 50x explode and re-scanned orders per fork (3 scans, r9 audit;
+    # now 1, and the explode runs once via the ranked checkpoint).
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         money_scaled(F.col("o_totalprice")).alias("px"),
-    )
+    ).localCheckpoint()
     reps = o.crossJoin(
         F.broadcast(spark.range(50).select(F.col("id").alias("b")))
     ).withColumn(
@@ -4227,7 +4272,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.orderBy("mean_b", "b"))
         .alias("rn"),
-    )
+    ).localCheckpoint()  # 50 rows; feeds both CI endpoints
     lo = ranked.filter(F.col("rn") == 2).select(
         F.col("mean_b").alias("ci_lo_x1e4")
     )
@@ -4306,18 +4351,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries.  North-star extension (SURVEY §2 stats rows; sits
     beside cohort_retention and time_weighted_value_per_user)."""
     o = load(spark, sf_dir, "orders")
-    horizon = o.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("h")
-    )
+    # per-customer reduction checkpointed; the corpus horizon is the
+    # max over per-customer maxes — identical to a direct global max —
+    # so it derives from the reduction instead of re-scanning orders
+    # (2 scans, r9 audit; now 1)
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count("*").alias("frequency"),
+        F.sum(money_scaled(F.col("o_totalprice")))
+        .cast("long")
+        .alias("monetary_x1e4"),
+    ).localCheckpoint()
+    horizon = base.agg(F.max("last_d").alias("h"))
     cust = (
-        o.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(
-            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
-            F.count("*").alias("frequency"),
-            F.sum(money_scaled(F.col("o_totalprice")))
-            .cast("long")
-            .alias("monetary_x1e4"),
-        )
+        base
         .crossJoin(F.broadcast(horizon))
         .select(
             "ck",
@@ -4593,6 +4640,9 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = cond & (F.col("bs") == 0)
         return F.sum(F.when(cond, 1).otherwise(0))
 
+    # 1-row coalition-value table, checkpointed: it forks into the
+    # three per-channel union legs, and un-cut lineage re-scanned
+    # events per leg (3 scans, r9 audit; now 1)
     v = u.agg(
         vS(False, False, False).alias("v000"),
         vS(True, False, False).alias("v100"),
@@ -4602,7 +4652,7 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         vS(True, False, True).alias("v101"),
         vS(False, True, True).alias("v011"),
         vS(True, True, True).alias("v111"),
-    )
+    ).localCheckpoint()
     rows = []
     for ch, expr in (
         ("click", "2*(v100-v000) + (v110-v010) + (v101-v001) + 2*(v111-v011)"),
@@ -4673,13 +4723,16 @@ def sequence_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     check, markov = adjacency, CEP = streaming regex, this =
     mining)."""
     ev = load(spark, sf_dir, "events")
+    # positioned stream checkpointed once: both sides of the per-user
+    # inequality self-join AND the user census derive from it — un-cut
+    # lineage re-scanned events per fork (3 scans, r9 audit; now 1)
     pos = ev.select(
         "user_id",
         "event_type",
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("rn"),
-    )
+    ).localCheckpoint()
     a, b = pos.alias("a"), pos.alias("b")
     pairs = (
         a.join(
@@ -4694,7 +4747,9 @@ def sequence_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    # same value as counting over the raw stream (pos keeps every
+    # event row), but reads the checkpoint instead of a third scan
+    nu = pos.agg(F.countDistinct("user_id").alias("n_users"))
     sup = pairs.groupBy("t1", "t2").agg(F.count("*").alias("support"))
     return (
         sup.crossJoin(F.broadcast(nu))
@@ -5639,10 +5694,13 @@ def dft_periodicity_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket")
     ).agg(F.count("*").alias("cnt"))
+    # O(hours) indexed series, checkpointed: it feeds the mean AND
+    # the DFT terms — un-cut lineage re-scanned events per fork
+    # (2 scans, r9 audit; now 1)
     series = hourly.select(
         "cnt",
         (F.row_number().over(Window.orderBy("bucket")) - 1).alias("t"),
-    )
+    ).localCheckpoint()
     mu = series.agg(F.expr("sum(cnt) div count(*)").alias("mu"))
     periods = spark.createDataFrame(
         [(24,), (12,), (8,), (6,)], "period int"
@@ -5738,10 +5796,15 @@ def event_study_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     )
+    # O(users) anchor table, checkpointed: it feeds both the alignment
+    # join and the cohort census, and un-cut lineage re-scanned events
+    # per fork (3 scans, r9 audit; now 2 — this pass plus the
+    # non-purchase alignment pass, which filter disjoint slices)
     anchors = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min(day).alias("d0"))
+        .localCheckpoint()
     )
     rel = (
         ev.filter(F.col("event_type") != "purchase")
@@ -6124,9 +6187,12 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("ev"),
     )
+    # O(users) duration table, checkpointed: it feeds the event-time
+    # grid AND the risk-set join — un-cut lineage re-scanned events
+    # per fork (2 scans, r9 audit; now 1)
     t = spans.select(
         (F.col("d_last") - F.col("d_first")).alias("dur"), "ev"
-    )
+    ).localCheckpoint()
     grid = (
         t.groupBy("dur")
         .agg(F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).alias("d_i"))
@@ -6215,7 +6281,13 @@ def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1970-01-01").cast("date"),
         ).alias("d"),
     )
-    daily = o.groupBy("prio", "d").agg(F.count("*").alias("demand"))
+    # O(groups x days) demand table and 5-row policy, each
+    # checkpointed: daily feeds the quantile ranking AND the cost
+    # audit, stock feeds the cost join AND the final output — un-cut
+    # lineage re-scanned orders per fork (3 scans, r9 audit; now 1)
+    daily = o.groupBy("prio", "d").agg(
+        F.count("*").alias("demand")
+    ).localCheckpoint()
     ranked = daily.select(
         "prio",
         "demand",
@@ -6226,7 +6298,7 @@ def newsvendor_stocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stock = ranked.filter(
         F.col("r") == F.expr("(3 * n + 3) div 4")
-    ).select("prio", "n", F.col("demand").alias("s_star"))
+    ).select("prio", "n", F.col("demand").alias("s_star")).localCheckpoint()
     cost = (
         daily.join(F.broadcast(stock.select("prio", "s_star")), "prio")
         .groupBy("prio")
@@ -6531,9 +6603,13 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("arm")).alias("n"),
     )
     taus = spark.createDataFrame([(25,), (50,), (75,)], "tau int")
+    # 6-row quantile probe result, checkpointed: it forks into the
+    # treated and control sides, and un-cut lineage re-ran the arm
+    # windows and re-scanned orders per fork (2 scans, r9 audit;
+    # now 1)
     qs = ranked.crossJoin(F.broadcast(taus)).filter(
         F.col("r") == F.expr("(tau * (n + 1) + 99) div 100")
-    )
+    ).localCheckpoint()
     t = qs.filter(F.col("arm") == "t").select(
         "tau", F.col("y").alias("q_treated_x1e4")
     )
@@ -6880,7 +6956,9 @@ def exact_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).alias(
             "sy_c"
         ),
-    )
+    ).localCheckpoint()  # O(cells); feeds the matched estimate AND
+    # the common-support census — un-cut lineage re-ran the star join
+    # per fork (2 scans each of orders and customer, r9 audit; now 1)
     matched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).selectExpr(
         "n_t", "n_c", "sy_t div n_t AS mu_t", "sy_c div n_c AS mu_c"
     )

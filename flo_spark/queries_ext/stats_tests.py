@@ -267,8 +267,11 @@ def benford_leading_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit")
         )
     )
-    o = c.groupBy("digit").agg(F.count("*").alias("n_obs"))
-    n = c.agg(F.count("*").alias("nt"))
+    # 9-row digit census, checkpointed; the total is its column sum
+    # (identical to a direct count), so the fork no longer re-scans
+    # orders (2 scans, r9 audit; now 1)
+    o = c.groupBy("digit").agg(F.count("*").alias("n_obs")).localCheckpoint()
+    n = o.agg(F.sum("n_obs").alias("nt"))
     p = spark.createDataFrame(
         [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
          (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
@@ -1111,6 +1114,10 @@ def kendall_tau_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("x"),
             F.sum(money_scaled(F.col("value"))).alias("y"),
         )
+        # O(users) metrics table, checkpointed: both sides of the
+        # O(U^2) pair join derive from it — un-cut lineage re-scanned
+        # events per side (2 scans, r9 audit; now 1)
+        .localCheckpoint()
     )
     a = u.select(
         F.col("user_id").alias("ka"),
@@ -3003,10 +3010,17 @@ def overdispersion_zero_inflation(
             F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("d"),
     )
-    days = ev.select("d").distinct()
-    users = ev.select("user_id").distinct()
+    # reduce FIRST, then derive both grid dimensions from the reduced
+    # (user, day) table — every user/day present in the stream appears
+    # in daily, so the distincts are identical — and checkpoint it:
+    # un-cut lineage re-scanned events per fork (3 scans, r9 audit;
+    # now 1, with the checkpoint bounded by active cells)
+    daily = ev.groupBy("user_id", "d").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint()
+    days = daily.select("d").distinct()
+    users = daily.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(days))
-    daily = ev.groupBy("user_id", "d").agg(F.count("*").alias("n"))
     dense = grid.join(daily, ["user_id", "d"], "left").select(
         F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
@@ -3617,6 +3631,11 @@ def spc_funnel_rate_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
             ).alias("k"),
         )
+        # O(nations) rate table, checkpointed: it feeds the pooled
+        # aggregate AND the funnel verdict, and un-cut lineage re-ran
+        # the fact-dim star per fork (2 scans each of orders and
+        # customer, r9 audit; now 1 each)
+        .localCheckpoint()
     )
     pooled = rates.agg(F.sum("k").alias("tk"), F.sum("n").alias("tn"))
     hw = (
@@ -3754,9 +3773,13 @@ def meta_analysis_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)"
         " / n0 / n0 / (n0 - 1)) * 1e4 + 0.5) AS BIGINT) AS v_x1e4",
     )
+    # O(sites) study table, checkpointed: it feeds the pooled
+    # aggregate AND the Q/I^2 pass, and un-cut lineage re-ran the
+    # fact-dim star per fork (2 scans each of orders and customer,
+    # r9 audit; now 1 each)
     weighted = studies.withColumn(
         "w", F.expr("1000000000000000 div greatest(v_x1e4, 1)")
-    )
+    ).localCheckpoint()
     pool = weighted.agg(
         F.count("*").alias("k"),
         F.sum("w").alias("sw"),

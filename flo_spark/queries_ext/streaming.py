@@ -1693,9 +1693,12 @@ def watermark_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit quantifies cross-source timestamp disorder that guarantee
     cannot remove — north-star extension (SURVEY §2 Part B
     streaming)."""
+    # 3-column base, checkpointed: it feeds both sides of the
+    # per-user pair join AND the per-user census — un-cut lineage
+    # re-scanned events per fork (3 scans, r9 audit; now 1)
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("unix_micros(ts)").alias("tus")
-    )
+    ).localCheckpoint()
     a = e.selectExpr("user_id", "event_id AS ida", "tus AS ta")
     b = e.selectExpr("user_id AS ub", "event_id AS idb", "tus AS tb")
     inv = (

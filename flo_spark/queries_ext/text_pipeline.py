@@ -782,11 +782,16 @@ def bigram_conditional_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
         )
     )
+    # O(bigram-types) count table, checkpointed: the prefix totals
+    # and the probability join both derive from it — un-cut lineage
+    # re-exploded and re-scanned the corpus per fork (2 scans,
+    # r9 audit; now 1)
     c2 = (
         d.select(pair.alias("pair"))
         .select(F.col("pair.0").alias("w1"), F.col("pair.1").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint()
     )
     c1 = c2.groupBy(F.col("w1").alias("__w1")).agg(
         F.sum("c").alias("prefix_n")
@@ -951,18 +956,26 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    toks = d.select("doc_id", words.alias("ws"))
-    dls = toks.select("doc_id", F.size("ws").alias("dl"))
-    stats = dls.agg(
+    # ONE corpus scan (was 3, r9 audit §2: the tokenized frame forked
+    # into the length/stats path and the tf path, and tf itself forked
+    # again downstream): per doc, the length and the query-term
+    # matches reduce scan-stage to a narrow frame — |matched| bounded
+    # by occurrences of the 4 query terms — checkpointed once; the
+    # corpus stats and the tf table both derive from it, and tf
+    # (|q|-bounded rows per doc) is checkpointed for its own forks.
+    pre = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        F.filter(words, lambda x: x.isin(*terms)).alias("matched"),
+    ).localCheckpoint()
+    stats = pre.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tf = (
-        toks.select(
-            "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
-        )
-        .where(F.col("term").isin(terms))
+        pre.select("doc_id", "dl", F.explode("matched").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
@@ -1181,7 +1194,13 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     as `stratified_sample`: pre-trim each source with a hash-threshold
     scan predicate at real scale before the exact window."""
     d = load(spark, sf_dir, "documents")
-    c = d.groupBy("source").agg(F.count("*").alias("c_docs"))
+    # O(sources) census, checkpointed: it forks into the normalizer
+    # and the quota table, and un-cut lineage re-scanned the corpus
+    # per fork (3 scans, r9 audit).  Remaining scans: this one plus
+    # the (source, doc_id)-pruned ranking pass — 2 total.
+    c = d.groupBy("source").agg(
+        F.count("*").alias("c_docs")
+    ).localCheckpoint()
     tot = c.agg(
         F.sum(F.sqrt(F.col("c_docs").cast("double"))).alias("z")
     )
@@ -1789,17 +1808,28 @@ def langid_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tg"),
     )
+    # reduce the exploded stream ONCE to per-doc trigram counts and
+    # checkpoint that (smaller than the raw explode); the language
+    # profile re-aggregates the partials and the distinct per-doc
+    # stream is its key set — before (r9 audit) each fork re-scanned
+    # and re-exploded the corpus (3 scans; now 2: this one plus the
+    # 2-column confusion-matrix base pass).
+    dcnt = (
+        tri.groupBy("doc_id", "lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     prof_w = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("tg")
     )
     prof = (
-        tri.groupBy("lang", "tg")
-        .agg(F.count("*").alias("cnt"))
+        dcnt.groupBy("lang", "tg")
+        .agg(F.sum("cnt").alias("cnt"))
         .withColumn("rk", F.row_number().over(prof_w))
         .filter(F.col("rk") <= 20)
         .select(F.col("lang").alias("p_lang"), "tg")
     )
-    dtg = tri.select("doc_id", "lang", "tg").distinct()
+    dtg = dcnt.select("doc_id", "lang", "tg")
     overlap = (
         dtg.join(prof, "tg")
         .groupBy("doc_id", F.col("lang").alias("lang_actual"), "p_lang")
@@ -2031,16 +2061,26 @@ def group_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("user_id") * 2654435761) % 1000 < 900, "val")
         .otherwise("test")
     )
-    tagged = ev.select("user_id", split.alias("split"))
+    # reduce to per-(user, split) event counts ONCE and checkpoint —
+    # the audit and the per-split rollup both derive from it with
+    # identical values (n_events = sum of partial counts, n_users and
+    # the distinct-split audit count the reduced keys) — before, each
+    # fork re-scanned events (2 scans, r9 audit; now 1)
+    per_user = (
+        ev.select("user_id", split.alias("split"))
+        .groupBy("user_id", "split")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     audit = (
-        tagged.groupBy("user_id")
+        per_user.groupBy("user_id")
         .agg(F.countDistinct("split").alias("k"))
         .agg((F.max("k") == 1).alias("no_leakage"))
     )
     return (
-        tagged.groupBy("split")
+        per_user.groupBy("split")
         .agg(
-            F.count("*").alias("n_events"),
+            F.sum("n").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .crossJoin(F.broadcast(audit))
@@ -2177,18 +2217,25 @@ def vocab_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply everywhere — the mapping frame IS the model artifact
     (persist it; re-fitting per query would re-shuffle the corpus)."""
     d = load(spark, sf_dir, "documents")
+    # reduce to (source, lang) partial counts ONCE and checkpoint;
+    # the vocabulary fit re-aggregates the partials (identical counts)
+    # and the encode re-keys them — before, fit and apply each
+    # re-scanned the corpus (2 scans, r9 audit; now 1)
+    sl = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint()
     w = Window.orderBy(F.col("cnt").desc(), F.col("lang").asc())
     vocab = (
-        d.groupBy("lang")
-        .agg(F.count("*").alias("cnt"))
+        sl.groupBy("lang")
+        .agg(F.sum("n").alias("cnt"))
         .select(
             "lang", (F.row_number().over(w) - 1).cast("long").alias("lang_index")
         )
     )
     return (
-        d.join(F.broadcast(vocab), "lang")
+        sl.join(F.broadcast(vocab), "lang")
         .groupBy("source", "lang_index")
-        .agg(F.count("*").alias("n_docs"))
+        .agg(F.sum("n").alias("n_docs"))
     )
 
 
@@ -2511,7 +2558,13 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(text, ' '), x -> x <> '')")
         ).alias("term"),
     )
-    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    # (term, doc) tf table, checkpointed: the per-term stats and the
+    # k-bounded posting lists both derive from it — un-cut lineage
+    # re-exploded and re-scanned the corpus per fork (2 scans,
+    # r9 audit; now 1)
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint()
     stats = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
@@ -2888,18 +2941,26 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1, b = 1.2, 0.75
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    toks = d.select("doc_id", words.alias("ws"))
-    dls = toks.select("doc_id", F.size("ws").alias("dl"))
-    stats = dls.agg(
+    # ONE corpus scan (was 3, r9 audit §2: the tokenized frame forked
+    # into the length/stats path and the tf path, and tf itself forked
+    # again downstream): per doc, the length and the query-term
+    # matches reduce scan-stage to a narrow frame — |matched| bounded
+    # by occurrences of the 4 query terms — checkpointed once; the
+    # corpus stats and the tf table both derive from it, and tf
+    # (|q|-bounded rows per doc) is checkpointed for its own forks.
+    pre = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        F.filter(words, lambda x: x.isin(*terms)).alias("matched"),
+    ).localCheckpoint()
+    stats = pre.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tf = (
-        toks.select(
-            "doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term")
-        )
-        .where(F.col("term").isin(terms))
+        pre.select("doc_id", "dl", F.explode("matched").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     joined = tf.join(F.broadcast(dfreq), "term").crossJoin(
@@ -3094,18 +3155,29 @@ def bleu2_pairwise_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the roles swapped)."""
     d = load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    w = d.select("doc_id", "lang", "source", words.alias("ws"))
+    # the tokenized frame forks NINE ways (pairing window, cand/ref
+    # aliases of both n-gram count tables, both length lookups);
+    # Catalyst recomputes forked lineage from the raw scan, so without
+    # the checkpoints below the corpus was read 9x (r9 audit).  One
+    # materialization each for the token frame and the two per-doc
+    # count tables = one corpus scan total; the pairing frame is
+    # O(docs) and feeds three joins.
+    w = d.select(
+        "doc_id", "lang", "source", words.alias("ws")
+    ).localCheckpoint()
     win = Window.partitionBy("lang", "source").orderBy("doc_id")
     pr = (
         w.select(
             "doc_id", F.lead("doc_id").over(win).alias("ref_id")
         )
         .filter(F.col("ref_id").isNotNull())
+        .localCheckpoint()
     )
     uni = (
         w.select("doc_id", F.explode("ws").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     bigrams = F.zip_with(
         F.slice(F.col("ws"), 1, F.size("ws") - 1),
@@ -3117,6 +3189,7 @@ def bleu2_pairwise_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     lens = w.select("doc_id", F.size("ws").alias("n"))
 

@@ -356,9 +356,13 @@ def test_duplicate_ngram_rate_hash_keyed_no_cartesian(spark, sf_dir):
     df = Q.REGISTRY["duplicate_ngram_rate"].fn(spark, sf_dir)
     plan = explain_str(df)
     assert_no_cartesian(df)
-    assert "xxhash64" in plan, plan
-    # every non-broadcast exchange is keyed on the hash or doc_id,
-    # never on a raw trigram string column
+    # r9: the hashed (doc, key) stream is checkpointed once at build,
+    # so the xxhash64 expression lives in the (already executed)
+    # build stage and the final plan roots at the checkpoint with no
+    # parquet rescan (RESCAN_BOUNDS pins 0); what must still hold
+    # downstream: every non-broadcast exchange is keyed on the hash
+    # or doc_id, never on a raw trigram string column
+    assert "Scan parquet" not in plan, plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         key = m.group(1)
         assert "h#" in key or "doc_id" in key, key
@@ -1137,7 +1141,7 @@ RESCAN_BOUNDS = {
     "psi_population_stability": 1,
     "kaplan_meier_survival": 1,
     "logrank_test_survival": 1,
-    "watermark_disorder_audit": 3,
+    "watermark_disorder_audit": 1,
     "blocking_quality_metrics": 2,
     "lindley_queue_replay": 2,
     "bradley_terry_ranking": 2,
@@ -1180,6 +1184,60 @@ RESCAN_BOUNDS = {
     "perplexity_bigram_filter": 1,
     "boilerplate_chunk_strip": 2,
     "discrete_hazard_lifetable": 1,
+    # r9 optimization round, batch 2: the >=3-fork-rescan audit group
+    # (bounds are the audited post-fix counts; checkpointed frames
+    # show 0 scans in the static plan)
+    "bleu2_pairwise_eval": 0,
+    "fellegi_sunter_linkage": 0,
+    "bootstrap_mean_ci": 0,
+    "quantile_discretizer_encode": 0,
+    "encoding_advisor_profile": 1,
+    "newsvendor_stocking": 0,
+    "shuffle_skew_profile": 0,
+    "scd2_point_in_time_join": 0,
+    "overdispersion_zero_inflation": 0,
+    "grid_density_outliers": 0,
+    "approx_topk_verified": 1,
+    "dense_hourly_event_counts": 0,
+    "shapley_channel_attribution": 0,
+    "sequence_pattern_mining": 0,
+    "event_study_alignment": 1,
+    "temperature_mix_sample": 1,
+    "golden_record_survivorship": 0,
+    "quantile_normalize_sources": 0,
+    "langid_trigram_confusion": 1,
+    "bm25_search_topk": 0,
+    "rrf_hybrid_retrieval": 2,
+    "merge_upsert_customers": 0,
+    "spc_funnel_rate_limits": 0,
+    "meta_analysis_pooling": 0,
+    # r9 optimization round, batch 3: the 2x-fork-rescan audit group
+    # (derived-frame forks cut with one checkpoint each)
+    "cohort_retention": 0,
+    "winsorized_price_stats": 0,
+    "lorenz_revenue_deciles": 0,
+    "markov_event_transitions": 0,
+    "gapfill_locf_interpolate": 0,
+    "rfm_segmentation": 0,
+    "dft_periodicity_power": 0,
+    "nelson_aalen_hazard": 0,
+    "quantile_treatment_effect": 0,
+    "exact_matching_att": 0,
+    "benford_leading_digit_audit": 0,
+    "kendall_tau_user_metrics": 0,
+    "proximity_join_grid_2d": 0,
+    "decayed_trending_brands": 1,
+    "vickrey_second_price": 0,
+    "bitmap_exact_distinct": 0,
+    "group_leakage_safe_split": 0,
+    "bigram_conditional_probs": 0,
+    "vocab_index_encode": 0,
+    "inverted_index_build": 0,
+    "duplicate_ngram_rate": 0,
+    "sorted_neighborhood_pairs": 0,
+    "lakehouse_ivm_join_view": 0,
+    "robust_scaler_features": 0,
+    "jackknife_block_variance": 0,
 }
 
 
