@@ -302,10 +302,14 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); two rounds stay well inside plan-size limits.
     Reference scope: flo has no graph surface — north-star extension
     (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (
@@ -412,10 +416,14 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     would add localCheckpoint lineage cuts (operators/graph.py
     discipline).  Reference scope: flo has no graph surface —
     north-star extension (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (
@@ -520,10 +528,14 @@ def copurchase_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CC, PageRank, triangles, k-core, LPA) with reachability.
     Reference scope: flo has no graph surface — north-star extension
     (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (
@@ -631,10 +643,14 @@ def linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     family as triangle_count_copurchase, which documents the
     orientation variant for counting).  Reference scope: flo has no
     graph surface — north-star extension (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (
@@ -757,7 +773,10 @@ def degree_assortativity_copurchase(
     extension (SURVEY §2 Part B graph analytics: the global mixing
     diagnostic next to the local triangle/k-core/LPA structure)."""
     li = load(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
+    lp = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
     a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
     e = (
@@ -976,10 +995,14 @@ def linkpred_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree joins on the already-reduced candidate set, top-50 as
     TakeOrderedAndProject.  Reference scope: flo has no graph surface
     — north-star extension (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (
@@ -1111,10 +1134,14 @@ def kcore_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, two keyed semi-join-shaped joins + one degree count per
     round) plus three 1-row aggregates.  Reference scope: flo has no
     graph surface — north-star extension (SURVEY §2 Part B)."""
+    # distinct (order, part) projection, checkpointed: both sides of
+    # the edge-building self-join read it — un-cut lineage re-scanned
+    # lineitem per side (2 scans, r9 audit; now 1)
     lp = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     a, b = lp.alias("a"), lp.alias("b")
     e = (

@@ -549,7 +549,13 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("none")
     )
-    scored = d.select("doc_id", "text", rule.alias("rule_reason"))
+    # the rule-scored stage is materialized once (exactly what a real
+    # curation run does between stages): it feeds the dedup survivors
+    # AND the final verdict join — un-cut lineage re-scanned and
+    # re-scored the corpus per fork (2 scans, r9 audit; now 1)
+    scored = d.select(
+        "doc_id", "text", rule.alias("rule_reason")
+    ).localCheckpoint()
     surv = scored.filter(F.col("rule_reason") == "none").select("doc_id", "text")
     dups = (
         ngram_jaccard_pairs(surv, threshold=0.5)

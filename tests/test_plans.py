@@ -1238,6 +1238,10 @@ RESCAN_BOUNDS = {
     "lakehouse_ivm_join_view": 0,
     "robust_scaler_features": 0,
     "jackknife_block_variance": 0,
+    "curation_pipeline_end2end": 0,
+    "linkpred_resource_allocation": 0,
+    "linkpred_jaccard_neighbors": 0,
+    "degree_assortativity_copurchase": 0,
 }
 
 
