@@ -1262,6 +1262,10 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the query-conditioned sibling of the global entry)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # (c, s) projection checkpointed (r9): the undirected union
+    # references e0 twice (forward + reversed), which otherwise ran
+    # the orders-lineitem distinct join once per branch — the same
+    # fix the global pagerank entry already carries
     e0 = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -1273,6 +1277,7 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        .localCheckpoint()
     )
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -2574,20 +2574,21 @@ def brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("grp")).alias("n"),
     )
-    med = (
-        r.filter(F.expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
-        .groupBy("grp")
-        .agg(
-            F.sum(
-                F.col("y")
-                * F.when(F.col("n") % 2 == 1, 2).otherwise(1)
-            ).alias("m2")
-        )
-    )
+    # m2 as a second window over the SAME grp partitioning (r9):
+    # the per-group doubled median previously aggregated into a
+    # 3-row frame and broadcast-joined back onto a re-derived v,
+    # scanning lineitem twice; windows partitioned by the same key
+    # share one exchange (guide §2.4), so the whole test is now a
+    # single scan + single grp shuffle.  Same m2 values (sum of the
+    # flagged middle order statistics), same z multiset.
+    m2 = F.sum(
+        F.when(
+            F.expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"),
+            F.col("y") * F.when(F.col("n") % 2 == 1, 2).otherwise(1),
+        ).otherwise(F.lit(0))
+    ).over(Window.partitionBy("grp"))
     d = lambda c: c.cast("decimal(38,0)")
-    z = v.join(med, "grp").select(
-        "grp", F.abs(2 * F.col("y") - F.col("m2")).alias("z")
-    )
+    z = r.select("grp", F.abs(2 * F.col("y") - m2).alias("z"))
     g = z.groupBy("grp").agg(
         F.count("*").alias("n"),
         F.sum(d(F.col("z"))).alias("s"),
@@ -2694,6 +2695,10 @@ def permutation_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank caveat as the other rank entries), then map-side-combinable
     sums.  Reference scope: flo has no analytics surface — north-star
     extension (SURVEY §2 Part B statistics)."""
+    # pool slice checkpointed (r9 session 2): the observed statistic
+    # and the 19-replicate explode both fork it, scanning documents
+    # twice; the checkpointed frame is the 3-int-column projection of
+    # the two-source slice (no text), so one filtered scan feeds both
     pool = (
         load(spark, sf_dir, "documents")
         .filter(F.col("source").isin("src0", "src1"))
@@ -2702,6 +2707,7 @@ def permutation_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_a"),
         )
+        .localCheckpoint()
     )
     obs = pool.agg(
         F.sum("is_a").alias("n_a"),

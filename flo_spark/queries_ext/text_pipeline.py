@@ -2166,12 +2166,18 @@ def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    nb = big.agg(F.count("*").cast("decimal(38,0)").alias("nb"))
-    cb = (
+    # bigram census materialized once (r9 session 2): nb and cb both
+    # forked `big`, re-tokenizing the corpus per branch; the bigram
+    # total is the census's own sum, so the unpruned (w1,w2) counts
+    # are checkpointed (distinct-bigram-sized, not corpus-sized) and
+    # both branches derive from them — one bigram tokenize pass
+    cb0 = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").alias("cxy"))
-        .filter(F.col("cxy") >= 5)
+        .localCheckpoint()
     )
+    nb = cb0.agg(F.sum("cxy").cast("decimal(38,0)").alias("nb"))
+    cb = cb0.filter(F.col("cxy") >= 5)
     c1 = cu.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = cu.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     joined = (

@@ -1158,7 +1158,12 @@ RESCAN_BOUNDS = {
     "kl_js_divergence_sources": 1,
     "naive_bayes_classify": 1,
     "grid_dbscan_embeddings": 1,
-    "pmi_collocations_topk": 3,
+    # r9 session 2: unpruned bigram census checkpointed; nb is its
+    # sum, cb its support filter — one bigram tokenize pass, 0 scans
+    "pmi_collocations_topk": 0,
+    # r9 session 2: the 3-int-column two-source pool slice is
+    # checkpointed; observed stat and 19-replicate explode share it
+    "permutation_test_sources": 0,
     "heaps_law_vocab_growth": 2,
     "mahalanobis_outliers_2d": 1,
     "chi_square_crosstab_audit": 1,
@@ -1170,7 +1175,14 @@ RESCAN_BOUNDS = {
     "kcore_copurchase_peel": 2,
     "copurchase_hop_distance": 2,
     "kcore_peel_census": 2,
-    "personalized_pagerank_seeds": 3,
+    # r9 session 2: e0 checkpoint before the undirected union (the
+    # fix the global pagerank entry already had) — 2x orders/lineitem
+    # scans -> 0
+    "personalized_pagerank_seeds": 0,
+    # r9 session 2: per-group median as a second window over the same
+    # grp partitioning instead of an agg + broadcast join back onto a
+    # re-derived scan — 2x lineitem -> 1, single exchange
+    "brown_forsythe_variance": 1,
     # r9 optimization round: the certified re-window candidates from
     # the scale-hardening audit, fixed this round (OPTIMIZATION_r09.md)
     "pagerank_customer_supplier": 1,
