@@ -1240,7 +1240,13 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    hashed = docs.mapInPandas(_hash_assets, "asset_id long, dhash long")
+    # decoded-hash frame materialized before the self-join (r9
+    # session 2, the simhash_near_pairs discipline): un-checkpointed,
+    # each join side re-ran the Arrow decode+hash stage over the
+    # corpus; the checkpointed frame is 16 bytes/row
+    hashed = docs.mapInPandas(
+        _hash_assets, "asset_id long, dhash long"
+    ).localCheckpoint()
     a, b = hashed.alias("a"), hashed.alias("b")
     return (
         a.join(
@@ -1337,7 +1343,11 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    hashed = docs.mapInPandas(_fingerprint, "asset_id long, fp long")
+    # decoded-fingerprint frame materialized before the self-join (r9
+    # session 2): same fix as image_dhash_neardup — one decode pass
+    hashed = docs.mapInPandas(
+        _fingerprint, "asset_id long, fp long"
+    ).localCheckpoint()
     a, b = hashed.alias("a"), hashed.alias("b")
     return (
         a.join(

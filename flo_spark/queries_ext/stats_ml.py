@@ -4991,26 +4991,34 @@ def feature_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strict <) — the classic off-by-one that leaks the label into
     its own features.
 
-    100 TB shape: one user-keyed equi-join with the temporal
-    predicate as a join-condition filter (no window, no per-user
-    sort); the label side is an entity-cardinality aggregate that
-    AQE can broadcast when small.  North-star extension (SURVEY §2
-    LLM rows; the training-data sibling of leakage-safe splits and
-    decontamination)."""
+    100 TB shape: one user shuffle total — label_ts is an unordered
+    per-user window max (no sort) computed on the SAME user
+    partitioning the feature aggregation needs, so the old
+    two-scan aggregate+join (which shuffled both sides at entity
+    cardinality) collapses to a single pass.  North-star extension
+    (SURVEY §2 LLM rows; the training-data sibling of leakage-safe
+    splits and decontamination)."""
+    # label_ts as a window max over the SAME user partitioning (r9
+    # session 2): the separate purchase aggregate + user-keyed join
+    # scanned events twice and shuffled both sides at entity
+    # cardinality (labels stop broadcasting at scale); the window
+    # shares one user shuffle with the feature aggregation below
+    # (guide §2.4) — identical survivors: max() ignores the nulls of
+    # purchase-free users, so their label_ts is NULL and the strict
+    # ets < label_ts filter drops them exactly as the inner join did
     ev = load(spark, sf_dir, "events")
-    labels = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.max("ts").alias("label_ts"))
-    )
-    e = ev.select(
-        F.col("user_id").alias("eu"),
-        "event_type",
-        F.col("ts").alias("ets"),
-    )
-    j = labels.join(
-        e,
-        (F.col("eu") == F.col("user_id")) & (F.col("ets") < F.col("label_ts")),
+    j = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("ets"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+            .over(Window.partitionBy("user_id"))
+            .alias("label_ts"),
+        )
+        .filter(F.col("ets") < F.col("label_ts"))
     )
     return (
         j.groupBy("user_id", "label_ts")

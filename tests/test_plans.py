@@ -1164,6 +1164,9 @@ RESCAN_BOUNDS = {
     # r9 session 2: the 3-int-column two-source pool slice is
     # checkpointed; observed stat and 19-replicate explode share it
     "permutation_test_sources": 0,
+    # r9 session 2: label_ts as a window max sharing the feature
+    # aggregation's user shuffle — events 2 -> 1, join eliminated
+    "feature_store_pit_join": 1,
     "heaps_law_vocab_growth": 2,
     "mahalanobis_outliers_2d": 1,
     "chi_square_crosstab_audit": 1,
