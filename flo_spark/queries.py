@@ -884,29 +884,44 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (backward): latest 'click' at-or-before each
-    'purchase' per user — composition of range join + window top-1.
-    At scale the join is bounded per user; AQE handles user skew."""
+    'purchase' per user, as a single merged-stream window pass.
+
+    100 TB shape: one events scan (type filter pushed to the scan) and
+    ONE user shuffle — the old purchase-x-prior-clicks range join
+    materialized a per-user quadratic pair set and re-shuffled it by
+    purchase_id for the top-1 window; the running ``last(click_id)
+    ignorenulls`` over (ts, event_type, event_id) order replaces both.
+    'click' < 'purchase' sorts a click at the purchase's own ts ahead
+    of it, preserving the at-or-before (<=) contract; within a tied
+    click ts the last event_id in ascending order is the max, matching
+    the oracle's ``ORDER BY c.ts DESC, c.event_id DESC`` pick; a
+    purchase with no prior click yields NULL and is dropped exactly as
+    the inner join dropped it."""
     ev = load(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
+    e = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    )
-    joined = p.join(
-        c, (p["user_id"] == c["c_user"]) & (c["c_ts"] <= p["p_ts"]), "inner"
-    )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("c_ts").desc(), F.col("click_id").desc()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("purchase_id", "click_id")
+        e.withColumn(
+            "last_click",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("event_id")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_click").alias("click_id"),
+        )
     )
 
 

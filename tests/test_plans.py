@@ -1257,6 +1257,10 @@ RESCAN_BOUNDS = {
     "linkpred_resource_allocation": 0,
     "linkpred_jaccard_neighbors": 0,
     "degree_assortativity_copurchase": 0,
+    # r9 session 3: purchase-x-clicks range join + per-purchase top-1
+    # window rewritten as one merged-stream running-last pass — events
+    # 2 -> 1, one user_id Exchange, no join
+    "asof_last_click_before_purchase": 1,
 }
 
 
