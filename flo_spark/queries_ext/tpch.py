@@ -632,19 +632,25 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue of below-half-average-quantity lines for one
-    brand.  The correlated subquery becomes an aggregate-then-join.
-    Both join sides (filtered part, per-part averages) scale with SF,
-    so neither carries a forced broadcast — the threshold/AQE decides
-    (broadcast at bench scale; at 100 TB both joins hash on l_partkey
-    and AQE can reuse the partitioning)."""
+    brand, as the classic window rewrite: ONE lineitem scan, the part
+    join, then a per-partkey window avg instead of a second full-scan
+    aggregate joined back.
+
+    Equivalence to the oracle's full-lineitem part_avg: the part join
+    keys on the window's own partition column, so a partkey either
+    keeps ALL its lines or drops entirely — the window avg sees exactly
+    the oracle's per-part line set.  l_quantity is integer-valued
+    (pinned by the oracle hash across SFs), so the double sum inside
+    avg is exact in any order and the < comparison cannot flip with
+    summation order.  Neither side carries a forced broadcast (part
+    scales with SF); at 100 TB the partkey join's shuffle partitioning
+    is the window's, so AQE can reuse it."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
-    )
+    w = Window.partitionBy(li["l_partkey"])
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
-        .join(part_avg, li["l_partkey"] == F.col("pa_key"))
+        .withColumn("half_avg_qty", 0.5 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             (
@@ -842,28 +848,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 adapted (no l_receiptdate: 'late delivery' becomes a
     returned line; finds the sole guilty supplier in multi-supplier
     orders).  The correlated EXISTS / NOT-EXISTS pair is decorrelated
-    manually into ONE per-order aggregate — n_supp>1 <=> another
-    supplier exists, n_ret_supp==1 <=> no OTHER supplier has a returned
-    line (l1 itself is returned) — so lineitem shuffles once for the
-    stats and once for the orderkey join, instead of the three
-    semi/anti-join fact scans a literal translation would cost.  The
-    oracle keeps the EXISTS formulation, making the two derivations
-    independent."""
+    into per-order stats as WINDOW aggregates over the per-(order,
+    supplier) rollup — n_supp>1 <=> another supplier exists,
+    n_ret_supp==1 <=> no OTHER supplier has a returned line — so
+    lineitem is scanned and shuffled ONCE (the r9 rewrite; previously
+    the stats and the returned-lines side each re-scanned the fact,
+    and a literal EXISTS translation would cost three fact scans).
+    numwait counts returned LINES, so the rollup carries the per-pair
+    returned-line count and the guilty pairs sum it.  All-integer
+    arithmetic; the oracle keeps the EXISTS formulation, making the
+    two derivations independent."""
     li = load(spark, sf_dir, "lineitem")
     # two-level aggregate instead of countDistinct: a countDistinct pair
     # would plan as Expand (2x fact rows); pre-aggregating on
-    # (orderkey, suppkey) gets map-side partials and feeds the per-order
-    # rollup with one already-shrunk shuffle
+    # (orderkey, suppkey) gets map-side partials, and the per-order
+    # stats are windows over that already-shrunk frame — no second
+    # fact scan, no stats join
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
-            "__has_r"
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "__n_r"
         )
     )
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("__n_supp"),
-        F.sum("__has_r").alias("__n_ret_supp"),
+    w = Window.partitionBy("l_orderkey")
+    guilty = (
+        per_supp.withColumn("__n_supp", F.count("*").over(w))
+        .withColumn(
+            "__n_ret_supp",
+            F.sum(F.when(F.col("__n_r") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("__n_r") > 0)
+            & (F.col("__n_supp") > 1)
+            & (F.col("__n_ret_supp") == 1)
+        )
     )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -875,12 +893,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name"
     )
     return (
-        l1.join(supp, l1["l_suppkey"] == F.col("s_suppkey"))
-        .join(o, l1["l_orderkey"] == o["o_orderkey"], "left_semi")
-        .join(stats, "l_orderkey")
-        .filter((F.col("__n_supp") > 1) & (F.col("__n_ret_supp") == 1))
+        guilty.join(supp, guilty["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, guilty["l_orderkey"] == o["o_orderkey"], "left_semi")
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("__n_r").cast("long").alias("numwait"))
     )
 
 

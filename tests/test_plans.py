@@ -1261,6 +1261,13 @@ RESCAN_BOUNDS = {
     # window rewritten as one merged-stream running-last pass — events
     # 2 -> 1, one user_id Exchange, no join
     "asof_last_click_before_purchase": 1,
+    # r9 session 3: the classic Q17 window rewrite — per-part avg as a
+    # window over the joined scan instead of a second full-scan
+    # aggregate joined back; lineitem 2 -> 1
+    "q17_small_quantity_revenue": 1,
+    # r9 session 3: per-order exists/not-exists stats as windows over
+    # the per-(order,supplier) rollup — lineitem 2 -> 1, stats join gone
+    "q21_waiting_suppliers": 1,
 }
 
 
