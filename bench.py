@@ -46,6 +46,12 @@ def main() -> None:
     from flo_spark.session import get_spark
     from flo_spark.queries import queries
 
+    # 1-min load average BEFORE the session spins up: with the "end"
+    # sample this lets a reader machine-detect an externally loaded
+    # host (r9's 10.0 s driver run vs 6.7 s idle runs was argued from
+    # spreads; now it is a recorded field).
+    load_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark("flo_spark_bench")
     qmap = queries()
 
@@ -130,6 +136,15 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # proof that $SPARK_GRAFT_CPUS reached the session: the
+                # scheduler's effective task-slot count (== the local[N]
+                # core count), so a scaling run is verifiable from the
+                # output alone
+                "parallelism": spark.sparkContext.defaultParallelism,
+                # 1-min load average at [session start, bench end]: an
+                # externally loaded host is machine-detectable instead
+                # of argued from per-query spreads (BASELINE.md §3)
+                "load_avg": [load_start, round(os.getloadavg()[0], 2)],
             }
         )
     )

@@ -270,15 +270,23 @@ def minhash_lsh_pairs(
     # of "write signatures to a table, then join".
     base.count()
 
-    banded = band_buckets(base, bands, rows_per_band)
+    # Shuffle fewer bytes (guide §2.3): the bucket hash already packs
+    # the band — ``band_buckets`` seeds xxhash64 with the band index —
+    # so the banded self-join keys on the single 8-byte bucket column
+    # and the exchange carries exactly (__id, bucket) 16-byte rows
+    # instead of (__id, band, bucket).  Same-band equal signatures
+    # collide exactly as before; a cross-band hash coincidence can only
+    # ADD a candidate pair, which the exact-jaccard verify stage then
+    # scores — the verified output is content-defined either way (the
+    # entry is oracled against brute-force all-pairs ground truth).
+    banded = band_buckets(base, bands, rows_per_band).select("__id", "bucket")
 
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))

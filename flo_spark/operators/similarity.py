@@ -119,7 +119,21 @@ def cosine_topk_np(
     at 100 TB that's the difference between shuffling k-per-partition
     and shuffling the whole cross product.  Ordering ties break on
     c_id in both the local cut and the global window, so the result
-    is deterministic and equal to the single-pass answer."""
+    is deterministic and equal to the single-pass answer.
+
+    Partitioning (guide §2.4/§2.6): the corpus streams through the
+    Python stage in its NATURAL scan partitioning — parquet splits are
+    `maxPartitionBytes`-bounded, so parallelism already scales with
+    corpus bytes and the cluster.  The earlier explicit
+    ``repartition(defaultParallelism, id)`` shuffled the full
+    embedding payload once for nothing (scoring is row-independent,
+    so hash placement buys zero) and, at bench scale, fanned a
+    one-split frame into 32 near-empty tasks whose per-task Python
+    round-trip overhead exceeded the compute — the r9 driver measured
+    the entry FASTER on 8 cores than 32 (scaling ratio 0.71), the
+    §2.6 over-partitioning smell.  Removing the exchange deletes the
+    only payload shuffle in the plan; the single remaining exchange
+    carries (q_id, c_id, cos_raw) candidates, |parts|·|Q|·k rows."""
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -148,10 +162,8 @@ def cosine_topk_np(
                     }
                 )
 
-    n_parts = spark.sparkContext.defaultParallelism
     cand = (
         corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_emb"))
-        .repartition(n_parts, F.col(id_col))
         .mapInPandas(score, "q_id long, c_id long, cos_raw double")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("c_id"))

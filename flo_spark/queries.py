@@ -585,23 +585,44 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry a broadcast hint; customer/supplier scale with SF, so their
     join strategy is left to the size threshold/AQE — broadcast at
     bench scale (plan-tested), shuffle at 100 TB where a forced
-    broadcast would OOM."""
+    broadcast would OOM.
+
+    Join order (guide §3.2/§1.2 step 1 — Catalyst has no CBO join
+    reordering, the order written IS the order planned): the selective
+    region filter is applied to the DIMENSION side first — customer ⋈
+    nation ⋈ region('ASIA') keeps ~1/5 of customers, orders ⋈ that
+    keeps ~1/5 of orders — before anything touches lineitem, so the
+    fact join's build/probe input is already region-pruned.  The
+    previous shape joined full lineitem ⋈ full orders first, the
+    largest possible intermediate, and filtered last.  supplier is
+    additionally semi-join-pruned by the 5 ASIA nation keys (§3.2
+    "pre-filter the big side"): the final join requires s_nationkey =
+    c_nationkey ∈ ASIA, so dropping non-ASIA suppliers early is
+    provably lossless, and the 25-row build side costs nothing at any
+    scale.  Inner-join reassociation — the output is row-identical."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
+    asia_nations = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    asia_customers = c.join(
+        F.broadcast(asia_nations), c["c_nationkey"] == n["n_nationkey"]
+    )
+    asia_orders = o.join(asia_customers, o["o_custkey"] == c["c_custkey"])
+    asia_suppliers = s.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        s["s_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        li.join(asia_orders, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            s,
+            asia_suppliers,
             (li["l_suppkey"] == s["s_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
             money_sum(
@@ -1841,77 +1862,75 @@ from flo_spark import queries_ext as _queries_ext  # noqa: E402,F401
 
 # The driver's correctness gate has checked exactly the FIRST 50 keys
 # of queries() in insertion order every round (the window is positional
-# and capped at 50 — see DRIVER_COVERAGE.md).  Rounds 1-6 cumulatively
-# the round-8 window is the first of the three rotations (r8/r9/r10)
-# that burn down the 135 round-7 post-window entries with zero
-# driver-green history (DRIVER_COVERAGE.md round-8 plan): the 25
-# novel-mechanism representatives first (one per new mechanism so a
-# mechanism bug surfaces in ONE round), then wilcoxon_signed_rank
-# (its z^2 denominator was FIXED this round — ADVICE r7 — so it must
-# be driver-certified on the corrected code), then the remaining
-# exact-stats singles in catalog order, then the standing canaries.
+# and capped at 50 — see DRIVER_COVERAGE.md).  The r8/r9/r10 windows
+# burn down the zero-driver-history backlog at 44 first-time keys per
+# round; the round-10 window below executes the rotation plan staged
+# in DRIVER_COVERAGE.md at round-9 time (storage/engine mechanisms,
+# SQL/API surface suites, streaming monitors, dedup/ER operators,
+# sketch set algebra, codec round trips — in mechanism-risk order).
 # Every entry displaced from the window has at least one prior round
 # of driver-green history AND stays hash-checked by the local replica
 # gate (tests/test_oracle.py); the rotation history and displaced list
 # are audited in DRIVER_COVERAGE.md and pinned by
 # tests/test_driver_window.py.
 DRIVER_CHECK_ORDER = [
-    # Round-9 window: 44 first-time keys ordered by mechanism risk
-    # (DRIVER_COVERAGE.md "Round-9 window" section has the per-slot
-    # rationale), then the 6 standing canaries.
-    # -- lakehouse/manifest transactional subsystem (newest machinery,
-    #    zero driver history across all of it) --
-    "lakehouse_time_travel",
-    "lakehouse_deletion_vectors",
-    "lakehouse_change_data_feed",
-    "lakehouse_merge_mor",
-    "lakehouse_ivm_join_view",
-    "lakehouse_bloom_skipping",
-    "lakehouse_stats_skipping",
-    "lakehouse_optimize_binpack",
-    "lakehouse_table_diff",
-    "lakehouse_write_audit_publish",
-    "lakehouse_vacuum_orphans",
-    "bitemporal_point_in_time",
-    "stream_lakehouse_sink",
-    "stream_dlq_ingest",
-    # -- flo-surface entries with zero driver history --
-    "flo_async_pipelined_roundtrip",
-    "flo_tailer_bounded_sweep",
-    "gdpr_forget_compaction",
-    "audit_hash_chain",
-    "merkle_tree_proof",
-    "flo_xml_roundtrip",
-    # -- streaming join matrix / IVM / event-time hygiene --
-    "stream_stream_semi_attribution",
-    "stream_stream_left_outer_attribution",
-    "stream_ivm_signed_deltas",
-    "session_window_dynamic_gap",
-    "watermark_disorder_audit",
-    # -- entity resolution + retrieval evaluation --
-    "fellegi_sunter_linkage",
-    "fellegi_sunter_em_round",
-    "rrf_hybrid_retrieval",
-    "mmr_diversified_topk",
-    "bleu2_pairwise_eval",
-    "blocking_quality_metrics",
-    # -- survival / hypothesis-test / drift family --
-    "kaplan_meier_survival",
-    "logrank_test_survival",
-    "mann_whitney_u_sources",
-    "cramer_von_mises_two_sample",
-    "brown_forsythe_variance",
-    "ljung_box_hourly",
-    "psi_population_stability",
-    # -- cross-engine sequential-fold replays (IEEE/fixed-point
-    #    alignment risk) --
-    "rate_limiter_replay",
-    "lindley_queue_replay",
-    "sprt_sequential_replay",
-    "pca_power_iteration",
-    "permutation_test_sources",
-    # -- typed-metadata extraction --
-    "multimodal_exif_metadata",
+    # Round-10 window: 44 first-time keys per the rotation plan staged
+    # in DRIVER_COVERAGE.md at round-9 time ("Round-10 rotation plan"),
+    # then the 6 standing canaries.  Every displaced round-9 key is
+    # driver-green from CORRECTNESS_r09 (50/50) and stays hash-checked
+    # by the local replica gate (tests/test_oracle.py).
+    # -- storage/engine mechanisms a Spark user exercises structurally
+    #    (each pins a distinct planner/layout feature) --
+    "bucketed_colocated_join",
+    "dpp_month_partition_prune",
+    "bloom_pruned_join",
+    "schema_evolution_merge_read",
+    "small_file_compaction",
+    "dsir_importance_resample",
+    "stream_scd2_maintenance",
+    "scd2_customer_versions",
+    "scd2_point_in_time_join",
+    "feature_store_pit_join",
+    # -- SQL/API surface suites (parser/decorrelation/collation) --
+    "sql_scripting_threshold_report",
+    "sql_syntax_surface_suite",
+    "lateral_topn_per_customer",
+    "collation_case_insensitive_stats",
+    "pandas_api_on_spark_stats",
+    "modern_aggregates_suite",
+    "map_hof_suite",
+    "listagg_order_manifest",
+    "transpose_quantity_buckets",
+    "approx_topk_verified",
+    # -- streaming monitors not yet driver-seen --
+    "stream_observe_metrics",
+    "stream_bitmap_distinct_monitor",
+    "stream_late_data_drop_audit",
+    "stream_sliding_topk_sketch",
+    # -- dedup/ER/LLM-pipeline operators --
+    "line_dedup_corpus",
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "dedup_fuzzy_verify_levenshtein",
+    "sorted_neighborhood_pairs",
+    "golden_record_survivorship",
+    "hard_negative_mining",
+    "inverted_index_build",
+    "tfidf_candidate_stats",
+    "bpe_decode_roundtrip",
+    "group_leakage_safe_split",
+    "vocab_index_encode",
+    "context_window_pairs",
+    # -- sketch/exact-distinct set algebra --
+    "countmin_heavy_hitters",
+    "bitmap_exact_distinct",
+    "theta_sketch_audience_diff",
+    # -- native codec round trips (one per container family not yet
+    #    driver-certified; pnm16/y4m/gif_anim follow in r11) --
+    "multimodal_flac_roundtrip",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_qoi_roundtrip",
+    "multimodal_png_adam7_roundtrip",
     # -- rows-only companion contracts (stay pinned in every window) --
     "approx_distinct_bounded",
     "dedup_simhash_pairs",
