@@ -7,6 +7,24 @@ Split out of the former monolithic ``queries_ext`` module (round 8);
 registration conventions and the 100 TB scale notes live in the package
 ``__init__``.  Catalog order is canonical in ``_order.py`` — adding an
 entry here does NOT perturb existing ``queries()`` positions.
+
+localCheckpoint contract (r10, VERDICT r9 #2 / ADVICE r9): every
+``localCheckpoint()`` in this package marks a genuine fork — a derived
+frame consumed by 2+ plan branches that Catalyst would otherwise
+re-derive from the corpus scan per branch.  Costs to know at scale:
+(a) the frame materializes in ROW format on executor-local storage,
+(b) it is NOT fault-tolerant — losing an executor fails the job
+instead of recomputing (acceptable for these bounded single-job
+queries; a multi-hour production run should use a reliable checkpoint
+dir or persist(DISK_ONLY) + unpersist), and (c) eager=True executes
+the subtree AT BUILD TIME, so merely constructing the DataFrame runs
+Spark jobs (explain/audit tooling pays it too).  Most checkpointed
+frames here are censuses/spines/edge lists, orders of magnitude below
+the corpus; the three that carry corpus text (the curation rule
+stage, the chunk census, the bleu2 token tables) do so because every
+downstream branch needs the text itself — their exact column sets are
+pinned by tests/test_plans.py::CHECKPOINT_WIDTH_PINS so nothing wider
+ever rides along.
 """
 
 from __future__ import annotations

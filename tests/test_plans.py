@@ -1285,3 +1285,134 @@ def test_r9_no_fork_rescans(spark, sf_dir, name):
     )
     worst = max(per_table.values(), default=0)
     assert worst <= RESCAN_BOUNDS[name], (name, dict(per_table))
+
+
+# -- r10: runtime Bloom-filter injectability at cluster scale ---------
+# Guide §3.2: when the fact joins are too big to broadcast, Spark's
+# InjectRuntimeFilter (on by default) must be ABLE to prune the big
+# side's scan with a bloom built from the selective dim filter.  It
+# only fires when the application-side scan exceeds
+# applicationSideScanSizeThreshold (10 GB default — i.e. at cluster
+# scale, never at bench scale) and the creation side is a selective
+# filter-over-scan under creationSideThreshold.  These pins recreate
+# the scale regime (broadcast off, thresholds floored) and assert the
+# query SHAPES stay injectable — a refactor that wraps the selective
+# dim filter under a join or hint silently loses the runtime filter.
+
+
+@pytest.fixture
+def scale_shape_confs(spark):
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "512MB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_q3_runtime_bloom_prunes_orders_at_scale_shape(
+    scale_shape_confs, sf_dir
+):
+    """The BUILDING-segment customer filter must inject a bloom on
+    orders.o_custkey, so at scale the orders->lineitem join's build
+    input is segment-pruned before its shuffle."""
+    df = Q.q3_shipping_priority(scale_shape_confs, sf_dir)
+    plan = explain_str(df)
+    assert "bloom_filter_agg" in plan, plan
+    assert re.search(r"might_contain.*xxhash64\(o_custkey", plan), plan
+
+
+def test_q9_runtime_bloom_prunes_lineitem_at_scale_shape(
+    scale_shape_confs, sf_dir
+):
+    """The p_type='STANDARD' part filter must inject a bloom on
+    lineitem.l_partkey — the fact SCAN side is pruned before the
+    first shuffle (the §3.2 big-side pre-filter)."""
+    from flo_spark import queries_ext as QE
+
+    df = QE.q9_product_profit(scale_shape_confs, sf_dir)
+    plan = explain_str(df)
+    assert "bloom_filter_agg" in plan, plan
+    assert re.search(r"might_contain.*xxhash64\(l_partkey", plan), plan
+
+
+# -- r10: localCheckpoint width pins (VERDICT r9 "what's wrong" #2) ---
+# localCheckpoint materializes the fork frame in ROW format on
+# executor-local storage and is not fault-tolerant, so every
+# checkpointed frame must stay a deliberate narrow projection — a
+# regression that checkpoints an unpruned frame multiplies the
+# materialized bytes silently (the static-plan RESCAN_BOUNDS pins
+# cannot see it: the checkpoint executes at build time, before
+# explain).  Allowed column sets below are the audited r10 frames;
+# entries that legitimately checkpoint corpus TEXT (the curation
+# rule stage, the chunk census, the bleu2 token tables) are pinned
+# to exactly those columns so nothing wider ever rides along.
+
+CHECKPOINT_WIDTH_PINS = {
+    "triangle_count_copurchase": [{"l_orderkey", "l_partkey"}],
+    "copurchase_lift_topk": [{"l_orderkey", "l_partkey"}],
+    "linkpred_resource_allocation": [{"l_orderkey", "l_partkey"}],
+    "linkpred_jaccard_neighbors": [{"l_orderkey", "l_partkey"}],
+    "degree_assortativity_copurchase": [{"l_orderkey", "l_partkey"}],
+    "personalized_pagerank_seeds": [
+        {"src", "dst"}, {"src", "outdeg"}, {"node"},
+    ],
+    "pagerank_customer_supplier": [{"src", "dst"}],
+    "community_label_propagation": [
+        {"l_orderkey", "l_partkey"}, {"lo", "hi"},
+    ],
+    "kcore_copurchase_peel": [
+        {"l_orderkey", "l_partkey"}, {"lo", "hi"},
+    ],
+    "copurchase_hop_distance": [
+        {"l_orderkey", "l_partkey"}, {"lo", "hi"}, {"part_id", "hops"},
+    ],
+    "fellegi_sunter_linkage": [
+        {"c_custkey", "c_mktsegment", "c_nationkey", "bal_c"},
+    ],
+    "curation_pipeline_end2end": [{"doc_id", "text", "rule_reason"}],
+    "boilerplate_chunk_strip": [{"doc_id", "idx", "chunk"}],
+    "bleu2_pairwise_eval": [
+        {"doc_id", "lang", "source", "ws"},
+        {"doc_id", "ref_id"},
+        {"doc_id", "tok", "cnt"},
+    ],
+    "watermark_disorder_audit": [{"user_id", "event_id", "tus"}],
+    "proximity_join_grid_2d": [{"event_id", "user_id", "us", "value"}],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CHECKPOINT_WIDTH_PINS))
+def test_r10_checkpoint_widths_stay_pruned(spark, sf_dir, name, monkeypatch):
+    import pyspark.sql.classic.dataframe as cdfmod
+
+    from flo_spark import queries as Q2
+
+    recorded = []
+    orig = cdfmod.DataFrame.localCheckpoint
+
+    def patched(self, eager=True):
+        recorded.append(set(self.columns))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cdfmod.DataFrame, "localCheckpoint", patched)
+    Q2.REGISTRY[name].fn(spark, sf_dir)
+    assert recorded, f"{name}: expected at least one localCheckpoint"
+    allowed = CHECKPOINT_WIDTH_PINS[name]
+    for cols in recorded:
+        assert any(cols <= a for a in allowed), (name, cols, allowed)
